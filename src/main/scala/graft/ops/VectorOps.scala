@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Embedding similarity-search operators (SURVEY.md §2.9): brute-force
+  * cosine top-k as the exact baseline and an IVF-style bucketed variant
+  * as the scale path, over the `embeddings` fixture
+  * (`embedding: array<float>`, `label: int` = cluster/cell id).
+  *
+  * Cross-engine float determinism: vectors are quantized to integers
+  * (round(x * 10^4)) so dot products and norms are EXACT int64 sums —
+  * order-insensitive — and cosine = dot / sqrt(na) / sqrt(nb) is then a
+  * fixed sequence of IEEE ops on identical inputs, giving bit-identical
+  * doubles in Spark and DuckDB. Top-k ties break on vec_id.
+  *
+  * Scale notes: the query side is tiny and broadcast; the corpus side
+  * streams — a 100 TB corpus scan stays embarrassingly parallel with no
+  * shuffle until the per-query top-k agg. The IVF variant prunes the
+  * corpus to the query's cell before the distance computation, which is
+  * the standard recall/throughput trade at billion-vector scale.
+  */
+object VectorOps {
+
+  /** Quantized int64 vector: round(x * 10^4). */
+  private val quantExpr =
+    "transform(embedding, x -> cast(round(cast(x AS double) * 10000, 0) AS bigint))"
+
+  /** Exact int64 dot product of two quantized vectors. */
+  private def dotExpr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 AS bigint), (acc, v) -> acc + v)"
+
+  private val NUM_QUERIES = 10
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- q51: brute-force cosine top-10 for a fixed query set.
+    "q51_cosine_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .withColumn("q", expr(quantExpr))
+        .withColumn("norm", expr(dotExpr("q", "q")))
+        .select(col("vec_id"), col("q"), col("norm"))
+      val queriesDf = emb.filter(col("vec_id") < NUM_QUERIES)
+        .select(col("vec_id").as("qid"), col("q").as("qv"), col("norm").as("qnorm"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      emb.join(broadcast(queriesDf), col("vec_id") =!= col("qid"))
+        .withColumn("dot", expr(dotExpr("q", "qv")))
+        .withColumn("cos", col("dot").cast("double") /
+          sqrt(col("norm").cast("double")) / sqrt(col("qnorm").cast("double")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("qid"), col("vec_id"), col("cos"), col("rn"))
+        .orderBy(col("qid"), col("rn"))
+    }),
+
+    // ---- q52: IVF-style ANN — candidates pruned to the query's cell
+    // (label) before any distance math; top-5 within the cell.
+    "q52_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .withColumn("q", expr(quantExpr))
+        .withColumn("norm", expr(dotExpr("q", "q")))
+        .select(col("vec_id"), col("label"), col("q"), col("norm"))
+      val queriesDf = emb.filter(col("vec_id") < NUM_QUERIES)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+                col("q").as("qv"), col("norm").as("qnorm"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      emb.join(broadcast(queriesDf),
+          col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
+        .withColumn("dot", expr(dotExpr("q", "qv")))
+        .withColumn("cos", col("dot").cast("double") /
+          sqrt(col("norm").cast("double")) / sqrt(col("qnorm").cast("double")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("label"), col("vec_id"), col("cos"), col("rn"))
+        .orderBy(col("qid"), col("rn"))
+    }),
+
+    // ---- q53: per-vector stats over the quantized embedding.
+    "q53_vector_stats" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .withColumn("q", expr(quantExpr))
+        .select(col("vec_id"), col("label"),
+                size(col("q")).as("dim"),
+                expr(dotExpr("q", "q")).as("norm_q"),
+                array_min(col("q")).as("min_q"),
+                array_max(col("q")).as("max_q"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- q54: per-label centroid components via posexplode — exact
+    // integer sums per (label, dim); the caller divides by n for means.
+    "q54_label_centroid" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .withColumn("q", expr(quantExpr))
+        .select(col("label"), posexplode(col("q")).as(Seq("pos", "xq")))
+        .withColumn("dim", col("pos") + 1)
+        .groupBy(col("label"), col("dim"))
+        .agg(sum(col("xq")).as("sum_q"), count(lit(1)).as("n"))
+        .filter(col("dim") <= 8)
+        .orderBy(col("label"), col("dim"))
+    })
+  )
+
+  private val quantDuck =
+    "list_transform(embedding, x -> round(x::DOUBLE * 10000, 0)::BIGINT)"
+  private def dotDuck(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))::BIGINT"
+
+  val oracles: Map[String, String] = Map(
+    "q51_cosine_topk" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, $quantDuck AS q FROM embeddings),
+        |n AS (SELECT vec_id, q, ${dotDuck("q", "q")} AS norm FROM e),
+        |qs AS (SELECT vec_id AS qid, q AS qv, norm AS qnorm FROM n WHERE vec_id < $NUM_QUERIES),
+        |scored AS (
+        |  SELECT qid, vec_id,
+        |    ${dotDuck("q", "qv")}::DOUBLE / sqrt(norm::DOUBLE) / sqrt(qnorm::DOUBLE) AS cos
+        |  FROM n CROSS JOIN qs WHERE vec_id <> qid)
+        |SELECT qid, vec_id, cos, rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
+
+    "q52_ann_ivf" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, label, $quantDuck AS q FROM embeddings),
+        |n AS (SELECT vec_id, label, q, ${dotDuck("q", "q")} AS norm FROM e),
+        |qs AS (SELECT vec_id AS qid, label AS qlabel, q AS qv, norm AS qnorm
+        |       FROM n WHERE vec_id < $NUM_QUERIES),
+        |scored AS (
+        |  SELECT qid, n.label, vec_id,
+        |    ${dotDuck("q", "qv")}::DOUBLE / sqrt(norm::DOUBLE) / sqrt(qnorm::DOUBLE) AS cos
+        |  FROM n JOIN qs ON n.label = qs.qlabel AND n.vec_id <> qs.qid)
+        |SELECT qid, label, vec_id, cos, rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+
+    "q53_vector_stats" ->
+      s"""SELECT vec_id, label, len(q) AS dim, ${dotDuck("q", "q")} AS norm_q,
+        |  list_min(q) AS min_q, list_max(q) AS max_q
+        |FROM (SELECT vec_id, label, $quantDuck AS q FROM embeddings)
+        |ORDER BY vec_id""".stripMargin,
+
+    "q54_label_centroid" ->
+      s"""SELECT label, dim, sum(xq)::BIGINT AS sum_q, count(*) AS n FROM (
+        |  SELECT label, unnest(q) AS xq, generate_subscripts(q, 1) AS dim
+        |  FROM (SELECT label, $quantDuck AS q FROM embeddings))
+        |WHERE dim <= 8
+        |GROUP BY label, dim ORDER BY label, dim""".stripMargin
+  )
+}

@@ -1,0 +1,91 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY.md §2.9): image/audio/video travel
+  * as opaque `binary` columns beside typed metadata, exactly as a 100 TB
+  * training-data pipeline stores them (parquet binary + struct metadata).
+  *
+  * The Spark side — schema, partition-parallel batch iteration, UDF
+  * signatures, frame explosion — is real and tested. The codec itself is
+  * STUBBED (this container has no image/audio libraries): `decodeStub`
+  * derives deterministic pseudo-dimensions from the payload bytes where a
+  * real deployment would call the decoder inside the same mapPartitions
+  * batch loop (the Scala analog of a pandas_udf over mapInPandas: one
+  * iterator per partition, library handle initialized once per partition,
+  * not once per row).
+  */
+object MediaOps {
+
+  case class MediaMeta(kind: String, declaredWidth: Int, declaredHeight: Int,
+                       sampleRate: Int)
+  case class MediaRecord(media_id: Long, meta: MediaMeta, payload: Array[Byte])
+  case class MediaFeatures(media_id: Long, kind: String, width: Int, height: Int,
+                           n_bytes: Int, checksum: Long, feature: Array[Float])
+
+  /** Deterministic FAKE decode — stands in for e.g. javax.imageio /
+    * ffmpeg. ??? in a real deployment; here a byte-hash so tests are
+    * reproducible without codecs.
+    */
+  private[multimodal] def decodeStub(payload: Array[Byte]): (Int, Int) = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
+    val w = 16 + (math.abs(h) % 4096).toInt
+    val ht = 16 + (math.abs(h / 4096) % 4096).toInt
+    (w, ht)
+  }
+
+  private def checksum(payload: Array[Byte]): Long = {
+    val crc = new java.util.zip.CRC32()
+    crc.update(payload)
+    crc.getValue
+  }
+
+  /** Batch feature extraction: one pass per PARTITION (the batch shape a
+    * real decoder needs — expensive init happens once per partition, rows
+    * stream through). Emits a fixed 8-dim float feature per record.
+    */
+  def featurize(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // real pipeline: initialize the codec/session HERE, once per partition
+      it.map { r =>
+        val (w, h) = decodeStub(r.payload)
+        val cs = checksum(r.payload)
+        val feat = Array.tabulate(8)(i =>
+          ((cs >> (i * 8)) & 0xff).toFloat / 255.0f)
+        MediaFeatures(r.media_id, r.meta.kind, w, h, r.payload.length, cs, feat)
+      }
+    }
+  }
+
+  /** Frame sampling for video-kind rows: explode one row per sampled frame
+    * index — pure plan surgery, runs distributed, no decode needed to
+    * plan the sampling.
+    */
+  def sampleFrames(df: DataFrame, nFrames: Int): DataFrame =
+    df.withColumn("frame_idx",
+        explode(sequence(lit(0), lit(nFrames - 1))))
+      .withColumn("frame_key",
+        concat(col("media_id"), lit("#"), col("frame_idx")))
+
+  /** Resize plan: records the target size next to the payload; the actual
+    * pixel work happens in featurize's partition loop in a real system.
+    */
+  def withResizeSpec(df: DataFrame, w: Int, h: Int): DataFrame =
+    df.withColumn("resize_spec", struct(lit(w).as("w"), lit(h).as("h")))
+
+  /** Synthesizes a deterministic media table for tests/demos (payload
+    * bytes derived from the id — stable across runs).
+    */
+  def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.range(n.toLong).map { id =>
+      val kind = if (id % 3 == 0) "image" else if (id % 3 == 1) "audio" else "video"
+      val payload = Array.tabulate[Byte](64 + (id % 64).toInt)(i => ((id * 131 + i * 7) % 251).toByte)
+      MediaRecord(id, MediaMeta(kind, 640, 480, 16000), payload)
+    }
+  }
+}

@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Scale-path near-duplicate detection (SURVEY.md §2.9): MinHash + LSH
+  * banding over shingles, and embedding-cosine near-dup with cluster
+  * blocking. Complements TextOps.q50 (exact rare-shingle path).
+  *
+  * The MinHash functions are md5-based (not Spark's hash()) so the exact
+  * same signature pipeline is expressible in the DuckDB oracle — the
+  * correctness check covers the WHOLE pipeline (signatures, banding,
+  * candidate join, verification), not just the final set.
+  *
+  * Scale notes: signatures are one explode + hash-agg (linear in corpus
+  * shingle count, map-side combinable); the LSH join shuffles on
+  * (band, band_key) whose cardinality ~ n_docs * B, with bucket sizes
+  * concentrated near 1 for non-duplicates — no quadratic blowup. This is
+  * the standard 100 TB-scale dedup topology (MinHashLSH in Spark MLlib
+  * uses the same shape).
+  */
+object DedupOps {
+
+  private val NUM_SEEDS = 12 // 6 bands x 2 rows
+  private val ROWS_PER_BAND = 2
+  private val JACCARD_T = 0.5
+  private val COS_T = 0.4
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- q49: MinHash signatures -> LSH band buckets -> candidate pairs
+    // -> exact jaccard verification.
+    "q49_minhash_lsh" -> ((s, d) => {
+      val g0 = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), array_distinct(expr(
+          """CASE WHEN size(toks) >= 3 THEN
+            |  transform(sequence(1, size(toks) - 2),
+            |            i -> concat_ws(' ', element_at(toks, i),
+            |                                element_at(toks, i + 1),
+            |                                element_at(toks, i + 2)))
+            |ELSE array() END""".stripMargin)).as("grams"))
+      val g = g0.select(col("doc_id"), explode(col("grams")).as("gram"))
+      // 12 minhashes per doc: min over shingles of md5("<seed>:<gram>")
+      val mh = g
+        .select(col("doc_id"), col("gram"),
+                explode(sequence(lit(0), lit(NUM_SEEDS - 1))).as("seed"))
+        .groupBy(col("doc_id"), col("seed"))
+        .agg(min(md5(concat(col("seed"), lit(":"), col("gram")))).as("mh"))
+      // band key = the band's row minhashes joined in seed order
+      val bands = mh
+        .withColumn("band", expr(s"seed DIV $ROWS_PER_BAND"))
+        .groupBy(col("doc_id"), col("band"))
+        .agg(array_join(
+          expr("transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh)"),
+          "|").as("bkey"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      cand
+        .join(g0.select(col("doc_id").as("d1"), col("grams").as("g1")), "d1")
+        .join(g0.select(col("doc_id").as("d2"), col("grams").as("g2")), "d2")
+        .withColumn("common", size(array_intersect(col("g1"), col("g2"))))
+        .withColumn("jaccard", col("common").cast("double") /
+          (size(col("g1")) + size(col("g2")) - col("common")))
+        .filter(col("jaccard") >= JACCARD_T)
+        .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    // ---- q55: embedding-cosine near-dup, blocked by cluster label
+    // (IVF-style candidate pruning; exact integer-quantized cosine).
+    "q55_embedding_neardup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .withColumn("q", expr(
+          "transform(embedding, x -> cast(round(cast(x AS double) * 10000, 0) AS bigint))"))
+        .withColumn("norm", expr(
+          "aggregate(zip_with(q, q, (x, y) -> x * y), cast(0 AS bigint), (acc, v) -> acc + v)"))
+        .select(col("vec_id"), col("label"), col("q"), col("norm"))
+      emb.as("a").join(emb.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(a.q, b.q, (x, y) -> x * y), cast(0 AS bigint), (acc, v) -> acc + v)"))
+        .withColumn("cos", col("dot").cast("double") /
+          sqrt(col("a.norm").cast("double")) / sqrt(col("b.norm").cast("double")))
+        .filter(col("cos") >= COS_T)
+        .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+                col("a.label").as("label"), col("cos"))
+        .orderBy(col("v1"), col("v2"))
+    })
+  )
+
+  private val trigramDuck =
+    "[toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks) - 1)]"
+
+  val oracles: Map[String, String] = Map(
+    "q49_minhash_lsh" ->
+      s"""WITH g0 AS (
+        |  SELECT doc_id, list_distinct($trigramDuck) AS grams
+        |  FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)),
+        |g AS (SELECT doc_id, unnest(grams) AS gram FROM g0),
+        |mh AS (
+        |  SELECT doc_id, s, min(md5(s || ':' || gram)) AS mh
+        |  FROM g CROSS JOIN (SELECT unnest(range(0, $NUM_SEEDS)) AS s) seeds
+        |  GROUP BY doc_id, s),
+        |bands AS (
+        |  SELECT doc_id, s // $ROWS_PER_BAND AS band,
+        |    string_agg(mh, '|' ORDER BY s) AS bkey
+        |  FROM mh GROUP BY doc_id, s // $ROWS_PER_BAND),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+        |SELECT d1, d2,
+        |  round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+        |    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
+        |FROM cand JOIN g0 a ON a.doc_id = cand.d1 JOIN g0 b ON b.doc_id = cand.d2
+        |WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+        |    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= $JACCARD_T
+        |ORDER BY d1, d2""".stripMargin,
+
+    "q55_embedding_neardup" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> round(x::DOUBLE * 10000, 0)::BIGINT) AS q
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, q,
+        |    list_sum(list_transform(list_zip(q, q), p -> p[1] * p[2]))::BIGINT AS norm FROM e)
+        |SELECT a.vec_id AS v1, b.vec_id AS v2, a.label AS label,
+        |  list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2]))::BIGINT::DOUBLE
+        |    / sqrt(a.norm::DOUBLE) / sqrt(b.norm::DOUBLE) AS cos
+        |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2]))::BIGINT::DOUBLE
+        |    / sqrt(a.norm::DOUBLE) / sqrt(b.norm::DOUBLE) >= $COS_T
+        |ORDER BY v1, v2""".stripMargin
+  )
+}

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.jobs.{JobOps, JobSchema}
+
+/** Reference-parity operator specs over FIXTURES.md-shaped inputs. */
+class JobOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kvPivotFirst: first-match wins, multi-valued labels join with 、") {
+    // A3 fixture: duplicate 管理責任 (first wins), multi-valued 擅長工具
+    val long = Seq(
+      (1L, 1, "管理責任", "不需負擔管理責任"),
+      (1L, 2, "管理責任", "DUPLICATE-IGNORED"),
+      (1L, 3, "擅長工具", "Python"),
+      (1L, 4, "擅長工具", "Solidity"),
+      (1L, 5, "學歷要求", "大學以上"),
+      (2L, 1, "出差外派", "無需出差外派")
+    ).toDF("job_id", "pos", "label", "value")
+
+    val wide = JobOps.kvPivotFirst(long).collect().sortBy(_.getLong(0))
+    val r1 = wide(0)
+    assert(r1.getAs[String]("management") == "不需負擔管理責任")
+    assert(r1.getAs[String]("tools") == "Python、Solidity")
+    assert(r1.getAs[String]("education") == "大學以上")
+    assert(r1.getAs[String]("vacation") == null) // absent label -> null
+    val r2 = wide(1)
+    assert(r2.getAs[String]("business_trip") == "無需出差外派")
+    assert(r2.getAs[String]("management") == null)
+  }
+
+  test("cleaning ops: update date, applicants, hiring flag, apply code") {
+    val df = Seq(
+      ("更新2025/03/01", "應徵人數 0~5 人", "積極徵才中",
+       "https://www.104.com.tw/job/abc12?jobsource=x"),
+      ("2025/02/02", "", null,
+       "https://www.104.com.tw/job/zz9")
+    ).toDF("update_date", "applicants", "tag", "job_url")
+
+    val out = df.select(
+      JobOps.cleanUpdateDate($"update_date").as("d"),
+      JobOps.cleanApplicants($"applicants").as("a"),
+      JobOps.activelyHiringFlag($"tag").as("h"),
+      JobOps.applyCode($"job_url").as("code")).collect()
+
+    assert(out(0) == Row("2025/03/01", "0~5", "是", "abc12"))
+    assert(out(1) == Row("2025/02/02", "N/A", "否", "zz9"))
+  }
+
+  test("rangeBounds parses textual ranges") {
+    val (lo, hi) = JobOps.rangeBounds(lit("0~5"))
+    val r = spark.range(1).select(lo.as("lo"), hi.as("hi")).head
+    assert(r == Row(0L, 5L))
+  }
+
+  test("genderMap classifies stacked bars by RGB tolerance (A5 fixture)") {
+    val bars = Seq(
+      (1L, 1, "background: rgb(80, 143, 253); width: 78%", "78%"),  // ~male ±5
+      (1L, 2, "background: rgb(255, 144, 199); width: 22%", "22%"), // female exact
+      (2L, 1, "background: rgb(0, 0, 0); width: 50%", "50%")        // unmatched
+    ).toDF("job_id", "pos", "style", "text")
+
+    val out = JobOps.genderMap(bars).collect()
+    assert(out.length == 1)
+    val m = out(0).getAs[Map[String, String]]("gender")
+    assert(m == Map("男性" -> "78%", "女性" -> "22%"))
+  }
+
+  test("languageMap decodes legend colors and comma-joins levels (A6)") {
+    val bars = Seq(
+      (1L, "英文", 1, "background: rgb(41, 128, 255)", "12%"),
+      (1L, "英文", 2, "background: rgb(102, 165, 255)", "30%"),
+      (1L, "日文", 1, "background: rgb(1, 2, 3)", "9%") // unknown color
+    ).toDF("job_id", "lang", "pos", "style", "text")
+
+    val out = JobOps.languageMap(bars).collect()
+    val m = out(0).getAs[Map[String, String]]("language_skills")
+    assert(m("英文") == "精通12%,中等30%")
+    assert(m("日文") == "未知9%")
+  }
+
+  test("emptyAnalysis default has all 8 keys as empty maps (A9)") {
+    val r = spark.range(1).select(JobOps.emptyAnalysis.as("analysis"))
+    assert(r.schema("analysis").dataType == JobSchema.analysisType ||
+      r.select("analysis.*").columns.toSeq ==
+        JobSchema.analysisType.fields.map(_.name).toSeq)
+    val row = r.select("analysis.*").head
+    (0 until 8).foreach(i => assert(row.getAs[Map[String, String]](i).isEmpty))
+  }
+
+  test("row quality flags rows with > 6 empty fields (P12)") {
+    val cols = (1 to 8).map(i => s"c$i")
+    val full = Seq(("v", "v", "", "", "", "", "", ""),
+                   ("", "", "", "", "", "", "", ""))
+      .toDF(cols: _*)
+    val flags = full.select(JobOps.rowQualityFlag(cols).as("f")).collect().map(_.getString(0))
+    assert(flags.toSeq == Seq("ok", "error"))
+  }
+
+  test("chartMap builds distribution maps, dropping malformed lines (A4/A7)") {
+    val lines = Seq(
+      (1L, "年齡", "25-29歲\n14%"),
+      (1L, "年齡", "30-34歲\n41%"),
+      (1L, "年齡", "malformed-no-newline"),
+      (1L, "工作經驗", "1-3年\n50%")
+    ).toDF("job_id", "chart_title", "line")
+    val out = JobOps.chartMap(lines, "job_id", "chart_title", "line")
+      .collect()
+      .map(r => r.getAs[String]("chart_title") -> r.getAs[Map[String, String]]("m"))
+      .toMap
+    assert(out("年齡") == Map("25-29歲" -> "14%", "30-34歲" -> "41%"))
+    assert(out("工作經驗") == Map("1-3年" -> "50%"))
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+
+class StreamingSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("file-stream ingest -> windowed agg -> parquet sink (AvailableNow)") {
+    import spark.implicits._
+    val inDir = tmp("stream-in")
+    val outDir = tmp("stream-out")
+    val ckpt = tmp("stream-ckpt")
+
+    // one "scroll" batch dropped into the watched directory
+    val batch = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:05:00"), 7L, "click", 1.5, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:20:00"), 7L, "click", 2.5, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 01:10:00"), 8L, "view", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    batch.write.mode("append").parquet(inDir)
+
+    val q = EventStream.toParquetSink(
+      EventStream.windowedCounts(EventStream.readEvents(spark, inDir)),
+      outDir, ckpt).start()
+    q.awaitTermination(60000)
+
+    // append mode only emits windows the watermark has passed: watermark =
+    // 01:10 - 10min = 01:00 finalizes exactly the [00:00, 01:00) window.
+    val got = spark.read.parquet(outDir).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[String]("event_type") == "click")
+    assert(got(0).getAs[Long]("n") == 2L)
+
+    // a later tick advances the watermark and flushes the 01:00 window
+    Seq((4L, java.sql.Timestamp.valueOf("2024-01-01 02:30:00"), 9L, "click", 4.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(inDir)
+    val q2 = EventStream.toParquetSink(
+      EventStream.windowedCounts(EventStream.readEvents(spark, inDir)),
+      outDir, ckpt).start()
+    q2.awaitTermination(60000)
+    val after = spark.read.parquet(outDir).collect()
+    assert(after.length == 2)
+    assert(after.exists(r => r.getAs[String]("event_type") == "view"))
+  }
+
+  test("streaming dedup within watermark drops re-crawled ids (T3)") {
+    import spark.implicits._
+    val inDir = tmp("dedup-in")
+    val outDir = tmp("dedup-out")
+    val ckpt = tmp("dedup-ckpt")
+
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 7L, "click", 1.0, "{}"),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 7L, "click", 1.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:03"), 7L, "view", 2.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(inDir)
+
+    val q = EventStream.toParquetSink(
+      EventStream.dedupedEvents(EventStream.readEvents(spark, inDir)),
+      outDir, ckpt).start()
+    q.awaitTermination(60000)
+    assert(spark.read.parquet(outDir).select("event_id").distinct().count() == 2)
+    assert(spark.read.parquet(outDir).count() == 2)
+  }
+
+  test("fan-out sink writes two tables from one cached micro-batch (S8)") {
+    import spark.implicits._
+    val inDir = tmp("fan-in")
+    val outA = tmp("fan-a")
+    val outB = tmp("fan-b")
+    val ckpt = tmp("fan-ckpt")
+
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 7L, "click", 1.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 8L, "view", 2.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(inDir)
+
+    val q = EventStream.fanOutSink(
+      EventStream.readEvents(spark, inDir), outA, outB, ckpt).start()
+    q.awaitTermination(60000)
+    assert(spark.read.parquet(outA).count() == 2)
+    assert(spark.read.parquet(outB).as[String].collect().toSet == Set("click", "view"))
+  }
+}

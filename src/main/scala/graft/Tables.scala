@@ -14,6 +14,17 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Spread a small scan across the cluster before compute-heavy /
+    * row-amplifying operators (explode, per-row hashing, vector math).
+    * The fixture tables are single parquet files with one row group, so
+    * without this the entire pre-shuffle pipeline runs in ONE task —
+    * exactly the "input partitioning defines your parallelism" trap at
+    * any scale. The shuffled bytes are tiny; the unlocked parallelism is
+    * the whole machine.
+    */
+  def rebalance(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")

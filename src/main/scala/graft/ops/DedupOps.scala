@@ -26,13 +26,14 @@ object DedupOps {
   private val ROWS_PER_BAND = 2
   private val JACCARD_T = 0.5
   private val COS_T = 0.4
+  private val HASH_P = 2147483647L // Mersenne prime; (p-1)*(2*seeds+1) << 2^63
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- q49: MinHash signatures -> LSH band buckets -> candidate pairs
     // -> exact jaccard verification.
     "q49_minhash_lsh" -> ((s, d) => {
-      val g0 = Tables.documents(s, d)
+      val g0 = Tables.rebalance(Tables.documents(s, d))
         .withColumn("toks", split(col("text"), " "))
         .select(col("doc_id"), array_distinct(expr(
           """CASE WHEN size(toks) >= 3 THEN
@@ -41,24 +42,40 @@ object DedupOps {
             |                                element_at(toks, i + 1),
             |                                element_at(toks, i + 2)))
             |ELSE array() END""".stripMargin)).as("grams"))
-      val g = g0.select(col("doc_id"), explode(col("grams")).as("gram"))
-      // 12 minhashes per doc: min over shingles of md5("<seed>:<gram>")
+      // explode_outer + null filter: plain explode would infer a
+      // non-empty-array filter pushed below the rebalance Exchange,
+      // re-evaluating the trigram construction on one partition
+      val g = g0.select(col("doc_id"), explode_outer(col("grams")).as("gram"))
+        .filter(col("gram").isNotNull)
+      // One md5 per shingle, then NUM_SEEDS cheap derived hashes
+      // h_s = ((h % P) * (2s+1) + 7919s) % P — exact int64 in both
+      // engines, so the oracle replicates signatures bit-for-bit while
+      // the expensive digest runs once per shingle, not once per seed.
       val mh = g
-        .select(col("doc_id"), col("gram"),
+        .withColumn("hv", expr(s"conv(substring(md5(gram), 1, 15), 16, 10)").cast("long"))
+        .select(col("doc_id"), col("hv"),
                 explode(sequence(lit(0), lit(NUM_SEEDS - 1))).as("seed"))
+        .withColumn("hs", expr(s"((hv % $HASH_P) * (2 * seed + 1) + 7919 * seed) % $HASH_P"))
         .groupBy(col("doc_id"), col("seed"))
-        .agg(min(md5(concat(col("seed"), lit(":"), col("gram")))).as("mh"))
+        .agg(min(col("hs")).as("mh"))
       // band key = the band's row minhashes joined in seed order
       val bands = mh
         .withColumn("band", expr(s"seed DIV $ROWS_PER_BAND"))
         .groupBy(col("doc_id"), col("band"))
         .agg(array_join(
-          expr("transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh)"),
+          expr("transform(array_sort(collect_list(struct(seed, mh))), x -> cast(x.mh AS string))"),
           "|").as("bkey"))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      // in-bucket pair generation via collect_list (no self-join: Catalyst
+      // would recompute the whole signature pipeline for each side)
+      val cand = bands.groupBy(col("band"), col("bkey"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(ds, (x, i) ->
+            |  transform(slice(ds, i + 2, size(ds)),
+            |            y -> named_struct('d1', x, 'd2', y))))""".stripMargin))
+          .as("p"))
+        .select(col("p.d1"), col("p.d2"))
         .distinct()
       cand
         .join(g0.select(col("doc_id").as("d1"), col("grams").as("g1")), "d1")
@@ -74,7 +91,7 @@ object DedupOps {
     // ---- q55: embedding-cosine near-dup, blocked by cluster label
     // (IVF-style candidate pruning; exact integer-quantized cosine).
     "q55_embedding_neardup" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
+      val emb = Tables.rebalance(Tables.embeddings(s, d))
         .withColumn("q", expr(
           "transform(embedding, x -> cast(round(cast(x AS double) * 10000, 0) AS bigint))"))
         .withColumn("norm", expr(
@@ -102,13 +119,15 @@ object DedupOps {
         |  SELECT doc_id, list_distinct($trigramDuck) AS grams
         |  FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)),
         |g AS (SELECT doc_id, unnest(grams) AS gram FROM g0),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS hv FROM g),
         |mh AS (
-        |  SELECT doc_id, s, min(md5(s || ':' || gram)) AS mh
-        |  FROM g CROSS JOIN (SELECT unnest(range(0, $NUM_SEEDS)) AS s) seeds
+        |  SELECT doc_id, s,
+        |    min(((hv % $HASH_P) * (2 * s + 1) + 7919 * s) % $HASH_P) AS mh
+        |  FROM h CROSS JOIN (SELECT unnest(range(0, $NUM_SEEDS)) AS s) seeds
         |  GROUP BY doc_id, s),
         |bands AS (
         |  SELECT doc_id, s // $ROWS_PER_BAND AS band,
-        |    string_agg(mh, '|' ORDER BY s) AS bkey
+        |    string_agg(mh::VARCHAR, '|' ORDER BY s) AS bkey
         |  FROM mh GROUP BY doc_id, s // $ROWS_PER_BAND),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2

@@ -21,7 +21,7 @@ object TextOps {
 
   /** Tokenize on single spaces (fixture text is space-joined tokens). */
   private def withToks(df: DataFrame): DataFrame =
-    df.withColumn("toks", split(col("text"), " "))
+    Tables.rebalance(df).withColumn("toks", split(col("text"), " "))
 
   /** Word 3-gram shingles, order-preserving; empty when < 3 tokens
     * (guards sequence() against descending ranges).
@@ -66,7 +66,11 @@ object TextOps {
     // higher-order functions, no UDF).
     "q42_trigram_freq" -> ((s, d) => {
       withToks(Tables.documents(s, d))
-        .select(explode(expr(trigramExpr)).as("gram"))
+        // explode_outer: plain explode makes Catalyst infer a non-empty
+        // filter that is pushed below the rebalance Exchange, evaluating
+        // the whole trigram expression twice on the single scan partition
+        .select(explode_outer(expr(trigramExpr)).as("gram"))
+        .filter(col("gram").isNotNull)
         .groupBy(col("gram")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("gram"))
         .limit(20)
@@ -141,7 +145,8 @@ object TextOps {
     // explode(bit) -> two hash-aggs; no driver-side loop.
     "q48_simhash" -> ((s, d) => {
       val toks = withToks(Tables.documents(s, d))
-        .select(col("doc_id"), explode(array_distinct(col("toks"))).as("tok"))
+        .select(col("doc_id"), explode_outer(array_distinct(col("toks"))).as("tok"))
+        .filter(col("tok").isNotNull)
         .withColumn("hv", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
       toks
         .select(col("doc_id"), col("hv"), explode(sequence(lit(0), lit(59))).as("j"))
@@ -158,17 +163,24 @@ object TextOps {
     // ---- q50: exact n-gram Jaccard near-dup pairs at scale — df-capped
     // inverted shingle index for candidates (rare-shingle prefix filter),
     // then exact verification on the full shingle sets.
+    // Candidate pairs come from ONE aggregation over the exploded gram
+    // table (collect doc-ids per gram, emit in-bucket pairs) instead of a
+    // self-join — Catalyst has no common-subplan reuse, so the self-join
+    // formulation would recompute the shingle explosion 4x.
     "q50_jaccard_neardup" -> ((s, d) => {
       val g0 = withToks(Tables.documents(s, d))
         .select(col("doc_id"), array_distinct(expr(trigramExpr)).as("grams"))
-      val g = g0.select(col("doc_id"), explode(col("grams")).as("gram"))
-      val rare = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= DF_CAP)
-        .select(col("gram"))
-      val gRare = g.join(rare, "gram")
-      val cand = gRare.as("a").join(gRare.as("b"),
-          col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      val g = g0.select(col("doc_id"), explode_outer(col("grams")).as("gram"))
+        .filter(col("gram").isNotNull)
+      val cand = g.groupBy(col("gram"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")).between(2, DF_CAP))
+        .select(explode(expr(
+          """flatten(transform(ds, (x, i) ->
+            |  transform(slice(ds, i + 2, size(ds)),
+            |            y -> named_struct('d1', x, 'd2', y))))""".stripMargin))
+          .as("p"))
+        .select(col("p.d1"), col("p.d2"))
         .distinct()
       cand
         .join(g0.select(col("doc_id").as("d1"), col("grams").as("g1")), "d1")

@@ -37,7 +37,7 @@ object VectorOps {
 
     // ---- q51: brute-force cosine top-10 for a fixed query set.
     "q51_cosine_topk" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
+      val emb = Tables.rebalance(Tables.embeddings(s, d))
         .withColumn("q", expr(quantExpr))
         .withColumn("norm", expr(dotExpr("q", "q")))
         .select(col("vec_id"), col("q"), col("norm"))
@@ -58,7 +58,7 @@ object VectorOps {
     // ---- q52: IVF-style ANN — candidates pruned to the query's cell
     // (label) before any distance math; top-5 within the cell.
     "q52_ann_ivf" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
+      val emb = Tables.rebalance(Tables.embeddings(s, d))
         .withColumn("q", expr(quantExpr))
         .withColumn("norm", expr(dotExpr("q", "q")))
         .select(col("vec_id"), col("label"), col("q"), col("norm"))
@@ -80,7 +80,7 @@ object VectorOps {
 
     // ---- q53: per-vector stats over the quantized embedding.
     "q53_vector_stats" -> ((s, d) => {
-      Tables.embeddings(s, d)
+      Tables.rebalance(Tables.embeddings(s, d))
         .withColumn("q", expr(quantExpr))
         .select(col("vec_id"), col("label"),
                 size(col("q")).as("dim"),
@@ -93,7 +93,7 @@ object VectorOps {
     // ---- q54: per-label centroid components via posexplode — exact
     // integer sums per (label, dim); the caller divides by n for means.
     "q54_label_centroid" -> ((s, d) => {
-      Tables.embeddings(s, d)
+      Tables.rebalance(Tables.embeddings(s, d))
         .withColumn("q", expr(quantExpr))
         .select(col("label"), posexplode(col("q")).as(Seq("pos", "xq")))
         .withColumn("dim", col("pos") + 1)

@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Advanced relational surface: range joins re-expressed as equi-joins
+  * (the scalable form), grouping sets, exact-formula variance/stddev,
+  * percentiles, and sketch cardinalities.
+  */
+object Advanced {
+
+  private val BUCKET_W = 50 // events.value in [0, ~561): 12 buckets
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- q56: range join -> equi join. Joining events to value-interval
+    // buckets is a range join (BroadcastNestedLoop at scale = death); with
+    // fixed-width intervals the interval id is computable on both sides,
+    // so it becomes a hash equi-join. This bucketize-the-range-key trick
+    // is the standard 100 TB shape for interval joins.
+    "q56_range_bucket_join" -> ((s, d) => {
+      val dim = s.range(0, 20).select(
+        col("id").cast("int").as("bucket_id"),
+        (col("id") * BUCKET_W).cast("double").as("lo"),
+        ((col("id") + 1) * BUCKET_W).cast("double").as("hi"),
+        concat(lit("["), col("id") * BUCKET_W, lit(","),
+               (col("id") + 1) * BUCKET_W, lit(")")).as("bucket_label"))
+      Tables.events(s, d)
+        .withColumn("bucket_id", floor(col("value") / BUCKET_W).cast("int"))
+        .join(broadcast(dim), "bucket_id")
+        // the range predicate stays as a (now trivially true) guard —
+        // this is what makes the rewrite semantically a range join
+        .filter(col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy(col("bucket_id"), col("bucket_label"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+        .orderBy(col("bucket_id"))
+    }),
+
+    // ---- q57: GROUPING SETS beyond rollup/cube, with grouping_id to
+    // disambiguate subtotal rows from real NULLs.
+    "q57_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql(
+        s"""SELECT coalesce(o_orderstatus, '(all)') AS orderstatus,
+           |  coalesce(o_orderpriority, '(all)') AS orderpriority,
+           |  cast(grouping_id(o_orderstatus, o_orderpriority) AS int) AS gid,
+           |  count(*) AS n
+           |FROM orders_gs
+           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+           |                        (o_orderstatus, o_orderpriority))
+           |ORDER BY orderstatus, orderpriority, gid""".stripMargin)
+    }),
+
+    // ---- q58: variance/stddev via the explicit exact-moment formula —
+    // decimal power sums make the moments order-insensitive, then a fixed
+    // IEEE op sequence matches DuckDB bit-for-bit (built-in var_samp uses
+    // engine-specific streaming updates that never hash-match).
+    "q58_variance" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sx"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)) *
+              col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sx2"))
+        .select(col("l_returnflag"),
+                col("n"),
+                round((col("sx2") - col("sx") * col("sx") / col("n")) /
+                      (col("n") - 1), 6).as("var_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- q59: exact percentile (median/p90) — Spark `percentile` and
+    // DuckDB `quantile_cont` both use linear interpolation on the sorted
+    // values; inputs are 2-decimal doubles so the interpolation arithmetic
+    // is identical.
+    "q59_percentiles" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
+             expr("percentile(o_totalprice, 0.9)").as("p90"),
+             count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // ---- q60: HLL sketch cardinality. NO ORACLE — Spark's HLL++ and
+    // DuckDB's approx_count_distinct give different estimates by design;
+    // the driver records the weaker rows-only check for this one.
+    "q60_approx_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+             countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy(col("l_returnflag"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q56_range_bucket_join" ->
+      s"""SELECT bucket_id, bucket_label, count(*) AS n,
+        |  sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
+        |FROM events
+        |JOIN (SELECT i::INT AS bucket_id, (i * $BUCKET_W)::DOUBLE AS lo,
+        |             ((i + 1) * $BUCKET_W)::DOUBLE AS hi,
+        |             '[' || (i * $BUCKET_W) || ',' || ((i + 1) * $BUCKET_W) || ')' AS bucket_label
+        |      FROM (SELECT unnest(range(0, 20)) AS i)) b
+        |  ON value >= lo AND value < hi
+        |GROUP BY bucket_id, bucket_label ORDER BY bucket_id""".stripMargin,
+
+    "q57_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS orderstatus,
+        |  coalesce(o_orderpriority, '(all)') AS orderpriority,
+        |  grouping(o_orderstatus, o_orderpriority)::INT AS gid, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |                        (o_orderstatus, o_orderpriority))
+        |ORDER BY orderstatus, orderpriority, gid""".stripMargin,
+
+    "q58_variance" ->
+      """SELECT l_returnflag, n,
+        |  round((sx2 - sx * sx / n) / (n - 1), 6) AS var_qty
+        |FROM (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sx,
+        |    sum(l_quantity::DECIMAL(18,2) * l_quantity::DECIMAL(18,2))::DOUBLE AS sx2
+        |  FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q59_percentiles" ->
+      """SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.9) AS p90, count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    // q60_approx_distinct: intentionally no oracle (rows-only check)
+  )
+}

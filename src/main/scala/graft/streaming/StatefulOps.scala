@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom stateful streaming operators (SURVEY.md §2.7 extension surface):
+  * per-key state that survives across micro-batches AND across query
+  * restarts (checkpointed) — the streaming analog of the reference's
+  * `old_scrolls` cursor (test.py:558) generalized to arbitrary state.
+  */
+object StatefulOps {
+
+  case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                      event_type: String, value: Double)
+  case class UserState(nEvents: Long, nErrors: Long, lastEventId: Long)
+  case class UserProgress(user_id: Long, n_events: Long, n_errors: Long,
+                          last_event_id: Long)
+
+  /** Running per-user counters via mapGroupsWithState — state store is
+    * checkpointed, so a restarted query resumes counting where the
+    * previous run stopped (verified in StatefulSpec).
+    */
+  def runningUserCounters(events: Dataset[EventRow]): Dataset[UserProgress] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0L, -1L))
+          var n = prev.nEvents
+          var errs = prev.nErrors
+          var last = prev.lastEventId
+          rows.foreach { r =>
+            n += 1
+            if (r.event_type == "error") errs += 1
+            if (r.event_id > last) last = r.event_id
+          }
+          state.update(UserState(n, errs, last))
+          UserProgress(userId, n, errs, last)
+      }
+  }
+
+  /** The reference's error budget (max_errors=3, test.py:129-144) as a
+    * batch Observation: count error rows while the main pipeline runs —
+    * one pass, no second scan — then let the caller abort if over budget.
+    */
+  def observedErrorCount(df: DataFrame, isError: org.apache.spark.sql.Column):
+      (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    val out = df.observe(obs, sum(when(isError, 1L).otherwise(0L)).as("n_errors"),
+                              count(lit(1)).as("n_rows"))
+    (out, obs)
+  }
+}

@@ -7,11 +7,17 @@ class EntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  /** Queries deliberately shipped without an oracle (driver falls back to
+    * the weaker rows-only check): engine-specific sketch estimates.
+    */
+  private val rowsOnlyQueries = Set("q60_approx_distinct")
+
   test("every query has an oracle and every oracle has a query") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
-    assert(q.subsetOf(o), s"queries without oracles (weaker rows-only check): ${q -- o}")
+    assert((q -- rowsOnlyQueries).subsetOf(o),
+      s"queries unexpectedly missing oracles: ${q -- o -- rowsOnlyQueries}")
   }
 
   test("all queries execute on sf0.001") {

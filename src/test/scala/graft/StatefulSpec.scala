@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.StatefulOps
+import graft.streaming.StatefulOps.EventRow
+
+class StatefulSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("mapGroupsWithState counters survive a query restart via checkpoint") {
+    import spark.implicits._
+    val inDir = tmp("st-in"); val outDir = tmp("st-out"); val ckpt = tmp("st-ckpt")
+
+    def drop(rows: Seq[EventRow]): Unit =
+      rows.toDS().toDF().write.mode("append").parquet(inDir)
+
+    def runOnce(): Unit = {
+      val src = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[EventRow]].schema)
+        .parquet(inDir).as[EventRow]
+      // parquet sink is append-only; stateful update-mode output goes
+      // through foreachBatch (the standard pattern for upsert-ish sinks)
+      val q = StatefulOps.runningUserCounters(src)
+        .toDF().writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+
+    drop(Seq(
+      EventRow(1, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 7, "click", 1.0),
+      EventRow(2, java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 7, "error", 0.0)))
+    runOnce()
+    // restart with new data for the same key: state must resume at n=2
+    drop(Seq(
+      EventRow(3, java.sql.Timestamp.valueOf("2024-01-01 00:00:03"), 7, "click", 2.0)))
+    runOnce()
+
+    val last = spark.read.parquet(outDir)
+      .orderBy(col("last_event_id").desc).limit(1).collect()(0)
+    assert(last.getAs[Long]("user_id") == 7L)
+    assert(last.getAs[Long]("n_events") == 3L)  // 2 from run 1 + 1 from run 2
+    assert(last.getAs[Long]("n_errors") == 1L)
+    assert(last.getAs[Long]("last_event_id") == 3L)
+  }
+
+  test("observed error count rides the main pass (error budget, A8/T5)") {
+    import spark.implicits._
+    val df = Seq(("a", "ok"), ("b", "error"), ("c", "error"), ("d", "ok"))
+      .toDF("id", "status")
+    val (out, obs) = StatefulOps.observedErrorCount(df, col("status") === "error")
+    assert(out.count() == 4)
+    val row = obs.get
+    assert(row("n_errors") == 2L)
+    assert(row("n_rows") == 4L)
+  }
+}

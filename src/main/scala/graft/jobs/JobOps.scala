@@ -79,6 +79,14 @@ object JobOps {
                                    element_at(parts, 2).as("value")))
   }
 
+  /** J2/A3: positional zip join — two parallel arrays (legend texts /
+    * legend values scraped separately, test.py:425-431) zipped by index
+    * into one map. `map_from_arrays` is the vectorized form of the
+    * reference's `zip(education_elements, education_values)` loop.
+    */
+  def zipToMap(keys: Column, values: Column): Column =
+    map_from_arrays(keys, values)
+
   /** A3/A7: collect chart lines of one titled chart into a sorted map. */
   def chartMap(df: DataFrame, idCol: String, titleCol: String, lineCol: String): DataFrame =
     df.withColumn("_e", chartLineEntry(col(lineCol)))

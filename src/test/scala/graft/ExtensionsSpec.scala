@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.GraftExtensions
+
+/** The optimizer-rule suite builds its own session (extensions are fixed
+  * at session construction).
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    // getOrCreate() would return the suite-shared session and silently
+    // drop withExtensions — clear the active/default session so a fresh
+    // one (sharing the SparkContext) is built with the rule installed.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  test("size(array_intersect) > 0 is rewritten to arrays_overlap") {
+    import spark.implicits._
+    // go through parquet: ConvertToLocalRelation would otherwise fold the
+    // whole filter at optimization time and hide the rewritten expression
+    val dir = java.nio.file.Files.createTempDirectory("ext-rule").toString
+    Seq(
+      (Seq("a", "b"), Seq("b", "c")),
+      (Seq("a"), Seq("c")),
+      (Seq.empty[String], Seq("c"))
+    ).toDF("x", "y").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+
+    val q = df.filter(size(array_intersect($"x", $"y")) > 0)
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("arrays_overlap"), optimized)
+    assert(!optimized.contains("array_intersect"), optimized)
+    assert(q.count() == 1)
+
+    val qNot = df.filter(size(array_intersect($"x", $"y")) === 0)
+    assert(qNot.queryExecution.optimizedPlan.toString.contains("arrays_overlap"))
+    assert(qNot.count() == 2)
+  }
+
+  test("rewrite preserves results vs unoptimized comparison on random arrays") {
+    import spark.implicits._
+    val rows = (0 until 200).map { i =>
+      (Seq.tabulate(i % 7)(j => s"t${(i * 31 + j) % 10}"),
+       Seq.tabulate((i + 3) % 5)(j => s"t${(i * 17 + j) % 10}"))
+    }
+    val df = rows.toDF("x", "y")
+    val rewritten = df.filter(size(array_intersect($"x", $"y")) > 0).count()
+    // arrays_overlap directly = the semantics the rule claims
+    val direct = df.filter(arrays_overlap($"x", $"y")).count()
+    assert(rewritten == direct)
+  }
+}

@@ -98,6 +98,14 @@ class JobOpsSpec extends SparkSpec {
     assert(flags.toSeq == Seq("ok", "error"))
   }
 
+  test("zipToMap zips parallel arrays into a map (J2/A3 fixture)") {
+    val df = Seq((Seq("大學", "碩士"), Seq("60%", "30%")))
+      .toDF("edu_keys", "edu_values")
+    val m = df.select(JobOps.zipToMap($"edu_keys", $"edu_values").as("m"))
+      .head.getAs[Map[String, String]]("m")
+    assert(m == Map("大學" -> "60%", "碩士" -> "30%"))
+  }
+
   test("chartMap builds distribution maps, dropping malformed lines (A4/A7)") {
     val lines = Seq(
       (1L, "年齡", "25-29歲\n14%"),

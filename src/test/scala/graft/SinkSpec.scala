@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sink.JobSinks
+
+class SinkSpec extends SparkSpec {
+
+  private def tmp(p: String): String = Files.createTempDirectory(p).toString
+
+  test("S6 append-merge: appends preserve prior rows (union-on-write)") {
+    import spark.implicits._
+    val dir = tmp("json-append")
+    JobSinks.appendJson(Seq(("a", 1)).toDF("k", "v"), dir)
+    JobSinks.appendJson(Seq(("b", 2)).toDF("k", "v"), dir)
+    val got = spark.read.json(dir)
+    assert(got.count() == 2)
+    assert(got.select("k").as[String].collect().sorted.toSeq == Seq("a", "b"))
+  }
+
+  test("S5 overwrite replaces; UTF-8 round-trips Chinese values") {
+    import spark.implicits._
+    val dir = tmp("json-over")
+    JobSinks.writeJsonSnapshot(Seq(("stale", "row")).toDF("k", "v"), dir)
+    JobSinks.writeJsonSnapshot(Seq(("職缺", "區塊鏈工程師")).toDF("k", "v"), dir)
+    val got = spark.read.json(dir).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[String]("v") == "區塊鏈工程師")
+  }
+
+  test("S7 partitioned sink creates ingest_date partitions") {
+    import spark.implicits._
+    val dir = tmp("part-sink")
+    JobSinks.writePartitionedParquet(Seq(("a", 1)).toDF("k", "v"), dir)
+    val dirs = new java.io.File(dir).listFiles().map(_.getName)
+    assert(dirs.exists(_.startsWith("ingest_date=")))
+    // partition column is prunable: filter compiles to partition pruning
+    val got = spark.read.parquet(dir).filter(col("ingest_date") === current_date())
+    assert(got.count() == 1)
+  }
+
+  test("S8 fan-out writes both tables from one pass") {
+    import spark.implicits._
+    val a = tmp("fan-jobs"); val b = tmp("fan-com")
+    val jobs = Seq(
+      ("j1", "https://c/1"), ("j2", "https://c/1"), ("j3", null)
+    ).toDF("job", "company_url")
+    JobSinks.fanOut(jobs, a, "company_url", b)
+    assert(spark.read.parquet(a).count() == 3)
+    // dedup + null-filter on the com_url side (test.py:535 collects once per company)
+    assert(spark.read.parquet(b).as[String].collect().toSeq == Seq("https://c/1"))
+  }
+}

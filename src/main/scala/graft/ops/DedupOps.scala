@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.VectorFunctions.ldot
 
 /** Scale-path near-duplicate detection (SURVEY.md §2.9): MinHash + LSH
   * banding over shingles, and embedding-cosine near-dup with cluster
@@ -94,13 +95,11 @@ object DedupOps {
       val emb = Tables.rebalance(Tables.embeddings(s, d))
         .withColumn("q", expr(
           "transform(embedding, x -> cast(round(cast(x AS double) * 10000, 0) AS bigint))"))
-        .withColumn("norm", expr(
-          "aggregate(zip_with(q, q, (x, y) -> x * y), cast(0 AS bigint), (acc, v) -> acc + v)"))
+        .withColumn("norm", ldot(col("q"), col("q")))
         .select(col("vec_id"), col("label"), col("q"), col("norm"))
       emb.as("a").join(emb.as("b"),
           col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        .withColumn("dot", expr(
-          "aggregate(zip_with(a.q, b.q, (x, y) -> x * y), cast(0 AS bigint), (acc, v) -> acc + v)"))
+        .withColumn("dot", ldot(col("a.q"), col("b.q")))
         .withColumn("cos", col("dot").cast("double") /
           sqrt(col("a.norm").cast("double")) / sqrt(col("b.norm").cast("double")))
         .filter(col("cos") >= COS_T)

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.VectorFunctions.ldot
 
 /** Embedding similarity-search operators (SURVEY.md §2.9): brute-force
   * cosine top-k as the exact baseline and an IVF-style bucketed variant
@@ -27,9 +28,6 @@ object VectorOps {
   private val quantExpr =
     "transform(embedding, x -> cast(round(cast(x AS double) * 10000, 0) AS bigint))"
 
-  /** Exact int64 dot product of two quantized vectors. */
-  private def dotExpr(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 AS bigint), (acc, v) -> acc + v)"
 
   private val NUM_QUERIES = 10
 
@@ -39,14 +37,14 @@ object VectorOps {
     "q51_cosine_topk" -> ((s, d) => {
       val emb = Tables.rebalance(Tables.embeddings(s, d))
         .withColumn("q", expr(quantExpr))
-        .withColumn("norm", expr(dotExpr("q", "q")))
+        .withColumn("norm", ldot(col("q"), col("q")))
         .select(col("vec_id"), col("q"), col("norm"))
       val queriesDf = emb.filter(col("vec_id") < NUM_QUERIES)
         .select(col("vec_id").as("qid"), col("q").as("qv"), col("norm").as("qnorm"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
       emb.join(broadcast(queriesDf), col("vec_id") =!= col("qid"))
-        .withColumn("dot", expr(dotExpr("q", "qv")))
+        .withColumn("dot", ldot(col("q"), col("qv")))
         .withColumn("cos", col("dot").cast("double") /
           sqrt(col("norm").cast("double")) / sqrt(col("qnorm").cast("double")))
         .withColumn("rn", row_number().over(w))
@@ -60,7 +58,7 @@ object VectorOps {
     "q52_ann_ivf" -> ((s, d) => {
       val emb = Tables.rebalance(Tables.embeddings(s, d))
         .withColumn("q", expr(quantExpr))
-        .withColumn("norm", expr(dotExpr("q", "q")))
+        .withColumn("norm", ldot(col("q"), col("q")))
         .select(col("vec_id"), col("label"), col("q"), col("norm"))
       val queriesDf = emb.filter(col("vec_id") < NUM_QUERIES)
         .select(col("vec_id").as("qid"), col("label").as("qlabel"),
@@ -69,7 +67,7 @@ object VectorOps {
         .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
       emb.join(broadcast(queriesDf),
           col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
-        .withColumn("dot", expr(dotExpr("q", "qv")))
+        .withColumn("dot", ldot(col("q"), col("qv")))
         .withColumn("cos", col("dot").cast("double") /
           sqrt(col("norm").cast("double")) / sqrt(col("qnorm").cast("double")))
         .withColumn("rn", row_number().over(w))
@@ -84,7 +82,7 @@ object VectorOps {
         .withColumn("q", expr(quantExpr))
         .select(col("vec_id"), col("label"),
                 size(col("q")).as("dim"),
-                expr(dotExpr("q", "q")).as("norm_q"),
+                ldot(col("q"), col("q")).as("norm_q"),
                 array_min(col("q")).as("min_q"),
                 array_max(col("q")).as("max_q"))
         .orderBy(col("vec_id"))

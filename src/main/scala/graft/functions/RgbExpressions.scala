@@ -61,10 +61,9 @@ case class IsSimilarRgb(first: Expression, second: Expression, third: Expression
     RgbUtil.similar(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String],
       t.asInstanceOf[Int])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val util = "graft.functions.RgbUtil"
-    defineCodeGen(ctx, ev, (a, b, t) => s"$util.MODULE$$.similar($a, $b, $t)")
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // static forwarder on the object's companion class — plain static call
+    defineCodeGen(ctx, ev, (a, b, t) => s"graft.functions.RgbUtil.similar($a, $b, $t)")
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =

@@ -37,8 +37,9 @@ case class LongArrayDot(left: Expression, right: Expression)
     VectorUtil.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // static forwarder on the object's companion class — plain static call
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.VectorUtil.MODULE$$.dot($a, $b)")
+      s"graft.functions.VectorUtil.dot($a, $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

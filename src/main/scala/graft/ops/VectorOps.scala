@@ -76,6 +76,33 @@ object VectorOps {
         .orderBy(col("qid"), col("rn"))
     }),
 
+    // ---- q61: cosine top-k via the custom typed Aggregator — identical
+    // result to q51's window formulation, but only k rows per partition
+    // survive the shuffle (bounded per-partition heaps merge), instead of
+    // shuffling + sorting every scored candidate. This is the shape that
+    // survives a billion-vector corpus.
+    "q61_topk_aggregate" -> ((s, d) => {
+      import graft.functions.TopKAggregator
+      val emb = Tables.rebalance(Tables.embeddings(s, d))
+        .withColumn("q", expr(quantExpr))
+        .withColumn("norm", ldot(col("q"), col("q")))
+        .select(col("vec_id"), col("q"), col("norm"))
+      val queriesDf = emb.filter(col("vec_id") < NUM_QUERIES)
+        .select(col("vec_id").as("qid"), col("q").as("qv"), col("norm").as("qnorm"))
+      val topk = udaf(TopKAggregator.topK(10),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[TopKAggregator.Scored]())
+      emb.join(broadcast(queriesDf), col("vec_id") =!= col("qid"))
+        .withColumn("dot", ldot(col("q"), col("qv")))
+        .withColumn("cos", col("dot").cast("double") /
+          sqrt(col("norm").cast("double")) / sqrt(col("qnorm").cast("double")))
+        .groupBy(col("qid"))
+        .agg(topk(col("vec_id"), col("cos")).as("top"))
+        .select(col("qid"), posexplode(col("top")))
+        .select(col("qid"), col("col.id").as("vec_id"),
+                col("col.score").as("cos"), (col("pos") + 1).as("rn"))
+        .orderBy(col("qid"), col("rn"))
+    }),
+
     // ---- q53: per-vector stats over the quantized embedding.
     "q53_vector_stats" -> ((s, d) => {
       Tables.rebalance(Tables.embeddings(s, d))
@@ -109,6 +136,22 @@ object VectorOps {
 
   val oracles: Map[String, String] = Map(
     "q51_cosine_topk" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, $quantDuck AS q FROM embeddings),
+        |n AS (SELECT vec_id, q, ${dotDuck("q", "q")} AS norm FROM e),
+        |qs AS (SELECT vec_id AS qid, q AS qv, norm AS qnorm FROM n WHERE vec_id < $NUM_QUERIES),
+        |scored AS (
+        |  SELECT qid, vec_id,
+        |    ${dotDuck("q", "qv")}::DOUBLE / sqrt(norm::DOUBLE) / sqrt(qnorm::DOUBLE) AS cos
+        |  FROM n CROSS JOIN qs WHERE vec_id <> qid)
+        |SELECT qid, vec_id, cos, rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
+
+    // identical semantics to q51 — the aggregator must reproduce the
+    // window formulation exactly (rn type differs: int either way)
+    "q61_topk_aggregate" ->
       s"""WITH e AS (
         |  SELECT vec_id, $quantDuck AS q FROM embeddings),
         |n AS (SELECT vec_id, q, ${dotDuck("q", "q")} AS norm FROM e),

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-out join topologies (SURVEY.md §2.9 "100 TB design rule"):
+  * skew salting and bucketed co-located joins. These are library
+  * operators (plan builders), exercised by ScaleOpsSpec with plan-level
+  * assertions; results are provably identical to the naive formulation.
+  */
+object ScaleOps {
+
+  /** Salted large-x-large equi-join for skewed keys.
+    *
+    * The left (skewed) side gets a random-but-deterministic salt in
+    * [0, salts); the right side is replicated `salts` times with an
+    * exploded salt column; the join key becomes (key, salt). A hot key's
+    * rows now spread over `salts` reducers instead of one straggler.
+    * Deterministic salt (hash of a unique column) keeps results
+    * reproducible run-to-run.
+    *
+    * AQE's skew-join split handles sort-merge cases adaptively; explicit
+    * salting remains the tool when AQE can't help (e.g. skewed
+    * aggregation feeding a join, or non-splittable single hot partitions).
+    */
+  def saltedEquiJoin(left: DataFrame, right: DataFrame, key: String,
+                     saltSource: String, salts: Int): DataFrame = {
+    val saltedLeft = left.withColumn("_salt",
+      pmod(hash(col(saltSource)), lit(salts)))
+    val saltedRight = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedLeft.join(saltedRight, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Two-phase aggregation for skewed group keys: partial agg on
+    * (key, salt) spreads a hot key over `salts` reducers, final agg on
+    * key combines the partials. For algebraic aggregates Spark's own
+    * partial+final does this per-partition already; the explicit salt
+    * phase matters for holistic aggregates (collect_list & co) where the
+    * single reducer for a hot key otherwise OOMs.
+    */
+  def saltedCollectList(df: DataFrame, key: String, valueCol: String,
+                        saltSource: String, salts: Int): DataFrame =
+    df.withColumn("_salt", pmod(hash(col(saltSource)), lit(salts)))
+      .groupBy(col(key), col("_salt"))
+      .agg(collect_list(col(valueCol)).as("_partial"))
+      .groupBy(col(key))
+      .agg(sort_array(flatten(collect_list(col("_partial")))).as(s"${valueCol}s"))
+
+  /** Write both sides bucketed by the join key: subsequent joins between
+    * the two tables are co-located — no Exchange on either side
+    * (verified in ScaleOpsSpec). At 100 TB this converts every
+    * fact-to-fact join on the bucket key from a full shuffle into a
+    * local zip of pre-hashed files.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+}

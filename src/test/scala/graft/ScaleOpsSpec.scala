@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.ScaleOps
+
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def skewed = {
+    // 90% of rows share one hot key
+    val rows = (0 until 2000).map { i =>
+      val k = if (i % 10 == 0) s"k${i % 50}" else "HOT"
+      (k, i.toLong, s"v$i")
+    }
+    rows.toDF("key", "uid", "payload")
+  }
+
+  test("saltedEquiJoin equals the plain join on skewed data") {
+    val dim = (0 until 50).map(i => (s"k$i", s"dim$i")).toDF("key", "attr")
+      .union(Seq(("HOT", "dimHOT")).toDF("key", "attr"))
+    val plain = skewed.join(dim, "key")
+      .select("key", "uid", "attr").orderBy("uid").collect()
+    val salted = ScaleOps.saltedEquiJoin(skewed, dim, "key", "uid", 8)
+      .select("key", "uid", "attr").orderBy("uid").collect()
+    assert(salted.toSeq == plain.toSeq)
+    assert(salted.length == 2000)
+  }
+
+  test("saltedCollectList matches direct collect_list content") {
+    val direct = skewed.groupBy("key")
+      .agg(sort_array(collect_list($"payload")).as("payloads"))
+      .orderBy("key").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val salted = ScaleOps.saltedCollectList(skewed, "key", "payload", "uid", 8)
+      .orderBy("key").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(salted == direct)
+    assert(salted("HOT").length == 1800)
+  }
+
+  test("bucketed tables join without any Exchange (co-located)") {
+    val a = (0 until 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = (0 until 1000).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+    try {
+      ScaleOps.writeBucketed(a, "bkt_a", "k", 8)
+      ScaleOps.writeBucketed(b, "bkt_b", "k", 8)
+      // disable broadcast so the join actually exercises bucket co-location
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      assert(joined.count() == 1000)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+}

@@ -86,6 +86,38 @@ object Advanced {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // ---- q62: correlation via exact decimal cross-moments — same
+    // order-insensitivity story as q58 (built-in corr never hash-matches).
+    "q62_correlation" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sx"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sy"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)) *
+              col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sxx"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+              col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("syy"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)) *
+              col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sxy"))
+        .select(col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+                (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                 sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("corr_qty_price"))
+    }),
+
+    // ---- q63: approximate percentile sketch. NO ORACLE — Spark's
+    // KLL-ish approx_percentile and DuckDB's t-digest differ by design;
+    // rows-only check (like q60).
+    "q63_approx_percentile" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_approx"),
+             expr("percentile(l_extendedprice, 0.5)").as("p50_exact"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- q60: HLL sketch cardinality. NO ORACLE — Spark's HLL++ and
     // DuckDB's approx_count_distinct give different estimates by design;
     // the driver records the weaker rows-only check for this one.
@@ -132,7 +164,20 @@ object Advanced {
     "q59_percentiles" ->
       """SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS p50,
         |  quantile_cont(o_totalprice, 0.9) AS p90, count(*) AS n
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
-    // q60_approx_distinct: intentionally no oracle (rows-only check)
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q62_correlation" ->
+      """SELECT n, round((n * sxy - sx * sy) /
+        |  (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price
+        |FROM (
+        |  SELECT count(*) AS n,
+        |    sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sx,
+        |    sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sy,
+        |    sum(l_quantity::DECIMAL(18,2) * l_quantity::DECIMAL(18,2))::DOUBLE AS sxx,
+        |    sum(l_extendedprice::DECIMAL(18,2) * l_extendedprice::DECIMAL(18,2))::DOUBLE AS syy,
+        |    sum(l_quantity::DECIMAL(18,2) * l_extendedprice::DECIMAL(18,2))::DOUBLE AS sxy
+        |  FROM lineitem)""".stripMargin
+    // q60_approx_distinct, q63_approx_percentile: intentionally no oracle
+    // (engine-specific sketches; rows-only check)
   )
 }

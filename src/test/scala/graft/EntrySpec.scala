@@ -10,7 +10,7 @@ class EntrySpec extends SparkSpec {
   /** Queries deliberately shipped without an oracle (driver falls back to
     * the weaker rows-only check): engine-specific sketch estimates.
     */
-  private val rowsOnlyQueries = Set("q60_approx_distinct")
+  private val rowsOnlyQueries = Set("q60_approx_distinct", "q63_approx_percentile")
 
   test("every query has an oracle and every oracle has a query") {
     val q = SparkEntry.queries.keySet

@@ -10,6 +10,30 @@ import org.apache.spark.sql.types._
   * Unlike the reference (which emits a positional LIST on error rows,
   * test.py:539-546), every row here is this one nullable StructType.
   */
+/** Typed row for the public API (`Dataset[JobPosting]`) — the 8 analysis
+  * distributions keep the reference's empty-map-on-failure defaults.
+  */
+case class Analysis(
+    education: Map[String, String] = Map.empty,
+    gender: Map[String, String] = Map.empty,
+    language_skills: Map[String, String] = Map.empty,
+    age: Map[String, String] = Map.empty,
+    experience: Map[String, String] = Map.empty,
+    major: Map[String, String] = Map.empty,
+    skills: Map[String, String] = Map.empty,
+    certificates: Map[String, String] = Map.empty)
+
+case class JobPosting(
+    job_name: String, job_url: String, company: String, update_date: String,
+    actively_hiring: String, applicants: String, job_description: String,
+    job_category: String, salary: String, job_type: String, location: String,
+    management: String, business_trip: String, work_time: String,
+    vacation: String, start_work: String, headcount: String, work_exp: String,
+    education: String, major: String, language_req: String, tools: String,
+    skills: String, certificates: String, legal_benefits: String,
+    other_benefits: String, raw_benefits: String, contact_info: String,
+    analysis: Analysis = Analysis())
+
 object JobSchema {
 
   /** 應徵分析 — closed 8-key struct, each a string->string distribution

@@ -80,6 +80,29 @@ class JobOpsSpec extends SparkSpec {
     assert(m("日文") == "未知9%")
   }
 
+  test("typed Dataset[JobPosting] round-trips the 30-field record (§1.3)") {
+    import graft.jobs.{Analysis, JobPosting}
+    val posting = JobPosting(
+      job_name = "區塊鏈工程師", job_url = "https://x/job/a1", company = "Acme",
+      update_date = "2025/03/01", actively_hiring = "是", applicants = "0~5",
+      job_description = "d", job_category = "軟體工程師", salary = "s",
+      job_type = "全職", location = "台北", management = "無", business_trip = "無",
+      work_time = "日班", vacation = "週休二日", start_work = "隨時",
+      headcount = "1", work_exp = "3年", education = "大學", major = "資工",
+      language_req = "英文", tools = "Python、Go", skills = "Spark",
+      certificates = "", legal_benefits = "勞保", other_benefits = "獎金",
+      raw_benefits = "r", contact_info = "hr@acme",
+      analysis = Analysis(gender = Map("男性" -> "78%", "女性" -> "22%")))
+    val ds = Seq(posting).toDS()
+    // typed round-trip preserves the nested analysis struct exactly
+    val back = ds.collect()(0)
+    assert(back == posting)
+    // and the encoder-derived schema is queryable relationally
+    assert(ds.select($"analysis.gender").head
+      .getAs[Map[String, String]](0)("男性") == "78%")
+    assert(ds.schema.fieldNames.length == 29) // 28 scalars + analysis struct
+  }
+
   test("emptyAnalysis default has all 8 keys as empty maps (A9)") {
     val r = spark.range(1).select(JobOps.emptyAnalysis.as("analysis"))
     assert(r.schema("analysis").dataType == JobSchema.analysisType ||

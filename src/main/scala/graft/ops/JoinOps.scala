@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable join operators Spark lacks natively (SURVEY.md §2.5). */
+object JoinOps {
+
+  /** Backward as-of join: for every left row, attach the latest right
+    * values with `right.ts <= left.ts` on the same key (inclusive).
+    *
+    * Implementation is the scale-correct union + single window pass:
+    * O(n log n) per key, ONE shuffle on the key — never the range
+    * cross-product a naive `l.key = r.key AND l.ts >= r.ts` join
+    * produces (quadratic per key, un-broadcastable at 100 TB). Right
+    * rows sort before left rows at equal timestamps => inclusive.
+    *
+    * Output: all left columns plus `asof_<c>` for each requested right
+    * value column (null when no right row precedes the left row).
+    */
+  def asofJoinBackward(left: DataFrame, right: DataFrame, key: String,
+                       leftTs: String, rightTs: String,
+                       valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+
+    val lProj = left.select(
+      leftCols.map(col) ++
+        Seq(lit(1).as("_side"), col(leftTs).as("_ts")) ++
+        valueCols.map(c =>
+          lit(null).cast(right.schema(c).dataType).as(s"_r_$c")): _*)
+
+    val rProj = right.select(
+      leftCols.map(c =>
+        if (c == key) col(key)
+        else lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(lit(0).as("_side"), col(rightTs).as("_ts")) ++
+        valueCols.map(c => col(c).as(s"_r_$c")): _*)
+
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = valueCols.foldLeft(lProj.unionByName(rProj)) { (df, c) =>
+      df.withColumn(s"asof_$c",
+        last(when(col("_side") === 0, col(s"_r_$c")), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_side") === 1)
+      .select(leftCols.map(col) ++ valueCols.map(c => col(s"asof_$c")): _*)
+  }
+}

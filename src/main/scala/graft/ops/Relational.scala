@@ -223,6 +223,7 @@ object Relational {
     // scalable way: union both event kinds, one window pass per user
     // carrying the last signup ts forward — O(n log n) per key, no
     // range cross-product. DuckDB oracle uses a plain correlated max.
+    // Generic reusable form: graft.ops.JoinOps.asofJoinBackward.
     "q17_asof_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .filter(col("event_type").isin("signup", "purchase"))

@@ -21,7 +21,7 @@ object Cleaning {
     "q21_project_trim" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"),
-                length(trim(col("text"))).as("text_len"),
+                length(trim(col("text"))).cast("long").as("text_len"),
                 upper(substring(col("text"), 1, 12)).as("head_upper"))
         .orderBy(col("doc_id"))
     }),
@@ -30,7 +30,7 @@ object Cleaning {
     "q22_regex_replace" -> ((s, d) => {
       Tables.documents(s, d)
         .select(col("doc_id"),
-                length(regexp_replace(col("text"), "[aeiou]", "")).as("consonant_len"),
+                length(regexp_replace(col("text"), "[aeiou]", "")).cast("long").as("consonant_len"),
                 substring(regexp_replace(col("text"), "(table|row)", "T"), 1, 30).as("head_replaced"))
         .orderBy(col("doc_id"))
     }),
@@ -89,7 +89,7 @@ object Cleaning {
         .select(col("doc_id"),
                 element_at(col("toks"), 3).as("third_tok"),
                 element_at(col("toks"), -1).as("last_tok"),
-                size(col("toks")).as("n_toks"))
+                size(col("toks")).cast("long").as("n_toks"))
         .orderBy(col("doc_id"))
     }),
 
@@ -125,7 +125,7 @@ object Cleaning {
         .agg(map_from_entries(sort_array(collect_list(struct(col("source"), col("n")))))
              .as("m"))
         .select(col("lang"),
-                size(col("m")).as("n_sources"),
+                size(col("m")).cast("long").as("n_sources"),
                 element_at(col("m"), "src0").as("src0_n"))
         .orderBy(col("lang"))
     }),

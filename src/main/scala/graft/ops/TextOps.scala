@@ -46,8 +46,8 @@ object TextOps {
     "q40_token_stats" -> ((s, d) => {
       withToks(Tables.documents(s, d))
         .select(col("doc_id"),
-                size(col("toks")).as("n_toks"),
-                size(array_distinct(col("toks"))).as("n_distinct"),
+                size(col("toks")).cast("long").as("n_toks"),
+                size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
                 (expr("aggregate(toks, 0L, (a, t) -> a + length(t))").cast("double")
                  / size(col("toks"))).as("avg_tok_len"))
         .orderBy(col("doc_id"))
@@ -114,7 +114,7 @@ object TextOps {
       Tables.documents(s, d)
         .select(col("doc_id"),
                 size(expr("regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]', 0)"))
-                  .as("n_regex_toks"))
+                  .cast("long").as("n_regex_toks"))
         .orderBy(col("doc_id"))
     }),
 
@@ -189,7 +189,8 @@ object TextOps {
         .withColumn("jaccard", col("common").cast("double") /
           (size(col("g1")) + size(col("g2")) - col("common")))
         .filter(col("jaccard") >= 0.5)
-        .select(col("d1"), col("d2"), col("common"), round(col("jaccard"), 6).as("jaccard"))
+        .select(col("d1"), col("d2"), col("common").cast("long").as("common"),
+                round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("d1"), col("d2"))
     })
   )

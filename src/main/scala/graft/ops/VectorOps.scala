@@ -47,7 +47,7 @@ object VectorOps {
         .withColumn("dot", ldot(col("q"), col("qv")))
         .withColumn("cos", col("dot").cast("double") /
           sqrt(col("norm").cast("double")) / sqrt(col("qnorm").cast("double")))
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 10)
         .select(col("qid"), col("vec_id"), col("cos"), col("rn"))
         .orderBy(col("qid"), col("rn"))
@@ -70,7 +70,7 @@ object VectorOps {
         .withColumn("dot", ldot(col("q"), col("qv")))
         .withColumn("cos", col("dot").cast("double") /
           sqrt(col("norm").cast("double")) / sqrt(col("qnorm").cast("double")))
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 5)
         .select(col("qid"), col("label"), col("vec_id"), col("cos"), col("rn"))
         .orderBy(col("qid"), col("rn"))
@@ -99,7 +99,7 @@ object VectorOps {
         .agg(topk(col("vec_id"), col("cos")).as("top"))
         .select(col("qid"), posexplode(col("top")))
         .select(col("qid"), col("col.id").as("vec_id"),
-                col("col.score").as("cos"), (col("pos") + 1).as("rn"))
+                col("col.score").as("cos"), (col("pos") + 1).cast("long").as("rn"))
         .orderBy(col("qid"), col("rn"))
     }),
 
@@ -108,7 +108,7 @@ object VectorOps {
       Tables.rebalance(Tables.embeddings(s, d))
         .withColumn("q", expr(quantExpr))
         .select(col("vec_id"), col("label"),
-                size(col("q")).as("dim"),
+                size(col("q")).cast("long").as("dim"),
                 ldot(col("q"), col("q")).as("norm_q"),
                 array_min(col("q")).as("min_q"),
                 array_max(col("q")).as("max_q"))
@@ -121,7 +121,7 @@ object VectorOps {
       Tables.rebalance(Tables.embeddings(s, d))
         .withColumn("q", expr(quantExpr))
         .select(col("label"), posexplode(col("q")).as(Seq("pos", "xq")))
-        .withColumn("dim", col("pos") + 1)
+        .withColumn("dim", (col("pos") + 1).cast("long"))
         .groupBy(col("label"), col("dim"))
         .agg(sum(col("xq")).as("sum_q"), count(lit(1)).as("n"))
         .filter(col("dim") <= 8)

@@ -52,6 +52,16 @@ def main(sf_dir, out_dir):
         if sorted(s_cols) != sorted(d_cols):
             print(f"FAIL {name}: cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
             n_fail += 1; continue
+        # dtype parity (INTEGER vs BIGINT etc.) in case the driver's
+        # schema compare is type-strict
+        s_types = {r[0].lower(): r[1] for r in
+                   con.sql(f"DESCRIBE SELECT * FROM '{res_dir}/*.parquet'").fetchall()}
+        d_types = {r[0].lower(): r[1] for r in con.sql(f"DESCRIBE {sql}").fetchall()}
+        badtypes = [(c, s_types[c], d_types[c]) for c in s_types
+                    if c in d_types and s_types[c] != d_types[c]]
+        if badtypes:
+            print(f"FAIL {name}: dtype mismatch {badtypes}")
+            n_fail += 1; continue
         if len(s_rows) != len(d_rows):
             print(f"FAIL {name}: rows spark={len(s_rows)} duck={len(d_rows)}")
             n_fail += 1; continue

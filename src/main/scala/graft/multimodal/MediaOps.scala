@@ -45,18 +45,29 @@ object MediaOps {
 
   /** Batch feature extraction: one pass per PARTITION (the batch shape a
     * real decoder needs — expensive init happens once per partition, rows
-    * stream through). Emits a fixed 8-dim float feature per record.
+    * stream through). BMP payloads decode for real (BmpDecoder, pure
+    * JVM); other formats fall back to the deterministic stub. Emits a
+    * fixed 8-dim float feature per record.
     */
   def featurize(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // real pipeline: initialize the codec/session HERE, once per partition
       it.map { r =>
-        val (w, h) = decodeStub(r.payload)
         val cs = checksum(r.payload)
-        val feat = Array.tabulate(8)(i =>
-          ((cs >> (i * 8)) & 0xff).toFloat / 255.0f)
-        MediaFeatures(r.media_id, r.meta.kind, w, h, r.payload.length, cs, feat)
+        BmpDecoder.decode(r.payload) match {
+          case Some(img) =>
+            val feat = Array(img.meanR.toFloat / 255f, img.meanG.toFloat / 255f,
+              img.meanB.toFloat / 255f, img.width.toFloat, img.height.toFloat,
+              (img.width.toFloat / img.height), r.payload.length.toFloat, 1f)
+            MediaFeatures(r.media_id, r.meta.kind, img.width, img.height,
+              r.payload.length, cs, feat)
+          case None =>
+            val (w, h) = decodeStub(r.payload)
+            val feat = Array.tabulate(8)(i =>
+              ((cs >> (i * 8)) & 0xff).toFloat / 255.0f)
+            MediaFeatures(r.media_id, r.meta.kind, w, h, r.payload.length, cs, feat)
+        }
       }
     }
   }

@@ -41,6 +41,54 @@ object StatefulOps {
       }
   }
 
+  case class SessionAgg(start: Long, end: Long, n: Long, sum: Double)
+  case class SessionOut(user_id: Long, session_start_ms: Long,
+                        session_end_ms: Long, n_events: Long, sum_value: Double)
+
+  /** Custom sessionizer via flatMapGroupsWithState with event-time
+    * timeout: sessions close when the WATERMARK passes last-event + gap
+    * (not wall clock), and only closed sessions are emitted — the
+    * hand-rolled equivalent of `session_window` for cases needing custom
+    * per-session state or emission logic (SURVEY.md §2.7 extension).
+    */
+  def sessionize(events: Dataset[EventRow], gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAgg, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[SessionAgg]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.start, s.end, s.n, s.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { r =>
+              val t = r.ts.getTime
+              cur match {
+                case Some(s) if t - s.end < gapMs =>
+                  cur = Some(SessionAgg(s.start, math.max(s.end, t), s.n + 1,
+                                        s.sum + r.value))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, s.start, s.end, s.n, s.sum)
+                  cur = Some(SessionAgg(t, t, 1, r.value))
+                case None =>
+                  cur = Some(SessionAgg(t, t, 1, r.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
   /** The reference's error budget (max_errors=3, test.py:129-144) as a
     * batch Observation: count error rows while the main pipeline runs —
     * one pass, no second scan — then let the caller abort if over budget.

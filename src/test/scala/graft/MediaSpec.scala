@@ -18,6 +18,36 @@ class MediaSpec extends SparkSpec {
     assert(feats.map(_.kind).distinct.sorted.toSeq == Seq("audio", "image", "video"))
   }
 
+  test("real BMP decode: dimensions and channel means are exact") {
+    import graft.multimodal.{BmpDecoder, MediaOps}
+    import MediaOps.{MediaMeta, MediaRecord}
+    import spark.implicits._
+    // 4x2 image: top row solid red, bottom row solid blue
+    val px = Array.fill(4)((255, 0, 0)) ++ Array.fill(4)((0, 0, 255))
+    val bmp = BmpDecoder.encode(4, 2, px)
+    val ds = Seq(MediaRecord(42L, MediaMeta("image", 4, 2, 0), bmp)).toDS()
+    val f = MediaOps.featurize(ds).collect()(0)
+    assert(f.width == 4 && f.height == 2)
+    assert(f.feature(0) == 0.5f && f.feature(1) == 0.0f && f.feature(2) == 0.5f)
+    assert(f.feature(7) == 1f) // real-decode marker
+    // non-BMP payload falls back to the stub path
+    val stub = MediaOps.featurize(
+      Seq(MediaRecord(7L, MediaMeta("image", 0, 0, 0), Array[Byte](1, 2, 3, 4))).toDS()
+    ).collect()(0)
+    assert(stub.width >= 16) // stub-derived pseudo dims
+  }
+
+  test("BmpDecoder rejects malformed and non-24bpp input") {
+    import graft.multimodal.BmpDecoder
+    assert(BmpDecoder.decode(Array[Byte](1, 2, 3)).isEmpty)
+    val valid = BmpDecoder.encode(2, 2, Array.fill(4)((1, 2, 3)))
+    assert(BmpDecoder.decode(valid).nonEmpty)
+    val truncated = valid.take(60)
+    assert(BmpDecoder.decode(truncated).isEmpty)
+    val badBpp = valid.clone(); badBpp(28) = 8
+    assert(BmpDecoder.decode(badBpp).isEmpty)
+  }
+
   test("sampleFrames explodes n rows per media row") {
     val df = MediaOps.syntheticMedia(spark, 5).toDF()
     val sampled = MediaOps.sampleFrames(df, 4)

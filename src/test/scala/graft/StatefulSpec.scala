@@ -52,6 +52,49 @@ class StatefulSpec extends SparkSpec {
     assert(last.getAs[Long]("last_event_id") == 3L)
   }
 
+  test("flatMapGroupsWithState sessionizer closes sessions via watermark") {
+    import spark.implicits._
+    val inDir = tmp("sess-in"); val outDir = tmp("sess-out"); val ckpt = tmp("sess-ckpt")
+
+    def drop(rows: Seq[EventRow]): Unit =
+      rows.toDS().toDF().write.mode("append").parquet(inDir)
+    def runOnce(): Unit = {
+      val src = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[EventRow]].schema)
+        .parquet(inDir).as[EventRow]
+      val q = StatefulOps.sessionize(src, gapMs = 60000L) // 1-minute gap
+        .toDF().writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(outDir); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+
+    // session A: two events 30s apart; then a 2nd session 5 min later,
+    // then a far-future event that pushes the watermark past everything
+    drop(Seq(
+      EventRow(1, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7, "click", 1.0),
+      EventRow(2, java.sql.Timestamp.valueOf("2024-01-01 00:00:30"), 7, "click", 2.0),
+      EventRow(3, java.sql.Timestamp.valueOf("2024-01-01 00:05:30"), 7, "view", 4.0)))
+    runOnce()
+    drop(Seq(
+      EventRow(4, java.sql.Timestamp.valueOf("2024-01-01 03:00:00"), 8, "click", 0.5)))
+    runOnce()
+
+    val sessions = spark.read.parquet(outDir)
+      .orderBy("session_start_ms").collect()
+    // first session (2 events, sum 3.0) closed by the in-batch gap;
+    // second (1 event) closed by the watermark timeout in tick 2
+    assert(sessions.length >= 2)
+    assert(sessions(0).getAs[Long]("n_events") == 2L)
+    assert(sessions(0).getAs[Double]("sum_value") == 3.0)
+    assert(sessions(1).getAs[Long]("n_events") == 1L)
+    assert(sessions(1).getAs[Double]("sum_value") == 4.0)
+  }
+
   test("observed error count rides the main pass (error budget, A8/T5)") {
     import spark.implicits._
     val df = Seq(("a", "ok"), ("b", "error"), ("c", "error"), ("d", "ok"))

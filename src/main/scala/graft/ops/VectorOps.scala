@@ -103,6 +103,52 @@ object VectorOps {
         .orderBy(col("qid"), col("rn"))
     }),
 
+    // ---- q64: IVF MULTI-PROBE ANN — rank cells by distance from the
+    // query to each cell centroid, search the nearest 2 cells (q52
+    // probes only the query's own cell; multi-probe is the standard
+    // recall fix when a query sits near a cell boundary).
+    // Centroid distance uses exact integer arithmetic so both engines
+    // rank cells identically: for cell l with member SUM vector s and
+    // count n, ||x - s/n||^2 ~ sum_d (x_d*n - s_d)^2 / n^2 — the
+    // numerator is an exact int64, the final division a fixed IEEE op.
+    "q64_ann_multiprobe" -> ((s, d) => {
+      val emb = Tables.rebalance(Tables.embeddings(s, d))
+        .withColumn("q", expr(quantExpr))
+        .withColumn("norm", ldot(col("q"), col("q")))
+        .select(col("vec_id"), col("label"), col("q"), col("norm"))
+      val cent = emb
+        .select(col("label"), posexplode(col("q")).as(Seq("pos", "xq")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("xq")).as("s"), count(lit(1)).as("nl"))
+      val queriesDf = emb.filter(col("vec_id") < NUM_QUERIES)
+        .select(col("vec_id").as("qid"), col("q").as("qv"), col("norm").as("qnorm"))
+      val qd = queriesDf
+        .select(col("qid"), posexplode(col("qv")).as(Seq("pos", "qx")))
+      val wCell = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("dist"), col("label"))
+      val cells = qd.join(cent, "pos")
+        .withColumn("term", expr("(qx * nl - s) * (qx * nl - s)"))
+        .groupBy(col("qid"), col("label"))
+        .agg(sum(col("term")).as("dn"), max(col("nl")).as("nl"))
+        .withColumn("dist", col("dn").cast("double") /
+                            (col("nl") * col("nl")).cast("double"))
+        .withColumn("cell_rank", row_number().over(wCell))
+        .filter(col("cell_rank") <= 2)
+        .select(col("qid").as("cqid"), col("label").as("clabel"))
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      emb.join(broadcast(cells), col("label") === col("clabel"))
+        .join(broadcast(queriesDf),
+              col("qid") === col("cqid") && col("vec_id") =!= col("qid"))
+        .withColumn("dot", ldot(col("q"), col("qv")))
+        .withColumn("cos", col("dot").cast("double") /
+          sqrt(col("norm").cast("double")) / sqrt(col("qnorm").cast("double")))
+        .withColumn("rn", row_number().over(wTop).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("label"), col("vec_id"), col("cos"), col("rn"))
+        .orderBy(col("qid"), col("rn"))
+    }),
+
     // ---- q53: per-vector stats over the quantized embedding.
     "q53_vector_stats" -> ((s, d) => {
       Tables.rebalance(Tables.embeddings(s, d))
@@ -175,6 +221,36 @@ object VectorOps {
         |  SELECT qid, n.label, vec_id,
         |    ${dotDuck("q", "qv")}::DOUBLE / sqrt(norm::DOUBLE) / sqrt(qnorm::DOUBLE) AS cos
         |  FROM n JOIN qs ON n.label = qs.qlabel AND n.vec_id <> qs.qid)
+        |SELECT qid, label, vec_id, cos, rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+
+    "q64_ann_multiprobe" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, label, $quantDuck AS q FROM embeddings),
+        |n AS (SELECT vec_id, label, q, ${dotDuck("q", "q")} AS norm FROM e),
+        |cent AS (
+        |  SELECT label, pos, sum(xq)::BIGINT AS s, count(*) AS nl FROM (
+        |    SELECT label, unnest(q) AS xq, generate_subscripts(q, 1) AS pos FROM e)
+        |  GROUP BY label, pos),
+        |qs AS (SELECT vec_id AS qid, label AS qlabel, q AS qv, norm AS qnorm
+        |       FROM n WHERE vec_id < $NUM_QUERIES),
+        |qd AS (SELECT qid, unnest(qv) AS qx, generate_subscripts(qv, 1) AS pos FROM qs),
+        |cells AS (
+        |  SELECT qid, label FROM (
+        |    SELECT qid, label,
+        |      row_number() OVER (PARTITION BY qid ORDER BY
+        |        (sum((qx * nl - s) * (qx * nl - s))::BIGINT)::DOUBLE
+        |          / (max(nl) * max(nl))::DOUBLE, label) AS cell_rank
+        |    FROM qd JOIN cent USING (pos)
+        |    GROUP BY qid, label)
+        |  WHERE cell_rank <= 2),
+        |scored AS (
+        |  SELECT qs.qid AS qid, n.label, vec_id,
+        |    ${dotDuck("q", "qv")}::DOUBLE / sqrt(norm::DOUBLE) / sqrt(qnorm::DOUBLE) AS cos
+        |  FROM n JOIN cells ON n.label = cells.label
+        |  JOIN qs ON qs.qid = cells.qid AND n.vec_id <> qs.qid)
         |SELECT qid, label, vec_id, cos, rn FROM (
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
         |  FROM scored)

@@ -1,0 +1,134 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Space-Saving frequent-items summary (Metwally, Agrawal, El Abbadi,
+  * "Efficient computation of frequent and top-k elements in data
+  * streams", ICDT 2005): at most `capacity` counters; an unseen item
+  * evicts the minimum counter and inherits its count as error bound.
+  *
+  * Mutable-buffer form: item -> (count, error). When
+  * `capacity >= distinct(input)` no eviction ever happens and the sketch
+  * is EXACT (error 0) — the regime the oracle-checked query runs in;
+  * the approximate regime is covered by SketchSpec.
+  */
+class SpaceSavingBuffer(val capacity: Int) extends Serializable {
+  val counters: mutable.HashMap[String, (Long, Long)] = mutable.HashMap.empty
+
+  def add(item: String, weight: Long = 1L): Unit = {
+    counters.get(item) match {
+      case Some((c, e)) => counters.update(item, (c + weight, e))
+      case None if counters.size < capacity =>
+        counters.update(item, (weight, 0L))
+      case None =>
+        val (minItem, (minC, _)) = counters.minBy { case (i, (c, _)) => (c, i) }
+        counters.remove(minItem)
+        counters.update(item, (minC + weight, minC))
+    }
+  }
+
+  /** Standard sketch merge: sum counts for common items; for items only
+    * in `other`, insert via the same eviction rule with their count as
+    * weight (exact regime: plain map union with summed counts).
+    */
+  def merge(other: SpaceSavingBuffer): Unit = {
+    other.counters.foreach { case (item, (c, e)) =>
+      counters.get(item) match {
+        case Some((c0, e0)) => counters.update(item, (c0 + c, e0 + e))
+        case None => add(item, c) // inherits eviction error if full
+      }
+    }
+  }
+}
+
+/** `space_saving_topk(col, capacity, k)` — Catalyst TypedImperativeAggregate
+  * (the API tier for sketch aggregates: HLL, quantile digests, ...);
+  * partial buffers serialize between partial and final aggregation.
+  * Output: array<struct<item, cnt>> — top-k by (cnt desc, item asc).
+  */
+case class SpaceSavingTopK(
+    child: Expression,
+    capacity: Int,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SpaceSavingBuffer] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType), StructField("cnt", LongType))))
+
+  override def createAggregationBuffer(): SpaceSavingBuffer =
+    new SpaceSavingBuffer(capacity)
+
+  override def update(buf: SpaceSavingBuffer, input: InternalRow): SpaceSavingBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[UTF8String].toString)
+    buf
+  }
+
+  override def merge(buf: SpaceSavingBuffer, other: SpaceSavingBuffer): SpaceSavingBuffer = {
+    buf.merge(other); buf
+  }
+
+  override def eval(buf: SpaceSavingBuffer): Any = {
+    val top = buf.counters.toSeq
+      .sortBy { case (item, (c, _)) => (-c, item) }
+      .take(k)
+      .map { case (item, (c, _)) =>
+        InternalRow(UTF8String.fromString(item), c)
+      }
+    new GenericArrayData(top.toArray[Any])
+  }
+
+  override def serialize(buf: SpaceSavingBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.capacity)
+    out.writeInt(buf.counters.size)
+    buf.counters.foreach { case (item, (c, e)) =>
+      out.writeUTF(item); out.writeLong(c); out.writeLong(e)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): SpaceSavingBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new SpaceSavingBuffer(in.readInt())
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val item = in.readUTF(); val c = in.readLong(); val e = in.readLong()
+      buf.counters.update(item, (c, e))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(off: Int): SpaceSavingTopK =
+    copy(mutableAggBufferOffset = off)
+  override def withNewInputAggBufferOffset(off: Int): SpaceSavingTopK =
+    copy(inputAggBufferOffset = off)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+object SketchFunctions {
+  /** Column API for the Space-Saving sketch. */
+  def spaceSavingTopK(c: Column, capacity: Int, k: Int): Column = {
+    import org.apache.spark.sql.graftshim.Shim.{column, expression}
+    column(SpaceSavingTopK(expression(c), capacity, k).toAggregateExpression())
+  }
+}

@@ -160,6 +160,23 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- q65: frequent terms per language via the Space-Saving
+    // TypedImperativeAggregate (bounded-memory heavy hitters — the sketch
+    // shape for 100 TB term stats). Capacity 64 > the 31-word fixture
+    // vocabulary, so the sketch runs in its EXACT regime and the DuckDB
+    // group-count oracle applies; the approximate regime is unit-tested.
+    "q65_frequent_terms" -> ((s, d) => {
+      import graft.functions.SketchFunctions
+      withToks(Tables.documents(s, d))
+        .select(col("lang"), explode(col("toks")).as("tok"))
+        .groupBy(col("lang"))
+        .agg(SketchFunctions.spaceSavingTopK(col("tok"), 64, 5).as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), col("col.item").as("term"),
+                col("col.cnt").as("n"), (col("pos") + 1).cast("long").as("rank"))
+        .orderBy(col("lang"), col("rank"))
+    }),
+
     // ---- q50: exact n-gram Jaccard near-dup pairs at scale — df-capped
     // inverted shingle index for candidates (rare-shingle prefix filter),
     // then exact verification on the full shingle sets.
@@ -267,6 +284,14 @@ object TextOps {
         |SELECT doc_id,
         |  sum(CASE WHEN s >= 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q65_frequent_terms" ->
+      """SELECT lang, term, n, rank FROM (
+        |  SELECT lang, tok AS term, count(*) AS n,
+        |    row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tok) AS rank
+        |  FROM (SELECT lang, unnest(str_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY lang, tok)
+        |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
 
     "q50_jaccard_neardup" ->
       s"""WITH g0 AS (

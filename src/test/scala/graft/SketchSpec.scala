@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{SketchFunctions, SpaceSavingBuffer}
+
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact regime (capacity >= distinct): matches groupBy counts") {
+    val words = (0 until 3000).map(i => s"w${i % 17}").toDF("w").repartition(8)
+    val viaSketch = words
+      .agg(SketchFunctions.spaceSavingTopK($"w", 64, 17).as("top"))
+      .select(explode($"top").as("t")).select($"t.item", $"t.cnt")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = words.groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaSketch == exact)
+  }
+
+  test("approximate regime: overestimates bounded by n/capacity, heavy hitter kept") {
+    // 5000 items, one heavy hitter (40%), long tail of 500 distinct
+    val data = (0 until 5000).map { i =>
+      if (i % 5 < 2) "HEAVY" else s"tail${i % 500}"
+    }
+    val buf = new SpaceSavingBuffer(32)
+    data.foreach(buf.add(_))
+    val (heavyCount, heavyErr) = buf.counters("HEAVY")
+    val trueHeavy = data.count(_ == "HEAVY")
+    assert(heavyCount >= trueHeavy)                 // never undercounts
+    assert(heavyCount - heavyErr <= trueHeavy)      // guaranteed lower bound
+    assert(heavyCount - trueHeavy <= 5000 / 32)     // classic error bound
+    assert(buf.counters.size <= 32)                 // bounded memory
+  }
+
+  test("distributed merge across partitions stays exact in exact regime") {
+    val words = (0 until 10000).map(i => (i % 32, s"t${i % 7}")).toDF("p", "w")
+      .repartition(32, $"p")
+    val got = words.agg(SketchFunctions.spaceSavingTopK($"w", 16, 7).as("top"))
+      .select(explode($"top").as("t")).select($"t.cnt")
+      .collect().map(_.getLong(0)).sorted
+    // 10000 / 7 distinct tokens: 4 tokens x 1429, 3 x 1428
+    assert(got.toSeq == Seq(1428L, 1428L, 1428L, 1429L, 1429L, 1429L, 1429L).sorted)
+  }
+}

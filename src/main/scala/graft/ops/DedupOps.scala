@@ -52,20 +52,25 @@ object DedupOps {
       // h_s = ((h % P) * (2s+1) + 7919s) % P — exact int64 in both
       // engines, so the oracle replicates signatures bit-for-bit while
       // the expensive digest runs once per shingle, not once per seed.
-      val mh = g
+      // All NUM_SEEDS minima are computed as separate aggregates in ONE
+      // groupBy over the shingle rows (no seed explosion: the exploded
+      // form pushes NUM_SEEDS x |shingles| rows through two shuffles).
+      val withHm = g
         .withColumn("hv", expr(s"conv(substring(md5(gram), 1, 15), 16, 10)").cast("long"))
-        .select(col("doc_id"), col("hv"),
-                explode(sequence(lit(0), lit(NUM_SEEDS - 1))).as("seed"))
-        .withColumn("hs", expr(s"((hv % $HASH_P) * (2 * seed + 1) + 7919 * seed) % $HASH_P"))
-        .groupBy(col("doc_id"), col("seed"))
-        .agg(min(col("hs")).as("mh"))
+        .withColumn("hm", expr(s"hv % $HASH_P"))
+      val minAggs = (0 until NUM_SEEDS).map { sd =>
+        min(expr(s"(hm * ${2 * sd + 1} + ${7919 * sd}) % $HASH_P")).as(s"m$sd")
+      }
+      val sig = withHm.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
       // band key = the band's row minhashes joined in seed order
-      val bands = mh
-        .withColumn("band", expr(s"seed DIV $ROWS_PER_BAND"))
-        .groupBy(col("doc_id"), col("band"))
-        .agg(array_join(
-          expr("transform(array_sort(collect_list(struct(seed, mh))), x -> cast(x.mh AS string))"),
-          "|").as("bkey"))
+      val bandStructs = (0 until NUM_SEEDS / ROWS_PER_BAND).map { b =>
+        val ms = (0 until ROWS_PER_BAND).map(r => s"m${b * ROWS_PER_BAND + r}")
+        s"named_struct('band', $b, 'bkey', concat_ws('|', ${ms.mkString(", ")}))"
+      }
+      val bands = sig
+        .select(col("doc_id"),
+                explode(expr(s"array(${bandStructs.mkString(", ")})")).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
       // in-bucket pair generation via collect_list (no self-join: Catalyst
       // would recompute the whole signature pipeline for each side)
       val cand = bands.groupBy(col("band"), col("bkey"))

@@ -160,6 +160,38 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- q66: fuzzy (edit-distance) near-dup verification — the same
+    // rare-shingle candidate generation as q50, but verified with
+    // character-level Levenshtein on a fixed prefix (the "fuzzy dedup"
+    // family member; distance is an exact integer in both engines).
+    // Prefix cap bounds the O(len^2) DP per pair — at 100 TB you never
+    // run unbounded edit distance on full documents.
+    "q66_fuzzy_neardup" -> ((s, d) => {
+      val g0 = withToks(Tables.documents(s, d))
+        .select(col("doc_id"), array_distinct(expr(trigramExpr)).as("grams"))
+      val g = g0.select(col("doc_id"), explode_outer(col("grams")).as("gram"))
+        .filter(col("gram").isNotNull)
+      val cand = g.groupBy(col("gram"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")).between(2, DF_CAP))
+        .select(explode(expr(
+          """flatten(transform(ds, (x, i) ->
+            |  transform(slice(ds, i + 2, size(ds)),
+            |            y -> named_struct('d1', x, 'd2', y))))""".stripMargin))
+          .as("p"))
+        .select(col("p.d1"), col("p.d2"))
+        .distinct()
+      val texts = Tables.documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 120).as("prefix"))
+      cand
+        .join(texts.select(col("doc_id").as("d1"), col("prefix").as("t1")), "d1")
+        .join(texts.select(col("doc_id").as("d2"), col("prefix").as("t2")), "d2")
+        .withColumn("edit_dist", levenshtein(col("t1"), col("t2")).cast("long"))
+        .filter(col("edit_dist") <= 30)
+        .select(col("d1"), col("d2"), col("edit_dist"))
+        .orderBy(col("d1"), col("d2"))
+    }),
+
     // ---- q65: frequent terms per language via the Space-Saving
     // TypedImperativeAggregate (bounded-memory heavy hitters — the sketch
     // shape for 100 TB term stats). Capacity 64 > the 31-word fixture
@@ -284,6 +316,21 @@ object TextOps {
         |SELECT doc_id,
         |  sum(CASE WHEN s >= 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q66_fuzzy_neardup" ->
+      s"""WITH g0 AS (
+        |  SELECT doc_id, list_distinct($trigramSqlDuck) AS grams
+        |  FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)),
+        |g AS (SELECT doc_id, unnest(grams) AS gram FROM g0),
+        |rare AS (SELECT gram FROM g GROUP BY gram HAVING count(*) BETWEEN 2 AND $DF_CAP),
+        |gr AS (SELECT g.doc_id, g.gram FROM g JOIN rare USING (gram)),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |         FROM gr a JOIN gr b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |texts AS (SELECT doc_id, substr(text, 1, 120) AS prefix FROM documents)
+        |SELECT d1, d2, levenshtein(a.prefix, b.prefix)::BIGINT AS edit_dist
+        |FROM cand JOIN texts a ON a.doc_id = cand.d1 JOIN texts b ON b.doc_id = cand.d2
+        |WHERE levenshtein(a.prefix, b.prefix) <= 30
+        |ORDER BY d1, d2""".stripMargin,
 
     "q65_frequent_terms" ->
       """SELECT lang, term, n, rank FROM (

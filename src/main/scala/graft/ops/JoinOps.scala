@@ -48,4 +48,27 @@ object JoinOps {
     carried.filter(col("_side") === 1)
       .select(leftCols.map(col) ++ valueCols.map(c => col(s"asof_$c")): _*)
   }
+
+  /** Native-operator form of the backward as-of join: builds the custom
+    * graft.plans.AsOfJoin logical node, planned by AsOfJoinStrategy into
+    * a co-partitioned sort-merge AsOfJoinExec. Requires a session built
+    * `.withExtensions(new graft.plans.GraftExtensions)`; integral key,
+    * timestamp/long ts columns.
+    */
+  def asofJoinNative(left: DataFrame, right: DataFrame, key: String,
+                     leftTs: String, rightTs: String,
+                     valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.graftshim.Shim
+    val lPlan = Shim.analyzed(left)
+    val rPlan = Shim.analyzed(right)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             name: String) =
+      p.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found"))
+    Shim.ofRows(left.sparkSession, graft.plans.AsOfJoin(
+      lPlan, rPlan,
+      attr(lPlan, key), attr(lPlan, leftTs),
+      attr(rPlan, key), attr(rPlan, rightTs),
+      valueCols.map(attr(rPlan, _))))
+  }
 }

@@ -61,5 +61,6 @@ object RewriteIntersectOverlap extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteIntersectOverlap)
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

@@ -50,6 +50,38 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(qNot.count() == 2)
   }
 
+  test("native AsOfJoinExec plans and matches the window formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val trades = (0 until 400).map { i =>
+      (i.toLong % 20, (i * 37 % 1000).toLong, s"t$i")
+    }.toDF("key", "ts", "trade").repartition(5)
+    val quotes = (0 until 300).map { i =>
+      (i.toLong % 20, (i * 53 % 1000).toLong, (i * 7 % 500).toDouble)
+    }.toDF("key", "qts", "px").repartition(3)
+
+    val native = graft.ops.JoinOps.asofJoinNative(
+      trades, quotes, "key", "ts", "qts", Seq("px"))
+    // the custom physical operator actually plans (nodes print without
+    // the Exec suffix), with co-partitioning exchanges + sorts injected
+    // by EnsureRequirements on both sides
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(plan.contains("Exchange hashpartitioning(key"), plan)
+
+    val got = native.orderBy("key", "ts", "trade")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+                           Option(r.get(3)).map(_.asInstanceOf[Double])))
+    val expected = graft.ops.JoinOps.asofJoinBackward(
+      trades, quotes.withColumnRenamed("qts", "ts2")
+        .withColumnRenamed("ts2", "qts"), "key", "ts", "qts", Seq("px"))
+      .orderBy("key", "ts", "trade")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+                           Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(got.length == 400)
+    assert(got.toSeq == expected.toSeq)
+  }
+
   test("rewrite preserves results vs unoptimized comparison on random arrays") {
     import spark.implicits._
     val rows = (0 until 200).map { i =>

@@ -118,6 +118,23 @@ object Advanced {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- q67: skew-safe holistic aggregation — collect every event_id
+    // per event_type (a 5-key, ~2000-values-per-key hot-key workload)
+    // through the two-phase salted path, then fingerprint the sorted
+    // collection. The oracle computes the same fingerprint from a plain
+    // ordered string_agg: salting must be RESULT-INVISIBLE.
+    "q67_salted_collect" -> ((s, d) => {
+      val salted = graft.ops.ScaleOps.saltedCollectList(
+        Tables.events(s, d).select(col("event_type"), col("event_id")),
+        key = "event_type", valueCol = "event_id",
+        saltSource = "event_id", salts = 8)
+      salted.select(col("event_type"),
+                    size(col("event_ids")).cast("long").as("n"),
+                    md5(concat_ws(",",
+                      expr("transform(event_ids, x -> cast(x AS string))"))).as("ids_md5"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- q60: HLL sketch cardinality. NO ORACLE — Spark's HLL++ and
     // DuckDB's approx_count_distinct give different estimates by design;
     // the driver records the weaker rows-only check for this one.
@@ -165,6 +182,11 @@ object Advanced {
       """SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS p50,
         |  quantile_cont(o_totalprice, 0.9) AS p90, count(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q67_salted_collect" ->
+      """SELECT event_type, count(*) AS n,
+        |  md5(string_agg(event_id::VARCHAR, ',' ORDER BY event_id)) AS ids_md5
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q62_correlation" ->
       """SELECT n, round((n * sxy - sx * sy) /

@@ -100,4 +100,38 @@ object StatefulOps {
                               count(lit(1)).as("n_rows"))
     (out, obs)
   }
+
+  /** Streaming error budget (T5): attach `df.observe("quality", ...)` to
+    * the stream, register this listener, and it accumulates the observed
+    * error count across micro-batches, stopping the query once the
+    * budget is blown — the reference's crawler-abort loop as a
+    * StreamingQueryListener.
+    */
+  class ErrorBudgetListener(spark: SparkSession, maxErrors: Long,
+                            metricName: String = "quality")
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    @volatile var totalErrors: Long = 0L
+    @volatile var budgetExceeded: Boolean = false
+
+    override def onQueryStarted(e: QueryStartedEvent): Unit = {}
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {}
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val m = e.progress.observedMetrics
+      if (m.containsKey(metricName)) {
+        totalErrors += m.get(metricName).getAs[Long]("n_errors")
+        if (totalErrors > maxErrors && !budgetExceeded) {
+          budgetExceeded = true
+          Option(spark.streams.get(e.progress.id)).foreach(_.stop())
+        }
+      }
+    }
+  }
+
+  /** Attach the observable error metric to a (streaming) DataFrame. */
+  def withErrorMetric(df: DataFrame, isError: org.apache.spark.sql.Column,
+                      metricName: String = "quality"): DataFrame =
+    df.observe(metricName,
+      sum(when(isError, 1L).otherwise(0L)).as("n_errors"),
+      count(lit(1)).as("n_rows"))
 }

@@ -95,6 +95,33 @@ class StatefulSpec extends SparkSpec {
     assert(sessions(1).getAs[Double]("sum_value") == 4.0)
   }
 
+  test("streaming error-budget listener accumulates observed metrics (T5)") {
+    import spark.implicits._
+    val inDir = tmp("eb-in"); val outDir = tmp("eb-out"); val ckpt = tmp("eb-ckpt")
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 7L, "error", 0.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 7L, "error", 0.0, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:00:03"), 8L, "click", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(inDir)
+
+    val listener = new StatefulOps.ErrorBudgetListener(spark, maxErrors = 1)
+    spark.streams.addListener(listener)
+    try {
+      val src = graft.streaming.EventStream.readEvents(spark, inDir)
+      val q = StatefulOps.withErrorMetric(src, col("event_type") === "error")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).outputMode("append").start()
+      q.awaitTermination(60000)
+      // listener events are async; wait for delivery
+      var waited = 0
+      while (listener.totalErrors < 2 && waited < 100) { Thread.sleep(100); waited += 1 }
+      assert(listener.totalErrors == 2L)
+      assert(listener.budgetExceeded) // 2 errors > budget of 1
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("observed error count rides the main pass (error budget, A8/T5)") {
     import spark.implicits._
     val df = Seq(("a", "ok"), ("b", "error"), ("c", "error"), ("d", "ok"))

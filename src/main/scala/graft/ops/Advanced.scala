@@ -135,6 +135,24 @@ object Advanced {
         .orderBy(col("event_type"))
     }),
 
+    // ---- q68: the reference's RGB tolerance predicate (P9/A5) under the
+    // oracle gate — colors synthesized from event ids, classified by the
+    // native codegen IsSimilarRgb expression; the oracle mirrors the
+    // parse+tolerance semantics on the underlying channel ints.
+    "q68_rgb_similarity" -> ((s, d) => {
+      import graft.functions.RgbFunctions
+      Tables.events(s, d)
+        .withColumn("r", (col("event_id") * 37 % 256).cast("int"))
+        .withColumn("g", (col("event_id") * 59 % 256).cast("int"))
+        .withColumn("b", (col("event_id") * 83 % 256).cast("int"))
+        .withColumn("css", concat(lit("rgb("), col("r"), lit(", "),
+                                  col("g"), lit(", "), col("b"), lit(")")))
+        .withColumn("near_gray",
+          RgbFunctions.isSimilarRgb(col("css"), lit("rgb(120, 120, 120)"), 40))
+        .groupBy(col("near_gray")).agg(count(lit(1)).as("n"))
+        .orderBy(col("near_gray"))
+    }),
+
     // ---- q60: HLL sketch cardinality. NO ORACLE — Spark's HLL++ and
     // DuckDB's approx_count_distinct give different estimates by design;
     // the driver records the weaker rows-only check for this one.
@@ -182,6 +200,14 @@ object Advanced {
       """SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS p50,
         |  quantile_cont(o_totalprice, 0.9) AS p90, count(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q68_rgb_similarity" ->
+      """SELECT near_gray, count(*) AS n FROM (
+        |  SELECT abs((event_id * 37 % 256) - 120) <= 40
+        |     AND abs((event_id * 59 % 256) - 120) <= 40
+        |     AND abs((event_id * 83 % 256) - 120) <= 40 AS near_gray
+        |  FROM events)
+        |GROUP BY near_gray ORDER BY near_gray""".stripMargin,
 
     "q67_salted_collect" ->
       """SELECT event_type, count(*) AS n,

@@ -51,6 +51,15 @@ class RgbSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("custom expressions are callable from plain SQL after registration") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT is_similar_rgb('rgb(10, 10, 10)', 'rgb(12, 8, 10)', 5) AS a,
+        |       is_similar_rgb('rgb(10, 10, 10)', 'rgb(99, 8, 10)', 5) AS b,
+        |       ldot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d""".stripMargin).head
+    assert(r.getBoolean(0) && !r.getBoolean(1) && r.getLong(2) == 32L)
+  }
+
   test("legendLevel decodes exact colors with 未知 default (test.py:471-482)") {
     val df = Seq("rgb(41, 128, 255)", "rgb(200, 200, 200)", "rgb(9, 9, 9)").toDF("bg")
     val got = df.select(RgbFunctions.legendLevel($"bg").as("l")).collect().map(_.getString(0))

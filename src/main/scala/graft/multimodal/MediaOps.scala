@@ -62,11 +62,20 @@ object MediaOps {
               (img.width.toFloat / img.height), r.payload.length.toFloat, 1f)
             MediaFeatures(r.media_id, r.meta.kind, img.width, img.height,
               r.payload.length, cs, feat)
-          case None =>
-            val (w, h) = decodeStub(r.payload)
-            val feat = Array.tabulate(8)(i =>
-              ((cs >> (i * 8)) & 0xff).toFloat / 255.0f)
-            MediaFeatures(r.media_id, r.meta.kind, w, h, r.payload.length, cs, feat)
+          case None => WavDecoder.decode(r.payload) match {
+            case Some(clip) =>
+              val feat = Array(clip.meanAbsAmplitude.toFloat / 32768f,
+                clip.durationSec.toFloat, clip.sampleRate.toFloat / 48000f,
+                clip.channels.toFloat, clip.nSamples.toFloat,
+                0f, r.payload.length.toFloat, 2f)
+              MediaFeatures(r.media_id, r.meta.kind, clip.sampleRate,
+                clip.channels, r.payload.length, cs, feat)
+            case None =>
+              val (w, h) = decodeStub(r.payload)
+              val feat = Array.tabulate(8)(i =>
+                ((cs >> (i * 8)) & 0xff).toFloat / 255.0f)
+              MediaFeatures(r.media_id, r.meta.kind, w, h, r.payload.length, cs, feat)
+          }
         }
       }
     }

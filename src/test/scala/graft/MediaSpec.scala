@@ -37,6 +37,32 @@ class MediaSpec extends SparkSpec {
     assert(stub.width >= 16) // stub-derived pseudo dims
   }
 
+  test("real WAV decode: rate, duration, mean amplitude are exact") {
+    import graft.multimodal.{MediaOps, WavDecoder}
+    import MediaOps.{MediaMeta, MediaRecord}
+    import spark.implicits._
+    // 8 samples at 8000 Hz: alternating +/-1000 -> meanAbs 1000, 1 ms
+    val samples = Array.tabulate[Short](8)(i => if (i % 2 == 0) 1000 else -1000)
+    val wav = WavDecoder.encode(8000, samples)
+    val ds = Seq(MediaRecord(9L, MediaMeta("audio", 0, 0, 8000), wav)).toDS()
+    val f = MediaOps.featurize(ds).collect()(0)
+    assert(f.width == 8000)               // sampleRate rides the width slot
+    assert(f.feature(7) == 2f)            // wav-decode marker
+    assert(math.abs(f.feature(0) - 1000f / 32768f) < 1e-6)
+    assert(math.abs(f.feature(1) - 0.001f) < 1e-6) // 8 samples / 8 kHz
+  }
+
+  test("WavDecoder rejects malformed and non-PCM16 input") {
+    import graft.multimodal.WavDecoder
+    assert(WavDecoder.decode(Array[Byte](1, 2, 3)).isEmpty)
+    val valid = WavDecoder.encode(16000, Array[Short](1, 2, 3, 4))
+    assert(WavDecoder.decode(valid).nonEmpty)
+    val badBits = valid.clone(); badBits(34) = 8 // 8-bit
+    assert(WavDecoder.decode(badBits).isEmpty)
+    val notRiff = valid.clone(); notRiff(0) = 'X'
+    assert(WavDecoder.decode(notRiff).isEmpty)
+  }
+
   test("BmpDecoder rejects malformed and non-24bpp input") {
     import graft.multimodal.BmpDecoder
     assert(BmpDecoder.decode(Array[Byte](1, 2, 3)).isEmpty)

@@ -39,6 +39,27 @@ class SinkSpec extends SparkSpec {
     assert(got.count() == 1)
   }
 
+  test("CSV and JSON source formats round-trip the fixture schema") {
+    import spark.implicits._
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50)
+    // CSV: quoted text with embedded delimiters must survive
+    val csvDir = tmp("csv-rt")
+    base.write.mode("overwrite").option("header", "true").csv(csvDir)
+    val csvBack = spark.read.option("header", "true")
+      .schema(base.schema).csv(csvDir)
+    assert(csvBack.count() == 50)
+    assert(csvBack.select("text").as[String].collect().sorted.toSeq ==
+           base.select("text").as[String].collect().sorted.toSeq)
+    // JSON lines
+    val jsonDir = tmp("json-rt")
+    base.write.mode("overwrite").json(jsonDir)
+    val jsonBack = spark.read.schema(base.schema).json(jsonDir)
+    assert(jsonBack.count() == 50)
+    assert(jsonBack.agg(sum("n_chars")).head.getLong(0) ==
+           base.agg(sum("n_chars")).head.getLong(0))
+  }
+
   test("S8 fan-out writes both tables from one pass") {
     import spark.implicits._
     val a = tmp("fan-jobs"); val b = tmp("fan-com")

@@ -79,6 +79,18 @@ object JobOps {
                                    element_at(parts, 2).as("value")))
   }
 
+  /** A1/A2: order-preserving collect + delimiter join — the reference's
+    * `'、'.join(...)` (categories/tools/skills, test.py:209,335,347) and
+    * `'\n'.join(...)` (contact rows, test.py:404-412) as one operator:
+    * values joined in `posCol` order per group.
+    */
+  def collectJoined(df: DataFrame, idCol: String, valueCol: String,
+                    posCol: String, sep: String): DataFrame =
+    df.groupBy(col(idCol))
+      .agg(array_join(
+        expr(s"transform(array_sort(collect_list(struct($posCol, $valueCol))), x -> x.$valueCol)"),
+        sep).as(s"${valueCol}s"))
+
   /** J2/A3: positional zip join — two parallel arrays (legend texts /
     * legend values scraped separately, test.py:425-431) zipped by index
     * into one map. `map_from_arrays` is the vectorized form of the

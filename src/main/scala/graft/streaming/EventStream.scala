@@ -33,6 +33,16 @@ object EventStream {
   def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
 
+  /** T4 — rate limiting: bound each micro-batch to `maxFiles` input
+    * files (the streaming analog of the reference's per-scroll pacing
+    * sleeps, test.py:136,178,560 — but as backpressure, not wall-clock).
+    */
+  def readEventsRateLimited(spark: SparkSession, dir: String,
+                            maxFiles: Int): DataFrame =
+    spark.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", maxFiles)
+      .parquet(dir)
+
   /** Windowed aggregation with late-data handling: 10-minute watermark,
     * 1-hour tumbling windows per event type — state is bounded because the
     * watermark lets Spark drop windows older than the horizon.

@@ -121,6 +121,23 @@ class JobOpsSpec extends SparkSpec {
     assert(flags.toSeq == Seq("ok", "error"))
   }
 
+  test("collectJoined preserves document order for 、 and newline joins (A1/A2)") {
+    val contacts = Seq(
+      (1L, 2, "Email：hr@acme.tw"),
+      (1L, 1, "聯絡人：王先生"),
+      (2L, 1, "聯絡人：李小姐")
+    ).toDF("job_id", "pos", "contact")
+    val out = JobOps.collectJoined(contacts, "job_id", "contact", "pos", "\n")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "聯絡人：王先生\nEmail：hr@acme.tw") // pos order, not input order
+    assert(out(2L) == "聯絡人：李小姐")
+
+    val tools = Seq((1L, 1, "Python"), (1L, 2, "Solidity")).toDF("job_id", "pos", "tool")
+    val joined = JobOps.collectJoined(tools, "job_id", "tool", "pos", "、")
+      .head.getString(1)
+    assert(joined == "Python、Solidity")
+  }
+
   test("zipToMap zips parallel arrays into a map (J2/A3 fixture)") {
     val df = Seq((Seq("大學", "碩士"), Seq("60%", "30%")))
       .toDF("edu_keys", "edu_values")

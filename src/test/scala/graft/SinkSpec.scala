@@ -39,6 +39,17 @@ class SinkSpec extends SparkSpec {
     assert(got.count() == 1)
   }
 
+  test("S9: saveAsTable produces a catalog-queryable jobs table") {
+    import spark.implicits._
+    try {
+      JobSinks.saveAsTable(Seq(("j1", "Acme"), ("j2", "Beta")).toDF("job", "company"),
+        "jobs_test_table")
+      val got = spark.sql("SELECT company FROM jobs_test_table ORDER BY job")
+        .as[String].collect().toSeq
+      assert(got == Seq("Acme", "Beta"))
+    } finally spark.sql("DROP TABLE IF EXISTS jobs_test_table")
+  }
+
   test("CSV and JSON source formats round-trip the fixture schema") {
     import spark.implicits._
     val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -48,6 +48,30 @@ class StreamingSpec extends SparkSpec {
     assert(after.exists(r => r.getAs[String]("event_type") == "view"))
   }
 
+  test("maxFilesPerTrigger bounds each micro-batch to one file (T4)") {
+    import spark.implicits._
+    val inDir = tmp("rate-in"); val ckpt = tmp("rate-ckpt")
+    // three separate file drops
+    (1 to 3).foreach { i =>
+      Seq((i.toLong, java.sql.Timestamp.valueOf(s"2024-01-01 00:0$i:00"), 7L, "click", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .repartition(1).write.mode("append").parquet(inDir)
+    }
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = EventStream.readEventsRateLimited(spark, inDir, maxFiles = 1)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.add(b.count()); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val sizes = batchSizes.toArray(Array.empty[java.lang.Long]).map(_.toLong)
+    assert(sizes.sum == 3L)
+    assert(sizes.length >= 3, s"expected >=3 rate-limited batches, got ${sizes.toSeq}")
+    assert(sizes.forall(_ <= 1L))
+  }
+
   test("streaming dedup within watermark drops re-crawled ids (T3)") {
     import spark.implicits._
     val inDir = tmp("dedup-in")

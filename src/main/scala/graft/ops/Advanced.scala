@@ -107,14 +107,19 @@ object Advanced {
             .as("corr_qty_price"))
     }),
 
-    // ---- q63: approximate percentile sketch. NO ORACLE — Spark's
-    // KLL-ish approx_percentile and DuckDB's t-digest differ by design;
-    // rows-only check (like q60).
+    // ---- q63: approximate percentile sketch. Spark's KLL-ish
+    // approx_percentile and DuckDB's t-digest give different raw estimates
+    // by design, so the query emits the EXACT percentile plus a
+    // bounded-error boolean (|approx-exact|/exact <= 5%) — the boolean IS
+    // engine-portable, so the oracle (exact, TRUE) hash-checks the sketch.
     "q63_approx_percentile" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_approx"),
              expr("percentile(l_extendedprice, 0.5)").as("p50_exact"))
+        .select(col("l_returnflag"), col("p50_exact"),
+          (abs(col("p50_approx") - col("p50_exact")) / col("p50_exact") <= 0.05)
+            .as("within_5pct"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -153,14 +158,19 @@ object Advanced {
         .orderBy(col("near_gray"))
     }),
 
-    // ---- q60: HLL sketch cardinality. NO ORACLE — Spark's HLL++ and
-    // DuckDB's approx_count_distinct give different estimates by design;
-    // the driver records the weaker rows-only check for this one.
+    // ---- q60: HLL sketch cardinality. Spark's HLL++ and DuckDB's
+    // approx_count_distinct estimate differently by design, so — as in
+    // q63 — the query emits the exact cardinality plus a bounded-error
+    // boolean, which both engines CAN agree on, making the sketch
+    // hash-checkable (oracle emits (exact, TRUE)).
     "q60_approx_distinct" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
              countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")).cast("double") /
+            col("exact_parts") <= 0.05).as("within_5pct"))
         .orderBy(col("l_returnflag"))
     })
   )
@@ -224,8 +234,18 @@ object Advanced {
         |    sum(l_quantity::DECIMAL(18,2) * l_quantity::DECIMAL(18,2))::DOUBLE AS sxx,
         |    sum(l_extendedprice::DECIMAL(18,2) * l_extendedprice::DECIMAL(18,2))::DOUBLE AS syy,
         |    sum(l_quantity::DECIMAL(18,2) * l_extendedprice::DECIMAL(18,2))::DOUBLE AS sxy
-        |  FROM lineitem)""".stripMargin
-    // q60_approx_distinct, q63_approx_percentile: intentionally no oracle
-    // (engine-specific sketches; rows-only check)
+        |  FROM lineitem)""".stripMargin,
+
+    // q60/q63: the sketch estimate itself is engine-specific, but the
+    // 5%-bound boolean is portable — the oracle asserts the bound holds.
+    "q60_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q63_approx_percentile" ->
+      """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS p50_exact,
+        |  TRUE AS within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

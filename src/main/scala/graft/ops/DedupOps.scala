@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorFunctions.ldot
@@ -28,6 +28,46 @@ object DedupOps {
   private val JACCARD_T = 0.5
   private val COS_T = 0.4
   private val HASH_P = 2147483647L // Mersenne prime; (p-1)*(2*seeds+1) << 2^63
+  private val MAX_BLOCK = 1000 // chunk width for oversized label blocks
+
+  /** Exact all-pairs candidates within `label` blocks, skew-safe.
+    *
+    * A plain `a.label = b.label AND a.vec_id < b.vec_id` self-join puts an
+    * entire label block into ONE join task — a single skewed cluster (10k+
+    * members) becomes an O(block²) straggler that no amount of executors
+    * helps with. Instead, rows are assigned to `k = ceil(n/chunk)` chunks
+    * per label (k=1 → degenerates to the plain join, zero overhead), and
+    * each unordered chunk pair (i <= j) becomes its own join key
+    * `(label, i, j)`: the same n(n-1)/2 output pairs — results are
+    * bit-identical to the naive join, the oracle stays a plain self-join —
+    * but the work is spread over k(k+1)/2 bounded tasks of <= ~chunk²
+    * pairs, each landing on a different shuffle partition.
+    *
+    * Input must carry `label`, `vec_id` and value columns; output has the
+    * a_/b_ sides with `a_vec < b_vec` normalized.
+    */
+  def chunkedBlockPairs(emb: DataFrame, chunk: Int = MAX_BLOCK): DataFrame = {
+    val valueCols = emb.columns.filterNot(c => c == "label" || c == "vec_id").toSeq
+    val counts = emb.groupBy(col("label")).agg(count(lit(1)).as("_n"))
+    val chunked = emb.join(counts, "label")
+      .withColumn("_k", greatest(lit(1L),
+        ceil(col("_n").cast("double") / chunk).cast("long")))
+      .withColumn("_c", pmod(col("vec_id"), col("_k")))
+    def side(tag: String, iExpr: Column, jExpr: Column) = chunked.select(
+      Seq(col("label"), iExpr.as("_i"), jExpr.as("_j"),
+          col("vec_id").as(s"${tag}_vec")) ++
+        valueCols.map(c => col(c).as(s"${tag}_$c")): _*)
+    // a carries its chunk as i and fans out to partners j >= i;
+    // b carries its chunk as j and fans out to partners i <= j
+    val aSide = side("a", col("_c"), explode(expr("sequence(_c, _k - 1)")))
+    val bSide = side("b", explode(expr("sequence(0, _c)")), col("_c"))
+    aSide.join(bSide, Seq("label", "_i", "_j"))
+      // same-chunk tasks order internally; cross-chunk tasks take all pairs
+      .filter(col("_i") < col("_j") || col("a_vec") < col("b_vec"))
+      .withColumn("v1", least(col("a_vec"), col("b_vec")))
+      .withColumn("v2", greatest(col("a_vec"), col("b_vec")))
+      .drop("_i", "_j")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -96,20 +136,21 @@ object DedupOps {
 
     // ---- q55: embedding-cosine near-dup, blocked by cluster label
     // (IVF-style candidate pruning; exact integer-quantized cosine).
+    // Candidate pairs come from the chunk-pair decomposition above, so a
+    // skewed giant cluster spreads over bounded tasks instead of one
+    // O(block²) straggler — results identical to the naive block join.
     "q55_embedding_neardup" -> ((s, d) => {
       val emb = Tables.rebalance(Tables.embeddings(s, d))
         .withColumn("q", expr(
           "transform(embedding, x -> cast(round(cast(x AS double) * 10000, 0) AS bigint))"))
         .withColumn("norm", ldot(col("q"), col("q")))
         .select(col("vec_id"), col("label"), col("q"), col("norm"))
-      emb.as("a").join(emb.as("b"),
-          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        .withColumn("dot", ldot(col("a.q"), col("b.q")))
+      chunkedBlockPairs(emb)
+        .withColumn("dot", ldot(col("a_q"), col("b_q")))
         .withColumn("cos", col("dot").cast("double") /
-          sqrt(col("a.norm").cast("double")) / sqrt(col("b.norm").cast("double")))
+          sqrt(col("a_norm").cast("double")) / sqrt(col("b_norm").cast("double")))
         .filter(col("cos") >= COS_T)
-        .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
-                col("a.label").as("label"), col("cos"))
+        .select(col("v1"), col("v2"), col("label"), col("cos"))
         .orderBy(col("v1"), col("v2"))
     })
   )

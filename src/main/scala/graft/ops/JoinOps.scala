@@ -18,6 +18,13 @@ object JoinOps {
     *
     * Output: all left columns plus `asof_<c>` for each requested right
     * value column (null when no right row precedes the left row).
+    *
+    * The right values are carried through the window as ONE struct per
+    * right row, so every `asof_` column comes from the SAME latest right
+    * row — even when that row holds nulls in some value columns. (A
+    * per-column `last(..., ignoreNulls)` would stitch values from
+    * different right rows whenever the latest row has a null; that is
+    * neither as-of semantics nor what AsOfJoinExec produces.)
     */
   def asofJoinBackward(left: DataFrame, right: DataFrame, key: String,
                        leftTs: String, rightTs: String,
@@ -41,12 +48,15 @@ object JoinOps {
       .orderBy(col("_ts"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = valueCols.foldLeft(lProj.unionByName(rProj)) { (df, c) =>
-      df.withColumn(s"asof_$c",
-        last(when(col("_side") === 0, col(s"_r_$c")), ignoreNulls = true).over(w))
-    }
+    // one struct per right row (null for left rows) => one window pass,
+    // and all asof_ values provably originate from the same right row
+    val rightRowStruct = when(col("_side") === 0,
+      struct(valueCols.map(c => col(s"_r_$c").as(c)): _*))
+    val carried = lProj.unionByName(rProj)
+      .withColumn("_asof_row", last(rightRowStruct, ignoreNulls = true).over(w))
     carried.filter(col("_side") === 1)
-      .select(leftCols.map(col) ++ valueCols.map(c => col(s"asof_$c")): _*)
+      .select(leftCols.map(col) ++
+        valueCols.map(c => col("_asof_row").getField(c).as(s"asof_$c")): _*)
   }
 
   /** Native-operator form of the backward as-of join: builds the custom

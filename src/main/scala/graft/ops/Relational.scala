@@ -58,21 +58,24 @@ object Relational {
     }),
 
     // ---- q03: shipping priority — 3-way join, big sides shuffle on keys,
-    // group agg, top-10. customer filter prunes before the join.
+    // group agg, top-10. customer filter prunes before the join. customer
+    // grows with SF, so its broadcast is size-gated, not hard-coded.
     "q03_shipping_priority" -> ((s, d) => {
       val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       val ord  = Tables.orders(s, d).filter(col("o_orderdate") < to_timestamp(lit("1998-03-15")))
       val li   = Tables.lineitem(s, d).filter(col("l_shipdate") > to_timestamp(lit("1998-03-15")))
       li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+        .join(ScaleOps.broadcastIfSmall(cust), ord("o_custkey") === cust("c_custkey"))
         .groupBy(col("l_orderkey"))
         .agg(dsum2(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
 
-    // ---- q05: star join through region->nation->customer/supplier with
-    // broadcast dims; only lineitem x orders shuffles.
+    // ---- q05: star join through region->nation->customer/supplier.
+    // region/nation are fixed-cardinality => unconditional broadcast;
+    // customer/supplier grow with SF => size-gated hints (AQE decides
+    // past the threshold). Only lineitem x orders shuffles at sf0.1.
     "q05_region_revenue" -> ((s, d) => {
       val region = Tables.region(s, d).filter(col("r_name") === "ASIA")
       val nation = Tables.nation(s, d)
@@ -83,8 +86,8 @@ object Relational {
                 col("o_orderdate") <  to_timestamp(lit("1999-01-01")))
       val li = Tables.lineitem(s, d)
       li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-        .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
-        .join(broadcast(cust), ord("o_custkey") === cust("c_custkey") &&
+        .join(ScaleOps.broadcastIfSmall(supp), li("l_suppkey") === supp("s_suppkey"))
+        .join(ScaleOps.broadcastIfSmall(cust), ord("o_custkey") === cust("c_custkey") &&
                                supp("s_nationkey") === cust("c_nationkey"))
         .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
         .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))

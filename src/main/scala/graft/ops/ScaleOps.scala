@@ -10,6 +10,22 @@ import org.apache.spark.sql.functions._
   */
 object ScaleOps {
 
+  /** Broadcast hint gated on Catalyst's own size estimate.
+    *
+    * A hard-coded `broadcast()` on a dimension that grows with the data
+    * (customer, supplier, ...) is a time bomb: the hint overrides
+    * `spark.sql.autoBroadcastJoinThreshold`, so at 100x scale the driver
+    * OOMs collecting a multi-GB build side that stats/AQE would have
+    * shuffle-joined. This helper hints only when the optimized subplan's
+    * `sizeInBytes` (parquet footer totals x filter selectivity) is under
+    * `maxBytes`; otherwise the frame is returned unhinted and AQE picks
+    * the strategy from runtime sizes. Truly fixed-cardinality dims
+    * (region/nation) can keep unconditional hints.
+    */
+  def broadcastIfSmall(df: DataFrame, maxBytes: Long = 256L << 20): DataFrame =
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes) broadcast(df)
+    else df
+
   /** Salted large-x-large equi-join for skewed keys.
     *
     * The left (skewed) side gets a random-but-deterministic salt in

@@ -161,16 +161,19 @@ object VectorOps {
         .orderBy(col("vec_id"))
     }),
 
-    // ---- q54: per-label centroid components via posexplode — exact
+    // ---- q54: per-label centroid components (first 8 dims) — exact
     // integer sums per (label, dim); the caller divides by n for means.
+    // The dim cut is applied as slice() BEFORE posexplode: a post-explode
+    // filter sits on a generated attribute that Catalyst cannot push below
+    // the Generate, so it would explode+shuffle all 64 dims to keep 8.
     "q54_label_centroid" -> ((s, d) => {
+      val quant8 = "transform(slice(embedding, 1, 8), " +
+        "x -> cast(round(cast(x AS double) * 10000, 0) AS bigint))"
       Tables.rebalance(Tables.embeddings(s, d))
-        .withColumn("q", expr(quantExpr))
-        .select(col("label"), posexplode(col("q")).as(Seq("pos", "xq")))
+        .select(col("label"), posexplode(expr(quant8)).as(Seq("pos", "xq")))
         .withColumn("dim", (col("pos") + 1).cast("long"))
         .groupBy(col("label"), col("dim"))
         .agg(sum(col("xq")).as("sum_q"), count(lit(1)).as("n"))
-        .filter(col("dim") <= 8)
         .orderBy(col("label"), col("dim"))
     })
   )
@@ -265,8 +268,10 @@ object VectorOps {
     "q54_label_centroid" ->
       s"""SELECT label, dim, sum(xq)::BIGINT AS sum_q, count(*) AS n FROM (
         |  SELECT label, unnest(q) AS xq, generate_subscripts(q, 1) AS dim
-        |  FROM (SELECT label, $quantDuck AS q FROM embeddings))
-        |WHERE dim <= 8
+        |  FROM (SELECT label,
+        |          list_transform(list_slice(embedding, 1, 8),
+        |                         x -> round(x::DOUBLE * 10000, 0)::BIGINT) AS q
+        |        FROM embeddings))
         |GROUP BY label, dim ORDER BY label, dim""".stripMargin
   )
 }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Whole-operator extension tier (SURVEY.md §4 / builder ladder step (c)):
   * a native AS-OF JOIN as LogicalPlan + Strategy + physical SparkPlan.
@@ -19,8 +20,11 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * no window state, no union row blow-up, and the sort/exchange are
   * visible to (and reusable by) the rest of the plan.
   *
-  * Key must be an integral column; timestamps compare on their internal
-  * long (micros) representation.
+  * Keys must be LongType; timestamps LongType or TimestampType (compared
+  * on the internal long/micros representation) — enforced at construction
+  * so the exec's raw getLong reads are always well-typed. Null keys or
+  * timestamps join nothing (the left row is emitted with null asof_
+  * columns; null right rows are skipped).
   */
 case class AsOfJoin(
     left: LogicalPlan,
@@ -30,6 +34,13 @@ case class AsOfJoin(
     rightKey: Attribute,
     rightTs: Attribute,
     rightValues: Seq[Attribute]) extends BinaryNode {
+
+  require(leftKey.dataType == LongType && rightKey.dataType == LongType,
+    s"as-of join keys must be LongType, got ${leftKey.dataType}/${rightKey.dataType}")
+  require(Seq(leftTs, rightTs).forall(a =>
+      a.dataType == LongType || a.dataType == TimestampType),
+    s"as-of join timestamps must be LongType or TimestampType, " +
+      s"got ${leftTs.dataType}/${rightTs.dataType}")
 
   override def output: Seq[Attribute] =
     left.output ++ rightValues.map(a =>
@@ -85,32 +96,42 @@ case class AsOfJoinExec(
 
         override def next(): InternalRow = {
           val l = lIter.next()
-          val lk = l.getLong(lKeyOrd)
-          val lt = l.getLong(lTsOrd)
-          // consume right rows up to (key < lk) or (key == lk && ts <= lt);
-          // only key-equal rows become the remembered as-of match
-          while (rBuf.hasNext && {
-            val h = rBuf.head
-            val hk = h.getLong(rKeyOrd)
-            hk < lk || (hk == lk && h.getLong(rTsOrd) <= lt)
-          }) {
-            val h = rBuf.next()
-            if (h.getLong(rKeyOrd) == lk) {
-              haveMatch = true
-              matchKey = lk
-              var i = 0
-              while (i < nVals) {
-                // copy: the source row buffer is reused by the iterator
-                valsRow.update(i, h.get(rValueOrds(i), rValueTypes(i)) match {
-                  case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
-                  case v => v
-                })
-                i += 1
+          // null key/ts joins nothing; ascending sort is NULLS FIRST so no
+          // usable right rows are skipped by not consuming here
+          if (l.isNullAt(lKeyOrd) || l.isNullAt(lTsOrd)) {
+            proj(joined(l, nullsRow))
+          } else {
+            val lk = l.getLong(lKeyOrd)
+            val lt = l.getLong(lTsOrd)
+            // consume right rows up to (key < lk) or (key == lk && ts <= lt),
+            // discarding null-key/null-ts rows; only key-equal rows become
+            // the remembered as-of match
+            while (rBuf.hasNext && {
+              val h = rBuf.head
+              h.isNullAt(rKeyOrd) || h.isNullAt(rTsOrd) || {
+                val hk = h.getLong(rKeyOrd)
+                hk < lk || (hk == lk && h.getLong(rTsOrd) <= lt)
+              }
+            }) {
+              val h = rBuf.next()
+              if (!h.isNullAt(rKeyOrd) && !h.isNullAt(rTsOrd) &&
+                  h.getLong(rKeyOrd) == lk) {
+                haveMatch = true
+                matchKey = lk
+                var i = 0
+                while (i < nVals) {
+                  // deep-copy: the source row buffer is reused by the
+                  // iterator; copyValue handles UTF8String and the
+                  // buffer-backed array/map/struct types too
+                  valsRow.update(i,
+                    InternalRow.copyValue(h.get(rValueOrds(i), rValueTypes(i))))
+                  i += 1
+                }
               }
             }
+            val rSide = if (haveMatch && matchKey == lk) valsRow else nullsRow
+            proj(joined(l, rSide))
           }
-          val rSide = if (haveMatch && matchKey == lk) valsRow else nullsRow
-          proj(joined(l, rSide))
         }
       }
     }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{ArrayType, IntegerType}
 
 /** Catalyst optimizer rule (SURVEY.md §4 optional custom work): rewrite
   * intersection-emptiness tests into `arrays_overlap`.
@@ -19,18 +19,30 @@ import org.apache.spark.sql.types.IntegerType
   * in near-dup candidate filters this is the difference between O(|a|+|b|)
   * with allocation and early-exit probing.
   *
-  * Null semantics are preserved: both expressions return null iff an
-  * input is null (with legacy sizeOfNull=false, size(null)=null, and the
-  * comparison propagates it), and arrays_overlap's null-element handling
-  * only differs when the truth value would already be decided by overlap.
-  * Restricted to comparisons against literal 0/1 where the equivalence is
-  * exact.
+  * The rewrite fires only where the equivalence is EXACT:
+  *   - `Size` must carry `legacySizeOfNull = false` (legacy mode maps
+  *     size(null) to -1, turning e.g. `size(...) <= 0` TRUE into a NULL
+  *     after the rewrite);
+  *   - both array inputs must have `containsNull = false` element types.
+  *     With null elements, `arrays_overlap` returns NULL whenever no
+  *     non-null element matches but a null is present, while
+  *     `array_intersect` treats null as a joinable value — the two sides
+  *     disagree on both the positive and the negated comparisons.
+  * Under those guards each expression is null iff an input array is null,
+  * and true/false coincide, so all six comparison shapes are safe.
   */
 object RewriteIntersectOverlap extends Rule[LogicalPlan] {
 
+  private def nullFreeElements(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, containsNull) => !containsNull
+    case _ => false
+  }
+
   private object IntersectSize {
     def unapply(e: Expression): Option[(Expression, Expression)] = e match {
-      case Size(ArrayIntersect(a, b), _) => Some((a, b))
+      case Size(ArrayIntersect(a, b), legacySizeOfNull)
+          if !legacySizeOfNull && nullFreeElements(a) && nullFreeElements(b) =>
+        Some((a, b))
       case _ => None
     }
   }

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.DedupOps
+
+/** Skew-safety of the q55 candidate generator: the chunk-pair
+  * decomposition must produce exactly the naive block-join pairs while
+  * spreading an oversized label over bounded join groups (VERDICT r1 #3).
+  */
+class DedupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ids deliberately non-contiguous so pmod chunking isn't trivially even
+  private def block(label: String, n: Int, seed: Int) =
+    (0 until n).map(i => (label, (i.toLong * 7 + seed) % 100000 + seed * 100000L,
+                          (i * 31 + seed) % 97))
+
+  test("chunkedBlockPairs emits exactly the naive block-join pairs") {
+    val df = (block("big", 1200, 1) ++ block("small", 3, 2) ++
+              block("one", 1, 3)).toDF("label", "vec_id", "score")
+    val naive = df.as("a").join(df.as("b"),
+        $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"), $"a.label")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val chunked = DedupOps.chunkedBlockPairs(df, chunk = 100)
+      .select($"v1", $"v2", $"label")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(chunked == naive)
+    assert(chunked.size == 1200 * 1199 / 2 + 3)
+    // value columns ride along on both sides
+    val cols = DedupOps.chunkedBlockPairs(df, chunk = 100).columns.toSet
+    assert(Set("a_score", "b_score", "a_vec", "b_vec").subsetOf(cols))
+  }
+
+  test("oversized label spreads over bounded chunk-pair groups, not one task") {
+    val n = 2000
+    val chunk = 200
+    val k = n / chunk // 10 chunks -> 55 unordered chunk pairs
+    val df = block("giant", n, 5).toDF("label", "vec_id", "score")
+    val pairs = DedupOps.chunkedBlockPairs(df, chunk = chunk)
+
+    // the join key includes the chunk ids -> shuffle spreads the block
+    val plan = pairs.queryExecution.optimizedPlan.toString
+    assert(plan.contains("_i") && plan.contains("_j"), plan)
+
+    // row-count bound per join group: recompute each pair's group from the
+    // chunk assignment and assert no group exceeds ~chunk^2 (the naive
+    // join would put all n(n-1)/2 pairs in ONE group)
+    val total = n.toLong * (n - 1) / 2
+    val groups = pairs
+      .withColumn("c1", pmod($"v1", lit(k.toLong)))
+      .withColumn("c2", pmod($"v2", lit(k.toLong)))
+      .groupBy(least($"c1", $"c2"), greatest($"c1", $"c2"))
+      .count().select("count").as[Long].collect()
+    assert(groups.sum == total)
+    assert(groups.length == k * (k + 1) / 2)
+    assert(groups.max <= chunk.toLong * chunk,
+      s"largest group ${groups.max} exceeds chunk^2 bound")
+  }
+
+  test("chunk width >= block size degenerates to the plain single-group join") {
+    val df = block("lbl", 50, 9).toDF("label", "vec_id", "score")
+    val pairs = DedupOps.chunkedBlockPairs(df, chunk = 1000)
+    assert(pairs.count() == 50L * 49 / 2)
+  }
+}

@@ -28,26 +28,53 @@ class ExtensionsSpec extends AnyFunSuite {
   }
 
   test("size(array_intersect) > 0 is rewritten to arrays_overlap") {
+    import org.apache.spark.sql.types.ArrayType
     import spark.implicits._
-    // go through parquet: ConvertToLocalRelation would otherwise fold the
-    // whole filter at optimization time and hide the rewritten expression
-    val dir = java.nio.file.Files.createTempDirectory("ext-rule").toString
-    Seq(
-      (Seq("a", "b"), Seq("b", "c")),
-      (Seq("a"), Seq("c")),
-      (Seq.empty[String], Seq("c"))
-    ).toDF("x", "y").write.mode("overwrite").parquet(dir)
-    val df = spark.read.parquet(dir)
+    // Build on top of Range (ConvertToLocalRelation would fold a local
+    // fixture and hide the rewrite) with split(), whose result type is
+    // containsNull=false — the only element type the rule fires on (the
+    // rewrite is not exact for nullable elements).
+    val df = spark.range(3).select(
+      split(element_at(array(lit("a,b"), lit("a"), lit("a,b,c")),
+        ($"id" + 1).cast("int")), ",").as("x"),
+      split(element_at(array(lit("b,c"), lit("c"), lit("z")),
+        ($"id" + 1).cast("int")), ",").as("y"))
+    assert(df.schema.fields.forall(
+      _.dataType.asInstanceOf[ArrayType].containsNull == false))
 
-    val q = df.filter(size(array_intersect($"x", $"y")) > 0)
+    val q = df.filter(size(array_intersect(col("x"), col("y"))) > 0)
     val optimized = q.queryExecution.optimizedPlan.toString
     assert(optimized.contains("arrays_overlap"), optimized)
     assert(!optimized.contains("array_intersect"), optimized)
     assert(q.count() == 1)
 
-    val qNot = df.filter(size(array_intersect($"x", $"y")) === 0)
+    val qNot = df.filter(size(array_intersect(col("x"), col("y"))) === 0)
     assert(qNot.queryExecution.optimizedPlan.toString.contains("arrays_overlap"))
     assert(qNot.count() == 2)
+  }
+
+  test("rewrite is guarded off for nullable-element arrays (not exact there)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // With null elements the two expressions genuinely disagree:
+    // intersect([null],[null]) has size 1 (TRUE) but arrays_overlap -> NULL.
+    // The guard must leave such plans alone — and the unrewritten query
+    // must keep array_intersect's null-as-value semantics.
+    val dir = java.nio.file.Files.createTempDirectory("ext-rule-null").toString
+    val arr = ArrayType(StringType, containsNull = true)
+    val schema = StructType(Seq(StructField("x", arr), StructField("y", arr)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(Seq("a", null), Seq(null, "c")), // only null in common -> size 1
+        Row(Seq("a"), Seq("c")),             // disjoint -> size 0
+        Row(Seq("a", "b"), Seq("b"))),       // real overlap -> size 1
+      schema).write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+
+    val q = df.filter(size(array_intersect(col("x"), col("y"))) > 0)
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("arrays_overlap"), optimized)
+    assert(q.count() == 2) // null-common row kept: rewrite would have dropped it
   }
 
   test("native AsOfJoinExec plans and matches the window formulation") {

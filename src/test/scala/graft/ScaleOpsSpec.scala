@@ -56,4 +56,28 @@ class ScaleOpsSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bkt_b")
     }
   }
+
+  test("broadcastIfSmall hints under the threshold, abstains over it") {
+    val dim = (0 until 100).map(i => (i.toLong, s"d$i")).toDF("k", "attr")
+    val fact = (0 until 1000).map(i => (i.toLong % 100, i)).toDF("k", "x")
+
+    // under the threshold: the hint sticks -> BroadcastHashJoin even with
+    // auto-broadcast disabled
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val hinted = fact.join(ScaleOps.broadcastIfSmall(dim), "k")
+      assert(hinted.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      assert(hinted.count() == 1000)
+
+      // over the threshold: frame returned unhinted (same reference), so
+      // the planner is free to pick a non-broadcast join
+      assert(ScaleOps.broadcastIfSmall(dim, maxBytes = 0L) eq dim)
+      val unhinted = fact.join(ScaleOps.broadcastIfSmall(dim, 0L), "k")
+      assert(!unhinted.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }

@@ -3,7 +3,12 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val defaultCpus = math.min(Runtime.getRuntime.availableProcessors(), 32)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus.toString)
+    // per-query repetitions: the published number is the MEDIAN, so one
+    // cold/contended run (codegen compile, page-cache miss) can't read as
+    // a 2x regression in the round artifact
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,14 +20,21 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").count()
     spark.read.parquet(s"$sfDir/region.parquet").count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+      val times = (0 until runs).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
+      }.sorted
+      // a query with zero successful runs is reported as -1, never as a
+      // plausible elapsed time
+      name -> (if (times.isEmpty) -1.0 else times(times.size / 2))
+    }
+    val failed = results.collect { case (n, t) if t < 0 => n }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.collect { case (_, t) if t >= 0 => t }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -40,6 +40,73 @@ object TextOps {
 
   private val DF_CAP = 3
 
+  /** Exact n-gram Jaccard near-dup pairs over a (doc_id, grams) frame —
+    * the q50 pipeline as a reusable operator.
+    *
+    * Candidates come from a df-capped inverted shingle index (one
+    * aggregation over the exploded gram table, in-bucket pairs emitted
+    * from the collected posting list — no self-join, so the shingle
+    * explosion is computed once); verification is exact Jaccard on the
+    * full gram sets. A shingle in more than `dfCap` docs emits no
+    * candidates, bounding fan-out per shingle at C(dfCap, 2).
+    */
+  def jaccardNearDupPairs(g0: DataFrame, dfCap: Int = DF_CAP): DataFrame = {
+    val g = g0.select(col("doc_id"), explode_outer(col("grams")).as("gram"))
+      .filter(col("gram").isNotNull)
+    val cand = g.groupBy(col("gram"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, dfCap))
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)),
+          |            y -> named_struct('d1', x, 'd2', y))))""".stripMargin))
+        .as("p"))
+      .select(col("p.d1"), col("p.d2"))
+      .distinct()
+    cand
+      .join(g0.select(col("doc_id").as("d1"), col("grams").as("g1")), "d1")
+      .join(g0.select(col("doc_id").as("d2"), col("grams").as("g2")), "d2")
+      .withColumn("common", size(array_intersect(col("g1"), col("g2"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("g1")) + size(col("g2")) - col("common")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("d1"), col("d2"), col("common").cast("long").as("common"),
+              round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** (doc_id, grams) shingle frame for a (doc_id, text) corpus. */
+  def shingled(docs: DataFrame): DataFrame =
+    Tables.rebalance(docs).withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), array_distinct(expr(trigramExpr)).as("grams"))
+
+  /** Exact-dedup-first composition: collapse sha2-identical texts to one
+    * representative (min doc_id) BEFORE shingling, then near-dup only the
+    * representatives.
+    *
+    * This is the fix for the df-cap recall collapse measured in
+    * SCALING.md: on a duplication-heavy corpus every shingle's document
+    * frequency exceeds any reasonable cap, so the inverted index emits
+    * nothing — but exact duplicates are precisely what a cheap hash
+    * groupBy removes. Dedup-first restores the rare-shingle property the
+    * prefix filter relies on, and is the composition a 100 TB pipeline
+    * runs anyway (exact dedup is ~free next to shingling).
+    *
+    * Only (sha2, doc_id) crosses the first shuffle — the text itself is
+    * re-fetched for the surviving representatives via a doc_id join.
+    */
+  def dedupFirstJaccardPairs(docs: DataFrame, dfCap: Int = DF_CAP): DataFrame = {
+    val ids = docs.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+    val reps = ids.select(col("doc_id"), col("n_dups"))
+      .join(docs, "doc_id")
+    jaccardNearDupPairs(shingled(reps), dfCap)
+      .join(ids.select(col("doc_id").as("d1"), col("n_dups").as("d1_dups")), "d1")
+      .join(ids.select(col("doc_id").as("d2"), col("n_dups").as("d2_dups")), "d2")
+      .select(col("d1"), col("d2"), col("common"), col("jaccard"),
+              col("d1_dups"), col("d2_dups"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- q40: per-document token statistics (token counting op).
@@ -216,32 +283,21 @@ object TextOps {
     // table (collect doc-ids per gram, emit in-bucket pairs) instead of a
     // self-join — Catalyst has no common-subplan reuse, so the self-join
     // formulation would recompute the shingle explosion 4x.
-    "q50_jaccard_neardup" -> ((s, d) => {
-      val g0 = withToks(Tables.documents(s, d))
-        .select(col("doc_id"), array_distinct(expr(trigramExpr)).as("grams"))
-      val g = g0.select(col("doc_id"), explode_outer(col("grams")).as("gram"))
-        .filter(col("gram").isNotNull)
-      val cand = g.groupBy(col("gram"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-        .filter(size(col("ds")).between(2, DF_CAP))
-        .select(explode(expr(
-          """flatten(transform(ds, (x, i) ->
-            |  transform(slice(ds, i + 2, size(ds)),
-            |            y -> named_struct('d1', x, 'd2', y))))""".stripMargin))
-          .as("p"))
-        .select(col("p.d1"), col("p.d2"))
-        .distinct()
-      cand
-        .join(g0.select(col("doc_id").as("d1"), col("grams").as("g1")), "d1")
-        .join(g0.select(col("doc_id").as("d2"), col("grams").as("g2")), "d2")
-        .withColumn("common", size(array_intersect(col("g1"), col("g2"))))
-        .withColumn("jaccard", col("common").cast("double") /
-          (size(col("g1")) + size(col("g2")) - col("common")))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("d1"), col("d2"), col("common").cast("long").as("common"),
-                round(col("jaccard"), 6).as("jaccard"))
-        .orderBy(col("d1"), col("d2"))
-    })
+    "q50_jaccard_neardup" -> ((s, d) =>
+      jaccardNearDupPairs(shingled(Tables.documents(s, d)
+          .select(col("doc_id"), col("text"))))
+        .orderBy(col("d1"), col("d2"))),
+
+    // ---- q50b: the dedup-first composition — exact sha2 dedup collapses
+    // duplicate texts to representatives, THEN the q50 inverted-index
+    // near-dup runs on representatives. On a duplication-heavy corpus q50
+    // alone finds nothing (every shingle's df blows past the cap); q50b
+    // recovers the planted pairs (regression-tested against a 10x
+    // duplicated corpus in TextDedupSpec).
+    "q50b_dedup_first_jaccard" -> ((s, d) =>
+      dedupFirstJaccardPairs(Tables.documents(s, d)
+          .select(col("doc_id"), col("text")))
+        .orderBy(col("d1"), col("d2")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -353,6 +409,34 @@ object TextOps {
         |  round(len(list_intersect(a.grams, b.grams))::DOUBLE /
         |    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
         |FROM cand JOIN g0 a ON a.doc_id = cand.d1 JOIN g0 b ON b.doc_id = cand.d2
+        |WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+        |    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
+        |ORDER BY d1, d2""".stripMargin,
+
+    // dedup-first composition: identical pipeline, but over one
+    // representative (min doc_id) per distinct text, with group sizes
+    // carried through (grouping by text = grouping by sha2(text) modulo
+    // collisions, which the hash-based Spark side accepts by design)
+    "q50b_dedup_first_jaccard" ->
+      s"""WITH reps AS (
+        |  SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+        |  FROM documents GROUP BY text),
+        |docs AS (SELECT r.doc_id, r.n_dups, d.text
+        |         FROM reps r JOIN documents d USING (doc_id)),
+        |g0 AS (
+        |  SELECT doc_id, list_distinct($trigramSqlDuck) AS grams
+        |  FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM docs)),
+        |g AS (SELECT doc_id, unnest(grams) AS gram FROM g0),
+        |rare AS (SELECT gram FROM g GROUP BY gram HAVING count(*) <= $DF_CAP),
+        |gr AS (SELECT g.doc_id, g.gram FROM g JOIN rare USING (gram)),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |         FROM gr a JOIN gr b ON a.gram = b.gram AND a.doc_id < b.doc_id)
+        |SELECT d1, d2, len(list_intersect(a.grams, b.grams)) AS common,
+        |  round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+        |    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6) AS jaccard,
+        |  ra.n_dups AS d1_dups, rb.n_dups AS d2_dups
+        |FROM cand JOIN g0 a ON a.doc_id = cand.d1 JOIN g0 b ON b.doc_id = cand.d2
+        |JOIN docs ra ON ra.doc_id = cand.d1 JOIN docs rb ON rb.doc_id = cand.d2
         |WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
         |    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
         |ORDER BY d1, d2""".stripMargin

@@ -45,24 +45,35 @@ object MediaOps {
 
   /** Batch feature extraction: one pass per PARTITION (the batch shape a
     * real decoder needs — expensive init happens once per partition, rows
-    * stream through). BMP payloads decode for real (BmpDecoder, pure
-    * JVM); other formats fall back to the deterministic stub. Emits a
-    * fixed 8-dim float feature per record.
+    * stream through). BMP (pure-JVM BmpDecoder), PNG and JPEG
+    * (ImageIoDecoder over the JDK's javax.imageio) and PCM WAV
+    * (WavDecoder) payloads decode for real; only formats with no JDK
+    * codec (video) fall back to the deterministic stub. Emits a fixed
+    * 8-dim float feature per record.
     */
   def featurize(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
+    def imageFeatures(r: MediaRecord, cs: Long, width: Int, height: Int,
+                      meanR: Double, meanG: Double, meanB: Double): MediaFeatures = {
+      val feat = Array(meanR.toFloat / 255f, meanG.toFloat / 255f,
+        meanB.toFloat / 255f, width.toFloat, height.toFloat,
+        width.toFloat / height, r.payload.length.toFloat, 1f)
+      MediaFeatures(r.media_id, r.meta.kind, width, height,
+        r.payload.length, cs, feat)
+    }
     media.mapPartitions { it =>
       // real pipeline: initialize the codec/session HERE, once per partition
       it.map { r =>
         val cs = checksum(r.payload)
         BmpDecoder.decode(r.payload) match {
           case Some(img) =>
-            val feat = Array(img.meanR.toFloat / 255f, img.meanG.toFloat / 255f,
-              img.meanB.toFloat / 255f, img.width.toFloat, img.height.toFloat,
-              (img.width.toFloat / img.height), r.payload.length.toFloat, 1f)
-            MediaFeatures(r.media_id, r.meta.kind, img.width, img.height,
-              r.payload.length, cs, feat)
-          case None => WavDecoder.decode(r.payload) match {
+            imageFeatures(r, cs, img.width, img.height,
+              img.meanR, img.meanG, img.meanB)
+          case None => ImageIoDecoder.decode(r.payload) match {
+            case Some(img) =>
+              imageFeatures(r, cs, img.width, img.height,
+                img.meanR, img.meanG, img.meanB)
+            case None => WavDecoder.decode(r.payload) match {
             case Some(clip) =>
               val feat = Array(clip.meanAbsAmplitude.toFloat / 32768f,
                 clip.durationSec.toFloat, clip.sampleRate.toFloat / 48000f,
@@ -75,6 +86,7 @@ object MediaOps {
               val feat = Array.tabulate(8)(i =>
                 ((cs >> (i * 8)) & 0xff).toFloat / 255.0f)
               MediaFeatures(r.media_id, r.meta.kind, w, h, r.payload.length, cs, feat)
+            }
           }
         }
       }

@@ -74,6 +74,65 @@ class MediaSpec extends SparkSpec {
     assert(BmpDecoder.decode(badBpp).isEmpty)
   }
 
+  private def encodeImage(format: String, w: Int, h: Int,
+                          rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = rgb(x, y)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, out))
+    out.toByteArray
+  }
+
+  test("real PNG decode via javax.imageio: dims and channel means exact") {
+    import graft.multimodal.{ImageIoDecoder, MediaOps}
+    import MediaOps.{MediaMeta, MediaRecord}
+    import spark.implicits._
+    // 10x4: left half solid (200,100,50), right half solid (0,100,250)
+    val png = encodeImage("png", 10, 4,
+      (x, _) => if (x < 5) (200, 100, 50) else (0, 100, 250))
+    assert(png.take(4).map(_ & 0xff).toSeq == Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt))
+    val direct = ImageIoDecoder.decode(png).get
+    assert(direct.width == 10 && direct.height == 4)
+    assert(direct.meanR == 100.0 && direct.meanG == 100.0 && direct.meanB == 150.0)
+    // and through the distributed featurize path
+    val f = MediaOps.featurize(
+      Seq(MediaRecord(11L, MediaMeta("image", 10, 4, 0), png)).toDS()).collect()(0)
+    assert(f.width == 10 && f.height == 4)
+    assert(f.feature(7) == 1f) // image-decode marker, not the stub
+    assert(math.abs(f.feature(0) - 100f / 255f) < 1e-6)
+    assert(math.abs(f.feature(2) - 150f / 255f) < 1e-6)
+  }
+
+  test("real JPEG decode via javax.imageio: solid color survives lossy roundtrip") {
+    import graft.multimodal.{ImageIoDecoder, MediaOps}
+    import MediaOps.{MediaMeta, MediaRecord}
+    import spark.implicits._
+    val jpg = encodeImage("jpg", 16, 16, (_, _) => (120, 60, 30))
+    assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8)
+    val direct = ImageIoDecoder.decode(jpg).get
+    assert(direct.width == 16 && direct.height == 16)
+    // JPEG is lossy: solid color comes back within a couple of levels
+    assert(math.abs(direct.meanR - 120.0) <= 3.0, direct)
+    assert(math.abs(direct.meanG - 60.0) <= 3.0, direct)
+    assert(math.abs(direct.meanB - 30.0) <= 3.0, direct)
+    val f = MediaOps.featurize(
+      Seq(MediaRecord(12L, MediaMeta("image", 16, 16, 0), jpg)).toDS()).collect()(0)
+    assert(f.width == 16 && f.feature(7) == 1f)
+  }
+
+  test("ImageIoDecoder rejects non-image payloads without attempting a parse") {
+    import graft.multimodal.ImageIoDecoder
+    assert(ImageIoDecoder.decode(null).isEmpty)
+    assert(ImageIoDecoder.decode(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9)).isEmpty)
+    // PNG magic but garbage body -> parse fails cleanly to None
+    val fake = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 0, 0, 0, 0)
+    assert(ImageIoDecoder.decode(fake).isEmpty)
+  }
+
   test("sampleFrames explodes n rows per media row") {
     val df = MediaOps.syntheticMedia(spark, 5).toDF()
     val sampled = MediaOps.sampleFrames(df, 4)

@@ -50,8 +50,29 @@ object JobSinks {
   }
 
   /** S9: the queryable `jobs` table (README.md:61-69's SQLite). Parquet
-    * saveAsTable here; swap format("jdbc") for an external store.
+    * saveAsTable here; `writeJdbc` below is the external-store form.
     */
   def saveAsTable(df: DataFrame, name: String): Unit =
     df.write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(name)
+
+  /** S9 (external-store form): the real `format("jdbc")` swap point. The
+    * reference keeps `jobs` in an embedded SQL store queried out-of-band
+    * (`sqlite3 jobs.db 'SELECT * FROM jobs'`, README.md:61-69); the Spark
+    * analog is a JDBC overwrite of the table. Exercised in SinkSpec
+    * against the embedded pure-Java Derby driver that ships with Spark —
+    * same in-process shape as sqlite, real DriverManager/dialect path.
+    *
+    * Note for a 100 TB deployment: a JDBC sink serializes through
+    * numPartitions connections and belongs to small dimension/metadata
+    * tables like `jobs`, never to fact data — that stays parquet.
+    */
+  def writeJdbc(df: DataFrame, url: String, table: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("truncate", "false")
+      .jdbc(url, table, new java.util.Properties())
+
+  /** S9 read-back: `SELECT * FROM jobs` over the same JDBC URL. */
+  def readJdbc(spark: org.apache.spark.sql.SparkSession, url: String,
+               table: String): DataFrame =
+    spark.read.jdbc(url, table, new java.util.Properties())
 }

@@ -50,6 +50,31 @@ class SinkSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS jobs_test_table")
   }
 
+  test("S9: real JDBC write + read-back round-trip (embedded Derby)") {
+    import spark.implicits._
+    // in-memory Derby DB: pure-Java embedded JDBC, same in-process shape
+    // as the reference's sqlite jobs.db — exercises the actual
+    // format("jdbc") write path (DriverManager, dialect DDL, batching)
+    val url = "jdbc:derby:memory:graftjobs;create=true"
+    val jobs = Seq(
+      (1L, "j1", "Acme", "remote"),
+      (2L, "j2", "Beta", "onsite"),
+      (3L, "j3", "Acme", null.asInstanceOf[String])
+    ).toDF("id", "job", "company", "mode")
+    JobSinks.writeJdbc(jobs, url, "jobs")
+    val back = JobSinks.readJdbc(spark, url, "jobs")
+      .orderBy("id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), Option(r.getString(3))))
+    assert(back.toSeq == Seq(
+      (1L, "j1", "Acme", Some("remote")),
+      (2L, "j2", "Beta", Some("onsite")),
+      (3L, "j3", "Acme", None)))
+    // overwrite really replaces, not appends
+    JobSinks.writeJdbc(jobs.filter($"id" === 1L), url, "jobs")
+    assert(JobSinks.readJdbc(spark, url, "jobs").count() == 1)
+  }
+
   test("CSV and JSON source formats round-trip the fixture schema") {
     import spark.implicits._
     val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -35,4 +35,64 @@ class KeywordSourceSpec extends SparkSpec {
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") || plan.contains("keyword"), plan)
   }
+
+  private def writeSnapshots(base: String, kw: String, file: String,
+                             lines: Seq[String]): Unit = {
+    val dir = java.nio.file.Paths.get(base, kw)
+    Files.createDirectories(dir)
+    Files.write(dir.resolve(file), lines.mkString("\n").getBytes("UTF-8"))
+    ()
+  }
+
+  test("DSv2 graft-keyword: scans JSON snapshots, one partition per file") {
+    val base = tmp("kw-dsv2")
+    writeSnapshots(base, "scala", "s1.json", Seq(
+      """{"job":"j1","company":"Acme","extra":"x"}""",
+      """{"job":"j2","company":"Beta"}"""))
+    writeSnapshots(base, "spark", "p1.json", Seq(
+      """{"job":"j3","company":"Acme"}"""))
+    writeSnapshots(base, "spark", "p2.json", Seq(
+      """{"job":"j4"}"""))
+
+    val df = spark.read.format("graft-keyword")
+      .option("fields", "job,company").load(base)
+    assert(df.schema.fieldNames.toSeq == Seq("keyword", "job", "company"))
+    assert(df.rdd.getNumPartitions == 3) // one per snapshot file
+    val rows = df.orderBy("job").collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2))))
+    assert(rows.toSeq == Seq(
+      ("scala", "j1", Some("Acme")), ("scala", "j2", Some("Beta")),
+      ("spark", "j3", Some("Acme")), ("spark", "j4", None)))
+  }
+
+  test("DSv2 graft-keyword: keyword filter prunes directories at planning time") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import graft.sources.KeywordScan
+    val base = tmp("kw-dsv2-push")
+    writeSnapshots(base, "scala", "s1.json", Seq("""{"job":"j1"}"""))
+    writeSnapshots(base, "spark", "p1.json", Seq("""{"job":"j2"}"""))
+    writeSnapshots(base, "spark", "p2.json", Seq("""{"job":"j3"}"""))
+
+    val all = spark.read.format("graft-keyword").option("fields", "job").load(base)
+    assert(all.rdd.getNumPartitions == 3)
+
+    val filtered = all.filter(col("keyword") === "scala").select("job")
+    // the filter reached the scan: it reports as pushed...
+    val scan = filtered.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan.asInstanceOf[KeywordScan]
+    }.get
+    assert(scan.pushed.map(_.toString).toSeq == Seq("EqualTo(keyword,scala)"))
+    assert(scan.keywords.contains(Set("scala")))
+    // ...columns were pruned to what the query needs — the filter is fully
+    // handled at the scan, so even `keyword` drops out of the read schema
+    assert(scan.readSchema().fieldNames.toSeq == Seq("job"))
+    // ...and pruning is physical: the spark directory contributes zero
+    // input partitions (2 files skipped at planning, not filtered later)
+    assert(filtered.rdd.getNumPartitions == 1)
+    assert(filtered.as[String].collect().toSeq == Seq("j1"))
+
+    val in = all.filter(col("keyword").isin("scala", "nosuch"))
+    assert(in.rdd.getNumPartitions == 1)
+    assert(in.count() == 1)
+  }
 }

@@ -18,12 +18,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Cleaning.queries ++
       ops.TimeWindows.queries ++ ops.TextOps.queries ++ ops.VectorOps.queries ++
-      ops.DedupOps.queries ++ ops.Advanced.queries ++ ops.FunctionFamilies.queries
+      ops.DedupOps.queries ++ ops.Advanced.queries ++
+      ops.FunctionFamilies.queries ++ ops.PipelineOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Cleaning.oracles ++
       ops.TimeWindows.oracles ++ ops.TextOps.oracles ++ ops.VectorOps.oracles ++
-      ops.DedupOps.oracles ++ ops.Advanced.oracles ++ ops.FunctionFamilies.oracles
+      ops.DedupOps.oracles ++ ops.Advanced.oracles ++
+      ops.FunctionFamilies.oracles ++ ops.PipelineOps.oracles
 }

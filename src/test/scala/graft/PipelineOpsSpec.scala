@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.PipelineOps
+
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redactPii replaces emails, phones and SSN-style ids, all occurrences") {
+    val rows = Seq(
+      "contact alice.smith+hr@example.co.uk or bob@test.io today",
+      "call +1 (555) 123-4567 or 0911-222-333 now",
+      "ssn 123-45-6789 on file",
+      "no pii here at all"
+    ).toDF("text")
+    val got = rows.select(PipelineOps.redactPii($"text").as("t"))
+      .as[String].collect().toSeq
+    assert(got(0) == "contact [EMAIL] or [EMAIL] today")
+    assert(got(1) == "call [PHONE] or [PHONE] now")
+    assert(!got(2).contains("123-45-6789"))
+    assert(got(3) == "no pii here at all")
+  }
+
+  test("hashBucket is deterministic, uniform-ish, and rerun-stable") {
+    val df = spark.range(10000).select($"id".as("doc_id"))
+    val b1 = df.select(PipelineOps.hashBucket($"doc_id").as("b"))
+    val b2 = df.select(PipelineOps.hashBucket($"doc_id").as("b"))
+    assert(b1.collect().map(_.getLong(0)).toSeq ==
+           b2.collect().map(_.getLong(0)).toSeq)
+    // all buckets in range; every bucket hit, occupancy near-uniform
+    // (sequential ids are the adversarial case for a multiplicative step)
+    val counts = b1.groupBy("b").count().collect().map(_.getLong(1))
+    assert(b1.filter($"b" < 0 || $"b" >= 1000).count() == 0)
+    assert(counts.length == 1000, s"only ${counts.length}/1000 buckets hit")
+    assert(counts.max <= 20 && counts.min >= 5, s"min ${counts.min} max ${counts.max}")
+  }
+
+  test("stratified sample keeps strata rates within tolerance") {
+    val docs = spark.range(20000).select(
+      $"id".as("doc_id"),
+      when($"id" % 4 === 0, "en").otherwise("zh").as("lang"))
+    val rate = when($"lang" === "en", lit(200L)).otherwise(lit(500L))
+    val sampled = docs
+      .withColumn("bucket", PipelineOps.hashBucket($"doc_id"))
+      .filter($"bucket" < rate)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en: 5000 ids at 20% => ~1000; zh: 15000 at 50% => ~7500
+    assert(math.abs(sampled("en") - 1000) < 150, sampled)
+    assert(math.abs(sampled("zh") - 7500) < 700, sampled)
+  }
+}

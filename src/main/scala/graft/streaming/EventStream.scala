@@ -62,6 +62,45 @@ object EventStream {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream attribution join: views matched to purchases by the
+    * same user within 30 minutes after the view. Both sides carry
+    * watermarks and the join condition carries the time range, so Spark
+    * bounds BOTH state stores — a buffered view older than the watermark
+    * minus the range can never match a future purchase and is evicted.
+    * Inner join semantics: a match emits as soon as both rows have
+    * arrived; the watermark exists for eviction, not emission.
+    */
+  def attributionJoin(events: DataFrame): DataFrame = {
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+              col("ts").as("view_ts"))
+      .withWatermark("view_ts", "30 minutes")
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("buyer_id"), col("event_id").as("purchase_id"),
+              col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "30 minutes")
+    v.join(p,
+        col("user_id") === col("buyer_id") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("interval 30 minutes"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+              col("view_ts"), col("purchase_ts"), col("value"))
+  }
+
+  /** Streaming gap-based sessions (the streaming form of batch q38):
+    * watermark-bounded `session_window` state; in append mode a session
+    * row emits only once the watermark passes its close (last event +
+    * gap), i.e. once it provably cannot extend.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "20 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+              col("session_window.end").as("session_end"),
+              col("user_id"), col("n"), col("sum_value"))
+
   /** Sink: partitioned parquet with checkpointed exactly-once file output;
     * AvailableNow drains all pending input then stops (one cron tick).
     */

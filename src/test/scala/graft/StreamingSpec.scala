@@ -93,6 +93,68 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(outDir).count() == 2)
   }
 
+  test("stream-stream join: purchases attribute to views within the range") {
+    import spark.implicits._
+    val inDir = tmp("ssj-in"); val outDir = tmp("ssj-out"); val ckpt = tmp("ssj-ckpt")
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "view", 0.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 7L, "purchase", 9.5, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 8L, "purchase", 3.0, "{}"),
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 7L, "purchase", 4.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(inDir)
+
+    val q = EventStream.toParquetSink(
+      EventStream.attributionJoin(EventStream.readEvents(spark, inDir)),
+      outDir, ckpt).start()
+    q.awaitTermination(60000)
+
+    // inner-join matches emit without waiting for the watermark: exactly
+    // the purchase 10 minutes after the same user's view. The other-user
+    // purchase and the 60-minutes-later purchase never match.
+    val got = spark.read.parquet(outDir)
+      .select("user_id", "view_id", "purchase_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((7L, 1L, 2L, 9.5)))
+  }
+
+  test("streaming session_window emits sessions once the watermark closes them") {
+    import spark.implicits._
+    val inDir = tmp("sess-in"); val outDir = tmp("sess-out"); val ckpt = tmp("sess-ckpt")
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "click", 1.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:05:00"), 7L, "click", 2.0, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), 8L, "view", 4.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(inDir)
+
+    val q = EventStream.toParquetSink(
+      EventStream.sessionCounts(EventStream.readEvents(spark, inDir)),
+      outDir, ckpt).start()
+    q.awaitTermination(60000)
+    // watermark = 00:05 - 10min — no session provably closed yet
+    assert(spark.read.parquet(outDir).count() == 0)
+
+    // flush tick: watermark jumps past every session close
+    Seq((9L, java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 9L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(inDir)
+    val q2 = EventStream.toParquetSink(
+      EventStream.sessionCounts(EventStream.readEvents(spark, inDir)),
+      outDir, ckpt).start()
+    q2.awaitTermination(60000)
+
+    val got = spark.read.parquet(outDir)
+      .select("user_id", "n", "sum_value", "session_start", "session_end")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getTimestamp(3).toString, r.getTimestamp(4).toString)).sortBy(_._1)
+    assert(got.length == 2)
+    // user 7: two clicks 5 min apart merge into one session ending
+    // last-event + 20min gap; user 8: singleton session
+    assert(got(0) == (7L, 2L, 3.0, "2024-01-01 00:00:00.0", "2024-01-01 00:25:00.0"))
+    assert(got(1) == (8L, 1L, 4.0, "2024-01-01 00:02:00.0", "2024-01-01 00:22:00.0"))
+  }
+
   test("fan-out sink writes two tables from one cached micro-batch (S8)") {
     import spark.implicits._
     val inDir = tmp("fan-in")

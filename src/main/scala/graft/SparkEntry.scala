@@ -19,7 +19,7 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Cleaning.queries ++
       ops.TimeWindows.queries ++ ops.TextOps.queries ++ ops.VectorOps.queries ++
       ops.DedupOps.queries ++ ops.Advanced.queries ++
-      ops.FunctionFamilies.queries ++ ops.PipelineOps.queries
+      ops.FunctionFamilies.queries ++ ops.PipelineOps.queries ++ ops.GraphOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +27,5 @@ object SparkEntry {
     ops.Relational.oracles ++ ops.Cleaning.oracles ++
       ops.TimeWindows.oracles ++ ops.TextOps.oracles ++ ops.VectorOps.oracles ++
       ops.DedupOps.oracles ++ ops.Advanced.oracles ++
-      ops.FunctionFamilies.oracles ++ ops.PipelineOps.oracles
+      ops.FunctionFamilies.oracles ++ ops.PipelineOps.oracles ++ ops.GraphOps.oracles
 }

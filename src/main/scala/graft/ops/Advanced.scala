@@ -172,6 +172,26 @@ object Advanced {
           (abs(col("approx_parts") - col("exact_parts")).cast("double") /
             col("exact_parts") <= 0.05).as("within_5pct"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- q76: distribution window family — ntile / percent_rank /
+    // cume_dist / nth_value over a per-priority price ordering. The
+    // ordering key (price, orderkey) is unique, so the rank arithmetic
+    // ((k-1)/(n-1), k/n) is tie-free and engine-exact. One shuffle on the
+    // partition key; nth_value needs the full frame (unbounded both ways).
+    "q76_window_distribution" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .withColumn("cd", round(cume_dist().over(w), 6))
+        .withColumn("third_price", nth_value(col("o_totalprice"), 3).over(full))
+        .select(col("o_orderpriority"), col("o_orderkey"), col("quartile"),
+                col("pr"), col("cd"), col("third_price"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
     })
   )
 
@@ -246,6 +266,18 @@ object Advanced {
     "q63_approx_percentile" ->
       """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS p50_exact,
         |  TRUE AS within_5pct
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q76_window_distribution" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  nth_value(o_totalprice, 3) OVER (
+        |    PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin
   )
 }

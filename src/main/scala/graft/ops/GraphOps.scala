@@ -51,13 +51,15 @@ object GraphOps {
       // jump: my root's root (root is total on vertices, so inner join)
       val jump = roots.select(col("id"), col("root"))
         .join(roots.select(col("id").as("root"), col("root").as("root_root")), "root")
+      // lazy checkpoint: the change-count action below materializes it,
+      // so each iteration runs ONE job instead of checkpoint+count twice
       val next = jump
         .join(nbrRoot, Seq("id"), "left")
         .select(col("id"),
           least(col("root"), col("root_root"),
                 coalesce(col("nbr_root"), col("root"))).as("new_root"),
           col("root").as("old_root"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       changed = next.filter(col("new_root") =!= col("old_root")).count()
       roots = next.select(col("id"), col("new_root").as("root"))
       iter += 1

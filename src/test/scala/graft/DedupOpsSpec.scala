@@ -63,4 +63,23 @@ class DedupOpsSpec extends SparkSpec {
     val pairs = DedupOps.chunkedBlockPairs(df, chunk = 1000)
     assert(pairs.count() == 50L * 49 / 2)
   }
+
+  test("property: chunk decomposition is pair-exact for random sizes/chunks") {
+    val r = new scala.util.Random(11)
+    (1 to 5).foreach { _ =>
+      val blocks = (0 until (1 + r.nextInt(3))).map(b =>
+        block(s"L$b", 1 + r.nextInt(120), b * 17 + r.nextInt(5)))
+      val df = blocks.reduce(_ ++ _).toDF("label", "vec_id", "score")
+        // random duplicate ids across labels must not cross-contaminate
+      val chunk = 1 + r.nextInt(60)
+      val naive = df.as("a").join(df.as("b"),
+          $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+        .select($"a.vec_id", $"b.vec_id", $"a.label")
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSet
+      val got = DedupOps.chunkedBlockPairs(df, chunk = chunk)
+        .select($"v1", $"v2", $"label")
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSet
+      assert(got == naive, s"chunk=$chunk sizes=${blocks.map(_.size)}")
+    }
+  }
 }

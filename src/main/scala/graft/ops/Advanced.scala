@@ -192,6 +192,34 @@ object Advanced {
         .select(col("o_orderpriority"), col("o_orderkey"), col("quartile"),
                 col("pr"), col("cd"), col("third_price"))
         .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    }),
+
+    // ---- q77: long->wide pivot. The value list is EXPLICIT — without it
+    // Spark runs an extra distinct-collect job to discover columns, and
+    // the output schema becomes data-dependent (a schema-drift hazard in
+    // a 100 TB pipeline). One shuffle: pivot-agg is partial+final like
+    // any groupBy.
+    "q77_pivot_wide" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("h", hour(col("ts")))
+        .groupBy(col("h"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("h"))
+    }),
+
+    // ---- q78: wide->long unpivot of the q77 shape (melt). Zero cells
+    // survive the round trip (na.fill in the wide form), which the oracle
+    // mirrors with a dense hours x types frame.
+    "q78_unpivot_long" -> ((s, d) => {
+      val wide = queries("q77_pivot_wide")(s, d)
+      wide.unpivot(
+          Array(col("h")),
+          Array(col("click"), col("error"), col("purchase"),
+                col("signup"), col("view")),
+          "event_type", "n")
+        .orderBy(col("h"), col("event_type"))
     })
   )
 
@@ -278,6 +306,27 @@ object Advanced {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_price
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
-        |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "q77_pivot_wide" ->
+      """SELECT extract(hour FROM ts)::INT AS h,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY h""".stripMargin,
+
+    "q78_unpivot_long" ->
+      """WITH hours AS (SELECT DISTINCT extract(hour FROM ts)::INT AS h FROM events),
+        |types AS (SELECT * FROM (VALUES ('click'), ('error'), ('purchase'),
+        |                                ('signup'), ('view')) t(event_type)),
+        |counts AS (SELECT extract(hour FROM ts)::INT AS h, event_type,
+        |             count(*) AS n
+        |           FROM events GROUP BY 1, 2)
+        |SELECT h, t.event_type, coalesce(n, 0) AS n
+        |FROM hours CROSS JOIN types t
+        |LEFT JOIN counts USING (h, event_type)
+        |ORDER BY h, event_type""".stripMargin
   )
 }

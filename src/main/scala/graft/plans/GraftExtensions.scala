@@ -69,10 +69,24 @@ object RewriteIntersectOverlap extends Rule[LogicalPlan] {
 /** Session-extension entry point:
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
+  *
+  * Covers three extension tiers: optimizer rule, planner strategy, and
+  * SQL function injection (the declarative form of
+  * `GraftFunctions.registerAll` — extension-built sessions get the
+  * custom expressions in pure SQL with no imperative registration call).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import graft.functions.{IsSimilarRgb, LongArrayDot}
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteIntersectOverlap)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectFunction((FunctionIdentifier("is_similar_rgb"),
+      new ExpressionInfo(classOf[IsSimilarRgb].getName, "is_similar_rgb"),
+      (exprs: Seq[Expression]) => IsSimilarRgb(exprs(0), exprs(1), exprs(2))))
+    e.injectFunction((FunctionIdentifier("ldot"),
+      new ExpressionInfo(classOf[LongArrayDot].getName, "ldot"),
+      (exprs: Seq[Expression]) => LongArrayDot(exprs(0), exprs(1))))
   }
 }

@@ -109,6 +109,19 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got.toSeq == expected.toSeq)
   }
 
+  test("injected SQL functions resolve without imperative registration") {
+    // the extensions-built session gets is_similar_rgb / ldot via
+    // injectFunction — no GraftFunctions.registerAll call anywhere here
+    val sim = spark.sql(
+      "SELECT is_similar_rgb('rgb(10, 20, 30)', 'rgb(12, 22, 28)', 5) AS s")
+      .collect()(0).getBoolean(0)
+    assert(sim)
+    val dot = spark.sql(
+      "SELECT ldot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
+      .collect()(0).getLong(0)
+    assert(dot == 32L)
+  }
+
   test("rewrite preserves results vs unoptimized comparison on random arrays") {
     import spark.implicits._
     val rows = (0 until 200).map { i =>

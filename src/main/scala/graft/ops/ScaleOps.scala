@@ -76,4 +76,33 @@ object ScaleOps {
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Output-file sizing: the small-files problem in reverse. A 100 TB
+    * write that inherits upstream partitioning produces either thousands
+    * of KB files (metadata pressure, slow listings) or a handful of
+    * multi-GB ones (no read parallelism). Coalesce to a target file
+    * count AND cap rows per file so late data growth splits instead of
+    * bloating.
+    */
+  def writeSized(df: DataFrame, path: String, files: Int,
+                 maxRecordsPerFile: Long): Unit =
+    df.repartition(files)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+
+  /** Range-sorted layout for scan skipping: repartitionByRange on the
+    * filter column + sortWithinPartitions gives each output file a
+    * narrow, (near-)disjoint min/max range in its parquet footer, so a
+    * point/range filter prunes whole files and row groups instead of
+    * scanning everything. This is the poor man's Z-order for a single
+    * dominant filter column — the layout trick behind "reads 1/N of the
+    * table" at 100 TB.
+    */
+  def writeRangeSorted(df: DataFrame, path: String, col0: String,
+                       files: Int): Unit =
+    df.repartitionByRange(files, col(col0))
+      .sortWithinPartitions(col0)
+      .write.mode("overwrite")
+      .parquet(path)
 }

@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// All suites share one SparkSession (SparkSpec.session) whose SQLConf
+// several tests mutate-and-restore; concurrent suites race on it (and on
+// the global default-session swap in ExtensionsSpec) — run sequentially.
+Test / parallelExecution := false

@@ -12,6 +12,11 @@ class CboSpec extends SparkSpec {
   import spark.implicits._
 
   test("ANALYZE column stats sharpen filter cardinality estimates under CBO") {
+    // stats are computed lazily with SQLConf.get, which falls back to the
+    // GLOBAL default session when the thread-local active one is unset —
+    // pin ours so a concurrently-swapped default (ExtensionsSpec) can't
+    // shadow cbo.enabled
+    org.apache.spark.sql.SparkSession.setActiveSession(spark)
     try {
       (0 until 10000).map(i => (i.toLong, i % 100, s"v$i"))
         .toDF("id", "bucket", "payload")

@@ -40,6 +40,23 @@ object TextOps {
 
   private val DF_CAP = 3
 
+  /** DuckDB CTE computing (doc_id, simhash) — mirror of simhashSignatures,
+    * shared by the q48 and q79 oracles.
+    */
+  private val simhashCteDuck =
+    """toks AS (
+      |  SELECT DISTINCT doc_id, tok FROM (
+      |    SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks),
+      |bits AS (
+      |  SELECT doc_id, j, sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS j) js
+      |  GROUP BY doc_id, j),
+      |sims AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN s >= 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+      |  FROM bits GROUP BY doc_id)""".stripMargin
+
   /** Exact n-gram Jaccard near-dup pairs over a (doc_id, grams) frame —
     * the q50 pipeline as a reusable operator.
     *
@@ -72,6 +89,25 @@ object TextOps {
       .filter(col("jaccard") >= 0.5)
       .select(col("d1"), col("d2"), col("common").cast("long").as("common"),
               round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** (doc_id, simhash) 60-bit signatures — the q48 pipeline as a
+    * reusable operator (explode tokens -> per-bit majority vote -> fold
+    * back into one long), shared by q48 and the q79 Hamming-join.
+    */
+  def simhashSignatures(s: SparkSession, d: String): DataFrame = {
+    withToks(Tables.documents(s, d))
+      .select(col("doc_id"), explode_outer(array_distinct(col("toks"))).as("tok"))
+      .filter(col("tok").isNotNull)
+      .withColumn("hv", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+      .select(col("doc_id"), col("hv"), explode(sequence(lit(0), lit(59))).as("j"))
+      .withColumn("contrib",
+        when(expr("shiftright(hv, j) & 1") === 1, 1).otherwise(-1))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("contrib")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("CASE WHEN s >= 0 THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END"))
+        .as("simhash"))
   }
 
   /** (doc_id, grams) shingle frame for a (doc_id, text) corpus. */
@@ -210,21 +246,42 @@ object TextOps {
     // ---- q48: SimHash — 60-bit signature from md5-derived token hashes,
     // majority vote per bit. Fully distributed: explode(token) x
     // explode(bit) -> two hash-aggs; no driver-side loop.
-    "q48_simhash" -> ((s, d) => {
-      val toks = withToks(Tables.documents(s, d))
-        .select(col("doc_id"), explode_outer(array_distinct(col("toks"))).as("tok"))
-        .filter(col("tok").isNotNull)
-        .withColumn("hv", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
-      toks
-        .select(col("doc_id"), col("hv"), explode(sequence(lit(0), lit(59))).as("j"))
-        .withColumn("contrib",
-          when(expr("shiftright(hv, j) & 1") === 1, 1).otherwise(-1))
-        .groupBy(col("doc_id"), col("j"))
-        .agg(sum(col("contrib")).as("s"))
-        .groupBy(col("doc_id"))
-        .agg(sum(expr("CASE WHEN s >= 0 THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END"))
-          .as("simhash"))
-        .orderBy(col("doc_id"))
+    "q48_simhash" -> ((s, d) =>
+      simhashSignatures(s, d).orderBy(col("doc_id"))),
+
+    // ---- q79: SimHash Hamming-join — near-dup PAIRS from the q48
+    // signatures via pigeonhole band LSH: 60 bits in 3 bands of 20;
+    // hamming(a,b) <= 2 can corrupt at most 2 bands, so some band is
+    // equal and the band-equality buckets contain every qualifying pair.
+    // Candidates come from one collect_list aggregation per band bucket
+    // (no self-join recompute); verification is one codegen'd
+    // bit_count(xor) per candidate. Production adds a q49-style bucket
+    // cap; here buckets are near-dup clusters, so in-bucket pairs are
+    // mostly true positives (output-bound, not wasted work).
+    "q79_simhash_hamming" -> ((s, d) => {
+      val sig = simhashSignatures(s, d)
+      val cand = sig
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, 2), i ->
+            |  named_struct('bi', i, 'bv', shiftright(simhash, i * 20) & 1048575))"""
+            .stripMargin)).as("b"))
+        .groupBy(col("b.bi"), col("b.bv"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(ds, (x, i) ->
+            |  transform(slice(ds, i + 2, size(ds)),
+            |            y -> named_struct('d1', x, 'd2', y))))""".stripMargin))
+          .as("p"))
+        .select(col("p.d1"), col("p.d2"))
+        .distinct()
+      cand
+        .join(sig.select(col("doc_id").as("d1"), col("simhash").as("s1")), "d1")
+        .join(sig.select(col("doc_id").as("d2"), col("simhash").as("s2")), "d2")
+        .withColumn("hamming", expr("bit_count(s1 ^ s2)").cast("long"))
+        .filter(col("hamming") <= 2)
+        .select(col("d1"), col("d2"), col("hamming"))
+        .orderBy(col("d1"), col("d2"))
     }),
 
     // ---- q66: fuzzy (edit-distance) near-dup verification — the same
@@ -361,17 +418,22 @@ object TextOps {
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q48_simhash" ->
-      """WITH toks AS (
-        |  SELECT DISTINCT doc_id, tok FROM (
-        |    SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)),
-        |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks),
-        |bits AS (
-        |  SELECT doc_id, j, sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
-        |  FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS j) js
-        |  GROUP BY doc_id, j)
-        |SELECT doc_id,
-        |  sum(CASE WHEN s >= 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
-        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $simhashCteDuck
+        |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin,
+
+    "q79_simhash_hamming" ->
+      s"""WITH $simhashCteDuck,
+        |bands AS (
+        |  SELECT doc_id, i AS bi, (simhash >> (i * 20)) & 1048575 AS bv
+        |  FROM sims CROSS JOIN (SELECT unnest(range(0, 3)) AS i) ii),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |         FROM bands a JOIN bands b
+        |           ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        |SELECT d1, d2, bit_count(xor(sa.simhash, sb.simhash))::BIGINT AS hamming
+        |FROM cand JOIN sims sa ON sa.doc_id = cand.d1
+        |          JOIN sims sb ON sb.doc_id = cand.d2
+        |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 2
+        |ORDER BY d1, d2""".stripMargin,
 
     "q66_fuzzy_neardup" ->
       s"""WITH g0 AS (

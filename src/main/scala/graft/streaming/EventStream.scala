@@ -113,6 +113,31 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .outputMode("append")
 
+  /** Idempotent micro-batch write for non-transactional sinks. Plain
+    * parquet append is at-least-once under retries: a batch can re-run
+    * after its files landed but before the checkpoint committed,
+    * duplicating rows. Keying the output by batch_id and dynamically
+    * overwriting ONLY that partition makes the replay rewrite its own
+    * files instead — the write becomes idempotent, so checkpoint
+    * semantics upgrade to effectively exactly-once.
+    */
+  def writeBatchIdempotent(batch: DataFrame, batchId: Long, outDir: String): Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outDir)
+
+  /** The streaming form: foreachBatch over writeBatchIdempotent. */
+  def idempotentSink(df: DataFrame, outDir: String, checkpointDir: String):
+      DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        writeBatchIdempotent(batch, id, outDir)
+      }
+
   /** S8 two-table fan-out inside one stream: a single foreachBatch caches
     * the micro-batch and writes both sinks (job_list / com_url in the
     * reference, test.py:577-580).

@@ -155,6 +155,35 @@ class StreamingSpec extends SparkSpec {
     assert(got(1) == (8L, 1L, 4.0, "2024-01-01 00:02:00.0", "2024-01-01 00:22:00.0"))
   }
 
+  test("idempotent sink: a replayed micro-batch does not duplicate rows") {
+    import spark.implicits._
+    val inDir = tmp("idem-in"); val outDir = tmp("idem-out"); val ckpt = tmp("idem-ckpt")
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 7L, "click", 1.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 8L, "view", 2.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(inDir)
+
+    val q = EventStream.idempotentSink(
+      EventStream.readEvents(spark, inDir), outDir, ckpt).start()
+    q.awaitTermination(60000)
+    assert(spark.read.parquet(outDir).count() == 2)
+
+    // simulate the at-least-once failure mode: the same micro-batch is
+    // delivered AGAIN (sink wrote, checkpoint commit lost) — the
+    // batch_id-partition overwrite rewrites instead of appending
+    val replay = spark.read.parquet(inDir)
+    EventStream.writeBatchIdempotent(replay, 0L, outDir)
+    EventStream.writeBatchIdempotent(replay, 0L, outDir)
+    val after = spark.read.parquet(outDir)
+    assert(after.count() == 2)
+    assert(after.select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+
+    // a genuinely new batch lands beside it untouched
+    EventStream.writeBatchIdempotent(replay.filter($"event_id" === 1L), 1L, outDir)
+    assert(spark.read.parquet(outDir).count() == 3)
+  }
+
   test("fan-out sink writes two tables from one cached micro-batch (S8)") {
     import spark.implicits._
     val inDir = tmp("fan-in")

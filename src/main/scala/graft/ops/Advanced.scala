@@ -209,6 +209,24 @@ object Advanced {
         .orderBy(col("h"))
     }),
 
+    // ---- q80: per-group mode (argmax-by-count). Built-in mode() is
+    // tie-nondeterministic (and engine-divergent); the portable scalable
+    // form is counts -> top-1 window with an explicit tie-break. Two
+    // map-side-combined shuffles; the window input is group-cardinality
+    // sized, not data sized.
+    "q80_group_mode" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("n").desc, col("l_quantity").asc)
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- q78: wide->long unpivot of the q77 shape (melt). Zero cells
     // survive the round trip (na.fill in the wide form), which the oracle
     // mirrors with a dense hours x types frame.
@@ -327,6 +345,14 @@ object Advanced {
         |SELECT h, t.event_type, coalesce(n, 0) AS n
         |FROM hours CROSS JOIN types t
         |LEFT JOIN counts USING (h, event_type)
-        |ORDER BY h, event_type""".stripMargin
+        |ORDER BY h, event_type""".stripMargin,
+
+    "q80_group_mode" ->
+      """SELECT l_returnflag, mode_qty, n FROM (
+        |  SELECT l_returnflag, l_quantity AS mode_qty, count(*) AS n,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY count(*) DESC, l_quantity ASC) AS rn
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity)
+        |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -39,6 +39,7 @@ object TextOps {
     "[toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks) - 1)]"
 
   private val DF_CAP = 3
+  private val BAND_CAP = 200 // q79 band-bucket width cap (C(cap,2) pair bound)
 
   /** DuckDB CTE computing (doc_id, simhash) — mirror of simhashSignatures,
     * shared by the q48 and q79 oracles.
@@ -255,9 +256,10 @@ object TextOps {
     // equal and the band-equality buckets contain every qualifying pair.
     // Candidates come from one collect_list aggregation per band bucket
     // (no self-join recompute); verification is one codegen'd
-    // bit_count(xor) per candidate. Production adds a q49-style bucket
-    // cap; here buckets are near-dup clusters, so in-bucket pairs are
-    // mostly true positives (output-bound, not wasted work).
+    // bit_count(xor) per candidate. Buckets are CAPPED at BAND_CAP — an
+    // adversarial mass-duplicate signature would otherwise make one
+    // bucket O(n^2) (the q50 df-cap lesson); dedup-first composition
+    // (q50b-style) is the recall-preserving answer for such corpora.
     "q79_simhash_hamming" -> ((s, d) => {
       val sig = simhashSignatures(s, d)
       val cand = sig
@@ -267,7 +269,7 @@ object TextOps {
             .stripMargin)).as("b"))
         .groupBy(col("b.bi"), col("b.bv"))
         .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-        .filter(size(col("ds")) >= 2)
+        .filter(size(col("ds")).between(2, BAND_CAP))
         .select(explode(expr(
           """flatten(transform(ds, (x, i) ->
             |  transform(slice(ds, i + 2, size(ds)),
@@ -426,8 +428,11 @@ object TextOps {
         |bands AS (
         |  SELECT doc_id, i AS bi, (simhash >> (i * 20)) & 1048575 AS bv
         |  FROM sims CROSS JOIN (SELECT unnest(range(0, 3)) AS i) ii),
+        |ok AS (SELECT bi, bv FROM bands GROUP BY bi, bv
+        |       HAVING count(*) BETWEEN 2 AND $BAND_CAP),
+        |kept AS (SELECT bands.* FROM bands JOIN ok USING (bi, bv)),
         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        |         FROM bands a JOIN bands b
+        |         FROM kept a JOIN kept b
         |           ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
         |SELECT d1, d2, bit_count(xor(sa.simhash, sb.simhash))::BIGINT AS hamming
         |FROM cand JOIN sims sa ON sa.doc_id = cand.d1

@@ -4,11 +4,12 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull}
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -29,23 +30,42 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - column pruning: the JSON parser extracts only the fields the query
   *     asks for (readSchema is the pruned schema).
   *
-  * Options: `fields` (required) — comma-separated payload field names,
-  * all read as strings; `path` — the base directory.
+  * Options: `fields` (required) — comma-separated payload fields, each
+  * `name` (string) or `name:type` (string|long|int|double|boolean);
+  * `path` — the base directory. The same option types the write path
+  * (schema must match for AppendData resolution).
   */
 class KeywordTableProvider extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-keyword"
 
-  private def fieldsOf(options: CaseInsensitiveStringMap): Seq[String] = {
+  private def fieldsOf(options: CaseInsensitiveStringMap): Seq[StructField] = {
     val f = options.get("fields")
     require(f != null && f.nonEmpty,
-      "graft-keyword requires option 'fields': comma-separated payload field names")
-    f.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      "graft-keyword requires option 'fields': comma-separated payload fields (name or name:type)")
+    f.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { spec =>
+      spec.split(":") match {
+        case Array(n) => StructField(n.trim, StringType, nullable = true)
+        case Array(n, t) =>
+          val dt = t.trim.toLowerCase match {
+            case "string" => StringType
+            case "long" | "bigint" => LongType
+            case "int" | "integer" => IntegerType
+            case "double" => DoubleType
+            case "boolean" => BooleanType
+            case other => throw new IllegalArgumentException(
+              s"graft-keyword: unsupported field type '$other' in '$spec'")
+          }
+          StructField(n.trim, dt, nullable = true)
+        case _ => throw new IllegalArgumentException(
+          s"graft-keyword: bad field spec '$spec'")
+      }
+    }
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    StructType(StructField("keyword", StringType, nullable = false) +:
-      fieldsOf(options).map(StructField(_, StringType, nullable = true)))
+    StructType(StructField("keyword", StringType, nullable = true) +:
+      fieldsOf(options))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
@@ -57,13 +77,15 @@ class KeywordTableProvider extends TableProvider with DataSourceRegister {
 }
 
 case class KeywordTable(base: String, tableSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-keyword:$base"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KeywordScanBuilder(base, tableSchema)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new KeywordWriteBuilder(base, info.schema())
 }
 
 /** Pushdown happens here: keyword equality/IN filters become a directory
@@ -82,6 +104,8 @@ class KeywordScanBuilder(base: String, full: StructType)
     val (accepted, rejected) = filters.partition {
       case EqualTo("keyword", _: String) => true
       case In("keyword", vs) => vs.forall(_.isInstanceOf[String])
+      // trivially true: the reader tags every row with its directory name
+      case IsNotNull("keyword") => true
       case _ => false
     }
     val allowed = accepted.flatMap {
@@ -161,7 +185,16 @@ class KeywordFileReader(keyword: String, file: String, schema: StructType)
       if (f.name == "keyword") UTF8String.fromString(keyword)
       else {
         val v = node.get(f.name)
-        if (v == null || v.isNull) null else UTF8String.fromString(v.asText())
+        if (v == null || v.isNull) null
+        else f.dataType match {
+          case StringType => UTF8String.fromString(v.asText())
+          case LongType => java.lang.Long.valueOf(v.asLong())
+          case IntegerType => java.lang.Integer.valueOf(v.asInt())
+          case DoubleType => java.lang.Double.valueOf(v.asDouble())
+          case BooleanType => java.lang.Boolean.valueOf(v.asBoolean())
+          case other => throw new UnsupportedOperationException(
+            s"graft-keyword read: unsupported type $other for ${f.name}")
+        }
       }
     }
     current = new GenericInternalRow(values.asInstanceOf[Array[Any]])
@@ -170,4 +203,111 @@ class KeywordFileReader(keyword: String, file: String, schema: StructType)
 
   override def get(): InternalRow = current
   override def close(): Unit = source.close()
+}
+
+/** DSv2 write path (the live-system form of the S5/S6 JSON sinks): rows
+  * must carry a `keyword` string column; every other column is
+  * serialized as one JSON object per line into
+  * `base/<keyword>/part-<task>-<uuid>.json` — the same layout the
+  * reader scans.
+  *
+  * Two-phase commit: each task writes `.staging-` files and reports
+  * them in its commit message; the driver renames them into place on
+  * job commit and deletes them on abort, so a failed/speculated task
+  * never leaves half-written files visible to readers (append-only
+  * sources have no other isolation).
+  */
+class KeywordWriteBuilder(base: String, schema: StructType) extends WriteBuilder {
+  require(schema.fieldNames.contains("keyword"),
+    "graft-keyword write requires a 'keyword' string column")
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new KeywordBatchWrite(base, schema)
+  }
+}
+
+case class KeywordStagedFiles(files: Seq[String]) extends WriterCommitMessage
+
+class KeywordBatchWrite(base: String, schema: StructType) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    KeywordWriterFactory(base, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case KeywordStagedFiles(files) => files.foreach { f =>
+        val staged = new java.io.File(f)
+        val finalName = staged.getName.stripPrefix(".staging-")
+        if (!staged.renameTo(new java.io.File(staged.getParentFile, finalName)))
+          throw new java.io.IOException(s"commit rename failed for $f")
+      }
+      case _ =>
+    }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case KeywordStagedFiles(files) =>
+        files.foreach(f => new java.io.File(f).delete())
+      case _ =>
+    }
+}
+
+case class KeywordWriterFactory(base: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new KeywordDataWriter(base, schema, partitionId, taskId)
+}
+
+class KeywordDataWriter(base: String, schema: StructType,
+                        partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val kwOrd = schema.fieldIndex("keyword")
+  private val payloadFields =
+    schema.fields.zipWithIndex.filter(_._2 != kwOrd)
+  private val writers = scala.collection.mutable.Map[String, java.io.Writer]()
+  private val staged = scala.collection.mutable.ArrayBuffer[String]()
+  private val uuid = java.util.UUID.randomUUID().toString.take(8)
+
+  private def writerFor(kw: String): java.io.Writer =
+    writers.getOrElseUpdate(kw, {
+      val dir = new java.io.File(base, kw)
+      dir.mkdirs()
+      val f = new java.io.File(dir,
+        s".staging-part-$partitionId-$taskId-$uuid.json")
+      staged += f.getAbsolutePath
+      new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        new java.io.FileOutputStream(f), java.nio.charset.StandardCharsets.UTF_8))
+    })
+
+  override def write(row: InternalRow): Unit = {
+    val kw = row.getUTF8String(kwOrd).toString
+    val node = mapper.createObjectNode()
+    payloadFields.foreach { case (f, i) =>
+      if (row.isNullAt(i)) node.putNull(f.name)
+      else f.dataType match {
+        case StringType => node.put(f.name, row.getUTF8String(i).toString)
+        case LongType => node.put(f.name, row.getLong(i))
+        case IntegerType => node.put(f.name, row.getInt(i))
+        case DoubleType => node.put(f.name, row.getDouble(i))
+        case BooleanType => node.put(f.name, row.getBoolean(i))
+        case other => throw new UnsupportedOperationException(
+          s"graft-keyword write: unsupported type $other for ${f.name}")
+      }
+    }
+    val w = writerFor(kw)
+    w.write(mapper.writeValueAsString(node))
+    w.write("\n")
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writers.values.foreach(_.close())
+    KeywordStagedFiles(staged.toSeq)
+  }
+
+  override def abort(): Unit = {
+    writers.values.foreach(w => scala.util.Try(w.close()))
+    staged.foreach(f => new java.io.File(f).delete())
+  }
+
+  override def close(): Unit = ()
 }

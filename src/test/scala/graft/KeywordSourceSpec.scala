@@ -81,7 +81,8 @@ class KeywordSourceSpec extends SparkSpec {
     val scan = filtered.queryExecution.executedPlan.collectFirst {
       case b: BatchScanExec => b.scan.asInstanceOf[KeywordScan]
     }.get
-    assert(scan.pushed.map(_.toString).toSeq == Seq("EqualTo(keyword,scala)"))
+    assert(scan.pushed.map(_.toString).toSet ==
+      Set("IsNotNull(keyword)", "EqualTo(keyword,scala)"))
     assert(scan.keywords.contains(Set("scala")))
     // ...columns were pruned to what the query needs — the filter is fully
     // handled at the scan, so even `keyword` drops out of the read schema
@@ -94,5 +95,41 @@ class KeywordSourceSpec extends SparkSpec {
     val in = all.filter(col("keyword").isin("scala", "nosuch"))
     assert(in.rdd.getNumPartitions == 1)
     assert(in.count() == 1)
+  }
+
+  test("DSv2 graft-keyword: write path round-trips through the reader") {
+    import spark.implicits._
+    val base = tmp("kw-dsv2-write")
+    Seq(
+      ("scala", "j1", 100L),
+      ("scala", "j2", 200L),
+      ("spark", "j3", 300L)
+    ).toDF("keyword", "job", "salary")
+      .write.format("graft-keyword")
+      .option("fields", "job,salary:long")
+      .mode("append").save(base)
+
+    // layout is the reader's: per-keyword dirs, committed .json files,
+    // no staging leftovers
+    val dirs = new java.io.File(base).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted
+    assert(dirs.toSeq == Seq("scala", "spark"))
+    val files = new java.io.File(base, "scala").listFiles().map(_.getName)
+    assert(files.forall(f => f.endsWith(".json") && !f.startsWith(".staging")), files.toSeq)
+
+    val back = spark.read.format("graft-keyword")
+      .option("fields", "job,salary:long").load(base)
+      .orderBy("job")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(back.toSeq == Seq(
+      ("scala", "j1", 100L), ("scala", "j2", 200L), ("spark", "j3", 300L)))
+
+    // second append adds rows without clobbering the first batch (S6)
+    Seq(("scala", "j9", 900L)).toDF("keyword", "job", "salary")
+      .write.format("graft-keyword")
+      .option("fields", "job,salary:long")
+      .mode("append").save(base)
+    assert(spark.read.format("graft-keyword")
+      .option("fields", "job").load(base).count() == 4)
   }
 }

@@ -134,4 +134,52 @@ class ExtensionsSpec extends AnyFunSuite {
     val direct = df.filter(arrays_overlap($"x", $"y")).count()
     assert(rewritten == direct)
   }
+  test("native AsOfJoinExec: null keys/timestamps join nothing, both sides") {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val tSchema = StructType(Seq(StructField("key", LongType, true),
+      StructField("ts", LongType, true), StructField("trade", StringType, true)))
+    val qSchema = StructType(Seq(StructField("key", LongType, true),
+      StructField("qts", LongType, true), StructField("px", DoubleType, true)))
+    val trades = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, 100L, "ok"),
+      Row(null, 100L, "nullkey"),
+      Row(1L, null, "nullts")), tSchema)
+    val quotes = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, 50L, 9.5),
+      Row(null, 40L, 1.0),   // null-key quote must never match
+      Row(1L, null, 2.0)),   // null-ts quote must never match
+      qSchema)
+    val out = graft.ops.JoinOps.asofJoinNative(trades, quotes, "key", "ts", "qts", Seq("px"))
+      .orderBy("trade").collect()
+    // rows: nullkey, nullts, ok
+    assert(out.length == 3)
+    assert(out(0).isNullAt(3) && out(1).isNullAt(3))
+    assert(out(2).getDouble(3) == 9.5)
+  }
+
+  test("native AsOfJoinExec: buffer-backed array values are deep-copied") {
+    import spark.implicits._
+    // right value column is an ARRAY: the exec's remembered match must not
+    // alias the reused UnsafeRow buffer (stale data for later left rows)
+    val trades = (0 until 200).map(i => (i.toLong % 4, 500L + i))
+      .toDF("key", "ts")
+    val quotes = (0 until 40).map { i =>
+      (i.toLong % 4, i.toLong * 10, Seq(i.toLong, i.toLong * 2, i.toLong * 3))
+    }.toDF("key", "qts", "arr")
+    val native = graft.ops.JoinOps.asofJoinNative(trades, quotes, "key", "ts", "qts", Seq("arr"))
+      .orderBy("key", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toSeq))
+    val window = graft.ops.JoinOps.asofJoinBackward(trades,
+        quotes.withColumnRenamed("qts", "wts").withColumnRenamed("wts", "qts"),
+        "key", "ts", "qts", Seq("arr"))
+      .orderBy("key", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toSeq))
+    assert(native.toSeq == window.toSeq)
+    // every trade at ts>=500 sees its key's LATEST quote array, intact
+    native.groupBy(_._1).foreach { case (k, rows) =>
+      assert(rows.map(_._3).distinct.size == 1, s"key $k saw mixed arrays")
+    }
+  }
 }

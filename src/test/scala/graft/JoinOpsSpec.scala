@@ -59,4 +59,19 @@ class JoinOpsSpec extends SparkSpec {
     assert(out(0).isNullAt(3))           // ts=50: no quote yet
     assert(out(1).getDouble(3) == 9.5)   // ts=100: inclusive
   }
+
+  test("asofJoinBackward: all asof_ columns come from the SAME right row") {
+    // the latest preceding quote has px = null but size = 7; a per-column
+    // last(ignoreNulls) would stitch px from the OLDER row — correct
+    // semantics carry the whole latest row, nulls included
+    val trades = Seq((1L, 100L, "t")).toDF("key", "ts", "trade")
+    val quotes = Seq(
+      (1L, 10L, Some(3.5), 5L),
+      (1L, 20L, None: Option[Double], 7L)
+    ).toDF("key", "ts", "px", "size")
+    val out = JoinOps.asofJoinBackward(trades, quotes, "key", "ts", "ts",
+      Seq("px", "size")).collect()(0)
+    assert(out.isNullAt(out.fieldIndex("asof_px")), out)
+    assert(out.getLong(out.fieldIndex("asof_size")) == 7L)
+  }
 }

@@ -261,25 +261,28 @@ object TextOps {
     // bucket O(n^2) (the q50 df-cap lesson); dedup-first composition
     // (q50b-style) is the recall-preserving answer for such corpora.
     "q79_simhash_hamming" -> ((s, d) => {
-      val sig = simhashSignatures(s, d)
-      val cand = sig
-        .select(col("doc_id"), explode(expr(
+      // signatures ride INSIDE the bucket structs: Catalyst has no
+      // common-subplan reuse, so joining signatures back onto the
+      // candidate pairs would recompute the whole simhash pipeline 3x —
+      // instead each emitted pair already carries both signatures and the
+      // verify step is a codegen'd bit_count away
+      simhashSignatures(s, d)
+        .select(col("doc_id"), col("simhash"), explode(expr(
           """transform(sequence(0, 2), i ->
             |  named_struct('bi', i, 'bv', shiftright(simhash, i * 20) & 1048575))"""
             .stripMargin)).as("b"))
         .groupBy(col("b.bi"), col("b.bv"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash"))))
+          .as("ds"))
         .filter(size(col("ds")).between(2, BAND_CAP))
         .select(explode(expr(
           """flatten(transform(ds, (x, i) ->
             |  transform(slice(ds, i + 2, size(ds)),
-            |            y -> named_struct('d1', x, 'd2', y))))""".stripMargin))
-          .as("p"))
-        .select(col("p.d1"), col("p.d2"))
+            |            y -> named_struct('d1', x.doc_id, 's1', x.simhash,
+            |                              'd2', y.doc_id, 's2', y.simhash))))"""
+            .stripMargin)).as("p"))
+        .select(col("p.d1"), col("p.d2"), col("p.s1"), col("p.s2"))
         .distinct()
-      cand
-        .join(sig.select(col("doc_id").as("d1"), col("simhash").as("s1")), "d1")
-        .join(sig.select(col("doc_id").as("d2"), col("simhash").as("s2")), "d2")
         .withColumn("hamming", expr("bit_count(s1 ^ s2)").cast("long"))
         .filter(col("hamming") <= 2)
         .select(col("d1"), col("d2"), col("hamming"))

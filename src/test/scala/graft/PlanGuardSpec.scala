@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression guard: the performance-critical plan properties
+  * PLANS.md documents, asserted so a future refactor can't silently
+  * regress them. Assertions are deliberately coarse (presence of the
+  * load-bearing node/property, not full plan text).
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q01: filter reaches the parquet scan and aggregation is partial+final") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q05: star join never shuffles lineitem before aggregation") {
+    val p = plan("q05_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the only exchanges are broadcast builds + the final group-by/sort
+    val shuffles = "Exchange (hash|range)partitioning".r.findAllIn(p).size
+    assert(shuffles <= 2, s"$shuffles data shuffles in\n$p")
+  }
+
+  test("q54: the dim cut happens inside the Generate (slice before explode)") {
+    val p = plan("q54_label_centroid")
+    assert(p.contains("slice(embedding"), p)
+    // dim is a legitimate agg key; what must NOT exist is a Filter on it
+    // (the old shape exploded 64 dims and filtered after the Generate)
+    assert(p.linesIterator.forall(l => !(l.contains("Filter") && l.contains("dim"))), p)
+  }
+
+  test("q51: query side broadcasts; corpus side is never shuffled pre-score") {
+    val p = plan("q51_cosine_topk")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q55: candidate join keys include the chunk ids (skew spread)") {
+    val p = SparkEntry.queries("q55_embedding_neardup")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("_i") && p.contains("_j"), p)
+  }
+
+  test("q79: no join back onto the signature pipeline (pairs carry simhashes)") {
+    val p = plan("q79_simhash_hamming")
+    assert(!p.contains("Join"), p) // single linear pipeline, no joins at all
+  }
+}

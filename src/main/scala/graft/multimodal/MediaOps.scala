@@ -8,13 +8,14 @@ import org.apache.spark.sql.functions._
   * training-data pipeline stores them (parquet binary + struct metadata).
   *
   * The Spark side — schema, partition-parallel batch iteration, UDF
-  * signatures, frame explosion — is real and tested. The codec itself is
-  * STUBBED (this container has no image/audio libraries): `decodeStub`
-  * derives deterministic pseudo-dimensions from the payload bytes where a
-  * real deployment would call the decoder inside the same mapPartitions
-  * batch loop (the Scala analog of a pandas_udf over mapInPandas: one
-  * iterator per partition, library handle initialized once per partition,
-  * not once per row).
+  * signatures, frame explosion — is real and tested, and so is the
+  * decode for every format the JDK can read: BMP, PNG, JPEG, animated
+  * GIF (the multi-frame "video" shape) and PCM WAV. Only true video
+  * containers (no JDK codec) hit `decodeStub`, which derives
+  * deterministic pseudo-dimensions where a real deployment would call
+  * ffmpeg inside the same mapPartitions batch loop (the Scala analog of
+  * a pandas_udf over mapInPandas: one iterator per partition, library
+  * handle initialized once per partition, not once per row).
   */
 object MediaOps {
 
@@ -45,11 +46,12 @@ object MediaOps {
 
   /** Batch feature extraction: one pass per PARTITION (the batch shape a
     * real decoder needs — expensive init happens once per partition, rows
-    * stream through). BMP (pure-JVM BmpDecoder), PNG and JPEG
+    * stream through). BMP (pure-JVM BmpDecoder), animated GIF
+    * (GifDecoder: frame count + first frame), PNG and JPEG
     * (ImageIoDecoder over the JDK's javax.imageio) and PCM WAV
-    * (WavDecoder) payloads decode for real; only formats with no JDK
-    * codec (video) fall back to the deterministic stub. Emits a fixed
-    * 8-dim float feature per record.
+    * (WavDecoder) payloads decode for real; only true video containers
+    * fall back to the deterministic stub. Emits a fixed 8-dim float
+    * feature per record.
     */
   def featurize(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -69,6 +71,14 @@ object MediaOps {
           case Some(img) =>
             imageFeatures(r, cs, img.width, img.height,
               img.meanR, img.meanG, img.meanB)
+          case None => GifDecoder.decode(r.payload) match {
+            case Some(anim) =>
+              // animated media: frame count rides slot 5, marker 3
+              val feat = Array(anim.meanR.toFloat / 255f, anim.meanG.toFloat / 255f,
+                anim.meanB.toFloat / 255f, anim.width.toFloat, anim.height.toFloat,
+                anim.frames.toFloat, r.payload.length.toFloat, 3f)
+              MediaFeatures(r.media_id, r.meta.kind, anim.width, anim.height,
+                r.payload.length, cs, feat)
           case None => ImageIoDecoder.decode(r.payload) match {
             case Some(img) =>
               imageFeatures(r, cs, img.width, img.height,
@@ -88,6 +98,7 @@ object MediaOps {
               MediaFeatures(r.media_id, r.meta.kind, w, h, r.payload.length, cs, feat)
             }
           }
+          }
         }
       }
     }
@@ -102,6 +113,31 @@ object MediaOps {
         explode(sequence(lit(0), lit(nFrames - 1))))
       .withColumn("frame_key",
         concat(col("media_id"), lit("#"), col("frame_idx")))
+
+  /** Sampled-frame featurization with REAL decode for animated payloads:
+    * up to `maxFrames` evenly-spaced frames per GIF record, one output
+    * row per decoded frame with its exact channel means. Non-animated
+    * payloads yield no rows (they have no frame dimension). Runs in the
+    * same partition-batched shape as featurize.
+    */
+  def featurizeFrames(media: Dataset[MediaRecord], maxFrames: Int)
+      : Dataset[(Long, Int, Int, Int, Float, Float, Float)] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        GifDecoder.decode(r.payload).toSeq.flatMap { anim =>
+          val n = math.min(maxFrames, anim.frames)
+          (0 until n).flatMap { i =>
+            val idx = if (n == 1) 0 else i * (anim.frames - 1) / (n - 1)
+            GifDecoder.decodeFrame(r.payload, idx).map { f =>
+              (r.media_id, idx, f.width, f.height,
+               f.meanR.toFloat, f.meanG.toFloat, f.meanB.toFloat)
+            }
+          }
+        }
+      }
+    }
+  }
 
   /** Resize plan: records the target size next to the payload; the actual
     * pixel work happens in featurize's partition loop in a real system.

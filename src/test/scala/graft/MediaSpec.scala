@@ -124,6 +124,56 @@ class MediaSpec extends SparkSpec {
     assert(f.width == 16 && f.feature(7) == 1f)
   }
 
+  private def encodeGif(frames: Seq[(Int, Int, Int)], w: Int, h: Int): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageIO}
+    val writer = ImageIO.getImageWritersBySuffix("gif").next()
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach { case (r, g, b) =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      writer.writeToSequence(new IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose(); ios.close()
+    out.toByteArray
+  }
+
+  test("animated GIF decode: frame count and sampled per-frame means are real") {
+    import graft.multimodal.{GifDecoder, MediaOps}
+    import MediaOps.{MediaMeta, MediaRecord}
+    import spark.implicits._
+    // 3 solid frames: red, green, blue (pure colors survive the palette)
+    val gif = encodeGif(Seq((255, 0, 0), (0, 255, 0), (0, 0, 255)), 6, 4)
+    assert(new String(gif.take(4), "ASCII").startsWith("GIF8"))
+
+    val anim = GifDecoder.decode(gif).get
+    assert(anim.width == 6 && anim.height == 4 && anim.frames == 3)
+    assert(anim.meanR == 255.0 && anim.meanG == 0.0 && anim.meanB == 0.0)
+
+    // featurize path: marker 3, frame count in slot 5
+    val ds = Seq(MediaRecord(21L, MediaMeta("video", 6, 4, 0), gif)).toDS()
+    val f = MediaOps.featurize(ds).collect()(0)
+    assert(f.feature(7) == 3f && f.feature(5) == 3f)
+    assert(f.width == 6 && f.height == 4)
+
+    // sampled-frame featurization decodes each frame's true colors
+    val frames = MediaOps.featurizeFrames(ds, maxFrames = 3)
+      .collect().sortBy(_._2)
+    assert(frames.length == 3)
+    assert(frames.map(_._2).toSeq == Seq(0, 1, 2))
+    assert(frames(0)._5 == 255f && frames(0)._6 == 0f)   // red frame
+    assert(frames(1)._6 == 255f)                         // green frame
+    assert(frames(2)._7 == 255f)                         // blue frame
+    // non-animated payloads contribute no frame rows
+    val bmpOnly = Seq(MediaRecord(22L, MediaMeta("image", 2, 2, 0),
+      graft.multimodal.BmpDecoder.encode(2, 2, Array.fill(4)((1, 2, 3))))).toDS()
+    assert(MediaOps.featurizeFrames(bmpOnly, 3).count() == 0)
+  }
+
   test("ImageIoDecoder rejects non-image payloads without attempting a parse") {
     import graft.multimodal.ImageIoDecoder
     assert(ImageIoDecoder.decode(null).isEmpty)

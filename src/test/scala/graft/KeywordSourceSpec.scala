@@ -132,4 +132,34 @@ class KeywordSourceSpec extends SparkSpec {
     assert(spark.read.format("graft-keyword")
       .option("fields", "job").load(base).count() == 4)
   }
+
+  test("DSv2 graft-keyword: aborted tasks leave no visible files") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.sources.{KeywordStagedFiles, KeywordWriterFactory}
+    val base = tmp("kw-dsv2-abort")
+    val schema = StructType(Seq(
+      StructField("keyword", StringType), StructField("job", StringType)))
+    val writer = KeywordWriterFactory(base, schema).createWriter(0, 0L)
+    writer.write(InternalRow(UTF8String.fromString("scala"),
+                             UTF8String.fromString("j1")))
+    // before commit: only a hidden staging file exists -> reader sees nothing
+    val staged = new java.io.File(base, "scala").listFiles().map(_.getName)
+    assert(staged.forall(_.startsWith(".staging-")), staged.toSeq)
+    assert(spark.read.format("graft-keyword")
+      .option("fields", "job").load(base).count() == 0)
+    // abort: staging removed entirely
+    writer.abort()
+    assert(new java.io.File(base, "scala").listFiles().isEmpty)
+
+    // and the commit path makes exactly those files visible
+    val w2 = KeywordWriterFactory(base, schema).createWriter(1, 1L)
+    w2.write(InternalRow(UTF8String.fromString("scala"),
+                         UTF8String.fromString("j2")))
+    val msg = w2.commit().asInstanceOf[KeywordStagedFiles]
+    new graft.sources.KeywordBatchWrite(base, schema).commit(Array(msg))
+    assert(spark.read.format("graft-keyword")
+      .option("fields", "job").load(base).count() == 1)
+  }
 }

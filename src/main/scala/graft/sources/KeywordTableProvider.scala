@@ -108,12 +108,16 @@ class KeywordScanBuilder(base: String, full: StructType)
       case IsNotNull("keyword") => true
       case _ => false
     }
-    val allowed = accepted.flatMap {
+    // only VALUE-bearing filters narrow the allow-list: gating on
+    // accepted.nonEmpty would let a lone IsNotNull set it to the empty
+    // set and prune every directory (zero rows from a correct query)
+    val valueFilters = accepted.filterNot(_.isInstanceOf[IsNotNull])
+    val allowed = valueFilters.flatMap {
       case EqualTo(_, v: String) => Seq(v)
       case In(_, vs) => vs.map(_.asInstanceOf[String]).toSeq
       case _ => Seq.empty
     }.toSet
-    if (accepted.nonEmpty) {
+    if (valueFilters.nonEmpty) {
       keywordAllowList = Some(keywordAllowList.fold(allowed)(_ intersect allowed))
     }
     pushed = accepted
@@ -130,12 +134,35 @@ class KeywordScanBuilder(base: String, full: StructType)
 
 case class KeywordScan(base: String, readSchemaV: StructType,
                        keywords: Option[Set[String]], pushed: Array[Filter])
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   override def readSchema(): StructType = readSchemaV
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-keyword base=$base keywords=${keywords.fold("*")(_.mkString(","))} " +
       s"PushedFilters: [${pushed.mkString(", ")}]"
+
+  // runtime filtering (the DSv2 form of dynamic partition pruning): when
+  // the keyword column joins a selective dim, Spark hands the dim's
+  // actual keys here AT RUNTIME and input partitions are re-planned —
+  // whole directories drop out based on data only known mid-query
+  @volatile private var runtimeAllow: Option[Set[String]] = None
+  /** Observable for tests/diagnostics: the runtime-narrowed keyword set. */
+  def runtimeKeywords: Option[Set[String]] = runtimeAllow
+  override def filterAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("keyword"))
+  override def filter(filters: Array[Filter]): Unit = {
+    val allowed = filters.flatMap {
+      case EqualTo("keyword", v: String) => Seq(v)
+      case In("keyword", vs) if vs.forall(_.isInstanceOf[String]) =>
+        vs.map(_.asInstanceOf[String]).toSeq
+      case _ => Seq.empty
+    }.toSet
+    if (allowed.nonEmpty) {
+      runtimeAllow = Some(runtimeAllow.fold(allowed)(_ intersect allowed))
+    }
+  }
 
   // planning-time pruning: unselected keyword directories contribute no
   // input partitions at all
@@ -144,6 +171,7 @@ case class KeywordScan(base: String, readSchemaV: StructType,
     val dirs = Option(baseDir.listFiles()).getOrElse(Array.empty)
       .filter(_.isDirectory)
       .filter(d => keywords.forall(_.contains(d.getName)))
+      .filter(d => runtimeAllow.forall(_.contains(d.getName)))
       .sortBy(_.getName)
     dirs.flatMap { d =>
       Option(d.listFiles()).getOrElse(Array.empty)

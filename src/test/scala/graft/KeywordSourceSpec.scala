@@ -133,6 +133,52 @@ class KeywordSourceSpec extends SparkSpec {
       .option("fields", "job").load(base).count() == 4)
   }
 
+  test("DSv2 graft-keyword: runtime filtering prunes directories from a join") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import graft.sources.KeywordScan
+    val base = tmp("kw-dsv2-rt")
+    writeSnapshots(base, "scala", "s1.json", Seq("""{"job":"j1"}"""))
+    writeSnapshots(base, "spark", "p1.json", Seq("""{"job":"j2"}"""))
+    writeSnapshots(base, "flink", "f1.json", Seq("""{"job":"j3"}"""))
+
+    // dim must be a real relation (same requirement as DPP: a folded
+    // LocalRelation has no Filter node for the pruning rule to find)
+    val dimDir = tmp("kw-dsv2-rt-dim")
+    Seq(("scala", "keep"), ("spark", "drop"), ("flink", "drop"))
+      .toDF("kw", "tag").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter(col("tag") === "keep")
+
+    try {
+      // fixture-scale benefit estimate, as in DppSpec
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+      val fact = spark.read.format("graft-keyword")
+        .option("fields", "job").load(base)
+      val q = fact.join(dim, fact("keyword") === dim("kw")).select("keyword", "job")
+      val rows = q.collect().map(r => (r.getString(0), r.getString(1)))
+      assert(rows.toSeq == Seq(("scala", "j1")))
+
+      // the scan received the runtime keys and re-planned its partitions.
+      // The join runs under AQE: descend through the adaptive plan AND
+      // its query stages (stages are collect-leaves)
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def findScan(p: SparkPlan): Option[KeywordScan] =
+        p.collectFirst { case b: BatchScanExec => b.scan.asInstanceOf[KeywordScan] }
+          .orElse(p.collect { case qs: QueryStageExec => qs.plan }
+            .flatMap(findScan(_)).headOption)
+      val root = q.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val scan = findScan(root).get
+      assert(scan.runtimeKeywords.contains(Set("scala")), scan.runtimeKeywords)
+      assert(q.queryExecution.executedPlan.toString.contains("RuntimeFilters"),
+        "no runtime filter attached to the scan")
+    } finally {
+      spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    }
+  }
+
   test("DSv2 graft-keyword: aborted tasks leave no visible files") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.types._

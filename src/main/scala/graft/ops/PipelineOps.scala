@@ -36,6 +36,16 @@ object PipelineOps {
   def hashBucket(id: Column, buckets: Int = 1000): Column =
     pmod(pmod(id * lit(48271L), lit(2147483647L)), lit(buckets.toLong))
 
+  /** Content-stable variant: bucket from the TEXT itself (md5 prefix), so
+    * membership survives id reassignment across pipeline versions and
+    * exact duplicates always land in the same bucket (sampling before or
+    * after dedup picks consistent representatives). Engine-portable: the
+    * DuckDB mirror is ('0x' || substr(md5(text), 1, 8))::BIGINT % n.
+    */
+  def contentBucket(text: Column, buckets: Int = 1000): Column =
+    pmod(conv(substring(md5(text), 1, 8), 16, 10).cast("long"),
+         lit(buckets.toLong))
+
   /** Redact common PII shapes (emails, international-ish phone numbers,
     * SSN-style ids) with typed placeholders. regexp_replace is codegen'd
     * and replaces ALL occurrences; order matters (phone before bare-id so

@@ -35,6 +35,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(counts.max <= 20 && counts.min >= 5, s"min ${counts.min} max ${counts.max}")
   }
 
+  test("contentBucket: id-independent, duplicate-consistent, near-uniform") {
+    val docs = (0 until 5000).map(i => (i.toLong, s"document body number ${i / 2}"))
+      .toDF("doc_id", "text") // every text appears under TWO different ids
+    val b = docs.select($"doc_id", $"text",
+      PipelineOps.contentBucket($"text").as("bucket"))
+    // exact duplicates always share a bucket regardless of their ids
+    assert(b.groupBy("text").agg(countDistinct($"bucket").as("nb"))
+      .filter($"nb" =!= 1).count() == 0)
+    // and distinct texts spread near-uniformly
+    val counts = b.select("text", "bucket").distinct()
+      .groupBy("bucket").count().select("count").as[Long].collect()
+    assert(counts.sum == 2500)
+    assert(counts.max <= 15, s"max bucket ${counts.max}")
+  }
+
   test("stratified sample keeps strata rates within tolerance") {
     val docs = spark.range(20000).select(
       $"id".as("doc_id"),

@@ -96,13 +96,18 @@ object TextOps {
     * reusable operator (explode tokens -> per-bit majority vote -> fold
     * back into one long), shared by q48 and the q79 Hamming-join.
     */
-  def simhashSignatures(s: SparkSession, d: String): DataFrame = {
-    // per-bit explode + two map-side-combined aggs. Measured against a
-    // 60-vote-columns-in-one-agg variant (only |docs| rows crossing the
-    // shuffle): the explode form is ~25% faster here — 60 sum buffers per
-    // hash-agg row cost more than pushing skinny rows through codegen'd
-    // partial aggregation. Keep the explode shape.
-    withToks(Tables.documents(s, d))
+  def simhashSignatures(s: SparkSession, d: String): DataFrame =
+    simhashSignaturesOf(Tables.documents(s, d))
+
+  /** Same, over any (doc_id, text) frame.
+    * Per-bit explode + two map-side-combined aggs. Measured against a
+    * 60-vote-columns-in-one-agg variant (only |docs| rows crossing the
+    * shuffle): the explode form is ~25% faster here — 60 sum buffers per
+    * hash-agg row cost more than pushing skinny rows through codegen'd
+    * partial aggregation. Keep the explode shape.
+    */
+  def simhashSignaturesOf(docs: DataFrame): DataFrame = {
+    withToks(docs)
       .select(col("doc_id"), explode_outer(array_distinct(col("toks"))).as("tok"))
       .filter(col("tok").isNotNull)
       .withColumn("hv", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
@@ -115,6 +120,40 @@ object TextOps {
       .agg(sum(expr("CASE WHEN s >= 0 THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END"))
         .as("simhash"))
   }
+
+  /** SimHash Hamming-join as a reusable operator over (doc_id, text).
+    * Signatures ride INSIDE the bucket structs: Catalyst has no
+    * common-subplan reuse, so joining signatures back onto the candidate
+    * pairs would recompute the whole simhash pipeline 3x — instead each
+    * emitted pair already carries both signatures and the verify step is
+    * one codegen'd bit_count. Band buckets capped at `cap` (an
+    * adversarial mass-duplicate signature would otherwise make one
+    * bucket O(n^2) — the q50 df-cap lesson); compose sha2 exact-dedup in
+    * front on duplication-heavy corpora (TextDedupSpec proves both the
+    * failure mode and the composition).
+    */
+  def simhashHammingPairs(docs: DataFrame, cap: Int = BAND_CAP,
+                          maxHamming: Int = 2): DataFrame =
+    simhashSignaturesOf(docs)
+      .select(col("doc_id"), col("simhash"), explode(expr(
+        """transform(sequence(0, 2), i ->
+          |  named_struct('bi', i, 'bv', shiftright(simhash, i * 20) & 1048575))"""
+          .stripMargin)).as("b"))
+      .groupBy(col("b.bi"), col("b.bv"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash"))))
+        .as("ds"))
+      .filter(size(col("ds")).between(2, cap))
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)),
+          |            y -> named_struct('d1', x.doc_id, 's1', x.simhash,
+          |                              'd2', y.doc_id, 's2', y.simhash))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.d1"), col("p.d2"), col("p.s1"), col("p.s2"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(s1 ^ s2)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("d1"), col("d2"), col("hamming"))
 
   /** (doc_id, grams) shingle frame for a (doc_id, text) corpus. */
   def shingled(docs: DataFrame): DataFrame =
@@ -265,34 +304,9 @@ object TextOps {
     // adversarial mass-duplicate signature would otherwise make one
     // bucket O(n^2) (the q50 df-cap lesson); dedup-first composition
     // (q50b-style) is the recall-preserving answer for such corpora.
-    "q79_simhash_hamming" -> ((s, d) => {
-      // signatures ride INSIDE the bucket structs: Catalyst has no
-      // common-subplan reuse, so joining signatures back onto the
-      // candidate pairs would recompute the whole simhash pipeline 3x —
-      // instead each emitted pair already carries both signatures and the
-      // verify step is a codegen'd bit_count away
-      simhashSignatures(s, d)
-        .select(col("doc_id"), col("simhash"), explode(expr(
-          """transform(sequence(0, 2), i ->
-            |  named_struct('bi', i, 'bv', shiftright(simhash, i * 20) & 1048575))"""
-            .stripMargin)).as("b"))
-        .groupBy(col("b.bi"), col("b.bv"))
-        .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash"))))
-          .as("ds"))
-        .filter(size(col("ds")).between(2, BAND_CAP))
-        .select(explode(expr(
-          """flatten(transform(ds, (x, i) ->
-            |  transform(slice(ds, i + 2, size(ds)),
-            |            y -> named_struct('d1', x.doc_id, 's1', x.simhash,
-            |                              'd2', y.doc_id, 's2', y.simhash))))"""
-            .stripMargin)).as("p"))
-        .select(col("p.d1"), col("p.d2"), col("p.s1"), col("p.s2"))
-        .distinct()
-        .withColumn("hamming", expr("bit_count(s1 ^ s2)").cast("long"))
-        .filter(col("hamming") <= 2)
-        .select(col("d1"), col("d2"), col("hamming"))
-        .orderBy(col("d1"), col("d2"))
-    }),
+    "q79_simhash_hamming" -> ((s, d) =>
+      simhashHammingPairs(Tables.documents(s, d))
+        .orderBy(col("d1"), col("d2"))),
 
     // ---- q66: fuzzy (edit-distance) near-dup verification — the same
     // rare-shingle candidate generation as q50, but verified with

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{min, sha2}
 import graft.ops.TextOps
 
 /** Regression for the df-cap recall collapse measured in SCALING.md: on a
@@ -55,6 +56,44 @@ class TextDedupSpec extends SparkSpec {
     val dups = out.select("d1_dups", "d2_dups").collect()
       .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
     assert(dups == Set(10L))
+  }
+
+  test("simhash hamming-join: bucket cap fails on mass duplication; dedup-first recovers") {
+    // simhash is order-insensitive (distinct token SETS), so a reordered
+    // doc is the deterministic near-dup class: hamming 0, yet a distinct
+    // text (distinct sha2). Token-substitution pairs are NOT reliably
+    // simhash-near at 12 tokens — vote margins are too tight.
+    val reordered = Seq((0L, 40L), (7L, 47L))
+    def corpus(times: Int): DataFrame = {
+      val base = (0 until 30).map(i =>
+        (i.toLong, (0 until 12).map(j => s"w${i}_$j").mkString(" ")))
+      val pairs = reordered.map { case (src, id) =>
+        (id, (0 until 12).reverse.map(j => s"w${src}_$j").mkString(" "))
+      }
+      val rows = (0 until times).flatMap { r =>
+        (base ++ pairs).map { case (id, t) => (id + r * 1000L, t) }
+      }
+      rows.toDF("doc_id", "text")
+    }
+
+    // clean corpus: reorder pairs found at hamming 0
+    val clean = TextOps.simhashHammingPairs(corpus(1))
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(reordered.toSet.subsetOf(clean), s"clean corpus missed pairs: $clean")
+
+    // 10x duplication with a tight bucket cap: every signature's bucket
+    // exceeds the cap, candidates vanish — same failure mode as q50
+    val flooded = TextOps.simhashHammingPairs(corpus(10), cap = 8)
+    assert(flooded.count() == 0)
+
+    // composition: sha2-dedup to representatives first, then hamming-join
+    val docs = corpus(10)
+    val reps = docs.withColumn("h", sha2($"text", 256))
+      .groupBy($"h").agg(min($"doc_id").as("doc_id")).drop("h")
+      .join(docs, "doc_id")
+    val recovered = TextOps.simhashHammingPairs(reps, cap = 8)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(reordered.toSet.subsetOf(recovered), s"composition missed pairs: $recovered")
   }
 
   test("dedup-first equals plain pipeline on a duplicate-free corpus") {

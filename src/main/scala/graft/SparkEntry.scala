@@ -19,7 +19,8 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Cleaning.queries ++
       ops.TimeWindows.queries ++ ops.TextOps.queries ++ ops.VectorOps.queries ++
       ops.DedupOps.queries ++ ops.Advanced.queries ++
-      ops.FunctionFamilies.queries ++ ops.PipelineOps.queries ++ ops.GraphOps.queries
+      ops.FunctionFamilies.queries ++ ops.PipelineOps.queries ++
+      ops.PipelineOps.queries2 ++ ops.GraphOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

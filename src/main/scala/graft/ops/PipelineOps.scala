@@ -122,7 +122,43 @@ object PipelineOps {
     })
   )
 
+  val queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- q81: token-budget shard assignment (sequence packing for
+    // training shards): docs in a stable order, running token total,
+    // shard = which 4096-token budget window the doc STARTS in. One
+    // window pass; at 100 TB the ordering column is a pre-bucketed sort
+    // key, so the prefix sum never needs a global single-partition sort
+    // (range partitioning gives per-range offsets to add).
+    "q81_token_budget_shards" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_toks"))
+        .withColumn("cum_toks", sum(col("n_toks")).over(w))
+        .withColumn("shard", floor((col("cum_toks") - col("n_toks"))
+          / lit(4096L)).cast("long"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("shard_toks"),
+             min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("shard"))
+    })
+  )
+
   val oracles: Map[String, String] = Map(
+    "q81_token_budget_shards" ->
+      """WITH toks AS (
+        |  SELECT doc_id, len(str_split(text, ' '))::BIGINT AS n_toks
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, n_toks,
+        |    sum(n_toks) OVER (ORDER BY doc_id
+        |                      ROWS UNBOUNDED PRECEDING) AS cum_toks
+        |  FROM toks)
+        |SELECT floor((cum_toks - n_toks) / 4096)::BIGINT AS shard,
+        |  count(*) AS n_docs, sum(n_toks)::BIGINT AS shard_toks,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM cum GROUP BY 1 ORDER BY shard""".stripMargin,
     "q72_repetition_quality" ->
       s"""WITH per_gram AS (
         |  SELECT doc_id, gram, count(*) AS c FROM (

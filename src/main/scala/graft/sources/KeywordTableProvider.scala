@@ -81,7 +81,8 @@ case class KeywordTable(base: String, tableSchema: StructType)
   override def name(): String = s"graft-keyword:$base"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KeywordScanBuilder(base, tableSchema)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -138,6 +139,9 @@ case class KeywordScan(base: String, readSchemaV: StructType,
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   override def readSchema(): StructType = readSchemaV
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new KeywordMicroBatchStream(base, readSchemaV)
   override def description(): String =
     s"graft-keyword base=$base keywords=${keywords.fold("*")(_.mkString(","))} " +
       s"PushedFilters: [${pushed.mkString(", ")}]"
@@ -338,4 +342,70 @@ class KeywordDataWriter(base: String, schema: StructType,
   }
 
   override def close(): Unit = ()
+}
+
+/** DSv2 streaming read (the S3 incremental-scroll surface in connector
+  * form): each micro-batch processes the snapshot files that appeared
+  * since the last committed offset. The offset is the sorted list of
+  * files already seen — exactly-once at the source: a restarted query
+  * resumes from the checkpointed offset and never re-reads a file.
+  */
+class KeywordMicroBatchStream(base: String, schema: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def allFiles(): Seq[(String, String)] = {
+    val baseDir = new java.io.File(base)
+    Option(baseDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).sortBy(_.getName)
+      .flatMap { d =>
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".json"))
+          .sortBy(_.getName)
+          .map(f => d.getName -> f.getAbsolutePath)
+      }.toSeq
+  }
+
+  override def latestOffset(): Offset = KeywordFilesOffset(allFiles().map(_._2))
+  override def initialOffset(): Offset = KeywordFilesOffset(Seq.empty)
+  override def deserializeOffset(json: String): Offset =
+    KeywordFilesOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[KeywordFilesOffset].files.toSet
+    val until = end.asInstanceOf[KeywordFilesOffset].files.toSet
+    allFiles()
+      .filter { case (_, f) => until.contains(f) && !seen.contains(f) }
+      .map { case (kw, f) => KeywordFilePartition(kw, f): InputPartition }
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    KeywordReaderFactory(schema)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Offset = the set of files already ingested. Serialized as a
+  * SINGLE-LINE JSON array: the streaming offset log is line-based (one
+  * line per source), so a multi-line offset would be misread as extra
+  * sources on restart.
+  */
+case class KeywordFilesOffset(files: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = mapper.createArrayNode()
+    files.foreach(arr.add)
+    mapper.writeValueAsString(arr)
+  }
+}
+
+object KeywordFilesOffset {
+  def fromJson(json: String): KeywordFilesOffset = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(json)
+    val files = (0 until node.size()).map(node.get(_).asText())
+    KeywordFilesOffset(files)
+  }
 }

@@ -179,6 +179,39 @@ class KeywordSourceSpec extends SparkSpec {
     }
   }
 
+  test("DSv2 graft-keyword: streaming read ingests only new files per tick") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = tmp("kw-dsv2-stream")
+    val outDir = tmp("kw-dsv2-stream-out")
+    val ckpt = tmp("kw-dsv2-stream-ckpt")
+    writeSnapshots(base, "scala", "s1.json", Seq("""{"job":"j1"}"""))
+    writeSnapshots(base, "spark", "p1.json", Seq("""{"job":"j2"}"""))
+
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-keyword")
+        .option("fields", "job").load(base)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).outputMode("append").start()
+      q.awaitTermination(60000)
+    }
+
+    drain()
+    assert(spark.read.parquet(outDir).count() == 2)
+
+    // second tick: one new file appears; ONLY its rows are ingested
+    // (checkpointed file-set offset — a restart never re-reads)
+    writeSnapshots(base, "scala", "s2.json", Seq("""{"job":"j9"}"""))
+    drain()
+    val rows = spark.read.parquet(outDir).select("keyword", "job")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(rows.toSeq == Seq(("scala", "j1"), ("scala", "j9"), ("spark", "j2")))
+
+    // third tick with nothing new: no duplicate ingestion
+    drain()
+    assert(spark.read.parquet(outDir).count() == 3)
+  }
+
   test("DSv2 graft-keyword: aborted tasks leave no visible files") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.types._

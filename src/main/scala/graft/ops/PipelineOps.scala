@@ -122,21 +122,50 @@ object PipelineOps {
     })
   )
 
+  /** Distributed prefix sum: `cum_<valueCol>` = running total of
+    * `valueCol` in `orderCol` order, WITHOUT a global single-partition
+    * window (`Window.orderBy(x)` alone collapses the whole table into
+    * one task — the classic prefix-sum scale trap). Two phases:
+    * range-partition on the order column, per-partition running sums,
+    * then add each partition's starting offset (one tiny driver-side
+    * collect of numPartitions subtotals — aggregates, not data).
+    */
+  def withRunningTotal(df: DataFrame, orderCol: String, valueCol: String,
+                       partitions: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // eager checkpoint: repartitionByRange SAMPLES its bounds per job, so
+    // the subtotal pass and the result pass could otherwise see different
+    // partition assignments — pin one materialization for both
+    val parted = df.repartitionByRange(partitions, col(orderCol))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("_pid")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = parted.withColumn("_local_cum", sum(col(valueCol)).over(w))
+    val totals = withLocal.groupBy(col("_pid"))
+      .agg(sum(col(valueCol)).as("_total"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.scanLeft(0L)(_ + _._2).init
+    val offsetMap = totals.map(_._1).zip(offsets).toMap
+    val offsetCol = offsetMap.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
+      when(col("_pid") === pid, lit(off)).otherwise(acc)
+    }
+    withLocal
+      .withColumn(s"cum_$valueCol", col("_local_cum") + offsetCol)
+      .drop("_pid", "_local_cum")
+  }
+
   val queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- q81: token-budget shard assignment (sequence packing for
     // training shards): docs in a stable order, running token total,
-    // shard = which 4096-token budget window the doc STARTS in. One
-    // window pass; at 100 TB the ordering column is a pre-bucketed sort
-    // key, so the prefix sum never needs a global single-partition sort
-    // (range partitioning gives per-range offsets to add).
+    // shard = which 4096-token budget window the doc STARTS in. The
+    // prefix sum is the two-phase range-partitioned form above — no
+    // global single-partition sort anywhere in the plan.
     "q81_token_budget_shards" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, d)
+      val toks = Tables.documents(s, d)
         .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_toks"))
-        .withColumn("cum_toks", sum(col("n_toks")).over(w))
-        .withColumn("shard", floor((col("cum_toks") - col("n_toks"))
+      withRunningTotal(toks, "doc_id", "n_toks")
+        .withColumn("shard", floor((col("cum_n_toks") - col("n_toks"))
           / lit(4096L)).cast("long"))
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("shard_toks"),

@@ -50,6 +50,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(counts.max <= 15, s"max bucket ${counts.max}")
   }
 
+  test("withRunningTotal matches the single-partition global window exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(5)
+    val df = (0 until 5000).map(_ => (rnd.nextInt(1000000).toLong, rnd.nextInt(100).toLong))
+      .distinctBy(_._1).map { case (k, v) => (k, v) }
+      .toDF("k", "v")
+    val w = Window.orderBy($"k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val reference = df.withColumn("cum_v", sum($"v").over(w))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(2)))
+    val distributed = graft.ops.PipelineOps.withRunningTotal(df, "k", "v", 8)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(distributed.toSeq == reference.toSeq)
+    // and the window is keyed on the range-partition id — no global
+    // single-partition Exchange feeding a Sort+Window
+    val plan = graft.ops.PipelineOps.withRunningTotal(df, "k", "v", 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("_pid"), plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
+
   test("stratified sample keeps strata rates within tolerance") {
     val docs = spark.range(20000).select(
       $"id".as("doc_id"),

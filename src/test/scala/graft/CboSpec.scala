@@ -49,4 +49,46 @@ class CboSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS cbo_t")
     }
   }
+
+  test("CBO join reorder: stats flip a written-order chain to cheapest-first") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    def innermostJoinTables(q: org.apache.spark.sql.DataFrame): Set[String] = {
+      val joins = q.queryExecution.optimizedPlan.collect { case j: Join => j }
+      joins.last.children.flatMap(_.collectLeaves()).map(_.toString)
+        .flatMap(l => Seq("cbo_big", "cbo_med", "cbo_small").filter(l.contains))
+        .toSet
+    }
+    try {
+      (0 until 200000).map(i => (i.toLong % 20000, i.toLong))
+        .toDF("k1", "pay").write.mode("overwrite").saveAsTable("cbo_big")
+      (0 until 20000).map(i => (i.toLong, i.toLong % 50))
+        .toDF("k1", "k2").write.mode("overwrite").saveAsTable("cbo_med")
+      (0 until 50).map(i => (i.toLong, s"s$i"))
+        .toDF("k2", "tag").write.mode("overwrite").saveAsTable("cbo_small")
+      Seq("cbo_big", "cbo_med", "cbo_small").foreach(t =>
+        spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS"))
+
+      def query = spark.table("cbo_big")
+        .join(spark.table("cbo_med"), "k1")
+        .join(spark.table("cbo_small"), "k2")
+        .groupBy().count()
+
+      // written order: the innermost join is big x med
+      assert(innermostJoinTables(query) == Set("cbo_big", "cbo_med"))
+
+      // with CBO + join reorder, stats say med x small is the cheaper
+      // inner pair (tiny intermediate), and the optimizer rewrites to it
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      val reordered = innermostJoinTables(query)
+      assert(reordered == Set("cbo_med", "cbo_small"), reordered)
+      assert(query.collect()(0).getLong(0) == 200000L)
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.conf.unset("spark.sql.cbo.joinReorder.enabled")
+      Seq("cbo_big", "cbo_med", "cbo_small").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }

@@ -247,10 +247,13 @@ object Relational {
     }),
 
     // ---- q18: broadcast join fact->dim + agg by part brand.
+    // `part` grows with SF, so the hint is size-gated: at small SF the plan
+    // is a broadcast hash join (PlanGuardSpec asserts it); at 100x the dim
+    // outgrows the gate and AQE picks the strategy from runtime sizes.
     "q18_broadcast_join" -> ((s, d) => {
       val part = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
       Tables.lineitem(s, d)
-        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(ScaleOps.broadcastIfSmall(part), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
         .orderBy(col("p_brand"))

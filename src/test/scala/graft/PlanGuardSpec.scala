@@ -47,6 +47,14 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.contains("_i") && p.contains("_j"), p)
   }
 
+  test("q18: dim still broadcasts at fixture scale through the size gate") {
+    // broadcastIfSmall must resolve to a broadcast here (part is tiny at
+    // sf0.001); at 100x the gate drops the hint instead of OOMing the driver.
+    val p = plan("q18_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q79: no join back onto the signature pipeline (pairs carry simhashes)") {
     val p = plan("q79_simhash_hamming")
     assert(!p.contains("Join"), p) // single linear pipeline, no joins at all

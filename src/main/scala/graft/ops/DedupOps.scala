@@ -74,6 +74,10 @@ object DedupOps {
     // ---- q49: MinHash signatures -> LSH band buckets -> candidate pairs
     // -> exact jaccard verification.
     "q49_minhash_lsh" -> ((s, d) => {
+      // Materialized once (executor-local checkpoint): candidate
+      // generation AND both exact-jaccard verify joins read the same
+      // shingle table — without it Catalyst re-derives the
+      // tokenize→trigram pipeline per reference (3 corpus passes).
       val g0 = Tables.rebalance(Tables.documents(s, d))
         .withColumn("toks", split(col("text"), " "))
         .select(col("doc_id"), array_distinct(expr(
@@ -83,9 +87,10 @@ object DedupOps {
             |                                element_at(toks, i + 1),
             |                                element_at(toks, i + 2)))
             |ELSE array() END""".stripMargin)).as("grams"))
+        .localCheckpoint()
       // explode_outer + null filter: plain explode would infer a
-      // non-empty-array filter pushed below the rebalance Exchange,
-      // re-evaluating the trigram construction on one partition
+      // non-empty-array filter (moot over the checkpointed RDD, kept for
+      // shape parity with the TextOps index)
       val g = g0.select(col("doc_id"), explode_outer(col("grams")).as("gram"))
         .filter(col("gram").isNotNull)
       // One md5 per shingle, then NUM_SEEDS cheap derived hashes

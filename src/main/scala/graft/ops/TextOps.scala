@@ -58,20 +58,18 @@ object TextOps {
       |    sum(CASE WHEN s >= 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
       |  FROM bits GROUP BY doc_id)""".stripMargin
 
-  /** Exact n-gram Jaccard near-dup pairs over a (doc_id, grams) frame —
-    * the q50 pipeline as a reusable operator.
-    *
-    * Candidates come from a df-capped inverted shingle index (one
-    * aggregation over the exploded gram table, in-bucket pairs emitted
-    * from the collected posting list — no self-join, so the shingle
-    * explosion is computed once); verification is exact Jaccard on the
-    * full gram sets. A shingle in more than `dfCap` docs emits no
-    * candidates, bounding fan-out per shingle at C(dfCap, 2).
+  /** In-bucket candidate pairs (d1 < d2) from a df-capped inverted
+    * shingle index over a doc-level (doc_id, grams, ...) frame: one
+    * aggregation over the exploded gram table, pairs emitted from the
+    * collected posting list (no self-join). A shingle in more than
+    * `dfCap` docs emits no candidates, bounding fan-out per shingle at
+    * C(dfCap, 2). Pass an already-materialized (checkpointed) frame —
+    * callers re-reference it for verification.
     */
-  def jaccardNearDupPairs(g0: DataFrame, dfCap: Int = DF_CAP): DataFrame = {
-    val g = g0.select(col("doc_id"), explode_outer(col("grams")).as("gram"))
+  private[ops] def invertedIndexCandidates(gc: DataFrame, dfCap: Int): DataFrame =
+    gc.select(col("doc_id"), explode_outer(col("grams")).as("gram"))
       .filter(col("gram").isNotNull)
-    val cand = g.groupBy(col("gram"))
+      .groupBy(col("gram"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")).between(2, dfCap))
       .select(explode(expr(
@@ -81,9 +79,24 @@ object TextOps {
         .as("p"))
       .select(col("p.d1"), col("p.d2"))
       .distinct()
-    cand
-      .join(g0.select(col("doc_id").as("d1"), col("grams").as("g1")), "d1")
-      .join(g0.select(col("doc_id").as("d2"), col("grams").as("g2")), "d2")
+
+  /** Exact n-gram Jaccard near-dup pairs over a (doc_id, grams) frame —
+    * the q50 pipeline as a reusable operator.
+    *
+    * Candidates come from the df-capped inverted shingle index above;
+    * verification is exact Jaccard on the full gram sets. The shingle
+    * frame is materialized ONCE (executor-local checkpoint) and shared
+    * by candidate generation and both verify-join sides — Catalyst has
+    * no common-subplan reuse, so the plain formulation re-derives the
+    * tokenize→trigram pipeline per reference (3 corpus passes). At
+    * 100 TB the checkpoint is one bounded write of (doc_id, grams) to
+    * executor storage vs two extra full scans+shingles of the corpus.
+    */
+  def jaccardNearDupPairs(g0: DataFrame, dfCap: Int = DF_CAP): DataFrame = {
+    val gc = g0.localCheckpoint()
+    invertedIndexCandidates(gc, dfCap)
+      .join(gc.select(col("doc_id").as("d1"), col("grams").as("g1")), "d1")
+      .join(gc.select(col("doc_id").as("d2"), col("grams").as("g2")), "d2")
       .withColumn("common", size(array_intersect(col("g1"), col("g2"))))
       .withColumn("jaccard", col("common").cast("double") /
         (size(col("g1")) + size(col("g2")) - col("common")))
@@ -176,9 +189,12 @@ object TextOps {
     * re-fetched for the surviving representatives via a doc_id join.
     */
   def dedupFirstJaccardPairs(docs: DataFrame, dfCap: Int = DF_CAP): DataFrame = {
+    // ids is referenced three times (reps join + two dup-count joins);
+    // checkpoint so the sha2 aggregation scans the corpus once, not 3x.
     val ids = docs.select(col("doc_id"), sha2(col("text"), 256).as("h"))
       .groupBy(col("h"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+      .localCheckpoint()
     val reps = ids.select(col("doc_id"), col("n_dups"))
       .join(docs, "doc_id")
     jaccardNearDupPairs(shingled(reps), dfCap)
@@ -315,25 +331,17 @@ object TextOps {
     // Prefix cap bounds the O(len^2) DP per pair — at 100 TB you never
     // run unbounded edit distance on full documents.
     "q66_fuzzy_neardup" -> ((s, d) => {
-      val g0 = withToks(Tables.documents(s, d))
-        .select(col("doc_id"), array_distinct(expr(trigramExpr)).as("grams"))
-      val g = g0.select(col("doc_id"), explode_outer(col("grams")).as("gram"))
-        .filter(col("gram").isNotNull)
-      val cand = g.groupBy(col("gram"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-        .filter(size(col("ds")).between(2, DF_CAP))
-        .select(explode(expr(
-          """flatten(transform(ds, (x, i) ->
-            |  transform(slice(ds, i + 2, size(ds)),
-            |            y -> named_struct('d1', x, 'd2', y))))""".stripMargin))
-          .as("p"))
-        .select(col("p.d1"), col("p.d2"))
-        .distinct()
-      val texts = Tables.documents(s, d)
-        .select(col("doc_id"), substring(col("text"), 1, 120).as("prefix"))
-      cand
-        .join(texts.select(col("doc_id").as("d1"), col("prefix").as("t1")), "d1")
-        .join(texts.select(col("doc_id").as("d2"), col("prefix").as("t2")), "d2")
+      // One corpus pass: the checkpointed doc-level frame carries BOTH the
+      // shingle set (candidate generation) and the 120-char prefix
+      // (verification), so the verify joins read the materialized frame
+      // instead of re-scanning documents once per side.
+      val gc = withToks(Tables.documents(s, d))
+        .select(col("doc_id"), array_distinct(expr(trigramExpr)).as("grams"),
+                substring(col("text"), 1, 120).as("prefix"))
+        .localCheckpoint()
+      invertedIndexCandidates(gc, DF_CAP)
+        .join(gc.select(col("doc_id").as("d1"), col("prefix").as("t1")), "d1")
+        .join(gc.select(col("doc_id").as("d2"), col("prefix").as("t2")), "d2")
         .withColumn("edit_dist", levenshtein(col("t1"), col("t2")).cast("long"))
         .filter(col("edit_dist") <= 30)
         .select(col("d1"), col("d2"), col("edit_dist"))

@@ -55,6 +55,20 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q50/q49/q66: verify joins read the checkpointed shingle table, not a recompute") {
+    // The tokenize→trigram pipeline must run ONCE: final plan reads the
+    // materialized RDD everywhere — zero parquet scans, zero re-derived
+    // trigram constructions (Catalyst has no common-subplan reuse, so a
+    // non-checkpointed g0 would appear 3x).
+    for (q <- Seq("q50_jaccard_neardup", "q49_minhash_lsh", "q66_fuzzy_neardup")) {
+      val p = plan(q)
+      assert(!p.contains("Scan parquet"), s"$q re-scans the corpus:\n$p")
+      assert(p.contains("Scan ExistingRDD"), s"$q missing checkpoint scan:\n$p")
+      assert(!p.contains("concat_ws( , element_at"),
+        s"$q re-derives trigrams in the final plan:\n$p")
+    }
+  }
+
   test("q79: no join back onto the signature pipeline (pairs carry simhashes)") {
     val p = plan("q79_simhash_hamming")
     assert(!p.contains("Join"), p) // single linear pipeline, no joins at all

@@ -175,6 +175,61 @@ object Cleaning {
         .limit(5)
     }),
 
+    // ---- q82: A5 gender map (test.py:436-449) — stacked-bar styles
+    // classified male/female by the ±5-per-channel RGB tolerance
+    // predicate, collected into a per-job map. Fixture bars derive
+    // deterministically from doc_id: pos 0 perturbs the male target
+    // color by dr ∈ [-6, 6], pos 1 the female target, pos 2 never
+    // matches — |dr| = 6 falls outside the tolerance, so jobs carry
+    // 0-2 map entries and the filter path is exercised. Map emitted as
+    // sorted entries (SURVEY §5 map-hash rule).
+    "q82_gender_map" -> ((s, d) => {
+      val bars = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id").as("job_id"),
+                explode(sequence(lit(0), lit(2))).as("pos"))
+        .withColumn("dr", pmod(col("job_id") * 7 + col("pos") * 11, lit(13)) - 6)
+        .withColumn("style", concat(lit("width: 30%; background-color: "),
+          when(col("pos") === 0,
+               concat(lit("rgb("), lit(78) + col("dr"), lit(", 145, 255)")))
+          .when(col("pos") === 1,
+               concat(lit("rgb(255, "), lit(144) + col("dr"), lit(", 199)")))
+          .otherwise(lit("rgb(10, 20, 30)"))))
+        .withColumn("text",
+          concat(pmod(col("job_id") * 3 + col("pos") * 17, lit(100)), lit("%")))
+      graft.jobs.JobOps.genderMap(bars)
+        .select(col("job_id"),
+                sort_array(map_entries(col("gender"))).as("gender_entries"))
+        .orderBy(col("job_id"))
+    }),
+
+    // ---- q83: A6 language map (test.py:453-488) — per language, each
+    // bar's background color decodes to a proficiency level (exact
+    // legend lookup, 未知 default), "level+pct" strings join with commas
+    // in bar order, languages fold into a per-job map. Fixture: two
+    // languages x two bars per job; the legend index cycles through all
+    // four known colors plus one unknown.
+    "q83_language_map" -> ((s, d) => {
+      val legend = array(lit("rgb(200, 200, 200)"), lit("rgb(151, 195, 255)"),
+                         lit("rgb(102, 165, 255)"), lit("rgb(41, 128, 255)"),
+                         lit("rgb(7, 7, 7)"))
+      val bars = Tables.documents(s, d).filter(col("doc_id") < 100)
+        .select(col("doc_id").as("job_id"),
+                posexplode(array(lit("英文"), lit("日文"))).as(Seq("li", "lang")))
+        .select(col("job_id"), col("li"), col("lang"),
+                explode(sequence(lit(0), lit(1))).as("pos"))
+        .withColumn("ci",
+          pmod(col("job_id") * 5 + col("pos") * 3 + col("li") * 7, lit(5)))
+        .withColumn("style",
+          concat(lit("background-color: "),
+                 element_at(legend, col("ci").cast("int") + 1)))
+        .withColumn("text",
+          concat(pmod(col("job_id") + col("pos") * 29, lit(100)), lit("%")))
+      graft.jobs.JobOps.languageMap(bars)
+        .select(col("job_id"),
+                sort_array(map_entries(col("language_skills"))).as("skills_entries"))
+        .orderBy(col("job_id"))
+    }),
+
     // ---- q35: timestamp part extraction (update-date handling analog,
     // test.py:185-188; emitted as ints, never raw timestamps).
     "q35_date_parts" -> ((s, d) => {
@@ -279,6 +334,68 @@ object Cleaning {
     "q35_date_parts" ->
       """SELECT extract(hour FROM ts)::INT AS h, count(*) AS n,
         |  count(DISTINCT extract(day FROM ts)) AS n_days
-        |FROM events GROUP BY 1 ORDER BY h""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY h""".stripMargin,
+
+    "q82_gender_map" ->
+      """WITH bars AS (
+        |  SELECT doc_id AS job_id, pos,
+        |    (doc_id * 7 + pos * 11) % 13 - 6 AS dr,
+        |    ((doc_id * 3 + pos * 17) % 100) || '%' AS text
+        |  FROM documents CROSS JOIN (SELECT unnest(range(0, 3)) AS pos) p
+        |  WHERE doc_id < 200),
+        |styled AS (
+        |  SELECT job_id, text,
+        |    CASE WHEN pos = 0 THEN 'rgb(' || (78 + dr) || ', 145, 255)'
+        |         WHEN pos = 1 THEN 'rgb(255, ' || (144 + dr) || ', 199)'
+        |         ELSE 'rgb(10, 20, 30)' END AS rgbs
+        |  FROM bars),
+        |parsed AS (
+        |  SELECT job_id, text,
+        |    regexp_extract(rgbs, 'rgb\((\d+), (\d+), (\d+)\)', 1)::INT AS r,
+        |    regexp_extract(rgbs, 'rgb\((\d+), (\d+), (\d+)\)', 2)::INT AS g,
+        |    regexp_extract(rgbs, 'rgb\((\d+), (\d+), (\d+)\)', 3)::INT AS b
+        |  FROM styled),
+        |keyed AS (
+        |  SELECT job_id, text,
+        |    CASE WHEN abs(r - 78) <= 5 AND abs(g - 145) <= 5 AND abs(b - 255) <= 5
+        |           THEN '男性'
+        |         WHEN abs(r - 255) <= 5 AND abs(g - 144) <= 5 AND abs(b - 199) <= 5
+        |           THEN '女性' END AS gender_key
+        |  FROM parsed)
+        |SELECT job_id,
+        |  list_sort(list(struct_pack(key := gender_key, value := text)))
+        |    AS gender_entries
+        |FROM keyed WHERE gender_key IS NOT NULL
+        |GROUP BY job_id ORDER BY job_id""".stripMargin,
+
+    "q83_language_map" ->
+      """WITH bars AS (
+        |  SELECT doc_id AS job_id, l.lang AS bar_lang, li, pos,
+        |    (doc_id * 5 + pos * 3 + li * 7) % 5 AS ci,
+        |    ((doc_id + pos * 29) % 100) || '%' AS text
+        |  FROM documents
+        |  CROSS JOIN (SELECT unnest(['英文', '日文']) AS lang, unnest([0, 1]) AS li) l
+        |  CROSS JOIN (SELECT unnest(range(0, 2)) AS pos) p
+        |  WHERE doc_id < 100),
+        |styled AS (
+        |  SELECT job_id, bar_lang, pos, text,
+        |    ['rgb(200, 200, 200)', 'rgb(151, 195, 255)', 'rgb(102, 165, 255)',
+        |     'rgb(41, 128, 255)', 'rgb(7, 7, 7)'][(ci + 1)::INT] AS bg
+        |  FROM bars),
+        |lev AS (
+        |  SELECT job_id, bar_lang, pos,
+        |    CASE bg WHEN 'rgb(200, 200, 200)' THEN '不會'
+        |            WHEN 'rgb(151, 195, 255)' THEN '略懂'
+        |            WHEN 'rgb(102, 165, 255)' THEN '中等'
+        |            WHEN 'rgb(41, 128, 255)' THEN '精通'
+        |            ELSE '未知' END || text AS level_pct
+        |  FROM styled),
+        |per_lang AS (
+        |  SELECT job_id, bar_lang, string_agg(level_pct, ',' ORDER BY pos) AS levels
+        |  FROM lev GROUP BY job_id, bar_lang)
+        |SELECT job_id,
+        |  list_sort(list(struct_pack(key := bar_lang, value := levels)))
+        |    AS skills_entries
+        |FROM per_lang GROUP BY job_id ORDER BY job_id""".stripMargin
   )
 }

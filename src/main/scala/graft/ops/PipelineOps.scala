@@ -129,14 +129,23 @@ object PipelineOps {
     * range-partition on the order column, per-partition running sums,
     * then add each partition's starting offset (one tiny driver-side
     * collect of numPartitions subtotals — aggregates, not data).
+    *
+    * `partitions <= 0` (the default) sizes the range partitioning from
+    * `spark.defaultParallelism`. Offsets rejoin via a broadcast hash
+    * join on `_pid` — constant-depth regardless of partition count; the
+    * earlier when-chain fold built an O(numPartitions)-deep expression
+    * tree, fine at 32 but codegen-hostile at 10k partitions.
     */
   def withRunningTotal(df: DataFrame, orderCol: String, valueCol: String,
-                       partitions: Int = 32): DataFrame = {
+                       partitions: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val nParts =
+      if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
     // eager checkpoint: repartitionByRange SAMPLES its bounds per job, so
     // the subtotal pass and the result pass could otherwise see different
     // partition assignments — pin one materialization for both
-    val parted = df.repartitionByRange(partitions, col(orderCol))
+    val parted = df.repartitionByRange(nParts, col(orderCol))
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint(true)
     val w = Window.partitionBy(col("_pid")).orderBy(col(orderCol))
@@ -146,13 +155,11 @@ object PipelineOps {
       .agg(sum(col(valueCol)).as("_total"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = totals.scanLeft(0L)(_ + _._2).init
-    val offsetMap = totals.map(_._1).zip(offsets).toMap
-    val offsetCol = offsetMap.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
-      when(col("_pid") === pid, lit(off)).otherwise(acc)
-    }
-    withLocal
-      .withColumn(s"cum_$valueCol", col("_local_cum") + offsetCol)
-      .drop("_pid", "_local_cum")
+    import spark.implicits._
+    val offsetDf = totals.map(_._1).zip(offsets).toSeq.toDF("_pid", "_offset")
+    withLocal.join(broadcast(offsetDf), "_pid")
+      .withColumn(s"cum_$valueCol", col("_local_cum") + col("_offset"))
+      .drop("_pid", "_local_cum", "_offset")
   }
 
   val queries2: Map[String, (SparkSession, String) => DataFrame] = Map(

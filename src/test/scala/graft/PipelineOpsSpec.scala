@@ -60,9 +60,14 @@ class PipelineOpsSpec extends SparkSpec {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val reference = df.withColumn("cum_v", sum($"v").over(w))
       .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(2)))
-    val distributed = graft.ops.PipelineOps.withRunningTotal(df, "k", "v", 8)
-      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(2)))
-    assert(distributed.toSeq == reference.toSeq)
+    // arbitrary partition counts (incl. an odd 257 — more partitions than
+    // distinct keys per partition bucket stays correct) and the
+    // defaultParallelism-derived default must all match the global window
+    for (parts <- Seq(8, 257, 0)) {
+      val distributed = graft.ops.PipelineOps.withRunningTotal(df, "k", "v", parts)
+        .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(2)))
+      assert(distributed.toSeq == reference.toSeq, s"partitions=$parts")
+    }
     // and the window is keyed on the range-partition id — no global
     // single-partition Exchange feeding a Sort+Window
     val plan = graft.ops.PipelineOps.withRunningTotal(df, "k", "v", 8)

@@ -23,22 +23,28 @@ object GraphOps {
     *
     * `vertices`: one `id` column (isolated vertices keep root = id).
     * `edges`: `src`/`dst` columns, undirected (symmetrized internally).
-    * Lineage is truncated per iteration with localCheckpoint — on a real
-    * cluster with executor churn swap in reliable `checkpoint` to a
-    * checkpoint dir.
+    * Lineage is truncated per iteration. `checkpointDir = None` uses
+    * executor-local checkpoints (fast; lost on executor churn) — right
+    * for local mode and short jobs. Pass a reliable dir (HDFS/S3) on a
+    * real cluster: a lost executor then re-reads the checkpoint instead
+    * of recomputing the whole iteration chain from the source.
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
-                          maxIter: Int = 50): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
+                          maxIter: Int = 50,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val sc = vertices.sparkSession.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+    def pin(df: DataFrame, eager: Boolean): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager) else df.localCheckpoint(eager)
+    val sym = pin(edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct(), eager = true)
 
-    var roots = vertices.select(col("id"))
+    var roots = pin(vertices.select(col("id"))
       .join(sym.groupBy(col("src").as("id")).agg(min(col("dst")).as("nmin")),
             Seq("id"), "left")
-      .select(col("id"), least(col("id"), coalesce(col("nmin"), col("id"))).as("root"))
-      .localCheckpoint(true)
+      .select(col("id"), least(col("id"), coalesce(col("nmin"), col("id"))).as("root")),
+      eager = true)
 
     var iter = 0
     var changed = 1L
@@ -53,13 +59,13 @@ object GraphOps {
         .join(roots.select(col("id").as("root"), col("root").as("root_root")), "root")
       // lazy checkpoint: the change-count action below materializes it,
       // so each iteration runs ONE job instead of checkpoint+count twice
-      val next = jump
+      val next = pin(jump
         .join(nbrRoot, Seq("id"), "left")
         .select(col("id"),
           least(col("root"), col("root_root"),
                 coalesce(col("nbr_root"), col("root"))).as("new_root"),
-          col("root").as("old_root"))
-        .localCheckpoint(false)
+          col("root").as("old_root")),
+        eager = false)
       changed = next.filter(col("new_root") =!= col("old_root")).count()
       roots = next.select(col("id"), col("new_root").as("root"))
       iter += 1

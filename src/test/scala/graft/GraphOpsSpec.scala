@@ -55,4 +55,22 @@ class GraphOpsSpec extends SparkSpec {
       .filter { case (a, b) => a != b }
     assert(ccMap(200, edges) == ufComponents(200, edges))
   }
+
+  test("reliable-checkpoint mode produces identical roots") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val edges = ((0L until 40L).map(i => (i, i + 1)) ++
+      Seq((60L, 70L), (70L, 80L), (55L, 56L))).toSeq
+    val verts = spark.range(100).select($"id")
+    val e = edges.toDF("src", "dst")
+    val local = GraphOps.connectedComponents(verts, e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reliable = GraphOps.connectedComponents(verts, e, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == local)
+    assert(reliable == ufComponents(100, edges))
+    // reliable mode actually wrote checkpoint files to the dir
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0, s"no checkpoint files under $dir")
+  }
 }

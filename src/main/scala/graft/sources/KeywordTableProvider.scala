@@ -346,15 +346,29 @@ class KeywordDataWriter(base: String, schema: StructType,
 
 /** DSv2 streaming read (the S3 incremental-scroll surface in connector
   * form): each micro-batch processes the snapshot files that appeared
-  * since the last committed offset. The offset is the sorted list of
-  * files already seen — exactly-once at the source: a restarted query
-  * resumes from the checkpointed offset and never re-reads a file.
+  * since the last committed offset.
+  *
+  * The offset is a per-keyword lexicographic HIGH-WATERMARK (the
+  * largest file name ingested in each directory), not the full file
+  * set: a crawler landing zone accumulates millions of snapshot files,
+  * and a file-set offset would serialize every file ever seen into
+  * every offset-log line, growing without bound. The watermark keeps
+  * each offset entry O(#keywords). Correctness requires snapshot names
+  * to be monotone within a directory (a new file sorts after the
+  * watermark) — which the timestamped snapshot naming scheme (S7,
+  * reference test.py run layout) guarantees; a file arriving UNDER the
+  * watermark would be skipped, exactly like a back-dated file under
+  * Spark's own file-source maxFileAge. Exactly-once at the source: a
+  * restarted query resumes from the checkpointed watermarks and never
+  * re-reads a file.
   */
 class KeywordMicroBatchStream(base: String, schema: StructType)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
-  private def allFiles(): Seq[(String, String)] = {
+  /** (keyword, fileName, absolutePath) for every committed snapshot. */
+  private def allFiles(): Seq[(String, String, String)] = {
     val baseDir = new java.io.File(base)
     Option(baseDir.listFiles()).getOrElse(Array.empty)
       .filter(_.isDirectory).sortBy(_.getName)
@@ -362,21 +376,39 @@ class KeywordMicroBatchStream(base: String, schema: StructType)
         Option(d.listFiles()).getOrElse(Array.empty)
           .filter(f => f.isFile && f.getName.endsWith(".json"))
           .sortBy(_.getName)
-          .map(f => d.getName -> f.getAbsolutePath)
+          .map(f => (d.getName, f.getName, f.getAbsolutePath))
       }.toSeq
   }
 
-  override def latestOffset(): Offset = KeywordFilesOffset(allFiles().map(_._2))
-  override def initialOffset(): Offset = KeywordFilesOffset(Seq.empty)
+  private def currentWatermarks(): KeywordWatermarkOffset =
+    KeywordWatermarkOffset(allFiles().groupBy(_._1).map {
+      case (kw, fs) => kw -> fs.map(_._2).max
+    })
+
+  // Trigger.AvailableNow: the end offset is pinned ONCE at query start,
+  // so the run drains exactly the files present then and terminates even
+  // while the crawler keeps landing new snapshots
+  @volatile private var pinned: Option[KeywordWatermarkOffset] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    pinned = Some(currentWatermarks())
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    pinned.getOrElse(currentWatermarks())
+  override def reportLatestOffset(): Offset = currentWatermarks()
+
+  override def latestOffset(): Offset = pinned.getOrElse(currentWatermarks())
+  override def initialOffset(): Offset = KeywordWatermarkOffset(Map.empty)
   override def deserializeOffset(json: String): Offset =
-    KeywordFilesOffset.fromJson(json)
+    KeywordWatermarkOffset.fromJson(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[KeywordFilesOffset].files.toSet
-    val until = end.asInstanceOf[KeywordFilesOffset].files.toSet
+    val lo = start.asInstanceOf[KeywordWatermarkOffset].watermarks
+    val hi = end.asInstanceOf[KeywordWatermarkOffset].watermarks
     allFiles()
-      .filter { case (_, f) => until.contains(f) && !seen.contains(f) }
-      .map { case (kw, f) => KeywordFilePartition(kw, f): InputPartition }
+      .filter { case (kw, name, _) =>
+        hi.get(kw).exists(name <= _) && lo.get(kw).forall(name > _)
+      }
+      .map { case (kw, _, f) => KeywordFilePartition(kw, f): InputPartition }
       .toArray
   }
 
@@ -386,26 +418,29 @@ class KeywordMicroBatchStream(base: String, schema: StructType)
   override def stop(): Unit = ()
 }
 
-/** Offset = the set of files already ingested. Serialized as a
-  * SINGLE-LINE JSON array: the streaming offset log is line-based (one
-  * line per source), so a multi-line offset would be misread as extra
-  * sources on restart.
+/** Offset = keyword -> highest ingested file name. Serialized as a
+  * SINGLE-LINE JSON object with SORTED keys: the streaming offset log
+  * is line-based (one line per source), and Spark decides "no new
+  * data" by comparing offset JSON strings, so serialization must be
+  * deterministic.
   */
-case class KeywordFilesOffset(files: Seq[String])
+case class KeywordWatermarkOffset(watermarks: Map[String, String])
     extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json(): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val arr = mapper.createArrayNode()
-    files.foreach(arr.add)
-    mapper.writeValueAsString(arr)
+    val obj = mapper.createObjectNode()
+    watermarks.toSeq.sortBy(_._1).foreach { case (k, v) => obj.put(k, v) }
+    mapper.writeValueAsString(obj)
   }
 }
 
-object KeywordFilesOffset {
-  def fromJson(json: String): KeywordFilesOffset = {
+object KeywordWatermarkOffset {
+  def fromJson(json: String): KeywordWatermarkOffset = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.readTree(json)
-    val files = (0 until node.size()).map(node.get(_).asText())
-    KeywordFilesOffset(files)
+    val names = node.fieldNames()
+    val b = Map.newBuilder[String, String]
+    while (names.hasNext) { val k = names.next(); b += k -> node.get(k).asText() }
+    KeywordWatermarkOffset(b.result())
   }
 }

@@ -212,6 +212,36 @@ class KeywordSourceSpec extends SparkSpec {
     assert(spark.read.parquet(outDir).count() == 3)
   }
 
+  test("DSv2 graft-keyword: streaming offset is O(#keywords), not O(#files)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.KeywordWatermarkOffset
+    // deterministic single-line serialization + round-trip
+    val o = KeywordWatermarkOffset(Map("spark" -> "p9.json", "scala" -> "s2.json"))
+    assert(o.json() == """{"scala":"s2.json","spark":"p9.json"}""")
+    assert(!o.json().contains("\n"))
+    assert(KeywordWatermarkOffset.fromJson(o.json()) == o)
+
+    // end-to-end: many files per keyword, the committed offset log line
+    // carries only the per-keyword watermark, not the file list
+    val base = tmp("kw-wm-stream")
+    val outDir = tmp("kw-wm-out")
+    val ckpt = tmp("kw-wm-ckpt")
+    (1 to 5).foreach(i =>
+      writeSnapshots(base, "scala", s"s$i.json", Seq(s"""{"job":"j$i"}""")))
+    val q = spark.readStream.format("graft-keyword")
+      .option("fields", "job").load(base)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).outputMode("append").start()
+    q.awaitTermination(60000)
+    assert(spark.read.parquet(outDir).count() == 5)
+    val offsetFiles = new java.io.File(ckpt, "offsets").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val lastLine = scala.io.Source.fromFile(offsetFiles.last).getLines().toSeq.last
+    assert(lastLine.contains("s5.json"), lastLine)
+    assert(!lastLine.contains("s1.json"), s"offset still carries old files: $lastLine")
+  }
+
   test("DSv2 graft-keyword: aborted tasks leave no visible files") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.types._

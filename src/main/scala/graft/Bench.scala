@@ -26,15 +26,21 @@ object Bench {
         catch { case _: Throwable => None }
       }.sorted
       // a query with zero successful runs is reported as -1, never as a
-      // plausible elapsed time
-      name -> (if (times.isEmpty) -1.0 else times(times.size / 2))
+      // plausible elapsed time. median = the headline; min = the
+      // contention-resistant statistic (a fixed workload's true cost is
+      // its fastest observed run — background load only ever adds time)
+      if (times.isEmpty) (name, -1.0, -1.0)
+      else (name, times(times.size / 2), times.head)
     }
-    val failed = results.collect { case (n, t) if t < 0 => n }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val failed = results.collect { case (n, t, _) if t < 0 => n }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val qmins = results.map { case (k, _, m) => s"\"" + k + "\":" + m }
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.collect { case (_, t) if t >= 0 => t }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"runs":$runs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, t, _) if t >= 0 => t }.sum
+    val totalMin = results.collect { case (_, _, m) if m >= 0 => m }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$qmins,"failed":$fs,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -10,12 +10,15 @@ import org.apache.spark.sql.functions._
   * The Spark side — schema, partition-parallel batch iteration, UDF
   * signatures, frame explosion — is real and tested, and so is the
   * decode for every format the JDK can read: BMP, PNG, JPEG, animated
-  * GIF (the multi-frame "video" shape) and PCM WAV. Only true video
-  * containers (no JDK codec) hit `decodeStub`, which derives
-  * deterministic pseudo-dimensions where a real deployment would call
-  * ffmpeg inside the same mapPartitions batch loop (the Scala analog of
-  * a pandas_udf over mapInPandas: one iterator per partition, library
-  * handle initialized once per partition, not once per row).
+  * GIF (the multi-frame "video" shape) and PCM WAV. MP4/MOV containers
+  * get real METADATA via the pure-JVM [[Mp4Parser]] box walk (duration,
+  * track count, resolution) with frame decode out of scope (no codec in
+  * the sandbox); only payloads no parser recognizes hit `decodeStub`,
+  * which derives deterministic pseudo-dimensions where a real
+  * deployment would call ffmpeg inside the same mapPartitions batch
+  * loop (the Scala analog of a pandas_udf over mapInPandas: one
+  * iterator per partition, library handle initialized once per
+  * partition, not once per row).
   */
 object MediaOps {
 
@@ -91,11 +94,22 @@ object MediaOps {
                 0f, r.payload.length.toFloat, 2f)
               MediaFeatures(r.media_id, r.meta.kind, clip.sampleRate,
                 clip.channels, r.payload.length, cs, feat)
+            case None => Mp4Parser.parse(r.payload) match {
+            case Some(m) =>
+              // real container metadata (box walk), frames undecoded:
+              // duration rides slot 0, track count slot 5, marker 4
+              val feat = Array(m.durationMs.toFloat / 1000f,
+                m.timescale.toFloat / 1000f, m.width.toFloat, m.height.toFloat,
+                if (m.height > 0) m.width.toFloat / m.height else 0f,
+                m.nTracks.toFloat, r.payload.length.toFloat, 4f)
+              MediaFeatures(r.media_id, r.meta.kind, m.width, m.height,
+                r.payload.length, cs, feat)
             case None =>
               val (w, h) = decodeStub(r.payload)
               val feat = Array.tabulate(8)(i =>
                 ((cs >> (i * 8)) & 0xff).toFloat / 255.0f)
               MediaFeatures(r.media_id, r.meta.kind, w, h, r.payload.length, cs, feat)
+            }
             }
           }
           }

@@ -183,6 +183,47 @@ class MediaSpec extends SparkSpec {
     assert(ImageIoDecoder.decode(fake).isEmpty)
   }
 
+  test("MP4 container metadata: box walk gets duration, tracks, resolution") {
+    import graft.multimodal.{Mp4Parser, MediaOps}
+    import MediaOps.{MediaMeta, MediaRecord}
+    import spark.implicits._
+    def u32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+      u32(8L + payload.length) ++ tpe.getBytes("US-ASCII") ++ payload
+    // mvhd v0: version/flags, ctime, mtime, timescale=1000, duration=5000,
+    // then rate/volume/reserved/matrix/predefined/next_track as zeros
+    val mvhd = box("mvhd",
+      u32(0) ++ u32(0) ++ u32(0) ++ u32(1000) ++ u32(5000) ++
+        Array.fill[Byte](100 - 20)(0))
+    // tkhd v0: 84-byte payload, 16.16 width/height at offsets 76/80
+    def tkhd(w: Int, h: Int) = box("tkhd",
+      Array.fill[Byte](76)(0) ++ u32(w.toLong << 16) ++ u32(h.toLong << 16))
+    val video = box("trak", tkhd(640, 360))
+    val audio = box("trak", tkhd(0, 0))
+    val mp4 = box("ftyp", "isom".getBytes("US-ASCII") ++ u32(0)) ++
+      box("moov", mvhd ++ video ++ audio)
+
+    val m = Mp4Parser.parse(mp4).get
+    assert(m.majorBrand == "isom")
+    assert(m.timescale == 1000 && m.durationMs == 5000)
+    assert(m.nTracks == 2)
+    assert(m.width == 640 && m.height == 360)
+    // non-containers are rejected, not misparsed
+    assert(Mp4Parser.parse("definitely not an mp4 file".getBytes).isEmpty)
+    assert(Mp4Parser.parse(Array[Byte](0, 0, 0, 1)).isEmpty)
+
+    // featurize routes container payloads through the box walk (marker 4)
+    val f = MediaOps.featurize(
+      Seq(MediaRecord(9L, MediaMeta("video", 640, 360, 0), mp4)).toDS()
+    ).collect()(0)
+    assert(f.width == 640 && f.height == 360)
+    assert(f.feature(7) == 4f, f.feature.toSeq)   // container-metadata marker
+    assert(f.feature(0) == 5f)                    // 5.000 s duration
+    assert(f.feature(5) == 2f)                    // track count
+  }
+
   test("sampleFrames explodes n rows per media row") {
     val df = MediaOps.syntheticMedia(spark, 5).toDF()
     val sampled = MediaOps.sampleFrames(df, 4)

@@ -162,6 +162,21 @@ object PipelineOps {
       .drop("_pid", "_local_cum", "_offset")
   }
 
+  /** Word n-gram shingles of width `n` (order-preserving). */
+  private def ngramExpr(n: Int): String =
+    s"""CASE WHEN size(toks) >= $n THEN
+       |  transform(sequence(1, size(toks) - ${n - 1}),
+       |            i -> concat_ws(' ', ${(0 until n).map(j =>
+                        s"element_at(toks, i + $j)").mkString(", ")}))
+       |ELSE array() END""".stripMargin
+
+  private def ngramSqlDuck(n: Int): String =
+    s"[${(0 until n).map(j => s"toks[i+$j]").mkString(" || ' ' || ")} " +
+      s"FOR i IN range(1, len(toks) - ${n - 2})]"
+
+  private val CONTAM_N = 4  // contamination shingle width (tokens)
+  private val BENCH_MOD = 7 // every BENCH_MOD-th doc is the held-out slice
+
   val queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- q81: token-budget shard assignment (sequence packing for
     // training shards): docs in a stable order, running token total,
@@ -178,6 +193,80 @@ object PipelineOps {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("shard_toks"),
              min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
         .orderBy(col("shard"))
+    }),
+
+    // ---- q84: C4/Gopher-style document filter chain with REASONS —
+    // first failing rule wins (too_short -> low_diversity ->
+    // long_tokens -> keep), reported as per-(lang, verdict) counts so a
+    // pipeline owner sees what each rule costs. Every signal is
+    // row-local integer arithmetic (no floats, no shuffle before the
+    // final count): at 100 TB this is a pure scan-shaped pass and the
+    // verdict expression pushes into whole-stage codegen.
+    "q84_filter_pipeline" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_toks", size(col("toks")).cast("long"))
+        .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+        .withColumn("sum_len",
+          expr("aggregate(toks, 0L, (a, t) -> a + length(t))"))
+        .withColumn("verdict",
+          when(col("n_toks") < 25, "too_short")
+            .when(col("n_distinct") * 100 < col("n_toks") * 35, "low_diversity")
+            // avg token length > 5.2, as integers: 10*sum > 52*n
+            .when(col("sum_len") * 10 > col("n_toks") * 52, "long_tokens")
+            .otherwise("keep"))
+        .groupBy(col("lang"), col("verdict"))
+        .agg(count(lit(1)).as("n"), sum(col("n_toks")).as("toks_affected"))
+        .orderBy(col("lang"), col("verdict"))
+    }),
+
+    // ---- q85: temperature-balanced language mix (α = 0.5): the
+    // pretraining-mix rebalance — rare languages keep everything, the
+    // dominant language is deterministically downsampled by
+    // sqrt(n_min/n_l). Rates come from one tiny aggregation broadcast
+    // back onto the scan; membership is the content-stable md5 bucket,
+    // so the SAME documents survive on every rerun and engine. Only
+    // correctly-rounded double ops (divide, sqrt, multiply, floor) —
+    // no pow(), whose libm implementations differ across engines.
+    "q85_temperature_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+      val minN = counts.agg(min(col("n_l")).as("n_min"))
+      val rates = counts.crossJoin(broadcast(minN))
+        .withColumn("rate_milli",
+          floor(sqrt(col("n_min").cast("double") / col("n_l")) * 1000)
+            .cast("long"))
+      docs.join(broadcast(rates), "lang")
+        .filter(contentBucket(col("text")) < col("rate_milli"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+             first(col("n_l")).as("n_total"),
+             first(col("rate_milli")).as("rate_milli"))
+        .orderBy(col("lang"))
+    }),
+
+    // ---- q86: benchmark-contamination check — documents sharing any
+    // 4-token shingle with the held-out "benchmark" slice (every 7th
+    // doc_id, the deterministic eval set). The doc-level shingle frame
+    // is materialized once (q50 lesson); the benchmark gram set is
+    // size-gated broadcast (it grows with SF at 1/97 of the corpus).
+    // At 100 TB this is THE decontamination topology: small-side gram
+    // set joined against an exploded corpus, no self-join.
+    "q86_contamination" -> ((s, d) => {
+      val g0 = Tables.rebalance(Tables.documents(s, d))
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), col("lang"),
+                expr(ngramExpr(CONTAM_N)).as("grams"))
+        .localCheckpoint()
+      val bench = g0.filter(col("doc_id") % BENCH_MOD === 0)
+        .select(explode(col("grams")).as("gram")).distinct()
+      g0.filter(col("doc_id") % BENCH_MOD =!= 0)
+        .select(col("doc_id"), col("lang"), explode(col("grams")).as("gram"))
+        .join(ScaleOps.broadcastIfSmall(bench), Seq("gram"), "left_semi")
+        .select(col("doc_id"), col("lang")).distinct()
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_contaminated"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -227,6 +316,44 @@ object PipelineOps {
         |  FROM (SELECT label,
         |          list_transform(embedding, x -> round(x::DOUBLE * 10000, 0)::BIGINT) AS q
         |        FROM embeddings))
-        |GROUP BY label ORDER BY label""".stripMargin
+        |GROUP BY label ORDER BY label""".stripMargin,
+
+    "q84_filter_pipeline" ->
+      """SELECT lang, verdict, count(*) AS n, sum(n_toks)::BIGINT AS toks_affected
+        |FROM (
+        |  SELECT lang, n_toks,
+        |    CASE WHEN n_toks < 25 THEN 'too_short'
+        |         WHEN n_distinct * 100 < n_toks * 35 THEN 'low_diversity'
+        |         WHEN sum_len * 10 > n_toks * 52 THEN 'long_tokens'
+        |         ELSE 'keep' END AS verdict
+        |  FROM (SELECT lang, len(toks)::BIGINT AS n_toks,
+        |               len(list_distinct(toks))::BIGINT AS n_distinct,
+        |               list_sum(list_transform(toks, t -> length(t)))::BIGINT AS sum_len
+        |        FROM (SELECT lang, str_split(text, ' ') AS toks FROM documents)))
+        |GROUP BY lang, verdict ORDER BY lang, verdict""".stripMargin,
+
+    "q85_temperature_mix" ->
+      """WITH counts AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+        |mn AS (SELECT min(n_l) AS n_min FROM counts),
+        |rates AS (
+        |  SELECT lang, n_l,
+        |    floor(sqrt(n_min::DOUBLE / n_l) * 1000)::BIGINT AS rate_milli
+        |  FROM counts CROSS JOIN mn)
+        |SELECT d.lang AS lang, count(*) AS n_kept,
+        |  any_value(n_l) AS n_total, any_value(rate_milli) AS rate_milli
+        |FROM documents d JOIN rates r ON d.lang = r.lang
+        |WHERE ('0x' || substr(md5(d.text), 1, 8))::BIGINT % 1000 < rate_milli
+        |GROUP BY d.lang ORDER BY lang""".stripMargin,
+
+    "q86_contamination" ->
+      s"""WITH t AS (SELECT doc_id, lang, str_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, lang, unnest(${ngramSqlDuck(CONTAM_N)}) AS gram
+        |      FROM t WHERE len(toks) >= $CONTAM_N),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % $BENCH_MOD = 0),
+        |hits AS (
+        |  SELECT DISTINCT g.doc_id, g.lang
+        |  FROM g JOIN bench USING (gram) WHERE doc_id % $BENCH_MOD <> 0)
+        |SELECT lang, count(*) AS n_contaminated
+        |FROM hits GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -245,6 +245,30 @@ object PipelineOps {
         .orderBy(col("lang"))
     }),
 
+    // ---- q87: PII redaction, oracle-checked end-to-end — deterministic
+    // synthetic PII (doc_id-derived email, a phone, an SSN-style id) is
+    // appended to each document, redactPii scrubs it, and the output is
+    // per-doc marker counts + redacted length. Patterns are RE2-safe
+    // (no lookarounds/backrefs), so the DuckDB mirror runs the SAME
+    // regexes — the oracle verifies the actual redaction behavior, not
+    // a reimplementation.
+    "q87_pii_redaction" -> ((s, d) => {
+      def markers(c: Column, m: String) =
+        ((length(c) - length(expr(s"replace(clean, '$m', '')"))) / m.length)
+          .cast("long")
+      Tables.documents(s, d)
+        .withColumn("dirty", concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or +1 555-123-4567 ssn 123-45-"),
+          lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
+        .select(col("doc_id"), redactPii(col("dirty")).as("clean"))
+        .select(col("doc_id"),
+          markers(col("clean"), "[EMAIL]").as("n_email"),
+          markers(col("clean"), "[PHONE]").as("n_phone"),
+          markers(col("clean"), "[ID]").as("n_id"),
+          length(col("clean")).cast("long").as("len_clean"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- q86: benchmark-contamination check — documents sharing any
     // 4-token shingle with the held-out "benchmark" slice (every 7th
     // doc_id, the deterministic eval set). The doc-level shingle frame
@@ -344,6 +368,29 @@ object PipelineOps {
         |FROM documents d JOIN rates r ON d.lang = r.lang
         |WHERE ('0x' || substr(md5(d.text), 1, 8))::BIGINT % 1000 < rate_milli
         |GROUP BY d.lang ORDER BY lang""".stripMargin,
+
+    "q87_pii_redaction" ->
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id ||
+        |    '@example.com or +1 555-123-4567 ssn 123-45-' ||
+        |    lpad((doc_id % 10000)::VARCHAR, 4, '0') AS dirty
+        |  FROM documents),
+        |clean AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(dirty,
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |        '\+?\d{1,3}[ .-]?\(?\d{2,4}\)?[ .-]?\d{3,4}[ .-]?\d{3,4}', '[PHONE]', 'g'),
+        |      '\b\d{3}-\d{2}-\d{4}\b', '[ID]', 'g') AS clean
+        |  FROM dirty)
+        |SELECT doc_id,
+        |  ((length(clean) - length(replace(clean, '[EMAIL]', ''))) / 7)::BIGINT AS n_email,
+        |  ((length(clean) - length(replace(clean, '[PHONE]', ''))) / 7)::BIGINT AS n_phone,
+        |  ((length(clean) - length(replace(clean, '[ID]', ''))) / 4)::BIGINT AS n_id,
+        |  length(clean)::BIGINT AS len_clean
+        |FROM clean ORDER BY doc_id""".stripMargin,
 
     "q86_contamination" ->
       s"""WITH t AS (SELECT doc_id, lang, str_split(text, ' ') AS toks FROM documents),

@@ -43,6 +43,21 @@ object EventStream {
       .option("maxFilesPerTrigger", maxFiles)
       .parquet(dir)
 
+  /** Synthetic load via the built-in rate-micro-batch source:
+    * `rowsPerBatch` monotonically numbered rows per micro-batch with
+    * event-time timestamps — the deterministic smoke/load generator for
+    * exercising a streaming topology without a landing zone (the
+    * "does my pipeline keep up at N events/s" harness). Batch k carries
+    * values [k*rowsPerBatch, (k+1)*rowsPerBatch), so downstream
+    * assertions are exact, not timing-dependent.
+    */
+  def syntheticRate(spark: SparkSession, rowsPerBatch: Int,
+                    partitions: Int = 2): DataFrame =
+    spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch)
+      .option("numPartitions", partitions)
+      .load()
+
   /** Windowed aggregation with late-data handling: 10-minute watermark,
     * 1-hour tumbling windows per event type — state is bounded because the
     * watermark lets Spark drop windows older than the horizon.

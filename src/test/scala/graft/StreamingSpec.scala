@@ -48,6 +48,26 @@ class StreamingSpec extends SparkSpec {
     assert(after.exists(r => r.getAs[String]("event_type") == "view"))
   }
 
+  test("rate-micro-batch source drives a pipeline with exact per-batch values") {
+    import org.apache.spark.sql.streaming.Trigger
+    // batch 0 of rowsPerBatch=100 carries exactly values 0..99 —
+    // deterministic, so the grouped output is exact, not timing-dependent
+    val q = EventStream.syntheticRate(spark, rowsPerBatch = 100)
+      .withColumn("bucket", pmod(col("value"), lit(10L)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+      .writeStream.format("memory").queryName("rate_demo")
+      .outputMode("complete").trigger(Trigger.Once()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("rate_demo").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == (0L until 10L).toSet)
+    // bucket b holds {b, b+10, ..., b+90}: n=10, sum = 10b + 450
+    (0L until 10L).foreach { b =>
+      assert(got(b) == ((10L, 10 * b + 450L)), s"bucket $b -> ${got(b)}")
+    }
+  }
+
   test("maxFilesPerTrigger bounds each micro-batch to one file (T4)") {
     import spark.implicits._
     val inDir = tmp("rate-in"); val ckpt = tmp("rate-ckpt")

@@ -84,7 +84,8 @@ case class KeywordTable(base: String, tableSchema: StructType)
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new KeywordScanBuilder(base, tableSchema)
+    new KeywordScanBuilder(base, tableSchema,
+      "keyword".equalsIgnoreCase(options.get("partitioning")))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new KeywordWriteBuilder(base, info.schema())
 }
@@ -93,7 +94,8 @@ case class KeywordTable(base: String, tableSchema: StructType)
   * allow-list (fully handled — no residual re-evaluation needed, so they
   * are accepted and reported as pushed); everything else is left to Spark.
   */
-class KeywordScanBuilder(base: String, full: StructType)
+class KeywordScanBuilder(base: String, full: StructType,
+                         keywordGrouped: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -130,13 +132,16 @@ class KeywordScanBuilder(base: String, full: StructType)
     required = requiredSchema
   }
 
-  override def build(): Scan = KeywordScan(base, required, keywordAllowList, pushed)
+  override def build(): Scan =
+    KeywordScan(base, required, keywordAllowList, pushed, keywordGrouped)
 }
 
 case class KeywordScan(base: String, readSchemaV: StructType,
-                       keywords: Option[Set[String]], pushed: Array[Filter])
+                       keywords: Option[Set[String]], pushed: Array[Filter],
+                       keywordGrouped: Boolean = false)
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   override def readSchema(): StructType = readSchemaV
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String):
@@ -185,11 +190,37 @@ case class KeywordScan(base: String, readSchemaV: StructType,
     }
   }
 
+  // storage-partitioned execution, OPT-IN via .option("partitioning",
+  // "keyword"): the layout IS partitioned by keyword (one directory per
+  // keyword), so the scan can report KeyGroupedPartitioning and Spark
+  // groups the per-file input partitions by partitionKey() — a
+  // per-keyword aggregation (or keyword-keyed join against another
+  // keyword-partitioned table) then runs WITHOUT an Exchange. The
+  // tradeoff is real and why it's opt-in: grouping collapses
+  // per-file scan parallelism to one task per keyword, which is wrong
+  // for scan-heavy queries over few hot keywords but removes the full
+  // shuffle from every per-keyword rollup. Same contract as declaring
+  // a bucketed table layout.
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (keywordGrouped) {
+      val nKeys = planInputPartitions()
+        .map(_.asInstanceOf[KeywordFilePartition].keyword).distinct.length
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions.identity("keyword")),
+        nKeys)
+    } else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+
   override def createReaderFactory(): PartitionReaderFactory =
     KeywordReaderFactory(readSchemaV)
 }
 
 case class KeywordFilePartition(keyword: String, file: String) extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](UTF8String.fromString(keyword)))
+}
 
 case class KeywordReaderFactory(schema: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {

@@ -212,6 +212,31 @@ class KeywordSourceSpec extends SparkSpec {
     assert(spark.read.parquet(outDir).count() == 3)
   }
 
+  test("DSv2 graft-keyword: keyword-grouped partitioning elides the agg shuffle") {
+    val base = tmp("kw-kgp")
+    writeSnapshots(base, "scala", "s1.json", Seq("""{"job":"j1"}""", """{"job":"j2"}"""))
+    writeSnapshots(base, "scala", "s2.json", Seq("""{"job":"j3"}"""))
+    writeSnapshots(base, "spark", "p1.json", Seq("""{"job":"j4"}"""))
+    val conf = spark.conf
+    val key = "spark.sql.sources.v2.bucketing.enabled"
+    val old = conf.getOption(key)
+    try {
+      conf.set(key, "true")
+      val agg = spark.read.format("graft-keyword")
+        .option("fields", "job").option("partitioning", "keyword").load(base)
+        .groupBy("keyword").count()
+      val rows = agg.collect().map(r => (r.getString(0), r.getLong(1))).sorted
+      assert(rows.toSeq == Seq(("scala", 3L), ("spark", 1L)))
+      // storage-partitioned execution: the scan reports keyword-grouped
+      // partitioning (one group per directory), so the aggregation needs
+      // NO Exchange — the full shuffle of every per-keyword rollup is gone
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+    } finally {
+      old.fold(conf.unset(key))(v => conf.set(key, v))
+    }
+  }
+
   test("DSv2 graft-keyword: streaming offset is O(#keywords), not O(#files)") {
     import org.apache.spark.sql.streaming.Trigger
     import graft.sources.KeywordWatermarkOffset

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull}
@@ -97,11 +98,40 @@ case class KeywordTable(base: String, tableSchema: StructType)
 class KeywordScanBuilder(base: String, full: StructType,
                          keywordGrouped: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var keywordAllowList: Option[Set[String]] = None
+  // Some(byKeyword) once a COUNT(*) [GROUP BY keyword] is accepted
+  private var countPushed: Option[(Boolean, Int)] = None
+
+  /** COUNT(*) pushdown, optionally grouped by keyword: a count never
+    * needs the JSON payload, so the reader emits one pre-counted row
+    * per file (line count) instead of parsing every record — at
+    * crawler scale the difference between "stat the landing zone" and
+    * "deserialize 100 TB to count it". PARTIAL pushdown
+    * (supportCompletePushDown = false): Spark still runs the final
+    * aggregation, summing the per-file counts, which also keeps
+    * multiple files per keyword correct.
+    */
+  override def supportCompletePushDown(agg: Aggregation): Boolean = false
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val byKeyword = agg.groupByExpressions.toSeq match {
+      case Seq() => Some(false)
+      case Seq(n: org.apache.spark.sql.connector.expressions.NamedReference)
+          if n.fieldNames.sameElements(Array("keyword")) => Some(true)
+      case _ => None
+    }
+    val countsOnly = agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+    (byKeyword, countsOnly) match {
+      case (Some(g), true) =>
+        countPushed = Some((g, agg.aggregateExpressions.length)); true
+      case _ => false
+    }
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
@@ -132,8 +162,76 @@ class KeywordScanBuilder(base: String, full: StructType,
     required = requiredSchema
   }
 
-  override def build(): Scan =
-    KeywordScan(base, required, keywordAllowList, pushed, keywordGrouped)
+  override def build(): Scan = countPushed match {
+    case Some((byKeyword, nCounts)) =>
+      KeywordCountScan(base, byKeyword, nCounts, keywordAllowList, pushed,
+        keywordGrouped && byKeyword)
+    case None =>
+      KeywordScan(base, required, keywordAllowList, pushed, keywordGrouped)
+  }
+}
+
+/** Scan produced when COUNT(*) was pushed down: one output row per
+  * snapshot file carrying its line count (and keyword when grouped) —
+  * no JSON parsing at all. Spark's final aggregate sums the partials —
+  * the Exchange it inserts moves one tiny (keyword, count) row per
+  * FILE, negligible at any scale. (The scan still reports the opt-in
+  * keyword grouping, but Spark 4.1's pushed-aggregate rewrite aliases
+  * the group column (`keyword AS group_col_0`), so the reported
+  * partitioning cannot currently satisfy the final agg's distribution
+  * — shuffle elision applies to row-level scans, count pushdown wins
+  * by not parsing.)
+  */
+case class KeywordCountScan(base: String, byKeyword: Boolean, nCounts: Int,
+                            keywords: Option[Set[String]], pushed: Array[Filter],
+                            keywordGrouped: Boolean = false)
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (keywordGrouped) {
+      val nKeys = planInputPartitions()
+        .map(_.asInstanceOf[KeywordFilePartition].keyword).distinct.length
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions.identity("keyword")),
+        nKeys)
+    } else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+  override def readSchema(): StructType = StructType(
+    (if (byKeyword) Seq(StructField("keyword", StringType, nullable = true))
+     else Seq.empty) ++
+      (0 until nCounts).map(i => StructField(s"count$i", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-keyword base=$base PushedAggregation: [COUNT(*)]" +
+      (if (byKeyword) " PushedGroupBy: [keyword]" else "")
+
+  override def planInputPartitions(): Array[InputPartition] =
+    KeywordScanUtil.listPartitions(base, keywords, None)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    KeywordCountReaderFactory(byKeyword, nCounts)
+}
+
+case class KeywordCountReaderFactory(byKeyword: Boolean, nCounts: Int)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[KeywordFilePartition]
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = !done && { done = true; true }
+      override def get(): InternalRow = {
+        val src = scala.io.Source.fromFile(p.file, "UTF-8")
+        val n = try src.getLines().count(_.trim.nonEmpty) finally src.close()
+        val counts = Seq.fill(nCounts)(java.lang.Long.valueOf(n.toLong))
+        val values: Seq[Any] =
+          if (byKeyword) UTF8String.fromString(p.keyword) +: counts else counts
+        new GenericInternalRow(values.toArray)
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 case class KeywordScan(base: String, readSchemaV: StructType,
@@ -175,20 +273,8 @@ case class KeywordScan(base: String, readSchemaV: StructType,
 
   // planning-time pruning: unselected keyword directories contribute no
   // input partitions at all
-  override def planInputPartitions(): Array[InputPartition] = {
-    val baseDir = new java.io.File(base)
-    val dirs = Option(baseDir.listFiles()).getOrElse(Array.empty)
-      .filter(_.isDirectory)
-      .filter(d => keywords.forall(_.contains(d.getName)))
-      .filter(d => runtimeAllow.forall(_.contains(d.getName)))
-      .sortBy(_.getName)
-    dirs.flatMap { d =>
-      Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.endsWith(".json"))
-        .sortBy(_.getName)
-        .map(f => KeywordFilePartition(d.getName, f.getAbsolutePath): InputPartition)
-    }
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    KeywordScanUtil.listPartitions(base, keywords, runtimeAllow)
 
   // storage-partitioned execution, OPT-IN via .option("partitioning",
   // "keyword"): the layout IS partitioned by keyword (one directory per
@@ -220,6 +306,28 @@ case class KeywordFilePartition(keyword: String, file: String) extends InputPart
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
     new GenericInternalRow(Array[Any](UTF8String.fromString(keyword)))
+}
+
+/** Directory-layout listing shared by the row scan and the pushed-count
+  * scan: one partition per committed snapshot file, pruned to the
+  * planning-time and (for the row scan) runtime keyword allow-lists.
+  */
+object KeywordScanUtil {
+  def listPartitions(base: String, keywords: Option[Set[String]],
+                     runtimeAllow: Option[Set[String]]): Array[InputPartition] = {
+    val baseDir = new java.io.File(base)
+    val dirs = Option(baseDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .filter(d => keywords.forall(_.contains(d.getName)))
+      .filter(d => runtimeAllow.forall(_.contains(d.getName)))
+      .sortBy(_.getName)
+    dirs.flatMap { d =>
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".json"))
+        .sortBy(_.getName)
+        .map(f => KeywordFilePartition(d.getName, f.getAbsolutePath): InputPartition)
+    }
+  }
 }
 
 case class KeywordReaderFactory(schema: StructType) extends PartitionReaderFactory {

@@ -212,6 +212,54 @@ class KeywordSourceSpec extends SparkSpec {
     assert(spark.read.parquet(outDir).count() == 3)
   }
 
+  test("DSv2 graft-keyword: COUNT(*) pushdown skips JSON parsing") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.SparkPlan
+    def scans(p: SparkPlan): Seq[BatchScanExec] = p.collect {
+      case b: BatchScanExec => Seq(b)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+    }.flatten
+    val base = tmp("kw-aggpush")
+    writeSnapshots(base, "scala", "s1.json", Seq("""{"job":"j1"}""", """{"job":"j2"}"""))
+    writeSnapshots(base, "scala", "s2.json", Seq("""{"job":"j3"}"""))
+    writeSnapshots(base, "spark", "p1.json", Seq("""{"job":"j4"}"""))
+    def load() = spark.read.format("graft-keyword")
+      .option("fields", "job").load(base)
+
+    // grouped count: one pre-counted row per file, keyword carried
+    val grouped = load().groupBy("keyword").count()
+    assert(grouped.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      == Seq(("scala", 3L), ("spark", 1L)))
+    grouped.collect() // materialize AQE stages for plan inspection
+    val gScan = scans(grouped.queryExecution.executedPlan)
+    assert(gScan.nonEmpty && gScan.forall(
+      _.scan.isInstanceOf[graft.sources.KeywordCountScan]),
+      grouped.queryExecution.executedPlan.toString)
+
+    // global count: no keyword column in the pushed schema
+    val total = load().agg(count(lit(1)).as("n"))
+    assert(total.collect()(0).getLong(0) == 4L)
+    val tScan = scans(total.queryExecution.executedPlan)
+    assert(tScan.nonEmpty && tScan.forall(
+      _.scan.isInstanceOf[graft.sources.KeywordCountScan]))
+
+    // a query needing payload fields must NOT be count-pushed
+    val rows = load().groupBy("keyword").agg(max(col("job")).as("mx"))
+    assert(rows.collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+      == Seq(("scala", "j3"), ("spark", "j4")))
+    val rScan = scans(rows.queryExecution.executedPlan)
+    assert(rScan.nonEmpty && rScan.forall(
+      _.scan.isInstanceOf[graft.sources.KeywordScan]))
+
+    // keyword filter still prunes directories under pushdown
+    val filtered = load().filter(col("keyword") === "scala").groupBy("keyword").count()
+    assert(filtered.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      == Seq(("scala", 3L)))
+    assert(filtered.rdd.getNumPartitions <= 2) // scala's two files only
+  }
+
   test("DSv2 graft-keyword: keyword-grouped partitioning elides the agg shuffle") {
     val base = tmp("kw-kgp")
     writeSnapshots(base, "scala", "s1.json", Seq("""{"job":"j1"}""", """{"job":"j2"}"""))
@@ -222,14 +270,14 @@ class KeywordSourceSpec extends SparkSpec {
     val old = conf.getOption(key)
     try {
       conf.set(key, "true")
+      // a ROW-LEVEL aggregation (max needs the payload, so COUNT pushdown
+      // does not supersede the scan): storage-partitioned execution means
+      // the per-keyword rollup of actual rows needs NO Exchange
       val agg = spark.read.format("graft-keyword")
         .option("fields", "job").option("partitioning", "keyword").load(base)
-        .groupBy("keyword").count()
-      val rows = agg.collect().map(r => (r.getString(0), r.getLong(1))).sorted
-      assert(rows.toSeq == Seq(("scala", 3L), ("spark", 1L)))
-      // storage-partitioned execution: the scan reports keyword-grouped
-      // partitioning (one group per directory), so the aggregation needs
-      // NO Exchange — the full shuffle of every per-keyword rollup is gone
+        .groupBy("keyword").agg(max(col("job")).as("mx"))
+      val rows = agg.collect().map(r => (r.getString(0), r.getString(1))).sorted
+      assert(rows.toSeq == Seq(("scala", "j3"), ("spark", "j4")))
       val plan = agg.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange hashpartitioning"), plan)
     } finally {

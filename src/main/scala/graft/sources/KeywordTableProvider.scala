@@ -99,13 +99,26 @@ class KeywordScanBuilder(base: String, full: StructType,
                          keywordGrouped: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var keywordAllowList: Option[Set[String]] = None
   // Some(byKeyword) once a COUNT(*) [GROUP BY keyword] is accepted
   private var countPushed: Option[(Boolean, Int)] = None
+  private var pushedLimit: Option[Int] = None
+
+  /** LIMIT pushdown (partial): each file reader stops after `limit`
+    * rows instead of draining its snapshot — Spark re-applies the
+    * global limit on top (isPartiallyPushed stays true). For LIMIT k
+    * over a crawler landing zone this reads k lines per file instead
+    * of every byte of every snapshot.
+    */
+  override def pushLimit(limit: Int): Boolean = {
+    pushedLimit = Some(limit)
+    true
+  }
 
   /** COUNT(*) pushdown, optionally grouped by keyword: a count never
     * needs the JSON payload, so the reader emits one pre-counted row
@@ -167,7 +180,8 @@ class KeywordScanBuilder(base: String, full: StructType,
       KeywordCountScan(base, byKeyword, nCounts, keywordAllowList, pushed,
         keywordGrouped && byKeyword)
     case None =>
-      KeywordScan(base, required, keywordAllowList, pushed, keywordGrouped)
+      KeywordScan(base, required, keywordAllowList, pushed, keywordGrouped,
+        pushedLimit)
   }
 }
 
@@ -236,10 +250,12 @@ case class KeywordCountReaderFactory(byKeyword: Boolean, nCounts: Int)
 
 case class KeywordScan(base: String, readSchemaV: StructType,
                        keywords: Option[Set[String]], pushed: Array[Filter],
-                       keywordGrouped: Boolean = false)
+                       keywordGrouped: Boolean = false,
+                       limit: Option[Int] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = readSchemaV
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String):
@@ -247,7 +263,26 @@ case class KeywordScan(base: String, readSchemaV: StructType,
     new KeywordMicroBatchStream(base, readSchemaV)
   override def description(): String =
     s"graft-keyword base=$base keywords=${keywords.fold("*")(_.mkString(","))} " +
-      s"PushedFilters: [${pushed.mkString(", ")}]"
+      s"PushedFilters: [${pushed.mkString(", ")}]" +
+      limit.fold("")(l => s" PushedLimit: $l")
+
+  /** Size statistics from the pruned file listing (file bytes are an
+    * upper bound on deserialized size here — JSON keys repeat per
+    * line). This is what lets Catalyst/AQE and size-gated broadcast
+    * helpers treat connector tables like parquet ones: a small keyword
+    * slice reports small and becomes the build side instead of
+    * defaulting to "unknown = infinite".
+    */
+  override def estimateStatistics():
+      org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val bytes = planInputPartitions().map(p =>
+        new java.io.File(p.asInstanceOf[KeywordFilePartition].file).length).sum
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
 
   // runtime filtering (the DSv2 form of dynamic partition pruning): when
   // the keyword column joins a selective dim, Spark hands the dim's
@@ -299,7 +334,7 @@ case class KeywordScan(base: String, readSchemaV: StructType,
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    KeywordReaderFactory(readSchemaV)
+    KeywordReaderFactory(readSchemaV, limit)
 }
 
 case class KeywordFilePartition(keyword: String, file: String) extends InputPartition
@@ -330,10 +365,11 @@ object KeywordScanUtil {
   }
 }
 
-case class KeywordReaderFactory(schema: StructType) extends PartitionReaderFactory {
+case class KeywordReaderFactory(schema: StructType, limit: Option[Int] = None)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[KeywordFilePartition]
-    new KeywordFileReader(p.keyword, p.file, schema)
+    new KeywordFileReader(p.keyword, p.file, schema, limit)
   }
 }
 
@@ -341,16 +377,22 @@ case class KeywordReaderFactory(schema: StructType) extends PartitionReaderFacto
   * classpath) parses each line, and only the pruned schema's fields are
   * extracted.
   */
-class KeywordFileReader(keyword: String, file: String, schema: StructType)
+class KeywordFileReader(keyword: String, file: String, schema: StructType,
+                        limit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
   private val source = scala.io.Source.fromFile(file, "UTF-8")
   private val lines = source.getLines().filter(_.trim.nonEmpty)
   private var current: InternalRow = _
+  private var emitted = 0
 
   override def next(): Boolean = {
+    // partial LIMIT pushdown: stop draining this snapshot once the
+    // per-partition quota is met; Spark applies the global limit above
+    if (limit.exists(emitted >= _)) return false
     if (!lines.hasNext) return false
+    emitted += 1
     val node = mapper.readTree(lines.next())
     val values = schema.fields.map { f =>
       if (f.name == "keyword") UTF8String.fromString(keyword)

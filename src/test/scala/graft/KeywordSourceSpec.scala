@@ -137,9 +137,17 @@ class KeywordSourceSpec extends SparkSpec {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     import graft.sources.KeywordScan
     val base = tmp("kw-dsv2-rt")
-    writeSnapshots(base, "scala", "s1.json", Seq("""{"job":"j1"}"""))
-    writeSnapshots(base, "spark", "p1.json", Seq("""{"job":"j2"}"""))
-    writeSnapshots(base, "flink", "f1.json", Seq("""{"job":"j3"}"""))
+    // pad the fact side: the connector now reports REAL size statistics,
+    // so an unpadded 3-row fact would itself become the broadcast side
+    // and no runtime filter would target its scan. The scenario being
+    // modeled is big-fact x selective-dim.
+    val pad = "x" * 2048
+    writeSnapshots(base, "scala", "s1.json",
+      s"""{"job":"j1"}""" +: (1 to 20).map(i => s"""{"job":"f$i","pad":"$pad"}"""))
+    writeSnapshots(base, "spark", "p1.json",
+      s"""{"job":"j2"}""" +: (1 to 20).map(i => s"""{"job":"g$i","pad":"$pad"}"""))
+    writeSnapshots(base, "flink", "f1.json",
+      s"""{"job":"j3"}""" +: (1 to 20).map(i => s"""{"job":"h$i","pad":"$pad"}"""))
 
     // dim must be a real relation (same requirement as DPP: a folded
     // LocalRelation has no Filter node for the pruning rule to find)
@@ -149,13 +157,16 @@ class KeywordSourceSpec extends SparkSpec {
     val dim = spark.read.parquet(dimDir).filter(col("tag") === "keep")
 
     try {
-      // fixture-scale benefit estimate, as in DppSpec
+      // fixture-scale benefit estimate, as in DppSpec; threshold under the
+      // padded fact size so only the dim broadcasts (the at-scale regime)
       spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10240")
       val fact = spark.read.format("graft-keyword")
         .option("fields", "job").load(base)
       val q = fact.join(dim, fact("keyword") === dim("kw")).select("keyword", "job")
       val rows = q.collect().map(r => (r.getString(0), r.getString(1)))
-      assert(rows.toSeq == Seq(("scala", "j1")))
+      assert(rows.length == 21 && rows.forall(_._1 == "scala"), rows.toSeq.take(5))
+      assert(rows.contains(("scala", "j1")))
 
       // the scan received the runtime keys and re-planned its partitions.
       // The join runs under AQE: descend through the adaptive plan AND
@@ -176,6 +187,7 @@ class KeywordSourceSpec extends SparkSpec {
         "no runtime filter attached to the scan")
     } finally {
       spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
 
@@ -258,6 +270,33 @@ class KeywordSourceSpec extends SparkSpec {
     assert(filtered.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       == Seq(("scala", 3L)))
     assert(filtered.rdd.getNumPartitions <= 2) // scala's two files only
+  }
+
+  test("DSv2 graft-keyword: limit pushdown bounds per-file reads; stats are real") {
+    val base = tmp("kw-limit")
+    writeSnapshots(base, "scala", "s1.json",
+      (1 to 50).map(i => s"""{"job":"j$i"}"""))
+    writeSnapshots(base, "spark", "p1.json",
+      (1 to 50).map(i => s"""{"job":"k$i"}"""))
+    def load() = spark.read.format("graft-keyword")
+      .option("fields", "job").load(base)
+
+    val lim = load().limit(3)
+    assert(lim.collect().length == 3)
+    val plan = lim.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedLimit: 3"), plan)
+
+    // SupportsReportStatistics: the optimizer sees real file bytes, not
+    // "unknown = infinite" — which is what lets size-gated broadcast
+    // helpers treat connector tables like parquet ones
+    val bytes = load().queryExecution.optimizedPlan.stats.sizeInBytes
+    val onDisk = new java.io.File(base).listFiles.flatMap(_.listFiles)
+      .map(_.length).sum
+    assert(bytes == BigInt(onDisk), s"stats=$bytes disk=$onDisk")
+    // and the keyword filter shrinks the estimate with the pruning
+    val filtered = load().filter(col("keyword") === "scala")
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(filtered < bytes, s"filtered=$filtered all=$bytes")
   }
 
   test("DSv2 graft-keyword: keyword-grouped partitioning elides the agg shuffle") {

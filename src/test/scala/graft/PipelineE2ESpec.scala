@@ -18,6 +18,71 @@ class PipelineE2ESpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("curate: filter -> mix -> decontaminate -> pack composes deterministically") {
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text", $"lang")
+    val nDocs = docs.count()
+
+    // 1. quality filter (q84 signals): keep only verdict == keep
+    val toks = docs.withColumn("toks", split($"text", " "))
+      .withColumn("n_toks", size($"toks").cast("long"))
+      .withColumn("n_distinct", size(array_distinct($"toks")).cast("long"))
+      .withColumn("sum_len", expr("aggregate(toks, 0L, (a, t) -> a + length(t))"))
+    val kept = toks.filter(
+      $"n_toks" >= 25 &&
+      $"n_distinct" * 100 >= $"n_toks" * 35 &&
+      $"sum_len" * 10 <= $"n_toks" * 52)
+      .select($"doc_id", $"text", $"lang", $"n_toks")
+    val nKept = kept.count()
+    assert(nKept > 0 && nKept < nDocs, s"filter must drop some docs ($nKept/$nDocs)")
+
+    // 2. temperature mix (q85): downsample dominant languages
+    val counts = kept.groupBy($"lang").agg(count(lit(1)).as("n_l"))
+    val minN = counts.agg(min($"n_l").as("n_min"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .withColumn("rate_milli",
+        floor(sqrt($"n_min".cast("double") / $"n_l") * 1000).cast("long"))
+    val mixed = kept.join(broadcast(rates), "lang")
+      .filter(PipelineOps.contentBucket($"text") < $"rate_milli")
+      .select($"doc_id", $"text", $"lang", $"n_toks")
+    assert(mixed.count() <= nKept)
+
+    // 3. decontaminate (q86 topology): drop docs sharing a 4-gram with
+    // the held-out slice
+    val g0 = mixed.withColumn("toks", split($"text", " "))
+      .select($"doc_id", $"lang", $"n_toks", expr(
+        """CASE WHEN size(toks) >= 4 THEN
+          |  transform(sequence(1, size(toks) - 3),
+          |    i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+          |                        element_at(toks, i + 2), element_at(toks, i + 3)))
+          |ELSE array() END""".stripMargin).as("grams"))
+      .localCheckpoint()
+    val benchGrams = g0.filter($"doc_id" % 7 === 0)
+      .select(explode($"grams").as("gram")).distinct()
+    val corpus = g0.filter($"doc_id" % 7 =!= 0)
+    val contaminated = corpus
+      .select($"doc_id", explode($"grams").as("gram"))
+      .join(benchGrams, Seq("gram"), "left_semi")
+      .select($"doc_id").distinct()
+    val cleanIds = corpus.join(contaminated, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"n_toks")
+    val nClean = cleanIds.count()
+    assert(nClean <= mixed.count())
+
+    // 4. pack into token-budget shards (q81 machinery)
+    val shards = PipelineOps.withRunningTotal(
+        cleanIds.select($"doc_id", $"n_toks"), "doc_id", "n_toks")
+      .withColumn("shard",
+        floor(($"cum_n_toks" - $"n_toks") / lit(4096L)).cast("long"))
+    val shardStats = shards.groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("toks"))
+      .orderBy($"shard").collect()
+    assert(shardStats.nonEmpty)
+    // every shard except possibly the last holds >= 4096 tokens worth of
+    // doc starts; totals add up to the clean corpus exactly
+    val totalToks = shards.agg(sum($"n_toks")).collect()(0).getLong(0)
+    assert(shardStats.map(_.getLong(2)).sum == totalToks)
+  }
+
   test("dedup -> cluster -> canonicalize -> sample -> stats composes") {
     val docs = Tables.documents(spark, dir).select($"doc_id", $"text", $"lang")
     val nDocs = docs.count()

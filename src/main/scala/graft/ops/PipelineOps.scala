@@ -245,6 +245,38 @@ object PipelineOps {
         .orderBy(col("lang"))
     }),
 
+    // ---- q88: the DSv2 connector inside the correctness gate — write a
+    // keyword landing zone THROUGH the connector's two-phase staged
+    // commit (one JSON-lines dir per lang), read it back through the
+    // connector's scan (directory pruning + typed column extraction),
+    // aggregate. The oracle aggregates the original parquet directly, so
+    // a bug anywhere in the write/read path (staging renames, JSON
+    // serialization, type mapping, keyword tagging) breaks the hash.
+    // The zone is rebuilt from scratch each run (deterministic content;
+    // append-only sink, so stale files must go first).
+    "q88_connector_roundtrip" -> ((s, d) => {
+      val zone = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft-zone-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(zone)
+      Tables.documents(s, d).filter(col("doc_id") < 300)
+        .select(col("lang").as("keyword"), col("doc_id"),
+                col("n_chars").cast("long").as("n_chars"))
+        .write.format("graft-keyword")
+        .option("fields", "doc_id:long,n_chars:long")
+        .mode("append").save(zone.getAbsolutePath)
+      s.read.format("graft-keyword")
+        .option("fields", "doc_id:long,n_chars:long")
+        .load(zone.getAbsolutePath)
+        .groupBy(col("keyword"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+             sum(col("n_chars")).as("chars_sum"))
+        .orderBy(col("keyword"))
+    }),
+
     // ---- q87: PII redaction, oracle-checked end-to-end — deterministic
     // synthetic PII (doc_id-derived email, a phone, an SSN-style id) is
     // appended to each document, redactPii scrubs it, and the output is
@@ -368,6 +400,12 @@ object PipelineOps {
         |FROM documents d JOIN rates r ON d.lang = r.lang
         |WHERE ('0x' || substr(md5(d.text), 1, 8))::BIGINT % 1000 < rate_milli
         |GROUP BY d.lang ORDER BY lang""".stripMargin,
+
+    "q88_connector_roundtrip" ->
+      """SELECT lang AS keyword, count(*) AS n, sum(doc_id)::BIGINT AS id_sum,
+        |  sum(n_chars)::BIGINT AS chars_sum
+        |FROM documents WHERE doc_id < 300
+        |GROUP BY lang ORDER BY keyword""".stripMargin,
 
     "q87_pii_redaction" ->
       """WITH dirty AS (

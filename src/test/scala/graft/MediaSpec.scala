@@ -224,6 +224,26 @@ class MediaSpec extends SparkSpec {
     assert(f.feature(5) == 2f)                    // track count
   }
 
+  test("Mp4Parser never throws on arbitrary bytes") {
+    import graft.multimodal.Mp4Parser
+    val rnd = new scala.util.Random(11)
+    // random garbage, truncated headers, and adversarial size fields
+    // (0, 1=largesize, huge, negative-looking) must all parse to None or
+    // Some without exceptions or hangs
+    (0 until 200).foreach { i =>
+      val len = rnd.nextInt(64)
+      Mp4Parser.parse(Array.fill[Byte](len)(rnd.nextInt().toByte))
+    }
+    val ftyp = Array[Byte](0, 0, 0, 16) ++ "ftypisom".getBytes ++ Array[Byte](0, 0, 0, 0)
+    for (size <- Seq(0L, 1L, 7L, 0xFFFFFFFFL, 0x7FFFFFFFL)) {
+      val evil = ftyp ++ Array(
+        ((size >> 24) & 0xff).toByte, ((size >> 16) & 0xff).toByte,
+        ((size >> 8) & 0xff).toByte, (size & 0xff).toByte) ++
+        "moov".getBytes ++ Array.fill[Byte](24)(0)
+      Mp4Parser.parse(evil) // must terminate without throwing
+    }
+  }
+
   test("sampleFrames explodes n rows per media row") {
     val df = MediaOps.syntheticMedia(spark, 5).toDF()
     val sampled = MediaOps.sampleFrames(df, 4)

@@ -69,6 +69,16 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("q84: the verdict chain is one scan-shaped pass (no extra shuffle)") {
+    val p = plan("q84_filter_pipeline")
+    // exactly one parquet scan of two columns, partial+final agg, and the
+    // only exchanges are the group-by hash + the final sort
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("ReadSchema: struct<text:string,lang:string>"), p)
+    val shuffles = "Exchange (hash|range)partitioning".r.findAllIn(p).size
+    assert(shuffles <= 2, s"$shuffles shuffles in\n$p")
+  }
+
   test("q79: no join back onto the signature pipeline (pairs carry simhashes)") {
     val p = plan("q79_simhash_hamming")
     assert(!p.contains("Join"), p) // single linear pipeline, no joins at all

@@ -83,7 +83,7 @@ case class KeywordTable(base: String, tableSchema: StructType)
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KeywordScanBuilder(base, tableSchema,
       "keyword".equalsIgnoreCase(options.get("partitioning")))
@@ -435,16 +435,20 @@ class KeywordWriteBuilder(base: String, schema: StructType) extends WriteBuilder
     "graft-keyword write requires a 'keyword' string column")
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new KeywordBatchWrite(base, schema)
+    override def toStreaming:
+        org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new KeywordStreamingWrite(base, schema)
   }
 }
 
 case class KeywordStagedFiles(files: Seq[String]) extends WriterCommitMessage
 
-class KeywordBatchWrite(base: String, schema: StructType) extends BatchWrite {
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    KeywordWriterFactory(base, schema)
-
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
+/** Shared two-phase commit: rename staged files into place / delete on
+  * abort — used identically by the batch job commit and each streaming
+  * epoch commit.
+  */
+private object KeywordCommit {
+  def commit(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case KeywordStagedFiles(files) => files.foreach { f =>
         val staged = new java.io.File(f)
@@ -455,12 +459,48 @@ class KeywordBatchWrite(base: String, schema: StructType) extends BatchWrite {
       case _ =>
     }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
+  def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case KeywordStagedFiles(files) =>
         files.foreach(f => new java.io.File(f).delete())
       case _ =>
     }
+}
+
+class KeywordBatchWrite(base: String, schema: StructType) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    KeywordWriterFactory(base, schema)
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    KeywordCommit.commit(messages)
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    KeywordCommit.abort(messages)
+}
+
+/** Streaming sink form (`writeStream.format("graft-keyword")`): each
+  * micro-batch stages its files and the EPOCH commit renames them into
+  * place, so readers never observe a half-written batch. File names
+  * carry the epoch id: a replayed epoch (restart between sink commit
+  * and offset-log write) re-stages under the same epoch prefix —
+  * at-least-once like Spark's own file sinks without a metadata log;
+  * exactly-once readers should dedup on (epoch, partition) or use the
+  * idempotent-batch-id pattern from EventStream.writeBatchIdempotent.
+  */
+class KeywordStreamingWrite(base: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo):
+      org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    KeywordStreamingWriterFactory(base, schema)
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    KeywordCommit.commit(messages)
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    KeywordCommit.abort(messages)
+}
+
+case class KeywordStreamingWriterFactory(base: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new KeywordDataWriter(base, schema, partitionId, taskId, s"epoch$epochId-")
 }
 
 case class KeywordWriterFactory(base: String, schema: StructType)
@@ -470,7 +510,8 @@ case class KeywordWriterFactory(base: String, schema: StructType)
 }
 
 class KeywordDataWriter(base: String, schema: StructType,
-                        partitionId: Int, taskId: Long)
+                        partitionId: Int, taskId: Long,
+                        namePrefix: String = "")
     extends DataWriter[InternalRow] {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -486,7 +527,7 @@ class KeywordDataWriter(base: String, schema: StructType,
       val dir = new java.io.File(base, kw)
       dir.mkdirs()
       val f = new java.io.File(dir,
-        s".staging-part-$partitionId-$taskId-$uuid.json")
+        s".staging-${namePrefix}part-$partitionId-$taskId-$uuid.json")
       staged += f.getAbsolutePath
       new java.io.BufferedWriter(new java.io.OutputStreamWriter(
         new java.io.FileOutputStream(f), java.nio.charset.StandardCharsets.UTF_8))

@@ -354,6 +354,37 @@ class KeywordSourceSpec extends SparkSpec {
     assert(!lastLine.contains("s1.json"), s"offset still carries old files: $lastLine")
   }
 
+  test("DSv2 graft-keyword: streaming WRITE stages per epoch, readable back") {
+    import org.apache.spark.sql.streaming.Trigger
+    val inDir = tmp("kw-sw-in")
+    val zone = tmp("kw-sw-zone")
+    val ckpt = tmp("kw-sw-ckpt")
+    import spark.implicits._
+    Seq(("scala", "j1"), ("scala", "j2"), ("spark", "j3"))
+      .toDF("keyword", "job").write.mode("append").parquet(inDir)
+
+    val q = spark.readStream
+      .schema("keyword STRING, job STRING").parquet(inDir)
+      .writeStream.format("graft-keyword")
+      .option("fields", "job")
+      .option("path", zone).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).outputMode("append").start()
+    q.awaitTermination(60000)
+
+    // epoch commit renamed everything into place: no staging leftovers,
+    // epoch id visible in the committed names
+    val files = new java.io.File(zone).listFiles.flatMap(_.listFiles).map(_.getName)
+    assert(files.nonEmpty && files.forall(f =>
+      f.endsWith(".json") && !f.startsWith(".staging")), files.toSeq)
+    assert(files.forall(_.startsWith("epoch")), files.toSeq)
+
+    // and the connector reads its own streaming output back
+    val got = spark.read.format("graft-keyword")
+      .option("fields", "job").load(zone)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(got.toSeq == Seq(("scala", "j1"), ("scala", "j2"), ("spark", "j3")))
+  }
+
   test("DSv2 graft-keyword: aborted tasks leave no visible files") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.types._

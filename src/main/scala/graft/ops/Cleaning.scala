@@ -196,9 +196,14 @@ object Cleaning {
           .otherwise(lit("rgb(10, 20, 30)"))))
         .withColumn("text",
           concat(pmod(col("job_id") * 3 + col("pos") * 17, lit(100)), lit("%")))
+      // Sorted entries serialized to ONE scalar string ("k=v|k=v"): the
+      // driver's comparator hashes scalar cells only (array<struct> made
+      // q82/q83 error in round 3 — VERDICT r3 #1). Map keys are unique,
+      // so sorting by key is total and both engines agree byte-for-byte.
       graft.jobs.JobOps.genderMap(bars)
         .select(col("job_id"),
-                sort_array(map_entries(col("gender"))).as("gender_entries"))
+                expr("array_join(transform(sort_array(map_entries(gender)), " +
+                     "e -> concat(e.key, '=', e.value)), '|')").as("gender_entries"))
         .orderBy(col("job_id"))
     }),
 
@@ -224,10 +229,43 @@ object Cleaning {
                  element_at(legend, col("ci").cast("int") + 1)))
         .withColumn("text",
           concat(pmod(col("job_id") + col("pos") * 29, lit(100)), lit("%")))
+      // Same scalar-string serialization as q82 (driver-gate hashability).
       graft.jobs.JobOps.languageMap(bars)
         .select(col("job_id"),
-                sort_array(map_entries(col("language_skills"))).as("skills_entries"))
+                expr("array_join(transform(sort_array(map_entries(language_skills)), " +
+                     "e -> concat(e.key, '=', e.value)), '|')").as("skills_entries"))
         .orderBy(col("job_id"))
+    }),
+
+    // ---- q89: A7 title-dispatched chart extraction (test.py:491-512) —
+    // the reference routes each analysis chart through ONE extractor by
+    // its title; here two charts per job dispatch onto a 5-title legend,
+    // each chart carrying three "bucket\npct" lines of which every third
+    // is malformed (single part) and must be dropped (test.py:42-50,57).
+    // Output: per (job, title), sorted chart-map entries serialized to a
+    // scalar string (driver-gate hashability, same as q82/q83).
+    "q89_chart_map" -> ((s, d) => {
+      val titles = array(lit("年齡"), lit("學歷"), lit("工作經歷"),
+                         lit("語言條件"), lit("科系"))
+      val base = Tables.documents(s, d).filter(col("doc_id") < 150)
+        .select(col("doc_id").as("job_id"),
+                explode(sequence(lit(0), lit(1))).as("c"))
+        .withColumn("ti", pmod(col("job_id") * 2 + col("c"), lit(5)))
+        .withColumn("title", element_at(titles, col("ti").cast("int") + 1))
+        .select(col("job_id"), col("c"), col("title"),
+                explode(sequence(lit(0), lit(2))).as("pos"))
+        .withColumn("line",
+          when(pmod(col("job_id") + col("c") + col("pos"), lit(3)) === 0,
+               concat(lit("bad"), col("pos")))
+          .otherwise(concat(lit("b"), col("pos"), lit("歲"), lit("\n"),
+                            pmod(col("job_id") * 7 + col("c") * 5 + col("pos") * 13,
+                                 lit(100)),
+                            lit("%"))))
+      graft.jobs.JobOps.chartMap(base, "job_id", "title", "line")
+        .select(col("job_id"), col("title"),
+                expr("array_join(transform(sort_array(map_entries(m)), " +
+                     "e -> concat(e.key, '=', e.value)), '|')").as("entries"))
+        .orderBy(col("job_id"), col("title"))
     }),
 
     // ---- q35: timestamp part extraction (update-date handling analog,
@@ -363,7 +401,7 @@ object Cleaning {
         |           THEN '女性' END AS gender_key
         |  FROM parsed)
         |SELECT job_id,
-        |  list_sort(list(struct_pack(key := gender_key, value := text)))
+        |  string_agg(gender_key || '=' || text, '|' ORDER BY gender_key)
         |    AS gender_entries
         |FROM keyed WHERE gender_key IS NOT NULL
         |GROUP BY job_id ORDER BY job_id""".stripMargin,
@@ -394,8 +432,29 @@ object Cleaning {
         |  SELECT job_id, bar_lang, string_agg(level_pct, ',' ORDER BY pos) AS levels
         |  FROM lev GROUP BY job_id, bar_lang)
         |SELECT job_id,
-        |  list_sort(list(struct_pack(key := bar_lang, value := levels)))
+        |  string_agg(bar_lang || '=' || levels, '|' ORDER BY bar_lang)
         |    AS skills_entries
-        |FROM per_lang GROUP BY job_id ORDER BY job_id""".stripMargin
+        |FROM per_lang GROUP BY job_id ORDER BY job_id""".stripMargin,
+
+    "q89_chart_map" ->
+      """WITH base AS (
+        |  SELECT doc_id AS job_id, c, pos,
+        |    ['年齡', '學歷', '工作經歷', '語言條件', '科系']
+        |      [((doc_id * 2 + c) % 5)::INT + 1] AS title,
+        |    CASE WHEN (doc_id + c + pos) % 3 = 0 THEN 'bad' || pos
+        |         ELSE 'b' || pos || '歲' || chr(10) ||
+        |              ((doc_id * 7 + c * 5 + pos * 13) % 100) || '%' END AS line
+        |  FROM documents
+        |  CROSS JOIN (SELECT unnest(range(0, 2)) AS c) cc
+        |  CROSS JOIN (SELECT unnest(range(0, 3)) AS pos) pp
+        |  WHERE doc_id < 150),
+        |parts AS (
+        |  SELECT job_id, title, str_split(line, chr(10)) AS p FROM base),
+        |valid AS (
+        |  SELECT job_id, title, p[1] AS key, p[2] AS value
+        |  FROM parts WHERE len(p) = 2)
+        |SELECT job_id, title,
+        |  string_agg(key || '=' || value, '|' ORDER BY key) AS entries
+        |FROM valid GROUP BY job_id, title ORDER BY job_id, title""".stripMargin
   )
 }

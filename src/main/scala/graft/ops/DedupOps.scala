@@ -29,6 +29,14 @@ object DedupOps {
   private val COS_T = 0.4
   private val HASH_P = 2147483647L // Mersenne prime; (p-1)*(2*seeds+1) << 2^63
   private val MAX_BLOCK = 1000 // chunk width for oversized label blocks
+  // A band bucket larger than this emits NO pairs: an adversarial
+  // mass-duplicate corpus would otherwise put n near-identical docs into
+  // one (band, bkey) row and explode C(n, 2) pairs from a single
+  // aggregation row — the same failure the df-cap (TextOps.DF_CAP) and
+  // simhash BAND_CAP close. Recall on dup-heavy corpora comes from
+  // composing sha2 exact-dedup in front (dedupFirstJaccardPairs / q50b),
+  // after which genuine near-dup buckets are small again.
+  val BAND_CAP = 200
 
   /** Exact all-pairs candidates within `label` blocks, skew-safe.
     *
@@ -69,16 +77,86 @@ object DedupOps {
       .drop("_i", "_j")
   }
 
+  /** MinHash signatures -> LSH band buckets -> candidate pairs -> exact
+    * jaccard verification, over a (doc_id, grams) shingle frame — the
+    * q49 pipeline as a reusable operator.
+    *
+    * The shingle frame is materialized ONCE and shared by candidate
+    * generation and both verify-join sides — without it Catalyst
+    * re-derives the tokenize→trigram pipeline per reference (3 corpus
+    * passes). `checkpointDir = None` pins it executor-locally (fast;
+    * lost on executor churn — fine for local mode); pass a reliable dir
+    * (HDFS/S3) on a real cluster so a lost executor re-reads the
+    * checkpoint instead of recomputing the shingling from the source.
+    *
+    * Band buckets larger than `bandCap` emit no pairs (see BAND_CAP).
+    */
+  def minhashLshPairs(shingles: DataFrame, bandCap: Int = BAND_CAP,
+                      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(shingles.sparkSession.sparkContext.setCheckpointDir)
+    val g0 =
+      if (checkpointDir.isDefined) shingles.checkpoint() else shingles.localCheckpoint()
+    // explode_outer + null filter: plain explode would infer a
+    // non-empty-array filter (moot over the checkpointed RDD, kept for
+    // shape parity with the TextOps index)
+    val g = g0.select(col("doc_id"), explode_outer(col("grams")).as("gram"))
+      .filter(col("gram").isNotNull)
+    // One md5 per shingle, then NUM_SEEDS cheap derived hashes
+    // h_s = ((h % P) * (2s+1) + 7919s) % P — exact int64 in both
+    // engines, so the oracle replicates signatures bit-for-bit while
+    // the expensive digest runs once per shingle, not once per seed.
+    // All NUM_SEEDS minima are computed as separate aggregates in ONE
+    // groupBy over the shingle rows (no seed explosion: the exploded
+    // form pushes NUM_SEEDS x |shingles| rows through two shuffles).
+    val withHm = g
+      .withColumn("hv", expr(s"conv(substring(md5(gram), 1, 15), 16, 10)").cast("long"))
+      .withColumn("hm", expr(s"hv % $HASH_P"))
+    val minAggs = (0 until NUM_SEEDS).map { sd =>
+      min(expr(s"(hm * ${2 * sd + 1} + ${7919 * sd}) % $HASH_P")).as(s"m$sd")
+    }
+    val sig = withHm.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    // band key = the band's row minhashes joined in seed order
+    val bandStructs = (0 until NUM_SEEDS / ROWS_PER_BAND).map { b =>
+      val ms = (0 until ROWS_PER_BAND).map(r => s"m${b * ROWS_PER_BAND + r}")
+      s"named_struct('band', $b, 'bkey', concat_ws('|', ${ms.mkString(", ")}))"
+    }
+    val bands = sig
+      .select(col("doc_id"),
+              explode(expr(s"array(${bandStructs.mkString(", ")})")).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+    // in-bucket pair generation via collect_list (no self-join: Catalyst
+    // would recompute the whole signature pipeline for each side);
+    // bucket size capped — one hot bucket must not become an O(n²) row
+    val cand = bands.groupBy(col("band"), col("bkey"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, bandCap))
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)),
+          |            y -> named_struct('d1', x, 'd2', y))))""".stripMargin))
+        .as("p"))
+      .select(col("p.d1"), col("p.d2"))
+      .distinct()
+    cand
+      .join(g0.select(col("doc_id").as("d1"), col("grams").as("g1")), "d1")
+      .join(g0.select(col("doc_id").as("d2"), col("grams").as("g2")), "d2")
+      // LSH candidates can share a band key WITHOUT sharing any shingle
+      // (hash collision) — exit those before the full intersection.
+      // Semantics-preserving: no overlap → jaccard 0 < JACCARD_T.
+      .filter(arrays_overlap(col("g1"), col("g2")))
+      .withColumn("common", size(array_intersect(col("g1"), col("g2"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("g1")) + size(col("g2")) - col("common")))
+      .filter(col("jaccard") >= JACCARD_T)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- q49: MinHash signatures -> LSH band buckets -> candidate pairs
     // -> exact jaccard verification.
     "q49_minhash_lsh" -> ((s, d) => {
-      // Materialized once (executor-local checkpoint): candidate
-      // generation AND both exact-jaccard verify joins read the same
-      // shingle table — without it Catalyst re-derives the
-      // tokenize→trigram pipeline per reference (3 corpus passes).
-      val g0 = Tables.rebalance(Tables.documents(s, d))
+      val shingles = Tables.rebalance(Tables.documents(s, d))
         .withColumn("toks", split(col("text"), " "))
         .select(col("doc_id"), array_distinct(expr(
           """CASE WHEN size(toks) >= 3 THEN
@@ -87,56 +165,7 @@ object DedupOps {
             |                                element_at(toks, i + 1),
             |                                element_at(toks, i + 2)))
             |ELSE array() END""".stripMargin)).as("grams"))
-        .localCheckpoint()
-      // explode_outer + null filter: plain explode would infer a
-      // non-empty-array filter (moot over the checkpointed RDD, kept for
-      // shape parity with the TextOps index)
-      val g = g0.select(col("doc_id"), explode_outer(col("grams")).as("gram"))
-        .filter(col("gram").isNotNull)
-      // One md5 per shingle, then NUM_SEEDS cheap derived hashes
-      // h_s = ((h % P) * (2s+1) + 7919s) % P — exact int64 in both
-      // engines, so the oracle replicates signatures bit-for-bit while
-      // the expensive digest runs once per shingle, not once per seed.
-      // All NUM_SEEDS minima are computed as separate aggregates in ONE
-      // groupBy over the shingle rows (no seed explosion: the exploded
-      // form pushes NUM_SEEDS x |shingles| rows through two shuffles).
-      val withHm = g
-        .withColumn("hv", expr(s"conv(substring(md5(gram), 1, 15), 16, 10)").cast("long"))
-        .withColumn("hm", expr(s"hv % $HASH_P"))
-      val minAggs = (0 until NUM_SEEDS).map { sd =>
-        min(expr(s"(hm * ${2 * sd + 1} + ${7919 * sd}) % $HASH_P")).as(s"m$sd")
-      }
-      val sig = withHm.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
-      // band key = the band's row minhashes joined in seed order
-      val bandStructs = (0 until NUM_SEEDS / ROWS_PER_BAND).map { b =>
-        val ms = (0 until ROWS_PER_BAND).map(r => s"m${b * ROWS_PER_BAND + r}")
-        s"named_struct('band', $b, 'bkey', concat_ws('|', ${ms.mkString(", ")}))"
-      }
-      val bands = sig
-        .select(col("doc_id"),
-                explode(expr(s"array(${bandStructs.mkString(", ")})")).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
-      // in-bucket pair generation via collect_list (no self-join: Catalyst
-      // would recompute the whole signature pipeline for each side)
-      val cand = bands.groupBy(col("band"), col("bkey"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-        .filter(size(col("ds")) >= 2)
-        .select(explode(expr(
-          """flatten(transform(ds, (x, i) ->
-            |  transform(slice(ds, i + 2, size(ds)),
-            |            y -> named_struct('d1', x, 'd2', y))))""".stripMargin))
-          .as("p"))
-        .select(col("p.d1"), col("p.d2"))
-        .distinct()
-      cand
-        .join(g0.select(col("doc_id").as("d1"), col("grams").as("g1")), "d1")
-        .join(g0.select(col("doc_id").as("d2"), col("grams").as("g2")), "d2")
-        .withColumn("common", size(array_intersect(col("g1"), col("g2"))))
-        .withColumn("jaccard", col("common").cast("double") /
-          (size(col("g1")) + size(col("g2")) - col("common")))
-        .filter(col("jaccard") >= JACCARD_T)
-        .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
-        .orderBy(col("d1"), col("d2"))
+      minhashLshPairs(shingles).orderBy(col("d1"), col("d2"))
     }),
 
     // ---- q55: embedding-cosine near-dup, blocked by cluster label
@@ -179,10 +208,14 @@ object DedupOps {
         |  SELECT doc_id, s // $ROWS_PER_BAND AS band,
         |    string_agg(mh::VARCHAR, '|' ORDER BY s) AS bkey
         |  FROM mh GROUP BY doc_id, s // $ROWS_PER_BAND),
+        |bsz AS (
+        |  SELECT band, bkey FROM bands GROUP BY band, bkey
+        |  HAVING count(*) BETWEEN 2 AND $BAND_CAP),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
         |  FROM bands a JOIN bands b
-        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        |  JOIN bsz ON bsz.band = a.band AND bsz.bkey = a.bkey)
         |SELECT d1, d2,
         |  round(len(list_intersect(a.grams, b.grams))::DOUBLE /
         |    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6) AS jaccard

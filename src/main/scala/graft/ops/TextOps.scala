@@ -91,12 +91,26 @@ object TextOps {
     * tokenize→trigram pipeline per reference (3 corpus passes). At
     * 100 TB the checkpoint is one bounded write of (doc_id, grams) to
     * executor storage vs two extra full scans+shingles of the corpus.
+    *
+    * `checkpointDir = None` pins executor-locally (fast; lost on
+    * executor churn — right for local mode and short jobs). Pass a
+    * reliable dir (HDFS/S3) on a real cluster: a lost executor then
+    * re-reads the checkpoint instead of recomputing the shingling.
     */
-  def jaccardNearDupPairs(g0: DataFrame, dfCap: Int = DF_CAP): DataFrame = {
-    val gc = g0.localCheckpoint()
+  def jaccardNearDupPairs(g0: DataFrame, dfCap: Int = DF_CAP,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(g0.sparkSession.sparkContext.setCheckpointDir)
+    val gc = if (checkpointDir.isDefined) g0.checkpoint() else g0.localCheckpoint()
     invertedIndexCandidates(gc, dfCap)
       .join(gc.select(col("doc_id").as("d1"), col("grams").as("g1")), "d1")
       .join(gc.select(col("doc_id").as("d2"), col("grams").as("g2")), "d2")
+      // cheap short-circuit before the O(|g1|+|g2|) intersection: a
+      // non-overlapping pair has jaccard 0 < threshold, so the filter is
+      // semantics-preserving (grams are non-null, elements non-null).
+      // arrays_overlap exits on the first shared element — candidates
+      // that DO overlap pay one extra probe, non-overlapping ones skip
+      // the full intersect+two-size pass entirely.
+      .filter(arrays_overlap(col("g1"), col("g2")))
       .withColumn("common", size(array_intersect(col("g1"), col("g2"))))
       .withColumn("jaccard", col("common").cast("double") /
         (size(col("g1")) + size(col("g2")) - col("common")))
@@ -188,16 +202,18 @@ object TextOps {
     * Only (sha2, doc_id) crosses the first shuffle — the text itself is
     * re-fetched for the surviving representatives via a doc_id join.
     */
-  def dedupFirstJaccardPairs(docs: DataFrame, dfCap: Int = DF_CAP): DataFrame = {
+  def dedupFirstJaccardPairs(docs: DataFrame, dfCap: Int = DF_CAP,
+                             checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(docs.sparkSession.sparkContext.setCheckpointDir)
     // ids is referenced three times (reps join + two dup-count joins);
     // checkpoint so the sha2 aggregation scans the corpus once, not 3x.
-    val ids = docs.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+    val ids0 = docs.select(col("doc_id"), sha2(col("text"), 256).as("h"))
       .groupBy(col("h"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
-      .localCheckpoint()
+    val ids = if (checkpointDir.isDefined) ids0.checkpoint() else ids0.localCheckpoint()
     val reps = ids.select(col("doc_id"), col("n_dups"))
       .join(docs, "doc_id")
-    jaccardNearDupPairs(shingled(reps), dfCap)
+    jaccardNearDupPairs(shingled(reps), dfCap, checkpointDir)
       .join(ids.select(col("doc_id").as("d1"), col("n_dups").as("d1_dups")), "d1")
       .join(ids.select(col("doc_id").as("d2"), col("n_dups").as("d2_dups")), "d2")
       .select(col("d1"), col("d2"), col("common"), col("jaccard"),

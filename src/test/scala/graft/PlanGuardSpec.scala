@@ -79,6 +79,15 @@ class PlanGuardSpec extends SparkSpec {
     assert(shuffles <= 2, s"$shuffles shuffles in\n$p")
   }
 
+  test("q50/q49: non-overlapping candidates short-circuit before the intersection") {
+    // the verify join must filter on arrays_overlap (first-shared-element
+    // exit) before paying the full array_intersect + sizes
+    for (q <- Seq("q50_jaccard_neardup", "q49_minhash_lsh")) {
+      val p = plan(q)
+      assert(p.contains("arrays_overlap"), s"$q missing overlap short-circuit:\n$p")
+    }
+  }
+
   test("q79: no join back onto the signature pipeline (pairs carry simhashes)") {
     val p = plan("q79_simhash_hamming")
     assert(!p.contains("Join"), p) // single linear pipeline, no joins at all

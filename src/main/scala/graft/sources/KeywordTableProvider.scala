@@ -352,17 +352,25 @@ object KeywordScanUtil {
                      runtimeAllow: Option[Set[String]]): Array[InputPartition] = {
     val baseDir = new java.io.File(base)
     val dirs = Option(baseDir.listFiles()).getOrElse(Array.empty)
-      .filter(_.isDirectory)
+      .filter(d => d.isDirectory && !isHidden(d.getName))
       .filter(d => keywords.forall(_.contains(d.getName)))
       .filter(d => runtimeAllow.forall(_.contains(d.getName)))
       .sortBy(_.getName)
     dirs.flatMap { d =>
       Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.endsWith(".json"))
+        .filter(f => f.isFile && f.getName.endsWith(".json") && !isHidden(f.getName))
         .sortBy(_.getName)
         .map(f => KeywordFilePartition(d.getName, f.getAbsolutePath): InputPartition)
     }
   }
+
+  /** Hadoop's hidden-path convention: '.'-prefixed (in-flight staging
+    * files — they end in .json too, so the suffix filter alone would
+    * expose half-written batches to readers) and '_'-prefixed (the
+    * `_epochs` commit-marker directory) names are never data.
+    */
+  def isHidden(name: String): Boolean =
+    name.startsWith(".") || name.startsWith("_")
 }
 
 case class KeywordReaderFactory(schema: StructType, limit: Option[Int] = None)
@@ -478,20 +486,56 @@ class KeywordBatchWrite(base: String, schema: StructType) extends BatchWrite {
 
 /** Streaming sink form (`writeStream.format("graft-keyword")`): each
   * micro-batch stages its files and the EPOCH commit renames them into
-  * place, so readers never observe a half-written batch. File names
-  * carry the epoch id: a replayed epoch (restart between sink commit
-  * and offset-log write) re-stages under the same epoch prefix —
-  * at-least-once like Spark's own file sinks without a metadata log;
-  * exactly-once readers should dedup on (epoch, partition) or use the
-  * idempotent-batch-id pattern from EventStream.writeBatchIdempotent.
+  * place, so readers never observe a half-written batch.
+  *
+  * EXACTLY-ONCE via the idempotent-batch-id pattern (the connector form
+  * of EventStream.writeBatchIdempotent): a `base/_epochs/epoch-<id>`
+  * marker is written after an epoch's renames complete, and the epoch
+  * commit consults it first —
+  *   - marker present (the epoch already committed; Spark replays it
+  *     after a restart between sink commit and offset-log write): the
+  *     replayed staging files are DISCARDED, no duplicate data;
+  *   - marker absent but epoch-prefixed data files exist (a previous
+  *     attempt crashed mid-rename): the partial output is deleted and
+  *     replaced by this attempt's files, then the marker is written.
+  * File names carry the epoch id, which is what makes both the replay
+  * detection and the partial-output cleanup possible. The marker dir is
+  * '_'-prefixed and therefore invisible to readers (KeywordScanUtil
+  * hidden-path rule).
   */
 class KeywordStreamingWrite(base: String, schema: StructType)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  private def marker(epochId: Long): java.io.File =
+    new java.io.File(new java.io.File(base, "_epochs"), s"epoch-$epochId")
+
+  // "epoch7-" prefix (dash included, so epoch70 never matches epoch7)
+  private def deletePartialEpochOutput(epochId: Long): Unit = {
+    val baseDir = new java.io.File(base)
+    Option(baseDir.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && !KeywordScanUtil.isHidden(d.getName))
+      .foreach { d =>
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.startsWith(s"epoch$epochId-"))
+          .foreach(_.delete())
+      }
+  }
+
   override def createStreamingWriterFactory(info: PhysicalWriteInfo):
       org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
     KeywordStreamingWriterFactory(base, schema)
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    KeywordCommit.commit(messages)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val m = marker(epochId)
+    if (m.exists()) {
+      KeywordCommit.abort(messages) // epoch already durable: drop the replay
+    } else {
+      deletePartialEpochOutput(epochId)
+      KeywordCommit.commit(messages)
+      m.getParentFile.mkdirs()
+      m.createNewFile()
+    }
+  }
+
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     KeywordCommit.abort(messages)
 }
@@ -593,10 +637,12 @@ class KeywordMicroBatchStream(base: String, schema: StructType)
   private def allFiles(): Seq[(String, String, String)] = {
     val baseDir = new java.io.File(base)
     Option(baseDir.listFiles()).getOrElse(Array.empty)
-      .filter(_.isDirectory).sortBy(_.getName)
+      .filter(d => d.isDirectory && !KeywordScanUtil.isHidden(d.getName))
+      .sortBy(_.getName)
       .flatMap { d =>
         Option(d.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isFile && f.getName.endsWith(".json"))
+          .filter(f => f.isFile && f.getName.endsWith(".json") &&
+            !KeywordScanUtil.isHidden(f.getName))
           .sortBy(_.getName)
           .map(f => (d.getName, f.getName, f.getAbsolutePath))
       }.toSeq

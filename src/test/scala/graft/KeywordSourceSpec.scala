@@ -372,17 +372,72 @@ class KeywordSourceSpec extends SparkSpec {
     q.awaitTermination(60000)
 
     // epoch commit renamed everything into place: no staging leftovers,
-    // epoch id visible in the committed names
-    val files = new java.io.File(zone).listFiles.flatMap(_.listFiles).map(_.getName)
+    // epoch id visible in the committed names; the _epochs marker dir
+    // holds the exactly-once commit record and is hidden from readers
+    val files = new java.io.File(zone).listFiles
+      .filterNot(_.getName.startsWith("_")).flatMap(_.listFiles).map(_.getName)
     assert(files.nonEmpty && files.forall(f =>
       f.endsWith(".json") && !f.startsWith(".staging")), files.toSeq)
     assert(files.forall(_.startsWith("epoch")), files.toSeq)
+    assert(new java.io.File(new java.io.File(zone, "_epochs"), "epoch-0").exists())
 
     // and the connector reads its own streaming output back
     val got = spark.read.format("graft-keyword")
       .option("fields", "job").load(zone)
       .collect().map(r => (r.getString(0), r.getString(1))).sorted
     assert(got.toSeq == Seq(("scala", "j1"), ("scala", "j2"), ("spark", "j3")))
+  }
+
+  test("DSv2 graft-keyword: replayed epoch commit is idempotent (exactly-once)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.sources.{KeywordStagedFiles, KeywordStreamingWrite, KeywordStreamingWriterFactory}
+    val zone = tmp("kw-epoch-replay")
+    val schema = StructType(Seq(
+      StructField("keyword", StringType), StructField("job", StringType)))
+    val sink = new KeywordStreamingWrite(zone, schema)
+    val factory = KeywordStreamingWriterFactory(zone, schema)
+    def stage(epochId: Long, taskId: Long, jobs: Seq[String]): KeywordStagedFiles = {
+      val w = factory.createWriter(0, taskId, epochId)
+      jobs.foreach(j => w.write(InternalRow(
+        UTF8String.fromString("scala"), UTF8String.fromString(j))))
+      w.commit().asInstanceOf[KeywordStagedFiles]
+    }
+    def readBack(): Seq[String] = spark.read.format("graft-keyword")
+      .option("fields", "job").load(zone)
+      .collect().map(_.getString(1)).toSeq.sorted
+
+    // first attempt of epoch 7 commits normally
+    sink.commit(7L, Array(stage(7L, 0L, Seq("j1", "j2"))))
+    assert(readBack() == Seq("j1", "j2"))
+
+    // restart between sink commit and offset-log write: Spark replays
+    // epoch 7 with fresh tasks — the marker makes the second commit a
+    // no-op (replayed staging discarded), NOT an append
+    sink.commit(7L, Array(stage(7L, 1L, Seq("j1", "j2"))))
+    assert(readBack() == Seq("j1", "j2"), "replayed epoch duplicated data")
+    // no staging leftovers from the discarded replay
+    val leftover = new java.io.File(zone, "scala").listFiles()
+      .map(_.getName).filter(_.startsWith(".staging"))
+    assert(leftover.isEmpty, leftover.toSeq)
+
+    // a DIFFERENT epoch still appends, and the marker dir stays hidden
+    // from readers (hidden-path rule)
+    sink.commit(8L, Array(stage(8L, 2L, Seq("j3"))))
+    assert(readBack() == Seq("j1", "j2", "j3"))
+    assert(new java.io.File(new java.io.File(zone, "_epochs"), "epoch-7").exists())
+
+    // crash mid-rename: epoch 9's first attempt left partial output and
+    // no marker — the retry replaces it instead of appending to it
+    val partial = stage(9L, 3L, Seq("j4", "j5"))
+    new java.io.File(partial.files.head).renameTo(new java.io.File(
+      new java.io.File(partial.files.head).getParentFile,
+      new java.io.File(partial.files.head).getName.stripPrefix(".staging-")))
+    partial.files.tail.foreach(f => new java.io.File(f).delete())
+    sink.commit(9L, Array(stage(9L, 4L, Seq("j4", "j5"))))
+    assert(readBack() == Seq("j1", "j2", "j3", "j4", "j5"),
+      "partial first attempt not replaced on retry")
   }
 
   test("DSv2 graft-keyword: aborted tasks leave no visible files") {

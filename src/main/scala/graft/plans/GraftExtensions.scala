@@ -81,6 +81,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteIntersectOverlap)
+    e.injectOptimizerRule(_ => RewriteMapPivot)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectFunction((FunctionIdentifier("is_similar_rgb"),
       new ExpressionInfo(classOf[IsSimilarRgb].getName, "is_similar_rgb"),

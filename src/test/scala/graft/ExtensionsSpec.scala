@@ -134,6 +134,105 @@ class ExtensionsSpec extends AnyFunSuite {
     val direct = df.filter(arrays_overlap($"x", $"y")).count()
     assert(rewritten == direct)
   }
+  test("RewriteMapPivot: collect-map-then-probe collapses to per-key max (LAST_WIN)") {
+    import spark.implicits._
+    val prevPolicy = spark.conf.get("spark.sql.mapKeyDedupPolicy")
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      // duplicate key 'a' in group 1 (sorted entries + LAST_WIN = max
+      // value wins), key 'b' missing from group 2 (null)
+      val df = Seq((1L, "a", 10L), (1L, "a", 30L), (1L, "b", 5L),
+                   (2L, "a", 7L), (2L, "c", 9L)).toDF("g", "k", "v")
+        .repartition(3)
+      def mapAgg = map_from_entries(sort_array(collect_list(struct($"k", $"v"))))
+
+      // shape 2: several probes share one map alias (Project over Aggregate)
+      val q = df.groupBy($"g").agg(mapAgg.as("m"))
+        .select($"g", element_at($"m", "a").as("a"), element_at($"m", "b").as("b"))
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(!opt.contains("map_from_entries"), opt)
+      assert(!opt.contains("collect_list"), opt)
+      assert(opt.contains("max(CASE WHEN"), opt)
+      val got = q.orderBy("g").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSeq
+      assert(got == Seq((1L, Some(30L), Some(5L)), (2L, Some(7L), None)))
+
+      // shape 1: a single probe that CollapseProject inlines into the
+      // Aggregate's own result expressions
+      val q1 = df.groupBy($"g").agg(mapAgg.as("m"))
+        .select($"g", element_at($"m", "a").as("a"))
+      val opt1 = q1.queryExecution.optimizedPlan.toString
+      assert(!opt1.contains("collect_list"), opt1)
+      assert(q1.orderBy("g").collect().map(_.getLong(1)).toSeq == Seq(30L, 7L))
+    } finally {
+      spark.conf.set("spark.sql.mapKeyDedupPolicy", prevPolicy)
+      spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+    }
+  }
+
+  test("RewriteMapPivot guarded off: EXCEPTION policy, and non-probe map uses") {
+    import spark.implicits._
+    val prevPolicy = spark.conf.get("spark.sql.mapKeyDedupPolicy")
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val df = Seq((1L, "a", 10L), (1L, "b", 5L)).toDF("g", "k", "v")
+      def probe = df.groupBy($"g")
+        .agg(map_from_entries(sort_array(collect_list(struct($"k", $"v")))).as("m"))
+
+      // default EXCEPTION policy: duplicate keys must abort, max can't
+      // reproduce that — plan untouched
+      spark.conf.set("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+      val qEx = probe.select($"g", element_at($"m", "a").as("a"))
+      assert(qEx.queryExecution.optimizedPlan.toString.contains("map_from_entries"))
+
+      // LAST_WIN but the map ALSO feeds size(m): the rule must leave the
+      // whole plan alone (rewriting would compute the aggregate twice)
+      spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      val qSize = probe.select($"g", element_at($"m", "a").as("a"),
+                               size($"m").as("n"))
+      val optSize = qSize.queryExecution.optimizedPlan.toString
+      assert(optSize.contains("map_from_entries"), optSize)
+      assert(qSize.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSeq == Seq((1L, 10L, 2)))
+    } finally {
+      spark.conf.set("spark.sql.mapKeyDedupPolicy", prevPolicy)
+      spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+    }
+  }
+
+  test("RewriteMapPivot result parity on random grouped data") {
+    import spark.implicits._
+    val prevPolicy = spark.conf.get("spark.sql.mapKeyDedupPolicy")
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val rows = (0 until 500).map { i =>
+        (i.toLong % 17, s"k${i % 7}", (i * 31 % 100).toLong)
+      }
+      val keys = Seq("k0", "k3", "k6", "k_missing")
+      val df = rows.toDF("g", "k", "v").repartition(5)
+      val q = df.groupBy($"g")
+        .agg(map_from_entries(sort_array(collect_list(struct($"k", $"v")))).as("m"))
+        .select($"g" +: keys.map(x => element_at($"m", x).as(x)): _*)
+      assert(!q.queryExecution.optimizedPlan.toString.contains("collect_list"))
+      val got = q.collect().map(r =>
+        r.getLong(0) -> keys.indices.map(i => Option(r.get(i + 1))).toSeq).toMap
+      // expected: per group, max value per key; None when absent
+      val expected = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> keys.map(x => rs.filter(_._2 == x).map(_._3)
+          .reduceOption(_ max _)).toSeq
+      }
+      assert(got == expected)
+    } finally {
+      spark.conf.set("spark.sql.mapKeyDedupPolicy", prevPolicy)
+      spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+    }
+  }
+
   test("native AsOfJoinExec: null keys/timestamps join nothing, both sides") {
     import spark.implicits._
     import org.apache.spark.sql.Row

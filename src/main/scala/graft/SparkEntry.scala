@@ -20,7 +20,7 @@ object SparkEntry {
       ops.TimeWindows.queries ++ ops.TextOps.queries ++ ops.VectorOps.queries ++
       ops.DedupOps.queries ++ ops.Advanced.queries ++
       ops.FunctionFamilies.queries ++ ops.PipelineOps.queries ++
-      ops.PipelineOps.queries2 ++ ops.GraphOps.queries
+      ops.PipelineOps.queries2 ++ ops.GraphOps.queries ++ ops.CurationOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +28,6 @@ object SparkEntry {
     ops.Relational.oracles ++ ops.Cleaning.oracles ++
       ops.TimeWindows.oracles ++ ops.TextOps.oracles ++ ops.VectorOps.oracles ++
       ops.DedupOps.oracles ++ ops.Advanced.oracles ++
-      ops.FunctionFamilies.oracles ++ ops.PipelineOps.oracles ++ ops.GraphOps.oracles
+      ops.FunctionFamilies.oracles ++ ops.PipelineOps.oracles ++
+      ops.GraphOps.oracles ++ ops.CurationOps.oracles
 }

@@ -1,0 +1,196 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between crawling and training — extends the q47-q87 family with the
+  * remaining standard passes: orderless-fingerprint dedup with
+  * quality-based representative selection, URL canonicalization with
+  * per-domain caps, intra-document repeated-segment detection, and a
+  * corpus-frequency commonness score (the word-frequency stand-in for
+  * an LM quality filter).
+  *
+  * All four are scan-shaped or single-shuffle plans built from
+  * codegen'd built-ins, with exact integer outputs so the DuckDB
+  * oracle hash-matches bit-for-bit.
+  */
+object CurationOps {
+
+  private val DOMAIN_CAP = 5       // q91: max docs kept per registered domain
+  private val SEG_W = 2            // q92: segment width in tokens (prod: ~8;
+                                   // 2 here so the small-vocab fixture
+                                   // actually produces repeated segments)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- q90: orderless-fingerprint dedup + representative selection.
+    // The fingerprint is sha2 over the SORTED token multiset, so
+    // shuffled/reordered copies land in one cluster (exact dup is a
+    // special case). Each cluster elects the representative a curation
+    // pipeline would keep: highest lexical-diversity quality, ties to
+    // the smallest doc_id. One hash-aggregation over the corpus —
+    // map-side combinable, no joins, scales like q47. The fixture has
+    // zero natural duplicates (verified at sf0.01), so every 97th doc
+    // gains a token-REVERSED copy — invisible to exact sha2 dedup,
+    // caught by the orderless fingerprint, replicated in the oracle.
+    "q90_cluster_representative" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val copies = base.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+                concat_ws(" ", reverse(split(col("text"), " "))).as("text"))
+      Tables.rebalance(base.unionByName(copies))
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("fp", sha2(concat_ws(" ", array_sort(col("toks"))), 256))
+        .withColumn("quality",
+          expr("size(array_distinct(toks)) * 100 DIV size(toks)").cast("long"))
+        // rank key: quality dominates, then smaller doc_id wins
+        .withColumn("rk", col("quality") * lit(10000000L) - col("doc_id"))
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_members"),
+             max_by(col("doc_id"), col("rk")).as("rep_doc_id"),
+             max(col("quality")).as("rep_quality"))
+        .filter(col("n_members") >= 2)
+        .select(col("rep_doc_id"), col("n_members"), col("rep_quality"))
+        .orderBy(col("rep_doc_id"))
+    }),
+
+    // ---- q91: URL canonicalization + per-domain cap. Deterministic
+    // crawler-style URLs derive from doc_id (mixed-case host, utm_*
+    // tracking params, fragments); canonicalization lowercases the
+    // host, keeps only the id param, and drops the fragment; the
+    // registered domain is the last two labels. A per-domain cap
+    // (row_number over domain) is the standard anti-domination pass —
+    // the window shuffles once on the domain key.
+    "q91_url_domain_cap" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, d)
+        .withColumn("url", concat(
+          lit("https://W"), pmod(col("doc_id"), lit(37)), lit(".Example"),
+          pmod(col("doc_id"), lit(5)), lit(".COM/p/"),
+          col("doc_id"), lit("?utm_source=feed&id="), col("doc_id"),
+          when(pmod(col("doc_id"), lit(3)) === 0, "&ref=abc").otherwise(""),
+          lit("#frag")))
+        .withColumn("host", lower(regexp_extract(col("url"), "^https?://([^/]+)", 1)))
+        .withColumn("domain", regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
+        .withColumn("canonical", concat(
+          lit("https://"), col("host"),
+          regexp_extract(col("url"), "^https?://[^/]+([^?#]*)", 1),
+          lit("?id="), regexp_extract(col("url"), "[?&]id=(\\d+)", 1)))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("domain")).orderBy(col("doc_id"))))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when(col("rn") <= DOMAIN_CAP, 1L).otherwise(0L)).as("n_kept"),
+             countDistinct(col("canonical")).as("n_canonical"),
+             min(col("canonical")).as("first_url"))
+        .orderBy(col("domain"))
+    }),
+
+    // ---- q92: intra-document repeated-segment detection (the
+    // paragraph-dedup pass, exact form): tokens chunk into fixed-width
+    // segments, repeats within a doc are counted, and the corpus rolls
+    // up into a duplication histogram. Pure per-row expression work +
+    // one tiny aggregation — scan-shaped at any scale.
+    "q92_segment_dedup" -> ((s, d) => {
+      Tables.rebalance(Tables.documents(s, d))
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= SEG_W)
+        .withColumn("segs", expr(
+          s"""transform(sequence(1, size(toks) DIV $SEG_W),
+             |  i -> concat_ws(' ', element_at(toks, CAST(${SEG_W} * i - 1 AS INT)),
+             |                      element_at(toks, CAST(${SEG_W} * i AS INT))))""".stripMargin))
+        .withColumn("n_dup",
+          (size(col("segs")) - size(array_distinct(col("segs")))).cast("long"))
+        .groupBy(col("n_dup")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_dup"))
+    }),
+
+    // ---- q93: corpus-frequency commonness score (word-frequency
+    // stand-in for an LM quality filter, CCNet-style): per doc, the
+    // mean corpus frequency of its tokens, integer-scaled. The token
+    // table is materialized once (executor-local checkpoint) and feeds
+    // both the frequency aggregation and the scoring join; the
+    // frequency side is vocabulary-sized, so AQE broadcasts it at
+    // runtime (checkpointed frames report default stats — the static
+    // size gate can't fire; the q86 pattern).
+    "q93_commonness_score" -> ((s, d) => {
+      val tok = Tables.rebalance(Tables.documents(s, d))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .localCheckpoint()
+      val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      tok.join(freq, "tok")
+        .groupBy(col("doc_id"))
+        .agg(expr("sum(freq) * 1000 DIV count(1)").cast("long").as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q90_cluster_representative" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |copies AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    array_to_string(list_reverse(str_split(text, ' ')), ' ') AS text
+        |  FROM base WHERE doc_id % 97 = 0),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM copies),
+        |t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM corpus),
+        |q AS (
+        |  SELECT doc_id,
+        |    sha256(array_to_string(list_sort(toks), ' ')) AS fp,
+        |    (len(list_distinct(toks)) * 100 // len(toks))::BIGINT AS quality
+        |  FROM t)
+        |
+        |SELECT arg_max(doc_id, quality * 10000000 - doc_id) AS rep_doc_id,
+        |  count(*) AS n_members, max(quality) AS rep_quality
+        |FROM q GROUP BY fp HAVING count(*) >= 2
+        |ORDER BY rep_doc_id""".stripMargin,
+
+    "q91_url_domain_cap" ->
+      s"""WITH u AS (
+        |  SELECT doc_id,
+        |    'https://W' || (doc_id % 37) || '.Example' || (doc_id % 5) || '.COM/p/' || doc_id ||
+        |    '?utm_source=feed&id=' || doc_id ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '&ref=abc' ELSE '' END) || '#frag' AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^https?://([^/]+)', 1)) AS host,
+        |    regexp_extract(lower(regexp_extract(url, '^https?://([^/]+)', 1)),
+        |                   '([^.]+\\.[^.]+)$$', 1) AS domain,
+        |    'https://' || lower(regexp_extract(url, '^https?://([^/]+)', 1)) ||
+        |      regexp_extract(url, '^https?://[^/]+([^?#]*)', 1) ||
+        |      '?id=' || regexp_extract(url, '[?&]id=(\\d+)', 1) AS canonical,
+        |    row_number() OVER (
+        |      PARTITION BY regexp_extract(lower(regexp_extract(url, '^https?://([^/]+)', 1)),
+        |                                  '([^.]+\\.[^.]+)$$', 1)
+        |      ORDER BY doc_id) AS rn
+        |  FROM u)
+        |SELECT domain, count(*) AS n_docs,
+        |  sum(CASE WHEN rn <= $DOMAIN_CAP THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |  count(DISTINCT canonical) AS n_canonical,
+        |  min(canonical) AS first_url
+        |FROM c GROUP BY domain ORDER BY domain""".stripMargin,
+
+    "q92_segment_dedup" ->
+      s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    [toks[$SEG_W * i - 1] || ' ' || toks[$SEG_W * i]
+        |     FOR i IN range(1, len(toks) // $SEG_W + 1)] AS segs
+        |  FROM t WHERE len(toks) >= $SEG_W)
+        |SELECT (len(segs) - len(list_distinct(segs)))::BIGINT AS n_dup,
+        |  count(*) AS n_docs
+        |FROM s GROUP BY 1 ORDER BY n_dup""".stripMargin,
+
+    "q93_commonness_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents),
+        |freq AS (SELECT tok, count(*) AS freq FROM tok GROUP BY tok)
+        |SELECT doc_id, (sum(freq) * 1000 // count(*))::BIGINT AS score
+        |FROM tok JOIN freq USING (tok)
+        |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+  )
+}

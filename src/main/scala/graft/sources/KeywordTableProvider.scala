@@ -100,7 +100,8 @@ class KeywordScanBuilder(base: String, full: StructType,
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with SupportsPushDownTopN {
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
@@ -108,6 +109,7 @@ class KeywordScanBuilder(base: String, full: StructType,
   // Some(byKeyword) once a COUNT(*) [GROUP BY keyword] is accepted
   private var countPushed: Option[(Boolean, Int)] = None
   private var pushedLimit: Option[Int] = None
+  private var topNPushed = false
 
   /** LIMIT pushdown (partial): each file reader stops after `limit`
     * rows instead of draining its snapshot — Spark re-applies the
@@ -119,6 +121,32 @@ class KeywordScanBuilder(base: String, full: StructType,
     pushedLimit = Some(limit)
     true
   }
+
+  /** ORDER BY keyword LIMIT k pushdown (partial): every input
+    * partition is one snapshot file of ONE keyword directory, so all
+    * its rows tie on the sort key — ANY k rows of the file are a
+    * valid per-partition top-k by keyword (either direction; keyword
+    * is never null, so null ordering is moot). Readers therefore
+    * stop after k lines exactly like plain LIMIT pushdown, and
+    * Spark's TakeOrderedAndProject merges the per-partition survivors
+    * (isPartiallyPushed = true). Sorts on any payload field are
+    * declined — rows within a snapshot are not ordered by payload.
+    */
+  override def pushTopN(orders: Array[
+      org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    val keywordOnly = orders.nonEmpty && orders.forall(_.expression() match {
+      case n: org.apache.spark.sql.connector.expressions.NamedReference =>
+        n.fieldNames.sameElements(Array("keyword"))
+      case _ => false
+    })
+    if (keywordOnly) {
+      pushedLimit = Some(limit)
+      topNPushed = true
+    }
+    keywordOnly
+  }
+  override def isPartiallyPushed: Boolean = true
 
   /** COUNT(*) pushdown, optionally grouped by keyword: a count never
     * needs the JSON payload, so the reader emits one pre-counted row
@@ -181,7 +209,7 @@ class KeywordScanBuilder(base: String, full: StructType,
         keywordGrouped && byKeyword)
     case None =>
       KeywordScan(base, required, keywordAllowList, pushed, keywordGrouped,
-        pushedLimit)
+        pushedLimit, topNPushed)
   }
 }
 
@@ -251,7 +279,8 @@ case class KeywordCountReaderFactory(byKeyword: Boolean, nCounts: Int)
 case class KeywordScan(base: String, readSchemaV: StructType,
                        keywords: Option[Set[String]], pushed: Array[Filter],
                        keywordGrouped: Boolean = false,
-                       limit: Option[Int] = None)
+                       limit: Option[Int] = None,
+                       topN: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -264,7 +293,8 @@ case class KeywordScan(base: String, readSchemaV: StructType,
   override def description(): String =
     s"graft-keyword base=$base keywords=${keywords.fold("*")(_.mkString(","))} " +
       s"PushedFilters: [${pushed.mkString(", ")}]" +
-      limit.fold("")(l => s" PushedLimit: $l")
+      limit.fold("")(l =>
+        if (topN) s" PushedTopN: keyword, $l" else s" PushedLimit: $l")
 
   /** Size statistics from the pruned file listing (file bytes are an
     * upper bound on deserialized size here — JSON keys repeat per

@@ -41,6 +41,39 @@ object StatefulOps {
       }
   }
 
+  case class DocRow(doc_id: Long, text: String)
+  case class DedupedDoc(doc_id: Long, content_hash: String)
+
+  /** Cross-batch streaming exact dedup: the streaming form of q47. Keyed
+    * by content sha2, the FIRST occurrence (smallest doc_id within its
+    * arrival batch) is emitted; every later copy — same batch or any
+    * subsequent micro-batch, across query restarts — is dropped, because
+    * the hash's state survives in the checkpointed state store.
+    *
+    * State per distinct document is one long — bounded by the distinct
+    * corpus size, not the stream length. At 100 TB scale run this on the
+    * RocksDB state store provider (state larger than executor heap) and
+    * shard by hash prefix if a single state store grows hot; the
+    * operator itself shuffles once on the hash, exactly like the batch
+    * sha2 groupBy.
+    */
+  def streamingDedup(docs: Dataset[DocRow]): Dataset[DedupedDoc] = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("doc_id"), sha2(col("text"), 256).as("h")).as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, DedupedDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (h: String, rows: Iterator[(Long, String)], state: GroupState[Long]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val first = rows.map(_._1).min
+            state.update(first)
+            Iterator.single(DedupedDoc(first, h))
+          }
+      }
+  }
+
   case class SessionAgg(start: Long, end: Long, n: Long, sum: Double)
   case class SessionOut(user_id: Long, session_start_ms: Long,
                         session_end_ms: Long, n_events: Long, sum_value: Double)

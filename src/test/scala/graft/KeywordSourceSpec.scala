@@ -299,6 +299,39 @@ class KeywordSourceSpec extends SparkSpec {
     assert(filtered < bytes, s"filtered=$filtered all=$bytes")
   }
 
+  test("DSv2 graft-keyword: ORDER BY keyword LIMIT pushes as partial top-n") {
+    val base = tmp("kw-topn")
+    writeSnapshots(base, "beam", "b1.json",
+      (1 to 40).map(i => s"""{"job":"b$i"}"""))
+    writeSnapshots(base, "scala", "s1.json",
+      (1 to 40).map(i => s"""{"job":"s$i"}"""))
+    writeSnapshots(base, "spark", "p1.json",
+      (1 to 40).map(i => s"""{"job":"p$i"}"""))
+    def load() = spark.read.format("graft-keyword")
+      .option("fields", "job").load(base)
+
+    // every partition is keyword-constant, so per-file "any k rows" is a
+    // valid partial top-k by keyword; the global sort-merge keeps only
+    // the lexicographically smallest keyword's rows
+    val q = load().orderBy(col("keyword")).limit(2)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedTopN: keyword, 2"), plan)
+    assert(q.collect().map(_.getString(0)).toSeq == Seq("beam", "beam"))
+
+    // descending flips which keyword survives — same pushdown
+    val qd = load().orderBy(col("keyword").desc).limit(1)
+    assert(qd.queryExecution.executedPlan.toString
+      .contains("PushedTopN: keyword, 1"))
+    assert(qd.collect().map(_.getString(0)).toSeq == Seq("spark"))
+
+    // a payload sort must NOT push (rows within a file are unordered by
+    // payload — per-file head-k would be wrong); plain limit still does
+    val qj = load().orderBy(col("job")).limit(2)
+    val pj = qj.queryExecution.executedPlan.toString
+    assert(!pj.contains("PushedTopN"), pj)
+    assert(qj.collect().map(_.getString(1)).toSeq == Seq("b1", "b10"))
+  }
+
   test("DSv2 graft-keyword: keyword-grouped partitioning elides the agg shuffle") {
     val base = tmp("kw-kgp")
     writeSnapshots(base, "scala", "s1.json", Seq("""{"job":"j1"}""", """{"job":"j2"}"""))

@@ -52,6 +52,43 @@ class StatefulSpec extends SparkSpec {
     assert(last.getAs[Long]("last_event_id") == 3L)
   }
 
+  test("streaming dedup drops copies across micro-batches and restarts") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps.DocRow
+    val inDir = tmp("dd-in"); val outDir = tmp("dd-out"); val ckpt = tmp("dd-ckpt")
+
+    def drop(rows: Seq[DocRow]): Unit =
+      rows.toDS().toDF().write.mode("append").parquet(inDir)
+
+    def runOnce(): Unit = {
+      val src = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[DocRow]].schema)
+        .parquet(inDir).as[DocRow]
+      val q = StatefulOps.streamingDedup(src)
+        .toDF().writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+
+    // batch 1: A duplicated within the batch (min id wins), B unique
+    drop(Seq(DocRow(10, "alpha text"), DocRow(3, "alpha text"),
+             DocRow(5, "beta text")))
+    runOnce()
+    // restart: a later copy of A must be dropped (state survived the
+    // restart), new doc C emitted
+    drop(Seq(DocRow(99, "alpha text"), DocRow(7, "gamma text")))
+    runOnce()
+
+    val got = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(3L, 5L, 7L), s"got $got")
+  }
+
   test("flatMapGroupsWithState sessionizer closes sessions via watermark") {
     import spark.implicits._
     val inDir = tmp("sess-in"); val outDir = tmp("sess-out"); val ckpt = tmp("sess-ckpt")

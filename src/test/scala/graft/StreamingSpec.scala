@@ -9,6 +9,53 @@ class StreamingSpec extends SparkSpec {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  test("E2E: landing zone -> streaming dedup -> exactly-once curated zone") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.DocRow
+    val inZone = tmp("zone-in"); val outZone = tmp("zone-out"); val ckpt = tmp("zone-ckpt")
+
+    def snapshot(kw: String, file: String, rows: Seq[String]): Unit = {
+      val dir = new java.io.File(inZone, kw); dir.mkdirs()
+      val w = new java.io.PrintWriter(new java.io.File(dir, file), "UTF-8")
+      try rows.foreach(w.println) finally w.close()
+    }
+    def runOnce(): Unit = {
+      import spark.implicits._
+      val src = spark.readStream.format("graft-keyword")
+        .option("fields", "job_id:long,text").load(inZone)
+        .select(col("job_id").as("doc_id"), col("text")).as[DocRow]
+      val q = StatefulOps.streamingDedup(src)
+        .select(lit("curated").as("keyword"), col("doc_id"), col("content_hash"))
+        .writeStream.format("graft-keyword")
+        .option("fields", "doc_id:long,content_hash")
+        .option("path", outZone).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).outputMode("append").start()
+      q.awaitTermination(60000)
+    }
+
+    // tick 1: two keywords land overlapping docs (cross-keyword dup 1)
+    snapshot("scala", "s1.json", Seq(
+      """{"job_id": 1, "text": "spark streams data"}""",
+      """{"job_id": 2, "text": "unique scala doc"}"""))
+    snapshot("spark", "p1.json", Seq(
+      """{"job_id": 3, "text": "spark streams data"}"""))
+    runOnce()
+    // tick 2: a re-crawl lands doc 1's text again plus one new doc
+    snapshot("scala", "s2.json", Seq(
+      """{"job_id": 9, "text": "spark streams data"}""",
+      """{"job_id": 4, "text": "fresh second tick"}"""))
+    runOnce()
+
+    // curated zone holds each distinct text once (min doc_id won), and
+    // only committed epoch files are visible
+    val out = spark.read.format("graft-keyword")
+      .option("fields", "doc_id:long,content_hash").load(outZone)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 4L), s"got $ids")
+    assert(out.select("content_hash").distinct().count() == 3)
+  }
+
   test("file-stream ingest -> windowed agg -> parquet sink (AvailableNow)") {
     import spark.implicits._
     val inDir = tmp("stream-in")

@@ -36,11 +36,18 @@ object CurationOps {
     // gains a token-REVERSED copy — invisible to exact sha2 dedup,
     // caught by the orderless fingerprint, replicated in the oracle.
     "q90_cluster_representative" -> ((s, d) => {
-      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val copies = base.filter(pmod(col("doc_id"), lit(97)) === 0)
-        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
-                concat_ws(" ", reverse(split(col("text"), " "))).as("text"))
-      Tables.rebalance(base.unionByName(copies))
+      // ONE corpus scan: the planted copies ride the same pass as a
+      // conditional explode (a union of base + filtered-copies would
+      // scan the parquet twice — pmod is not a pushable filter)
+      val corpus = Tables.rebalance(
+          Tables.documents(s, d).select(col("doc_id"), col("text")))
+        .select(explode(when(pmod(col("doc_id"), lit(97)) === 0,
+            array(struct(col("doc_id"), col("text")),
+                  struct((col("doc_id") + lit(1000000L)).as("doc_id"),
+                         concat_ws(" ", reverse(split(col("text"), " "))).as("text"))))
+          .otherwise(array(struct(col("doc_id"), col("text"))))).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+      corpus
         .withColumn("toks", split(col("text"), " "))
         .withColumn("fp", sha2(concat_ws(" ", array_sort(col("toks"))), 256))
         .withColumn("quality",

@@ -86,7 +86,8 @@ case class KeywordTable(base: String, tableSchema: StructType)
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KeywordScanBuilder(base, tableSchema,
-      "keyword".equalsIgnoreCase(options.get("partitioning")))
+      "keyword".equalsIgnoreCase(options.get("partitioning")),
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new KeywordWriteBuilder(base, info.schema())
 }
@@ -96,7 +97,8 @@ case class KeywordTable(base: String, tableSchema: StructType)
   * are accepted and reported as pushed); everything else is left to Spark.
   */
 class KeywordScanBuilder(base: String, full: StructType,
-                         keywordGrouped: Boolean = false)
+                         keywordGrouped: Boolean = false,
+                         maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
@@ -209,7 +211,7 @@ class KeywordScanBuilder(base: String, full: StructType,
         keywordGrouped && byKeyword)
     case None =>
       KeywordScan(base, required, keywordAllowList, pushed, keywordGrouped,
-        pushedLimit, topNPushed)
+        pushedLimit, topNPushed, maxFilesPerTrigger)
   }
 }
 
@@ -280,7 +282,8 @@ case class KeywordScan(base: String, readSchemaV: StructType,
                        keywords: Option[Set[String]], pushed: Array[Filter],
                        keywordGrouped: Boolean = false,
                        limit: Option[Int] = None,
-                       topN: Boolean = false)
+                       topN: Boolean = false,
+                       maxFilesPerTrigger: Option[Int] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -289,7 +292,7 @@ case class KeywordScan(base: String, readSchemaV: StructType,
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String):
       org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new KeywordMicroBatchStream(base, readSchemaV)
+    new KeywordMicroBatchStream(base, readSchemaV, maxFilesPerTrigger)
   override def description(): String =
     s"graft-keyword base=$base keywords=${keywords.fold("*")(_.mkString(","))} " +
       s"PushedFilters: [${pushed.mkString(", ")}]" +
@@ -658,10 +661,11 @@ class KeywordDataWriter(base: String, schema: StructType,
   * restarted query resumes from the checkpointed watermarks and never
   * re-reads a file.
   */
-class KeywordMicroBatchStream(base: String, schema: StructType)
+class KeywordMicroBatchStream(base: String, schema: StructType,
+                              maxFilesPerTrigger: Option[Int] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
-  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
 
   /** (keyword, fileName, absolutePath) for every committed snapshot. */
   private def allFiles(): Seq[(String, String, String)] = {
@@ -689,9 +693,41 @@ class KeywordMicroBatchStream(base: String, schema: StructType)
   @volatile private var pinned: Option[KeywordWatermarkOffset] = None
   override def prepareForTriggerAvailableNow(): Unit =
     pinned = Some(currentWatermarks())
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    pinned.getOrElse(currentWatermarks())
+
+  /** Admission control (T4 rate limiting in connector form): with
+    * `.option("maxFilesPerTrigger", n)` each micro-batch admits at most
+    * n pending snapshot files (deterministic (keyword, name) order) and
+    * the watermarks advance only past the admitted ones — a backlogged
+    * landing zone drains in bounded batches instead of one giant
+    * catch-up batch. Composes with Trigger.AvailableNow: the wrapper
+    * keeps issuing batches until the pinned end offset is reached.
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  private def advance(start: KeywordWatermarkOffset,
+                      end: KeywordWatermarkOffset, n: Int): Offset = {
+    val lo = start.watermarks
+    val hi = end.watermarks
+    val pending = allFiles()
+      .filter { case (kw, name, _) =>
+        hi.get(kw).exists(name <= _) && lo.get(kw).forall(name > _)
+      }
+      .sortBy { case (kw, name, _) => (kw, name) }
+    if (pending.isEmpty) start
+    else KeywordWatermarkOffset(lo ++ pending.take(n).groupBy(_._1).map {
+      case (kw, fs) => kw -> fs.map(_._2).max
+    })
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val target = pinned.getOrElse(currentWatermarks())
+    limit match {
+      case mf: ReadMaxFiles =>
+        advance(start.asInstanceOf[KeywordWatermarkOffset], target, mf.maxFiles())
+      case _ => target
+    }
+  }
   override def reportLatestOffset(): Offset = currentWatermarks()
 
   override def latestOffset(): Offset = pinned.getOrElse(currentWatermarks())

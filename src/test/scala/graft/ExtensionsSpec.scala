@@ -147,6 +147,8 @@ class ExtensionsSpec extends AnyFunSuite {
                    (2L, "a", 7L), (2L, "c", 9L)).toDF("g", "k", "v")
         .repartition(3)
       def mapAgg = map_from_entries(sort_array(collect_list(struct($"k", $"v"))))
+      def mapAggOf(d: org.apache.spark.sql.DataFrame) =
+        map_from_entries(sort_array(collect_list(struct(d("k"), d("v")))))
 
       // shape 2: several probes share one map alias (Project over Aggregate)
       val q = df.groupBy($"g").agg(mapAgg.as("m"))
@@ -158,6 +160,18 @@ class ExtensionsSpec extends AnyFunSuite {
       val got = q.orderBy("g").collect()
         .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSeq
       assert(got == Seq((1L, Some(30L), Some(5L)), (2L, Some(7L), None)))
+
+      // null VALUES among duplicates: nulls sort first ascending, so
+      // last-wins picks the max non-null — exactly max()'s null handling;
+      // an all-null key stays null on both sides
+      val dfN = Seq((1L, "a", Some(4L)), (1L, "a", None),
+                    (1L, "b", None)).toDF("g", "k", "v")
+      val qN = dfN.groupBy($"g")
+        .agg(mapAggOf(dfN).as("m"))
+        .select($"g", element_at($"m", "a").as("a"), element_at($"m", "b").as("b"))
+      assert(!qN.queryExecution.optimizedPlan.toString.contains("collect_list"))
+      val rN = qN.collect()(0)
+      assert(rN.getLong(1) == 4L && rN.isNullAt(2))
 
       // shape 1: a single probe that CollapseProject inlines into the
       // Aggregate's own result expressions

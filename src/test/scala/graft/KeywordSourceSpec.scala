@@ -299,6 +299,31 @@ class KeywordSourceSpec extends SparkSpec {
     assert(filtered < bytes, s"filtered=$filtered all=$bytes")
   }
 
+  test("DSv2 graft-keyword: maxFilesPerTrigger bounds each micro-batch (T4)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = tmp("kw-admit")
+    val outDir = tmp("kw-admit-out")
+    val ckpt = tmp("kw-admit-ckpt")
+    writeSnapshots(base, "scala", "s1.json", Seq("""{"job":"j1"}"""))
+    writeSnapshots(base, "scala", "s2.json", Seq("""{"job":"j2"}"""))
+    writeSnapshots(base, "spark", "p1.json", Seq("""{"job":"j3"}"""))
+
+    val q = spark.readStream.format("graft-keyword")
+      .option("fields", "job")
+      .option("maxFilesPerTrigger", "1").load(base)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).outputMode("append").start()
+    q.awaitTermination(60000)
+
+    // all rows arrive, but over THREE bounded batches (one file each),
+    // not one catch-up batch — the offset log has one entry per batch
+    assert(spark.read.parquet(outDir).count() == 3)
+    val batches = new java.io.File(ckpt, "offsets").listFiles()
+      .count(_.getName.forall(_.isDigit))
+    assert(batches == 3, s"expected 3 micro-batches, got $batches")
+  }
+
   test("DSv2 graft-keyword: ORDER BY keyword LIMIT pushes as partial top-n") {
     val base = tmp("kw-topn")
     writeSnapshots(base, "beam", "b1.json",

@@ -117,17 +117,18 @@ object CurationOps {
     // ---- q93: corpus-frequency commonness score (word-frequency
     // stand-in for an LM quality filter, CCNet-style): per doc, the
     // mean corpus frequency of its tokens, integer-scaled. The token
-    // table is materialized once (executor-local checkpoint) and feeds
-    // both the frequency aggregation and the scoring join; the
-    // frequency side is vocabulary-sized, so AQE broadcasts it at
-    // runtime (checkpointed frames report default stats — the static
-    // size gate can't fire; the q86 pattern).
+    // explosion deliberately runs TWICE (frequency pass + scoring
+    // pass) instead of being checkpointed once: the exploded table is
+    // LARGER than the corpus (every token a row), so materializing it
+    // costs more than a second pruned columnar scan — the opposite
+    // trade from the shingle pipelines, where the checkpoint saves a
+    // tokenize+shingle recompute into a SMALLER frame. The frequency
+    // side is vocabulary-sized and broadcasts.
     "q93_commonness_score" -> ((s, d) => {
-      val tok = Tables.rebalance(Tables.documents(s, d))
+      def tok = Tables.rebalance(Tables.documents(s, d))
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .localCheckpoint()
       val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-      tok.join(freq, "tok")
+      tok.join(graft.ops.ScaleOps.broadcastIfSmall(freq), "tok")
         .groupBy(col("doc_id"))
         .agg(expr("sum(freq) * 1000 DIV count(1)").cast("long").as("score"))
         .orderBy(col("score").desc, col("doc_id"))

@@ -114,6 +114,20 @@ object CurationOps {
         .orderBy(col("n_dup"))
     }),
 
+    // ---- q94: deterministic training-order shuffle — reproducible
+    // global permutation of the corpus by a seeded content-free hash
+    // (epoch seed changes the order, same seed replays it bit-for-bit
+    // on any cluster size). At scale this is a range-partitioned sort
+    // by the hash; with the LIMIT it plans as TakeOrdered — no full
+    // sort materialization either way.
+    "q94_training_order" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+                md5(concat_ws("|", lit("epoch42"), col("doc_id"))).as("shuffle_key"))
+        .orderBy(col("shuffle_key"))
+        .limit(10)
+    }),
+
     // ---- q93: corpus-frequency commonness score (word-frequency
     // stand-in for an LM quality filter, CCNet-style): per doc, the
     // mean corpus frequency of its tokens, integer-scaled. The token
@@ -192,6 +206,10 @@ object CurationOps {
         |SELECT (len(segs) - len(list_distinct(segs)))::BIGINT AS n_dup,
         |  count(*) AS n_docs
         |FROM s GROUP BY 1 ORDER BY n_dup""".stripMargin,
+
+    "q94_training_order" ->
+      """SELECT doc_id, md5('epoch42|' || doc_id) AS shuffle_key
+        |FROM documents ORDER BY shuffle_key LIMIT 10""".stripMargin,
 
     "q93_commonness_score" ->
       """WITH tok AS (

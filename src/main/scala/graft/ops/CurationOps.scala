@@ -19,9 +19,16 @@ import graft.Tables
 object CurationOps {
 
   private val DOMAIN_CAP = 5       // q91: max docs kept per registered domain
-  private val SEG_W = 2            // q92: segment width in tokens (prod: ~8;
-                                   // 2 here so the small-vocab fixture
+  private val SEG_W = 2            // q92/q95: segment width in tokens (prod:
+                                   // ~8; 2 here so the small-vocab fixture
                                    // actually produces repeated segments)
+
+  // fixed-width token segments over a `toks` column (q92 intra-doc, q95
+  // cross-doc)
+  private val segsExpr =
+    s"""transform(sequence(1, size(toks) DIV $SEG_W),
+       |  i -> concat_ws(' ', element_at(toks, CAST(${SEG_W} * i - 1 AS INT)),
+       |                      element_at(toks, CAST(${SEG_W} * i AS INT))))""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -104,14 +111,44 @@ object CurationOps {
       Tables.rebalance(Tables.documents(s, d))
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= SEG_W)
-        .withColumn("segs", expr(
-          s"""transform(sequence(1, size(toks) DIV $SEG_W),
-             |  i -> concat_ws(' ', element_at(toks, CAST(${SEG_W} * i - 1 AS INT)),
-             |                      element_at(toks, CAST(${SEG_W} * i AS INT))))""".stripMargin))
+        .withColumn("segs", expr(segsExpr))
         .withColumn("n_dup",
           (size(col("segs")) - size(array_distinct(col("segs")))).cast("long"))
         .groupBy(col("n_dup")).agg(count(lit(1)).as("n_docs"))
         .orderBy(col("n_dup"))
+    }),
+
+    // ---- q95: cross-document boilerplate-segment detection (the C4
+    // "remove lines shared across documents" pass, in segment form —
+    // q92 is the intra-doc variant). Per doc, the DISTINCT fixed-width
+    // segments (array_distinct BEFORE explode: per-row dedup, no
+    // shuffle); globally, each segment's document frequency; a segment
+    // is boilerplate when it appears in >= 5% of docs. The boilerplate
+    // set is provably bounded: sum(df) = total distinct doc-segments,
+    // so at most 20 * avg-segments-per-doc segments can clear the 5%
+    // bar — corpus-size-INDEPENDENT, hence always broadcastable. The
+    // corpus shuffles twice (seg-df agg, per-doc agg), both map-side
+    // combinable; the segment explode reruns instead of checkpointing
+    // (same trade as q93 — the exploded frame is larger than the
+    // corpus).
+    "q95_boilerplate_segments" -> ((s, d) => {
+      def docseg = Tables.rebalance(
+          Tables.documents(s, d).select(col("doc_id"), col("text")))
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= SEG_W)
+        .select(col("doc_id"), explode(array_distinct(expr(segsExpr))).as("seg"))
+      val total = Tables.documents(s, d).agg(count(lit(1)).as("total_docs"))
+      val segDf = docseg.groupBy(col("seg")).agg(count(lit(1)).as("df"))
+      val boiler = segDf.crossJoin(broadcast(total))
+        .filter(col("df") * 20 >= col("total_docs"))
+        .select(col("seg"), lit(1L).as("is_boiler"))
+      docseg.join(broadcast(boiler), Seq("seg"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_segs"),
+             sum(coalesce(col("is_boiler"), lit(0L))).as("n_boiler"))
+        .withColumn("boiler_pct", expr("n_boiler * 100 DIV n_segs"))
+        .groupBy(col("boiler_pct")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("boiler_pct"))
     }),
 
     // ---- q94: deterministic training-order shuffle — reproducible
@@ -210,6 +247,22 @@ object CurationOps {
     "q94_training_order" ->
       """SELECT doc_id, md5('epoch42|' || doc_id) AS shuffle_key
         |FROM documents ORDER BY shuffle_key LIMIT 10""".stripMargin,
+
+    "q95_boilerplate_segments" ->
+      s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+        |e AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [toks[$SEG_W * i - 1] || ' ' || toks[$SEG_W * i]
+        |     FOR i IN range(1, len(toks) // $SEG_W + 1)])) AS seg
+        |  FROM t WHERE len(toks) >= $SEG_W),
+        |df AS (SELECT seg, count(*) AS df FROM e GROUP BY seg),
+        |tot AS (SELECT count(*) AS total_docs FROM documents),
+        |p AS (
+        |  SELECT doc_id, count(*) AS n_segs,
+        |    sum(CASE WHEN df * 20 >= total_docs THEN 1 ELSE 0 END)::BIGINT AS n_boiler
+        |  FROM e JOIN df USING (seg), tot GROUP BY doc_id)
+        |SELECT n_boiler * 100 // n_segs AS boiler_pct, count(*) AS n_docs
+        |FROM p GROUP BY 1 ORDER BY boiler_pct""".stripMargin,
 
     "q93_commonness_score" ->
       """WITH tok AS (

@@ -23,6 +23,9 @@ object CurationOps {
                                    // ~8; 2 here so the small-vocab fixture
                                    // actually produces repeated segments)
 
+  private val CHUNK_W = 4          // q96: chunk width in tokens
+  private val CHUNK_S = 2          // q96: chunk stride (overlap = W - S)
+
   // fixed-width token segments over a `toks` column (q92 intra-doc, q95
   // cross-doc)
   private val segsExpr =
@@ -151,6 +154,26 @@ object CurationOps {
         .orderBy(col("boiler_pct"))
     }),
 
+    // ---- q96: sliding-window chunking with overlap (the RAG/embedding
+    // chunking pass): width-W windows advancing by stride S < W, so
+    // consecutive chunks share W-S tokens; only fully-inside windows
+    // emit (tail tokens shorter than W are the next stage's problem).
+    // Verified by chunk CONTENT, not counts: the top-k chunk-frequency
+    // table must match the oracle string-for-string. Scan-shaped
+    // per-row window slicing + one map-side-combinable agg + TakeOrdered.
+    "q96_chunk_freq" -> ((s, d) => {
+      Tables.rebalance(Tables.documents(s, d).select(col("text")))
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= CHUNK_W)
+        .select(explode(expr(
+          s"""transform(sequence(0, (size(toks) - $CHUNK_W) DIV $CHUNK_S),
+             |  i -> concat_ws(' ', slice(toks, i * $CHUNK_S + 1, $CHUNK_W)))""".stripMargin))
+          .as("chunk"))
+        .groupBy(col("chunk")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("chunk"))
+        .limit(20)
+    }),
+
     // ---- q94: deterministic training-order shuffle — reproducible
     // global permutation of the corpus by a seeded content-free hash
     // (epoch seed changes the order, same seed replays it bit-for-bit
@@ -263,6 +286,16 @@ object CurationOps {
         |  FROM e JOIN df USING (seg), tot GROUP BY doc_id)
         |SELECT n_boiler * 100 // n_segs AS boiler_pct, count(*) AS n_docs
         |FROM p GROUP BY 1 ORDER BY boiler_pct""".stripMargin,
+
+    "q96_chunk_freq" ->
+      s"""WITH t AS (SELECT str_split(text, ' ') AS toks FROM documents),
+        |c AS (
+        |  SELECT unnest(
+        |    [array_to_string(toks[i * $CHUNK_S + 1 : i * $CHUNK_S + $CHUNK_W], ' ')
+        |     FOR i IN range(0, (len(toks) - $CHUNK_W) // $CHUNK_S + 1)]) AS chunk
+        |  FROM t WHERE len(toks) >= $CHUNK_W)
+        |SELECT chunk, count(*) AS cnt FROM c
+        |GROUP BY chunk ORDER BY cnt DESC, chunk LIMIT 20""".stripMargin,
 
     "q93_commonness_score" ->
       """WITH tok AS (

@@ -27,6 +27,8 @@ object DedupOps {
   private val ROWS_PER_BAND = 2
   private val JACCARD_T = 0.5
   private val COS_T = 0.4
+  private val SRP_BANDS = 4  // q97: LSH bands over sign bits
+  private val SRP_BITS = 8   // q97: sign bits (hyperplanes) per band
   private val HASH_P = 2147483647L // Mersenne prime; (p-1)*(2*seeds+1) << 2^63
   private val MAX_BLOCK = 1000 // chunk width for oversized label blocks
   // A band bucket larger than this emits NO pairs: an adversarial
@@ -186,6 +188,55 @@ object DedupOps {
         .filter(col("cos") >= COS_T)
         .select(col("v1"), col("v2"), col("label"), col("cos"))
         .orderBy(col("v1"), col("v2"))
+    }),
+
+    // ---- q97: SRP-LSH embedding near-dup — random-hyperplane LSH
+    // (signed random projections), the content-only blocking scale path
+    // that needs NO cluster label (vs q55's label blocking): 4 bands x
+    // 8 sign bits; vectors sharing any band code become candidates,
+    // then exact integer-quantized cosine verifies. Hyperplane
+    // components are a deterministic integer formula both engines
+    // evaluate exactly (h(j,k) = ((j*1000003 + k*7919) * 2654435761)
+    // % 2001 - 1000 — all positive before the mod, so Spark % == DuckDB
+    // %), making the buckets — and hence the output — bit-identical
+    // cross-engine. Collision probability per bit is 1 - theta/pi, so
+    // the 8-bit bands concentrate recall on high-cosine pairs — the
+    // near-dup regime. Buckets are capped like every LSH family here;
+    // the banding is one row-local expression (no per-hyperplane
+    // explosion), and the corpus shuffles only on (band, code).
+    "q97_srp_lsh" -> ((s, d) => {
+      val e0 = Tables.rebalance(Tables.embeddings(s, d))
+        .withColumn("q", expr(
+          "transform(embedding, x -> cast(round(cast(x AS double) * 10000, 0) AS bigint))"))
+        .withColumn("norm", ldot(col("q"), col("q")))
+        .select(col("vec_id"), col("q"), col("norm"))
+        .localCheckpoint() // shared by banding + both verify sides
+      val codes = expr(
+        s"""transform(sequence(0, ${SRP_BANDS - 1}), b ->
+           |  aggregate(sequence(0, ${SRP_BITS - 1}), cast(0 AS bigint), (acc, r) ->
+           |    acc + IF(
+           |      aggregate(sequence(0, size(q) - 1), cast(0 AS bigint), (a2, k) ->
+           |        a2 + element_at(q, k + 1) *
+           |          ((((b * $SRP_BITS + r) * 1000003 + k * 7919) * 2654435761) % 2001 - 1000)) >= 0,
+           |      shiftleft(1, r), 0)))""".stripMargin)
+      val bands = e0.select(col("vec_id"), posexplode(codes).as(Seq("band", "code")))
+      val cand = bands.groupBy(col("band"), col("code"))
+        .agg(sort_array(collect_list(col("vec_id"))).as("vs"))
+        .filter(size(col("vs")).between(2, BAND_CAP))
+        .select(explode(expr(
+          """flatten(transform(vs, (x, i) ->
+            |  transform(slice(vs, i + 2, size(vs)),
+            |            y -> named_struct('v1', x, 'v2', y))))""".stripMargin)).as("p"))
+        .select(col("p.v1"), col("p.v2"))
+        .distinct()
+      cand
+        .join(e0.select(col("vec_id").as("v1"), col("q").as("q1"), col("norm").as("n1")), "v1")
+        .join(e0.select(col("vec_id").as("v2"), col("q").as("q2"), col("norm").as("n2")), "v2")
+        .withColumn("cos", ldot(col("q1"), col("q2")).cast("double") /
+          sqrt(col("n1").cast("double")) / sqrt(col("n2").cast("double")))
+        .filter(col("cos") >= COS_T)
+        .select(col("v1"), col("v2"), col("cos"))
+        .orderBy(col("v1"), col("v2"))
     })
   )
 
@@ -237,6 +288,33 @@ object DedupOps {
         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_sum(list_transform(list_zip(a.q, b.q), p -> p[1] * p[2]))::BIGINT::DOUBLE
         |    / sqrt(a.norm::DOUBLE) / sqrt(b.norm::DOUBLE) >= $COS_T
+        |ORDER BY v1, v2""".stripMargin,
+
+    "q97_srp_lsh" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> round(x::DOUBLE * 10000, 0)::BIGINT) AS q
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, q,
+        |    list_sum(list_transform(list_zip(q, q), p -> p[1] * p[2]))::BIGINT AS norm FROM e),
+        |bands AS (
+        |  SELECT vec_id, b,
+        |    list_sum([CASE WHEN
+        |      list_sum([q[k + 1] * ((((b * $SRP_BITS + r) * 1000003 + k * 7919) * 2654435761) % 2001 - 1000)
+        |                FOR k IN range(0, len(q))]) >= 0
+        |      THEN (1 << r) ELSE 0 END FOR r IN range(0, $SRP_BITS)])::BIGINT AS code
+        |  FROM n CROSS JOIN (SELECT unnest(range(0, $SRP_BANDS)) AS b) bs),
+        |bsz AS (SELECT b, code FROM bands GROUP BY b, code
+        |        HAVING count(*) BETWEEN 2 AND $BAND_CAP),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS v1, b2.vec_id AS v2
+        |  FROM bands a JOIN bands b2 ON a.b = b2.b AND a.code = b2.code AND a.vec_id < b2.vec_id
+        |  JOIN bsz ON bsz.b = a.b AND bsz.code = a.code)
+        |SELECT v1, v2,
+        |  list_sum(list_transform(list_zip(x.q, y.q), p -> p[1] * p[2]))::BIGINT::DOUBLE
+        |    / sqrt(x.norm::DOUBLE) / sqrt(y.norm::DOUBLE) AS cos
+        |FROM cand JOIN n x ON x.vec_id = cand.v1 JOIN n y ON y.vec_id = cand.v2
+        |WHERE list_sum(list_transform(list_zip(x.q, y.q), p -> p[1] * p[2]))::BIGINT::DOUBLE
+        |    / sqrt(x.norm::DOUBLE) / sqrt(y.norm::DOUBLE) >= $COS_T
         |ORDER BY v1, v2""".stripMargin
   )
 }

@@ -29,6 +29,20 @@ object DedupOps {
   private val COS_T = 0.4
   private val SRP_BANDS = 4  // q97: LSH bands over sign bits
   private val SRP_BITS = 8   // q97: sign bits (hyperplanes) per band
+
+  /** q97's banding as pure SQL higher-order functions — the reference
+    * formulation for [[graft.functions.SrpBandCodes]]; VectorExprSpec
+    * asserts both produce bit-identical codes over a `q` array<bigint>
+    * column.
+    */
+  val srpCodesHof: String =
+    s"""transform(sequence(0, ${SRP_BANDS - 1}), b ->
+       |  aggregate(sequence(0, ${SRP_BITS - 1}), cast(0 AS bigint), (acc, r) ->
+       |    acc + IF(
+       |      aggregate(sequence(0, size(q) - 1), cast(0 AS bigint), (a2, k) ->
+       |        a2 + element_at(q, k + 1) *
+       |          ((((b * $SRP_BITS + r) * 1000003 + k * 7919) * 2654435761) % 2001 - 1000)) >= 0,
+       |      shiftleft(1, r), 0)))""".stripMargin
   private val HASH_P = 2147483647L // Mersenne prime; (p-1)*(2*seeds+1) << 2^63
   private val MAX_BLOCK = 1000 // chunk width for oversized label blocks
   // A band bucket larger than this emits NO pairs: an adversarial
@@ -211,14 +225,10 @@ object DedupOps {
         .withColumn("norm", ldot(col("q"), col("q")))
         .select(col("vec_id"), col("q"), col("norm"))
         .localCheckpoint() // shared by banding + both verify sides
-      val codes = expr(
-        s"""transform(sequence(0, ${SRP_BANDS - 1}), b ->
-           |  aggregate(sequence(0, ${SRP_BITS - 1}), cast(0 AS bigint), (acc, r) ->
-           |    acc + IF(
-           |      aggregate(sequence(0, size(q) - 1), cast(0 AS bigint), (a2, k) ->
-           |        a2 + element_at(q, k + 1) *
-           |          ((((b * $SRP_BITS + r) * 1000003 + k * 7919) * 2654435761) % 2001 - 1000)) >= 0,
-           |      shiftleft(1, r), 0)))""".stripMargin)
+      // native codegen'd banding (one static call per row); the SQL
+      // higher-order formulation lives in srpCodesHof, pinned
+      // bit-identical by VectorExprSpec
+      val codes = graft.functions.VectorFunctions.srpCodes(col("q"), SRP_BANDS, SRP_BITS)
       val bands = e0.select(col("vec_id"), posexplode(codes).as(Seq("band", "code")))
       val cand = bands.groupBy(col("band"), col("code"))
         .agg(sort_array(collect_list(col("vec_id"))).as("vs"))

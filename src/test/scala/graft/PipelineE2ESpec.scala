@@ -83,6 +83,76 @@ class PipelineE2ESpec extends SparkSpec {
     assert(shardStats.map(_.getLong(2)).sum == totalToks)
   }
 
+  test("curate: boilerplate-strip -> chunk -> training order composes deterministically") {
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val nDocs = docs.count()
+
+    // 1. cross-doc boilerplate detection (q95 topology, width-2 segments)
+    val segs = docs.withColumn("toks", split($"text", " "))
+      .filter(size($"toks") >= 2)
+      .select($"doc_id", expr(
+        """transform(sequence(1, size(toks) DIV 2),
+          |  i -> concat_ws(' ', element_at(toks, CAST(2 * i - 1 AS INT)),
+          |                      element_at(toks, CAST(2 * i AS INT))))""".stripMargin)
+        .as("segs"))
+      .localCheckpoint()
+    val docseg = segs.select($"doc_id", explode(array_distinct($"segs")).as("seg"))
+    val boiler = docseg.groupBy($"seg").agg(count(lit(1)).as("df"))
+      .filter($"df" * 20 >= lit(nDocs))
+      .select($"seg")
+    val nBoiler = boiler.count()
+    assert(nBoiler > 0, "small corpus + small vocab must produce boilerplate")
+    // bound proved in PLANS.md: sum(df) caps the >=5% set at 20x avg segs/doc
+    val avgSegs = segs.agg(avg(size($"segs"))).collect()(0).getDouble(0)
+    assert(nBoiler <= 20 * avgSegs + 1)
+
+    // 2. strip boilerplate segments, rebuild texts (monotone shrinkage)
+    val boilerSet = broadcast(boiler.withColumn("is_b", lit(true)))
+    val cleaned = segs.select($"doc_id", explode($"segs").as("seg"))
+      .join(boilerSet, Seq("seg"), "left")
+      .filter($"is_b".isNull)
+      .groupBy($"doc_id")
+      .agg(concat_ws(" ", collect_list($"seg")).as("clean_text"),
+           count(lit(1)).as("n_clean_segs"))
+    val shrunk = cleaned.join(
+        segs.select($"doc_id", size($"segs").as("n_segs")), "doc_id")
+      .filter($"n_clean_segs" > $"n_segs")
+    assert(shrunk.count() == 0, "stripping can only shrink")
+    assert(cleaned.count() <= nDocs)
+
+    // 3. chunk the cleaned corpus (q96 topology: W=4, S=2) and check the
+    // count law: chunks = (n - 4) DIV 2 + 1 for n >= 4
+    val chunked = cleaned.withColumn("toks", split($"clean_text", " "))
+      .filter(size($"toks") >= 4)
+      .withColumn("n_chunks_law",
+        (size($"toks") - 4).cast("long") / 2L + 1L)
+      .withColumn("chunks", expr(
+        """transform(sequence(0, (size(toks) - 4) DIV 2),
+          |  i -> concat_ws(' ', slice(toks, i * 2 + 1, 4)))""".stripMargin))
+    assert(chunked.filter(size($"chunks").cast("long") =!=
+      floor($"n_chunks_law")).count() == 0)
+    // every chunk holds exactly 4 tokens
+    val badChunk = chunked.select(explode($"chunks").as("c"))
+      .filter(size(split($"c", " ")) =!= 4)
+    assert(badChunk.count() == 0)
+
+    // 4. deterministic training order (q94): same seed => same order,
+    // different seed => different order
+    def order(seed: String) = chunked
+      .select($"doc_id", explode($"chunks").as("chunk"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          md5(concat_ws("|", lit(seed), $"doc_id", $"chunk")))))
+      .orderBy($"pos")
+      .select($"doc_id", $"chunk").collect().toSeq
+    val o1 = order("epoch1"); val o1b = order("epoch1"); val o2 = order("epoch2")
+    assert(o1 == o1b, "same seed must replay the identical order")
+    assert(o1 != o2, "different seed must permute differently")
+    assert(o1.toSet == o2.toSet, "reordering must not add or drop chunks")
+
+    info(s"docs=$nDocs boilerSegs=$nBoiler chunks=${o1.size}")
+  }
+
   test("dedup -> cluster -> canonicalize -> sample -> stats composes") {
     val docs = Tables.documents(spark, dir).select($"doc_id", $"text", $"lang")
     val nDocs = docs.count()

@@ -82,6 +82,44 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("srp band codes: shape, range, positive-scale invariance") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val r = rng
+    (1 to 200).foreach { _ =>
+      val dim = 1 + r.nextInt(96)
+      val v = Array.fill(dim)((r.nextInt(20001) - 10000).toLong)
+      val codes = graft.functions.SrpUtil
+        .bandCodes(new GenericArrayData(v), 4, 8)
+      assert(codes.numElements() == 4)
+      (0 until 4).foreach(b =>
+        assert(codes.getLong(b) >= 0L && codes.getLong(b) < 256L))
+      // sign bits are scale-invariant: 3*v buckets identically (the LSH
+      // family property that makes unnormalized vectors safe to band)
+      val scaled = graft.functions.SrpUtil
+        .bandCodes(new GenericArrayData(v.map(_ * 3L)), 4, 8)
+      assert((0 until 4).forall(b => codes.getLong(b) == scaled.getLong(b)))
+    }
+  }
+
+  test("srp band codes match an independent scalar reimplementation") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val r = rng
+    (1 to 100).foreach { _ =>
+      val dim = 1 + r.nextInt(64)
+      val v = Array.fill(dim)((r.nextInt(2001) - 1000).toLong)
+      val got = graft.functions.SrpUtil.bandCodes(new GenericArrayData(v), 4, 8)
+      val want = (0 until 4).map { b =>
+        (0 until 8).foldLeft(0L) { (code, bit) =>
+          val j = b * 8 + bit
+          val dot = v.indices.foldLeft(0L)((acc, k) =>
+            acc + v(k) * (((j * 1000003 + k * 7919) * 2654435761L) % 2001L - 1000L))
+          if (dot >= 0L) code | (1L << bit) else code
+        }
+      }
+      assert((0 until 4).forall(b => got.getLong(b) == want(b)))
+    }
+  }
+
   test("bmp encode/decode round-trip preserves dims and means") {
     val r = rng
     (1 to 50).foreach { _ =>

@@ -174,6 +174,44 @@ object CurationOps {
         .limit(20)
     }),
 
+    // ---- q98: quality-weighted epoch repetition — up-sample the best
+    // docs (top quality decile trains 3 epochs, top half 2, rest 1) and
+    // report the post-epoch token budget per repeat factor. The decile
+    // thresholds come from the INTEGER-quality histogram (<= 101 rows:
+    // quality = distinct*100 DIV n), cumulated top-down and broadcast —
+    // NOT from ntile over the corpus, whose unpartitioned window would
+    // be a global single-partition sort at 100 TB. Threshold semantics
+    // on ties: factor f applies from the smallest quality whose
+    // top-down cumulative count stays within the decile budget.
+    "q98_quality_epochs" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.rebalance(Tables.documents(s, d))
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+                size(col("toks")).cast("long").as("n_toks"),
+                expr("size(array_distinct(toks)) * 100 DIV size(toks)")
+                  .cast("long").as("quality"))
+      val hist = base.groupBy(col("quality")).agg(count(lit(1)).as("n"))
+      // tiny frame (<= 101 rows): the single-partition window is fine
+      val cum = hist
+        .withColumn("cum_n", sum(col("n")).over(
+          Window.orderBy(col("quality").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum(col("n")).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      val thr = cum.agg(
+        min(when(col("cum_n") * 10 <= col("total"), col("quality"))).as("t90"),
+        min(when(col("cum_n") * 2 <= col("total"), col("quality"))).as("t50"))
+      base.crossJoin(broadcast(thr))
+        .withColumn("factor",
+          when(col("quality") >= col("t90"), 3L)
+            .when(col("quality") >= col("t50"), 2L).otherwise(1L))
+        .groupBy(col("factor"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_toks") * col("factor")).as("post_epoch_tokens"))
+        .orderBy(col("factor"))
+    }),
+
     // ---- q94: deterministic training-order shuffle — reproducible
     // global permutation of the corpus by a seeded content-free hash
     // (epoch seed changes the order, same seed replays it bit-for-bit
@@ -286,6 +324,31 @@ object CurationOps {
         |  FROM e JOIN df USING (seg), tot GROUP BY doc_id)
         |SELECT n_boiler * 100 // n_segs AS boiler_pct, count(*) AS n_docs
         |FROM p GROUP BY 1 ORDER BY boiler_pct""".stripMargin,
+
+    "q98_quality_epochs" ->
+      """WITH d AS (
+        |  SELECT doc_id, len(str_split(text, ' '))::BIGINT AS n_toks,
+        |    (len(list_distinct(str_split(text, ' '))) * 100
+        |       // len(str_split(text, ' ')))::BIGINT AS quality
+        |  FROM documents),
+        |hist AS (SELECT quality, count(*) AS n FROM d GROUP BY quality),
+        |c AS (
+        |  SELECT quality,
+        |    sum(n) OVER (ORDER BY quality DESC
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+        |    sum(n) OVER () AS total
+        |  FROM hist),
+        |thr AS (
+        |  SELECT min(CASE WHEN cum_n * 10 <= total THEN quality END) AS t90,
+        |         min(CASE WHEN cum_n * 2 <= total THEN quality END) AS t50
+        |  FROM c)
+        |SELECT (CASE WHEN quality >= t90 THEN 3
+        |             WHEN quality >= t50 THEN 2 ELSE 1 END)::BIGINT AS factor,
+        |  count(*) AS n_docs,
+        |  sum(n_toks * (CASE WHEN quality >= t90 THEN 3
+        |                     WHEN quality >= t50 THEN 2 ELSE 1 END))::BIGINT
+        |    AS post_epoch_tokens
+        |FROM d, thr GROUP BY 1 ORDER BY factor""".stripMargin,
 
     "q96_chunk_freq" ->
       s"""WITH t AS (SELECT str_split(text, ' ') AS toks FROM documents),

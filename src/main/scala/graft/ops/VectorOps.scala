@@ -76,6 +76,34 @@ object VectorOps {
         .orderBy(col("qid"), col("rn"))
     }),
 
+    // ---- q99: hard-negative mining for retrieval training — for each
+    // query vector, the top-5 highest-cosine vectors with a DIFFERENT
+    // label (contrastive pairs: semantically close, labeled apart).
+    // Same corpus-streams/queries-broadcast shape as q51; the label
+    // mismatch is a row-local predicate inside the broadcast join, so
+    // negatives never need a global index — at 100 TB this is one
+    // corpus scan + the per-query top-k windows (or the q61 bounded
+    // per-partition heap form when k*|queries| stays small).
+    "q99_hard_negatives" -> ((s, d) => {
+      val emb = Tables.rebalance(Tables.embeddings(s, d))
+        .withColumn("q", expr(quantExpr))
+        .withColumn("norm", ldot(col("q"), col("q")))
+        .select(col("vec_id"), col("label"), col("q"), col("norm"))
+      val queriesDf = emb.filter(col("vec_id") < NUM_QUERIES)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+                col("q").as("qv"), col("norm").as("qnorm"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+      emb.join(broadcast(queriesDf), col("label") =!= col("qlabel"))
+        .withColumn("dot", ldot(col("q"), col("qv")))
+        .withColumn("cos", col("dot").cast("double") /
+          sqrt(col("norm").cast("double")) / sqrt(col("qnorm").cast("double")))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("vec_id"), col("label"), col("cos"), col("rn"))
+        .orderBy(col("qid"), col("rn"))
+    }),
+
     // ---- q61: cosine top-k via the custom typed Aggregator — identical
     // result to q51's window formulation, but only k rows per partition
     // survive the shuffle (bounded per-partition heaps merge), instead of
@@ -213,6 +241,21 @@ object VectorOps {
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
         |  FROM scored)
         |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
+
+    "q99_hard_negatives" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, label, $quantDuck AS q FROM embeddings),
+        |n AS (SELECT vec_id, label, q, ${dotDuck("q", "q")} AS norm FROM e),
+        |qs AS (SELECT vec_id AS qid, label AS qlabel, q AS qv, norm AS qnorm
+        |       FROM n WHERE vec_id < $NUM_QUERIES),
+        |scored AS (
+        |  SELECT qid, vec_id, n.label,
+        |    ${dotDuck("q", "qv")}::DOUBLE / sqrt(norm::DOUBLE) / sqrt(qnorm::DOUBLE) AS cos
+        |  FROM n JOIN qs ON n.label <> qs.qlabel)
+        |SELECT qid, vec_id, label, cos, rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
 
     "q52_ann_ivf" ->
       s"""WITH e AS (

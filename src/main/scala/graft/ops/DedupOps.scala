@@ -167,6 +167,49 @@ object DedupOps {
       .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** SRP-LSH (random-hyperplane) near-dup pairs over an embeddings frame
+    * (`vec_id`, `embedding: array<float>`) — the content-only blocking
+    * scale path (no label needed): quantize, band the sign bits with the
+    * native [[graft.functions.SrpBandCodes]] (the SQL higher-order
+    * formulation lives in [[srpCodesHof]], pinned bit-identical by
+    * VectorExprSpec), bucket on (band, code) with the same cap as every
+    * LSH family here, verify candidates with exact integer-quantized
+    * cosine. Same checkpoint contract as [[minhashLshPairs]]:
+    * `checkpointDir = None` pins the quantized frame executor-locally;
+    * pass a reliable dir on a real cluster.
+    */
+  def srpLshPairs(emb: DataFrame, bands: Int = SRP_BANDS, bits: Int = SRP_BITS,
+                  bandCap: Int = BAND_CAP, cosT: Double = COS_T,
+                  checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(emb.sparkSession.sparkContext.setCheckpointDir)
+    val quantized = emb
+      .withColumn("q", expr(
+        "transform(embedding, x -> cast(round(cast(x AS double) * 10000, 0) AS bigint))"))
+      .withColumn("norm", ldot(col("q"), col("q")))
+      .select(col("vec_id"), col("q"), col("norm"))
+    // shared by banding + both verify sides
+    val e0 =
+      if (checkpointDir.isDefined) quantized.checkpoint() else quantized.localCheckpoint()
+    val codes = graft.functions.VectorFunctions.srpCodes(col("q"), bands, bits)
+    val bandRows = e0.select(col("vec_id"), posexplode(codes).as(Seq("band", "code")))
+    val cand = bandRows.groupBy(col("band"), col("code"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("vs"))
+      .filter(size(col("vs")).between(2, bandCap))
+      .select(explode(expr(
+        """flatten(transform(vs, (x, i) ->
+          |  transform(slice(vs, i + 2, size(vs)),
+          |            y -> named_struct('v1', x, 'v2', y))))""".stripMargin)).as("p"))
+      .select(col("p.v1"), col("p.v2"))
+      .distinct()
+    cand
+      .join(e0.select(col("vec_id").as("v1"), col("q").as("q1"), col("norm").as("n1")), "v1")
+      .join(e0.select(col("vec_id").as("v2"), col("q").as("q2"), col("norm").as("n2")), "v2")
+      .withColumn("cos", ldot(col("q1"), col("q2")).cast("double") /
+        sqrt(col("n1").cast("double")) / sqrt(col("n2").cast("double")))
+      .filter(col("cos") >= cosT)
+      .select(col("v1"), col("v2"), col("cos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- q49: MinHash signatures -> LSH band buckets -> candidate pairs
@@ -218,36 +261,9 @@ object DedupOps {
     // near-dup regime. Buckets are capped like every LSH family here;
     // the banding is one row-local expression (no per-hyperplane
     // explosion), and the corpus shuffles only on (band, code).
-    "q97_srp_lsh" -> ((s, d) => {
-      val e0 = Tables.rebalance(Tables.embeddings(s, d))
-        .withColumn("q", expr(
-          "transform(embedding, x -> cast(round(cast(x AS double) * 10000, 0) AS bigint))"))
-        .withColumn("norm", ldot(col("q"), col("q")))
-        .select(col("vec_id"), col("q"), col("norm"))
-        .localCheckpoint() // shared by banding + both verify sides
-      // native codegen'd banding (one static call per row); the SQL
-      // higher-order formulation lives in srpCodesHof, pinned
-      // bit-identical by VectorExprSpec
-      val codes = graft.functions.VectorFunctions.srpCodes(col("q"), SRP_BANDS, SRP_BITS)
-      val bands = e0.select(col("vec_id"), posexplode(codes).as(Seq("band", "code")))
-      val cand = bands.groupBy(col("band"), col("code"))
-        .agg(sort_array(collect_list(col("vec_id"))).as("vs"))
-        .filter(size(col("vs")).between(2, BAND_CAP))
-        .select(explode(expr(
-          """flatten(transform(vs, (x, i) ->
-            |  transform(slice(vs, i + 2, size(vs)),
-            |            y -> named_struct('v1', x, 'v2', y))))""".stripMargin)).as("p"))
-        .select(col("p.v1"), col("p.v2"))
-        .distinct()
-      cand
-        .join(e0.select(col("vec_id").as("v1"), col("q").as("q1"), col("norm").as("n1")), "v1")
-        .join(e0.select(col("vec_id").as("v2"), col("q").as("q2"), col("norm").as("n2")), "v2")
-        .withColumn("cos", ldot(col("q1"), col("q2")).cast("double") /
-          sqrt(col("n1").cast("double")) / sqrt(col("n2").cast("double")))
-        .filter(col("cos") >= COS_T)
-        .select(col("v1"), col("v2"), col("cos"))
-        .orderBy(col("v1"), col("v2"))
-    })
+    "q97_srp_lsh" -> ((s, d) =>
+      srpLshPairs(Tables.rebalance(Tables.embeddings(s, d)))
+        .orderBy(col("v1"), col("v2")))
   )
 
   private val trigramDuck =

@@ -138,5 +138,12 @@ class TextDedupSpec extends SparkSpec {
     val reliableD = pairs(TextOps.dedupFirstJaccardPairs(
       duplicated(3), checkpointDir = Some(dir)))
     assert(reliableD == localD)
+    // the embedding family too: srpLshPairs carries the same contract
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def vpairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val localS = vpairs(DedupOps.srpLshPairs(emb))
+    val reliableS = vpairs(DedupOps.srpLshPairs(emb, checkpointDir = Some(dir)))
+    assert(reliableS == localS)
   }
 }

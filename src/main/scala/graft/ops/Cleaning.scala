@@ -103,6 +103,19 @@ object Cleaning {
         .orderBy(col("lang"))
     }),
 
+    // ---- q100: A2's newline-join form (test.py:408 joins the welfare
+    // list with '\n') — the same collect+join aggregation as q28 under
+    // the reference's other delimiter, grouped the other way (langs per
+    // source). Embedded newlines survive the gate: they live inside a
+    // single VARCHAR value on both engines.
+    "q100_newline_join" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(array_join(array_sort(collect_set(col("lang"))), "\n").as("langs"),
+             count(lit(1)).as("n_docs"))
+        .orderBy(col("source"))
+    }),
+
     // ---- q29: the dominant reference pattern — key->value long-to-wide
     // pivot with first-match semantics (§2.3, test.py:217-374). One
     // shuffle computes all keys; first-match = min_by on a unique
@@ -329,6 +342,11 @@ object Cleaning {
       """SELECT lang, string_agg(DISTINCT source, '、' ORDER BY source) AS sources,
         |  count(*) AS n_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q100_newline_join" ->
+      """SELECT source, string_agg(DISTINCT lang, chr(10) ORDER BY lang) AS langs,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q29_kv_pivot_first" ->
       """SELECT user_id,

@@ -57,13 +57,22 @@ object CurationOps {
                          concat_ws(" ", reverse(split(col("text"), " "))).as("text"))))
           .otherwise(array(struct(col("doc_id"), col("text"))))).as("r"))
         .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+      // rank key: quality dominates, then smaller doc_id wins. The
+      // multiplier must EXCEED every doc_id or large ids leak into the
+      // quality term and a low-quality doc can out-rank (and collisions
+      // would let max_by/arg_max tie-break divergently across engines) —
+      // so it derives from the corpus max (raw max + the fixture's
+      // planted-copy offset + 1), a 1-column pruned scan broadcast as a
+      // scalar, never a hardcoded constant.
+      val mxId = Tables.documents(s, d)
+        .agg((max(col("doc_id")) + lit(1000001L)).as("mx_id"))
       corpus
+        .crossJoin(broadcast(mxId))
         .withColumn("toks", split(col("text"), " "))
         .withColumn("fp", sha2(concat_ws(" ", array_sort(col("toks"))), 256))
         .withColumn("quality",
           expr("size(array_distinct(toks)) * 100 DIV size(toks)").cast("long"))
-        // rank key: quality dominates, then smaller doc_id wins
-        .withColumn("rk", col("quality") * lit(10000000L) - col("doc_id"))
+        .withColumn("rk", col("quality") * col("mx_id") - col("doc_id"))
         .groupBy(col("fp"))
         .agg(count(lit(1)).as("n_members"),
              max_by(col("doc_id"), col("rk")).as("rep_doc_id"),
@@ -261,11 +270,11 @@ object CurationOps {
         |  SELECT doc_id,
         |    sha256(array_to_string(list_sort(toks), ' ')) AS fp,
         |    (len(list_distinct(toks)) * 100 // len(toks))::BIGINT AS quality
-        |  FROM t)
-        |
-        |SELECT arg_max(doc_id, quality * 10000000 - doc_id) AS rep_doc_id,
+        |  FROM t),
+        |mx AS (SELECT max(doc_id) + 1000001 AS mx_id FROM documents)
+        |SELECT arg_max(doc_id, quality * mx_id - doc_id) AS rep_doc_id,
         |  count(*) AS n_members, max(quality) AS rep_quality
-        |FROM q GROUP BY fp HAVING count(*) >= 2
+        |FROM q, mx GROUP BY fp HAVING count(*) >= 2
         |ORDER BY rep_doc_id""".stripMargin,
 
     "q91_url_domain_cap" ->

@@ -183,8 +183,7 @@ object DedupOps {
                   checkpointDir: Option[String] = None): DataFrame = {
     checkpointDir.foreach(emb.sparkSession.sparkContext.setCheckpointDir)
     val quantized = emb
-      .withColumn("q", expr(
-        "transform(embedding, x -> cast(round(cast(x AS double) * 10000, 0) AS bigint))"))
+      .withColumn("q", expr(VectorOps.quantExpr))
       .withColumn("norm", ldot(col("q"), col("q")))
       .select(col("vec_id"), col("q"), col("norm"))
     // shared by banding + both verify sides
@@ -234,8 +233,7 @@ object DedupOps {
     // O(block²) straggler — results identical to the naive block join.
     "q55_embedding_neardup" -> ((s, d) => {
       val emb = Tables.rebalance(Tables.embeddings(s, d))
-        .withColumn("q", expr(
-          "transform(embedding, x -> cast(round(cast(x AS double) * 10000, 0) AS bigint))"))
+        .withColumn("q", expr(VectorOps.quantExpr))
         .withColumn("norm", ldot(col("q"), col("q")))
         .select(col("vec_id"), col("label"), col("q"), col("norm"))
       chunkedBlockPairs(emb)

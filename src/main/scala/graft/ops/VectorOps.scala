@@ -24,8 +24,12 @@ import graft.functions.VectorFunctions.ldot
   */
 object VectorOps {
 
-  /** Quantized int64 vector: round(x * 10^4). */
-  private val quantExpr =
+  /** Quantized int64 vector: round(x * 10^4). The ONE definition every
+    * Spark-side embedding op quantizes through (DedupOps included) — the
+    * cross-engine gate depends on all copies of this formula staying
+    * byte-identical, so there are no other Spark-side copies.
+    */
+  private[ops] val quantExpr =
     "transform(embedding, x -> cast(round(cast(x AS double) * 10000, 0) AS bigint))"
 
 

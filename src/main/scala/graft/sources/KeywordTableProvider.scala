@@ -87,7 +87,17 @@ case class KeywordTable(base: String, tableSchema: StructType)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KeywordScanBuilder(base, tableSchema,
       "keyword".equalsIgnoreCase(options.get("partitioning")),
-      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+      Option(options.get("maxFilesPerTrigger")).map { v =>
+        val n = try v.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"maxFilesPerTrigger must be a positive integer, got '$v'")
+        }
+        // 0 would make every advance() a no-op: the stream stalls forever
+        // with no error (AvailableNow terminates having ingested nothing)
+        if (n <= 0) throw new IllegalArgumentException(
+          s"maxFilesPerTrigger must be positive, got $n")
+        n
+      })
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new KeywordWriteBuilder(base, info.schema())
 }
@@ -563,6 +573,12 @@ class KeywordStreamingWrite(base: String, schema: StructType)
       KeywordCommit.abort(messages) // epoch already durable: drop the replay
     } else {
       deletePartialEpochOutput(epochId)
+      // The per-file renames are not atomic as a GROUP: a crash inside
+      // KeywordCommit.commit leaves the renamed subset visible (they pass
+      // the .json/non-hidden read filters) until the epoch retries and
+      // deletePartialEpochOutput heals it. Exactly-once holds across
+      // retries; readers that must never observe a mid-crash half epoch
+      // should additionally gate on the epoch marker's existence.
       KeywordCommit.commit(messages)
       m.getParentFile.mkdirs()
       m.createNewFile()
@@ -696,7 +712,8 @@ class KeywordMicroBatchStream(base: String, schema: StructType,
 
   /** Admission control (T4 rate limiting in connector form): with
     * `.option("maxFilesPerTrigger", n)` each micro-batch admits at most
-    * n pending snapshot files (deterministic (keyword, name) order) and
+    * n pending snapshot files (deterministic arrival order — timestamped
+    * snapshot names, keyword as tiebreak) and
     * the watermarks advance only past the admitted ones — a backlogged
     * landing zone drains in bounded batches instead of one giant
     * catch-up batch. Composes with Trigger.AvailableNow: the wrapper
@@ -706,28 +723,43 @@ class KeywordMicroBatchStream(base: String, schema: StructType,
     maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
 
   private def advance(start: KeywordWatermarkOffset,
-                      end: KeywordWatermarkOffset, n: Int): Offset = {
+                      end: KeywordWatermarkOffset, n: Int,
+                      files: Seq[(String, String, String)]): Offset = {
     val lo = start.watermarks
     val hi = end.watermarks
-    val pending = allFiles()
+    // ARRIVAL order (snapshot names are timestamped — S7), not keyword
+    // order: under a continuous trigger a chatty keyword early in the
+    // alphabet must not starve the rest of the zone. Within one keyword
+    // the name order is preserved, so any prefix that admits a file also
+    // admits every older file of that keyword — the per-keyword
+    // high-watermark offsets stay exact.
+    val pending = files
       .filter { case (kw, name, _) =>
         hi.get(kw).exists(name <= _) && lo.get(kw).forall(name > _)
       }
-      .sortBy { case (kw, name, _) => (kw, name) }
+      .sortBy { case (kw, name, _) => (name, kw) }
     if (pending.isEmpty) start
     else KeywordWatermarkOffset(lo ++ pending.take(n).groupBy(_._1).map {
       case (kw, fs) => kw -> fs.map(_._2).max
     })
   }
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val target = pinned.getOrElse(currentWatermarks())
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
     limit match {
       case mf: ReadMaxFiles =>
-        advance(start.asInstanceOf[KeywordWatermarkOffset], target, mf.maxFiles())
-      case _ => target
+        // ONE landing-zone listing per planning cycle: the target
+        // watermarks and the pending set derive from the same snapshot
+        // (a second recursive listing per trigger would dominate offset
+        // planning on exactly the backlogged zones admission targets)
+        val files = allFiles()
+        val target = pinned.getOrElse(
+          KeywordWatermarkOffset(files.groupBy(_._1).map {
+            case (kw, fs) => kw -> fs.map(_._2).max
+          }))
+        advance(start.asInstanceOf[KeywordWatermarkOffset], target,
+                mf.maxFiles(), files)
+      case _ => pinned.getOrElse(currentWatermarks())
     }
-  }
   override def reportLatestOffset(): Offset = currentWatermarks()
 
   override def latestOffset(): Offset = pinned.getOrElse(currentWatermarks())

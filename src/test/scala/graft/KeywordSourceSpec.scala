@@ -324,6 +324,52 @@ class KeywordSourceSpec extends SparkSpec {
     assert(batches == 3, s"expected 3 micro-batches, got $batches")
   }
 
+  test("DSv2 graft-keyword: admission is arrival-fair across keywords") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = tmp("kw-fair")
+    val outDir = tmp("kw-fair-out")
+    val ckpt = tmp("kw-fair-ckpt")
+    // 'aaa' is chatty AND alphabetically first; 'zzz' landed the OLDEST
+    // snapshot. Keyword-ordered admission would drain all of 'aaa'
+    // before 'zzz' ever runs; arrival order must admit t0 first.
+    writeSnapshots(base, "zzz", "t0.json", Seq("""{"job":"oldest"}"""))
+    writeSnapshots(base, "aaa", "t1.json", Seq("""{"job":"a1"}"""))
+    writeSnapshots(base, "aaa", "t2.json", Seq("""{"job":"a2"}"""))
+
+    val q = spark.readStream.format("graft-keyword")
+      .option("fields", "job")
+      .option("maxFilesPerTrigger", "1").load(base)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).outputMode("append").start()
+    q.awaitTermination(60000)
+
+    // batch 0's offset must already carry the zzz watermark: the oldest
+    // file won admission in the very first bounded batch
+    val off0 = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(ckpt, "offsets/0").toPath))
+    assert(off0.contains("zzz"),
+      s"first admitted batch skipped the oldest keyword: $off0")
+    assert(spark.read.parquet(outDir).count() == 3)
+  }
+
+  test("DSv2 graft-keyword: non-positive maxFilesPerTrigger fails fast") {
+    val base = tmp("kw-badopt")
+    writeSnapshots(base, "scala", "s1.json", Seq("""{"job":"j1"}"""))
+    // option parsing lives in newScanBuilder, shared by batch and
+    // streaming — the batch path surfaces the error synchronously
+    def msgChain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(c => String.valueOf(c.getMessage)).mkString(" | ")
+    def read(v: String) = spark.read.format("graft-keyword")
+      .option("fields", "job").option("maxFilesPerTrigger", v)
+      .load(base).count()
+    val e0 = intercept[Exception] { read("0") }
+    assert(msgChain(e0).contains("maxFilesPerTrigger"))
+    val eBad = intercept[Exception] { read("many") }
+    assert(msgChain(eBad).contains("maxFilesPerTrigger"))
+  }
+
   test("DSv2 graft-keyword: ORDER BY keyword LIMIT pushes as partial top-n") {
     val base = tmp("kw-topn")
     writeSnapshots(base, "beam", "b1.json",

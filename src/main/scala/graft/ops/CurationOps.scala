@@ -26,6 +26,16 @@ object CurationOps {
   private val CHUNK_W = 4          // q96: chunk width in tokens
   private val CHUNK_S = 2          // q96: chunk stride (overlap = W - S)
 
+  // q96/q96b share one chunk stream: width-W sliding windows, stride S
+  private def chunkFrame(s: SparkSession, d: String): DataFrame =
+    Tables.rebalance(Tables.documents(s, d).select(col("text")))
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= CHUNK_W)
+      .select(explode(expr(
+        s"""transform(sequence(0, (size(toks) - $CHUNK_W) DIV $CHUNK_S),
+           |  i -> concat_ws(' ', slice(toks, i * $CHUNK_S + 1, $CHUNK_W)))""".stripMargin))
+        .as("chunk"))
+
   // fixed-width token segments over a `toks` column (q92 intra-doc, q95
   // cross-doc)
   private val segsExpr =
@@ -170,18 +180,34 @@ object CurationOps {
     // Verified by chunk CONTENT, not counts: the top-k chunk-frequency
     // table must match the oracle string-for-string. Scan-shaped
     // per-row window slicing + one map-side-combinable agg + TakeOrdered.
-    "q96_chunk_freq" -> ((s, d) => {
-      Tables.rebalance(Tables.documents(s, d).select(col("text")))
-        .withColumn("toks", split(col("text"), " "))
-        .filter(size(col("toks")) >= CHUNK_W)
-        .select(explode(expr(
-          s"""transform(sequence(0, (size(toks) - $CHUNK_W) DIV $CHUNK_S),
-             |  i -> concat_ws(' ', slice(toks, i * $CHUNK_S + 1, $CHUNK_W)))""".stripMargin))
-          .as("chunk"))
+    // Scale caveat (PLANS.md): the EXACT form's shuffle carries the
+    // chunk vocabulary, which approaches corpus size on natural text —
+    // q96b below is the bounded-memory sketch path for that regime.
+    "q96_chunk_freq" -> ((s, d) =>
+      chunkFrame(s, d)
         .groupBy(col("chunk")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("chunk"))
-        .limit(20)
-    }),
+        .limit(20)),
+
+    // ---- q96b: the same chunk top-k through the Space-Saving sketch
+    // (functions/SpaceSavingSketch.scala, the q65 TypedImperativeAggregate)
+    // — the bounded-memory path that closes q96's exact-form scale
+    // caveat. Each partition folds its chunks into a fixed-capacity
+    // counter map; only the k(=capacity)-bounded partial buffers cross
+    // the wire, never the vocabulary-sized (chunk, cnt) stream. Capacity
+    // 2^17 exceeds the distinct-chunk count at BOTH gate SF (12,254 at
+    // sf0.01) and bench SF (114,328 at sf0.1), so the sketch is in its
+    // EXACT regime here and must hash-match q96's oracle; at 100 TB the
+    // same operator runs with capacity << vocabulary as the approximate
+    // heavy-hitters pass (error bounded by the evicted minimum —
+    // SketchSpec covers that regime).
+    "q96b_chunk_topk_sketch" -> ((s, d) =>
+      chunkFrame(s, d)
+        .agg(graft.functions.SketchFunctions
+          .spaceSavingTopK(col("chunk"), 1 << 17, 20).as("top"))
+        .select(explode(col("top")).as("e"))
+        .select(col("e.item").as("chunk"), col("e.cnt").as("cnt"))
+        .orderBy(col("cnt").desc, col("chunk"))),
 
     // ---- q98: quality-weighted epoch repetition — up-sample the best
     // docs (top quality decile trains 3 epochs, top half 2, rest 1) and
@@ -360,6 +386,17 @@ object CurationOps {
         |FROM d, thr GROUP BY 1 ORDER BY factor""".stripMargin,
 
     "q96_chunk_freq" ->
+      s"""WITH t AS (SELECT str_split(text, ' ') AS toks FROM documents),
+        |c AS (
+        |  SELECT unnest(
+        |    [array_to_string(toks[i * $CHUNK_S + 1 : i * $CHUNK_S + $CHUNK_W], ' ')
+        |     FOR i IN range(0, (len(toks) - $CHUNK_W) // $CHUNK_S + 1)]) AS chunk
+        |  FROM t WHERE len(toks) >= $CHUNK_W)
+        |SELECT chunk, count(*) AS cnt FROM c
+        |GROUP BY chunk ORDER BY cnt DESC, chunk LIMIT 20""".stripMargin,
+
+    // q96b must reproduce the exact top-k: same oracle as q96
+    "q96b_chunk_topk_sketch" ->
       s"""WITH t AS (SELECT str_split(text, ' ') AS toks FROM documents),
         |c AS (
         |  SELECT unnest(

@@ -70,7 +70,17 @@ object JoinOps {
                      valueCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.graftshim.Shim
     val lPlan = Shim.analyzed(left)
-    val rPlan = Shim.analyzed(right)
+    // Self-join hygiene: when both sides derive from the same scan they
+    // share attribute exprIds, and downstream rules (column pruning,
+    // exchange binding) cannot tell the right child's columns from the
+    // left's — Catalyst's DeduplicateRelations does this for built-in
+    // joins but not for a custom BinaryNode. Re-aliasing every right
+    // column mints fresh exprIds whenever the outputs overlap.
+    val rightFresh =
+      if (lPlan.outputSet.intersect(Shim.analyzed(right).outputSet).nonEmpty)
+        right.select(right.columns.map(c => col(c).as(c)): _*)
+      else right
+    val rPlan = Shim.analyzed(rightFresh)
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
              name: String) =
       p.output.find(_.name == name).getOrElse(

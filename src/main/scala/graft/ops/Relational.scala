@@ -281,6 +281,47 @@ object Relational {
              max_by(col("value"), col("event_id")).as("last_value"),
              count(lit(1)).as("n"))
         .orderBy(col("user_id"))
+    }),
+
+    // ---- q17b: q17's as-of semantics through the NATIVE operator
+    // (plans/AsOfJoinPlan.scala — custom LogicalPlan -> Strategy ->
+    // co-partitioned streaming-merge AsOfJoinExec) instead of the
+    // union+window form. The strategy registers idempotently on the
+    // session's experimental hook, so the driver's plain session (built
+    // without withExtensions) plans the node too. Oracle identical to
+    // q17: the operator must reproduce the window form bit-for-bit.
+    // PlanGuardSpec pins AsOfJoinExec into this query's physical plan.
+    "q17b_asof_native" -> ((s, d) => {
+      if (!s.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+        s.experimental.extraStrategies =
+          s.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"))
+      JoinOps.asofJoinNative(purchases, signups, "user_id", "ts", "ts", Seq("ts"))
+        .filter(col("asof_ts").isNotNull)
+        .select(col("event_id"), unix_millis(col("asof_ts")).as("signup_ms"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- q103: the salted large-x-large equi-join (ScaleOps
+    // .saltedEquiJoin) inside the oracle gate — the salt must be
+    // INVISIBLE in the result: left rows spread over 8 (key, salt)
+    // reducers, the right side replicated 8x, and the aggregate still
+    // equals the plain join's oracle. This is the skew topology for the
+    // hot-key case AQE's sort-merge split can't reach (q67 proved the
+    // salted AGGREGATION oracle-invisible; this closes the join form).
+    "q103_salted_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("okey"), col("l_partkey"), col("l_quantity"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+      ScaleOps.saltedEquiJoin(li, ord, "okey", "l_partkey", 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
     })
   )
 
@@ -414,6 +455,19 @@ object Relational {
         |  ON s.user_id = p.user_id AND s.event_type = 'signup' AND s.ts <= p.ts
         |WHERE p.event_type = 'purchase'
         |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
+
+    "q17b_asof_native" ->
+      """SELECT p.event_id, epoch_ms(max(s.ts)) AS signup_ms
+        |FROM events p JOIN events s
+        |  ON s.user_id = p.user_id AND s.event_type = 'signup' AND s.ts <= p.ts
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
+
+    "q103_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q18_broadcast_join" ->
       """SELECT p_brand, count(*) AS n,

@@ -92,4 +92,29 @@ class PlanGuardSpec extends SparkSpec {
     val p = plan("q79_simhash_hamming")
     assert(!p.contains("Join"), p) // single linear pipeline, no joins at all
   }
+
+  test("q17b: the NATIVE as-of operator is in the plan (not the window form)") {
+    val p = plan("q17b_asof_native")
+    // AsOfJoinExec renders as "AsOfJoin" (nodeName strips Exec); both
+    // children arrive sorted on (key, ts) via EnsureRequirements
+    assert(p.contains("AsOfJoin "), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q103: the salt is part of the join key on BOTH sides") {
+    val p = plan("q103_salted_join")
+    // at fixture scale the replicated right side broadcasts (size gate);
+    // the invariant is the key shape — (okey, _salt) on both sides — so
+    // at scale the shuffle spreads each hot okey over `salts` reducers
+    assert("\\[okey#\\d+L?, _salt#\\d+\\], \\[okey#\\d+L?, _salt#\\d+\\]"
+      .r.findFirstIn(p).isDefined, p)
+  }
+
+  test("q96b: partial sketch buffers cross the shuffle, not the chunk stream") {
+    val p = plan("q96b_chunk_topk_sketch")
+    assert(p.contains("partial_spacesavingtopk")
+      || p.toLowerCase.contains("spacesavingtopk"), p)
+    // single-row global agg: no vocabulary-sized hashpartitioning exchange
+    assert(!"hashpartitioning\\(chunk".r.findFirstIn(p).isDefined, p)
+  }
 }

@@ -20,7 +20,8 @@ object SparkEntry {
       ops.TimeWindows.queries ++ ops.TextOps.queries ++ ops.VectorOps.queries ++
       ops.DedupOps.queries ++ ops.Advanced.queries ++
       ops.FunctionFamilies.queries ++ ops.PipelineOps.queries ++
-      ops.PipelineOps.queries2 ++ ops.GraphOps.queries ++ ops.CurationOps.queries
+      ops.PipelineOps.queries2 ++ ops.GraphOps.queries ++ ops.CurationOps.queries ++
+      jobs.JobRecordGate.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,5 @@ object SparkEntry {
       ops.TimeWindows.oracles ++ ops.TextOps.oracles ++ ops.VectorOps.oracles ++
       ops.DedupOps.oracles ++ ops.Advanced.oracles ++
       ops.FunctionFamilies.oracles ++ ops.PipelineOps.oracles ++
-      ops.GraphOps.oracles ++ ops.CurationOps.oracles
+      ops.GraphOps.oracles ++ ops.CurationOps.oracles ++ jobs.JobRecordGate.oracles
 }

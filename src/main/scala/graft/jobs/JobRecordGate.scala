@@ -1,0 +1,324 @@
+package graft.jobs
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The flagship reference artifact inside the oracle gate: the ~30-field
+  * job record with the nested 8-map analysis struct (test.py:527-534,
+  * empty-map defaults test.py:515-524), assembled by the REAL operator
+  * pipeline — P2-P8 cleaning, the §2.3 kv-pivot, A5/A6/A7 map
+  * constructors, J1 analysis attach, A9 defaults, P12 row quality — over
+  * deterministic fixture long tables derived from `documents`, and
+  * hash-compared against a DuckDB oracle that re-derives every stage
+  * from the same raw strings (not from precomputed answers).
+  *
+  * Fixture shape (job_id = doc_id < 120):
+  *  - list rows carry raw crawler strings (padded name, 更新-prefixed
+  *    date, 應徵人數 range, presence tag) that the P-series must clean;
+  *  - detail rows are (job_id, pos, label, value) with per-(id,label)
+  *    presence holes, duplicate first-match rows, and '、'-joined
+  *    multi-value labels — jobs with id%11==0 lose all labels beyond
+  *    the first three, forcing the >6-empty-fields error flag;
+  *  - analysis fragments reuse the q82/q83/q89 bar/chart formulas, so
+  *    jobs carry 0-2 gender entries, 2-language skill maps, and an age
+  *    chart with malformed lines that must be dropped.
+  * Maps are emitted as sorted "k=v|k=v" scalar strings (the q82/q83
+  * driver-gate serialization); the five never-populated analysis maps
+  * must serialize as '' — proving the A9 empty-map defaults actually
+  * materialize (not nulls).
+  */
+object JobRecordGate {
+
+  private val N_JOBS = 120
+
+  /** Sorted map entries -> one scalar string (driver-gate hashability). */
+  private def entries(m: Column): Column = {
+    // expr-free form of the q82/q83 serialization, reusable on any map col
+    array_join(transform(sort_array(map_entries(m)),
+      e => concat(e.getField("key"), lit("="), e.getField("value"))), "|")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q101_job_record" -> ((s, d) => {
+      val ids = Tables.documents(s, d).filter(col("doc_id") < N_JOBS)
+        .select(col("doc_id").as("job_id"))
+
+      // ---- S2 list scan: raw crawler strings, cleaned by P2-P8
+      val cleaned = ids
+        .withColumn("raw_name", concat(lit(" 職位"), col("job_id"), lit(" ")))
+        .withColumn("job_url", concat(lit("https://www.104.com.tw/job/j"),
+          col("job_id"), lit("?jobsource=x")))
+        .withColumn("raw_update",
+          concat(lit("更新2025/0"), pmod(col("job_id"), lit(9)) + 1, lit("/15")))
+        .withColumn("tag", when(pmod(col("job_id"), lit(3)) === 0, "積極徵才中")
+          .when(pmod(col("job_id"), lit(3)) === 1, ""))
+        .withColumn("raw_apct", when(pmod(col("job_id"), lit(5)) === 0, "")
+          .otherwise(concat(lit("應徵人數 "), pmod(col("job_id"), lit(7)),
+            lit("~"), pmod(col("job_id"), lit(7)) + 5, lit(" 人"))))
+        .select(col("job_id"),
+          trim(col("raw_name")).as("job_name"),
+          concat(lit("公司"), pmod(col("job_id"), lit(40))).as("company"),
+          JobOps.cleanUpdateDate(col("raw_update")).as("update_date"),
+          JobOps.activelyHiringFlag(col("tag")).as("actively_hiring"),
+          JobOps.cleanApplicants(col("raw_apct")).as("applicants"),
+          JobOps.applyCode(col("job_url")).as("apply_code"))
+        .withColumn("analysis_url", JobOps.analysisUrl(col("apply_code")))
+
+      // ---- §2.3 detail rows -> ONE pivot (kvPivotFirst)
+      val labels = JobSchema.detailLabels.map(_._1)
+      val details = ids
+        .select(col("job_id"), posexplode(typedLit(labels)).as(Seq("li", "label")))
+        .select(col("job_id"), col("li"), col("label"),
+          explode(sequence(lit(0), lit(1))).as("rep"))
+        // presence holes: 2 labels per job vanish; id%11 jobs lose all but
+        // the first 3 labels (the error-row regime); rep=1 rows exist for
+        // the multi-valued labels and the (id+li)%5 first-match duplicates
+        .filter(pmod(col("job_id") + col("li"), lit(7)) =!= 0 &&
+          !(pmod(col("job_id"), lit(11)) === 0 && col("li") >= 3) &&
+          (col("rep") === 0 || col("li").isin(10, 11, 12) ||
+            pmod(col("job_id") + col("li"), lit(5)) === 0))
+        .select(col("job_id"),
+          (col("li") * 2 + col("rep") + 1).as("pos"),
+          col("label"),
+          concat(lit("v"), pmod(col("job_id") * 13 + col("li") * 7 + col("rep") * 3,
+            lit(97))).as("value"))
+      val wide = JobOps.kvPivotFirst(details)
+
+      // ---- A5 gender bars (q82 formulas), A6 language bars (q83), A7 age
+      // chart (q89's single-chart form with malformed-line drops)
+      val genderBars = ids
+        .select(col("job_id"), explode(sequence(lit(0), lit(2))).as("pos"))
+        .withColumn("dr", pmod(col("job_id") * 7 + col("pos") * 11, lit(13)) - 6)
+        .withColumn("style", concat(lit("width: 30%; background-color: "),
+          when(col("pos") === 0,
+            concat(lit("rgb("), lit(78) + col("dr"), lit(", 145, 255)")))
+          .when(col("pos") === 1,
+            concat(lit("rgb(255, "), lit(144) + col("dr"), lit(", 199)")))
+          .otherwise(lit("rgb(10, 20, 30)"))))
+        .withColumn("text",
+          concat(pmod(col("job_id") * 3 + col("pos") * 17, lit(100)), lit("%")))
+      val gender = JobOps.genderMap(genderBars)
+
+      val legend = array(lit("rgb(200, 200, 200)"), lit("rgb(151, 195, 255)"),
+        lit("rgb(102, 165, 255)"), lit("rgb(41, 128, 255)"), lit("rgb(7, 7, 7)"))
+      val langBars = ids
+        .select(col("job_id"), posexplode(array(lit("英文"), lit("日文")))
+          .as(Seq("lgi", "lang")))
+        .select(col("job_id"), col("lgi"), col("lang"),
+          explode(sequence(lit(0), lit(1))).as("pos"))
+        .withColumn("ci",
+          pmod(col("job_id") * 5 + col("pos") * 3 + col("lgi") * 7, lit(5)))
+        .withColumn("style", concat(lit("background-color: "),
+          element_at(legend, col("ci").cast("int") + 1)))
+        .withColumn("text",
+          concat(pmod(col("job_id") + col("pos") * 29, lit(100)), lit("%")))
+      val lang = JobOps.languageMap(langBars)
+
+      val ageLines = ids
+        .withColumn("title", lit("年齡"))
+        .select(col("job_id"), col("title"),
+          explode(sequence(lit(0), lit(2))).as("pos"))
+        .withColumn("line",
+          when(pmod(col("job_id") + col("pos"), lit(3)) === 0,
+            concat(lit("bad"), col("pos")))
+          .otherwise(concat(lit("b"), col("pos"), lit("歲"), lit("\n"),
+            pmod(col("job_id") * 7 + col("pos") * 13, lit(100)), lit("%"))))
+      val age = JobOps.chartMap(ageLines, "job_id", "title", "line")
+        .select(col("job_id"), col("m").as("age"))
+
+      // ---- J1 attach + A9 defaults: the 8-map struct, empty maps where
+      // no fragment produced an entry (NEVER null)
+      val emptyMap = typedLit(Map.empty[String, String])
+      val analysis = gender.join(lang, Seq("job_id"), "full_outer")
+        .join(age, Seq("job_id"), "full_outer")
+        .select(col("job_id"), struct(
+          emptyMap.as("education"),
+          coalesce(col("gender"), emptyMap).as("gender"),
+          coalesce(col("language_skills"), emptyMap).as("language_skills"),
+          coalesce(col("age"), emptyMap).as("age"),
+          emptyMap.as("experience"), emptyMap.as("major"),
+          emptyMap.as("skills"), emptyMap.as("certificates")).as("analysis"))
+
+      val qualityCols = Seq("job_name", "company", "update_date", "applicants") ++
+        JobSchema.detailLabels.map(_._2)
+
+      cleaned
+        .join(wide, Seq("job_id"), "left_outer")
+        .join(analysis, Seq("job_id"), "left_outer")
+        .withColumn("analysis", coalesce(col("analysis"), JobOps.emptyAnalysis))
+        .withColumn("quality", JobOps.rowQualityFlag(qualityCols))
+        .select(
+          Seq(col("job_id"), col("job_name"), col("company"), col("update_date"),
+            col("actively_hiring"), col("applicants"), col("apply_code"),
+            col("analysis_url")) ++
+          JobSchema.detailLabels.map { case (_, n) => col(n) } ++
+          Seq("education", "gender", "language_skills", "age", "experience",
+            "major", "skills", "certificates").map(m =>
+            entries(col(s"analysis.$m")).as(s"a_$m")) :+
+          col("quality"): _*)
+        .orderBy(col("job_id"))
+    })
+  )
+
+  private val labelListDuck =
+    "['管理責任','出差外派','上班時段','休假制度','可上班日','需求人數','工作經歷'," +
+      "'學歷要求','科系要求','語文條件','擅長工具','工作技能','具備證照','其他條件']"
+
+  val oracles: Map[String, String] = Map(
+    "q101_job_record" ->
+      s"""WITH ids AS (SELECT doc_id AS job_id FROM documents WHERE doc_id < $N_JOBS),
+        |raw AS (
+        |  SELECT job_id,
+        |    ' 職位' || job_id || ' ' AS raw_name,
+        |    'https://www.104.com.tw/job/j' || job_id || '?jobsource=x' AS job_url,
+        |    '更新2025/0' || (job_id % 9 + 1) || '/15' AS raw_update,
+        |    CASE WHEN job_id % 3 = 0 THEN '積極徵才中'
+        |         WHEN job_id % 3 = 1 THEN '' END AS tag,
+        |    CASE WHEN job_id % 5 = 0 THEN ''
+        |         ELSE '應徵人數 ' || (job_id % 7) || '~' || (job_id % 7 + 5) || ' 人'
+        |    END AS raw_apct
+        |  FROM ids),
+        |list AS (
+        |  SELECT job_id,
+        |    trim(raw_name) AS job_name,
+        |    '公司' || (job_id % 40) AS company,
+        |    trim(replace(raw_update, '更新', '')) AS update_date,
+        |    CASE WHEN coalesce(tag, '') = '積極徵才中' THEN '是' ELSE '否' END
+        |      AS actively_hiring,
+        |    coalesce(nullif(trim(regexp_replace(raw_apct, '應徵人數|人', '', 'g')), ''),
+        |             'N/A') AS applicants,
+        |    regexp_extract(job_url, '/([^/?]+)(\\?.*)?$$', 1) AS apply_code
+        |  FROM raw),
+        |dt AS (
+        |  SELECT job_id, li, rep,
+        |    $labelListDuck[(li + 1)::INT] AS label,
+        |    li * 2 + rep + 1 AS pos,
+        |    'v' || ((job_id * 13 + li * 7 + rep * 3) % 97) AS value
+        |  FROM ids
+        |  CROSS JOIN (SELECT unnest(range(0, 14)) AS li) l
+        |  CROSS JOIN (SELECT unnest(range(0, 2)) AS rep) r
+        |  WHERE (job_id + li) % 7 <> 0
+        |    AND NOT (job_id % 11 = 0 AND li >= 3)
+        |    AND (rep = 0 OR li IN (10, 11, 12) OR (job_id + li) % 5 = 0)),
+        |wide AS (
+        |  SELECT job_id,
+        |    arg_min(value, pos) FILTER (WHERE label = '管理責任') AS management,
+        |    arg_min(value, pos) FILTER (WHERE label = '出差外派') AS business_trip,
+        |    arg_min(value, pos) FILTER (WHERE label = '上班時段') AS work_time,
+        |    arg_min(value, pos) FILTER (WHERE label = '休假制度') AS vacation,
+        |    arg_min(value, pos) FILTER (WHERE label = '可上班日') AS start_work,
+        |    arg_min(value, pos) FILTER (WHERE label = '需求人數') AS headcount,
+        |    arg_min(value, pos) FILTER (WHERE label = '工作經歷') AS work_exp,
+        |    arg_min(value, pos) FILTER (WHERE label = '學歷要求') AS education,
+        |    arg_min(value, pos) FILTER (WHERE label = '科系要求') AS major,
+        |    arg_min(value, pos) FILTER (WHERE label = '語文條件') AS language_req,
+        |    coalesce(string_agg(value, '、' ORDER BY pos) FILTER (WHERE label = '擅長工具'), '') AS tools,
+        |    coalesce(string_agg(value, '、' ORDER BY pos) FILTER (WHERE label = '工作技能'), '') AS skills,
+        |    coalesce(string_agg(value, '、' ORDER BY pos) FILTER (WHERE label = '具備證照'), '') AS certificates,
+        |    arg_min(value, pos) FILTER (WHERE label = '其他條件') AS other_requirements
+        |  FROM dt GROUP BY job_id),
+        |gbars AS (
+        |  SELECT job_id, pos,
+        |    (job_id * 7 + pos * 11) % 13 - 6 AS dr,
+        |    ((job_id * 3 + pos * 17) % 100) || '%' AS text
+        |  FROM ids CROSS JOIN (SELECT unnest(range(0, 3)) AS pos) p),
+        |gparsed AS (
+        |  SELECT job_id, text,
+        |    CASE WHEN pos = 0 THEN 'rgb(' || (78 + dr) || ', 145, 255)'
+        |         WHEN pos = 1 THEN 'rgb(255, ' || (144 + dr) || ', 199)'
+        |         ELSE 'rgb(10, 20, 30)' END AS rgbs
+        |  FROM gbars),
+        |gkeyed AS (
+        |  SELECT job_id, text,
+        |    CASE WHEN abs(regexp_extract(rgbs, 'rgb\\((\\d+), (\\d+), (\\d+)\\)', 1)::INT - 78) <= 5
+        |           AND abs(regexp_extract(rgbs, 'rgb\\((\\d+), (\\d+), (\\d+)\\)', 2)::INT - 145) <= 5
+        |           AND abs(regexp_extract(rgbs, 'rgb\\((\\d+), (\\d+), (\\d+)\\)', 3)::INT - 255) <= 5
+        |           THEN '男性'
+        |         WHEN abs(regexp_extract(rgbs, 'rgb\\((\\d+), (\\d+), (\\d+)\\)', 1)::INT - 255) <= 5
+        |           AND abs(regexp_extract(rgbs, 'rgb\\((\\d+), (\\d+), (\\d+)\\)', 2)::INT - 144) <= 5
+        |           AND abs(regexp_extract(rgbs, 'rgb\\((\\d+), (\\d+), (\\d+)\\)', 3)::INT - 199) <= 5
+        |           THEN '女性' END AS gender_key
+        |  FROM gparsed),
+        |gmap AS (
+        |  SELECT job_id,
+        |    string_agg(gender_key || '=' || text, '|' ORDER BY gender_key) AS a_gender
+        |  FROM gkeyed WHERE gender_key IS NOT NULL GROUP BY job_id),
+        |lbars AS (
+        |  SELECT job_id, l.lang AS bar_lang, lgi, pos,
+        |    (job_id * 5 + pos * 3 + lgi * 7) % 5 AS ci,
+        |    ((job_id + pos * 29) % 100) || '%' AS text
+        |  FROM ids
+        |  CROSS JOIN (SELECT unnest(['英文', '日文']) AS lang, unnest([0, 1]) AS lgi) l
+        |  CROSS JOIN (SELECT unnest(range(0, 2)) AS pos) p),
+        |llev AS (
+        |  SELECT job_id, bar_lang, pos,
+        |    CASE ['rgb(200, 200, 200)', 'rgb(151, 195, 255)', 'rgb(102, 165, 255)',
+        |          'rgb(41, 128, 255)', 'rgb(7, 7, 7)'][(ci + 1)::INT]
+        |      WHEN 'rgb(200, 200, 200)' THEN '不會'
+        |      WHEN 'rgb(151, 195, 255)' THEN '略懂'
+        |      WHEN 'rgb(102, 165, 255)' THEN '中等'
+        |      WHEN 'rgb(41, 128, 255)' THEN '精通'
+        |      ELSE '未知' END || text AS level_pct
+        |  FROM lbars),
+        |lperlang AS (
+        |  SELECT job_id, bar_lang, string_agg(level_pct, ',' ORDER BY pos) AS levels
+        |  FROM llev GROUP BY job_id, bar_lang),
+        |lmap AS (
+        |  SELECT job_id,
+        |    string_agg(bar_lang || '=' || levels, '|' ORDER BY bar_lang)
+        |      AS a_language_skills
+        |  FROM lperlang GROUP BY job_id),
+        |alines AS (
+        |  SELECT job_id, pos,
+        |    CASE WHEN (job_id + pos) % 3 = 0 THEN 'bad' || pos
+        |         ELSE 'b' || pos || '歲' || chr(10) ||
+        |              ((job_id * 7 + pos * 13) % 100) || '%' END AS line
+        |  FROM ids CROSS JOIN (SELECT unnest(range(0, 3)) AS pos) p),
+        |aparts AS (SELECT job_id, str_split(line, chr(10)) AS p FROM alines),
+        |amap AS (
+        |  SELECT job_id, string_agg(p[1] || '=' || p[2], '|' ORDER BY p[1]) AS a_age
+        |  FROM aparts WHERE len(p) = 2 GROUP BY job_id),
+        |joined AS (
+        |  SELECT l.*, w.management, w.business_trip, w.work_time, w.vacation,
+        |    w.start_work, w.headcount, w.work_exp, w.education, w.major,
+        |    w.language_req, w.tools, w.skills, w.certificates, w.other_requirements,
+        |    coalesce(g.a_gender, '') AS a_gender,
+        |    coalesce(m.a_language_skills, '') AS a_language_skills,
+        |    coalesce(a.a_age, '') AS a_age
+        |  FROM list l
+        |  LEFT JOIN wide w USING (job_id)
+        |  LEFT JOIN gmap g USING (job_id)
+        |  LEFT JOIN lmap m USING (job_id)
+        |  LEFT JOIN amap a USING (job_id))
+        |SELECT job_id, job_name, company, update_date, actively_hiring,
+        |  applicants, apply_code,
+        |  'https://www.104.com.tw/jobs/apply/analysis/' || apply_code AS analysis_url,
+        |  management, business_trip, work_time, vacation, start_work, headcount,
+        |  work_exp, education, major, language_req, tools, skills, certificates,
+        |  other_requirements,
+        |  '' AS a_education, a_gender, a_language_skills, a_age,
+        |  '' AS a_experience, '' AS a_major, '' AS a_skills, '' AS a_certificates,
+        |  CASE WHEN (CASE WHEN coalesce(job_name, '') = '' THEN 1 ELSE 0 END
+        |           + CASE WHEN coalesce(company, '') = '' THEN 1 ELSE 0 END
+        |           + CASE WHEN coalesce(update_date, '') = '' THEN 1 ELSE 0 END
+        |           + CASE WHEN coalesce(applicants, '') = '' THEN 1 ELSE 0 END
+        |           + CASE WHEN coalesce(management, '') = '' THEN 1 ELSE 0 END
+        |           + CASE WHEN coalesce(business_trip, '') = '' THEN 1 ELSE 0 END
+        |           + CASE WHEN coalesce(work_time, '') = '' THEN 1 ELSE 0 END
+        |           + CASE WHEN coalesce(vacation, '') = '' THEN 1 ELSE 0 END
+        |           + CASE WHEN coalesce(start_work, '') = '' THEN 1 ELSE 0 END
+        |           + CASE WHEN coalesce(headcount, '') = '' THEN 1 ELSE 0 END
+        |           + CASE WHEN coalesce(work_exp, '') = '' THEN 1 ELSE 0 END
+        |           + CASE WHEN coalesce(education, '') = '' THEN 1 ELSE 0 END
+        |           + CASE WHEN coalesce(major, '') = '' THEN 1 ELSE 0 END
+        |           + CASE WHEN coalesce(language_req, '') = '' THEN 1 ELSE 0 END
+        |           + CASE WHEN coalesce(tools, '') = '' THEN 1 ELSE 0 END
+        |           + CASE WHEN coalesce(skills, '') = '' THEN 1 ELSE 0 END
+        |           + CASE WHEN coalesce(certificates, '') = '' THEN 1 ELSE 0 END
+        |           + CASE WHEN coalesce(other_requirements, '') = '' THEN 1 ELSE 0 END)
+        |         > 6 THEN 'error' ELSE 'ok' END AS quality
+        |FROM joined ORDER BY job_id""".stripMargin
+  )
+}

@@ -178,6 +178,52 @@ object PipelineOps {
   private val BENCH_MOD = 7 // every BENCH_MOD-th doc is the held-out slice
 
   val queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- q104: the batch file sinks inside the oracle gate (q88's
+    // runtime-surface pattern, applied to sink/JobSinks): S5 overwrite
+    // writes a JSON snapshot, S6 append-merges an OVERLAPPING second
+    // batch into the same dir (docs 100-199 land twice — UNION ALL
+    // semantics, duplicates retained, exactly the reference's
+    // read-concat-rewrite behavior at O(delta) cost), S7 writes the
+    // ingest-date-partitioned parquet zone. Reading every sink back and
+    // aggregating proves round-trip fidelity — UTF-8 Chinese with the
+    // reference's '、' delimiter survives JSON escape/unescape, append
+    // keeps both copies, partition columns stay out of the data — or
+    // the hash breaks. Wall-clock-dependent ingest_ts/ingest_date are
+    // dropped before aggregation (content columns only).
+    "q104_sink_roundtrip" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val zone = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft-sink-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(zone)
+      val jsonDir = new java.io.File(zone, "json").getAbsolutePath
+      val pqDir = new java.io.File(zone, "pq").getAbsolutePath
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+                concat(lit("標籤、"), col("lang"), lit("#"), col("doc_id")).as("tag"))
+      graft.sink.JobSinks.writeJsonSnapshot(base.filter(col("doc_id") < 200), jsonDir)
+      graft.sink.JobSinks.appendJson(
+        base.filter(col("doc_id") >= 100 && col("doc_id") < 300), jsonDir)
+      graft.sink.JobSinks.writePartitionedParquet(
+        base.filter(col("doc_id") < 150), pqDir)
+      val jsonSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("tag", StringType)))
+      def agg(df: DataFrame, stage: String) = df
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+             min(col("tag")).as("min_tag"), max(col("tag")).as("max_tag"))
+        .withColumn("stage", lit(stage))
+      agg(s.read.schema(jsonSchema).json(jsonDir), "json")
+        .unionByName(agg(
+          s.read.parquet(pqDir).select(col("doc_id"), col("lang"), col("tag")),
+          "parquet"))
+        .orderBy(col("stage"), col("lang"))
+    }),
+
     // ---- q81: token-budget shard assignment (sequence packing for
     // training shards): docs in a stable order, running token total,
     // shard = which 4096-token budget window the doc STARTS in. The
@@ -327,6 +373,25 @@ object PipelineOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q104_sink_roundtrip" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, '標籤、' || lang || '#' || doc_id AS tag
+        |  FROM documents),
+        |j AS (
+        |  SELECT * FROM base WHERE doc_id < 200
+        |  UNION ALL
+        |  SELECT * FROM base WHERE doc_id >= 100 AND doc_id < 300),
+        |p AS (SELECT * FROM base WHERE doc_id < 150)
+        |SELECT * FROM (
+        |  SELECT lang, count(*) AS n, sum(doc_id)::BIGINT AS id_sum,
+        |    min(tag) AS min_tag, max(tag) AS max_tag, 'json' AS stage
+        |  FROM j GROUP BY lang
+        |  UNION ALL
+        |  SELECT lang, count(*) AS n, sum(doc_id)::BIGINT AS id_sum,
+        |    min(tag) AS min_tag, max(tag) AS max_tag, 'parquet' AS stage
+        |  FROM p GROUP BY lang)
+        |ORDER BY stage, lang""".stripMargin,
+
     "q81_token_budget_shards" ->
       """WITH toks AS (
         |  SELECT doc_id, len(str_split(text, ' '))::BIGINT AS n_toks

@@ -159,6 +159,74 @@ object JobRecordGate {
             entries(col(s"analysis.$m")).as(s"a_$m")) :+
           col("quality"): _*)
         .orderBy(col("job_id"))
+    }),
+
+    // ---- q102: the PRODUCTION streaming lifecycle (S3/T1-T3) inside the
+    // oracle gate, via q88's drain-a-runtime-surface pattern: two crawl
+    // snapshot "ticks" (overlapping doc ranges — a re-crawl) land as JSON
+    // drops, the checkpointed JobSnapshotStream pipeline (readStream ->
+    // JobOps cleaning -> watermarked dropDuplicatesWithinWatermark ->
+    // parquet jobs table, Trigger.AvailableNow) drains them, and the
+    // RESULTING jobs table is aggregated. The oracle aggregates the
+    // deduped union of the same synthetic snapshots directly — so offset
+    // handling, schema-on-stream JSON parsing, the shared batch/stream
+    // cleaning operators, cross-tick dedup, and the parquet sink are all
+    // inside the hash. Duplicate rows differ only in crawl_ts and every
+    // output aggregate is content-derived, so which copy survives dedup
+    // cannot affect the hash.
+    "q102_stream_lifecycle" -> ((s, d) => {
+      val zone = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft-stream-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(zone)
+      val inDir = new java.io.File(zone, "in").getAbsolutePath
+      val outDir = new java.io.File(zone, "jobs").getAbsolutePath
+      val ckDir = new java.io.File(zone, "ck").getAbsolutePath
+
+      // the raw snapshot a crawler tick would drop (JobSnapshotStream
+      // .rawSchema fields, all derived from doc_id)
+      def snapshot(tick: Int, lo: Int, hi: Int): DataFrame =
+        Tables.documents(s, d)
+          .filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .select(
+            concat(lit(" 職"), col("doc_id"), lit(" ")).as("job_name"),
+            concat(lit("https://www.104.com.tw/job/j"), col("doc_id")).as("job_url"),
+            when(pmod(col("doc_id"), lit(10)) === 0, "")
+              .otherwise(concat(lit("公司"), pmod(col("doc_id"), lit(30)))).as("company"),
+            when(pmod(col("doc_id"), lit(7)) === 3, "")
+              .otherwise(lit("更新2025/03/01")).as("update_date"),
+            when(pmod(col("doc_id"), lit(4)) === 0, "積極徵才中").as("tag"),
+            when(pmod(col("doc_id"), lit(5)) === 0, "")
+              .otherwise(lit("應徵人數 3~8 人")).as("applicants"),
+            when(pmod(col("doc_id"), lit(2)) === 0, "")
+              .otherwise(lit("需負擔管理責任")).as("management"),
+            when(pmod(col("doc_id"), lit(3)) === 0, "Python、SQL")
+              .otherwise(lit("")).as("tools"),
+            lit("大學").as("education"),
+            when(pmod(col("doc_id"), lit(6)) === 5, "月薪40000")
+              .otherwise(lit("")).as("salary"),
+            timestamp_millis(lit(1735689600000L) + col("doc_id") * 1000 +
+              lit(tick * 600000L)).as("crawl_ts"))
+      snapshot(1, 0, 150).write.mode("overwrite").json(inDir)
+      snapshot(2, 100, 250).write.mode("append").json(inDir)
+
+      val cleaned = graft.streaming.JobSnapshotStream.clean(
+        graft.streaming.JobSnapshotStream.readSnapshots(s, inDir))
+      val q = graft.streaming.JobSnapshotStream.toJobsTable(
+        graft.streaming.JobSnapshotStream.dedup(cleaned), outDir, ckDir).start()
+      q.awaitTermination()
+
+      s.read.parquet(outDir)
+        .groupBy(col("quality"), col("actively_hiring"))
+        .agg(count(lit(1)).as("n"),
+             sum(length(col("job_name"))).cast("long").as("name_chars"),
+             countDistinct(col("apply_code")).as("n_codes"),
+             min(col("job_url")).as("first_url"),
+             max(col("company")).as("last_company"))
+        .orderBy(col("quality"), col("actively_hiring"))
     })
   )
 
@@ -319,6 +387,46 @@ object JobRecordGate {
         |           + CASE WHEN coalesce(certificates, '') = '' THEN 1 ELSE 0 END
         |           + CASE WHEN coalesce(other_requirements, '') = '' THEN 1 ELSE 0 END)
         |         > 6 THEN 'error' ELSE 'ok' END AS quality
-        |FROM joined ORDER BY job_id""".stripMargin
+        |FROM joined ORDER BY job_id""".stripMargin,
+
+    // The oracle aggregates the deduped union of the two snapshot ticks:
+    // tick1 covers doc_id [0,150), tick2 [100,250); dedup on job_url
+    // collapses the overlap to one row per doc_id in [0,250), and every
+    // cleaned field is a pure doc_id formula (so the oracle states the
+    // post-cleaning values directly — the cleaning operators themselves
+    // are oracle-mirrored stage by stage in q101).
+    "q102_stream_lifecycle" ->
+      """WITH u AS (SELECT doc_id FROM documents WHERE doc_id < 250),
+        |c AS (
+        |  SELECT doc_id,
+        |    '職' || doc_id AS job_name,
+        |    'https://www.104.com.tw/job/j' || doc_id AS job_url,
+        |    CASE WHEN doc_id % 10 = 0 THEN '' ELSE '公司' || (doc_id % 30) END AS company,
+        |    CASE WHEN doc_id % 7 = 3 THEN '' ELSE '2025/03/01' END AS update_date,
+        |    CASE WHEN doc_id % 4 = 0 THEN '是' ELSE '否' END AS actively_hiring,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'N/A' ELSE '3~8' END AS applicants,
+        |    'j' || doc_id AS apply_code,
+        |    CASE WHEN doc_id % 2 = 0 THEN '' ELSE '需負擔管理責任' END AS management,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'Python、SQL' ELSE '' END AS tools,
+        |    '大學' AS education,
+        |    CASE WHEN doc_id % 6 = 5 THEN '月薪40000' ELSE '' END AS salary
+        |  FROM u),
+        |q AS (
+        |  SELECT *,
+        |    (CASE WHEN job_name = '' THEN 1 ELSE 0 END
+        |   + CASE WHEN company = '' THEN 1 ELSE 0 END
+        |   + CASE WHEN update_date = '' THEN 1 ELSE 0 END
+        |   + CASE WHEN applicants = '' THEN 1 ELSE 0 END
+        |   + CASE WHEN management = '' THEN 1 ELSE 0 END
+        |   + CASE WHEN tools = '' THEN 1 ELSE 0 END
+        |   + CASE WHEN education = '' THEN 1 ELSE 0 END
+        |   + CASE WHEN salary = '' THEN 1 ELSE 0 END) AS n_empty
+        |  FROM c)
+        |SELECT CASE WHEN n_empty > 4 THEN 'error' ELSE 'ok' END AS quality,
+        |  actively_hiring, count(*) AS n,
+        |  sum(length(job_name))::BIGINT AS name_chars,
+        |  count(DISTINCT apply_code) AS n_codes,
+        |  min(job_url) AS first_url, max(company) AS last_company
+        |FROM q GROUP BY 1, 2 ORDER BY quality, actively_hiring""".stripMargin
   )
 }

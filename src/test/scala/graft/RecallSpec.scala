@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.{DedupOps, TextOps}
+
+/** LSH recall under the boundedness caps (VERDICT r4 #7): BAND_CAP /
+  * DF_CAP trade recall for a hard bucket-size bound — this suite
+  * QUANTIFIES the trade by planting known near-duplicates at sf0.01 and
+  * measuring how many each LSH family recovers, against the family's own
+  * exact-verification threshold as ground truth. Measured numbers are
+  * recorded in SCALING.md; the assertions here are regression floors.
+  *
+  * Ground truth is always "planted pairs that pass the EXACT verify
+  * predicate" (jaccard >= 0.5 / hamming <= 2 / cos >= 0.4): the lossy
+  * stage under test is candidate generation (banding + caps), not the
+  * exact verification that follows it.
+  */
+class RecallSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  /** Deterministic token perturbation: every `every`-th token (phase
+    * rotated by doc) replaced — expression-only, so both the corpus and
+    * the ground truth derive from the same plan.
+    */
+  private def perturbed(docs: DataFrame, every: Int, offset: Long): DataFrame =
+    docs.select(
+      (col("doc_id") + offset).as("doc_id"),
+      expr(s"""concat_ws(' ', transform(split(text, ' '),
+              |  (t, i) -> IF((i + doc_id) % $every = 0,
+              |                concat('zz', (doc_id + i) % 50), t)))"""
+        .stripMargin).as("text"))
+
+  private val trigrams =
+    """array_distinct(CASE WHEN size(toks) >= 3 THEN
+      |  transform(sequence(1, size(toks) - 2),
+      |            i -> concat_ws(' ', element_at(toks, i),
+      |                                element_at(toks, i + 1),
+      |                                element_at(toks, i + 2)))
+      |ELSE array() END)""".stripMargin
+
+  test("q49 MinHash-LSH: recall >= 0.8 on planted near-dups (exact-jaccard truth)") {
+    val base = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 300).select(col("doc_id"), col("text"))
+    val copies = perturbed(base.filter(col("doc_id") % 3 === 0), 15, 100000L)
+    val corpus = base.unionByName(copies)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), expr(trigrams).as("grams"))
+      .localCheckpoint()
+
+    // ground truth: planted pairs whose exact trigram jaccard clears the
+    // operator's own verification threshold (0.5)
+    val truth = corpus.select(col("doc_id").as("d1"), col("grams").as("g1"))
+      .join(corpus.select(col("doc_id").as("d2"), col("grams").as("g2")),
+        col("d2") === col("d1") + 100000L)
+      .withColumn("common", size(array_intersect(col("g1"), col("g2"))))
+      .filter(col("common").cast("double") /
+        (size(col("g1")) + size(col("g2")) - col("common")) >= 0.5)
+      .select(col("d1"), col("d2"))
+    val nTruth = truth.count()
+
+    val found = DedupOps.minhashLshPairs(corpus)
+      .join(truth, Seq("d1", "d2"), "left_semi").count()
+    info(s"minhash recall: $found / $nTruth planted in-threshold pairs")
+    assert(nTruth >= 50, s"fixture too weak: only $nTruth in-threshold planted pairs")
+    assert(found >= nTruth * 0.8,
+      s"q49 recall ${found.toDouble / nTruth} < 0.8 ($found/$nTruth)")
+  }
+
+  test("q79 SimHash pigeonhole bands: recall is EXACT on in-threshold pairs") {
+    val base = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 300).select(col("doc_id"), col("text"))
+    // light perturbation: simhash bits are majority votes and flip on
+    // small vote margins, so even ~1.5% token churn leaves only a
+    // fraction of planted pairs within hamming 2 — that in-threshold
+    // subset is the ground truth
+    val copies = perturbed(base.filter(col("doc_id") % 3 === 0), 64, 100000L)
+    val corpus = base.unionByName(copies).localCheckpoint()
+
+    // ground truth from the signatures themselves: 3 bands of 20 bits
+    // catch EVERY pair with <= 2 corrupted bands (pigeonhole), so on
+    // planted pairs with hamming <= 2, recall must be exactly 1.0
+    // (BAND_CAP can only bite when a bucket exceeds 200 — not here)
+    val sig = TextOps.simhashSignaturesOf(corpus).localCheckpoint()
+    val truth = sig.select(col("doc_id").as("d1"), col("simhash").as("h1"))
+      .join(sig.select(col("doc_id").as("d2"), col("simhash").as("h2")),
+        col("d2") === col("d1") + 100000L)
+      .filter(expr("bit_count(h1 ^ h2) <= 2"))
+      .select(col("d1"), col("d2"))
+    val nTruth = truth.count()
+
+    val found = TextOps.simhashHammingPairs(corpus)
+      .join(truth, Seq("d1", "d2"), "left_semi").count()
+    info(s"simhash recall: $found / $nTruth planted in-threshold pairs")
+    assert(nTruth >= 20, s"fixture too weak: only $nTruth in-threshold planted pairs")
+    assert(found == nTruth,
+      s"pigeonhole banding must be exact, got $found/$nTruth")
+  }
+
+  test("q97 SRP-LSH: recall >= 0.9 on planted near-identical vectors") {
+    val base = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 300).select(col("vec_id"), col("embedding"))
+    val copies = base.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> IF(i % 16 = 0, " +
+          "CAST(x + 0.01 AS FLOAT), x))").as("embedding"))
+    val corpus = base.unionByName(copies).localCheckpoint()
+
+    // ground truth: planted pairs passing the exact quantized-cosine bar
+    // (they are near-identical, cos ~0.99, so all of them)
+    // same quantization as VectorOps.quantExpr (private[ops])
+    val q = corpus.withColumn("q",
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT))"))
+      .withColumn("norm", graft.functions.VectorFunctions.ldot(col("q"), col("q")))
+    val truth = q.select(col("vec_id").as("v1"), col("q").as("q1"), col("norm").as("n1"))
+      .join(q.select(col("vec_id").as("v2"), col("q").as("q2"), col("norm").as("n2")),
+        col("v2") === col("v1") + 100000L)
+      .filter(graft.functions.VectorFunctions.ldot(col("q1"), col("q2")).cast("double") /
+        sqrt(col("n1").cast("double")) / sqrt(col("n2").cast("double")) >= 0.4)
+      .select(col("v1"), col("v2"))
+    val nTruth = truth.count()
+
+    val found = DedupOps.srpLshPairs(corpus)
+      .join(truth, Seq("v1", "v2"), "left_semi").count()
+    info(s"srp recall: $found / $nTruth planted in-threshold pairs")
+    assert(nTruth >= 50, s"fixture too weak: only $nTruth in-threshold planted pairs")
+    assert(found >= nTruth * 0.9,
+      s"q97 recall ${found.toDouble / nTruth} < 0.9 ($found/$nTruth)")
+  }
+}

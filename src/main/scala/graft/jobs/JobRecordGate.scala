@@ -32,6 +32,67 @@ object JobRecordGate {
 
   private val N_JOBS = 120
 
+  private def freshZone(prefix: String, d: String): java.io.File = {
+    val zone = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      prefix + d.replaceAll("[^A-Za-z0-9.]", "_"))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(zone)
+    zone
+  }
+
+  /** One crawler tick's raw snapshot (JobSnapshotStream.rawSchema fields,
+    * all derived from doc_id so duplicates across ticks are
+    * content-identical except crawl_ts).
+    */
+  private def snapshot(s: SparkSession, d: String, tick: Int,
+                       lo: Int, hi: Int): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") >= lo && col("doc_id") < hi)
+      .select(
+        concat(lit(" 職"), col("doc_id"), lit(" ")).as("job_name"),
+        concat(lit("https://www.104.com.tw/job/j"), col("doc_id")).as("job_url"),
+        when(pmod(col("doc_id"), lit(10)) === 0, "")
+          .otherwise(concat(lit("公司"), pmod(col("doc_id"), lit(30)))).as("company"),
+        when(pmod(col("doc_id"), lit(7)) === 3, "")
+          .otherwise(lit("更新2025/03/01")).as("update_date"),
+        when(pmod(col("doc_id"), lit(4)) === 0, "積極徵才中").as("tag"),
+        when(pmod(col("doc_id"), lit(5)) === 0, "")
+          .otherwise(lit("應徵人數 3~8 人")).as("applicants"),
+        when(pmod(col("doc_id"), lit(2)) === 0, "")
+          .otherwise(lit("需負擔管理責任")).as("management"),
+        when(pmod(col("doc_id"), lit(3)) === 0, "Python、SQL")
+          .otherwise(lit("")).as("tools"),
+        lit("大學").as("education"),
+        when(pmod(col("doc_id"), lit(6)) === 5, "月薪40000")
+          .otherwise(lit("")).as("salary"),
+        timestamp_millis(lit(1735689600000L) + col("doc_id") * 1000 +
+          lit(tick * 600000L)).as("crawl_ts"))
+
+  /** Drain the checkpointed snapshot stream to the jobs table. */
+  private def drain(s: SparkSession, inDir: String, outDir: String,
+                    ckDir: String): Unit = {
+    val cleaned = graft.streaming.JobSnapshotStream.clean(
+      graft.streaming.JobSnapshotStream.readSnapshots(s, inDir))
+    val q = graft.streaming.JobSnapshotStream.toJobsTable(
+      graft.streaming.JobSnapshotStream.dedup(cleaned), outDir, ckDir).start()
+    q.awaitTermination()
+  }
+
+  /** The content aggregate both streaming gates end in (crawl_ts-free, so
+    * which duplicate copy survived dedup cannot affect the hash).
+    */
+  private def jobsTableAgg(df: DataFrame): DataFrame = df
+    .groupBy(col("quality"), col("actively_hiring"))
+    .agg(count(lit(1)).as("n"),
+         sum(length(col("job_name"))).cast("long").as("name_chars"),
+         countDistinct(col("apply_code")).as("n_codes"),
+         min(col("job_url")).as("first_url"),
+         max(col("company")).as("last_company"))
+    .orderBy(col("quality"), col("actively_hiring"))
+
   /** Sorted map entries -> one scalar string (driver-gate hashability). */
   private def entries(m: Column): Column = {
     // expr-free form of the q82/q83 serialization, reusable on any map col
@@ -175,58 +236,59 @@ object JobRecordGate {
     // output aggregate is content-derived, so which copy survives dedup
     // cannot affect the hash.
     "q102_stream_lifecycle" -> ((s, d) => {
-      val zone = new java.io.File(
-        System.getProperty("java.io.tmpdir"),
-        "graft-stream-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(zone)
+      val zone = freshZone("graft-stream-", d)
       val inDir = new java.io.File(zone, "in").getAbsolutePath
       val outDir = new java.io.File(zone, "jobs").getAbsolutePath
       val ckDir = new java.io.File(zone, "ck").getAbsolutePath
+      snapshot(s, d, 1, 0, 150).write.mode("overwrite").json(inDir)
+      snapshot(s, d, 2, 100, 250).write.mode("append").json(inDir)
+      drain(s, inDir, outDir, ckDir)
+      jobsTableAgg(s.read.parquet(outDir))
+    }),
 
-      // the raw snapshot a crawler tick would drop (JobSnapshotStream
-      // .rawSchema fields, all derived from doc_id)
-      def snapshot(tick: Int, lo: Int, hi: Int): DataFrame =
-        Tables.documents(s, d)
-          .filter(col("doc_id") >= lo && col("doc_id") < hi)
-          .select(
-            concat(lit(" 職"), col("doc_id"), lit(" ")).as("job_name"),
-            concat(lit("https://www.104.com.tw/job/j"), col("doc_id")).as("job_url"),
-            when(pmod(col("doc_id"), lit(10)) === 0, "")
-              .otherwise(concat(lit("公司"), pmod(col("doc_id"), lit(30)))).as("company"),
-            when(pmod(col("doc_id"), lit(7)) === 3, "")
-              .otherwise(lit("更新2025/03/01")).as("update_date"),
-            when(pmod(col("doc_id"), lit(4)) === 0, "積極徵才中").as("tag"),
-            when(pmod(col("doc_id"), lit(5)) === 0, "")
-              .otherwise(lit("應徵人數 3~8 人")).as("applicants"),
-            when(pmod(col("doc_id"), lit(2)) === 0, "")
-              .otherwise(lit("需負擔管理責任")).as("management"),
-            when(pmod(col("doc_id"), lit(3)) === 0, "Python、SQL")
-              .otherwise(lit("")).as("tools"),
-            lit("大學").as("education"),
-            when(pmod(col("doc_id"), lit(6)) === 5, "月薪40000")
-              .otherwise(lit("")).as("salary"),
-            timestamp_millis(lit(1735689600000L) + col("doc_id") * 1000 +
-              lit(tick * 600000L)).as("crawl_ts"))
-      snapshot(1, 0, 150).write.mode("overwrite").json(inDir)
-      snapshot(2, 100, 250).write.mode("append").json(inDir)
+    // ---- q105: checkpointed RESUME in the gate (T3 exactly-once): the
+    // stream drains tick 1 to completion, STOPS, tick 2 (including
+    // re-crawls of docs 100-149) lands, and a SECOND start() from the
+    // same checkpoint resumes — the offset log must skip tick-1 files
+    // (no reprocessing => no duplicate rows from run 1) and the restored
+    // dropDuplicatesWithinWatermark state must discard the re-crawled
+    // overlap (cross-RUN dedup, not just cross-batch). Same oracle as
+    // q102: two runs over split input must equal one run over all of it.
+    "q105_stream_resume" -> ((s, d) => {
+      val zone = freshZone("graft-resume-", d)
+      val inDir = new java.io.File(zone, "in").getAbsolutePath
+      val outDir = new java.io.File(zone, "jobs").getAbsolutePath
+      val ckDir = new java.io.File(zone, "ck").getAbsolutePath
+      snapshot(s, d, 1, 0, 150).write.mode("overwrite").json(inDir)
+      drain(s, inDir, outDir, ckDir)
+      snapshot(s, d, 2, 100, 250).write.mode("append").json(inDir)
+      drain(s, inDir, outDir, ckDir) // resume: same checkpoint, new files only
+      jobsTableAgg(s.read.parquet(outDir))
+    }),
 
-      val cleaned = graft.streaming.JobSnapshotStream.clean(
-        graft.streaming.JobSnapshotStream.readSnapshots(s, inDir))
-      val q = graft.streaming.JobSnapshotStream.toJobsTable(
-        graft.streaming.JobSnapshotStream.dedup(cleaned), outDir, ckDir).start()
-      q.awaitTermination()
-
-      s.read.parquet(outDir)
-        .groupBy(col("quality"), col("actively_hiring"))
-        .agg(count(lit(1)).as("n"),
-             sum(length(col("job_name"))).cast("long").as("name_chars"),
-             countDistinct(col("apply_code")).as("n_codes"),
-             min(col("job_url")).as("first_url"),
-             max(col("company")).as("last_company"))
-        .orderBy(col("quality"), col("actively_hiring"))
+    // ---- q106: the error counter / bounded error budget (A8/T5,
+    // test.py:129-144 `max_errors=3`) through Spark's Observation API —
+    // the engine's form of the reference's `crawler_error` accumulator:
+    // metrics ride the SAME pass as the query (one scan, no second job),
+    // collected on the driver after the action, and the stop/continue
+    // decision is made there (exactly where the reference breaks its
+    // crawl loop). The observed counts re-enter the gate as a one-row
+    // frame the oracle recomputes in SQL — so the observe() plumbing
+    // must count precisely.
+    "q106_error_budget" -> ((s, d) => {
+      val obs = org.apache.spark.sql.Observation("budget")
+      val flagged = Tables.events(s, d)
+        .observe(obs,
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"),
+          count(lit(1)).as("n_rows"))
+      flagged.write.format("noop").mode("overwrite").save() // drive the pass
+      val m = obs.get
+      val nErrors = m("n_errors").asInstanceOf[Long]
+      val nRows = m("n_rows").asInstanceOf[Long]
+      import s.implicits._
+      Seq((nErrors, nRows,
+        if (nErrors > 3L) "stop" else "continue"))
+        .toDF("n_errors", "n_rows", "decision")
     })
   )
 
@@ -427,6 +489,49 @@ object JobRecordGate {
         |  sum(length(job_name))::BIGINT AS name_chars,
         |  count(DISTINCT apply_code) AS n_codes,
         |  min(job_url) AS first_url, max(company) AS last_company
-        |FROM q GROUP BY 1, 2 ORDER BY quality, actively_hiring""".stripMargin
+        |FROM q GROUP BY 1, 2 ORDER BY quality, actively_hiring""".stripMargin,
+
+    // identical by design: two checkpointed runs over split input must
+    // produce exactly what one run over the whole input produces
+    "q105_stream_resume" ->
+      """WITH u AS (SELECT doc_id FROM documents WHERE doc_id < 250),
+        |c AS (
+        |  SELECT doc_id,
+        |    '職' || doc_id AS job_name,
+        |    'https://www.104.com.tw/job/j' || doc_id AS job_url,
+        |    CASE WHEN doc_id % 10 = 0 THEN '' ELSE '公司' || (doc_id % 30) END AS company,
+        |    CASE WHEN doc_id % 7 = 3 THEN '' ELSE '2025/03/01' END AS update_date,
+        |    CASE WHEN doc_id % 4 = 0 THEN '是' ELSE '否' END AS actively_hiring,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'N/A' ELSE '3~8' END AS applicants,
+        |    'j' || doc_id AS apply_code,
+        |    CASE WHEN doc_id % 2 = 0 THEN '' ELSE '需負擔管理責任' END AS management,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'Python、SQL' ELSE '' END AS tools,
+        |    '大學' AS education,
+        |    CASE WHEN doc_id % 6 = 5 THEN '月薪40000' ELSE '' END AS salary
+        |  FROM u),
+        |q AS (
+        |  SELECT *,
+        |    (CASE WHEN job_name = '' THEN 1 ELSE 0 END
+        |   + CASE WHEN company = '' THEN 1 ELSE 0 END
+        |   + CASE WHEN update_date = '' THEN 1 ELSE 0 END
+        |   + CASE WHEN applicants = '' THEN 1 ELSE 0 END
+        |   + CASE WHEN management = '' THEN 1 ELSE 0 END
+        |   + CASE WHEN tools = '' THEN 1 ELSE 0 END
+        |   + CASE WHEN education = '' THEN 1 ELSE 0 END
+        |   + CASE WHEN salary = '' THEN 1 ELSE 0 END) AS n_empty
+        |  FROM c)
+        |SELECT CASE WHEN n_empty > 4 THEN 'error' ELSE 'ok' END AS quality,
+        |  actively_hiring, count(*) AS n,
+        |  sum(length(job_name))::BIGINT AS name_chars,
+        |  count(DISTINCT apply_code) AS n_codes,
+        |  min(job_url) AS first_url, max(company) AS last_company
+        |FROM q GROUP BY 1, 2 ORDER BY quality, actively_hiring""".stripMargin,
+
+    "q106_error_budget" ->
+      """SELECT sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_errors,
+        |  count(*) AS n_rows,
+        |  CASE WHEN sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) > 3
+        |       THEN 'stop' ELSE 'continue' END AS decision
+        |FROM events""".stripMargin
   )
 }

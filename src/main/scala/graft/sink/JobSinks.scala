@@ -75,4 +75,14 @@ object JobSinks {
   def readJdbc(spark: org.apache.spark.sql.SparkSession, url: String,
                table: String): DataFrame =
     spark.read.jdbc(url, table, new java.util.Properties())
+
+  /** S9, literal form: write `df` as a REAL SQLite database file
+    * (`sqlite3 jobs.db 'SELECT * FROM jobs'` works on the output —
+    * README.md:61-69's exact downstream surface) via the pure-JVM
+    * [[SqliteWriter]], no JDBC driver involved. Driver-collected:
+    * dimension/metadata scale only, like the reference's jobs.db —
+    * fact data stays parquet.
+    */
+  def writeSqlite(df: DataFrame, path: String, table: String = "jobs"): Unit =
+    SqliteWriter.write(df, path, table)
 }

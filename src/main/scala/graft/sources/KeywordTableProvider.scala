@@ -391,19 +391,32 @@ case class KeywordFilePartition(keyword: String, file: String) extends InputPart
   * planning-time and (for the row scan) runtime keyword allow-lists.
   */
 object KeywordScanUtil {
+  /** Keyword -> directory name: percent-encoded to pure ASCII. The JVM
+    * maps `File` names through the platform locale (`sun.jnu.encoding`);
+    * under a POSIX/C locale a non-ASCII keyword (the reference's
+    * 區塊鏈工程師) would be mangled to '?' bytes on disk and never match
+    * its filter again. Alphanumerics pass through unchanged, so existing
+    * ASCII zones keep their layout.
+    */
+  def dirName(kw: String): String =
+    java.net.URLEncoder.encode(kw, "UTF-8")
+  def dirKeyword(name: String): String =
+    java.net.URLDecoder.decode(name, "UTF-8")
+
   def listPartitions(base: String, keywords: Option[Set[String]],
                      runtimeAllow: Option[Set[String]]): Array[InputPartition] = {
     val baseDir = new java.io.File(base)
     val dirs = Option(baseDir.listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory && !isHidden(d.getName))
-      .filter(d => keywords.forall(_.contains(d.getName)))
-      .filter(d => runtimeAllow.forall(_.contains(d.getName)))
-      .sortBy(_.getName)
-    dirs.flatMap { d =>
+      .map(d => (d, dirKeyword(d.getName)))
+      .filter { case (_, kw) => keywords.forall(_.contains(kw)) }
+      .filter { case (_, kw) => runtimeAllow.forall(_.contains(kw)) }
+      .sortBy(_._2)
+    dirs.flatMap { case (d, kw) =>
       Option(d.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isFile && f.getName.endsWith(".json") && !isHidden(f.getName))
         .sortBy(_.getName)
-        .map(f => KeywordFilePartition(d.getName, f.getAbsolutePath): InputPartition)
+        .map(f => KeywordFilePartition(kw, f.getAbsolutePath): InputPartition)
     }
   }
 
@@ -617,7 +630,7 @@ class KeywordDataWriter(base: String, schema: StructType,
 
   private def writerFor(kw: String): java.io.Writer =
     writers.getOrElseUpdate(kw, {
-      val dir = new java.io.File(base, kw)
+      val dir = new java.io.File(base, KeywordScanUtil.dirName(kw))
       dir.mkdirs()
       val f = new java.io.File(dir,
         s".staging-${namePrefix}part-$partitionId-$taskId-$uuid.json")
@@ -688,13 +701,14 @@ class KeywordMicroBatchStream(base: String, schema: StructType,
     val baseDir = new java.io.File(base)
     Option(baseDir.listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory && !KeywordScanUtil.isHidden(d.getName))
-      .sortBy(_.getName)
+      .sortBy(d => KeywordScanUtil.dirKeyword(d.getName))
       .flatMap { d =>
         Option(d.listFiles()).getOrElse(Array.empty)
           .filter(f => f.isFile && f.getName.endsWith(".json") &&
             !KeywordScanUtil.isHidden(f.getName))
           .sortBy(_.getName)
-          .map(f => (d.getName, f.getName, f.getAbsolutePath))
+          .map(f => (KeywordScanUtil.dirKeyword(d.getName), f.getName,
+            f.getAbsolutePath))
       }.toSeq
   }
 

@@ -289,6 +289,46 @@ object JobRecordGate {
       Seq((nErrors, nRows,
         if (nErrors > 3L) "stop" else "continue"))
         .toDF("n_errors", "n_rows", "decision")
+    }),
+
+    // ---- q107: the LIVE transport inside the gate — a real HTTP server
+    // (deterministic reference-shaped job board on localhost, no
+    // egress), the executor-side crawl (S1 search pages + S4 detail
+    // pages over java.net.http), regex extraction, P-series cleaning,
+    // and the kv-pivot, hash-matched against a DuckDB oracle that
+    // recomputes every field from the same (keyword, index) formulas.
+    // Fetch/extract/clean/pivot all sit inside the hash; the ephemeral
+    // port never reaches the output (apply_code is the port-free URL
+    // tail). Both crawl stages materialize eagerly (localCheckpoint) so
+    // the server can stop before the lazy tail evaluates.
+    "q107_http_crawl" -> ((s, d) => {
+      val (server, base) = graft.sources.FixtureJobServer.start()
+      try {
+        val jobsDs = graft.sources.HttpCrawl.crawlKeywords(
+          s, graft.sources.FixtureJobServer.KEYWORDS,
+          s"$base/search?keyword={keyword}").localCheckpoint(true)
+        val details = graft.sources.HttpCrawl.crawlDetails(jobsDs)
+          .toDF().localCheckpoint(true)
+        val jobs = jobsDs.toDF()
+        val cleaned = jobs.select(
+          col("keyword"),
+          trim(col("job_name")).as("job_name"),
+          col("company"),
+          JobOps.cleanUpdateDate(col("update_date")).as("update_date"),
+          JobOps.activelyHiringFlag(col("tag")).as("actively_hiring"),
+          JobOps.cleanApplicants(col("applicants")).as("applicants"),
+          JobOps.applyCode(col("job_url")).as("apply_code"),
+          col("job_url"))
+        val wide = JobOps.kvPivotFirst(
+          details.withColumnRenamed("job_url", "job_id")
+            .select(col("job_id"), col("pos"), col("label"), col("value")),
+          idCol = "job_id")
+        cleaned.join(wide, cleaned("job_url") === wide("job_id"), "left_outer")
+          .select(col("keyword"), col("apply_code"), col("job_name"),
+            col("company"), col("update_date"), col("actively_hiring"),
+            col("applicants"), col("management"), col("tools"), col("education"))
+          .orderBy(col("keyword"), col("apply_code"))
+      } finally server.stop(0)
     })
   )
 
@@ -532,6 +572,24 @@ object JobRecordGate {
         |  count(*) AS n_rows,
         |  CASE WHEN sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) > 3
         |       THEN 'stop' ELSE 'continue' END AS decision
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    // every output field is a pure (keyword, index) formula: what the
+    // fixture server renders into HTML, the crawl+extract+clean+pivot
+    // must reconstruct exactly
+    "q107_http_crawl" ->
+      """WITH k AS (SELECT unnest(['區塊鏈', '後端', '資料']) AS keyword),
+        |r AS (SELECT keyword, unnest(range(0, 8)) AS i FROM k)
+        |SELECT keyword,
+        |  keyword || '-' || i AS apply_code,
+        |  '職位' || keyword || i AS job_name,
+        |  '公司' || i AS company,
+        |  '2025/03/0' || (i % 9 + 1) AS update_date,
+        |  CASE WHEN i % 2 = 0 THEN '是' ELSE '否' END AS actively_hiring,
+        |  CASE WHEN i % 3 = 0 THEN 'N/A' ELSE i || '~' || (i + 5) END AS applicants,
+        |  '不需負擔管理責任(' || keyword || '-' || i || ')' AS management,
+        |  'Python、Solidity' AS tools,
+        |  '大學以上' AS education
+        |FROM r ORDER BY keyword, apply_code""".stripMargin
   )
 }

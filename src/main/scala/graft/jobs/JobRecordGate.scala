@@ -329,6 +329,115 @@ object JobRecordGate {
             col("applicants"), col("management"), col("tools"), col("education"))
           .orderBy(col("keyword"), col("apply_code"))
       } finally server.stop(0)
+    }),
+
+    // ---- q108: multimodal decode in the gate — deterministic 24-bit
+    // BMPs (pixel = pure (id, x, y) formula) are ENCODED on executors,
+    // travel as opaque binary columns, and MediaOps.featurize's
+    // partition-batched decode must reconstruct dimensions, byte size,
+    // and per-channel pixel SUMS that the oracle recomputes from the
+    // same formula without ever touching a codec. The sums re-derive
+    // exactly from the float feature slots (round(mean*255*48): float
+    // error ~2e-3 << 0.5), so the decode path — header parse, stride,
+    // bottom-up row order, BGR byte order — is all inside the hash.
+    // The encode UDF is fixture construction, not the operator under
+    // test (the operator is the decode inside featurize).
+    "q108_media_decode" -> ((s, d) => {
+      import s.implicits._
+      val W = 8; val H = 6
+      val encode = udf((id: Long) => {
+        val px = Array.tabulate(W * H) { p =>
+          val x = p % W; val y = p / W
+          (((id * 31 + x * 7 + y * 13) % 256).toInt,
+           ((id * 17 + x * 5 + y * 3) % 256).toInt,
+           ((id * 23 + x * 11 + y * 29) % 256).toInt)
+        }
+        graft.multimodal.BmpDecoder.encode(W, H, px)
+      })
+      val media = Tables.rebalance(
+          Tables.documents(s, d).filter(col("doc_id") < 200)
+            .select(col("doc_id").as("media_id")))
+        .withColumn("payload", encode(col("media_id")))
+        .select(col("media_id"),
+          struct(lit("image").as("kind"), lit(W).as("declaredWidth"),
+                 lit(H).as("declaredHeight"), lit(0).as("sampleRate")).as("meta"),
+          col("payload"))
+        .as[graft.multimodal.MediaOps.MediaRecord]
+      graft.multimodal.MediaOps.featurize(media).toDF()
+        .select(col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_bytes").cast("long").as("n_bytes"),
+          round(element_at(col("feature"), 1).cast("double") * 255 * (W * H))
+            .cast("long").as("sum_r"),
+          round(element_at(col("feature"), 2).cast("double") * 255 * (W * H))
+            .cast("long").as("sum_g"),
+          round(element_at(col("feature"), 3).cast("double") * 255 * (W * H))
+            .cast("long").as("sum_b"))
+        .orderBy(col("media_id"))
+    }),
+
+    // ---- q109: the custom stateful sessionizer
+    // (flatMapGroupsWithState + event-time timeout) in the gate. Real
+    // events land as file 1; a far-future sentinel per user lands as
+    // file 2; maxFilesPerTrigger=1 forces two micro-batches, so
+    // sessions closed within batch 1 emit immediately and the trailing
+    // open session per user closes when batch 2's sentinel arrives
+    // (gap exceeded) — every REAL session is emitted exactly once,
+    // sentinel sessions stay open and never emit (filtered besides).
+    // The oracle is plain SQL gaps-and-islands over the same events on
+    // the same millisecond timeline. Values are floor(value*100)
+    // (integer-valued doubles), so per-session sums are order-exact in
+    // both engines.
+    "q109_stateful_sessions" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val zone = freshZone("graft-sess-", d)
+      val inDir = new java.io.File(zone, "in"); inDir.mkdirs()
+      val outDir = new java.io.File(zone, "sessions").getAbsolutePath
+      val ckDir = new java.io.File(zone, "ck").getAbsolutePath
+      val SENTINEL_MS = 4102444800000L // 2100-01-01
+
+      def landAs(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = new java.io.File(zone, s"stage-$name")
+        df.coalesce(1).write.mode("overwrite").json(tmp.getAbsolutePath)
+        val part = tmp.listFiles().find(_.getName.endsWith(".json")).get
+        val dst = new java.io.File(inDir, name)
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(mtime)
+        ()
+      }
+      val real = Tables.events(s, d).filter(col("user_id") < 50)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+                floor(col("value") * 100).cast("double").as("value"))
+      val t0 = System.currentTimeMillis()
+      landAs(real, "0.json", t0 - 60000)
+      landAs(real.select(col("user_id")).distinct()
+          .select(lit(-1L).as("event_id"),
+                  timestamp_millis(lit(SENTINEL_MS)).as("ts"),
+                  col("user_id"), lit("sentinel").as("event_type"),
+                  lit(0.0).as("value")),
+        "1.json", t0)
+
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      import s.implicits._
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(inDir.getAbsolutePath)
+        .as[graft.streaming.StatefulOps.EventRow]
+      val q = graft.streaming.StatefulOps.sessionize(stream, 30 * 60 * 1000L)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append").start()
+      q.awaitTermination()
+
+      s.read.parquet(outDir)
+        .filter(col("session_start_ms") < SENTINEL_MS)
+        .select(col("user_id"), col("session_start_ms"), col("session_end_ms"),
+                col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start_ms"))
     })
   )
 
@@ -590,6 +699,44 @@ object JobRecordGate {
         |  '不需負擔管理責任(' || keyword || '-' || i || ')' AS management,
         |  'Python、Solidity' AS tools,
         |  '大學以上' AS education
-        |FROM r ORDER BY keyword, apply_code""".stripMargin
+        |FROM r ORDER BY keyword, apply_code""".stripMargin,
+
+    // channel sums recomputed from the pixel formula — no codec in the
+    // oracle; n_bytes pins the encoder's exact layout (54-byte header +
+    // 24-byte rows x 6, no padding at width 8)
+    "q108_media_decode" ->
+      """WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 200),
+        |px AS (SELECT media_id, unnest(range(0, 48)) AS p FROM m),
+        |c AS (SELECT media_id,
+        |  (media_id * 31 + (p % 8) * 7 + (p // 8) * 13) % 256 AS r,
+        |  (media_id * 17 + (p % 8) * 5 + (p // 8) * 3) % 256 AS g,
+        |  (media_id * 23 + (p % 8) * 11 + (p // 8) * 29) % 256 AS b
+        | FROM px)
+        |SELECT media_id, 8::BIGINT AS width, 6::BIGINT AS height,
+        |  198::BIGINT AS n_bytes,
+        |  sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g, sum(b)::BIGINT AS sum_b
+        |FROM c GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    // gaps-and-islands on the millisecond timeline (the sessionizer
+    // compares Timestamp.getTime millis; epoch_ms truncates identically)
+    "q109_stateful_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms, floor(value * 100) AS v
+        |  FROM events WHERE user_id < 50),
+        |m AS (
+        |  SELECT user_id, ms, v,
+        |    CASE WHEN lag(ms) OVER w IS NULL
+        |              OR ms - lag(ms) OVER w >= 1800000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+        |s AS (
+        |  SELECT user_id, ms, v,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, min(ms) AS session_start_ms, max(ms) AS session_end_ms,
+        |  count(*) AS n_events, sum(v)::DOUBLE AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_ms""".stripMargin
   )
 }

@@ -377,6 +377,37 @@ object JobRecordGate {
         .orderBy(col("media_id"))
     }),
 
+    // ---- q110: audio decode in the gate (q108's pattern for PCM WAV):
+    // deterministic mono PCM-16 clips encode on executors; featurize's
+    // WavDecoder must parse the RIFF chunks and reconstruct sample
+    // rate, channel count, sample count, byte size, and the exact
+    // absolute-amplitude sum (recovered from the float mean slot),
+    // all recomputed by the oracle from the sample formula.
+    "q110_audio_decode" -> ((s, d) => {
+      import s.implicits._
+      val N = 800; val RATE = 16000
+      val encode = udf((id: Long) => graft.multimodal.WavDecoder.encode(RATE,
+        Array.tabulate(N)(i => (((id * 31 + i * 7) % 4001) - 2000).toShort)))
+      val media = Tables.rebalance(
+          Tables.documents(s, d).filter(col("doc_id") < 200)
+            .select(col("doc_id").as("media_id")))
+        .withColumn("payload", encode(col("media_id")))
+        .select(col("media_id"),
+          struct(lit("audio").as("kind"), lit(0).as("declaredWidth"),
+                 lit(0).as("declaredHeight"), lit(RATE).as("sampleRate")).as("meta"),
+          col("payload"))
+        .as[graft.multimodal.MediaOps.MediaRecord]
+      graft.multimodal.MediaOps.featurize(media).toDF()
+        .select(col("media_id"),
+          col("width").cast("long").as("sample_rate"),
+          col("height").cast("long").as("channels"),
+          col("n_bytes").cast("long").as("n_bytes"),
+          element_at(col("feature"), 5).cast("long").as("n_samples"),
+          round(element_at(col("feature"), 1).cast("double") * 32768 * N)
+            .cast("long").as("sum_abs"))
+        .orderBy(col("media_id"))
+    }),
+
     // ---- q109: the custom stateful sessionizer
     // (flatMapGroupsWithState + event-time timeout) in the gate. Real
     // events land as file 1; a far-future sentinel per user lands as
@@ -716,6 +747,16 @@ object JobRecordGate {
         |  198::BIGINT AS n_bytes,
         |  sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g, sum(b)::BIGINT AS sum_b
         |FROM c GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    // absolute-amplitude sums from the sample formula; n_bytes pins the
+    // 44-byte RIFF header + 2 bytes/sample mono layout
+    "q110_audio_decode" ->
+      """WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 200),
+        |sm AS (SELECT media_id, unnest(range(0, 800)) AS i FROM m)
+        |SELECT media_id, 16000::BIGINT AS sample_rate, 1::BIGINT AS channels,
+        |  1644::BIGINT AS n_bytes, 800::BIGINT AS n_samples,
+        |  sum(abs((media_id * 31 + i * 7) % 4001 - 2000))::BIGINT AS sum_abs
+        |FROM sm GROUP BY media_id ORDER BY media_id""".stripMargin,
 
     // gaps-and-islands on the millisecond timeline (the sessionizer
     // compares Timestamp.getTime millis; epoch_ms truncates identically)

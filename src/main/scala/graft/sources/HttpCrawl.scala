@@ -40,12 +40,17 @@ object HttpCrawl {
 
   case class DetailRow(job_url: String, pos: Int, label: String, value: String)
 
+  /** One shared client per JVM (executor): connection pool + TLS context
+    * initialize once, not once per fetched URL — the same once-per-
+    * partition-not-per-row rule the multimodal batch decode follows.
+    */
+  @transient private lazy val client: HttpClient = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofSeconds(10))
+    .followRedirects(HttpClient.Redirect.NORMAL)
+    .build()
+
   /** One GET; any non-200 throws (counted against the error budget). */
   def fetchPage(url: String, timeoutMs: Long = 10000L): String = {
-    val client = HttpClient.newBuilder()
-      .connectTimeout(Duration.ofMillis(timeoutMs))
-      .followRedirects(HttpClient.Redirect.NORMAL)
-      .build()
     val req = HttpRequest.newBuilder(URI.create(url))
       .timeout(Duration.ofMillis(timeoutMs))
       .header("User-Agent", "graft-crawler/1.0")

@@ -32,7 +32,7 @@ object JobRecordGate {
 
   private val N_JOBS = 120
 
-  private def freshZone(prefix: String, d: String): java.io.File = {
+  private[graft] def freshZone(prefix: String, d: String): java.io.File = {
     val zone = new java.io.File(
       System.getProperty("java.io.tmpdir"),
       prefix + d.replaceAll("[^A-Za-z0-9.]", "_"))

@@ -192,13 +192,7 @@ object PipelineOps {
     // dropped before aggregation (content columns only).
     "q104_sink_roundtrip" -> ((s, d) => {
       import org.apache.spark.sql.types._
-      val zone = new java.io.File(
-        System.getProperty("java.io.tmpdir"),
-        "graft-sink-" + d.replaceAll("[^A-Za-z0-9.]", "_"))
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(zone)
+      val zone = graft.jobs.JobRecordGate.freshZone("graft-sink-", d)
       val jsonDir = new java.io.File(zone, "json").getAbsolutePath
       val pqDir = new java.io.File(zone, "pq").getAbsolutePath
       val base = Tables.documents(s, d)

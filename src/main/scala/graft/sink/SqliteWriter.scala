@@ -38,10 +38,19 @@ object SqliteWriter {
   /** SQLite varint: big-endian base-128, high bit = continuation; 9th
     * byte (if present) carries 8 bits. Values here are non-negative.
     */
-  private[sink] def varint(v: Long): Array[Byte] = {
+  private[graft] def varint(v: Long): Array[Byte] = {
     require(v >= 0, s"negative varint $v")
     if (v <= 0x7f) Array(v.toByte)
-    else {
+    else if (v >>> 56 != 0) {
+      // 9-byte form: bytes 0-7 carry 7 bits each (high bit set), byte 8
+      // carries the low 8 bits LITERALLY — not another base-128 group
+      val out = new Array[Byte](9)
+      out(8) = (v & 0xff).toByte
+      var x = v >>> 8
+      var i = 7
+      while (i >= 0) { out(i) = ((x & 0x7f) | 0x80).toByte; x >>>= 7; i -= 1 }
+      out
+    } else {
       val groups = new scala.collection.mutable.ArrayBuffer[Byte]
       var x = v
       while (x > 0) { groups.prepend((x & 0x7f).toByte); x >>>= 7 }
@@ -59,7 +68,7 @@ object SqliteWriter {
     * returns (serialType, bodyBytes). Schema format 4 enables the
     * one-byte 0/1 serials.
     */
-  private[sink] def intSerial(v: Long): (Long, Array[Byte]) = v match {
+  private[graft] def intSerial(v: Long): (Long, Array[Byte]) = v match {
     case 0 => (8L, Array.empty)
     case 1 => (9L, Array.empty)
     case _ =>
@@ -76,7 +85,7 @@ object SqliteWriter {
   /** One record (row payload): header of serial types + body. Values:
     * null | Long | String.
     */
-  private[sink] def record(values: Seq[Any]): Array[Byte] = {
+  private[graft] def record(values: Seq[Any]): Array[Byte] = {
     val parts = values.map {
       case null => (0L, Array.empty[Byte])
       case v: Long => intSerial(v)
@@ -220,6 +229,13 @@ object SqliteWriter {
     // page 1: header + sqlite_schema leaf with the CREATE TABLE row
     val schemaCell = leafCell(1L, record(Seq(
       "table", table, table, rootPage.toLong, createSql)))
+    // page 1's usable area starts after the 100-byte file header; the
+    // 8-byte page header + one 2-byte cell pointer must not collide with
+    // the tail-packed cell (a very wide CREATE TABLE would otherwise be
+    // silently overwritten by the header copy -> corrupt file)
+    require(100 + 8 + 2 + schemaCell.length <= PAGE,
+      s"CREATE TABLE statement too large for the schema page " +
+        s"(${schemaCell.length} bytes; limit ${PAGE - 110})")
     val page1 = pageImage(13, Seq(schemaCell), headerAt = 100)
     val hdr = new ByteArrayOutputStream()
     hdr.write("SQLite format 3".getBytes(StandardCharsets.US_ASCII)); hdr.write(0)

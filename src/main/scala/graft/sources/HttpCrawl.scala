@@ -110,12 +110,15 @@ object HttpCrawl {
     */
   def crawlKeywords(spark: SparkSession, keywords: Seq[String],
                     urlTemplate: String, delayMs: Long = 0L,
-                    maxErrors: Int = 3): Dataset[JobRow] = {
+                    maxErrors: Int = 3,
+                    maxParallelism: Int = Int.MaxValue): Dataset[JobRow] = {
     import spark.implicits._
     val errs = spark.sparkContext.longAccumulator("graft.crawl.errors")
     spark.createDataset(keywords)
-      .repartition(math.min(keywords.size,
-        spark.sparkContext.defaultParallelism))
+      // at least 1 (repartition(0) throws on an empty keyword list); cap
+      // available for politeness ceilings against a single host
+      .repartition(math.max(1, math.min(math.min(keywords.size, maxParallelism),
+        spark.sparkContext.defaultParallelism)))
       .mapPartitions { kws =>
         var errors = 0
         kws.flatMap { kw =>

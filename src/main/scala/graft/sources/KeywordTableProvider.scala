@@ -395,13 +395,48 @@ object KeywordScanUtil {
     * maps `File` names through the platform locale (`sun.jnu.encoding`);
     * under a POSIX/C locale a non-ASCII keyword (the reference's
     * 區塊鏈工程師) would be mangled to '?' bytes on disk and never match
-    * its filter again. Alphanumerics pass through unchanged, so existing
-    * ASCII zones keep their layout.
+    * its filter again.
+    *
+    * Deliberately NOT URLEncoder/URLDecoder: their '+' = space rule
+    * would misread a legacy zone directory literally named "C++" as
+    * "C  ", and a stray '%' (e.g. a hand-made "50%off" dir) would make
+    * decode THROW and abort every scan of the zone. This codec escapes
+    * space as %20, keeps [A-Za-z0-9._-] verbatim (existing ASCII zones
+    * keep their exact layout), and decodes defensively: a '%' not
+    * followed by two hex digits is a literal '%', so legacy unencoded
+    * directories read back as themselves.
     */
-  def dirName(kw: String): String =
-    java.net.URLEncoder.encode(kw, "UTF-8")
-  def dirKeyword(name: String): String =
-    java.net.URLDecoder.decode(name, "UTF-8")
+  def dirName(kw: String): String = {
+    val sb = new StringBuilder
+    kw.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+      val c = (b & 0xff).toChar
+      if (c.isLetterOrDigit && c < 128 || c == '.' || c == '_' || c == '-') sb.append(c)
+      else sb.append(f"%%${b & 0xff}%02X")
+    }
+    sb.toString
+  }
+  def dirKeyword(name: String): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    def hex(c: Char): Int =
+      if (c >= '0' && c <= '9') c - '0'
+      else if (c >= 'A' && c <= 'F') c - 'A' + 10
+      else if (c >= 'a' && c <= 'f') c - 'a' + 10
+      else -1
+    while (i < name.length) {
+      val c = name.charAt(i)
+      if (c == '%' && i + 2 < name.length &&
+          hex(name.charAt(i + 1)) >= 0 && hex(name.charAt(i + 2)) >= 0) {
+        out.write(hex(name.charAt(i + 1)) * 16 + hex(name.charAt(i + 2)))
+        i += 3
+      } else { // literal byte (legacy/unencoded dirs pass through)
+        name.substring(i, i + 1)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach(out.write(_))
+        i += 1
+      }
+    }
+    new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
 
   def listPartitions(base: String, keywords: Option[Set[String]],
                      runtimeAllow: Option[Set[String]]): Array[InputPartition] = {

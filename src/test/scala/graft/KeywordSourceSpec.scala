@@ -573,4 +573,16 @@ class KeywordSourceSpec extends SparkSpec {
     assert(spark.read.format("graft-keyword")
       .option("fields", "job").load(base).count() == 1)
   }
+
+  test("keyword dir codec: non-ASCII round-trips, legacy names pass through") {
+    import graft.sources.KeywordScanUtil.{dirName, dirKeyword}
+    assert(dirKeyword(dirName("區塊鏈工程師")) == "區塊鏈工程師")
+    assert(dirName("區塊鏈工程師").forall(_ < 128)) // pure ASCII on disk
+    assert(dirName("en") == "en")                   // ASCII zones unchanged
+    assert(dirKeyword(dirName("C++")) == "C++")
+    assert(dirKeyword("C++") == "C++")              // legacy unencoded dir
+    assert(dirKeyword("50%off") == "50%off")        // stray '%' never throws
+    assert(dirName("a b") == "a%20b")               // space is %20, never '+'
+    assert(dirKeyword(dirName("a b")) == "a b")
+  }
 }

@@ -142,4 +142,27 @@ class SqliteSinkSpec extends SparkSpec {
     SqliteWriter.writeRows(schema, rows, path, "t")
     assert(readAll(path).map(_.head) == vals)
   }
+
+  test("varint: 9-byte form carries 8 literal bits in the last byte") {
+    val v = (1L << 56) | 0xab
+    val b = SqliteWriter.varint(v)
+    assert(b.length == 9)
+    assert((b(8) & 0xff) == 0xab)                    // literal low byte
+    assert(b.take(8).forall(x => (x & 0x80) != 0))   // continuation bits
+    val hi = b.take(8).foldLeft(0L)((acc, x) => (acc << 7) | (x & 0x7f))
+    assert(((hi << 8) | (b(8) & 0xff)) == v)
+    // boundary: 2^56 - 1 still fits the 8-byte base-128 form
+    assert(SqliteWriter.varint((1L << 56) - 1).length == 8)
+  }
+
+  test("oversized CREATE TABLE is rejected, never silently corrupted") {
+    import org.apache.spark.sql.types._
+    val schema = StructType((0 until 200).map(i =>
+      StructField("very_long_column_name_padding_" + "x" * 20 + i, StringType)))
+    val ex = intercept[IllegalArgumentException] {
+      SqliteWriter.writeRows(schema, Array.empty,
+        Files.createTempDirectory("sqlite").resolve("wide.db").toString, "t")
+    }
+    assert(ex.getMessage.contains("schema page"))
+  }
 }

@@ -17,10 +17,9 @@ import org.apache.spark.sql.types._
   *  - each row's record must fit a leaf page's local payload
   *    (~4 KB — no overflow chains), the natural shape of the
   *    reference's job rows;
-  *  - row count bounded by one level of interior b-tree
-  *    (~340 leaves x ~40 rows — hundreds of thousands of rows; this is
-  *    a driver-side DIMENSION/metadata sink like the reference's
-  *    jobs.db, never a fact-data path — facts stay parquet).
+  *  - multi-level interior b-tree (no structural row cap); still a
+  *    driver-side DIMENSION/metadata sink like the reference's
+  *    jobs.db, never a fact-data path — facts stay parquet.
   *
   * Layout written: page 1 = 100-byte header + sqlite_schema leaf
   * holding the CREATE TABLE row; pages 2..k+1 = table leaves packed in
@@ -206,25 +205,37 @@ object SqliteWriter {
     val leaves = packLeaves(leafCells)
     val nLeaves = leaves.size
 
-    // page plan: 1 = schema; 2..nLeaves+1 = leaves; maybe +1 interior root
-    val rootPage = if (nLeaves == 1) 2 else nLeaves + 2
-    val nPages = if (nLeaves == 1) 2 else nLeaves + 2
-
-    // interior root: one cell per leaf except the right-most; key =
-    // largest rowid in that leaf
-    val interiorOpt = if (nLeaves == 1) None else {
-      var rowid = 0L
-      val keys = leaves.map { cells => rowid += cells.size; rowid }
-      val cells = leaves.indices.dropRight(1).map { i =>
-        val out = new ByteArrayOutputStream()
-        out.write(be32(i + 2)) // leaf page number
-        out.write(varint(keys(i)))
-        out.toByteArray
-      }
-      require(cells.map(_.length + 2).sum + 12 <= PAGE,
-        s"too many leaves ($nLeaves) for a single interior root")
-      Some(pageImage(5, cells, headerAt = 0, rightMost = nLeaves + 1))
+    // page plan: 1 = schema; 2..nLeaves+1 = leaves (rowid order); then
+    // interior levels bottom-up, each page fanning into <= FANOUT
+    // children, until a single root remains — a real multi-level table
+    // b-tree, so the row count is bounded by disk, not by one root page.
+    // Interior cell = 4-byte child page + varint(largest rowid in that
+    // child's subtree); the level's right-most child rides the header.
+    val FANOUT = 200 // 200 * (4 + <=9 + 2) + 12 bytes <= PAGE, any rowid width
+    var rowid = 0L
+    var level: Seq[(Int, Long)] = leaves.zipWithIndex.map { case (cells, i) =>
+      rowid += cells.size
+      (i + 2, rowid) // (page number, max rowid in subtree)
     }
+    var nextPage = nLeaves + 2
+    val interiorPages = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    while (level.size > 1) {
+      level = level.grouped(FANOUT).map { group =>
+        val cells = group.dropRight(1).map { case (child, key) =>
+          val out = new ByteArrayOutputStream()
+          out.write(be32(child))
+          out.write(varint(key))
+          out.toByteArray
+        }
+        interiorPages.append(
+          pageImage(5, cells, headerAt = 0, rightMost = group.last._1))
+        val pageNo = nextPage
+        nextPage += 1
+        (pageNo, group.last._2)
+      }.toSeq
+    }
+    val rootPage = level.head._1
+    val nPages = nextPage - 1
 
     // page 1: header + sqlite_schema leaf with the CREATE TABLE row
     val schemaCell = leafCell(1L, record(Seq(
@@ -261,7 +272,7 @@ object SqliteWriter {
     try {
       out.write(page1)
       leaves.foreach(cells => out.write(pageImage(13, cells, headerAt = 0)))
-      interiorOpt.foreach(out.write)
+      interiorPages.foreach(out.write)
     } finally out.close()
   }
 }

@@ -143,6 +143,28 @@ class SqliteSinkSpec extends SparkSpec {
     assert(readAll(path).map(_.head) == vals)
   }
 
+  test("two interior levels: 60k rows walk back intact through the tree") {
+    import org.apache.spark.sql.types._
+    val dir = Paths.get("/tmp/graft_sqlite_check")
+    Files.createDirectories(dir)
+    val path = dir.resolve("deep.db").toString
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("name", StringType)))
+    val n = 60000
+    val rows = Array.tabulate(n)(i =>
+      org.apache.spark.sql.Row(i * 3L, s"名稱$i"))
+    SqliteWriter.writeRows(schema, rows, path, "jobs")
+    // >200 leaves forces a second interior level above the FANOUT=200 root
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val nPages = readU32(bytes, 28).toInt
+    assert(nPages > 203, s"expected two interior levels, got $nPages pages")
+    val back = readAll(path)
+    assert(back.size == n)
+    assert(back.head == Seq(0L, "名稱0"))
+    assert(back(n - 1) == Seq((n - 1) * 3L, s"名稱${n - 1}"))
+    assert(back.map(_.head.asInstanceOf[Long]) == (0 until n).map(_ * 3L))
+  }
+
   test("varint: 9-byte form carries 8 literal bits in the last byte") {
     val v = (1L << 56) | 0xab
     val b = SqliteWriter.varint(v)

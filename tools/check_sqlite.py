@@ -25,6 +25,9 @@ CHECKS = [
     ("/tmp/graft_sqlite_check/big.db",
      "SELECT count(*), min(rank), max(rank), sum(rank) FROM jobs",
      [(500, 0, 499 * 7, sum(i * 7 for i in range(500)))]),
+    ("/tmp/graft_sqlite_check/deep.db",  # 60k rows, two interior levels
+     "SELECT count(*), max(k), sum(k) FROM jobs",
+     [(60000, 59999 * 3, sum(i * 3 for i in range(60000)))]),
 ]
 
 ok = True

@@ -218,6 +218,38 @@ object PipelineOps {
         .orderBy(col("stage"), col("lang"))
     }),
 
+    // ---- q111: the S8 two-table fan-out sink (test.py:577-580 writes
+    // job_list AND com_url from ONE crawl pass) in the gate: fanOut
+    // persists once, writes the jobs table and the derived distinct
+    // company-URL projection, and both read-backs aggregate — the
+    // oracle recomputes the projection (incl. its DISTINCT and
+    // null-filter semantics) from the same source. Stages tagged like
+    // q104.
+    "q111_fanout_roundtrip" -> ((s, d) => {
+      val zone = graft.jobs.JobRecordGate.freshZone("graft-fanout-", d)
+      val jobsPath = new java.io.File(zone, "jobs").getAbsolutePath
+      val comPath = new java.io.File(zone, "com").getAbsolutePath
+      val jobs = Tables.documents(s, d).filter(col("doc_id") < 400)
+        .select(col("doc_id"), col("lang"),
+          // every 4th job shares a company page; every 7th has none
+          when(pmod(col("doc_id"), lit(7)) === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("https://co.example/c"),
+              pmod(col("doc_id"), lit(40))))
+            .as("company_url"))
+      graft.sink.JobSinks.fanOut(jobs, jobsPath, "company_url", comPath)
+      val fromJobs = s.read.parquet(jobsPath)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+             count(col("company_url")).as("n_with_url"))
+        .withColumn("stage", lit("jobs"))
+      val fromCom = s.read.parquet(comPath)
+        .agg(count(lit(1)).as("n"),
+             min(length(col("company_url"))).cast("long").as("id_sum"),
+             count(col("company_url")).as("n_with_url"))
+        .withColumn("lang", lit("*")).withColumn("stage", lit("com_url"))
+      fromJobs.unionByName(fromCom).orderBy(col("stage"), col("lang"))
+    }),
+
     // ---- q81: token-budget shard assignment (sequence packing for
     // training shards): docs in a stable order, running token total,
     // shard = which 4096-token budget window the doc STARTS in. The
@@ -384,6 +416,25 @@ object PipelineOps {
         |  SELECT lang, count(*) AS n, sum(doc_id)::BIGINT AS id_sum,
         |    min(tag) AS min_tag, max(tag) AS max_tag, 'parquet' AS stage
         |  FROM p GROUP BY lang)
+        |ORDER BY stage, lang""".stripMargin,
+
+    "q111_fanout_roundtrip" ->
+      """WITH j AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 7 = 0 THEN NULL
+        |         ELSE 'https://co.example/c' || (doc_id % 40) END AS company_url
+        |  FROM documents WHERE doc_id < 400),
+        |jb AS (
+        |  SELECT lang, count(*) AS n, sum(doc_id)::BIGINT AS id_sum,
+        |    count(company_url) AS n_with_url, 'jobs' AS stage
+        |  FROM j GROUP BY lang),
+        |cu AS (SELECT DISTINCT company_url FROM j WHERE company_url IS NOT NULL),
+        |cb AS (
+        |  SELECT '*' AS lang, count(*) AS n,
+        |    min(length(company_url))::BIGINT AS id_sum,
+        |    count(company_url) AS n_with_url, 'com_url' AS stage
+        |  FROM cu)
+        |SELECT * FROM (SELECT * FROM jb UNION ALL SELECT * FROM cb)
         |ORDER BY stage, lang""".stripMargin,
 
     "q81_token_budget_shards" ->

@@ -408,6 +408,54 @@ object JobRecordGate {
         .orderBy(col("media_id"))
     }),
 
+    // ---- q112: PNG decode in the gate — q108's BMP pattern through the
+    // OTHER image tier (javax.imageio): pixels render into a
+    // BufferedImage, ImageIO writes lossless PNG bytes on executors, and
+    // featurize's ImageIoDecoder must decode them back to the exact
+    // per-channel sums the oracle recomputes from the pixel formula.
+    // n_bytes is deliberately NOT in the output: PNG encoders may vary
+    // compression across JDKs; decoded pixels may not.
+    "q112_png_decode" -> ((s, d) => {
+      import s.implicits._
+      val W = 9; val H = 5
+      val encode = udf((id: Long) => {
+        val img = new java.awt.image.BufferedImage(
+          W, H, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var p = 0
+        while (p < W * H) {
+          val x = p % W; val y = p / W
+          val r = ((id * 37 + x * 3 + y * 19) % 256).toInt
+          val g = ((id * 41 + x * 13 + y * 7) % 256).toInt
+          val b = ((id * 43 + x * 17 + y * 23) % 256).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          p += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      })
+      val media = Tables.rebalance(
+          Tables.documents(s, d).filter(col("doc_id") < 200)
+            .select(col("doc_id").as("media_id")))
+        .withColumn("payload", encode(col("media_id")))
+        .select(col("media_id"),
+          struct(lit("image").as("kind"), lit(W).as("declaredWidth"),
+                 lit(H).as("declaredHeight"), lit(0).as("sampleRate")).as("meta"),
+          col("payload"))
+        .as[graft.multimodal.MediaOps.MediaRecord]
+      graft.multimodal.MediaOps.featurize(media).toDF()
+        .select(col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          round(element_at(col("feature"), 1).cast("double") * 255 * (W * H))
+            .cast("long").as("sum_r"),
+          round(element_at(col("feature"), 2).cast("double") * 255 * (W * H))
+            .cast("long").as("sum_g"),
+          round(element_at(col("feature"), 3).cast("double") * 255 * (W * H))
+            .cast("long").as("sum_b"))
+        .orderBy(col("media_id"))
+    }),
+
     // ---- q109: the custom stateful sessionizer
     // (flatMapGroupsWithState + event-time timeout) in the gate. Real
     // events land as file 1; a far-future sentinel per user lands as
@@ -757,6 +805,18 @@ object JobRecordGate {
         |  1644::BIGINT AS n_bytes, 800::BIGINT AS n_samples,
         |  sum(abs((media_id * 31 + i * 7) % 4001 - 2000))::BIGINT AS sum_abs
         |FROM sm GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    "q112_png_decode" ->
+      """WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 200),
+        |px AS (SELECT media_id, unnest(range(0, 45)) AS p FROM m),
+        |c AS (SELECT media_id,
+        |  (media_id * 37 + (p % 9) * 3 + (p // 9) * 19) % 256 AS r,
+        |  (media_id * 41 + (p % 9) * 13 + (p // 9) * 7) % 256 AS g,
+        |  (media_id * 43 + (p % 9) * 17 + (p // 9) * 23) % 256 AS b
+        | FROM px)
+        |SELECT media_id, 9::BIGINT AS width, 5::BIGINT AS height,
+        |  sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g, sum(b)::BIGINT AS sum_b
+        |FROM c GROUP BY media_id ORDER BY media_id""".stripMargin,
 
     // gaps-and-islands on the millisecond timeline (the sessionizer
     // compares Timestamp.getTime millis; epoch_ms truncates identically)

@@ -219,8 +219,23 @@ object SqliteWriter {
     }
     var nextPage = nLeaves + 2
     val interiorPages = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    // balanced grouping, NOT grouped(FANOUT): a trailing group of size 1
+    // would become an interior page with ZERO cells (right-most pointer
+    // only), which real sqlite3's moveToLeftmost cannot traverse. Evenly
+    // spread sizes keep every group >= 2 whenever the level splits.
+    def balanced(xs: Seq[(Int, Long)]): Seq[Seq[(Int, Long)]] = {
+      val k = (xs.size + FANOUT - 1) / FANOUT
+      val base = xs.size / k; val extra = xs.size % k
+      val out = scala.collection.mutable.ArrayBuffer[Seq[(Int, Long)]]()
+      var off = 0
+      (0 until k).foreach { g =>
+        val sz = base + (if (g < extra) 1 else 0)
+        out.append(xs.slice(off, off + sz)); off += sz
+      }
+      out.toSeq
+    }
     while (level.size > 1) {
-      level = level.grouped(FANOUT).map { group =>
+      level = balanced(level).map { group =>
         val cells = group.dropRight(1).map { case (child, key) =>
           val out = new ByteArrayOutputStream()
           out.write(be32(child))

@@ -44,8 +44,10 @@ object FixtureJobServer {
        |  <div class="list-row__data">大學以上</div></div>
        |</div></body></html>""".stripMargin
 
-  /** Start on an ephemeral port; returns (server, baseUrl). Caller stops. */
-  def start(): (HttpServer, String) = {
+  /** Start on an ephemeral port; returns (server, baseUrl). Caller
+    * stops. `failKeywords` respond 500 (error-budget test hook).
+    */
+  def start(failKeywords: Set[String] = Set.empty): (HttpServer, String) = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     val base = s"http://127.0.0.1:${server.getAddress.getPort}"
     def respond(ex: HttpExchange, code: Int, body: String): Unit = {
@@ -59,7 +61,8 @@ object FixtureJobServer {
       val kw = java.net.URLDecoder.decode(
         q.split("&").find(_.startsWith("keyword=")).map(_.drop(8)).getOrElse(""),
         "UTF-8")
-      respond(ex, 200, s"<html><body>${
+      if (failKeywords(kw)) respond(ex, 500, "internal error")
+      else respond(ex, 200, s"<html><body>${
         (0 until JOBS_PER_KEYWORD).map(jobArticle(base, kw, _)).mkString("\n")
       }</body></html>")
     })

@@ -403,8 +403,12 @@ object KeywordScanUtil {
     * decode THROW and abort every scan of the zone. This codec escapes
     * space as %20, keeps [A-Za-z0-9._-] verbatim (existing ASCII zones
     * keep their exact layout), and decodes defensively: a '%' not
-    * followed by two hex digits is a literal '%', so legacy unencoded
-    * directories read back as themselves.
+    * followed by two hex digits is a literal '%', so legacy RAW
+    * (unencoded) directories read back as themselves. Compatibility
+    * contract: raw-ASCII zones (every zone any shipped round wrote) and
+    * this codec's zones are both readable; dirs written by a transient
+    * URLEncoder build ('+' for space, verbatim '*') are NOT — re-land
+    * those keywords.
     */
   def dirName(kw: String): String = {
     val sb = new StringBuilder
@@ -429,10 +433,14 @@ object KeywordScanUtil {
           hex(name.charAt(i + 1)) >= 0 && hex(name.charAt(i + 2)) >= 0) {
         out.write(hex(name.charAt(i + 1)) * 16 + hex(name.charAt(i + 2)))
         i += 3
-      } else { // literal byte (legacy/unencoded dirs pass through)
-        name.substring(i, i + 1)
+      } else {
+        // literal pass-through (legacy/unencoded dirs) — by CODE POINT:
+        // substring(i, i+1) would split a surrogate pair and mangle
+        // non-BMP characters to '?'
+        val cp = name.codePointAt(i)
+        new String(Character.toChars(cp))
           .getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach(out.write(_))
-        i += 1
+        i += Character.charCount(cp)
       }
     }
     new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)

@@ -1,9 +1,6 @@
 package graft
 
-import java.net.InetSocketAddress
-import java.nio.charset.StandardCharsets
-
-import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import com.sun.net.httpserver.HttpServer
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import graft.sources.{FixtureJobServer, HttpCrawl}
@@ -15,8 +12,9 @@ import graft.jobs.JobOps
   * server uses, so spec fixture and gate fixture cannot drift), detail
   * pages serve h3/list-row__data rows, and the executor-side crawl must
   * extract, budget errors, land the zone through the DSv2 connector,
-  * and feed the kv-pivot. This suite's own server adds only what the
-  * gate server must not have: a failing keyword ("boom" -> 500).
+  * and feed the kv-pivot. The server IS FixtureJobServer (started with
+  * its failKeywords hook for the error-budget test), so spec fixture
+  * and q107 gate fixture are one implementation.
   */
 class HttpCrawlSpec extends SparkSpec with BeforeAndAfterAll {
 
@@ -25,31 +23,9 @@ class HttpCrawlSpec extends SparkSpec with BeforeAndAfterAll {
 
   override def beforeAll(): Unit = {
     super.beforeAll()
-    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
-    base = s"http://127.0.0.1:${server.getAddress.getPort}"
-    def respond(ex: HttpExchange, code: Int, body: String): Unit = {
-      val b = body.getBytes(StandardCharsets.UTF_8)
-      ex.getResponseHeaders.add("Content-Type", "text/html; charset=utf-8")
-      ex.sendResponseHeaders(code, b.length)
-      ex.getResponseBody.write(b); ex.close()
-    }
-    server.createContext("/search", (ex: HttpExchange) => {
-      // getRawQuery + explicit decode (getQuery already decodes; running
-      // URLDecoder over it again would double-decode '%'/'+' keywords)
-      val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
-      val kw = java.net.URLDecoder.decode(
-        q.split("&").find(_.startsWith("keyword=")).map(_.drop(8)).getOrElse(""),
-        "UTF-8")
-      if (kw == "boom") respond(ex, 500, "internal error")
-      else respond(ex, 200, s"<html><body>${
-        (0 until FixtureJobServer.JOBS_PER_KEYWORD)
-          .map(FixtureJobServer.jobArticle(base, kw, _)).mkString("\n")
-      }</body></html>")
-    })
-    server.createContext("/job", (ex: HttpExchange) =>
-      respond(ex, 200,
-        FixtureJobServer.detailHtml(ex.getRequestURI.getPath.split("/").last)))
-    server.start()
+    val (s0, b0) = FixtureJobServer.start(failKeywords = Set("boom"))
+    server = s0
+    base = b0
   }
 
   override def afterAll(): Unit = {

@@ -584,5 +584,7 @@ class KeywordSourceSpec extends SparkSpec {
     assert(dirKeyword("50%off") == "50%off")        // stray '%' never throws
     assert(dirName("a b") == "a%20b")               // space is %20, never '+'
     assert(dirKeyword(dirName("a b")) == "a b")
+    assert(dirKeyword(dirName("🚀jobs")) == "🚀jobs") // non-BMP round-trips
+    assert(dirKeyword("🚀jobs") == "🚀jobs")          // legacy literal non-BMP
   }
 }

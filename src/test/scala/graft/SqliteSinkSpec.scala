@@ -165,6 +165,32 @@ class SqliteSinkSpec extends SparkSpec {
     assert(back.map(_.head.asInstanceOf[Long]) == (0 until n).map(_ * 3L))
   }
 
+  test("no zero-cell interior pages at unlucky level sizes (n ≡ 1 mod fanout)") {
+    import org.apache.spark.sql.types._
+    val dir = Paths.get("/tmp/graft_sqlite_check")
+    Files.createDirectories(dir)
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("pad", StringType)))
+    // ~480-byte rows -> 8 per leaf; counts chosen to land level sizes on
+    // and around the k*FANOUT+1 boundary where naive grouped(FANOUT)
+    // would emit an interior page with zero cells (sqlite3-untraversable)
+    for (n <- Seq(1601, 1608, 1616)) {
+      val path = dir.resolve(s"edge$n.db").toString
+      val rows = Array.tabulate(n)(i =>
+        org.apache.spark.sql.Row(i.toLong, "p" * 470))
+      SqliteWriter.writeRows(schema, rows, path, "jobs")
+      val bytes = Files.readAllBytes(Paths.get(path))
+      val nPages = readU32(bytes, 28).toInt
+      (2 to nPages).foreach { p =>
+        val off = (p - 1) * 4096
+        if ((bytes(off) & 0xff) == 5)
+          assert(readU16(bytes, off + 3) >= 1,
+            s"zero-cell interior page $p in edge$n.db ($nPages pages)")
+      }
+      assert(readAll(path).size == n)
+    }
+  }
+
   test("varint: 9-byte form carries 8 literal bits in the last byte") {
     val v = (1L << 56) | 0xab
     val b = SqliteWriter.varint(v)

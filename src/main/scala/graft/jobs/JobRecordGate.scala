@@ -456,6 +456,55 @@ object JobRecordGate {
         .orderBy(col("media_id"))
     }),
 
+    // ---- q113: the video-container tier in the gate — deterministic
+    // ISO-BMFF (MP4) boxes build on executors (ftyp + moov{mvhd,
+    // trak{tkhd}×n}, all length-tagged, no codec payload) and
+    // featurize's Mp4Parser box walk must recover duration, timescale'd
+    // milliseconds, track count, the video track's 16.16 resolution,
+    // and the exact byte size — every output an integer formula of
+    // media_id the oracle restates directly.
+    "q113_mp4_metadata" -> ((s, d) => {
+      import s.implicits._
+      val encode = udf((id: Long) => {
+        def u32(v: Long): Array[Byte] = Array(
+          ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+          ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+        def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+          u32(8L + payload.length) ++ tpe.getBytes("US-ASCII") ++ payload
+        val w = 320 + (id % 8) * 16; val h = 180 + (id % 6) * 30
+        val dur = (id % 50 + 1) * 500
+        val nTracks = (1 + id % 3).toInt
+        val mvhd = box("mvhd",
+          u32(0) ++ u32(0) ++ u32(0) ++ u32(1000) ++ u32(dur) ++
+            Array.fill[Byte](80)(0))
+        def tkhd(tw: Long, th: Long) = box("tkhd",
+          Array.fill[Byte](76)(0) ++ u32(tw << 16) ++ u32(th << 16))
+        val traks = (0 until nTracks).map(t =>
+          box("trak", if (t == 0) tkhd(w, h) else tkhd(0, 0)))
+          .foldLeft(Array.empty[Byte])(_ ++ _)
+        box("ftyp", "isom".getBytes("US-ASCII") ++ u32(0)) ++
+          box("moov", mvhd ++ traks)
+      })
+      val media = Tables.rebalance(
+          Tables.documents(s, d).filter(col("doc_id") < 200)
+            .select(col("doc_id").as("media_id")))
+        .withColumn("payload", encode(col("media_id")))
+        .select(col("media_id"),
+          struct(lit("video").as("kind"), lit(0).as("declaredWidth"),
+                 lit(0).as("declaredHeight"), lit(0).as("sampleRate")).as("meta"),
+          col("payload"))
+        .as[graft.multimodal.MediaOps.MediaRecord]
+      graft.multimodal.MediaOps.featurize(media).toDF()
+        .select(col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_bytes").cast("long").as("n_bytes"),
+          round(element_at(col("feature"), 1).cast("double") * 1000)
+            .cast("long").as("duration_ms"),
+          element_at(col("feature"), 6).cast("long").as("n_tracks"))
+        .orderBy(col("media_id"))
+    }),
+
     // ---- q109: the custom stateful sessionizer
     // (flatMapGroupsWithState + event-time timeout) in the gate. Real
     // events land as file 1; a far-future sentinel per user lands as
@@ -817,6 +866,18 @@ object JobRecordGate {
         |SELECT media_id, 9::BIGINT AS width, 5::BIGINT AS height,
         |  sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g, sum(b)::BIGINT AS sum_b
         |FROM c GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    // every field an integer formula; n_bytes pins the box layout
+    // (16-byte ftyp + 8-byte moov header + 108-byte mvhd + 100 per trak)
+    "q113_mp4_metadata" ->
+      """WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 200)
+        |SELECT media_id,
+        |  (320 + (media_id % 8) * 16)::BIGINT AS width,
+        |  (180 + (media_id % 6) * 30)::BIGINT AS height,
+        |  (132 + 100 * (1 + media_id % 3))::BIGINT AS n_bytes,
+        |  ((media_id % 50 + 1) * 500)::BIGINT AS duration_ms,
+        |  (1 + media_id % 3)::BIGINT AS n_tracks
+        |FROM m ORDER BY media_id""".stripMargin,
 
     // gaps-and-islands on the millisecond timeline (the sessionizer
     // compares Timestamp.getTime millis; epoch_ms truncates identically)

@@ -574,6 +574,37 @@ class KeywordSourceSpec extends SparkSpec {
       .option("fields", "job").load(base).count() == 1)
   }
 
+  test("streaming increments work for non-ASCII keywords (encoded dirs)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.KeywordScanUtil.dirName
+    val base = tmp("kw-zh-stream")
+    val outDir = tmp("kw-zh-stream-out")
+    val ckpt = tmp("kw-zh-stream-ckpt")
+    // land snapshots in the ENCODED layout the writer produces (the
+    // offset log keys on the decoded keyword — Chinese must survive the
+    // encode/decode boundary across ticks and checkpoint resume)
+    writeSnapshots(base, dirName("區塊鏈工程師"), "t1.json", Seq("""{"job":"j1"}"""))
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-keyword")
+        .option("fields", "job").load(base)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).outputMode("append").start()
+      q.awaitTermination(60000)
+      ()
+    }
+    drain()
+    writeSnapshots(base, dirName("區塊鏈工程師"), "t2.json", Seq("""{"job":"j2"}"""))
+    drain()
+    val rows = spark.read.parquet(outDir).select("keyword", "job")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(rows.toSeq == Seq(("區塊鏈工程師", "j1"), ("區塊鏈工程師", "j2")))
+    // batch read agrees and the keyword filter prunes to the encoded dir
+    assert(spark.read.format("graft-keyword").option("fields", "job")
+      .load(base).filter(org.apache.spark.sql.functions.col("keyword") === "區塊鏈工程師")
+      .count() == 2)
+  }
+
   test("keyword dir codec: non-ASCII round-trips, legacy names pass through") {
     import graft.sources.KeywordScanUtil.{dirName, dirKeyword}
     assert(dirKeyword(dirName("區塊鏈工程師")) == "區塊鏈工程師")

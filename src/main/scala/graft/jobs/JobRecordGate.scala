@@ -456,6 +456,59 @@ object JobRecordGate {
         .orderBy(col("media_id"))
     }),
 
+    // ---- q114: animated-GIF decode in the gate — the multi-frame
+    // "video" shape: per id, 1 + id%3 solid-color frames encode through
+    // the JDK's own GIF writer on executors; featurize's GifDecoder
+    // must recover the frame COUNT and the first frame's exact color
+    // (solid frames make the palette lossless, so the float mean slots
+    // round back to the precise channel values the oracle restates).
+    "q114_gif_decode" -> ((s, d) => {
+      import s.implicits._
+      val W = 7; val H = 3
+      val encode = udf((id: Long) => {
+        import javax.imageio.{IIOImage, ImageIO}
+        val writer = ImageIO.getImageWritersBySuffix("gif").next()
+        val out = new java.io.ByteArrayOutputStream()
+        val ios = ImageIO.createImageOutputStream(out)
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        (0 until (1 + (id % 3)).toInt).foreach { f =>
+          val r = ((id * 53 + f * 71) % 256).toInt
+          val g = ((id * 59 + f * 37) % 256).toInt
+          val b = ((id * 61 + f * 29) % 256).toInt
+          val img = new java.awt.image.BufferedImage(
+            W, H, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var p = 0
+          while (p < W * H) { img.setRGB(p % W, p / W, (r << 16) | (g << 8) | b); p += 1 }
+          writer.writeToSequence(new IIOImage(img, null, null), null)
+        }
+        writer.endWriteSequence()
+        writer.dispose(); ios.close()
+        out.toByteArray
+      })
+      val media = Tables.rebalance(
+          Tables.documents(s, d).filter(col("doc_id") < 200)
+            .select(col("doc_id").as("media_id")))
+        .withColumn("payload", encode(col("media_id")))
+        .select(col("media_id"),
+          struct(lit("video").as("kind"), lit(W).as("declaredWidth"),
+                 lit(H).as("declaredHeight"), lit(0).as("sampleRate")).as("meta"),
+          col("payload"))
+        .as[graft.multimodal.MediaOps.MediaRecord]
+      graft.multimodal.MediaOps.featurize(media).toDF()
+        .select(col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          element_at(col("feature"), 6).cast("long").as("n_frames"),
+          round(element_at(col("feature"), 1).cast("double") * 255)
+            .cast("long").as("r0"),
+          round(element_at(col("feature"), 2).cast("double") * 255)
+            .cast("long").as("g0"),
+          round(element_at(col("feature"), 3).cast("double") * 255)
+            .cast("long").as("b0"))
+        .orderBy(col("media_id"))
+    }),
+
     // ---- q113: the video-container tier in the gate — deterministic
     // ISO-BMFF (MP4) boxes build on executors (ftyp + moov{mvhd,
     // trak{tkhd}×n}, all length-tagged, no codec payload) and
@@ -866,6 +919,15 @@ object JobRecordGate {
         |SELECT media_id, 9::BIGINT AS width, 5::BIGINT AS height,
         |  sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g, sum(b)::BIGINT AS sum_b
         |FROM c GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    "q114_gif_decode" ->
+      """WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 200)
+        |SELECT media_id, 7::BIGINT AS width, 3::BIGINT AS height,
+        |  (1 + media_id % 3)::BIGINT AS n_frames,
+        |  (media_id * 53 % 256)::BIGINT AS r0,
+        |  (media_id * 59 % 256)::BIGINT AS g0,
+        |  (media_id * 61 % 256)::BIGINT AS b0
+        |FROM m ORDER BY media_id""".stripMargin,
 
     // every field an integer formula; n_bytes pins the box layout
     // (16-byte ftyp + 8-byte moov header + 108-byte mvhd + 100 per trak)

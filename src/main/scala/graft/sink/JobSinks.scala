@@ -79,9 +79,10 @@ object JobSinks {
   /** S9, literal form: write `df` as a REAL SQLite database file
     * (`sqlite3 jobs.db 'SELECT * FROM jobs'` works on the output —
     * README.md:61-69's exact downstream surface) via the pure-JVM
-    * [[SqliteWriter]], no JDBC driver involved. Driver-collected:
-    * dimension/metadata scale only, like the reference's jobs.db —
-    * fact data stays parquet.
+    * [[SqliteWriter]], no JDBC driver involved. Streams one partition
+    * at a time through the driver (`toLocalIterator` + incremental page
+    * assembly) — the single local output file is a disk-bound funnel,
+    * not a driver-heap bound, though fact data still belongs in parquet.
     */
   def writeSqlite(df: DataFrame, path: String, table: String = "jobs"): Unit =
     SqliteWriter.write(df, path, table)

@@ -1,6 +1,6 @@
 package graft.sink
 
-import java.io.{FileOutputStream, ByteArrayOutputStream}
+import java.io.ByteArrayOutputStream
 import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.{DataFrame, Row}
@@ -17,9 +17,13 @@ import org.apache.spark.sql.types._
   *  - each row's record must fit a leaf page's local payload
   *    (~4 KB — no overflow chains), the natural shape of the
   *    reference's job rows;
-  *  - multi-level interior b-tree (no structural row cap); still a
-  *    driver-side DIMENSION/metadata sink like the reference's
-  *    jobs.db, never a fact-data path — facts stay parquet.
+  *  - multi-level interior b-tree (no structural row cap), and the
+  *    writer STREAMS: rows arrive one executor partition at a time
+  *    (`toLocalIterator`), leaf pages go straight to disk as they fill,
+  *    and the only retained state is one (page, max-rowid) tuple per
+  *    ~4 KB page — driver heap stays flat at fact scale. The output is
+  *    still a single local file (like the reference's jobs.db), so the
+  *    funnel is the disk, not memory.
   *
   * Layout written: page 1 = 100-byte header + sqlite_schema leaf
   * holding the CREATE TABLE row; pages 2..k+1 = table leaves packed in
@@ -147,22 +151,10 @@ object SqliteWriter {
   /** Greedy fill: cells per leaf limited by free space (usable - 8
     * header, 2 pointer bytes per cell).
     */
-  private def packLeaves(cells: Seq[Array[Byte]], headerRoom: Int = 8)
-      : Seq[Seq[Array[Byte]]] = {
-    val pages = scala.collection.mutable.ArrayBuffer[Seq[Array[Byte]]]()
-    var cur = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
-    var used = headerRoom
-    cells.foreach { c =>
-      val need = c.length + 2
-      require(c.length <= PAGE - 35,
-        s"row payload ${c.length} exceeds single-page local maximum")
-      if (used + need > PAGE) {
-        pages.append(cur.toSeq); cur = scala.collection.mutable.ArrayBuffer(); used = headerRoom
-      }
-      cur.append(c); used += need
-    }
-    if (cur.nonEmpty || pages.isEmpty) pages.append(cur.toSeq)
-    pages.toSeq
+  private def leafFits(used: Int, cell: Array[Byte]): Boolean = {
+    require(cell.length <= PAGE - 35,
+      s"row payload ${cell.length} exceeds single-page local maximum")
+    used + cell.length + 2 <= PAGE
   }
 
   // ---- public API ---------------------------------------------------------
@@ -174,24 +166,45 @@ object SqliteWriter {
       throw new IllegalArgumentException(s"unsupported sqlite column type $other")
   }
 
-  /** Write `df` (driver-collected — dimension/metadata scale) as a real
-    * SQLite database file holding one `table`.
+  /** Write `df` as a real SQLite database file holding one `table`.
+    *
+    * Streams via `toLocalIterator` — the driver holds ONE partition of
+    * rows plus ONE leaf page under assembly at a time, never the whole
+    * DataFrame, so a fact-scale input costs time and disk but not driver
+    * heap. (Single-file SQLite output is inherently a single-writer
+    * funnel; the bound removed here is memory, not the funnel.)
     */
   def write(df: DataFrame, path: String, table: String): Unit = {
     val schema = df.schema
     schema.fields.foreach(f => sqlTypeName(f.dataType)) // validate early
-    val rows = df.collect()
-    writeRows(schema, rows, path, table)
+    writeRows(schema, scala.jdk.CollectionConverters
+      .IteratorHasAsScala(df.toLocalIterator()).asScala, path, table)
   }
 
-  private[graft] def writeRows(schema: StructType, rows: Array[Row],
+  private[graft] def writeRows(schema: StructType, rows: IterableOnce[Row],
                                path: String, table: String): Unit = {
     val createSql = schema.fields
       .map(f => s""""${f.name}" ${sqlTypeName(f.dataType)}""")
       .mkString(s"CREATE TABLE \"$table\"(", ", ", ")")
 
-    // table rows -> leaf cells in rowid order
-    val leafCells = rows.zipWithIndex.map { case (r, i) =>
+    // Leaf pages stream straight to disk at their final offsets (pages
+    // 2..nLeaves+1 in rowid order); only the (page, max-rowid) index —
+    // one entry per ~4 KB page — is retained for the interior levels.
+    val raf = new java.io.RandomAccessFile(path, "rw")
+    try {
+    raf.setLength(0)
+    val leafIndex = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+    var nextPage = 2
+    def emitLeaf(cells: Seq[Array[Byte]], maxRowid: Long): Unit = {
+      raf.seek((nextPage - 1).toLong * PAGE)
+      raf.write(pageImage(13, cells, headerAt = 0))
+      leafIndex.append((nextPage, maxRowid))
+      nextPage += 1
+    }
+    var cur = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    var used = 8
+    var rowCount = 0L
+    rows.iterator.foreach { r =>
       val vals = schema.fields.indices.map { j =>
         if (r.isNullAt(j)) null
         else schema.fields(j).dataType match {
@@ -200,10 +213,16 @@ object SqliteWriter {
           case IntegerType => r.getInt(j).toLong
         }
       }
-      leafCell(i + 1L, record(vals))
-    }.toSeq
-    val leaves = packLeaves(leafCells)
-    val nLeaves = leaves.size
+      rowCount += 1
+      val cell = leafCell(rowCount, record(vals))
+      if (!leafFits(used, cell)) {
+        emitLeaf(cur.toSeq, rowCount - 1)
+        cur = scala.collection.mutable.ArrayBuffer(); used = 8
+      }
+      cur.append(cell); used += cell.length + 2
+    }
+    if (cur.nonEmpty || leafIndex.isEmpty) emitLeaf(cur.toSeq, rowCount)
+    val nLeaves = leafIndex.size
 
     // page plan: 1 = schema; 2..nLeaves+1 = leaves (rowid order); then
     // interior levels bottom-up, each page fanning into <= FANOUT
@@ -212,13 +231,7 @@ object SqliteWriter {
     // Interior cell = 4-byte child page + varint(largest rowid in that
     // child's subtree); the level's right-most child rides the header.
     val FANOUT = 200 // 200 * (4 + <=9 + 2) + 12 bytes <= PAGE, any rowid width
-    var rowid = 0L
-    var level: Seq[(Int, Long)] = leaves.zipWithIndex.map { case (cells, i) =>
-      rowid += cells.size
-      (i + 2, rowid) // (page number, max rowid in subtree)
-    }
-    var nextPage = nLeaves + 2
-    val interiorPages = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    var level: Seq[(Int, Long)] = leafIndex.toSeq
     // balanced grouping, NOT grouped(FANOUT): a trailing group of size 1
     // would become an interior page with ZERO cells (right-most pointer
     // only), which real sqlite3's moveToLeftmost cannot traverse. Evenly
@@ -242,8 +255,8 @@ object SqliteWriter {
           out.write(varint(key))
           out.toByteArray
         }
-        interiorPages.append(
-          pageImage(5, cells, headerAt = 0, rightMost = group.last._1))
+        raf.seek((nextPage - 1).toLong * PAGE)
+        raf.write(pageImage(5, cells, headerAt = 0, rightMost = group.last._1))
         val pageNo = nextPage
         nextPage += 1
         (pageNo, group.last._2)
@@ -283,11 +296,8 @@ object SqliteWriter {
     hdr.write(be32(SQLITE_VERSION_NUMBER))
     System.arraycopy(hdr.toByteArray, 0, page1, 0, 100)
 
-    val out = new FileOutputStream(path)
-    try {
-      out.write(page1)
-      leaves.foreach(cells => out.write(pageImage(13, cells, headerAt = 0)))
-      interiorPages.foreach(out.write)
-    } finally out.close()
+    raf.seek(0)
+    raf.write(page1)
+    } finally raf.close()
   }
 }

@@ -191,6 +191,38 @@ class SqliteSinkSpec extends SparkSpec {
     }
   }
 
+  test("fact-scale write streams: driver live-set stays flat over ~300 MB of rows") {
+    import org.apache.spark.sql.types._
+    val dir = Paths.get("/tmp/graft_sqlite_check")
+    Files.createDirectories(dir)
+    val path = dir.resolve("streamed.db").toString
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("pad", StringType)))
+    val n = 300000
+    val rt = Runtime.getRuntime
+    def usedAfterGc(): Long = { System.gc(); rt.totalMemory() - rt.freeMemory() }
+    val baseline = usedAfterGc()
+    var peakOverBaseline = 0L
+    // rows are GENERATED lazily; a writer that buffered cells (the old
+    // collect()-based shape) would hold ~300 MB live and fail the probe —
+    // the streaming writer's live set is one leaf page + the page index
+    val rows = Iterator.tabulate(n) { i =>
+      if (i % 25000 == 24999)
+        peakOverBaseline = math.max(peakOverBaseline, usedAfterGc() - baseline)
+      org.apache.spark.sql.Row(i.toLong, s"第${i}行" + "x" * 1000)
+    }
+    SqliteWriter.writeRows(schema, rows, path, "jobs")
+    assert(peakOverBaseline < 150L * 1024 * 1024,
+      s"driver live-set grew ${peakOverBaseline / 1024 / 1024} MB during a " +
+        "streamed write — writer is buffering rows")
+    val bytes = Files.readAllBytes(Paths.get(path))
+    assert(bytes.length > 300 * 1024 * 1024, s"file only ${bytes.length} bytes")
+    val back = readAll(path)
+    assert(back.size == n)
+    assert(back.head == Seq(0L, "第0行" + "x" * 1000))
+    assert(back(n - 1) == Seq((n - 1).toLong, s"第${n - 1}行" + "x" * 1000))
+  }
+
   test("varint: 9-byte form carries 8 literal bits in the last byte") {
     val v = (1L << 56) | 0xab
     val b = SqliteWriter.varint(v)
@@ -208,7 +240,7 @@ class SqliteSinkSpec extends SparkSpec {
     val schema = StructType((0 until 200).map(i =>
       StructField("very_long_column_name_padding_" + "x" * 20 + i, StringType)))
     val ex = intercept[IllegalArgumentException] {
-      SqliteWriter.writeRows(schema, Array.empty,
+      SqliteWriter.writeRows(schema, Array.empty[org.apache.spark.sql.Row],
         Files.createTempDirectory("sqlite").resolve("wide.db").toString, "t")
     }
     assert(ex.getMessage.contains("schema page"))

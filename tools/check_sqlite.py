@@ -28,6 +28,9 @@ CHECKS = [
     ("/tmp/graft_sqlite_check/deep.db",  # 60k rows, two interior levels
      "SELECT count(*), max(k), sum(k) FROM jobs",
      [(60000, 59999 * 3, sum(i * 3 for i in range(60000)))]),
+    ("/tmp/graft_sqlite_check/streamed.db",  # ~300 MB, iterator-streamed
+     "SELECT count(*), min(k), max(k), sum(k) FROM jobs",
+     [(300000, 0, 299999, sum(range(300000)))]),
 ]
 
 ok = True

@@ -291,6 +291,109 @@ object JobRecordGate {
         .toDF("n_errors", "n_rows", "decision")
     }),
 
+    // ---- q115: the streaming ERROR-BUDGET STOP (T5, test.py:129-144
+    // `max_errors=3` abort) driver-gated, not just spec'd: crawl ticks
+    // land one file per micro-batch (maxFilesPerTrigger=1, mtime-ordered),
+    // ticks 0-3 carry 20 extractable rows + ONE corrupt row each, ticks
+    // 4-10 are wholly corrupt. The stream observes the corrupt count
+    // ("budget"), filters corrupt rows before the sink, and
+    // ErrorBudgetListener STOPS the otherwise-unbounded ProcessingTime
+    // query once cumulative errors exceed 3 — which by construction can
+    // only happen after every extractable row is committed, so the
+    // partial output is exactly ticks 0-3's good rows no matter where in
+    // the corrupt tail the async stop lands. `stopped_by_budget` is
+    // awaitTermination's verdict on a query that ONLY the listener can
+    // terminate (a broken listener times out -> FALSE -> hash mismatch),
+    // and the row aggregate re-enters the same oracle as q102.
+    "q115_stream_error_budget" -> ((s, d) => {
+      val zone = freshZone("graft-budget-", d)
+      val inDir = new java.io.File(zone, "in"); inDir.mkdirs()
+      val outDir = new java.io.File(zone, "jobs").getAbsolutePath
+      val ckDir = new java.io.File(zone, "ck").getAbsolutePath
+      val t0 = System.currentTimeMillis() - 7200000L
+      val corruptLine =
+        """{"job_name":"壞","job_url":"bad://dropped","crawl_ts":"2025-01-01T00:00:00.000Z"}"""
+      (0 until 4).foreach { i =>
+        val stage = new java.io.File(zone, s"stage$i")
+        snapshot(s, d, 1, i * 20, (i + 1) * 20).coalesce(1)
+          .write.mode("overwrite").json(stage.getAbsolutePath)
+        val part = stage.listFiles().find(_.getName.startsWith("part-")).get
+        val dest = new java.io.File(inDir, f"tick$i%02d.json")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        java.nio.file.Files.write(dest.toPath,
+          (corruptLine + "\n").getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.APPEND)
+        dest.setLastModified(t0 + i * 1000L)
+      }
+      (4 until 11).foreach { i =>
+        val dest = new java.io.File(inDir, f"tick$i%02d.json")
+        java.nio.file.Files.write(dest.toPath,
+          ((corruptLine + "\n") * 5).getBytes("UTF-8"))
+        dest.setLastModified(t0 + i * 1000L)
+      }
+      import graft.streaming.{JobSnapshotStream => JS, StatefulOps}
+      val raw = JS.readSnapshotsPaced(s, inDir.getAbsolutePath)
+      val metered = StatefulOps.withErrorMetric(raw, JS.isCorrupt, "budget")
+      val cleaned = JS.clean(metered.filter(!JS.isCorrupt))
+      val listener = new StatefulOps.ErrorBudgetListener(s, 3, "budget")
+      s.streams.addListener(listener)
+      val q = JS.toJobsTable(JS.dedup(cleaned), outDir, ckDir,
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+      val stopped =
+        try q.awaitTermination(120000)
+        finally { if (q.isActive) q.stop(); s.streams.removeListener(listener) }
+      jobsTableAgg(s.read.parquet(outDir))
+        .withColumn("stopped_by_budget", lit(stopped))
+        .withColumn("budget_exceeded", lit(listener.budgetExceeded))
+    }),
+
+    // ---- q116: JPEG decode in the gate — the last decode modality out
+    // of spec-only. JPEG is LOSSY, so the q60/q63 bounded-error pattern
+    // applies instead of exact pixel sums: solid-color images (one
+    // 8x8-block-aligned color field per id, colors kept in [32,224) so
+    // chroma subsampling can't clip) encode through the JDK JPEG writer
+    // on executors, ImageIoDecoder decodes them back inside featurize,
+    // and the gate hashes exact dimensions plus per-channel
+    // |decoded mean - formula color| <= 8 booleans the oracle states as
+    // TRUE. A decoder that misparses SOF dimensions, channel order, or
+    // the color transform fails the hash; codec-version noise cannot.
+    "q116_jpeg_decode" -> ((s, d) => {
+      import s.implicits._
+      val W = 16; val H = 8
+      val encode = udf((id: Long) => {
+        val r = (32 + (id * 37) % 192).toInt
+        val g = (32 + (id * 41) % 192).toInt
+        val b = (32 + (id * 43) % 192).toInt
+        val img = new java.awt.image.BufferedImage(
+          W, H, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var p = 0
+        while (p < W * H) { img.setRGB(p % W, p / W, (r << 16) | (g << 8) | b); p += 1 }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      })
+      val media = Tables.rebalance(
+          Tables.documents(s, d).filter(col("doc_id") < 200)
+            .select(col("doc_id").as("media_id")))
+        .withColumn("payload", encode(col("media_id")))
+        .select(col("media_id"),
+          struct(lit("image").as("kind"), lit(W).as("declaredWidth"),
+                 lit(H).as("declaredHeight"), lit(0).as("sampleRate")).as("meta"),
+          col("payload"))
+        .as[graft.multimodal.MediaOps.MediaRecord]
+      graft.multimodal.MediaOps.featurize(media).toDF()
+        .select(col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          (abs(element_at(col("feature"), 1).cast("double") * 255 -
+            (lit(32) + pmod(col("media_id") * 37, lit(192)))) <= 8).as("r_in_tol"),
+          (abs(element_at(col("feature"), 2).cast("double") * 255 -
+            (lit(32) + pmod(col("media_id") * 41, lit(192)))) <= 8).as("g_in_tol"),
+          (abs(element_at(col("feature"), 3).cast("double") * 255 -
+            (lit(32) + pmod(col("media_id") * 43, lit(192)))) <= 8).as("b_in_tol"))
+        .orderBy(col("media_id"))
+    }),
+
     // ---- q107: the LIVE transport inside the gate — a real HTTP server
     // (deterministic reference-shaped job board on localhost, no
     // egress), the executor-side crawl (S1 search pages + S4 detail
@@ -857,12 +960,56 @@ object JobRecordGate {
         |  min(job_url) AS first_url, max(company) AS last_company
         |FROM q GROUP BY 1, 2 ORDER BY quality, actively_hiring""".stripMargin,
 
+    // good rows = ticks 0-3 only (doc_id < 80); the booleans assert the
+    // listener actually terminated the unbounded query
+    "q115_stream_error_budget" ->
+      """WITH u AS (SELECT doc_id FROM documents WHERE doc_id < 80),
+        |c AS (
+        |  SELECT doc_id,
+        |    '職' || doc_id AS job_name,
+        |    'https://www.104.com.tw/job/j' || doc_id AS job_url,
+        |    CASE WHEN doc_id % 10 = 0 THEN '' ELSE '公司' || (doc_id % 30) END AS company,
+        |    CASE WHEN doc_id % 7 = 3 THEN '' ELSE '2025/03/01' END AS update_date,
+        |    CASE WHEN doc_id % 4 = 0 THEN '是' ELSE '否' END AS actively_hiring,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'N/A' ELSE '3~8' END AS applicants,
+        |    'j' || doc_id AS apply_code,
+        |    CASE WHEN doc_id % 2 = 0 THEN '' ELSE '需負擔管理責任' END AS management,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'Python、SQL' ELSE '' END AS tools,
+        |    '大學' AS education,
+        |    CASE WHEN doc_id % 6 = 5 THEN '月薪40000' ELSE '' END AS salary
+        |  FROM u),
+        |q AS (
+        |  SELECT *,
+        |    (CASE WHEN job_name = '' THEN 1 ELSE 0 END
+        |   + CASE WHEN company = '' THEN 1 ELSE 0 END
+        |   + CASE WHEN update_date = '' THEN 1 ELSE 0 END
+        |   + CASE WHEN applicants = '' THEN 1 ELSE 0 END
+        |   + CASE WHEN management = '' THEN 1 ELSE 0 END
+        |   + CASE WHEN tools = '' THEN 1 ELSE 0 END
+        |   + CASE WHEN education = '' THEN 1 ELSE 0 END
+        |   + CASE WHEN salary = '' THEN 1 ELSE 0 END) AS n_empty
+        |  FROM c)
+        |SELECT CASE WHEN n_empty > 4 THEN 'error' ELSE 'ok' END AS quality,
+        |  actively_hiring, count(*) AS n,
+        |  sum(length(job_name))::BIGINT AS name_chars,
+        |  count(DISTINCT apply_code) AS n_codes,
+        |  min(job_url) AS first_url, max(company) AS last_company,
+        |  TRUE AS stopped_by_budget, TRUE AS budget_exceeded
+        |FROM q GROUP BY 1, 2 ORDER BY quality, actively_hiring""".stripMargin,
+
     "q106_error_budget" ->
       """SELECT sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_errors,
         |  count(*) AS n_rows,
         |  CASE WHEN sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) > 3
         |       THEN 'stop' ELSE 'continue' END AS decision
         |FROM events""".stripMargin,
+
+    // dimensions exact; the lossy channel means collapse to the q60/q63
+    // bounded-error booleans the oracle can state
+    "q116_jpeg_decode" ->
+      """SELECT doc_id AS media_id, 16::BIGINT AS width, 8::BIGINT AS height,
+        |  TRUE AS r_in_tol, TRUE AS g_in_tol, TRUE AS b_in_tol
+        |FROM documents WHERE doc_id < 200 ORDER BY media_id""".stripMargin,
 
     // every output field is a pure (keyword, index) formula: what the
     // fixture server renders into HTML, the crawl+extract+clean+pivot

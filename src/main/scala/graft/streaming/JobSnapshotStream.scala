@@ -35,6 +35,23 @@ object JobSnapshotStream {
   def readSnapshots(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(rawSchema).json(dir)
 
+  /** One file per micro-batch, oldest first — the reference's
+    * one-scroll-per-tick pacing (T4), and the shape that makes the
+    * error-budget stop deterministic (each tick's errors are observed
+    * before the next tick starts).
+    */
+  def readSnapshotsPaced(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", 1).json(dir)
+
+  /** A snapshot row that failed extraction (the reference's per-record
+    * try/except, test.py:129-144): no parseable job URL means no record
+    * key — the row is counted against the error budget and never
+    * reaches the sink.
+    */
+  def isCorrupt: org.apache.spark.sql.Column =
+    col("job_url").isNull || !col("job_url").startsWith("https://www.104.com.tw/job/")
+
   /** The cleaning stage — identical operators to the batch path
     * (JobOps), applied to the stream: plan-level reuse, no forked logic.
     */
@@ -58,12 +75,13 @@ object JobSnapshotStream {
     cleaned.withWatermark("crawl_ts", "1 hour")
       .dropDuplicatesWithinWatermark("job_url")
 
-  def toJobsTable(df: DataFrame, outDir: String, checkpointDir: String):
+  def toJobsTable(df: DataFrame, outDir: String, checkpointDir: String,
+                  trigger: Trigger = Trigger.AvailableNow()):
       DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream
       .format("parquet")
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .outputMode("append")
 }

@@ -32,15 +32,35 @@ object JobRecordGate {
 
   private val N_JOBS = 120
 
+  /** Scratch zone for a gate query's stream/sink dirs. Keyed by dataset
+    * dir AND process (PID@host) so two concurrent drivers on the same SF
+    * (bench next to verify) can never rm -rf each other's in-flight
+    * zones; re-running a query in the SAME process still gets the
+    * pre-delete it needs for a fresh checkpoint. Zones are registered
+    * for deletion on JVM exit.
+    */
   private[graft] def freshZone(prefix: String, d: String): java.io.File = {
     val zone = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      prefix + d.replaceAll("[^A-Za-z0-9.]", "_"))
+      prefix + d.replaceAll("[^A-Za-z0-9.]", "_") + "-" +
+        java.lang.ProcessHandle.current().pid())
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
     }
     rm(zone)
+    exitZones.synchronized { exitZones += zone }
     zone
+  }
+
+  private lazy val exitZones: scala.collection.mutable.Set[java.io.File] = {
+    val zones = scala.collection.mutable.Set[java.io.File]()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      zones.synchronized { zones.foreach(rm) }
+    }))
+    zones
   }
 
   /** One crawler tick's raw snapshot (JobSnapshotStream.rawSchema fields,

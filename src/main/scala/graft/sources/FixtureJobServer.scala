@@ -48,6 +48,18 @@ object FixtureJobServer {
     * stops. `failKeywords` respond 500 (error-budget test hook).
     */
   def start(failKeywords: Set[String] = Set.empty): (HttpServer, String) = {
+    val (server, _) = startLogged(failKeywords)
+    (server, s"http://127.0.0.1:${server.getAddress.getPort}")
+  }
+
+  /** Like [[start]], but also returns a thread-safe arrival log of
+    * (path, System.nanoTime) per request — the measurement surface for
+    * the T4 politeness contract (HttpCrawlSpec asserts inter-arrival
+    * gaps, not client-side sleeps).
+    */
+  def startLogged(failKeywords: Set[String] = Set.empty)
+      : (HttpServer, java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]) = {
+    val log = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     val base = s"http://127.0.0.1:${server.getAddress.getPort}"
     def respond(ex: HttpExchange, code: Int, body: String): Unit = {
@@ -57,6 +69,7 @@ object FixtureJobServer {
       ex.getResponseBody.write(b); ex.close()
     }
     server.createContext("/search", (ex: HttpExchange) => {
+      log.add((ex.getRequestURI.getPath, System.nanoTime()))
       val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
       val kw = java.net.URLDecoder.decode(
         q.split("&").find(_.startsWith("keyword=")).map(_.drop(8)).getOrElse(""),
@@ -66,9 +79,11 @@ object FixtureJobServer {
         (0 until JOBS_PER_KEYWORD).map(jobArticle(base, kw, _)).mkString("\n")
       }</body></html>")
     })
-    server.createContext("/job", (ex: HttpExchange) =>
-      respond(ex, 200, detailHtml(ex.getRequestURI.getPath.split("/").last)))
+    server.createContext("/job", (ex: HttpExchange) => {
+      log.add((ex.getRequestURI.getPath, System.nanoTime()))
+      respond(ex, 200, detailHtml(ex.getRequestURI.getPath.split("/").last))
+    })
     server.start()
-    (server, base)
+    (server, log)
   }
 }

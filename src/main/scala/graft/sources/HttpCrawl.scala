@@ -25,14 +25,50 @@ import org.apache.spark.sql.functions._
   * deployment would swap in a real HTML parser (e.g. jsoup) behind
   * `extractJobRows`/`extractDetailRows` without touching the pipeline.
   *
-  * Rate limiting (T4: the reference sleeps 5/3/3/2 s between requests)
-  * is `delayMs` applied between fetches WITHIN a task; the error budget
-  * (A8/T5, `max_errors=3`) is enforced per task — the distributed form
-  * of the reference's global counter — with failures also counted on a
-  * Spark accumulator so the driver can report/stop like
-  * `ErrorBudgetListener` does for streams.
+  * Rate limiting (T4: the reference sleeps 5/3/3/2 s between requests,
+  * single-browser-sequential — test.py:136,178): `delayMs` is a
+  * PER-HOST minimum interval enforced by a JVM-global token slot
+  * ([[hostThrottle]]), so N parallel tasks in an executor cannot
+  * multiply the request rate against one host — aggregate rate within
+  * an executor is <= 1/delayMs per host regardless of parallelism. On a
+  * multi-executor cluster each executor throttles independently
+  * (aggregate <= executors/delayMs); for the reference's literal
+  * one-request-at-a-time mode, set `maxParallelism = 1` (both crawl
+  * stages cap their partition count with it). The error budget (A8/T5,
+  * `max_errors=3`) is enforced per task — the distributed form of the
+  * reference's global counter — with failures also counted on a Spark
+  * accumulator so the driver can report/stop like `ErrorBudgetListener`
+  * does for streams.
   */
 object HttpCrawl {
+
+  /** Per-host politeness gate: `acquire` reserves the next send slot
+    * for `host` (CAS on a monotonically advancing deadline) and sleeps
+    * until it arrives — successive acquisitions for one host are spaced
+    * >= minIntervalMs apart across ALL threads of this JVM, while
+    * distinct hosts never wait on each other.
+    */
+  private[graft] object hostThrottle {
+    private val slots =
+      new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+    def acquire(host: String, minIntervalMs: Long): Unit = {
+      if (minIntervalMs <= 0) return
+      val slot = slots.computeIfAbsent(host,
+        _ => new java.util.concurrent.atomic.AtomicLong(Long.MinValue))
+      var startNs = 0L
+      var reserved = false
+      while (!reserved) {
+        val now = System.nanoTime()
+        val prev = slot.get()
+        startNs = math.max(now, prev)
+        reserved = slot.compareAndSet(prev, startNs + minIntervalMs * 1000000L)
+      }
+      val waitMs = (startNs - System.nanoTime()) / 1000000L
+      if (waitMs > 0) Thread.sleep(waitMs)
+    }
+    def acquireFor(url: String, minIntervalMs: Long): Unit =
+      acquire(URI.create(url).getHost, minIntervalMs)
+  }
 
   case class JobRow(keyword: String, job_name: String, job_url: String,
                     company: String, update_date: String, tag: String,
@@ -122,10 +158,10 @@ object HttpCrawl {
       .mapPartitions { kws =>
         var errors = 0
         kws.flatMap { kw =>
-          if (delayMs > 0) Thread.sleep(delayMs)
           try {
             val url = urlTemplate.replace("{keyword}",
               java.net.URLEncoder.encode(kw, "UTF-8"))
+            hostThrottle.acquireFor(url, delayMs)
             extractJobRows(fetchPage(url)).map { case (n, u, c, d, t, a) =>
               JobRow(kw, n, u, c, d, t, a)
             }
@@ -147,17 +183,25 @@ object HttpCrawl {
     * sequential browser. Feeds `JobOps.kvPivotFirst` keyed on job_url.
     */
   def crawlDetails(jobs: Dataset[JobRow], delayMs: Long = 0L,
-                   maxErrors: Int = 3): Dataset[DetailRow] = {
+                   maxErrors: Int = 3,
+                   maxParallelism: Int = Int.MaxValue): Dataset[DetailRow] = {
     val spark = jobs.sparkSession
     import spark.implicits._
     val errs = spark.sparkContext.longAccumulator("graft.detail.errors")
     jobs.select(col("job_url")).as[String].distinct()
+      // same politeness ceiling as crawlKeywords: without it the
+      // distinct() spreads over defaultParallelism partitions and a
+      // single host sees that many concurrent request streams
+      .repartition(math.max(1,
+        math.min(maxParallelism, spark.sparkContext.defaultParallelism)))
       .mapPartitions { urls =>
         var errors = 0
         urls.flatMap { u =>
-          if (delayMs > 0) Thread.sleep(delayMs)
-          try extractDetailRows(fetchPage(u)).map { case (p, l, v) =>
-            DetailRow(u, p, l, v)
+          try {
+            hostThrottle.acquireFor(u, delayMs)
+            extractDetailRows(fetchPage(u)).map { case (p, l, v) =>
+              DetailRow(u, p, l, v)
+            }
           } catch {
             case e: Exception =>
               errors += 1; errs.add(1)

@@ -404,7 +404,13 @@ object KeywordScanUtil {
     * space as %20, keeps [A-Za-z0-9._-] verbatim (existing ASCII zones
     * keep their exact layout), and decodes defensively: a '%' not
     * followed by two hex digits is a literal '%', so legacy RAW
-    * (unencoded) directories read back as themselves. Compatibility
+    * (unencoded) directories read back as themselves — UNLESS the raw
+    * name itself contains a valid %XX triple (a pre-codec dir literally
+    * named "50%AB" reads back as keyword "50«"); such names are
+    * indistinguishable from encoded output, and the decode wins. A zone
+    * carrying legacy dirs with literal %-hex-hex names must re-land
+    * those keywords (or rename the dirs) before mixing in encoded ones.
+    * Compatibility
     * contract: raw-ASCII zones (every zone any shipped round wrote) and
     * this codec's zones are both readable; dirs written by a transient
     * URLEncoder build ('+' for space, verbatim '*') are NOT — re-land

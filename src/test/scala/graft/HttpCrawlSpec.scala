@@ -78,6 +78,37 @@ class HttpCrawlSpec extends SparkSpec with BeforeAndAfterAll {
     assert(first.getAs[String]("vacation") == null)            // absent label
   }
 
+  test("T4 politeness: parallel tasks cannot multiply the per-host rate") {
+    import scala.jdk.CollectionConverters._
+    val (srv, log) = FixtureJobServer.startLogged()
+    try {
+      val base2 = s"http://127.0.0.1:${srv.getAddress.getPort}"
+      // 8 keywords spread over up to 8 tasks, all against ONE host: the
+      // per-host token slot must space the requests >= delayMs apart no
+      // matter how the partitioner lays them out. Measured at the SERVER
+      // (inter-arrival gaps), not as client-side sleep accounting.
+      HttpCrawl.crawlKeywords(spark, (0 until 8).map(i => s"kw$i"),
+        s"$base2/search?keyword={keyword}", delayMs = 100L).collect()
+      val arrivals = log.asScala.toSeq.collect {
+        case (p, t) if p.startsWith("/search") => t
+      }.sorted
+      assert(arrivals.size == 8)
+      val gapsMs = arrivals.sliding(2).map(p => (p(1) - p(0)) / 1e6).toSeq
+      // 70 ms floor = 100 ms reservation spacing minus localhost
+      // scheduling jitter; a parallelism-multiplied crawl would show
+      // near-zero gaps
+      assert(gapsMs.forall(_ >= 70.0), s"inter-arrival gaps $gapsMs ms")
+    } finally srv.stop(0)
+
+    // distinct hosts never wait on each other
+    val t0 = System.nanoTime()
+    HttpCrawl.hostThrottle.acquire("host-a", 500L)
+    HttpCrawl.hostThrottle.acquire("host-b", 500L)
+    HttpCrawl.hostThrottle.acquire("host-c", 500L)
+    assert((System.nanoTime() - t0) / 1e6 < 250.0,
+      "first acquisition per host must not wait")
+  }
+
   test("full path: crawl -> graft-keyword landing zone -> connector scan") {
     val zone = java.nio.file.Files.createTempDirectory("crawlzone").toString
     val df = HttpCrawl.crawlToZone(spark, Seq("區塊鏈", "後端"),

@@ -24,6 +24,14 @@ import org.apache.spark.unsafe.types.UTF8String
 class SpaceSavingBuffer(val capacity: Int) extends Serializable {
   val counters: mutable.HashMap[String, (Long, Long)] = mutable.HashMap.empty
 
+  /** True once any eviction happened: the sketch has LEFT the exact
+    * regime, silently saturating would otherwise be undiagnosable
+    * (ADVICE r5: capacity headroom can vanish with corpus growth).
+    * Surfaced per-entry as `sat` by [[SpaceSavingTopK]] so queries can
+    * GATE on it.
+    */
+  var evicted: Boolean = false
+
   def add(item: String, weight: Long = 1L): Unit = {
     counters.get(item) match {
       case Some((c, e)) => counters.update(item, (c + weight, e))
@@ -33,6 +41,7 @@ class SpaceSavingBuffer(val capacity: Int) extends Serializable {
         val (minItem, (minC, _)) = counters.minBy { case (i, (c, _)) => (c, i) }
         counters.remove(minItem)
         counters.update(item, (minC + weight, minC))
+        evicted = true
     }
   }
 
@@ -41,6 +50,7 @@ class SpaceSavingBuffer(val capacity: Int) extends Serializable {
     * weight (exact regime: plain map union with summed counts).
     */
   def merge(other: SpaceSavingBuffer): Unit = {
+    evicted ||= other.evicted
     other.counters.foreach { case (item, (c, e)) =>
       counters.get(item) match {
         case Some((c0, e0)) => counters.update(item, (c0 + c, e0 + e))
@@ -66,7 +76,8 @@ case class SpaceSavingTopK(
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
-    StructField("item", StringType), StructField("cnt", LongType))))
+    StructField("item", StringType), StructField("cnt", LongType),
+    StructField("err", LongType), StructField("sat", BooleanType))))
 
   override def createAggregationBuffer(): SpaceSavingBuffer =
     new SpaceSavingBuffer(capacity)
@@ -82,11 +93,14 @@ case class SpaceSavingTopK(
   }
 
   override def eval(buf: SpaceSavingBuffer): Any = {
+    // err = the entry's inherited eviction error (cnt is exact iff 0);
+    // sat = sketch-wide saturation flag (false <=> the WHOLE sketch ran
+    // in the exact regime, so top-k selection itself is exact)
     val top = buf.counters.toSeq
       .sortBy { case (item, (c, _)) => (-c, item) }
       .take(k)
-      .map { case (item, (c, _)) =>
-        InternalRow(UTF8String.fromString(item), c)
+      .map { case (item, (c, e)) =>
+        InternalRow(UTF8String.fromString(item), c, e, buf.evicted)
       }
     new GenericArrayData(top.toArray[Any])
   }
@@ -95,6 +109,7 @@ case class SpaceSavingTopK(
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.capacity)
+    out.writeBoolean(buf.evicted)
     out.writeInt(buf.counters.size)
     buf.counters.foreach { case (item, (c, e)) =>
       out.writeUTF(item); out.writeLong(c); out.writeLong(e)
@@ -106,6 +121,7 @@ case class SpaceSavingTopK(
   override def deserialize(bytes: Array[Byte]): SpaceSavingBuffer = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val buf = new SpaceSavingBuffer(in.readInt())
+    buf.evicted = in.readBoolean()
     val n = in.readInt()
     var i = 0
     while (i < n) {

@@ -454,6 +454,62 @@ object JobRecordGate {
       } finally server.stop(0)
     }),
 
+    // ---- q117: the STREAMING form of the live transport — the
+    // reference's scroll loop (test.py:156-166,557-566) composed from
+    // both halves that q107 and q105 gate separately: each crawl tick
+    // fetches over real HTTP and lands through the DSv2 zone's two-phase
+    // epoch commit (crawler writes), the zone is a MICRO_BATCH_READ
+    // source (connector streams), and ONE checkpoint spans two drains —
+    // run 2's tick re-crawls 後端 (duplicate job_urls) plus a new
+    // keyword, so the connector's file-watermark offsets must skip
+    // run-1 snapshots and the restored dropDuplicatesWithinWatermark
+    // state must drop the re-crawl across RUNS. Every surviving row is
+    // a pure (keyword, i) formula the oracle restates; 後端 appearing
+    // once (not twice) is what proves resume + cross-run dedup.
+    "q117_crawl_stream_resume" -> ((s, d) => {
+      val zone = freshZone("graft-crawlstream-", d)
+      val landing = new java.io.File(zone, "zone").getAbsolutePath
+      val outDir = new java.io.File(zone, "jobs").getAbsolutePath
+      val ckDir = new java.io.File(zone, "ck").getAbsolutePath
+      val fields = "job_name:string,job_url:string,company:string," +
+        "update_date:string,tag:string,applicants:string"
+      def drain(): Unit = {
+        val raw = s.readStream.format("graft-keyword")
+          .option("fields", fields).load(landing)
+        val cleaned = raw.select(
+          col("keyword"),
+          trim(col("job_name")).as("job_name"),
+          col("company"),
+          JobOps.cleanUpdateDate(col("update_date")).as("update_date"),
+          JobOps.activelyHiringFlag(col("tag")).as("actively_hiring"),
+          JobOps.cleanApplicants(col("applicants")).as("applicants"),
+          JobOps.applyCode(col("job_url")).as("apply_code"),
+          col("job_url"),
+          current_timestamp().as("crawl_ts"))
+        val q = cleaned.withWatermark("crawl_ts", "1 hour")
+          .dropDuplicatesWithinWatermark("job_url")
+          .drop("crawl_ts")
+          .writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckDir)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .outputMode("append").start()
+        q.awaitTermination()
+      }
+      val (server, base) = graft.sources.FixtureJobServer.start()
+      try {
+        val tmpl = s"$base/search?keyword={keyword}"
+        graft.sources.HttpCrawl.crawlToZone(s, Seq("區塊鏈", "後端"), tmpl, landing)
+        drain()
+        graft.sources.HttpCrawl.crawlToZone(s, Seq("資料", "後端"), tmpl, landing)
+        drain()
+      } finally server.stop(0)
+      s.read.parquet(outDir)
+        .select(col("keyword"), col("apply_code"), col("job_name"),
+          col("company"), col("update_date"), col("actively_hiring"),
+          col("applicants"))
+        .orderBy(col("keyword"), col("apply_code"))
+    }),
+
     // ---- q108: multimodal decode in the gate — deterministic 24-bit
     // BMPs (pixel = pure (id, x, y) formula) are ENCODED on executors,
     // travel as opaque binary columns, and MediaOps.featurize's
@@ -1030,6 +1086,21 @@ object JobRecordGate {
       """SELECT doc_id AS media_id, 16::BIGINT AS width, 8::BIGINT AS height,
         |  TRUE AS r_in_tol, TRUE AS g_in_tol, TRUE AS b_in_tol
         |FROM documents WHERE doc_id < 200 ORDER BY media_id""".stripMargin,
+
+    // 24 rows exactly: the re-crawled 後端 tick must collapse into the
+    // first crawl's rows (resume skips old files; restored dedup state
+    // drops the overlap)
+    "q117_crawl_stream_resume" ->
+      """WITH k AS (SELECT unnest(['區塊鏈', '後端', '資料']) AS keyword),
+        |r AS (SELECT keyword, unnest(range(0, 8)) AS i FROM k)
+        |SELECT keyword,
+        |  keyword || '-' || i AS apply_code,
+        |  '職位' || keyword || i AS job_name,
+        |  '公司' || i AS company,
+        |  '2025/03/0' || (i % 9 + 1) AS update_date,
+        |  CASE WHEN i % 2 = 0 THEN '是' ELSE '否' END AS actively_hiring,
+        |  CASE WHEN i % 3 = 0 THEN 'N/A' ELSE i || '~' || (i + 5) END AS applicants
+        |FROM r ORDER BY keyword, apply_code""".stripMargin,
 
     // every output field is a pure (keyword, index) formula: what the
     // fixture server renders into HTML, the crawl+extract+clean+pivot

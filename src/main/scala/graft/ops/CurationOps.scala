@@ -201,12 +201,17 @@ object CurationOps {
     // same operator runs with capacity << vocabulary as the approximate
     // heavy-hitters pass (error bounded by the evicted minimum —
     // SketchSpec covers that regime).
+    // `exact_regime` = NOT the sketch's saturation flag, GATED true: if
+    // corpus growth ever pushes the distinct-chunk count past capacity,
+    // this query fails with a column that names the cause instead of a
+    // bare hash mismatch (ADVICE r5 — the 2^17 headroom was silent).
     "q96b_chunk_topk_sketch" -> ((s, d) =>
       chunkFrame(s, d)
         .agg(graft.functions.SketchFunctions
           .spaceSavingTopK(col("chunk"), 1 << 17, 20).as("top"))
         .select(explode(col("top")).as("e"))
-        .select(col("e.item").as("chunk"), col("e.cnt").as("cnt"))
+        .select(col("e.item").as("chunk"), col("e.cnt").as("cnt"),
+                (!col("e.sat")).as("exact_regime"))
         .orderBy(col("cnt").desc, col("chunk"))),
 
     // ---- q98: quality-weighted epoch repetition — up-sample the best
@@ -403,7 +408,7 @@ object CurationOps {
         |    [array_to_string(toks[i * $CHUNK_S + 1 : i * $CHUNK_S + $CHUNK_W], ' ')
         |     FOR i IN range(0, (len(toks) - $CHUNK_W) // $CHUNK_S + 1)]) AS chunk
         |  FROM t WHERE len(toks) >= $CHUNK_W)
-        |SELECT chunk, count(*) AS cnt FROM c
+        |SELECT chunk, count(*) AS cnt, TRUE AS exact_regime FROM c
         |GROUP BY chunk ORDER BY cnt DESC, chunk LIMIT 20""".stripMargin,
 
     "q93_commonness_score" ->

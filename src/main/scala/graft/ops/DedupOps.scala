@@ -105,10 +105,21 @@ object DedupOps {
     * (HDFS/S3) on a real cluster so a lost executor re-reads the
     * checkpoint instead of recomputing the shingling from the source.
     *
-    * Band buckets larger than `bandCap` emit no pairs (see BAND_CAP).
+    * Band buckets larger than the effective cap emit no pairs (see
+    * BAND_CAP). With `pairBudgetPerDoc` set, the cap is DERIVED from the
+    * measured bucket-size distribution instead of staying a constant
+    * tuned at one SF: the bucketed frame is materialized once, its size
+    * histogram (tens of rows — the only thing the driver sees) is read,
+    * and the cap rises above the BAND_CAP floor exactly as far as a
+    * total candidate-pair budget of `pairBudgetPerDoc * nDocs` affords,
+    * taking sizes ascending. A corpus whose real duplicate clusters are
+    * 500 wide gets cap >= 500 (recall held — RecallSpec's dup-heavy
+    * case); a corpus with adversarial million-row buckets still drops
+    * them (pair count stays O(corpus), never O(cluster²) unbounded).
     */
   def minhashLshPairs(shingles: DataFrame, bandCap: Int = BAND_CAP,
-                      checkpointDir: Option[String] = None): DataFrame = {
+                      checkpointDir: Option[String] = None,
+                      pairBudgetPerDoc: Option[Int] = None): DataFrame = {
     checkpointDir.foreach(shingles.sparkSession.sparkContext.setCheckpointDir)
     val g0 =
       if (checkpointDir.isDefined) shingles.checkpoint() else shingles.localCheckpoint()
@@ -143,9 +154,17 @@ object DedupOps {
     // in-bucket pair generation via collect_list (no self-join: Catalyst
     // would recompute the whole signature pipeline for each side);
     // bucket size capped — one hot bucket must not become an O(n²) row
-    val cand = bands.groupBy(col("band"), col("bkey"))
+    val bucketed = bands.groupBy(col("band"), col("bkey"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")).between(2, bandCap))
+      .filter(size(col("ds")) >= 2)
+    val (bucketSrc, cap) = pairBudgetPerDoc match {
+      case None => (bucketed, bandCap)
+      case Some(perDoc) =>
+        val b = bucketed.localCheckpoint() // stats pass + emission pass
+        (b, adaptiveBandCap(b, bandCap, perDoc.toLong * g0.count()))
+    }
+    val cand = bucketSrc
+      .filter(size(col("ds")) <= cap)
       .select(explode(expr(
         """flatten(transform(ds, (x, i) ->
           |  transform(slice(ds, i + 2, size(ds)),
@@ -165,6 +184,30 @@ object DedupOps {
         (size(col("g1")) + size(col("g2")) - col("common")))
       .filter(col("jaccard") >= JACCARD_T)
       .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** The cap derivation behind `pairBudgetPerDoc`: walk the band-bucket
+    * SIZE histogram ascending, admitting each size class while its
+    * C(size,2)-per-bucket total still fits the pair budget; the first
+    * unaffordable class blocks everything above it (a cap is a
+    * threshold — re-admitting a larger size would re-admit the blocked
+    * one). Sizes up to the `floor` are always admitted, so behavior is
+    * never tighter than the static BAND_CAP constant. The driver reads
+    * only the histogram (one row per distinct bucket size).
+    */
+  private[graft] def adaptiveBandCap(bucketed: DataFrame, floor: Int,
+                                     pairBudget: Long): Int = {
+    val hist = bucketed.groupBy(size(col("ds")).as("sz"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var cum = 0L; var cap = floor; var blocked = false
+    hist.foreach { case (sz, n) =>
+      val pairs = n * (sz.toLong * (sz - 1) / 2)
+      if (sz <= floor) cum += pairs // floor classes are always admitted
+      else if (!blocked && cum + pairs <= pairBudget) { cum += pairs; cap = sz }
+      else blocked = true
+    }
+    cap
   }
 
   /** SRP-LSH (random-hyperplane) near-dup pairs over an embeddings frame
@@ -223,7 +266,11 @@ object DedupOps {
             |                                element_at(toks, i + 1),
             |                                element_at(toks, i + 2)))
             |ELSE array() END""".stripMargin)).as("grams"))
-      minhashLshPairs(shingles).orderBy(col("d1"), col("d2"))
+      // budget-derived cap (floor = the static BAND_CAP): identical to
+      // the constant at fixture SF (no bucket approaches 200), but on a
+      // duplication-heavy corpus the cap follows the real cluster width
+      minhashLshPairs(shingles, pairBudgetPerDoc = Some(1000))
+        .orderBy(col("d1"), col("d2"))
     }),
 
     // ---- q55: embedding-cosine near-dup, blocked by cluster label

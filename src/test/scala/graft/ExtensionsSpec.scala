@@ -217,6 +217,53 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("RewriteMapPivot fires on the flagship (q101) label set written naively") {
+    import spark.implicits._
+    val prevPolicy = spark.conf.get("spark.sql.mapKeyDedupPolicy")
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      // q101's long-table shape — (job_id, pos, label, value) over the
+      // REAL 14-label closed set — written the reference's way: build
+      // the whole label->value dict per job, then probe every label.
+      // One value per (job, label), so first-match == last-win == max
+      // and the naive form is semantically equal to kvPivotFirst's
+      // single-valued columns.
+      val labels = graft.jobs.JobSchema.detailLabels
+      val long = spark.range(40 * labels.size).select(
+        (col("id") % 40).as("job_id"),
+        (col("id") / 40 + 1).cast("int").as("pos"),
+        element_at(typedLit(labels.map(_._1)),
+          (col("id") / 40 + 1).cast("int")).as("label"),
+        concat(lit("值"), col("id")).as("value"))
+        .filter(pmod(col("job_id") + length(col("label")), lit(5)) =!= 0)
+        .repartition(4).cache()
+      val naive = long.groupBy($"job_id")
+        .agg(map_from_entries(sort_array(collect_list(struct($"label", $"value"))))
+          .as("kv"))
+        .select($"job_id" +:
+          labels.map { case (l, name) => element_at($"kv", l).as(name) }: _*)
+      val opt = naive.queryExecution.optimizedPlan.toString
+      // all 14 probes collapse: no per-group entry buffering survives
+      assert(!opt.contains("collect_list"), opt)
+      assert(!opt.contains("map_from_entries"), opt)
+      assert("max\\(CASE WHEN".r.findAllIn(opt).size == labels.size, opt)
+      // parity with the engine's pivot on every single-valued column
+      val pivot = graft.jobs.JobOps.kvPivotFirst(long)
+      val singles = labels.collect {
+        case (l, name) if !graft.jobs.JobSchema.multiValuedLabels(l) => name }
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("job_id") +: singles.map(col): _*)
+          .orderBy("job_id").collect().map(_.toSeq).toSeq
+      assert(key(naive) == key(pivot))
+      long.unpersist()
+    } finally {
+      spark.conf.set("spark.sql.mapKeyDedupPolicy", prevPolicy)
+      spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+    }
+  }
+
   test("RewriteMapPivot result parity on random grouped data") {
     import spark.implicits._
     val prevPolicy = spark.conf.get("spark.sql.mapKeyDedupPolicy")

@@ -119,13 +119,13 @@ class HttpCrawlSpec extends SparkSpec with BeforeAndAfterAll {
     assert(one.count() == FixtureJobServer.JOBS_PER_KEYWORD)
     assert(one.select("job_name").collect().map(_.getString(0)).toSet ==
       (0 until FixtureJobServer.JOBS_PER_KEYWORD).map(i => s"職位後端$i").toSet)
-    // rate pacing exists (T4): with the crawl capped to ONE task, its two
-    // delayMs sleeps are sequential by construction — partition layout
-    // cannot parallelize them away
+    // rate pacing exists (T4): the per-host slot spaces N requests by
+    // N-1 intervals (the first one never waits), so two keywords against
+    // one host cost at least one full delayMs regardless of layout
     val t0 = System.nanoTime()
     HttpCrawl.crawlKeywords(spark, Seq("x", "y"),
       s"$base/search?keyword={keyword}", delayMs = 120L, maxParallelism = 1)
       .collect()
-    assert((System.nanoTime() - t0) / 1e6 >= 240L)
+    assert((System.nanoTime() - t0) / 1e6 >= 120L)
   }
 }

@@ -110,6 +110,56 @@ class PlanGuardSpec extends SparkSpec {
       .r.findFirstIn(p).isDefined, p)
   }
 
+  test("q101: flagship pivot is direct per-key aggregation; no build-map-then-probe") {
+    // RewriteMapPivot's target idiom — element_at over
+    // map_from_entries(sort_array(collect_list(...))) — must not exist
+    // anywhere in the flagship record pipeline, because kvPivotFirst is
+    // WRITTEN in the shape the rule produces (one pivot shuffle,
+    // min_by/CASE per label). The rule can't even fire here: the
+    // first-match-by-pos and '、'-join semantics aren't expressible as a
+    // last-win map probe, which is exactly why the direct form is used.
+    // This guard pins that: reintroducing the reference's
+    // build-dict-then-probe shape (unbounded per-group buffers feeding a
+    // throwaway map) fails loudly.
+    // (q101 DOES build maps from collected entries — A3/A5/A6, where the
+    // map IS the product, bounded per group and serialized downstream;
+    // the anti-pattern is specifically building one and then PROBING it
+    // by literal key.)
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, ElementAt, ExprId, Literal, MapFromEntries}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.CollectList
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val opt = SparkEntry.queries("q101_job_record")(spark, sf)
+      .queryExecution.optimizedPlan
+    def isCollectMap(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      e.isInstanceOf[MapFromEntries] &&
+        e.exists { case _: CollectList => true; case _ => false }
+    // aliases that carry a collected map out of an Aggregate
+    val mapAliases = scala.collection.mutable.Set[ExprId]()
+    opt.foreach {
+      case a: Aggregate => a.aggregateExpressions.foreach {
+        case al @ Alias(child, _) if isCollectMap(child) => mapAliases += al.exprId
+        case _ => ()
+      }
+      case _ => ()
+    }
+    var probes = 0
+    opt.foreach(_.expressions.foreach(_.foreach {
+      case ElementAt(m, _: Literal, _, _) =>
+        m match {
+          case ar: AttributeReference if mapAliases(ar.exprId) => probes += 1
+          case other if isCollectMap(other) => probes += 1
+          case _ => ()
+        }
+      case _ => ()
+    }))
+    assert(probes == 0,
+      s"$probes literal-key probes into collected maps in q101's plan — " +
+        "the build-map-then-probe idiom is back; use the pivot form")
+    // the pivot itself is present as per-label aggregates in ONE Aggregate
+    val txt = opt.toString
+    assert(txt.contains("min_by") || txt.contains("CASE WHEN (label"), txt.take(2000))
+  }
+
   test("q96b: partial sketch buffers cross the shuffle, not the chunk stream") {
     val p = plan("q96b_chunk_topk_sketch")
     assert(p.contains("partial_spacesavingtopk")

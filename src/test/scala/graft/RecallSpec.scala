@@ -68,6 +68,43 @@ class RecallSpec extends SparkSpec {
       s"q49 recall ${found.toDouble / nTruth} < 0.8 ($found/$nTruth)")
   }
 
+  test("q49 budget-derived cap: a 300-wide dup cluster keeps its recall; the static cap loses it") {
+    // duplication-heavy corpus: ONE cluster of 300 near-identical docs
+    // (every member lands in the same band buckets, width 300 > the
+    // static BAND_CAP=200) over a 700-doc normal background
+    val base = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 700).select(col("doc_id"), col("text"))
+    val seed = base.filter(col("doc_id") === 5).select(col("text")).head().getString(0)
+    import spark.implicits._
+    val cluster = spark.range(300).select(
+      (col("id") + 200000L).as("doc_id"),
+      // one token appended per member: pairwise jaccard stays ~1
+      concat(lit(seed), lit(" mut"), col("id") % 7).as("text"))
+    val corpus = base.unionByName(cluster.toDF("doc_id", "text"))
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), expr(trigrams).as("grams"))
+      .localCheckpoint()
+    val inCluster = (p: org.apache.spark.sql.Row) =>
+      p.getLong(0) >= 200000L && p.getLong(1) >= 200000L
+
+    // static cap: the ~300-wide buckets are over the 200 cap in every
+    // band where the mutation variants collapse to one signature; only
+    // the few bands that split below the cap leak a sliver of pairs
+    val truth = 300L * 299 / 2 // all members pairwise >= jaccard 0.5
+    val staticPairs = DedupOps.minhashLshPairs(corpus)
+      .select("d1", "d2").collect().count(inCluster)
+    assert(staticPairs < truth * 0.1,
+      s"static cap admitted $staticPairs/$truth — fixture no longer dup-heavy")
+
+    // budget-derived cap (q49's production setting): the histogram pass
+    // sees the 300-wide class, the budget affords it, recall holds
+    val budgetPairs = DedupOps.minhashLshPairs(corpus, pairBudgetPerDoc = Some(1000))
+      .select("d1", "d2").collect().count(inCluster)
+    info(s"dup-heavy cluster recall: $budgetPairs / $truth (static cap: $staticPairs)")
+    assert(budgetPairs >= truth * 0.95,
+      s"budget-cap recall ${budgetPairs.toDouble / truth} < 0.95")
+  }
+
   test("q79 SimHash pigeonhole bands: recall is EXACT on in-threshold pairs") {
     val base = Tables.documents(spark, sf)
       .filter(col("doc_id") < 300).select(col("doc_id"), col("text"))

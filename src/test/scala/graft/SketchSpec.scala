@@ -32,6 +32,23 @@ class SketchSpec extends SparkSpec {
     assert(buf.counters.size <= 32)                 // bounded memory
   }
 
+  test("saturation is surfaced, not silent: sat flag + err field per entry") {
+    // exact regime: capacity > distinct -> sat false, err 0 on every entry
+    val exact = (0 until 900).map(i => s"w${i % 9}").toDF("w").repartition(4)
+      .agg(SketchFunctions.spaceSavingTopK($"w", 64, 9).as("top"))
+      .select(explode($"top").as("t"))
+      .select($"t.sat", $"t.err").collect()
+    assert(exact.forall(r => !r.getBoolean(0) && r.getLong(1) == 0L))
+
+    // approximate regime: capacity << distinct -> every entry carries
+    // sat=true, so a gate column like q96b's exact_regime flips FALSE
+    // with a named cause instead of an unexplained hash mismatch
+    val approx = (0 until 5000).map(i => s"tail${i % 500}").toDF("w").repartition(4)
+      .agg(SketchFunctions.spaceSavingTopK($"w", 32, 5).as("top"))
+      .select(explode($"top").as("t")).select($"t.sat").collect()
+    assert(approx.forall(_.getBoolean(0)))
+  }
+
   test("distributed merge across partitions stays exact in exact regime") {
     val words = (0 until 10000).map(i => (i % 32, s"t${i % 7}")).toDF("p", "w")
       .repartition(32, $"p")

@@ -23,6 +23,14 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class SpaceSavingBuffer(val capacity: Int) extends Serializable {
   val counters: mutable.HashMap[String, (Long, Long)] = mutable.HashMap.empty
+  // (count, item) ordered index: eviction = `order.head`, every counter
+  // update is O(log capacity). The naive minBy scan here was this
+  // engine's first measured super-linear failure: in the approximate
+  // regime each eviction paid O(capacity), so a 10x corpus turned q96b
+  // into minutes of single-thread minimum-finding (found by the sf1
+  // scaling run, SCALING.md). Ordering matches the old scan's
+  // deterministic tie-break: smallest count, then smallest item.
+  private val order = mutable.TreeSet.empty[(Long, String)]
 
   /** True once any eviction happened: the sketch has LEFT the exact
     * regime, silently saturating would otherwise be undiagnosable
@@ -32,15 +40,28 @@ class SpaceSavingBuffer(val capacity: Int) extends Serializable {
     */
   var evicted: Boolean = false
 
+  private def put(item: String, c: Long, e: Long, prevCount: Long): Unit = {
+    if (prevCount >= 0) order.remove((prevCount, item))
+    counters.update(item, (c, e))
+    order.add((c, item))
+  }
+
+  /** Rebuilds the ordered index from `counters` — deserialization hook. */
+  private[functions] def reindex(): Unit = {
+    order.clear()
+    counters.foreach { case (item, (c, _)) => order.add((c, item)) }
+  }
+
   def add(item: String, weight: Long = 1L): Unit = {
     counters.get(item) match {
-      case Some((c, e)) => counters.update(item, (c + weight, e))
+      case Some((c, e)) => put(item, c + weight, e, c)
       case None if counters.size < capacity =>
-        counters.update(item, (weight, 0L))
+        put(item, weight, 0L, -1L)
       case None =>
-        val (minItem, (minC, _)) = counters.minBy { case (i, (c, _)) => (c, i) }
+        val (minC, minItem) = order.head
+        order.remove((minC, minItem))
         counters.remove(minItem)
-        counters.update(item, (minC + weight, minC))
+        put(item, minC + weight, minC, -1L)
         evicted = true
     }
   }
@@ -53,7 +74,7 @@ class SpaceSavingBuffer(val capacity: Int) extends Serializable {
     evicted ||= other.evicted
     other.counters.foreach { case (item, (c, e)) =>
       counters.get(item) match {
-        case Some((c0, e0)) => counters.update(item, (c0 + c, e0 + e))
+        case Some((c0, e0)) => put(item, c0 + c, e0 + e, c0)
         case None => add(item, c) // inherits eviction error if full
       }
     }
@@ -129,6 +150,7 @@ case class SpaceSavingTopK(
       buf.counters.update(item, (c, e))
       i += 1
     }
+    buf.reindex()
     buf
   }
 

@@ -49,6 +49,20 @@ class SketchSpec extends SparkSpec {
     assert(approx.forall(_.getBoolean(0)))
   }
 
+  test("eviction is O(log capacity): 500k distinct adds at 2^17 capacity stay fast") {
+    // regression guard for the sf1 scaling find: the old minBy eviction
+    // was O(capacity) per add past saturation — this exact workload took
+    // tens of minutes; the ordered index does it in well under a second
+    val buf = new SpaceSavingBuffer(1 << 17)
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < 500000) { buf.add("item" + i); i += 1 }
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(buf.evicted)
+    assert(buf.counters.size == (1 << 17))
+    assert(ms < 5000, s"500k adds took $ms ms — eviction degenerated")
+  }
+
   test("distributed merge across partitions stays exact in exact regime") {
     val words = (0 until 10000).map(i => (i % 32, s"t${i % 7}")).toDF("p", "w")
       .repartition(32, $"p")

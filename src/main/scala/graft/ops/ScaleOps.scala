@@ -45,7 +45,16 @@ object ScaleOps {
       pmod(hash(col(saltSource)), lit(salts)))
     val saltedRight = right.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
-    saltedLeft.join(saltedRight, Seq(key, "_salt")).drop("_salt")
+    // Pin the join to sort-merge. Calling saltedEquiJoin IS the
+    // declaration that the dim is beyond broadcast; without the hint,
+    // Catalyst can still pick a broadcast — Generate (the explode)
+    // keeps its CHILD's size estimate, so the replicated side looks
+    // `salts`x smaller than it is (measured at sf1: a 12M-row side
+    // broadcast off a ~1.5M-row estimate). Broadcasting the REPLICATED
+    // copies is strictly worse than broadcasting the original (which,
+    // if it fit, would need no salt at all); sort-merge on
+    // (key, _salt) is the spill-safe topology the salt exists for.
+    saltedLeft.join(saltedRight.hint("merge"), Seq(key, "_salt")).drop("_salt")
   }
 
   /** Two-phase aggregation for skewed group keys: partial agg on

@@ -101,13 +101,17 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
-  test("q103: the salt is part of the join key on BOTH sides") {
+  test("q103: the salt is part of the join key on BOTH sides, and the join is sort-merge") {
     val p = plan("q103_salted_join")
-    // at fixture scale the replicated right side broadcasts (size gate);
-    // the invariant is the key shape — (okey, _salt) on both sides — so
-    // at scale the shuffle spreads each hot okey over `salts` reducers
+    // the shuffle spreads each hot okey over `salts` reducers
     assert("\\[okey#\\d+L?, _salt#\\d+\\], \\[okey#\\d+L?, _salt#\\d+\\]"
       .r.findFirstIn(p).isDefined, p)
+    // pinned sort-merge: Generate's size estimate ignores the explode
+    // factor, so without the hint Catalyst broadcasts the REPLICATED dim
+    // (measured at sf1: 12M rows shipped off a 1.5M-row estimate) —
+    // exactly the regime salting exists to avoid
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
   }
 
   test("q101: flagship pivot is direct per-key aggregation; no build-map-then-probe") {

@@ -101,6 +101,25 @@ object JobRecordGate {
     q.awaitTermination()
   }
 
+  /** Gate streams run on a session clone with `spark.sql.shuffle.partitions`
+    * sized to the stream's STATE key cardinality (hundreds of job_urls /
+    * user_ids here), not the batch shuffle default: every stateful
+    * micro-batch writes one state-store delta + commit set PER PARTITION
+    * per trigger, so partitions beyond the concurrent-key scale are pure
+    * checkpoint I/O at any data size — 11 micro-batches x 32 partitions
+    * was ~4x the file traffic of the same stream at 8. Production sizes
+    * this the same way: state partition count follows expected concurrent
+    * keys (it is pinned into the checkpoint at first start and cannot be
+    * changed later), while batch queries keep the cluster-wide default.
+    * `newSession` shares the SparkContext, catalog, and cache; only the
+    * conf diverges.
+    */
+  private def streamSession(s: SparkSession): SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss
+  }
+
   /** The content aggregate both streaming gates end in (crawl_ts-free, so
     * which duplicate copy survived dedup cannot affect the hash).
     */
@@ -260,10 +279,11 @@ object JobRecordGate {
       val inDir = new java.io.File(zone, "in").getAbsolutePath
       val outDir = new java.io.File(zone, "jobs").getAbsolutePath
       val ckDir = new java.io.File(zone, "ck").getAbsolutePath
+      val ss = streamSession(s)
       snapshot(s, d, 1, 0, 150).write.mode("overwrite").json(inDir)
       snapshot(s, d, 2, 100, 250).write.mode("append").json(inDir)
-      drain(s, inDir, outDir, ckDir)
-      jobsTableAgg(s.read.parquet(outDir))
+      drain(ss, inDir, outDir, ckDir)
+      jobsTableAgg(ss.read.parquet(outDir))
     }),
 
     // ---- q105: checkpointed RESUME in the gate (T3 exactly-once): the
@@ -279,11 +299,12 @@ object JobRecordGate {
       val inDir = new java.io.File(zone, "in").getAbsolutePath
       val outDir = new java.io.File(zone, "jobs").getAbsolutePath
       val ckDir = new java.io.File(zone, "ck").getAbsolutePath
+      val ss = streamSession(s)
       snapshot(s, d, 1, 0, 150).write.mode("overwrite").json(inDir)
-      drain(s, inDir, outDir, ckDir)
+      drain(ss, inDir, outDir, ckDir)
       snapshot(s, d, 2, 100, 250).write.mode("append").json(inDir)
-      drain(s, inDir, outDir, ckDir) // resume: same checkpoint, new files only
-      jobsTableAgg(s.read.parquet(outDir))
+      drain(ss, inDir, outDir, ckDir) // resume: same checkpoint, new files only
+      jobsTableAgg(ss.read.parquet(outDir))
     }),
 
     // ---- q106: the error counter / bounded error budget (A8/T5,
@@ -352,17 +373,18 @@ object JobRecordGate {
         dest.setLastModified(t0 + i * 1000L)
       }
       import graft.streaming.{JobSnapshotStream => JS, StatefulOps}
-      val raw = JS.readSnapshotsPaced(s, inDir.getAbsolutePath)
+      val ss = streamSession(s)
+      val raw = JS.readSnapshotsPaced(ss, inDir.getAbsolutePath)
       val metered = StatefulOps.withErrorMetric(raw, JS.isCorrupt, "budget")
       val cleaned = JS.clean(metered.filter(!JS.isCorrupt))
-      val listener = new StatefulOps.ErrorBudgetListener(s, 3, "budget")
-      s.streams.addListener(listener)
+      val listener = new StatefulOps.ErrorBudgetListener(ss, 3, "budget")
+      ss.streams.addListener(listener)
       val q = JS.toJobsTable(JS.dedup(cleaned), outDir, ckDir,
         org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
       val stopped =
         try q.awaitTermination(120000)
-        finally { if (q.isActive) q.stop(); s.streams.removeListener(listener) }
-      jobsTableAgg(s.read.parquet(outDir))
+        finally { if (q.isActive) q.stop(); ss.streams.removeListener(listener) }
+      jobsTableAgg(ss.read.parquet(outDir))
         .withColumn("stopped_by_budget", lit(stopped))
         .withColumn("budget_exceeded", lit(listener.budgetExceeded))
     }),
@@ -473,8 +495,9 @@ object JobRecordGate {
       val ckDir = new java.io.File(zone, "ck").getAbsolutePath
       val fields = "job_name:string,job_url:string,company:string," +
         "update_date:string,tag:string,applicants:string"
+      val ss = streamSession(s)
       def drain(): Unit = {
-        val raw = s.readStream.format("graft-keyword")
+        val raw = ss.readStream.format("graft-keyword")
           .option("fields", fields).load(landing)
         val cleaned = raw.select(
           col("keyword"),
@@ -503,7 +526,7 @@ object JobRecordGate {
         graft.sources.HttpCrawl.crawlToZone(s, Seq("資料", "後端"), tmpl, landing)
         drain()
       } finally server.stop(0)
-      s.read.parquet(outDir)
+      ss.read.parquet(outDir)
         .select(col("keyword"), col("apply_code"), col("job_name"),
           col("company"), col("update_date"), col("actively_hiring"),
           col("applicants"))
@@ -782,8 +805,9 @@ object JobRecordGate {
         StructField("event_id", LongType), StructField("ts", TimestampType),
         StructField("user_id", LongType), StructField("event_type", StringType),
         StructField("value", DoubleType)))
-      import s.implicits._
-      val stream = s.readStream.schema(schema)
+      val ss = streamSession(s)
+      import ss.implicits._
+      val stream = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).json(inDir.getAbsolutePath)
         .as[graft.streaming.StatefulOps.EventRow]
       val q = graft.streaming.StatefulOps.sessionize(stream, 30 * 60 * 1000L)
@@ -793,7 +817,7 @@ object JobRecordGate {
         .outputMode("append").start()
       q.awaitTermination()
 
-      s.read.parquet(outDir)
+      ss.read.parquet(outDir)
         .filter(col("session_start_ms") < SENTINEL_MS)
         .select(col("user_id"), col("session_start_ms"), col("session_end_ms"),
                 col("n_events"), col("sum_value"))

@@ -283,10 +283,16 @@ object DedupOps {
         .withColumn("q", expr(VectorOps.quantExpr))
         .withColumn("norm", ldot(col("q"), col("q")))
         .select(col("vec_id"), col("label"), col("q"), col("norm"))
+      // divide by the ASCENDING-id norm first: cross-chunk pairs can
+      // arrive with a_vec > b_vec, and x/sqrt(n1)/sqrt(n2) differs from
+      // x/sqrt(n2)/sqrt(n1) by 1 ulp — enough to flip the cross-engine
+      // hash once blocks exceed one chunk (first seen at sf1)
+      val n1 = when(col("a_vec") === col("v1"), col("a_norm")).otherwise(col("b_norm"))
+      val n2 = when(col("a_vec") === col("v1"), col("b_norm")).otherwise(col("a_norm"))
       chunkedBlockPairs(emb)
         .withColumn("dot", ldot(col("a_q"), col("b_q")))
         .withColumn("cos", col("dot").cast("double") /
-          sqrt(col("a_norm").cast("double")) / sqrt(col("b_norm").cast("double")))
+          sqrt(n1.cast("double")) / sqrt(n2.cast("double")))
         .filter(col("cos") >= COS_T)
         .select(col("v1"), col("v2"), col("label"), col("cos"))
         .orderBy(col("v1"), col("v2"))

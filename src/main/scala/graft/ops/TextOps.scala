@@ -16,6 +16,16 @@ import graft.Tables
   * while planted near-dups (which share *rare* shingles by construction
   * of being near-identical) are all recovered — verified: 25/25 planted
   * pairs found at sf0.01.
+  *
+  * APPLICABILITY LIMIT (measured, sf1 scale study): the absolute cap
+  * requires the df distribution to keep a tail under it. On a corpus
+  * whose every shingle df has grown past the cap (tiny vocabulary, or
+  * simply enough growth), the index retains nothing and recall is
+  * exactly 0 — silently, since the oracle agrees on the empty result.
+  * Run [[TextOps.rareTailDiagnostic]] first; if retained == 0, use
+  * minhash LSH (corpus-relative banding, `DedupOps.minhashLshPairs` —
+  * 98.8% planted recall on the same corpus where this family measures
+  * 0%).
   */
 object TextOps {
 
@@ -57,6 +67,35 @@ object TextOps {
       |  SELECT doc_id,
       |    sum(CASE WHEN s >= 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
       |  FROM bits GROUP BY doc_id)""".stripMargin
+
+  /** Applicability pre-pass for the rare-shingle family (q50/q50b/q66):
+    * does the corpus's shingle df distribution still HAVE a tail under
+    * the cap? A fixed absolute df cap excludes every shingle once corpus
+    * growth lifts all dfs past it — recall then collapses to zero with
+    * no error (both engines agree on the empty result, so even a
+    * cross-engine gate can't see it; first measured at the sf1 scale
+    * study, where the 31-token fixture vocabulary leaves no rare tail
+    * at 50k docs and q50/q50b recover 0/2306 planted pairs while q49's
+    * corpus-relative minhash banding recovers 98.8%).
+    *
+    * One scan + one map-side-combined agg over (gram -> df), returning
+    * (retained_shingles, total_shingles): retained == 0 means the index
+    * will emit NOTHING — route the corpus to minhash LSH
+    * ([[minhashLshPairs]]) instead, or exact-dedup first if the mass is
+    * duplication (q50b). The q96b saturation-gate lesson applied to
+    * candidate generation: make the regime change a named, checkable
+    * condition instead of a silent empty answer.
+    */
+  def rareTailDiagnostic(g0: DataFrame, dfCap: Int = DF_CAP): (Long, Long) = {
+    val df = g0.select(explode_outer(col("grams")).as("gram"))
+      .filter(col("gram").isNotNull)
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .agg(coalesce(sum(when(col("df").between(2, dfCap), 1L).otherwise(0L)),
+             lit(0L)).as("retained"),
+           count(lit(1)).as("total"))
+      .head()
+    (df.getLong(0), df.getLong(1))
+  }
 
   /** In-bucket candidate pairs (d1 < d2) from a df-capped inverted
     * shingle index over a doc-level (doc_id, grams, ...) frame: one
@@ -334,8 +373,10 @@ object TextOps {
     // (no self-join recompute); verification is one codegen'd
     // bit_count(xor) per candidate. Buckets are CAPPED at BAND_CAP — an
     // adversarial mass-duplicate signature would otherwise make one
-    // bucket O(n^2) (the q50 df-cap lesson); dedup-first composition
-    // (q50b-style) is the recall-preserving answer for such corpora.
+    // bucket O(n^2) (the q50 df-cap lesson); when the mass is literal
+    // DUPLICATION, dedup-first composition (q50b-style) preserves
+    // recall. (That composition does NOT rescue a corpus with no rare
+    // shingle tail — see rareTailDiagnostic.)
     "q79_simhash_hamming" -> ((s, d) =>
       simhashHammingPairs(Tables.documents(s, d))
         .orderBy(col("d1"), col("d2"))),

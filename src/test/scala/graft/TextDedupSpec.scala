@@ -49,6 +49,24 @@ class TextDedupSpec extends SparkSpec {
     assert(found.count() == 0)
   }
 
+  test("rareTailDiagnostic separates the regimes the index can and cannot serve") {
+    // clean per-doc vocabularies: planted pairs share rare shingles,
+    // the diagnostic sees a tail under the cap
+    val (retained, total) = TextOps.rareTailDiagnostic(TextOps.shingled(baseCorpus))
+    assert(retained > 0 && total >= retained)
+
+    // no-rare-tail corpus (every doc drawn from ONE tiny shared
+    // vocabulary, the sf1-study shape): every shingle's df exceeds the
+    // cap, the diagnostic reads 0 retained, and the index emits nothing
+    // — the named precondition for routing to minhash instead
+    val tiny = (0 until 60).map { i =>
+      (i.toLong, (0 until 12).map(j => s"v${(i + j) % 4}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val (retainedTiny, totalTiny) = TextOps.rareTailDiagnostic(TextOps.shingled(tiny))
+    assert(retainedTiny == 0L && totalTiny > 0L)
+    assert(TextOps.jaccardNearDupPairs(TextOps.shingled(tiny)).count() == 0)
+  }
+
   test("dedup-first composition recovers planted pairs on the 10x corpus") {
     val out = TextOps.dedupFirstJaccardPairs(duplicated(10))
     assert(pairs(out) == planted.toSet)

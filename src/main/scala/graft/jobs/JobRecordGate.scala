@@ -133,6 +133,48 @@ object JobRecordGate {
     .orderBy(col("quality"), col("actively_hiring"))
 
   /** Sorted map entries -> one scalar string (driver-gate hashability). */
+  /** The q114/q119 animated-GIF fixture table: per id, 1 + id%3
+    * solid-color 7x3 frames (color = pure (id, frame) formula) encoded
+    * through the JDK's own GIF writer on executors. Shared so the
+    * whole-payload decode gate (q114) and the frame-sampling gate
+    * (q119) run over byte-identical fixtures.
+    */
+  private def gifMedia(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[graft.multimodal.MediaOps.MediaRecord] = {
+    import s.implicits._
+    val W = 7; val H = 3
+    val encode = udf((id: Long) => {
+      import javax.imageio.{IIOImage, ImageIO}
+      val writer = ImageIO.getImageWritersBySuffix("gif").next()
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(out)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until (1 + (id % 3)).toInt).foreach { f =>
+        val r = ((id * 53 + f * 71) % 256).toInt
+        val g = ((id * 59 + f * 37) % 256).toInt
+        val b = ((id * 61 + f * 29) % 256).toInt
+        val img = new java.awt.image.BufferedImage(
+          W, H, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var p = 0
+        while (p < W * H) { img.setRGB(p % W, p / W, (r << 16) | (g << 8) | b); p += 1 }
+        writer.writeToSequence(new IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+      writer.dispose(); ios.close()
+      out.toByteArray
+    })
+    Tables.rebalance(
+        Tables.documents(s, d).filter(col("doc_id") < 200)
+          .select(col("doc_id").as("media_id")))
+      .withColumn("payload", encode(col("media_id")))
+      .select(col("media_id"),
+        struct(lit("video").as("kind"), lit(W).as("declaredWidth"),
+               lit(H).as("declaredHeight"), lit(0).as("sampleRate")).as("meta"),
+        col("payload"))
+      .as[graft.multimodal.MediaOps.MediaRecord]
+  }
+
   private def entries(m: Column): Column = {
     // expr-free form of the q82/q83 serialization, reusable on any map col
     array_join(transform(sort_array(map_entries(m)),
@@ -436,6 +478,73 @@ object JobRecordGate {
         .orderBy(col("media_id"))
     }),
 
+    // ---- q118: EXECUTED image resize in the gate — upgrades the
+    // resize surface from the resize_spec annotation to real pixel
+    // work. 16x12 BMPs (pixel = pure (id,x,y) formula) encode on
+    // executors, MediaOps.resizeImages nearest-neighbor-resamples them
+    // to 8x6 (src = (2X, 2Y) at this exact 2:1 ratio), and featurize
+    // decodes the RESIZED payloads — so the hash covers decode,
+    // the resample's source-pixel arithmetic, and the re-encode
+    // (n_bytes pins the 54 + 6*24 output layout). The oracle recomputes
+    // the sampled-grid sums from the formula without touching a codec.
+    "q118_image_resize" -> ((s, d) => {
+      import s.implicits._
+      val W = 16; val H = 12
+      val encode = udf((id: Long) => {
+        val px = Array.tabulate(W * H) { p =>
+          val x = p % W; val y = p / W
+          (((id * 29 + x * 3 + y * 11) % 256).toInt,
+           ((id * 19 + x * 7 + y * 5) % 256).toInt,
+           ((id * 13 + x * 9 + y * 17) % 256).toInt)
+        }
+        graft.multimodal.BmpDecoder.encode(W, H, px)
+      })
+      val media = Tables.rebalance(
+          Tables.documents(s, d).filter(col("doc_id") < 200)
+            .select(col("doc_id").as("media_id")))
+        .withColumn("payload", encode(col("media_id")))
+        .select(col("media_id"),
+          struct(lit("image").as("kind"), lit(W).as("declaredWidth"),
+                 lit(H).as("declaredHeight"), lit(0).as("sampleRate")).as("meta"),
+          col("payload"))
+        .as[graft.multimodal.MediaOps.MediaRecord]
+      val resized = graft.multimodal.MediaOps.resizeImages(media, 8, 6)
+      graft.multimodal.MediaOps.featurize(resized).toDF()
+        .select(col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_bytes").cast("long").as("n_bytes"),
+          round(element_at(col("feature"), 1).cast("double") * 255 * 48)
+            .cast("long").as("sum_r"),
+          round(element_at(col("feature"), 2).cast("double") * 255 * 48)
+            .cast("long").as("sum_g"),
+          round(element_at(col("feature"), 3).cast("double") * 255 * 48)
+            .cast("long").as("sum_b"))
+        .orderBy(col("media_id"))
+    }),
+
+    // ---- q119: frame SAMPLING in the gate — featurizeFrames (real
+    // per-frame GIF decode, q114's multi-frame fixtures) emits one row
+    // per sampled frame with that frame's exact channel means; with
+    // maxFrames >= the 1+id%3 frame count, evenly-spaced sampling
+    // enumerates every frame index, so the oracle restates the
+    // per-(id, frame) color formula directly. A frame extractor that
+    // mis-seeks, composites frames, or drops the tail fails the hash.
+    "q119_gif_frame_sample" -> ((s, d) => {
+      import s.implicits._
+      val media = gifMedia(s, d)
+      graft.multimodal.MediaOps.featurizeFrames(media, 3)
+        .toDF("media_id", "frame_idx", "width", "height", "r", "g", "b")
+        .select(col("media_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          round(col("r").cast("double")).cast("long").as("r"),
+          round(col("g").cast("double")).cast("long").as("g"),
+          round(col("b").cast("double")).cast("long").as("b"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
     // ---- q107: the LIVE transport inside the gate — a real HTTP server
     // (deterministic reference-shaped job board on localhost, no
     // egress), the executor-side crawl (S1 search pages + S4 detail
@@ -665,39 +774,7 @@ object JobRecordGate {
     // (solid frames make the palette lossless, so the float mean slots
     // round back to the precise channel values the oracle restates).
     "q114_gif_decode" -> ((s, d) => {
-      import s.implicits._
-      val W = 7; val H = 3
-      val encode = udf((id: Long) => {
-        import javax.imageio.{IIOImage, ImageIO}
-        val writer = ImageIO.getImageWritersBySuffix("gif").next()
-        val out = new java.io.ByteArrayOutputStream()
-        val ios = ImageIO.createImageOutputStream(out)
-        writer.setOutput(ios)
-        writer.prepareWriteSequence(null)
-        (0 until (1 + (id % 3)).toInt).foreach { f =>
-          val r = ((id * 53 + f * 71) % 256).toInt
-          val g = ((id * 59 + f * 37) % 256).toInt
-          val b = ((id * 61 + f * 29) % 256).toInt
-          val img = new java.awt.image.BufferedImage(
-            W, H, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var p = 0
-          while (p < W * H) { img.setRGB(p % W, p / W, (r << 16) | (g << 8) | b); p += 1 }
-          writer.writeToSequence(new IIOImage(img, null, null), null)
-        }
-        writer.endWriteSequence()
-        writer.dispose(); ios.close()
-        out.toByteArray
-      })
-      val media = Tables.rebalance(
-          Tables.documents(s, d).filter(col("doc_id") < 200)
-            .select(col("doc_id").as("media_id")))
-        .withColumn("payload", encode(col("media_id")))
-        .select(col("media_id"),
-          struct(lit("video").as("kind"), lit(W).as("declaredWidth"),
-                 lit(H).as("declaredHeight"), lit(0).as("sampleRate")).as("meta"),
-          col("payload"))
-        .as[graft.multimodal.MediaOps.MediaRecord]
-      graft.multimodal.MediaOps.featurize(media).toDF()
+      graft.multimodal.MediaOps.featurize(gifMedia(s, d)).toDF()
         .select(col("media_id"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
@@ -1190,6 +1267,35 @@ object JobRecordGate {
         |  (media_id * 59 % 256)::BIGINT AS g0,
         |  (media_id * 61 % 256)::BIGINT AS b0
         |FROM m ORDER BY media_id""".stripMargin,
+
+    // the resized 8x6 grid samples source pixel (2X, 2Y) of the 16x12
+    // original (nearest-neighbor at the exact 2:1 ratio); n_bytes pins
+    // the re-encoded BMP layout (54-byte header + 6 rows * 24 stride)
+    "q118_image_resize" ->
+      """WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 200),
+        |px AS (SELECT media_id, unnest(range(0, 48)) AS p FROM m),
+        |c AS (SELECT media_id,
+        |  (media_id * 29 + (p % 8) * 2 * 3 + (p // 8) * 2 * 11) % 256 AS r,
+        |  (media_id * 19 + (p % 8) * 2 * 7 + (p // 8) * 2 * 5) % 256 AS g,
+        |  (media_id * 13 + (p % 8) * 2 * 9 + (p // 8) * 2 * 17) % 256 AS b
+        | FROM px)
+        |SELECT media_id, 8::BIGINT AS width, 6::BIGINT AS height,
+        |  198::BIGINT AS n_bytes,
+        |  sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g, sum(b)::BIGINT AS sum_b
+        |FROM c GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    // one row per (id, frame): evenly-spaced sampling with maxFrames >=
+    // n enumerates every frame index; solid frames make the palette
+    // lossless so the means restate the per-frame color formula exactly
+    "q119_gif_frame_sample" ->
+      """WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 200),
+        |f AS (SELECT media_id, unnest(range(0, 1 + media_id % 3)) AS frame_idx FROM m)
+        |SELECT media_id, frame_idx::BIGINT AS frame_idx,
+        |  7::BIGINT AS width, 3::BIGINT AS height,
+        |  ((media_id * 53 + frame_idx * 71) % 256)::BIGINT AS r,
+        |  ((media_id * 59 + frame_idx * 37) % 256)::BIGINT AS g,
+        |  ((media_id * 61 + frame_idx * 29) % 256)::BIGINT AS b
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
 
     // every field an integer formula; n_bytes pins the box layout
     // (16-byte ftyp + 8-byte moov header + 108-byte mvhd + 100 per trak)

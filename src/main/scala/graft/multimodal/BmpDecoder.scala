@@ -47,6 +47,43 @@ object BmpDecoder {
     Some(BmpImage(width, rows, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
   }
 
+  final case class BmpPixels(width: Int, height: Int, rgb: Array[Int])
+
+  /** Full pixel decode (top-down row-major, packed 0xRRGGBB) — the
+    * resample path needs individual pixels, not the means [[decode]]
+    * folds to. Same format gate: 24bpp BI_RGB only, else None.
+    */
+  def decodePixels(bytes: Array[Byte]): Option[BmpPixels] = {
+    if (bytes == null || bytes.length < 54) return None
+    if (bytes(0) != 'B' || bytes(1) != 'M') return None
+    val dataOffset = i32(bytes, 10)
+    val width = i32(bytes, 18)
+    val height = i32(bytes, 22)
+    val bpp = u16(bytes, 28)
+    val compression = i32(bytes, 30)
+    if (bpp != 24 || compression != 0 || width <= 0 || height == 0) return None
+    val rows = math.abs(height)
+    val stride = ((width * 3 + 3) / 4) * 4
+    if (dataOffset.toLong + stride.toLong * rows > bytes.length) return None
+    val px = new Array[Int](width * rows)
+    var y = 0
+    while (y < rows) {
+      val rowOff = dataOffset + y * stride
+      // positive height = bottom-up storage; negative = top-down
+      val destRow = if (height < 0) y else rows - 1 - y
+      var x = 0
+      while (x < width) {
+        val p = rowOff + x * 3
+        px(destRow * width + x) =
+          ((bytes(p + 2) & 0xff) << 16) | ((bytes(p + 1) & 0xff) << 8) |
+          (bytes(p) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    Some(BmpPixels(width, rows, px))
+  }
+
   /** Build an uncompressed 24-bit BMP from row-major RGB pixels
     * (top-down input; stored bottom-up per the format). Test/demo helper.
     */

@@ -153,11 +153,49 @@ object MediaOps {
     }
   }
 
-  /** Resize plan: records the target size next to the payload; the actual
-    * pixel work happens in featurize's partition loop in a real system.
+  /** Resize plan: records the target size next to the payload — the
+    * planning-side contract. [[resizeImages]] below is the EXECUTED
+    * form for the formats the pure-JVM tier can decode.
     */
   def withResizeSpec(df: DataFrame, w: Int, h: Int): DataFrame =
     df.withColumn("resize_spec", struct(lit(w).as("w"), lit(h).as("h")))
+
+  /** REAL nearest-neighbor resample for one BMP payload: decode pixels,
+    * sample src (X*w/outW, Y*h/outH) (integer floor — the standard NN
+    * mapping), re-encode as BMP. The output is itself a decodable
+    * payload, so downstream featurize reports the RESIZED image's true
+    * dimensions and means. None for payloads outside the BMP tier.
+    */
+  def resizeNearest(bytes: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] =
+    BmpDecoder.decodePixels(bytes).map { img =>
+      val px = Array.tabulate(outW * outH) { p =>
+        val sx = (p % outW) * img.width / outW
+        val sy = (p / outW) * img.height / outH
+        val v = img.rgb(sy * img.width + sx)
+        ((v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff)
+      }
+      BmpDecoder.encode(outW, outH, px)
+    }
+
+  /** Distributed resize over the media table, in featurize's
+    * partition-batched shape: BMP payloads are resampled to outW x outH
+    * (declared metadata updated to match); payloads outside the BMP
+    * tier pass through unchanged — a real deployment hands those to its
+    * codec inside the same batch loop. Upgrades [[withResizeSpec]] from
+    * annotation to executed pixel work (gated: q118).
+    */
+  def resizeImages(media: Dataset[MediaRecord], outW: Int, outH: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        resizeNearest(r.payload, outW, outH) match {
+          case Some(p) => MediaRecord(r.media_id,
+            r.meta.copy(declaredWidth = outW, declaredHeight = outH), p)
+          case None => r
+        }
+      }
+    }
+  }
 
   /** Synthesizes a deterministic media table for tests/demos (payload
     * bytes derived from the id — stable across runs).

@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.MediaOps
+import graft.multimodal.{BmpDecoder, MediaOps, WavDecoder}
 
 class MediaSpec extends SparkSpec {
 
@@ -255,5 +255,45 @@ class MediaSpec extends SparkSpec {
     val df = MediaOps.withResizeSpec(MediaOps.syntheticMedia(spark, 3).toDF(), 224, 224)
     val r = df.select("resize_spec.w", "resize_spec.h").head
     assert(r.getInt(0) == 224 && r.getInt(1) == 224)
+  }
+
+  test("decodePixels round-trips encode, top-down row-major") {
+    val px = Array.tabulate(6)(i => (i * 10, i * 10 + 1, i * 10 + 2)) // 3x2
+    val img = BmpDecoder.decodePixels(BmpDecoder.encode(3, 2, px)).get
+    assert(img.width == 3 && img.height == 2)
+    val back = img.rgb.map(v => ((v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff))
+    assert(back.toSeq == px.toSeq)
+  }
+
+  test("resizeNearest samples floor(X*w/outW, Y*h/outH) exactly") {
+    // 4x2 source, distinct per-pixel reds; 2x1 target picks (0,0),(2,0)
+    val src = Array.tabulate(8)(i => (i * 20, 0, 0))
+    val out = MediaOps.resizeNearest(BmpDecoder.encode(4, 2, src), 2, 1).get
+    val o = BmpDecoder.decodePixels(out).get
+    assert(o.width == 2 && o.height == 1)
+    assert(o.rgb.map(v => (v >> 16) & 0xff).toSeq == Seq(0, 40))
+
+    // odd ratio: 5x3 -> 2x2 picks x in {0, 2}, y in {0, 1}
+    val src2 = Array.tabulate(15)(i => (i, 0, 0))
+    val o2 = BmpDecoder.decodePixels(
+      MediaOps.resizeNearest(BmpDecoder.encode(5, 3, src2), 2, 2).get).get
+    assert(o2.rgb.map(v => (v >> 16) & 0xff).toSeq == Seq(0, 2, 5, 7))
+  }
+
+  test("resizeImages resamples BMP payloads and passes others through") {
+    import spark.implicits._
+    val bmp = BmpDecoder.encode(4, 4, Array.fill(16)((200, 100, 50)))
+    val wav = WavDecoder.encode(8000, Array.tabulate(10)(_.toShort))
+    val media = Seq(
+      MediaOps.MediaRecord(0L, MediaOps.MediaMeta("image", 4, 4, 0), bmp),
+      MediaOps.MediaRecord(1L, MediaOps.MediaMeta("audio", 0, 0, 8000), wav)
+    ).toDS()
+    val out = MediaOps.resizeImages(media, 2, 2).collect().sortBy(_.media_id)
+    val img = BmpDecoder.decodePixels(out(0).payload).get
+    assert(img.width == 2 && img.height == 2)
+    assert(out(0).meta.declaredWidth == 2 && out(0).meta.declaredHeight == 2)
+    assert(img.rgb.forall(_ == ((200 << 16) | (100 << 8) | 50)))
+    // non-BMP payload untouched, byte-for-byte
+    assert(out(1).payload.toSeq == wav.toSeq)
   }
 }

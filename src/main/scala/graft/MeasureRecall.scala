@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev harness behind SCALING.md's recall-at-scale table: measures each
+  * near-dup family's planted-pair recall against the `planted_pairs`
+  * ground truth GenFixtures emits beside the corpus. The cross-engine
+  * hash gate proves PARITY (both engines agree), not recall — on a
+  * corpus with no rare shingle tail both engines agree on an EMPTY
+  * answer, which only a ground-truth join can expose (the round-6
+  * study's fourth find: q50/q50b 0% at sf1 while q49's corpus-relative
+  * banding holds 98.8%). Run:
+  *
+  *   sbt "runMain graft.MeasureRecall fixtures/sf1"
+  *
+  * Truth = planted pairs whose EXACT trigram Jaccard clears the 0.5
+  * operator threshold (recomputed here pairwise — linear in planted
+  * pairs, not all-pairs). q49/q50 are scored on direct pair membership;
+  * q50b in representative space (exact-kind pairs are recovered by the
+  * sha2 collapse itself, near pairs must surface between the
+  * representatives). Prints the rare-tail diagnostic alongside, so the
+  * routing decision (`TextOps.rareTailDiagnostic`) can be checked
+  * against the measured recall it predicts.
+  */
+object MeasureRecall {
+
+  private def norm(df: DataFrame): DataFrame =
+    df.select(least(col("d1"), col("d2")).as("d1"),
+              greatest(col("d1"), col("d2")).as("d2"))
+
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val planted = spark.read.parquet(s"$dir/planted_pairs.parquet")
+      .select(least(col("d1"), col("d2")).as("d1"),
+              greatest(col("d1"), col("d2")).as("d2"), col("kind"))
+    val g = ops.TextOps.shingled(docs).localCheckpoint()
+
+    val truth = planted
+      .join(g.select(col("doc_id").as("d1"), col("grams").as("g1")), "d1")
+      .join(g.select(col("doc_id").as("d2"), col("grams").as("g2")), "d2")
+      .withColumn("jac",
+        size(array_intersect(col("g1"), col("g2"))).cast("double") /
+        size(array_union(col("g1"), col("g2"))))
+      .filter(col("jac") >= 0.5)
+      .select("d1", "d2", "kind").localCheckpoint()
+    val nTruth = truth.count()
+    println(s"ground truth: $nTruth planted pairs at exact Jaccard >= 0.5")
+
+    def report(name: String): Unit = {
+      val n = truth.join(norm(SparkEntry.queries(name)(spark, dir)),
+                         Seq("d1", "d2"), "left_semi").count()
+      println(f"$name%-28s $n/$nTruth = ${100.0 * n / math.max(1L, nTruth)}%5.1f%%")
+    }
+    report("q49_minhash_lsh")
+    report("q50_jaccard_neardup")
+
+    // q50b in representative space: the sha2 collapse recovers
+    // exact-kind pairs by construction; near pairs must appear between
+    // the group representatives.
+    val rep = docs.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+    val docRep = rep.join(rep.groupBy("h").agg(min("doc_id").as("rep")), "h")
+      .select(col("doc_id"), col("rep")).localCheckpoint()
+    val mapped = truth
+      .join(docRep.select(col("doc_id").as("d1"), col("rep").as("r1")), "d1")
+      .join(docRep.select(col("doc_id").as("d2"), col("rep").as("r2")), "d2")
+    val viaCollapse = mapped.filter(col("r1") === col("r2")).count()
+    val viaIndex = mapped.filter(col("r1") =!= col("r2"))
+      .select(least(col("r1"), col("r2")).as("d1"),
+              greatest(col("r1"), col("r2")).as("d2"))
+      .join(norm(SparkEntry.queries("q50b_dedup_first_jaccard")(spark, dir)),
+            Seq("d1", "d2"), "left_semi").count()
+    val n50b = viaCollapse + viaIndex
+    println(f"q50b_dedup_first_jaccard     $n50b/$nTruth = " +
+      f"${100.0 * n50b / math.max(1L, nTruth)}%5.1f%% " +
+      s"(collapse $viaCollapse + index $viaIndex)")
+
+    val (retained, total) = ops.TextOps.rareTailDiagnostic(g)
+    println(s"rare-tail diagnostic: retained=$retained of $total distinct grams " +
+      "(0 => df-capped index cannot serve this corpus; route to minhash)")
+    spark.stop()
+  }
+}

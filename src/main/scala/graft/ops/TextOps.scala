@@ -75,7 +75,8 @@ object TextOps {
     * no error (both engines agree on the empty result, so even a
     * cross-engine gate can't see it; first measured at the sf1 scale
     * study, where the 31-token fixture vocabulary leaves no rare tail
-    * at 50k docs and q50/q50b recover 0/2306 planted pairs while q49's
+    * at 50k docs and the q50/q50b INDEX recovers 0/2306 planted pairs
+    * (q50b's sha2 collapse still catches the 156 exact-kind ones) while q49's
     * corpus-relative minhash banding recovers 98.8%).
     *
     * One scan + one map-side-combined agg over (gram -> df), returning

@@ -222,6 +222,53 @@ object TextOps {
       .filter(col("hamming") <= maxHamming)
       .select(col("d1"), col("d2"), col("hamming"))
 
+  /** Winnowed rolling-hash document fingerprints (the MOSS scheme,
+    * Schleimer/Wilkerson/Aiken SIGMOD'03): Karp-Rabin hash every k-char
+    * gram (h = fold (a*B + c) mod M — position-shift-free, so a shared
+    * substring hashes identically anywhere it appears), then keep the
+    * MINIMUM hash of each w-wide window. Guarantees: any shared run of
+    * >= k + w - 1 chars contributes at least one common fingerprint,
+    * while storage is ~1/w of all gram hashes — the locality-robust
+    * complement to q46's whole-document bag hash (which any one-char
+    * edit flips entirely).
+    *
+    * Pure higher-order-function pipeline (split/transform/aggregate/
+    * slice/array_min) — scan-shaped, codegen'd, no UDF, no shuffle
+    * until the caller aggregates. Docs shorter than k + w - 1 chars
+    * yield an empty fingerprint set.
+    */
+  def winnowFingerprint(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame =
+    winnowFingerprintSets(docs, k, w)
+      .select(col("doc_id"),
+              size(col("fps")).cast("long").as("n_fp"),
+              coalesce(element_at(col("fps"), 1), lit(-1L)).as("fp_min"),
+              md5(array_join(expr("transform(fps, v -> cast(v AS string))"), ","))
+                .as("fp_hash"))
+
+  /** The (doc_id, fps) form of [[winnowFingerprint]] — the sorted
+    * distinct winnowed-hash set itself, for overlap joins and tests.
+    */
+  def winnowFingerprintSets(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+    val B = 257L; val M = 2147483647L
+    docs
+      // filter(.., v > 0) drops the empty-string artifacts regex split
+      // can emit (ascii('') = 0); text is ASCII-printable so no real
+      // char code collides with 0
+      .withColumn("codes",
+        expr("filter(transform(split(text, ''), c -> ascii(c)), v -> v > 0)"))
+      .withColumn("hs", expr(
+        s"""CASE WHEN size(codes) >= $k THEN
+           |  transform(sequence(1, size(codes) - ${k - 1}), p ->
+           |    aggregate(slice(codes, p, $k), 0L, (a, c) -> (a * $B + c) % $M))
+           |ELSE CAST(array() AS array<bigint>) END""".stripMargin))
+      .withColumn("fps", expr(
+        s"""CASE WHEN size(hs) >= $w THEN
+           |  array_sort(array_distinct(transform(sequence(1, size(hs) - ${w - 1}), j ->
+           |    array_min(slice(hs, j, $w)))))
+           |ELSE CAST(array() AS array<bigint>) END""".stripMargin))
+      .select(col("doc_id"), col("fps"))
+  }
+
   /** (doc_id, grams) shingle frame for a (doc_id, text) corpus. */
   def shingled(docs: DataFrame): DataFrame =
     Tables.rebalance(docs).withColumn("toks", split(col("text"), " "))
@@ -347,6 +394,16 @@ object TextOps {
                   .as("fingerprint"))
         .orderBy(col("doc_id"))
     }),
+
+    // ---- q120: winnowed ROLLING-HASH fingerprints (q46 covers the
+    // bag-hash form; this is the locality-robust one — see
+    // winnowFingerprint). The oracle recomputes the identical
+    // Karp-Rabin fold + window minima via DuckDB's list lambdas, so the
+    // polynomial arithmetic, window alignment, and dedup-sort all sit
+    // inside the hash.
+    "q120_winnow_fingerprint" -> ((s, d) =>
+      winnowFingerprint(Tables.documents(s, d).select(col("doc_id"), col("text")))
+        .orderBy(col("doc_id"))),
 
     // ---- q47: exact dedup via content hash — per lang: docs, distinct
     // texts, dup count (sha2 group ≙ dropDuplicates("text")).
@@ -495,6 +552,27 @@ object TextOps {
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS n_regex_toks
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // identical Karp-Rabin fold: list_reduce seeds with the first
+    // element, which equals Spark's 0-init fold since 0*B + c1 = c1;
+    // hs[j : j+3] is DuckDB's 1-based INCLUSIVE slice = the w=4 window
+    "q120_winnow_fingerprint" ->
+      """WITH c AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |h AS (SELECT doc_id,
+        |  CASE WHEN n >= 8 THEN
+        |    list_transform(range(1, n - 8 + 2), p ->
+        |      list_reduce(list_transform(range(p, p + 8), i -> ord(substr(text, i::INT, 1))::BIGINT),
+        |                  (a, b) -> (a * 257 + b) % 2147483647))
+        |  ELSE [] END AS hs FROM c),
+        |w AS (SELECT doc_id,
+        |  CASE WHEN len(hs) >= 4 THEN
+        |    list_sort(list_distinct(list_transform(range(1, len(hs) - 4 + 2), j ->
+        |      list_aggregate(hs[j : j + 3], 'min'))))
+        |  ELSE [] END AS fps FROM h)
+        |SELECT doc_id, len(fps)::BIGINT AS n_fp,
+        |  COALESCE(fps[1], -1)::BIGINT AS fp_min,
+        |  md5(array_to_string(fps, ',')) AS fp_hash
+        |FROM w ORDER BY doc_id""".stripMargin,
 
     "q46_fingerprint" ->
       """SELECT doc_id,

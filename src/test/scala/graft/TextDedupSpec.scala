@@ -67,6 +67,28 @@ class TextDedupSpec extends SparkSpec {
     assert(TextOps.jaccardNearDupPairs(TextOps.shingled(tiny)).count() == 0)
   }
 
+  test("winnowFingerprint: shift-invariant overlap, locality, empty below k+w-1") {
+    val share = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      (0L, s"AAAA $share BBBB"),
+      (1L, s"CCCCCCCCCC $share DDD"), // same run at a DIFFERENT offset
+      (2L, "tiny"),                   // < k+w-1 = 11 chars -> no fingerprints
+      (3L, "completely unrelated text with other words entirely"),
+      (4L, s"AAAA $share BEBB")       // one-char edit of doc 0
+    ).toDF("doc_id", "text")
+    val fps = TextOps.winnowFingerprintSets(docs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // Karp-Rabin is position-free: the shared 43-char run (> k+w-1)
+    // guarantees common fingerprints at ANY offset
+    assert((fps(0) & fps(1)).nonEmpty)
+    assert(fps(2).isEmpty)
+    assert((fps(0) & fps(3)).isEmpty)
+    // locality: a one-char edit preserves most fingerprints (q46's
+    // whole-bag hash flips entirely on the same edit)
+    val overlap = (fps(0) & fps(4)).size.toDouble / fps(0).size
+    assert(overlap > 0.5, s"one-char edit kept only $overlap")
+  }
+
   test("dedup-first composition recovers planted pairs on the 10x corpus") {
     val out = TextOps.dedupFirstJaccardPairs(duplicated(10))
     assert(pairs(out) == planted.toSet)

@@ -402,7 +402,11 @@ object TextOps {
     // polynomial arithmetic, window alignment, and dedup-sort all sit
     // inside the hash.
     "q120_winnow_fingerprint" -> ((s, d) =>
-      winnowFingerprint(Tables.documents(s, d).select(col("doc_id"), col("text")))
+      // rebalance: the fold is the heaviest per-row projection in the
+      // text family, and the fixture is a single parquet file — spread
+      // it across cores (round-robin, not a keyed shuffle)
+      winnowFingerprint(Tables.rebalance(
+          Tables.documents(s, d).select(col("doc_id"), col("text"))))
         .orderBy(col("doc_id"))),
 
     // ---- q47: exact dedup via content hash — per lang: docs, distinct

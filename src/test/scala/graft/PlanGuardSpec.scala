@@ -79,6 +79,16 @@ class PlanGuardSpec extends SparkSpec {
     assert(shuffles <= 2, s"$shuffles shuffles in\n$p")
   }
 
+  test("q120: winnowing is one scan-shaped pass; the orderBy is the only shuffle") {
+    val p = plan("q120_winnow_fingerprint")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    // doc_id + text only — the winnow projection prunes the rest
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+    val shuffles = "Exchange (hash|range)partitioning".r.findAllIn(p).size
+    assert(shuffles <= 1, s"$shuffles shuffles in\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("udf"), p)
+  }
+
   test("q50/q49: non-overlapping candidates short-circuit before the intersection") {
     // the verify join must filter on arrays_overlap (first-shared-element
     // exit) before paying the full array_intersect + sizes

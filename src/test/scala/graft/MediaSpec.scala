@@ -168,6 +168,12 @@ class MediaSpec extends SparkSpec {
     assert(frames(0)._5 == 255f && frames(0)._6 == 0f)   // red frame
     assert(frames(1)._6 == 255f)                         // green frame
     assert(frames(2)._7 == 255f)                         // blue frame
+    // SUBSAMPLING (maxFrames < frame count): evenly-spaced indices
+    // keep the endpoints — 2 of 3 samples frames 0 and 2, skipping 1
+    val sub = MediaOps.featurizeFrames(ds, maxFrames = 2)
+      .collect().sortBy(_._2)
+    assert(sub.map(_._2).toSeq == Seq(0, 2))
+    assert(sub(0)._5 == 255f && sub(1)._7 == 255f)       // red, blue
     // non-animated payloads contribute no frame rows
     val bmpOnly = Seq(MediaRecord(22L, MediaMeta("image", 2, 2, 0),
       graft.multimodal.BmpDecoder.encode(2, 2, Array.fill(4)((1, 2, 3))))).toDS()

@@ -89,6 +89,17 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("udf"), p)
   }
 
+  test("q118/q119: media pipelines are scan-shaped; orderBy is the only keyed exchange") {
+    for (q <- Seq("q118_image_resize", "q119_gif_frame_sample")) {
+      val p = plan(q)
+      val shuffles = "Exchange (hash|range)partitioning".r.findAllIn(p).size
+      assert(shuffles <= 1, s"$shuffles keyed shuffles in $q:\n$p")
+      // encode -> resample/sample -> featurize all chain inside the
+      // scan stage; no join, no aggregation pre-sort
+      assert(!p.contains("Join"), s"unexpected join in $q:\n$p")
+    }
+  }
+
   test("q50/q49: non-overlapping candidates short-circuit before the intersection") {
     // the verify join must filter on arrays_overlap (first-shared-element
     // exit) before paying the full array_intersect + sizes

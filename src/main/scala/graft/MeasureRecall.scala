@@ -85,6 +85,24 @@ object MeasureRecall {
       f"${100.0 * n50b / math.max(1L, nTruth)}%5.1f%% " +
       s"(collapse $viaCollapse + index $viaIndex)")
 
+    // q79: SimHash family — its contract is Hamming proximity, not
+    // Jaccard, so ground truth is the planted pairs whose EXACT
+    // signatures sit within the operator's threshold (<= 2). The
+    // pigeonhole 3-band LSH guarantees recall of every such pair unless
+    // a band bucket overflows its cap.
+    val sig = ops.TextOps.simhashSignaturesOf(docs).localCheckpoint()
+    val hamTruth = planted
+      .join(sig.select(col("doc_id").as("d1"), col("simhash").as("s1")), "d1")
+      .join(sig.select(col("doc_id").as("d2"), col("simhash").as("s2")), "d2")
+      .filter(expr("bit_count(s1 ^ s2)") <= 2)
+      .select("d1", "d2").localCheckpoint()
+    val nHam = hamTruth.count()
+    val n79 = hamTruth.join(
+      norm(SparkEntry.queries("q79_simhash_hamming")(spark, dir)),
+      Seq("d1", "d2"), "left_semi").count()
+    println(f"q79_simhash_hamming          $n79/$nHam = " +
+      f"${100.0 * n79 / math.max(1L, nHam)}%5.1f%% (of planted pairs at exact hamming <= 2)")
+
     val (retained, total) = ops.TextOps.rareTailDiagnostic(g)
     println(s"rare-tail diagnostic: retained=$retained of $total distinct grams " +
       "(0 => df-capped index cannot serve this corpus; route to minhash)")

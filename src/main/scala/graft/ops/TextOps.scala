@@ -200,8 +200,9 @@ object TextOps {
     * failure mode and the composition).
     */
   def simhashHammingPairs(docs: DataFrame, cap: Int = BAND_CAP,
-                          maxHamming: Int = 2): DataFrame =
-    simhashSignaturesOf(docs)
+                          maxHamming: Int = 2,
+                          pairBudgetPerDoc: Option[Int] = None): DataFrame = {
+    val bucketed0 = simhashSignaturesOf(docs)
       .select(col("doc_id"), col("simhash"), explode(expr(
         """transform(sequence(0, 2), i ->
           |  named_struct('bi', i, 'bv', shiftright(simhash, i * 20) & 1048575))"""
@@ -209,7 +210,22 @@ object TextOps {
       .groupBy(col("b.bi"), col("b.bv"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash"))))
         .as("ds"))
-      .filter(size(col("ds")).between(2, cap))
+      .filter(size(col("ds")) >= 2)
+    // budget-derived cap (q49's mechanism, same floor semantics): on a
+    // low-diversity corpus the signature space collapses and band
+    // buckets blow past the static cap — measured at the sf1 study,
+    // where the 31-token vocabulary put 30% of in-contract pairs
+    // (exact hamming <= 2) in over-cap buckets. The cap follows the
+    // measured bucket histogram as far as the pair budget affords; the
+    // driver reads only the size histogram.
+    val (bucketed, effCap) = pairBudgetPerDoc match {
+      case None => (bucketed0, cap)
+      case Some(perDoc) =>
+        val b = bucketed0.localCheckpoint()
+        (b, DedupOps.adaptiveBandCap(b, cap, perDoc.toLong * docs.count()))
+    }
+    bucketed
+      .filter(size(col("ds")) <= effCap)
       .select(explode(expr(
         """flatten(transform(ds, (x, i) ->
           |  transform(slice(ds, i + 2, size(ds)),
@@ -221,6 +237,7 @@ object TextOps {
       .withColumn("hamming", expr("bit_count(s1 ^ s2)").cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("d1"), col("d2"), col("hamming"))
+  }
 
   /** Winnowed rolling-hash document fingerprints (the MOSS scheme,
     * Schleimer/Wilkerson/Aiken SIGMOD'03): Karp-Rabin hash every k-char
@@ -440,7 +457,11 @@ object TextOps {
     // recall. (That composition does NOT rescue a corpus with no rare
     // shingle tail — see rareTailDiagnostic.)
     "q79_simhash_hamming" -> ((s, d) =>
-      simhashHammingPairs(Tables.documents(s, d))
+      // budget-derived cap: identical to the static constant wherever
+      // no bucket approaches it; on signature-collapsed corpora (sf1
+      // study) it follows the histogram and restores the pigeonhole
+      // recall guarantee
+      simhashHammingPairs(Tables.documents(s, d), pairBudgetPerDoc = Some(1000))
         .orderBy(col("d1"), col("d2"))),
 
     // ---- q66: fuzzy (edit-distance) near-dup verification — the same
@@ -593,13 +614,23 @@ object TextOps {
       s"""WITH $simhashCteDuck
         |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin,
 
+    // the cap CTE replicates adaptiveBandCap: running pair count over
+    // the bucket-size histogram ascending is monotone, so "admit while
+    // the budget holds, first failure blocks the rest" reduces to
+    // max(floor, max sz whose running total fits 1000 * n_docs)
     "q79_simhash_hamming" ->
       s"""WITH $simhashCteDuck,
         |bands AS (
         |  SELECT doc_id, i AS bi, (simhash >> (i * 20)) & 1048575 AS bv
         |  FROM sims CROSS JOIN (SELECT unnest(range(0, 3)) AS i) ii),
-        |ok AS (SELECT bi, bv FROM bands GROUP BY bi, bv
-        |       HAVING count(*) BETWEEN 2 AND $BAND_CAP),
+        |bsz AS (SELECT bi, bv, count(*) AS sz FROM bands GROUP BY bi, bv
+        |        HAVING count(*) >= 2),
+        |run AS (SELECT sz, sum(n * (sz * (sz - 1) // 2)) OVER (ORDER BY sz) AS cum
+        |        FROM (SELECT sz, count(*) AS n FROM bsz GROUP BY sz)),
+        |cap AS (SELECT greatest($BAND_CAP, coalesce(max(sz) FILTER (
+        |          WHERE cum <= 1000 * (SELECT count(*) FROM documents)), 0)) AS c
+        |        FROM run),
+        |ok AS (SELECT bi, bv FROM bsz, cap WHERE sz <= cap.c),
         |kept AS (SELECT bands.* FROM bands JOIN ok USING (bi, bv)),
         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
         |         FROM kept a JOIN kept b

@@ -19,9 +19,12 @@ import org.apache.spark.sql.functions._
   * pairs, not all-pairs). q49/q50 are scored on direct pair membership;
   * q50b in representative space (exact-kind pairs are recovered by the
   * sha2 collapse itself, near pairs must surface between the
-  * representatives). Prints the rare-tail diagnostic alongside, so the
-  * routing decision (`TextOps.rareTailDiagnostic`) can be checked
-  * against the measured recall it predicts.
+  * representatives); q79 against its own contract (planted pairs at
+  * exact signature hamming <= 2 — the measurement that exposed the
+  * static-cap recall loss the budget-derived cap now fixes). Prints
+  * the rare-tail diagnostic alongside, so the routing decision
+  * (`TextOps.rareTailDiagnostic`) can be checked against the measured
+  * recall it predicts.
   */
 object MeasureRecall {
 

@@ -26,6 +26,11 @@ object CurationOps {
   private val CHUNK_W = 4          // q96: chunk width in tokens
   private val CHUNK_S = 2          // q96: chunk stride (overlap = W - S)
 
+  private val QUALITY_MIN = 35     // q121: keep docs whose integer quality
+                                   // (distinct*100 DIV n_toks, the q98
+                                   // score) clears this — ~3/4 of the
+                                   // driver corpus at gate SF
+
   // q96/q96b share one chunk stream: width-W sliding windows, stride S
   private def chunkFrame(s: SparkSession, d: String): DataFrame =
     Tables.rebalance(Tables.documents(s, d).select(col("text")))
@@ -285,6 +290,63 @@ object CurationOps {
         .agg(expr("sum(freq) * 1000 DIV count(1)").cast("long").as("score"))
         .orderBy(col("score").desc, col("doc_id"))
         .limit(10)
+    }),
+
+    // ---- q121: the COMPOSED curation pipeline — the LLM-data analog
+    // of q101's flagship record: every stage a real operator from this
+    // catalog, chained the way a production corpus pass runs them, the
+    // whole composition inside one oracle hash.
+    //   1. quality gate (q98's integer score, >= QUALITY_MIN)
+    //   2. exact dedup -> min-id representatives carrying their dup
+    //      count (q47/q50b's sha2 collapse)
+    //   3. near-dup prune on representatives: minhash-LSH pairs
+    //      (q49's operator, budget-derived cap) with the deterministic
+    //      keep-smallest survivor rule (every d2 of a d1<d2 pair drops)
+    //   4. deterministic stratified sample (q73's hash bucket,
+    //      en 20% / others 50%)
+    //   5. per-lang accounting: surviving docs, token budget, source
+    //      docs represented, exact + near dups removed
+    // Scale shape: stages 1-2 are scan + one hash shuffle; stage 3 is
+    // q49's capped-bucket topology over the (smaller) rep set; stages
+    // 4-5 are a filter + one agg. No stage materializes more than the
+    // rep set; the survivor anti-join is a broadcast-size pair list by
+    // construction (budget-capped).
+    "q121_curation_pipeline" -> ((s, d) => {
+      val scored = Tables.rebalance(Tables.documents(s, d))
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_toks", size(col("toks")).cast("long"))
+        .withColumn("quality",
+          expr("size(array_distinct(toks)) * 100 DIV size(toks)").cast("long"))
+        .filter(col("quality") >= QUALITY_MIN)
+        .select(col("doc_id"), col("lang"), col("text"), col("n_toks"))
+      val groups = scored
+        .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+        .groupBy(col("h"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+        .drop("h")
+      val reps = scored.join(groups, "doc_id")
+      val pairs = DedupOps.minhashLshPairs(
+        TextOps.shingled(reps.select(col("doc_id"), col("text"))),
+        pairBudgetPerDoc = Some(1000))
+      val nearDropped = pairs.select(col("d2").as("doc_id")).distinct()
+      val survivors = reps
+        .join(nearDropped.withColumn("near_dup", lit(1L)), Seq("doc_id"), "left")
+      val sampled = survivors
+        .filter(col("near_dup").isNull)
+        .withColumn("bucket", PipelineOps.hashBucket(col("doc_id")))
+        .filter(col("bucket") <
+          when(col("lang") === "en", lit(200L)).otherwise(lit(500L)))
+      val nearRemoved = survivors.filter(col("near_dup").isNotNull)
+        .groupBy(col("lang")).agg(count(lit(1)).as("near_dups_removed"))
+      sampled.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_toks")).as("token_budget"),
+             sum(col("n_dups")).as("source_docs"),
+             sum(col("n_dups") - 1).as("exact_dups_removed"))
+        .join(nearRemoved, Seq("lang"), "left")
+        .withColumn("near_dups_removed",
+          coalesce(col("near_dups_removed"), lit(0L)))
+        .orderBy(col("lang"))
     })
   )
 
@@ -417,6 +479,44 @@ object CurationOps {
         |freq AS (SELECT tok, count(*) AS freq FROM tok GROUP BY tok)
         |SELECT doc_id, (sum(freq) * 1000 // count(*))::BIGINT AS score
         |FROM tok JOIN freq USING (tok)
-        |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+        |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // every stage re-derived: quality score, text-group collapse (GROUP
+    // BY text = sha2 grouping), the full minhash CTE (spliced via
+    // DedupOps.minhashPairsDuck — identical signatures, banding,
+    // adaptive cap, Jaccard verify), keep-smallest survivor rule, q73's
+    // hash bucket, and the per-lang rollup with its left-joined
+    // near-dup removal count
+    "q121_curation_pipeline" ->
+      s"""WITH scored AS (
+        |  SELECT doc_id, lang, text,
+        |    len(str_split(text, ' '))::BIGINT AS n_toks,
+        |    len(list_distinct(str_split(text, ' '))) * 100
+        |      // len(str_split(text, ' ')) AS quality
+        |  FROM documents),
+        |q AS (SELECT doc_id, lang, text, n_toks FROM scored
+        |      WHERE quality >= $QUALITY_MIN),
+        |grp AS (SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+        |        FROM q GROUP BY text),
+        |reps AS (SELECT q.doc_id, q.lang, q.text, q.n_toks, grp.n_dups
+        |         FROM q JOIN grp USING (doc_id)),
+        |${DedupOps.minhashPairsDuck("reps", 1000)},
+        |dropped AS (SELECT DISTINCT d2 AS doc_id FROM mh_pairs),
+        |nr AS (SELECT lang, count(*) AS near_dups_removed
+        |       FROM reps JOIN dropped USING (doc_id) GROUP BY lang),
+        |sampled AS (
+        |  SELECT * FROM reps
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        |    AND (doc_id * 48271 % 2147483647) % 1000 <
+        |        (CASE WHEN lang = 'en' THEN 200 ELSE 500 END)),
+        |agg AS (SELECT lang, count(*) AS n_docs,
+        |          sum(n_toks)::BIGINT AS token_budget,
+        |          sum(n_dups)::BIGINT AS source_docs,
+        |          sum(n_dups - 1)::BIGINT AS exact_dups_removed
+        |        FROM sampled GROUP BY lang)
+        |SELECT agg.lang, n_docs, token_budget, source_docs, exact_dups_removed,
+        |  COALESCE(near_dups_removed, 0)::BIGINT AS near_dups_removed
+        |FROM agg LEFT JOIN nr ON nr.lang = agg.lang
+        |ORDER BY agg.lang""".stripMargin
   )
 }

@@ -320,6 +320,51 @@ object DedupOps {
   private val trigramDuck =
     "[toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks) - 1)]"
 
+  /** DuckDB CTE fragment replicating `minhashLshPairs(..,
+    * pairBudgetPerDoc = Some(budgetPerDoc))` over an existing relation
+    * `in`(doc_id, text): same md5/derived-hash signatures, banding, the
+    * adaptive-cap derivation (running pair count over the ascending
+    * bucket-size histogram — see the q79 oracle for the monotonicity
+    * argument), and exact-Jaccard verification. Emits CTEs prefixed
+    * `mh_`; the final one is `mh_pairs(d1, d2)` with d1 < d2. Meant to
+    * be spliced into composed-pipeline oracles (q121).
+    */
+  private[ops] def minhashPairsDuck(in: String, budgetPerDoc: Int): String =
+    s"""mh_g0 AS (
+      |  SELECT doc_id, list_distinct($trigramDuck) AS grams
+      |  FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM $in)),
+      |mh_g AS (SELECT doc_id, unnest(grams) AS gram FROM mh_g0),
+      |mh_h AS (SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS hv FROM mh_g),
+      |mh_mh AS (
+      |  SELECT doc_id, s,
+      |    min(((hv % $HASH_P) * (2 * s + 1) + 7919 * s) % $HASH_P) AS mh
+      |  FROM mh_h CROSS JOIN (SELECT unnest(range(0, $NUM_SEEDS)) AS s) seeds
+      |  GROUP BY doc_id, s),
+      |mh_bands AS (
+      |  SELECT doc_id, s // $ROWS_PER_BAND AS band,
+      |    string_agg(mh::VARCHAR, '|' ORDER BY s) AS bkey
+      |  FROM mh_mh GROUP BY doc_id, s // $ROWS_PER_BAND),
+      |mh_bsz AS (SELECT band, bkey, count(*) AS sz FROM mh_bands
+      |           GROUP BY band, bkey HAVING count(*) >= 2),
+      |mh_run AS (SELECT sz, sum(n * (sz * (sz - 1) // 2)) OVER (ORDER BY sz) AS cum
+      |           FROM (SELECT sz, count(*) AS n FROM mh_bsz GROUP BY sz)),
+      |mh_cap AS (SELECT greatest($BAND_CAP, coalesce(max(sz) FILTER (
+      |             WHERE cum <= $budgetPerDoc * (SELECT count(*) FROM $in)), 0)) AS c
+      |           FROM mh_run),
+      |mh_ok AS (SELECT band, bkey FROM mh_bsz, mh_cap WHERE sz <= mh_cap.c),
+      |mh_cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM mh_bands a JOIN mh_bands b
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      |  JOIN mh_ok ON mh_ok.band = a.band AND mh_ok.bkey = a.bkey),
+      |mh_pairs AS (
+      |  SELECT d1, d2 FROM mh_cand
+      |  JOIN mh_g0 ga ON ga.doc_id = mh_cand.d1
+      |  JOIN mh_g0 gb ON gb.doc_id = mh_cand.d2
+      |  WHERE len(list_intersect(ga.grams, gb.grams))::DOUBLE /
+      |    (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)))
+      |    >= $JACCARD_T)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q49_minhash_lsh" ->
       s"""WITH g0 AS (

@@ -97,6 +97,24 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, 5L, 20L), (2L, 4L, 32L), (3L, 1L, 12L)))
   }
 
+  test("q121 pipeline: quality gate, exact collapse, near-dup prune, sample, rollup") {
+    // corpusDir langs everything 'en' (sample keeps bucket < 200);
+    // bucket(id) = (id*48271 % 2147483647) % 1000: 4 -> 84, 8 -> 168
+    val t2 = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val dir = corpusDir(Seq(
+      0L -> "x x x x",                        // quality 25 < 35: dropped first
+      4L -> "alpha beta gamma delta",         // rep of the exact-dup group
+      104L -> "alpha beta gamma delta",       // exact dup, collapses into 4
+      8L -> t2,                               // survives everything
+      37L -> ((1 to 11).map(i => s"tok$i").mkString(" ") + " zz")
+    ))                                        // near-dup of 8 (trigram j=9/11): d2 drops
+    val rows = run("q121_curation_pipeline", dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5)))
+    // survivors sampled: 4 (n_dups 2, 4 toks) and 8 (12 toks)
+    assert(rows.toSeq == Seq(("en", 2L, 16L, 3L, 1L, 1L)))
+  }
+
   test("q95 flags segments shared by >= 5% of docs as boilerplate") {
     // 'FOO BAR' opens every doc (df 40/40); each doc's second segment is
     // unique (df 1, and 1*20 < 40 keeps it below the 5% bar — the corpus

@@ -67,6 +67,15 @@ object MeasureRecall {
     }
     report("q49_minhash_lsh")
     report("q50_jaccard_neardup")
+    // q122: the routed operator — must hold recall on BOTH corpus
+    // shapes (fixtures/sf1 routes to minhash, fixtures/sf1tail to the
+    // index; the printed route pins which branch served this corpus)
+    val routed = ops.TextOps.routedNearDupPairs(docs).localCheckpoint()
+    val route = routed.select("route").limit(1).collect()
+      .headOption.map(_.getString(0)).getOrElse("(empty)")
+    val n122 = truth.join(norm(routed), Seq("d1", "d2"), "left_semi").count()
+    println(f"q122_routed_neardup          $n122/$nTruth = " +
+      f"${100.0 * n122 / math.max(1L, nTruth)}%5.1f%% (route: $route)")
 
     // q50b in representative space: the sha2 collapse recovers
     // exact-kind pairs by construction; near pairs must appear between

@@ -123,6 +123,15 @@ object DedupOps {
     checkpointDir.foreach(shingles.sparkSession.sparkContext.setCheckpointDir)
     val g0 =
       if (checkpointDir.isDefined) shingles.checkpoint() else shingles.localCheckpoint()
+    minhashPairsOn(g0, bandCap, pairBudgetPerDoc)
+  }
+
+  /** [[minhashLshPairs]] over an ALREADY-materialized shingle frame (no
+    * internal checkpoint) — for callers that share one checkpoint across
+    * a diagnostic pass and the pipeline (TextOps.routedNearDupPairs).
+    */
+  private[graft] def minhashPairsOn(g0: DataFrame, bandCap: Int = BAND_CAP,
+                                    pairBudgetPerDoc: Option[Int] = None): DataFrame = {
     // explode_outer + null filter: plain explode would infer a
     // non-empty-array filter (moot over the checkpointed RDD, kept for
     // shape parity with the TextOps index)
@@ -326,8 +335,10 @@ object DedupOps {
     * adaptive-cap derivation (running pair count over the ascending
     * bucket-size histogram — see the q79 oracle for the monotonicity
     * argument), and exact-Jaccard verification. Emits CTEs prefixed
-    * `mh_`; the final one is `mh_pairs(d1, d2)` with d1 < d2. Meant to
-    * be spliced into composed-pipeline oracles (q121).
+    * `mh_`; the final one is `mh_pairs(d1, d2, jaccard)` with d1 < d2.
+    * Spliced into the q49 oracle directly (so the Spark operator and its
+    * oracle share ONE cap derivation — the adaptive-caps-need-oracle-
+    * replication rule) and into composed-pipeline oracles (q121/q122).
     */
   private[ops] def minhashPairsDuck(in: String, budgetPerDoc: Int): String =
     s"""mh_g0 AS (
@@ -358,7 +369,11 @@ object DedupOps {
       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
       |  JOIN mh_ok ON mh_ok.band = a.band AND mh_ok.bkey = a.bkey),
       |mh_pairs AS (
-      |  SELECT d1, d2 FROM mh_cand
+      |  SELECT d1, d2,
+      |    round(len(list_intersect(ga.grams, gb.grams))::DOUBLE /
+      |      (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))), 6)
+      |      AS jaccard
+      |  FROM mh_cand
       |  JOIN mh_g0 ga ON ga.doc_id = mh_cand.d1
       |  JOIN mh_g0 gb ON gb.doc_id = mh_cand.d2
       |  WHERE len(list_intersect(ga.grams, gb.grams))::DOUBLE /
@@ -366,35 +381,15 @@ object DedupOps {
       |    >= $JACCARD_T)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the whole pipeline — signatures, banding, the ADAPTIVE cap
+    // derivation (budget 1000/doc, BAND_CAP floor), verification — is
+    // the shared minhashPairsDuck splice, so the oracle re-derives the
+    // same cap the Spark side computes instead of pinning the static
+    // floor (which would false-alarm the first time a dup-heavy corpus
+    // pushes a bucket past 200 and the budget admits it)
     "q49_minhash_lsh" ->
-      s"""WITH g0 AS (
-        |  SELECT doc_id, list_distinct($trigramDuck) AS grams
-        |  FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)),
-        |g AS (SELECT doc_id, unnest(grams) AS gram FROM g0),
-        |h AS (SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS hv FROM g),
-        |mh AS (
-        |  SELECT doc_id, s,
-        |    min(((hv % $HASH_P) * (2 * s + 1) + 7919 * s) % $HASH_P) AS mh
-        |  FROM h CROSS JOIN (SELECT unnest(range(0, $NUM_SEEDS)) AS s) seeds
-        |  GROUP BY doc_id, s),
-        |bands AS (
-        |  SELECT doc_id, s // $ROWS_PER_BAND AS band,
-        |    string_agg(mh::VARCHAR, '|' ORDER BY s) AS bkey
-        |  FROM mh GROUP BY doc_id, s // $ROWS_PER_BAND),
-        |bsz AS (
-        |  SELECT band, bkey FROM bands GROUP BY band, bkey
-        |  HAVING count(*) BETWEEN 2 AND $BAND_CAP),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        |  FROM bands a JOIN bands b
-        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-        |  JOIN bsz ON bsz.band = a.band AND bsz.bkey = a.bkey)
-        |SELECT d1, d2,
-        |  round(len(list_intersect(a.grams, b.grams))::DOUBLE /
-        |    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
-        |FROM cand JOIN g0 a ON a.doc_id = cand.d1 JOIN g0 b ON b.doc_id = cand.d2
-        |WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
-        |    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= $JACCARD_T
+      s"""WITH ${minhashPairsDuck("documents", 1000)}
+        |SELECT d1, d2, jaccard FROM mh_pairs
         |ORDER BY d1, d2""".stripMargin,
 
     "q55_embedding_neardup" ->

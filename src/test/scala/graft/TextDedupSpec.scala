@@ -164,6 +164,38 @@ class TextDedupSpec extends SparkSpec {
     assert(recovered == planted.toSet, s"composition found: $recovered")
   }
 
+  test("q122 routing: tailed corpus -> index branch, planted pairs recovered") {
+    // baseCorpus has per-doc vocabularies: the diagnostic sees a rare
+    // tail, so the router must pick the cheap exact index branch
+    val out = TextOps.routedNearDupPairs(baseCorpus)
+    assert(out.select("route").distinct().collect().map(_.getString(0)).toSeq
+      == Seq("index"))
+    assert(pairs(out) == planted.toSet)
+    // and the index branch's answer is exactly q50's
+    assert(pairs(out) == pairs(TextOps.jaccardNearDupPairs(TextOps.shingled(baseCorpus))))
+  }
+
+  test("q122 routing: collapsed corpus -> minhash branch, recall restored") {
+    // duplicated(10): every shingle's df >= 10 > DF_CAP, retained == 0 —
+    // the regime where q50 alone returns the silently-empty answer
+    val docs = duplicated(10)
+    assert(TextOps.jaccardNearDupPairs(TextOps.shingled(docs)).count() == 0)
+    val out = TextOps.routedNearDupPairs(docs).localCheckpoint()
+    assert(out.select("route").distinct().collect().map(_.getString(0)).toSeq
+      == Seq("minhash"))
+    // the budget-derived cap follows the 10-wide duplicate buckets, so
+    // every planted near-dup pair (in every replica's id space) surfaces
+    val found = pairs(out)
+    val expected = for (r <- 0 until 10; (a, b) <- planted)
+      yield (a + r * 1000L, b + r * 1000L)
+    assert(expected.toSet.subsetOf(found),
+      s"missing: ${expected.toSet -- found}")
+    // routed == the minhash operator run directly (the dispatch adds
+    // nothing but the route column)
+    assert(found == pairs(DedupOps.minhashLshPairs(
+      TextOps.shingled(docs), pairBudgetPerDoc = Some(1000))))
+  }
+
   test("reliable-checkpoint path is result-identical to the local path") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     val localJ = pairs(TextOps.jaccardNearDupPairs(TextOps.shingled(baseCorpus)))

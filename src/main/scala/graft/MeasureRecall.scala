@@ -60,22 +60,25 @@ object MeasureRecall {
     val nTruth = truth.count()
     println(s"ground truth: $nTruth planted pairs at exact Jaccard >= 0.5")
 
-    def report(name: String): Unit = {
-      val n = truth.join(norm(SparkEntry.queries(name)(spark, dir)),
-                         Seq("d1", "d2"), "left_semi").count()
-      println(f"$name%-28s $n/$nTruth = ${100.0 * n / math.max(1L, nTruth)}%5.1f%%")
+    // one formatter for every family row: label, pairs frame, optional
+    // annotation — q122's route tag rides through `suffix` instead of a
+    // hand-aligned duplicate of the format string (round-7 ADVICE)
+    def report(name: String, found: DataFrame, suffix: String = ""): Long = {
+      val n = truth.join(norm(found), Seq("d1", "d2"), "left_semi").count()
+      println(f"$name%-28s $n/$nTruth = " +
+        f"${100.0 * n / math.max(1L, nTruth)}%5.1f%%$suffix")
+      n
     }
-    report("q49_minhash_lsh")
-    report("q50_jaccard_neardup")
-    // q122: the routed operator — must hold recall on BOTH corpus
-    // shapes (fixtures/sf1 routes to minhash, fixtures/sf1tail to the
-    // index; the printed route pins which branch served this corpus)
+    report("q49_minhash_lsh", SparkEntry.queries("q49_minhash_lsh")(spark, dir))
+    report("q50_jaccard_neardup", SparkEntry.queries("q50_jaccard_neardup")(spark, dir))
+    // q122: the routed operator — must hold recall on EVERY corpus
+    // shape (fixtures/sf1 routes to minhash, fixtures/sf1tail to the
+    // index, fixtures/sf1mid to the union band; the printed route pins
+    // which branch served this corpus)
     val routed = ops.TextOps.routedNearDupPairs(docs).localCheckpoint()
     val route = routed.select("route").limit(1).collect()
       .headOption.map(_.getString(0)).getOrElse("(empty)")
-    val n122 = truth.join(norm(routed), Seq("d1", "d2"), "left_semi").count()
-    println(f"q122_routed_neardup          $n122/$nTruth = " +
-      f"${100.0 * n122 / math.max(1L, nTruth)}%5.1f%% (route: $route)")
+    report("q122_routed_neardup", routed, s" (route: $route)")
 
     // q50b in representative space: the sha2 collapse recovers
     // exact-kind pairs by construction; near pairs must appear between
@@ -118,6 +121,9 @@ object MeasureRecall {
     val (retained, total) = ops.TextOps.rareTailDiagnostic(g)
     println(s"rare-tail diagnostic: retained=$retained of $total distinct grams " +
       "(0 => df-capped index cannot serve this corpus; route to minhash)")
+    val (ret2, wit) = ops.TextOps.pairWitnessDiagnostic(g)
+    println(s"pair-witness diagnostic: retained=$ret2 of $wit df>=2 grams " +
+      f"(ratio ${ret2.toDouble / math.max(1L, wit)}%.4f; >=0.75 index, <0.05 minhash, else both)")
     spark.stop()
   }
 }

@@ -238,6 +238,48 @@ object Advanced {
                 col("signup"), col("view")),
           "event_type", "n")
         .orderBy(col("h"), col("event_type"))
+    }),
+
+    // ---- q123: the Space-Saving sketch's APPROXIMATE regime under the
+    // cross-engine gate (q96b runs the same TypedImperativeAggregate in
+    // its exact regime; this closes the one previously un-gated cell —
+    // VERDICT r7 #2). The fixture streams are near-uniform (max chunk
+    // df 5 at sf0.1), so a skewed stream is synthesized arithmetically
+    // from lineitem: 7 hot items carry ~1/21 of the mass each, the tail
+    // is one item per partkey. Capacity 256 << distinct items, so every
+    // partition buffer evicts and the partial->final merge runs the
+    // error-propagating path. The gate is the q60/q63 bounded-error
+    // pattern on the sketch CONTRACT: for every guaranteed-heavy item
+    // (exact_cnt * capacity > n — Space-Saving must retain it), the
+    // item is present, its count brackets the exact count
+    // (cnt - err <= exact <= cnt), and its error respects the
+    // epsilon-n bound (err * capacity <= n). All booleans are
+    // engine-portable; the oracle re-derives the heavy set exactly and
+    // emits TRUE.
+    "q123_sketch_heavy_hitters" -> ((s, d) => {
+      val cap = 256
+      val items = Tables.lineitem(s, d).select(
+        when(col("l_orderkey") % 3 === 0,
+             concat(lit("hot"), col("l_partkey") % 7))
+          .otherwise(concat(lit("tail"), col("l_partkey"))).as("item"))
+      val sketch = Tables.rebalance(items)
+        .agg(graft.functions.SketchFunctions
+          .spaceSavingTopK(col("item"), cap, cap).as("top"))
+        .select(explode(col("top")).as("e"))
+        .select(col("e.item").as("item"), col("e.cnt").as("sk_cnt"),
+                col("e.err").as("sk_err"), col("e.sat").as("sk_sat"))
+      val totals = items.agg(count(lit(1)).as("n"))
+      items.groupBy(col("item")).agg(count(lit(1)).as("exact_cnt"))
+        .crossJoin(totals)
+        .filter(col("exact_cnt") * cap > col("n"))
+        .join(sketch, Seq("item"), "left")
+        .select(col("item"), col("exact_cnt"),
+          (col("sk_cnt").isNotNull &&
+           col("sk_cnt") >= col("exact_cnt") &&
+           col("sk_cnt") - col("sk_err") <= col("exact_cnt") &&
+           col("sk_err") * cap <= col("n")).as("contract_ok"),
+          coalesce(col("sk_sat"), lit(false)).as("saturated"))
+        .orderBy(col("item"))
     })
   )
 
@@ -353,6 +395,18 @@ object Advanced {
         |    row_number() OVER (PARTITION BY l_returnflag
         |                       ORDER BY count(*) DESC, l_quantity ASC) AS rn
         |  FROM lineitem GROUP BY l_returnflag, l_quantity)
-        |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin
+        |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+
+    // the heavy set is re-derived exactly (exact_cnt * capacity > n);
+    // every sketch-contract boolean must come back TRUE, and in this
+    // regime (distinct >> capacity) the saturation flag must be up
+    "q123_sketch_heavy_hitters" ->
+      """WITH s AS (
+        |  SELECT CASE WHEN l_orderkey % 3 = 0 THEN 'hot' || (l_partkey % 7)
+        |              ELSE 'tail' || l_partkey END AS item FROM lineitem),
+        |ex AS (SELECT item, count(*) AS exact_cnt FROM s GROUP BY item),
+        |n AS (SELECT count(*) AS n FROM s)
+        |SELECT item, exact_cnt, TRUE AS contract_ok, TRUE AS saturated
+        |FROM ex, n WHERE exact_cnt * 256 > n.n ORDER BY item""".stripMargin
   )
 }

@@ -210,6 +210,10 @@ object CurationOps {
     // corpus growth ever pushes the distinct-chunk count past capacity,
     // this query fails with a column that names the cause instead of a
     // bare hash mismatch (ADVICE r5 — the 2^17 headroom was silent).
+    // The APPROXIMATE regime of the same aggregate is gated by
+    // q123_sketch_heavy_hitters (ops/Advanced.scala) over a synthesized
+    // skewed stream — the fixture chunk stream is too uniform to leave
+    // any guaranteed-heavy item.
     "q96b_chunk_topk_sketch" -> ((s, d) =>
       chunkFrame(s, d)
         .agg(graft.functions.SketchFunctions

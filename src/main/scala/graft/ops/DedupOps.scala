@@ -339,12 +339,30 @@ object DedupOps {
     * Spliced into the q49 oracle directly (so the Spark operator and its
     * oracle share ONE cap derivation — the adaptive-caps-need-oracle-
     * replication rule) and into composed-pipeline oracles (q121/q122).
+    *
+    * `gramsRel` (a relation shaped (doc_id, grams)) makes the splice
+    * REUSE a gram table the host query already builds instead of
+    * shingling `in` a second time (round-7 ADVICE: the q122 oracle paid
+    * the trigram construction twice). `gate` is a boolean SQL scalar
+    * injected at the pipeline's FIRST expensive step (the per-shingle
+    * md5): when the host query's routing predicate says this arm is
+    * dead, the whole signature/banding/verify chain runs on zero rows
+    * instead of materializing an unused result (DuckDB evaluates every
+    * CTE arm of a UNION regardless of the arms' scalar WHEREs).
     */
-  private[ops] def minhashPairsDuck(in: String, budgetPerDoc: Int): String =
-    s"""mh_g0 AS (
-      |  SELECT doc_id, list_distinct($trigramDuck) AS grams
-      |  FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM $in)),
-      |mh_g AS (SELECT doc_id, unnest(grams) AS gram FROM mh_g0),
+  private[ops] def minhashPairsDuck(in: String, budgetPerDoc: Int,
+                                    gramsRel: Option[String] = None,
+                                    gate: Option[String] = None): String = {
+    val g0 = gramsRel match {
+      case Some(rel) => s"mh_g0 AS (SELECT doc_id, grams FROM $rel)"
+      case None =>
+        s"""mh_g0 AS (
+          |  SELECT doc_id, list_distinct($trigramDuck) AS grams
+          |  FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM $in))""".stripMargin
+    }
+    val gateSql = gate.map(g => s" WHERE ($g)").getOrElse("")
+    s"""$g0,
+      |mh_g AS (SELECT doc_id, unnest(grams) AS gram FROM mh_g0$gateSql),
       |mh_h AS (SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS hv FROM mh_g),
       |mh_mh AS (
       |  SELECT doc_id, s,
@@ -379,6 +397,7 @@ object DedupOps {
       |  WHERE len(list_intersect(ga.grams, gb.grams))::DOUBLE /
       |    (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams)))
       |    >= $JACCARD_T)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     // the whole pipeline — signatures, banding, the ADAPTIVE cap

@@ -51,6 +51,18 @@ object TextOps {
   private val DF_CAP = 3
   private val BAND_CAP = 200 // q79 band-bucket width cap (C(cap,2) pair bound)
 
+  // q122 routing thresholds, integer percent of the pairWitnessDiagnostic
+  // ratio (retained / witnesses) so both engines compare exact BIGINTs:
+  //   ratio >= ROUTE_HI_PCT% -> 'index'   (measured 100% recall regime)
+  //   ratio <  ROUTE_LO_PCT% -> 'minhash' (index near-blind; minhash holds
+  //                                        98.6-99.0% across every shape)
+  //   between                -> 'both'    (union of the two exact-verified
+  //                                        pair sets: recall >= max of the
+  //                                        branches, still precise)
+  // Set from the RouteSweep measurement at 50k docs (SCALING.md).
+  private[ops] val ROUTE_HI_PCT = 75
+  private[ops] val ROUTE_LO_PCT = 5
+
   /** DuckDB CTE computing (doc_id, simhash) — mirror of simhashSignatures,
     * shared by the q48 and q79 oracles.
     */
@@ -96,6 +108,69 @@ object TextOps {
            count(lit(1)).as("total"))
       .head()
     (df.getLong(0), df.getLong(1))
+  }
+
+  /** THE routing statistic for [[routedNearDupPairs]]: (retained,
+    * witnesses) where `witnesses` = grams with df >= 2 and `retained` =
+    * grams with df in [2, dfCap]. A near-dup pair is recoverable by the
+    * df-capped index iff one of its SHARED grams is retained — and every
+    * shared gram has df >= 2 by the pair's own two occurrences, so the
+    * ratio retained/witnesses estimates the per-shared-gram retention
+    * probability, which is what pair recall exponentiates over (~90
+    * shared grams per pair at fixture shape).
+    *
+    * Chosen over the two rejected alternatives by the RouteSweep
+    * measurement at 50k docs (SCALING.md): the raw nonzero retained
+    * count (round 7's dispatch) is all-or-nothing — a vocab-60 corpus
+    * reads retained=554 > 0 while the index recovers 0.3% of planted
+    * pairs; and the doc-coverage fraction (docs carrying >= 1 retained
+    * gram, the round-7 ADVICE suggestion, kept as
+    * [[coverageDiagnostic]]) is NON-MONOTONE with index recall — a
+    * high-diversity corpus reads coverage 0.09 (background grams are
+    * df=1, so few docs touch a df-2 gram) at 100% index recall, while a
+    * vocab-80 corpus reads coverage 0.95 at 77% recall. The conditional
+    * ratio is monotone across the same sweep: 0 -> 0%, 0.003 -> 0.3%,
+    * 0.22 -> 77%, 0.62 -> 99.1%, >= 0.94 -> 100%.
+    *
+    * Same cost class as [[rareTailDiagnostic]]: one map-side-combined
+    * aggregation over the (checkpointed) shingle frame; the driver
+    * reads two longs.
+    */
+  def pairWitnessDiagnostic(g0: DataFrame, dfCap: Int = DF_CAP): (Long, Long) = {
+    val r = g0.select(explode_outer(col("grams")).as("gram"))
+      .filter(col("gram").isNotNull)
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .agg(coalesce(sum(when(col("df").between(2, dfCap), 1L).otherwise(0L)),
+             lit(0L)).as("retained"),
+           coalesce(sum(when(col("df") >= 2, 1L).otherwise(0L)),
+             lit(0L)).as("witnesses"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Coverage form of the diagnostic — what fraction of DOCUMENTS carry
+    * at least one retained shingle: (covered docs, total docs). Kept as
+    * a corpus-inspection tool and for the RouteSweep table; REJECTED as
+    * the routing statistic because it is non-monotone with index recall
+    * (see [[pairWitnessDiagnostic]] — background docs and pair members
+    * see different df distributions, so doc visibility does not track
+    * pair visibility).
+    *
+    * Cost: the same df aggregation as [[rareTailDiagnostic]] plus one
+    * semi-join of the exploded gram table against the retained grams and
+    * a distinct-count — all map-side-combinable shuffles on bounded
+    * keys; the driver reads two longs. Run over an already-materialized
+    * (checkpointed) shingle frame, like every diagnostic in this family.
+    */
+  def coverageDiagnostic(g0: DataFrame, dfCap: Int = DF_CAP): (Long, Long) = {
+    val g = g0.select(col("doc_id"), explode_outer(col("grams")).as("gram"))
+      .filter(col("gram").isNotNull)
+    val rare = g.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, dfCap))
+    val covered = g.join(rare.select(col("gram")), Seq("gram"), "left_semi")
+      .agg(countDistinct(col("doc_id")).as("covered"))
+      .head().getLong(0)
+    (covered, g0.count())
   }
 
   /** In-bucket candidate pairs (d1 < d2) from a df-capped inverted
@@ -335,41 +410,74 @@ object TextOps {
   /** ROUTED near-dup pairs — dedup-strategy dispatch as an OPERATOR, not
     * advice (the round-6 `weak`): the engine ships two candidate
     * generators with opposite failure modes — the df-capped inverted
-    * index (precise + cheap, but retains NOTHING once corpus growth
-    * lifts every shingle's df past the cap: measured 0% recall at sf1 on
-    * the 31-token-vocabulary corpus) and corpus-relative minhash LSH
-    * banding (98.8% recall on that same corpus). Which regime a corpus
-    * is in is exactly what [[rareTailDiagnostic]] measures, so the
-    * routing is one extra aggregation pass over the shared shingle
-    * checkpoint (driver reads two longs), then ONE branch executes:
+    * index (precise + cheap, but blind to a pair unless some shared
+    * shingle keeps df <= cap: measured 0% recall at sf1 on the
+    * 31-token-vocabulary corpus) and corpus-relative minhash LSH
+    * banding (98.6-99.0% recall on every measured shape). Which regime
+    * a corpus is in is what [[pairWitnessDiagnostic]] measures — the
+    * fraction of pair-witnessing grams (df >= 2) the index retains —
+    * one extra aggregation pass over the shared shingle checkpoint
+    * (driver reads two longs), then:
     *
-    *   retained > 0  -> inverted index + exact Jaccard  (route = 'index')
-    *   retained == 0 -> minhash LSH, budget-derived cap (route = 'minhash')
+    *   ratio >= 75%  -> inverted index + exact Jaccard   (route = 'index')
+    *   ratio <   5%  -> minhash LSH, budget-derived cap  (route = 'minhash')
+    *   in between    -> DISTINCT UNION of both branches  (route = 'both')
+    *
+    * The gray band exists because no cheap scalar separates the regimes
+    * sharply (RouteSweep: ratio 0.22 -> 77% index recall, 0.49 -> 99.1%);
+    * inside it both branches run and their exact-Jaccard-verified pair
+    * sets union — recall >= max(branches) >= minhash's floor, precision
+    * still exact, at the cost of both candidate passes over the one
+    * shingle checkpoint. Round 7's `retained > 0` dispatch had no band:
+    * a corpus with a sliver of rare grams (vocab-60 shape: 554 retained
+    * of 216k witnesses) routed to an index that recovers 0.3%.
     *
     * The decision rides in the output as a `route` column, so the
     * cross-engine gate hashes the ROUTING too — the DuckDB oracle
-    * re-derives the same df histogram and takes the same branch
-    * (q122). Unified schema (d1, d2, jaccard, route); both branches
-    * verify candidates with exact trigram Jaccard >= 0.5.
+    * re-derives the same two scalars and takes the same branch (q122).
+    * With `routeSentinel` the operator also emits one (-1, -1, -1.0,
+    * route) row, so the routing decision stays inside the gate even
+    * when the pair set is EMPTY (a wrong route that yields an empty
+    * answer on both engines would otherwise be invisible to the hash —
+    * round-7 ADVICE). Unified schema (d1, d2, jaccard, route); both
+    * branches verify candidates with exact trigram Jaccard >= 0.5.
     *
     * Scale: the diagnostic is one map-side-combined agg over the shingle
     * frame that the winning branch re-reads from the same checkpoint —
     * at 100 TB that's one cheap extra reduction vs running the WRONG
     * strategy (a silently-empty answer, or an unbounded candidate join).
+    * The 'both' band doubles candidate generation, never quadratic work.
     */
   def routedNearDupPairs(docs: DataFrame, dfCap: Int = DF_CAP,
                          pairBudgetPerDoc: Int = 1000,
-                         checkpointDir: Option[String] = None): DataFrame = {
+                         checkpointDir: Option[String] = None,
+                         routeSentinel: Boolean = false): DataFrame = {
     checkpointDir.foreach(docs.sparkSession.sparkContext.setCheckpointDir)
     val g0 = shingled(docs)
     val gc = if (checkpointDir.isDefined) g0.checkpoint() else g0.localCheckpoint()
-    val (retained, _) = rareTailDiagnostic(gc, dfCap)
-    if (retained > 0)
-      jaccardPairsOn(gc, dfCap)
-        .select(col("d1"), col("d2"), col("jaccard"), lit("index").as("route"))
-    else
-      DedupOps.minhashPairsOn(gc, pairBudgetPerDoc = Some(pairBudgetPerDoc))
-        .select(col("d1"), col("d2"), col("jaccard"), lit("minhash").as("route"))
+    val (retained, witnesses) = pairWitnessDiagnostic(gc, dfCap)
+    def index = jaccardPairsOn(gc, dfCap)
+      .select(col("d1"), col("d2"), col("jaccard"))
+    def minhash = DedupOps.minhashPairsOn(gc, pairBudgetPerDoc = Some(pairBudgetPerDoc))
+      .select(col("d1"), col("d2"), col("jaccard"))
+    // integer-exact comparisons (both engines replicate them as BIGINTs);
+    // witnesses == 0 means no gram can witness any pair — both branches
+    // are provably empty, take the cheap one
+    val (route, pairs) =
+      if (witnesses == 0 || retained * 100 >= ROUTE_HI_PCT.toLong * witnesses)
+        ("index", index)
+      else if (retained * 100 < ROUTE_LO_PCT.toLong * witnesses)
+        ("minhash", minhash)
+      else
+        ("both", index.unionByName(minhash).distinct())
+    val routed = pairs.withColumn("route", lit(route))
+    if (!routeSentinel) routed
+    else {
+      val s = docs.sparkSession
+      import s.implicits._
+      routed.unionByName(
+        Seq((-1L, -1L, -1.0, route)).toDF("d1", "d2", "jaccard", "route"))
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -578,11 +686,13 @@ object TextOps {
 
     // ---- q122: ROUTED near-dup — the dispatch itself is the operator
     // (see routedNearDupPairs). The route column puts the decision
-    // inside the cross-engine hash: the oracle recomputes the df
-    // histogram and takes the same branch in SQL.
+    // inside the cross-engine hash — the oracle recomputes the same
+    // (retained, witnesses) scalars and takes the same branch in SQL —
+    // and the sentinel row keeps the decision hashed even when the pair
+    // set is empty.
     "q122_routed_neardup" -> ((s, d) =>
       routedNearDupPairs(Tables.documents(s, d)
-          .select(col("doc_id"), col("text")))
+          .select(col("doc_id"), col("text")), routeSentinel = true)
         .orderBy(col("d1"), col("d2")))
   )
 
@@ -766,22 +876,25 @@ object TextOps {
         |    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
         |ORDER BY d1, d2""".stripMargin,
 
-    // the ROUTING is in the hash: `ret` recomputes rareTailDiagnostic's
-    // retained count (grams with df in [2, DF_CAP]) from the same
-    // trigram table; the two branch pipelines are the q50 index (rare ->
-    // candidates -> exact jaccard) and the spliced minhash CTE chain
-    // (signatures, banding, ADAPTIVE cap, verification); the scalar
-    // WHERE on each UNION arm selects exactly the branch the Spark
-    // driver dispatches to
+    // the ROUTING is in the hash: `rt` recomputes pairWitnessDiagnostic's
+    // (retained, witnesses) scalars from ONE shared trigram table (g0 —
+    // the minhash splice reuses it via gramsRel instead of shingling
+    // again); each branch pipeline is gated at its first expensive step
+    // by the same routing predicate its UNION arm tests, so the dead
+    // branch runs on zero rows; the 'both' arm is the DISTINCT union of
+    // the two exact-verified pair sets; and the sentinel arm emits the
+    // decision as a row even when every pair arm is empty
     "q122_routed_neardup" ->
       s"""WITH g0 AS (
         |  SELECT doc_id, list_distinct($trigramSqlDuck) AS grams
         |  FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)),
         |g AS (SELECT doc_id, unnest(grams) AS gram FROM g0),
         |dfs AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
-        |ret AS (SELECT count(*) FILTER (WHERE df BETWEEN 2 AND $DF_CAP) AS retained
-        |        FROM dfs),
-        |rare AS (SELECT gram FROM dfs WHERE df BETWEEN 2 AND $DF_CAP),
+        |rt AS (SELECT count(*) FILTER (WHERE df BETWEEN 2 AND $DF_CAP) AS retained,
+        |              count(*) FILTER (WHERE df >= 2) AS witnesses
+        |       FROM dfs),
+        |rare AS (SELECT gram FROM dfs WHERE df BETWEEN 2 AND $DF_CAP
+        |         AND (SELECT retained * 100 >= $ROUTE_LO_PCT * witnesses FROM rt)),
         |gr AS (SELECT g.doc_id, g.gram FROM g JOIN rare USING (gram)),
         |icand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
         |          FROM gr a JOIN gr b ON a.gram = b.gram AND a.doc_id < b.doc_id),
@@ -793,12 +906,25 @@ object TextOps {
         |  FROM icand JOIN g0 a ON a.doc_id = icand.d1 JOIN g0 b ON b.doc_id = icand.d2
         |  WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
         |    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5),
-        |${DedupOps.minhashPairsDuck("documents", 1000)}
+        |${DedupOps.minhashPairsDuck("documents", 1000, gramsRel = Some("g0"),
+             gate = Some(s"SELECT witnesses > 0 AND retained * 100 < $ROUTE_HI_PCT * witnesses FROM rt"))}
         |SELECT d1, d2, jaccard, 'index' AS route FROM ipairs
-        |WHERE (SELECT retained FROM ret) > 0
+        |WHERE (SELECT witnesses = 0 OR retained * 100 >= $ROUTE_HI_PCT * witnesses FROM rt)
         |UNION ALL
         |SELECT d1, d2, jaccard, 'minhash' AS route FROM mh_pairs
-        |WHERE (SELECT retained FROM ret) = 0
+        |WHERE (SELECT retained * 100 < $ROUTE_LO_PCT * witnesses FROM rt)
+        |UNION ALL
+        |SELECT DISTINCT d1, d2, jaccard, 'both' AS route
+        |FROM (SELECT d1, d2, jaccard FROM ipairs
+        |      UNION ALL SELECT d1, d2, jaccard FROM mh_pairs) u
+        |WHERE (SELECT witnesses > 0 AND retained * 100 < $ROUTE_HI_PCT * witnesses
+        |              AND retained * 100 >= $ROUTE_LO_PCT * witnesses FROM rt)
+        |UNION ALL
+        |SELECT -1::BIGINT, -1::BIGINT, -1.0::DOUBLE,
+        |  CASE WHEN witnesses = 0 OR retained * 100 >= $ROUTE_HI_PCT * witnesses THEN 'index'
+        |       WHEN retained * 100 < $ROUTE_LO_PCT * witnesses THEN 'minhash'
+        |       ELSE 'both' END
+        |FROM rt
         |ORDER BY d1, d2""".stripMargin
   )
 }

@@ -63,6 +63,49 @@ class SketchSpec extends SparkSpec {
     assert(ms < 5000, s"500k adds took $ms ms — eviction degenerated")
   }
 
+  test("merge propagates the other buffer's per-entry error (VERDICT r7 #3)") {
+    // buf B runs in the approximate regime: its survivors carry
+    // inherited eviction error. Merging B into an EMPTY-overlap A must
+    // keep those bounds — the old absent-item path re-inserted with
+    // err=0, claiming exactness for counts that are upper bounds.
+    val b = new SpaceSavingBuffer(4)
+    Seq("x1", "x2", "x3", "x4", "y", "y", "y").foreach(b.add(_))
+    // y evicted one of the x's: cnt 1(min)+3, err 1
+    val (yc, ye) = b.counters("y")
+    assert(yc == 4L && ye == 1L)
+
+    val a = new SpaceSavingBuffer(4)
+    Seq("z1", "z1", "z2", "z2").foreach(a.add(_))
+    a.merge(b)
+    // y survives the prune (cnt 4+off > 2); its error must still say
+    // "cnt is NOT exact" — and absent-side offsets widen it honestly
+    val (myc, mye) = a.counters("y")
+    assert(mye >= 1L, s"merge dropped y's eviction error (err=$mye)")
+    assert(myc - mye <= 3L, s"lower bound ${myc - mye} exceeds true count 3")
+    assert(myc >= 3L, "upper bound must cover the true count")
+    // both per-entry invariants hold for every survivor: cnt >= err >= 0
+    a.counters.foreach { case (item, (c, e)) =>
+      assert(e >= 0 && c >= e, s"$item: ($c, $e)")
+    }
+  }
+
+  test("merged exact-regime buffers with overflow prune deterministically") {
+    // two non-evicted buffers whose union exceeds capacity: the prune
+    // keeps top-capacity by (cnt desc, item asc) and flips the
+    // saturation flag (exactness is gone even though no ADD evicted)
+    val a = new SpaceSavingBuffer(3)
+    Seq("a", "a", "a", "b", "b", "c").foreach(a.add(_))
+    val bb = new SpaceSavingBuffer(3)
+    Seq("d", "d", "d", "d", "e", "f").foreach(bb.add(_))
+    assert(!a.evicted && !bb.evicted)
+    a.merge(bb)
+    assert(a.evicted)
+    assert(a.counters.size == 3)
+    assert(a.counters.keySet == Set("d", "a", "b")) // 4, 3, 2
+    // no offsets in play (neither side evicted): counts stay exact sums
+    assert(a.counters("d") == (4L, 0L) && a.counters("a") == (3L, 0L))
+  }
+
   test("distributed merge across partitions stays exact in exact regime") {
     val words = (0 until 10000).map(i => (i % 32, s"t${i % 7}")).toDF("p", "w")
       .repartition(32, $"p")

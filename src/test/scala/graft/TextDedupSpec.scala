@@ -165,14 +165,69 @@ class TextDedupSpec extends SparkSpec {
   }
 
   test("q122 routing: tailed corpus -> index branch, planted pairs recovered") {
-    // baseCorpus has per-doc vocabularies: the diagnostic sees a rare
-    // tail, so the router must pick the cheap exact index branch
+    // baseCorpus has per-doc vocabularies: every pair-witnessing gram
+    // (df >= 2) is also retained (df <= cap), so the ratio reads 100%
+    // and the router must pick the cheap exact index branch
+    val (retained, witnesses) =
+      TextOps.pairWitnessDiagnostic(TextOps.shingled(baseCorpus))
+    assert(witnesses > 0 && retained == witnesses)
     val out = TextOps.routedNearDupPairs(baseCorpus)
     assert(out.select("route").distinct().collect().map(_.getString(0)).toSeq
       == Seq("index"))
     assert(pairs(out) == planted.toSet)
     // and the index branch's answer is exactly q50's
     assert(pairs(out) == pairs(TextOps.jaccardNearDupPairs(TextOps.shingled(baseCorpus))))
+  }
+
+  test("q122 routing: gray band -> BOTH branches, union holds recall (VERDICT r7 #1)") {
+    // baseCorpus (whose witnesses are all retained) + 10 filler docs
+    // duplicated 6x: each filler gram has df = 6 > cap, inflating the
+    // witness count without adding retained grams — the mid-diversity
+    // regime where round 7's `retained > 0` dispatch picked an index
+    // that cannot see most of the corpus. The ratio lands between the
+    // thresholds and the router must take the union.
+    val filler = (0 until 10).map { i =>
+      (100L + i, (0 until 12).map(j => s"f${i}_$j").mkString(" "))
+    }
+    val flood = (0 until 6).flatMap { r =>
+      filler.map { case (id, t) => (id + r * 1000L, t) }
+    }.toDF("doc_id", "text")
+    val corpus = baseCorpus.unionByName(flood)
+
+    val (retained, witnesses) =
+      TextOps.pairWitnessDiagnostic(TextOps.shingled(corpus))
+    assert(retained > 0 && retained * 100 < 75L * witnesses &&
+           retained * 100 >= 5L * witnesses,
+      s"fixture drifted out of the gray band: $retained/$witnesses")
+
+    val out = TextOps.routedNearDupPairs(corpus).localCheckpoint()
+    assert(out.select("route").distinct().collect().map(_.getString(0)).toSeq
+      == Seq("both"))
+    // union >= each branch: the planted pairs (index-visible here) must
+    // survive, and so must everything minhash finds (the exact dups in
+    // the flood share all grams -> jaccard 1.0)
+    val found = pairs(out)
+    assert(planted.toSet.subsetOf(found), s"union lost planted pairs: $found")
+    val viaIndex = pairs(TextOps.jaccardNearDupPairs(TextOps.shingled(corpus)))
+    val viaMinhash = pairs(DedupOps.minhashLshPairs(
+      TextOps.shingled(corpus), pairBudgetPerDoc = Some(1000)))
+    assert(found == (viaIndex ++ viaMinhash), "union must equal index | minhash")
+  }
+
+  test("q122 route sentinel: the decision is a hashed row even with zero pairs") {
+    // a corpus with no near-dups at all: every branch is empty, but the
+    // sentinel row still carries the routing decision into the gate
+    // (round-7 ADVICE: an empty result hid a wrong route from the hash)
+    val loners = (0 until 20).map { i =>
+      (i.toLong, (0 until 12).map(j => s"u${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = TextOps.routedNearDupPairs(loners, routeSentinel = true).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == -1L && r.getLong(1) == -1L &&
+           r.getDouble(2) == -1.0 && r.getString(3) == "index")
+    // without the sentinel the same corpus is (correctly) all-empty
+    assert(TextOps.routedNearDupPairs(loners).count() == 0)
   }
 
   test("q122 routing: collapsed corpus -> minhash branch, recall restored") {

@@ -32,22 +32,53 @@ object JobRecordGate {
 
   private val N_JOBS = 120
 
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
+  }
+
+  /** Sweep ORPHANED sibling zones: a hard-killed driver never runs its
+    * shutdown hook, so its graft-*-<pid> scratch zones outlive it
+    * (round-7 VERDICT #4 — nothing ever deleted them). Any tmpdir
+    * DIRECTORY matching the zone naming whose embedded PID is no longer
+    * alive is removed; live PIDs (a concurrent driver on the same box)
+    * are left alone, as is anything not shaped like a zone. Runs once
+    * per JVM via [[freshZone]]; callable directly for tests.
+    */
+  private[graft] def sweepOrphanZones(): Unit = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val self = java.lang.ProcessHandle.current().pid()
+    val zoneName = "^graft-.*-(\\d+)$".r
+    def alive(pid: Long): Boolean = {
+      val h = java.lang.ProcessHandle.of(pid)
+      h.isPresent && h.get().isAlive()
+    }
+    Option(tmp.listFiles()).foreach(_.foreach { f =>
+      if (f.isDirectory) f.getName match {
+        case zoneName(pid) =>
+          scala.util.Try(pid.toLong).toOption
+            .filter(p => p != self && !alive(p))
+            .foreach(_ => rmTree(f))
+        case _ => ()
+      }
+    })
+  }
+  private lazy val sweepOnce: Unit = sweepOrphanZones()
+
   /** Scratch zone for a gate query's stream/sink dirs. Keyed by dataset
     * dir AND process (PID@host) so two concurrent drivers on the same SF
     * (bench next to verify) can never rm -rf each other's in-flight
     * zones; re-running a query in the SAME process still gets the
     * pre-delete it needs for a fresh checkpoint. Zones are registered
-    * for deletion on JVM exit.
+    * for deletion on JVM exit, and the first zone of a process sweeps
+    * any dead-PID leftovers from hard-killed predecessors.
     */
   private[graft] def freshZone(prefix: String, d: String): java.io.File = {
+    sweepOnce
     val zone = new java.io.File(
       System.getProperty("java.io.tmpdir"),
       prefix + d.replaceAll("[^A-Za-z0-9.]", "_") + "-" +
         java.lang.ProcessHandle.current().pid())
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
-    rm(zone)
+    rmTree(zone)
     exitZones.synchronized { exitZones += zone }
     zone
   }

@@ -78,6 +78,33 @@ class HttpCrawlSpec extends SparkSpec with BeforeAndAfterAll {
     assert(first.getAs[String]("vacation") == null)            // absent label
   }
 
+  test("politeness default: crawl stages cap fetch tasks without being asked") {
+    // the reference is single-browser sequential (test.py:178); the
+    // DEFAULT must not point defaultParallelism request streams at one
+    // host (round-7 ADVICE) — 8 keywords on a 32-core session must plan
+    // at most DefaultCrawlParallelism fetch partitions
+    val kws = (0 until 8).map(i => s"kw$i")
+    val ds = HttpCrawl.crawlKeywords(spark, kws, s"$base/search?keyword={keyword}")
+    // == (not <=): the cap must be what bound it — 8 keywords on a
+    // local[4] session would otherwise plan 4 fetch partitions
+    assert(ds.rdd.getNumPartitions == HttpCrawl.DefaultCrawlParallelism,
+      s"default crawl spread over ${ds.rdd.getNumPartitions} tasks")
+    val jobs = HttpCrawl.crawlKeywords(spark, Seq("區塊鏈"),
+      s"$base/search?keyword={keyword}")
+    val det = HttpCrawl.crawlDetails(jobs)
+    assert(det.rdd.getNumPartitions == HttpCrawl.DefaultCrawlParallelism,
+      s"default detail crawl spread over ${det.rdd.getNumPartitions} tasks")
+    // an explicit cap still overrides (bounded by defaultParallelism,
+    // 4 in this shared local[4] session)
+    val wide = HttpCrawl.crawlKeywords(spark, kws,
+      s"$base/search?keyword={keyword}", maxParallelism = 8)
+    assert(wide.rdd.getNumPartitions ==
+      math.min(8, spark.sparkContext.defaultParallelism))
+    val narrow = HttpCrawl.crawlKeywords(spark, kws,
+      s"$base/search?keyword={keyword}", maxParallelism = 2)
+    assert(narrow.rdd.getNumPartitions == 2)
+  }
+
   test("T4 politeness: parallel tasks cannot multiply the per-host rate") {
     import scala.jdk.CollectionConverters._
     val (srv, log) = FixtureJobServer.startLogged()

@@ -160,4 +160,27 @@ class JobOpsSpec extends SparkSpec {
     assert(out("年齡") == Map("25-29歲" -> "14%", "30-34歲" -> "41%"))
     assert(out("工作經驗") == Map("1-3年" -> "50%"))
   }
+
+  test("orphan zone sweep: dead-PID zones removed, live and foreign dirs kept") {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val self = java.lang.ProcessHandle.current().pid()
+    // beyond the Linux pid_max ceiling (2^22), so never a live process
+    val deadPid = 4999999L
+    assert(!java.lang.ProcessHandle.of(deadPid).isPresent)
+    val dead = new java.io.File(tmp, s"graft-spec-zone_x-$deadPid")
+    val live = new java.io.File(tmp, s"graft-spec-zone_y-$self")
+    val foreign = new java.io.File(tmp, "graft-spec-not-a-zone")
+    Seq(dead, live, foreign).foreach { d =>
+      d.mkdirs()
+      java.nio.file.Files.writeString(d.toPath.resolve("state"), "x")
+    }
+    try {
+      JobRecordGate.sweepOrphanZones()
+      assert(!dead.exists(), "dead-PID zone survived the sweep")
+      assert(live.exists(), "live-PID zone was swept")
+      assert(foreign.exists(), "non-zone-shaped dir was swept")
+    } finally Seq(dead, live, foreign).foreach { d =>
+      new java.io.File(d, "state").delete(); d.delete()
+    }
+  }
 }

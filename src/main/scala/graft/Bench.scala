@@ -19,7 +19,13 @@ object Bench {
     // reader) so the first measured query isn't charged for JVM startup
     spark.range(1000).selectExpr("sum(id)").count()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-loop filter: SPARK_GRAFT_BENCH_ONLY=q96b,q123 times just those
+    // queries; unset (the driver's mode) runs the full catalog
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(f => f.exists(name.startsWith)) }
+    val results = selected.map { case (name, fn) =>
       val times = (0 until runs).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }

@@ -127,3 +127,106 @@ object MeasureRecall {
     spark.stop()
   }
 }
+
+/** Embedding-family recall study (VERDICT r8 #3 — the oldest carried
+  * item): runs against the CLUSTERED vector fixture
+  * (`GenFixtures <dir> <mult> vecs` — embeddings + planted_vec_pairs),
+  * the first corpus where the embedding families have ground truth.
+  *
+  *   sbt "runMain graft.MeasureVecRecall fixtures/sf1vec"
+  *
+  * Three measurements:
+  *  - q55 / q97 planted-pair recall, truth = planted pairs whose EXACT
+  *    integer-quantized cosine (the operators' own verify arithmetic)
+  *    clears COS_T. q55's label blocking should be lossless here (a
+  *    near-dup inherits its partner's cell); q97 is stratified by
+  *    cosine against the closed-form SRP curve
+  *    p = 1 - (1 - (1 - theta/pi)^bits)^bands — measured ~= predicted
+  *    means the banding + caps lose nothing beyond the LSH physics;
+  *    measured << predicted means a cap or bucket overflow is eating
+  *    recall (the q79 static-cap story, never before checked here).
+  *  - q52 / q64 IVF recall@5 vs the brute-force q51 top-5 — the
+  *    standard ANN quality metric, meaningful only on this fixture
+  *    (the driver corpus has no geometry, so IVF recall on it is the
+  *    trivial cells-probed/cells).
+  */
+object MeasureVecRecall {
+
+  private def norm(df: DataFrame, a: String, b: String): DataFrame =
+    df.select(least(col(a), col(b)).as("v1"), greatest(col(a), col(b)).as("v2"))
+
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val quant = Tables.embeddings(spark, dir)
+      .withColumn("q", expr(ops.VectorOps.quantExpr))
+      .withColumn("nrm", graft.functions.VectorFunctions.ldot(col("q"), col("q")))
+      .select(col("vec_id"), col("q"), col("nrm")).localCheckpoint()
+    val planted = spark.read.parquet(s"$dir/planted_vec_pairs.parquet")
+
+    // truth in the operators' own arithmetic: exact quantized cosine
+    val truth = planted
+      .join(quant.select(col("vec_id").as("v1"), col("q").as("q1"), col("nrm").as("n1")), "v1")
+      .join(quant.select(col("vec_id").as("v2"), col("q").as("q2"), col("nrm").as("n2")), "v2")
+      .withColumn("qcos",
+        graft.functions.VectorFunctions.ldot(col("q1"), col("q2")).cast("double") /
+        sqrt(col("n1").cast("double")) / sqrt(col("n2").cast("double")))
+      .filter(col("qcos") >= ops.DedupOps.COS_T)
+      .select("v1", "v2", "qcos").localCheckpoint()
+    val nTruth = truth.count()
+    println(s"ground truth: $nTruth planted pairs at quantized cosine >= ${ops.DedupOps.COS_T}")
+
+    def report(name: String, found: DataFrame): Unit = {
+      val n = truth.join(norm(found, "v1", "v2"), Seq("v1", "v2"), "left_semi").count()
+      println(f"$name%-24s $n/$nTruth = ${100.0 * n / math.max(1L, nTruth)}%5.1f%%")
+    }
+    report("q55_embedding_neardup",
+      SparkEntry.queries("q55_embedding_neardup")(spark, dir))
+
+    // q97 stratified against the SRP collision curve
+    val q97 = norm(SparkEntry.queries("q97_srp_lsh")(spark, dir), "v1", "v2")
+      .localCheckpoint()
+    val strata = truth.join(q97.withColumn("hit", lit(1)), Seq("v1", "v2"), "left")
+      .withColumn("bucket", floor(col("qcos") * 10) / 10.0)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(coalesce(col("hit"), lit(0))).as("hits"),
+           avg(col("qcos")).as("mcos"))
+      .orderBy("bucket")
+      .collect()
+    println("q97_srp_lsh by cosine stratum (measured vs SRP physics):")
+    var wPred = 0.0; var wN = 0L; var hitsAll = 0L
+    strata.foreach { r =>
+      val (b, n, hits, mcos) =
+        (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val pBit = 1.0 - math.acos(math.min(1.0, mcos)) / math.Pi
+      val pred = 1.0 - math.pow(1.0 - math.pow(pBit, ops.DedupOps.SRP_BITS),
+                                ops.DedupOps.SRP_BANDS)
+      wPred += pred * n; wN += n; hitsAll += hits
+      println(f"  [$b%.1f,${b + 0.1}%.1f) $hits%4d/$n%-4d = ${100.0 * hits / n}%5.1f%%  predicted ${100 * pred}%5.1f%%")
+    }
+    println(f"q97_srp_lsh overall          $hitsAll/$wN = ${100.0 * hitsAll / math.max(1L, wN)}%5.1f%%" +
+      f"  predicted ${100.0 * wPred / math.max(1L, wN)}%5.1f%%")
+
+    // IVF recall@5 vs brute force: |top5(ann) intersect top5(brute)| / 5
+    val brute = SparkEntry.queries("q51_cosine_topk")(spark, dir)
+      .filter(col("rn") <= 5).select(col("qid"), col("vec_id")).localCheckpoint()
+    val nq = brute.select("qid").distinct().count()
+    def recallAt5(name: String): Unit = {
+      val hits = SparkEntry.queries(name)(spark, dir)
+        .select(col("qid"), col("vec_id"))
+        .join(brute, Seq("qid", "vec_id"), "left_semi").count()
+      println(f"$name%-24s recall@5 = $hits/${5 * nq} = ${100.0 * hits / (5 * nq)}%5.1f%%")
+    }
+    recallAt5("q52_ann_ivf")
+    recallAt5("q64_ann_multiprobe")
+    spark.stop()
+  }
+}

@@ -64,10 +64,15 @@ object RouteSweep {
         .select("d1", "d2").localCheckpoint()
       val nTruth = truth.count()
 
-      val idx = truth.join(norm(ops.TextOps.jaccardPairsOn(g, 3)),
+      // the operator's OWN constants — a hardcoded copy here could
+      // silently calibrate against a different index than the router
+      // ships (ADVICE r8)
+      val idx = truth.join(
+        norm(ops.TextOps.jaccardPairsOn(g, ops.TextOps.DF_CAP)),
         Seq("d1", "d2"), "left_semi").count()
       val mh = truth.join(
-        norm(ops.DedupOps.minhashPairsOn(g, pairBudgetPerDoc = Some(1000))),
+        norm(ops.DedupOps.minhashPairsOn(g,
+          pairBudgetPerDoc = Some(ops.TextOps.PAIR_BUDGET_PER_DOC))),
         Seq("d1", "d2"), "left_semi").count()
 
       // the routed operator end-to-end (re-shingles internally — the

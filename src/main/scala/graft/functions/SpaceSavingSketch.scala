@@ -84,6 +84,27 @@ class SpaceSavingBuffer(val capacity: Int) extends Serializable {
     * plain map union with summed counts — bit-identical to before.
     */
   def merge(other: SpaceSavingBuffer): Unit = {
+    // Exact-regime fast path (VERDICT r8 #2): neither side has evicted
+    // (all offsets 0, all errors 0-preserving) and the union fits
+    // capacity — fold `other` in with incremental O(log capacity) puts
+    // instead of the full union-copy + sort + reindex(). Bit-identical
+    // to the rebuild in this regime (plain map union, summed counts),
+    // but O(n2 log cap) per merge instead of O((n1+n2) log(n1+n2)):
+    // across P partial buffers the final reduce stops re-paying the
+    // whole accumulated map per merge (the measured 3x on q96b).
+    if (!evicted && !other.evicted) {
+      var fresh = 0
+      other.counters.foreach { kv => if (!counters.contains(kv._1)) fresh += 1 }
+      if (counters.size + fresh <= capacity) {
+        other.counters.foreach { case (item, (c2, e2)) =>
+          counters.get(item) match {
+            case Some((c, e)) => put(item, c + c2, e + e2, c)
+            case None         => put(item, c2, e2, -1L)
+          }
+        }
+        return
+      }
+    }
     val off1 = if (evicted) order.head._1 else 0L
     val off2 = if (other.evicted) other.order.head._1 else 0L
     val merged = mutable.HashMap.empty[String, (Long, Long)]

@@ -36,13 +36,22 @@ object JobRecordGate {
     Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
   }
 
+  /** Marker file [[freshZone]] drops inside every zone it creates: the
+    * sweep only deletes directories carrying it, so deletion is opt-in
+    * by construction — a user/tool directory in the shared tmpdir that
+    * merely LOOKS like a zone (e.g. `graft-data-7`) is never touched
+    * (ADVICE r8).
+    */
+  private val ZoneMarker = ".graft-zone"
+
   /** Sweep ORPHANED sibling zones: a hard-killed driver never runs its
     * shutdown hook, so its graft-*-<pid> scratch zones outlive it
     * (round-7 VERDICT #4 — nothing ever deleted them). Any tmpdir
-    * DIRECTORY matching the zone naming whose embedded PID is no longer
-    * alive is removed; live PIDs (a concurrent driver on the same box)
-    * are left alone, as is anything not shaped like a zone. Runs once
-    * per JVM via [[freshZone]]; callable directly for tests.
+    * DIRECTORY matching the zone naming AND carrying the [[ZoneMarker]]
+    * sentinel whose embedded PID is no longer alive is removed; live
+    * PIDs (a concurrent driver on the same box) are left alone, as is
+    * anything not shaped like a zone or not marker-stamped as one. Runs
+    * once per JVM via [[freshZone]]; callable directly for tests.
     */
   private[graft] def sweepOrphanZones(): Unit = {
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
@@ -53,13 +62,14 @@ object JobRecordGate {
       h.isPresent && h.get().isAlive()
     }
     Option(tmp.listFiles()).foreach(_.foreach { f =>
-      if (f.isDirectory) f.getName match {
-        case zoneName(pid) =>
-          scala.util.Try(pid.toLong).toOption
-            .filter(p => p != self && !alive(p))
-            .foreach(_ => rmTree(f))
-        case _ => ()
-      }
+      if (f.isDirectory && new java.io.File(f, ZoneMarker).isFile)
+        f.getName match {
+          case zoneName(pid) =>
+            scala.util.Try(pid.toLong).toOption
+              .filter(p => p != self && !alive(p))
+              .foreach(_ => rmTree(f))
+          case _ => ()
+        }
     })
   }
   private lazy val sweepOnce: Unit = sweepOrphanZones()
@@ -79,6 +89,9 @@ object JobRecordGate {
       prefix + d.replaceAll("[^A-Za-z0-9.]", "_") + "-" +
         java.lang.ProcessHandle.current().pid())
     rmTree(zone)
+    // stamp the marker the orphan sweep requires before it will delete
+    zone.mkdirs()
+    new java.io.FileOutputStream(new java.io.File(zone, ZoneMarker)).close()
     exitZones.synchronized { exitZones += zone }
     zone
   }
@@ -143,13 +156,13 @@ object JobRecordGate {
     * keys (it is pinned into the checkpoint at first start and cannot be
     * changed later), while batch queries keep the cluster-wide default.
     * `newSession` shares the SparkContext, catalog, and cache; only the
-    * conf diverges.
+    * conf diverges. Delegates to the PUBLIC knob
+    * ([[graft.streaming.StreamConf.stateSession]]) so production users
+    * of the streaming entry points get the same sizing surface the gate
+    * harness uses (VERDICT r8 #6).
     */
-  private def streamSession(s: SparkSession): SparkSession = {
-    val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
-    ss
-  }
+  private def streamSession(s: SparkSession): SparkSession =
+    graft.streaming.StreamConf.stateSession(s, 8)
 
   /** The content aggregate both streaming gates end in (crawl_ts-free, so
     * which duplicate copy survived dedup cannot affect the hash).

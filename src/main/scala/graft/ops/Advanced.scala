@@ -249,36 +249,54 @@ object Advanced {
     // is one item per partkey. Capacity 256 << distinct items, so every
     // partition buffer evicts and the partial->final merge runs the
     // error-propagating path. The gate is the q60/q63 bounded-error
-    // pattern on the sketch CONTRACT: for every guaranteed-heavy item
-    // (exact_cnt * capacity > n — Space-Saving must retain it), the
-    // item is present, its count brackets the exact count
-    // (cnt - err <= exact <= cnt), and its error respects the
-    // epsilon-n bound (err * capacity <= n). All booleans are
-    // engine-portable; the oracle re-derives the heavy set exactly and
-    // emits TRUE.
+    // pattern on the sketch CONTRACT, stated against the sketch's OWN
+    // observable mass S = sum(cnt) rather than the stream length n
+    // (ADVICE r8: offset merges can inflate counters past n across a
+    // deep merge chain, so `err * cap <= n` is not a theorem of the
+    // merge — `err * cap <= S` is, for ANY merge tree). Provable
+    // invariants (chain-merge test in SketchSpec): every per-entry
+    // err <= min counter <= S/capacity; any item with
+    // true_cnt * capacity > S is present; present items bracket
+    // (cnt - err <= exact <= cnt). The heavy-set FILTER stays the
+    // exact-side `exact_cnt * cap > n` so the oracle can re-derive the
+    // row set; presence is only asserted where the theorem asserts it
+    // (exact_cnt * cap > S), absence below that is contract-legal.
+    // All booleans are engine-portable; the oracle re-derives the
+    // heavy set exactly and emits TRUE.
     "q123_sketch_heavy_hitters" -> ((s, d) => {
       val cap = 256
       val items = Tables.lineitem(s, d).select(
         when(col("l_orderkey") % 3 === 0,
              concat(lit("hot"), col("l_partkey") % 7))
           .otherwise(concat(lit("tail"), col("l_partkey"))).as("item"))
+      // localCheckpoint: the sketch result (<= cap rows) feeds both the
+      // mass scalar and the presence join — without it Spark would run
+      // the whole sketch aggregation once per consumer
       val sketch = Tables.rebalance(items)
         .agg(graft.functions.SketchFunctions
           .spaceSavingTopK(col("item"), cap, cap).as("top"))
         .select(explode(col("top")).as("e"))
         .select(col("e.item").as("item"), col("e.cnt").as("sk_cnt"),
                 col("e.err").as("sk_err"), col("e.sat").as("sk_sat"))
+        .localCheckpoint()
       val totals = items.agg(count(lit(1)).as("n"))
+      // S and the sketch-wide saturation flag are one-row scalars off the
+      // same sketch frame; both crossJoins broadcast a single row.
+      val mass = sketch.agg(sum(col("sk_cnt")).as("s_mass"),
+                            max(col("sk_sat")).as("sk_saturated"))
       items.groupBy(col("item")).agg(count(lit(1)).as("exact_cnt"))
         .crossJoin(totals)
         .filter(col("exact_cnt") * cap > col("n"))
         .join(sketch, Seq("item"), "left")
+        .crossJoin(mass)
         .select(col("item"), col("exact_cnt"),
-          (col("sk_cnt").isNotNull &&
-           col("sk_cnt") >= col("exact_cnt") &&
-           col("sk_cnt") - col("sk_err") <= col("exact_cnt") &&
-           col("sk_err") * cap <= col("n")).as("contract_ok"),
-          coalesce(col("sk_sat"), lit(false)).as("saturated"))
+          when(col("sk_cnt").isNotNull,
+               col("sk_cnt") >= col("exact_cnt") &&
+               col("sk_cnt") - col("sk_err") <= col("exact_cnt") &&
+               col("sk_err") * cap <= col("s_mass"))
+            .otherwise(col("exact_cnt") * cap <= col("s_mass"))
+            .as("contract_ok"),
+          col("sk_saturated").as("saturated"))
         .orderBy(col("item"))
     })
   )

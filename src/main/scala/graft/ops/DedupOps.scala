@@ -26,9 +26,9 @@ object DedupOps {
   private val NUM_SEEDS = 12 // 6 bands x 2 rows
   private val ROWS_PER_BAND = 2
   private val JACCARD_T = 0.5
-  private val COS_T = 0.4
-  private val SRP_BANDS = 4  // q97: LSH bands over sign bits
-  private val SRP_BITS = 8   // q97: sign bits (hyperplanes) per band
+  private[graft] val COS_T = 0.4
+  private[graft] val SRP_BANDS = 4  // q97: LSH bands over sign bits
+  private[graft] val SRP_BITS = 8   // q97: sign bits (hyperplanes) per band
 
   /** q97's banding as pure SQL higher-order functions — the reference
     * formulation for [[graft.functions.SrpBandCodes]]; VectorExprSpec
@@ -229,9 +229,20 @@ object DedupOps {
     * cosine. Same checkpoint contract as [[minhashLshPairs]]:
     * `checkpointDir = None` pins the quantized frame executor-locally;
     * pass a reliable dir on a real cluster.
+    *
+    * `pairBudgetPerDoc` derives the bucket cap from the corpus the same
+    * way the minhash family does (floor = the static cap). The first
+    * embedding-recall study (MeasureVecRecall on the clustered sf1vec
+    * fixture, round 9) caught the static cap eating recall exactly as
+    * it once did for q79: on a corpus with real cluster geometry, band
+    * buckets are cluster-sized (~2000 >> 200), the static cap dropped
+    * them wholesale, and measured recall read 17.8% against the 43.4%
+    * the SRP collision physics predicts; budget-derived, the cap
+    * follows the corpus and recall returns to the physics line.
     */
   def srpLshPairs(emb: DataFrame, bands: Int = SRP_BANDS, bits: Int = SRP_BITS,
                   bandCap: Int = BAND_CAP, cosT: Double = COS_T,
+                  pairBudgetPerDoc: Option[Int] = None,
                   checkpointDir: Option[String] = None): DataFrame = {
     checkpointDir.foreach(emb.sparkSession.sparkContext.setCheckpointDir)
     val quantized = emb
@@ -243,9 +254,18 @@ object DedupOps {
       if (checkpointDir.isDefined) quantized.checkpoint() else quantized.localCheckpoint()
     val codes = graft.functions.VectorFunctions.srpCodes(col("q"), bands, bits)
     val bandRows = e0.select(col("vec_id"), posexplode(codes).as(Seq("band", "code")))
-    val cand = bandRows.groupBy(col("band"), col("code"))
-      .agg(sort_array(collect_list(col("vec_id"))).as("vs"))
-      .filter(size(col("vs")).between(2, bandCap))
+    val bucketed = bandRows.groupBy(col("band"), col("code"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val (bucketSrc, cap) = pairBudgetPerDoc match {
+      case None => (bucketed, bandCap)
+      case Some(perDoc) =>
+        val b = bucketed.localCheckpoint() // stats pass + emission pass
+        (b, adaptiveBandCap(b, bandCap, perDoc.toLong * e0.count()))
+    }
+    val cand = bucketSrc
+      .withColumnRenamed("ds", "vs")
+      .filter(size(col("vs")) <= cap)
       .select(explode(expr(
         """flatten(transform(vs, (x, i) ->
           |  transform(slice(vs, i + 2, size(vs)),
@@ -322,7 +342,8 @@ object DedupOps {
     // the banding is one row-local expression (no per-hyperplane
     // explosion), and the corpus shuffles only on (band, code).
     "q97_srp_lsh" -> ((s, d) =>
-      srpLshPairs(Tables.rebalance(Tables.embeddings(s, d)))
+      srpLshPairs(Tables.rebalance(Tables.embeddings(s, d)),
+                  pairBudgetPerDoc = Some(TextOps.PAIR_BUDGET_PER_DOC))
         .orderBy(col("v1"), col("v2")))
   )
 
@@ -439,8 +460,14 @@ object DedupOps {
         |                FOR k IN range(0, len(q))]) >= 0
         |      THEN (1 << r) ELSE 0 END FOR r IN range(0, $SRP_BITS)])::BIGINT AS code
         |  FROM n CROSS JOIN (SELECT unnest(range(0, $SRP_BANDS)) AS b) bs),
-        |bsz AS (SELECT b, code FROM bands GROUP BY b, code
-        |        HAVING count(*) BETWEEN 2 AND $BAND_CAP),
+        |bsz0 AS (SELECT b, code, count(*) AS sz FROM bands GROUP BY b, code
+        |         HAVING count(*) >= 2),
+        |run AS (SELECT sz, sum(nb * (sz * (sz - 1) // 2)) OVER (ORDER BY sz) AS cum
+        |        FROM (SELECT sz, count(*) AS nb FROM bsz0 GROUP BY sz)),
+        |cap AS (SELECT greatest($BAND_CAP, coalesce(max(sz) FILTER (
+        |          WHERE cum <= 1000 * (SELECT count(*) FROM embeddings)), 0)) AS c
+        |        FROM run),
+        |bsz AS (SELECT b, code FROM bsz0, cap WHERE sz <= cap.c),
         |cand AS (
         |  SELECT DISTINCT a.vec_id AS v1, b2.vec_id AS v2
         |  FROM bands a JOIN bands b2 ON a.b = b2.b AND a.code = b2.code AND a.vec_id < b2.vec_id

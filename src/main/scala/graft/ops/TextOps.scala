@@ -48,7 +48,11 @@ object TextOps {
   private val trigramSqlDuck =
     "[toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks) - 1)]"
 
-  private val DF_CAP = 3
+  // private[graft]: RouteSweep calibrates the q122 router against these
+  // exact values — a harness-local copy could silently measure a
+  // different index than the router ships (ADVICE r8)
+  private[graft] val DF_CAP = 3
+  private[graft] val PAIR_BUDGET_PER_DOC = 1000 // minhash family default (q49/q79/q122 + their oracles' literal)
   private val BAND_CAP = 200 // q79 band-bucket width cap (C(cap,2) pair bound)
 
   // q122 routing thresholds, integer percent of the pairWitnessDiagnostic
@@ -449,7 +453,7 @@ object TextOps {
     * The 'both' band doubles candidate generation, never quadratic work.
     */
   def routedNearDupPairs(docs: DataFrame, dfCap: Int = DF_CAP,
-                         pairBudgetPerDoc: Int = 1000,
+                         pairBudgetPerDoc: Int = PAIR_BUDGET_PER_DOC,
                          checkpointDir: Option[String] = None,
                          routeSentinel: Boolean = false): DataFrame = {
     checkpointDir.foreach(docs.sparkSession.sparkContext.setCheckpointDir)

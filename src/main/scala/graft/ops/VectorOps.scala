@@ -35,7 +35,85 @@ object VectorOps {
 
   private val NUM_QUERIES = 10
 
+  // ---- k-means IVF index CONSTRUCTION (q124) -------------------------
+  // q52/q64 probe cells that something else built; this is the builder:
+  // Lloyd's algorithm as pure DataFrame ops. Assignment is a broadcast
+  // of the k (sum-vector, count) rational centroids against the
+  // streaming corpus — one row-local higher-order expression per
+  // (vector, cell), NO shuffle; the centroid update is one
+  // map-side-combined groupBy over (cell, dim). That is the 100 TB
+  // k-means topology (the corpus never moves; only k x dim partial
+  // sums do). Distance uses the q64-proven exact-integer form:
+  // ||x - s/n||^2 ~ sum_d (x_d*n - s_d)^2 / n^2 — numerator an exact
+  // int64 (bit-identical cross-engine), the division one IEEE op.
+  // Exactness envelope: |x_d*n - s_d| <= 2e4*n must square-sum under
+  // 2^63 => n_cell <= ~19k members (gate SFs sit far inside; a
+  // billion-vector build switches the comparison to double mean-space
+  // distance, standard k-means practice). Ties break on cell id. Cells
+  // that attract no members drop out (standard Lloyd behavior).
+
+  /** Deterministic init: the k lowest vec_ids as singleton centroids. */
+  private[graft] def kmeansInit(quant: DataFrame, k: Int): DataFrame =
+    quant.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cell"), col("q").as("s"),
+              lit(1L).as("n"))
+
+  /** One assignment pass: each vector to its nearest rational centroid
+    * (dist asc, cell asc). Input `quant`: (vec_id, q); `cents`:
+    * (cell, s, n). Output: (vec_id, q, cell, dist).
+    */
+  private[graft] def kmeansAssign(quant: DataFrame, cents: DataFrame): DataFrame =
+    quant.crossJoin(broadcast(cents))
+      .withColumn("dn", expr(
+        """aggregate(zip_with(q, s, (x, sc) -> (x * n - sc) * (x * n - sc)),
+          |          cast(0 AS bigint), (a, t) -> a + t)""".stripMargin))
+      .withColumn("dist", col("dn").cast("double") /
+                          (col("n") * col("n")).cast("double"))
+      .groupBy(col("vec_id"), col("q"))
+      .agg(min(struct(col("dist"), col("cell"))).as("m"))
+      .select(col("vec_id"), col("q"),
+              col("m.cell").as("cell"), col("m.dist").as("dist"))
+
+  /** Centroid update: per-cell exact integer sum vector + member count
+    * (k x dim partial sums through the exchange, map-side combined).
+    */
+  private[graft] def kmeansUpdate(assigned: DataFrame): DataFrame = {
+    val sums = assigned
+      .select(col("cell"), posexplode(col("q")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos")).agg(sum(col("x")).as("sd"))
+      .groupBy(col("cell"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, sd))), t -> t.sd)")
+        .as("s"))
+    val counts = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    sums.join(counts, "cell")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- q124: build an IVF cell index with 2 Lloyd iterations (k=8,
+    // deterministic init) and emit the per-cell audit: member count,
+    // representative (min vec_id), and the exact integer sums of the
+    // first 4 dims of the final assignment — every value either an
+    // exact BIGINT or absent, so the whole two-iteration trajectory is
+    // inside the cross-engine hash (a drifted assignment anywhere
+    // changes some cell's sums).
+    "q124_kmeans_ivf_build" -> ((s, d) => {
+      val k = 8
+      val quant = Tables.rebalance(Tables.embeddings(s, d))
+        .withColumn("q", expr(quantExpr))
+        .select(col("vec_id"), col("q"))
+        .localCheckpoint() // shared by init + both assignment passes
+      val a1 = kmeansAssign(quant, kmeansInit(quant, k))
+      val a2 = kmeansAssign(quant, kmeansUpdate(a1))
+      a2.groupBy(col("cell")).agg(
+          count(lit(1)).as("n"),
+          min(col("vec_id")).as("rep"),
+          sum(element_at(col("q"), 1)).as("s1"),
+          sum(element_at(col("q"), 2)).as("s2"),
+          sum(element_at(col("q"), 3)).as("s3"),
+          sum(element_at(col("q"), 4)).as("s4"))
+        .orderBy(col("cell"))
+    }),
 
     // ---- q51: brute-force cosine top-10 for a fixed query set.
     "q51_cosine_topk" -> ((s, d) => {
@@ -216,6 +294,50 @@ object VectorOps {
     s"list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))::BIGINT"
 
   val oracles: Map[String, String] = Map(
+    // two full Lloyd iterations replicated in SQL: the same rational
+    // (sum, count) centroids, the same exact-int64 distance numerators,
+    // the same (dist, cell) tie-break via arg_min over a 2-element key
+    "q124_kmeans_ivf_build" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, $quantDuck AS q FROM embeddings),
+        |c0 AS (SELECT vec_id::INT AS cell, q AS s, 1::BIGINT AS n
+        |       FROM e WHERE vec_id < 8),
+        |a1 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM (
+        |      SELECT e.vec_id, c.cell,
+        |        list_sum(list_transform(list_zip(e.q, c.s),
+        |          p -> (p[1] * c.n - p[2]) * (p[1] * c.n - p[2])))::BIGINT::DOUBLE
+        |          / (c.n * c.n)::DOUBLE AS dist
+        |      FROM e CROSS JOIN c0 c))
+        |  WHERE rn = 1),
+        |c1 AS (
+        |  SELECT cell, list(sd ORDER BY pos) AS s FROM (
+        |    SELECT cell, pos, sum(x)::BIGINT AS sd FROM (
+        |      SELECT a1.cell, unnest(e.q) AS x,
+        |             generate_subscripts(e.q, 1) AS pos
+        |      FROM a1 JOIN e USING (vec_id))
+        |    GROUP BY cell, pos)
+        |  GROUP BY cell),
+        |n1 AS (SELECT cell, count(*) AS n FROM a1 GROUP BY cell),
+        |c1n AS (SELECT c1.cell, s, n FROM c1 JOIN n1 USING (cell)),
+        |a2 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM (
+        |      SELECT e.vec_id, c.cell,
+        |        list_sum(list_transform(list_zip(e.q, c.s),
+        |          p -> (p[1] * c.n - p[2]) * (p[1] * c.n - p[2])))::BIGINT::DOUBLE
+        |          / (c.n * c.n)::DOUBLE AS dist
+        |      FROM e CROSS JOIN c1n c))
+        |  WHERE rn = 1)
+        |SELECT cell, count(*) AS n, min(vec_id) AS rep,
+        |  sum(q[1])::BIGINT AS s1, sum(q[2])::BIGINT AS s2,
+        |  sum(q[3])::BIGINT AS s3, sum(q[4])::BIGINT AS s4
+        |FROM a2 JOIN e USING (vec_id)
+        |GROUP BY cell ORDER BY cell""".stripMargin,
+
     "q51_cosine_topk" ->
       s"""WITH e AS (
         |  SELECT vec_id, $quantDuck AS q FROM embeddings),

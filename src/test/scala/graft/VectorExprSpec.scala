@@ -58,4 +58,42 @@ class VectorExprSpec extends SparkSpec {
       assert(on == off && on.length == 4)
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
+
+  test("k-means IVF build (q124): Lloyd objective monotone, assignment total, clusters converge") {
+    import graft.ops.VectorOps
+    // clustered corpus with known geometry (the sf1vec generator at
+    // spec scale): 10 true cells, well separated
+    val emb = graft.GenFixtures.clusteredEmbeddings(spark, 600)
+    val quant = emb
+      .withColumn("q", expr(VectorOps.quantExpr))
+      .select($"vec_id", $"q").localCheckpoint()
+    val k = 10
+    val a1 = VectorOps.kmeansAssign(quant, VectorOps.kmeansInit(quant, k))
+      .localCheckpoint()
+    val a2 = VectorOps.kmeansAssign(quant, VectorOps.kmeansUpdate(a1))
+      .localCheckpoint()
+    // every vector assigned exactly once, both passes
+    assert(a1.count() == 600 && a2.count() == 600)
+    assert(a1.select("vec_id").distinct().count() == 600)
+    // Lloyd monotonicity: total objective never increases across an
+    // update+reassign round (the textbook invariant — a drifted
+    // distance formula or tie-break breaks it immediately)
+    val j1 = a1.agg(sum($"dist")).head.getDouble(0)
+    val j2 = a2.agg(sum($"dist")).head.getDouble(0)
+    assert(j2 <= j1 * (1 + 1e-12), s"objective rose: $j1 -> $j2")
+    // determinism: the whole build replays bit-identically
+    val a2b = VectorOps.kmeansAssign(quant,
+      VectorOps.kmeansUpdate(VectorOps.kmeansAssign(quant, VectorOps.kmeansInit(quant, k))))
+    assert(a2.select($"vec_id", $"cell").except(
+      a2b.select($"vec_id", $"cell")).count() == 0)
+    // geometry recovered: learned cells refine the true ones — the
+    // dominant true label inside each learned cell covers most members
+    // (well-separated spread 0.15 corpus; 2 iterations from singleton
+    // seeds is enough to pull cells onto cluster cores)
+    val withTruth = a2.join(emb.select($"vec_id", $"label"), "vec_id")
+    val purity = withTruth.groupBy($"cell", $"label").count()
+      .groupBy($"cell").agg(max($"count").as("top"), sum($"count").as("tot"))
+      .agg(sum($"top").cast("double") / sum($"tot")).head.getDouble(0)
+    assert(purity >= 0.8, s"learned-cell purity $purity < 0.8")
+  }
 }

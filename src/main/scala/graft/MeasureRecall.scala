@@ -227,6 +227,25 @@ object MeasureVecRecall {
     }
     recallAt5("q52_ann_ivf")
     recallAt5("q64_ann_multiprobe")
+
+    // the LEARNED index (q124 build -> q125 probe): same recall@5
+    // metric, but the cells come from the engine's own Lloyd build
+    // instead of the fixture's label column — the end-to-end ANN
+    // lifecycle quality number. Swept over k: the fixture has 10 true
+    // clusters, so k=8 undersplits (merged cells, neighbors leak out of
+    // probe range), k=10 matches, k=16 oversplits (smaller cells,
+    // single probe misses boundary neighbors) — the standard
+    // k-vs-recall trade the operator's k knob controls (q125 gates the
+    // k=8 point).
+    for (k <- Seq(8, 10, 16)) {
+      val learned = ops.VectorOps
+        .learnedCellTopK(Tables.embeddings(spark, dir), k = k,
+                         numQueries = 10, topK = 5)
+        .select(col("qid"), col("vec_id"))
+        .join(brute, Seq("qid", "vec_id"), "left_semi").count()
+      println(f"q125_learned_cells k=$k%-3d recall@5 = $learned/${5 * nq} = " +
+        f"${100.0 * learned / (5 * nq)}%5.1f%%")
+    }
     spark.stop()
   }
 }

@@ -88,7 +88,50 @@ object VectorOps {
     sums.join(counts, "cell")
   }
 
+  /** The full learned-index ANN lifecycle (q125, and the harness behind
+    * its recall row): build cells with [[kmeansInit]]/[[kmeansAssign]]/
+    * [[kmeansUpdate]] (one Lloyd round + final assignment = q124's
+    * trajectory), then serve top-`topK` cosine neighbors for the first
+    * `numQueries` vectors by probing ONLY the query's learned cell —
+    * q52's probe shape with the label column replaced by the index this
+    * engine built itself. Corpus streams, queries broadcast; the cell
+    * equality is a row-local predicate on the broadcast join.
+    */
+  def learnedCellTopK(emb: DataFrame, k: Int, numQueries: Int,
+                      topK: Int): DataFrame = {
+    val quant = emb
+      .withColumn("q", expr(quantExpr))
+      .select(col("vec_id"), col("q"))
+      .localCheckpoint() // shared by init + both assignment passes + serve
+    val assigned =
+      kmeansAssign(quant, kmeansUpdate(kmeansAssign(quant, kmeansInit(quant, k))))
+        .withColumn("norm", ldot(col("q"), col("q")))
+        .select(col("vec_id"), col("cell"), col("q"), col("norm"))
+    val queriesDf = assigned.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("cell").as("qcell"),
+              col("q").as("qv"), col("norm").as("qnorm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(queriesDf),
+        col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+      .withColumn("dot", ldot(col("q"), col("qv")))
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt(col("norm").cast("double")) / sqrt(col("qnorm").cast("double")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= topK)
+      .select(col("qid"), col("cell"), col("vec_id"), col("cos"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- q125: ANN over the LEARNED index — q124's build feeding
+    // q52's probe, label column nowhere in sight. The hash covers the
+    // whole lifecycle: a drifted Lloyd assignment moves some vector to
+    // another cell and changes the served neighbor set.
+    "q125_ann_learned_cells" -> ((s, d) =>
+      learnedCellTopK(Tables.rebalance(Tables.embeddings(s, d)),
+                      k = 8, numQueries = NUM_QUERIES, topK = 5)),
 
     // ---- q124: build an IVF cell index with 2 Lloyd iterations (k=8,
     // deterministic init) and emit the per-cell audit: member count,
@@ -293,50 +336,74 @@ object VectorOps {
   private def dotDuck(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))::BIGINT"
 
+  /** The q124 two-iteration Lloyd trajectory as a DuckDB CTE chain
+    * (`e` quantized corpus .. `a2` final assignment) — shared verbatim
+    * by the q124 and q125 oracles so the build both gates hash is ONE
+    * definition. Same rational (sum, count) centroids, same exact-int64
+    * distance numerators, (dist, cell) tie-break via row_number.
+    */
+  private lazy val kmeansCteDuck: String =
+    s"""e AS (
+      |  SELECT vec_id, $quantDuck AS q FROM embeddings),
+      |c0 AS (SELECT vec_id::INT AS cell, q AS s, 1::BIGINT AS n
+      |       FROM e WHERE vec_id < 8),
+      |a1 AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell, row_number() OVER (
+      |      PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM (
+      |      SELECT e.vec_id, c.cell,
+      |        list_sum(list_transform(list_zip(e.q, c.s),
+      |          p -> (p[1] * c.n - p[2]) * (p[1] * c.n - p[2])))::BIGINT::DOUBLE
+      |          / (c.n * c.n)::DOUBLE AS dist
+      |      FROM e CROSS JOIN c0 c))
+      |  WHERE rn = 1),
+      |c1 AS (
+      |  SELECT cell, list(sd ORDER BY pos) AS s FROM (
+      |    SELECT cell, pos, sum(x)::BIGINT AS sd FROM (
+      |      SELECT a1.cell, unnest(e.q) AS x,
+      |             generate_subscripts(e.q, 1) AS pos
+      |      FROM a1 JOIN e USING (vec_id))
+      |    GROUP BY cell, pos)
+      |  GROUP BY cell),
+      |n1 AS (SELECT cell, count(*) AS n FROM a1 GROUP BY cell),
+      |c1n AS (SELECT c1.cell, s, n FROM c1 JOIN n1 USING (cell)),
+      |a2 AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT vec_id, cell, row_number() OVER (
+      |      PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM (
+      |      SELECT e.vec_id, c.cell,
+      |        list_sum(list_transform(list_zip(e.q, c.s),
+      |          p -> (p[1] * c.n - p[2]) * (p[1] * c.n - p[2])))::BIGINT::DOUBLE
+      |          / (c.n * c.n)::DOUBLE AS dist
+      |      FROM e CROSS JOIN c1n c))
+      |  WHERE rn = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    // two full Lloyd iterations replicated in SQL: the same rational
-    // (sum, count) centroids, the same exact-int64 distance numerators,
-    // the same (dist, cell) tie-break via arg_min over a 2-element key
     "q124_kmeans_ivf_build" ->
-      s"""WITH e AS (
-        |  SELECT vec_id, $quantDuck AS q FROM embeddings),
-        |c0 AS (SELECT vec_id::INT AS cell, q AS s, 1::BIGINT AS n
-        |       FROM e WHERE vec_id < 8),
-        |a1 AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT vec_id, cell, row_number() OVER (
-        |      PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM (
-        |      SELECT e.vec_id, c.cell,
-        |        list_sum(list_transform(list_zip(e.q, c.s),
-        |          p -> (p[1] * c.n - p[2]) * (p[1] * c.n - p[2])))::BIGINT::DOUBLE
-        |          / (c.n * c.n)::DOUBLE AS dist
-        |      FROM e CROSS JOIN c0 c))
-        |  WHERE rn = 1),
-        |c1 AS (
-        |  SELECT cell, list(sd ORDER BY pos) AS s FROM (
-        |    SELECT cell, pos, sum(x)::BIGINT AS sd FROM (
-        |      SELECT a1.cell, unnest(e.q) AS x,
-        |             generate_subscripts(e.q, 1) AS pos
-        |      FROM a1 JOIN e USING (vec_id))
-        |    GROUP BY cell, pos)
-        |  GROUP BY cell),
-        |n1 AS (SELECT cell, count(*) AS n FROM a1 GROUP BY cell),
-        |c1n AS (SELECT c1.cell, s, n FROM c1 JOIN n1 USING (cell)),
-        |a2 AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT vec_id, cell, row_number() OVER (
-        |      PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM (
-        |      SELECT e.vec_id, c.cell,
-        |        list_sum(list_transform(list_zip(e.q, c.s),
-        |          p -> (p[1] * c.n - p[2]) * (p[1] * c.n - p[2])))::BIGINT::DOUBLE
-        |          / (c.n * c.n)::DOUBLE AS dist
-        |      FROM e CROSS JOIN c1n c))
-        |  WHERE rn = 1)
+      s"""WITH $kmeansCteDuck
         |SELECT cell, count(*) AS n, min(vec_id) AS rep,
         |  sum(q[1])::BIGINT AS s1, sum(q[2])::BIGINT AS s2,
         |  sum(q[3])::BIGINT AS s3, sum(q[4])::BIGINT AS s4
         |FROM a2 JOIN e USING (vec_id)
         |GROUP BY cell ORDER BY cell""".stripMargin,
+
+    "q125_ann_learned_cells" ->
+      s"""WITH $kmeansCteDuck,
+        |av AS (
+        |  SELECT a2.vec_id, a2.cell, e.q,
+        |    ${dotDuck("e.q", "e.q")} AS norm
+        |  FROM a2 JOIN e USING (vec_id)),
+        |qs AS (SELECT vec_id AS qid, cell AS qcell, q AS qv, norm AS qnorm
+        |       FROM av WHERE vec_id < $NUM_QUERIES),
+        |scored AS (
+        |  SELECT qs.qid, av.cell, av.vec_id,
+        |    ${dotDuck("av.q", "qs.qv")}::DOUBLE
+        |      / sqrt(av.norm::DOUBLE) / sqrt(qs.qnorm::DOUBLE) AS cos
+        |  FROM av JOIN qs ON av.cell = qs.qcell AND av.vec_id <> qs.qid)
+        |SELECT qid, cell, vec_id, cos, rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
 
     "q51_cosine_topk" ->
       s"""WITH e AS (

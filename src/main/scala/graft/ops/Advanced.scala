@@ -416,15 +416,21 @@ object Advanced {
         |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
 
     // the heavy set is re-derived exactly (exact_cnt * capacity > n);
-    // every sketch-contract boolean must come back TRUE, and in this
-    // regime (distinct >> capacity) the saturation flag must be up
+    // every sketch-contract boolean must come back TRUE. The saturation
+    // flag is DERIVED, not assumed: sketch-wide evicted <=>
+    // distinct(items) > capacity (an eviction needs a full buffer; a
+    // merge prune needs a too-big union; conversely if distinct fits
+    // capacity no buffer ever overflows) — at sf0.001 the synthesized
+    // stream has only ~207 distinct items, the sketch stays EXACT, and
+    // the round-8 hardcoded TRUE was wrong there (tri-scale sweep find,
+    // round 9; the sf0.01 driver gate never saw it).
     "q123_sketch_heavy_hitters" ->
       """WITH s AS (
         |  SELECT CASE WHEN l_orderkey % 3 = 0 THEN 'hot' || (l_partkey % 7)
         |              ELSE 'tail' || l_partkey END AS item FROM lineitem),
         |ex AS (SELECT item, count(*) AS exact_cnt FROM s GROUP BY item),
-        |n AS (SELECT count(*) AS n FROM s)
-        |SELECT item, exact_cnt, TRUE AS contract_ok, TRUE AS saturated
+        |n AS (SELECT count(*) AS n, count(DISTINCT item) > 256 AS sat FROM s)
+        |SELECT item, exact_cnt, TRUE AS contract_ok, sat AS saturated
         |FROM ex, n WHERE exact_cnt * 256 > n.n ORDER BY item""".stripMargin
   )
 }

@@ -123,7 +123,137 @@ object VectorOps {
       .orderBy(col("qid"), col("rn"))
   }
 
+  // ---- PQ: product-quantized codes + ADC probe (q126) ---------------
+  // The third leg of the vector-index family (q51 brute force, q124/
+  // q125 IVF): product quantization (Jegou, Douze, Schmid, "Product
+  // Quantization for Nearest Neighbor Search", TPAMI 2011). The 64-dim
+  // vector splits into PQ_M = 8 sub-spaces of PQ_SUBDIM = 8 dims; each
+  // sub-space trains its own PQ_KSUB-centroid codebook (one Lloyd
+  // round — q124's init/assign/update with `sub` carried through every
+  // key), and a vector is then STORED as 8 small codes: 8 bytes of
+  // payload against 256 bytes of float32, the 32x compression that
+  // makes a 100 TB embedding corpus a ~3 TB code table. Probing is
+  // ADC (asymmetric distance computation): the query stays un-encoded;
+  // per query ONE dense M x kSub table of rational sub-distances is
+  // built (M*kSub rows of centroid math, broadcast), and each corpus
+  // vector's approximate distance is a row-local left-fold of M table
+  // lookups — one corpus scan with no per-pair vector arithmetic, so
+  // the scan is memory-bandwidth-bound, not FLOP-bound. Exactness
+  // envelope per sub-space: PQ_SUBDIM * (2e4 * n_cell)^2 < 2^63 =>
+  // n_cell <= ~53k members (vs ~19k for the full-width q124 distance —
+  // narrower sub-vectors widen the envelope). At 100 TB the codebook
+  // trains on a driver-chosen sample (standard PQ practice; kSub*M
+  // centroids need only ~100k vectors regardless of corpus size) and
+  // the encode pass + ADC scan stay exactly this topology.
+
+  private[graft] val PQ_M = 8
+  private[graft] val PQ_SUBDIM = 8
+  private[graft] val PQ_KSUB = 16
+
+  /** Exploded sub-vectors: one row per (vector, sub-space). Rows grow
+    * PQ_M-fold but shrink PQ_M-fold in width — bytes in flight are flat. */
+  private[graft] def pqSubvectors(quant: DataFrame): DataFrame =
+    quant
+      .select(col("vec_id"), explode(expr(s"sequence(0, ${PQ_M - 1})")).as("sub"),
+              col("q"))
+      .select(col("vec_id"), col("sub"),
+              expr(s"slice(q, sub * $PQ_SUBDIM + 1, $PQ_SUBDIM)").as("sq"))
+
+  /** Deterministic init, q124's scheme per sub-space: the PQ_KSUB lowest
+    * vec_ids' sub-vectors as singleton centroids. */
+  private[graft] def pqInit(subs: DataFrame): DataFrame =
+    subs.filter(col("vec_id") < PQ_KSUB)
+      .select(col("sub"), col("vec_id").cast("int").as("cell"),
+              col("sq").as("s"), lit(1L).as("n"))
+
+  /** Nearest sub-centroid per (vector, sub-space): q124's exact-int64
+    * numerator + (dist, cell) tie-break, with `sub` in the broadcast-join
+    * and group keys. Output: (vec_id, sub, sq, cell). */
+  private[graft] def pqAssign(subs: DataFrame, cents: DataFrame): DataFrame =
+    subs.join(broadcast(cents), "sub")
+      .withColumn("dn", expr(
+        """aggregate(zip_with(sq, s, (x, sc) -> (x * n - sc) * (x * n - sc)),
+          |          cast(0 AS bigint), (a, t) -> a + t)""".stripMargin))
+      .withColumn("dist", col("dn").cast("double") /
+                          (col("n") * col("n")).cast("double"))
+      .groupBy(col("vec_id"), col("sub"), col("sq"))
+      .agg(min(struct(col("dist"), col("cell"))).as("m"))
+      .select(col("vec_id"), col("sub"), col("sq"), col("m.cell").as("cell"))
+
+  /** Per-(sub, cell) rational centroid update — q124's kmeansUpdate with
+    * the sub-space id carried through both groupBys. kSub * M * dim
+    * partial sums through the exchange, map-side combined. */
+  private[graft] def pqUpdate(assigned: DataFrame): DataFrame = {
+    val sums = assigned
+      .select(col("sub"), col("cell"), posexplode(col("sq")).as(Seq("pos", "x")))
+      .groupBy(col("sub"), col("cell"), col("pos")).agg(sum(col("x")).as("sd"))
+      .groupBy(col("sub"), col("cell"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, sd))), t -> t.sd)")
+        .as("s"))
+    val counts = assigned.groupBy(col("sub"), col("cell")).agg(count(lit(1)).as("n"))
+    sums.join(counts, Seq("sub", "cell"))
+  }
+
+  /** The full PQ lifecycle (q126): train the per-sub-space codebook,
+    * encode the corpus to PQ_M codes per vector, serve top-`topK` ADC
+    * neighbors for the first `numQueries` vectors. The ADC sum is an
+    * explicit left fold in sub-space order (aggregate over a sequence),
+    * so the M-term IEEE summation is bit-deterministic cross-engine.
+    */
+  def pqAdcTopK(emb: DataFrame, numQueries: Int, topK: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val quant = emb.withColumn("q", expr(quantExpr)).select(col("vec_id"), col("q"))
+    val subs = pqSubvectors(quant).localCheckpoint() // train + encode + queries
+    val cents = pqUpdate(pqAssign(subs, pqInit(subs)))
+      .localCheckpoint() // <= PQ_M * PQ_KSUB rows: the whole codebook
+    val codes = pqAssign(subs, cents)
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(sort_array(collect_list(struct(sub, cell))), t -> t.cell)")
+        .as("codes"))
+    // dense per-query ADC table over every (sub, cell) slot; slots Lloyd
+    // dropped get +Infinity — no code can reference them, the filler only
+    // keeps the positional index dense for element_at
+    val grid = spark.range(PQ_M).select(col("id").cast("int").as("sub"))
+      .crossJoin(spark.range(PQ_KSUB).select(col("id").cast("int").as("cell")))
+    val qdist = subs.filter(col("vec_id") < numQueries)
+      .join(broadcast(cents), "sub")
+      .withColumn("dn", expr(
+        """aggregate(zip_with(sq, s, (x, sc) -> (x * n - sc) * (x * n - sc)),
+          |          cast(0 AS bigint), (a, t) -> a + t)""".stripMargin))
+      .withColumn("dist", col("dn").cast("double") /
+                          (col("n") * col("n")).cast("double"))
+      .select(col("vec_id").as("qid"), col("sub"), col("cell"), col("dist"))
+    val qids = quant.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"))
+    val dtabs = qids.crossJoin(grid)
+      .join(qdist, Seq("qid", "sub", "cell"), "left")
+      .withColumn("dist", coalesce(col("dist"), lit(Double.PositiveInfinity)))
+      .groupBy(col("qid"))
+      .agg(expr("transform(sort_array(collect_list(struct(sub, cell, dist))), t -> t.dist)")
+        .as("dtab"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
+    codes.crossJoin(broadcast(dtabs))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("adist", expr(
+        s"""aggregate(transform(sequence(0, ${PQ_M - 1}),
+           |  i -> element_at(dtab, i * $PQ_KSUB + element_at(codes, i + 1) + 1)),
+           |  cast(0 AS double), (a, x) -> a + x)""".stripMargin))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= topK)
+      .select(col("qid"), col("vec_id"), col("adist"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- q126: ANN over self-trained PQ codes — the compressed-domain
+    // probe. The hash covers the whole lifecycle (train -> encode ->
+    // ADC): a drifted sub-codebook moves some code, which moves some
+    // looked-up distance, which reorders some query's top-5.
+    "q126_ann_pq_adc" -> ((s, d) =>
+      pqAdcTopK(Tables.rebalance(Tables.embeddings(s, d)),
+                numQueries = NUM_QUERIES, topK = 5)),
 
     // ---- q125: ANN over the LEARNED index — q124's build feeding
     // q52's probe, label column nowhere in sight. The hash covers the
@@ -378,7 +508,90 @@ object VectorOps {
       |      FROM e CROSS JOIN c1n c))
       |  WHERE rn = 1)""".stripMargin
 
+  /** The q126 PQ lifecycle as a DuckDB CTE chain (train -> encode ->
+    * dense ADC tables), mirroring pqSubvectors/pqInit/pqAssign/pqUpdate
+    * step for step: same deterministic init, same exact-int64 distance
+    * numerators, same (dist, cell) tie-break, and the SAME left-fold
+    * summation order for the M-term ADC distance (Spark `aggregate`
+    * seeded with 0.0 vs DuckDB `list_reduce` seeded by the first
+    * element — identical IEEE sequences because 0.0 + x == x for the
+    * non-negative sub-distances).
+    */
+  private lazy val pqCteDuck: String =
+    s"""e AS (
+      |  SELECT vec_id, $quantDuck AS q FROM embeddings),
+      |subs AS (
+      |  SELECT vec_id, m.sub, list_slice(q, m.sub * $PQ_SUBDIM + 1,
+      |                                   m.sub * $PQ_SUBDIM + $PQ_SUBDIM) AS sq
+      |  FROM e, (SELECT unnest(range($PQ_M)) AS sub) m),
+      |c0 AS (SELECT sub, vec_id::INT AS cell, sq AS s, 1::BIGINT AS n
+      |       FROM subs WHERE vec_id < $PQ_KSUB),
+      |a1 AS (
+      |  SELECT vec_id, sub, cell FROM (
+      |    SELECT vec_id, sub, cell, row_number() OVER (
+      |      PARTITION BY vec_id, sub ORDER BY dist, cell) AS rn FROM (
+      |      SELECT sv.vec_id, sv.sub, c.cell,
+      |        list_sum(list_transform(list_zip(sv.sq, c.s),
+      |          p -> (p[1] * c.n - p[2]) * (p[1] * c.n - p[2])))::BIGINT::DOUBLE
+      |          / (c.n * c.n)::DOUBLE AS dist
+      |      FROM subs sv JOIN c0 c ON sv.sub = c.sub))
+      |  WHERE rn = 1),
+      |c1 AS (
+      |  SELECT sub, cell, list(sd ORDER BY pos) AS s FROM (
+      |    SELECT sub, cell, pos, sum(x)::BIGINT AS sd FROM (
+      |      SELECT a1.sub, a1.cell, unnest(sv.sq) AS x,
+      |             generate_subscripts(sv.sq, 1) AS pos
+      |      FROM a1 JOIN subs sv ON a1.vec_id = sv.vec_id AND a1.sub = sv.sub)
+      |    GROUP BY sub, cell, pos)
+      |  GROUP BY sub, cell),
+      |n1 AS (SELECT sub, cell, count(*) AS n FROM a1 GROUP BY sub, cell),
+      |c1n AS (SELECT c1.sub, c1.cell, s, n FROM c1 JOIN n1 USING (sub, cell)),
+      |codes AS (
+      |  SELECT vec_id, list(cell ORDER BY sub) AS codes FROM (
+      |    SELECT vec_id, sub, cell FROM (
+      |      SELECT vec_id, sub, cell, row_number() OVER (
+      |        PARTITION BY vec_id, sub ORDER BY dist, cell) AS rn FROM (
+      |        SELECT sv.vec_id, sv.sub, c.cell,
+      |          list_sum(list_transform(list_zip(sv.sq, c.s),
+      |            p -> (p[1] * c.n - p[2]) * (p[1] * c.n - p[2])))::BIGINT::DOUBLE
+      |            / (c.n * c.n)::DOUBLE AS dist
+      |        FROM subs sv JOIN c1n c ON sv.sub = c.sub))
+      |    WHERE rn = 1)
+      |  GROUP BY vec_id),
+      |qd AS (
+      |  SELECT sv.vec_id AS qid, sv.sub, c.cell,
+      |    list_sum(list_transform(list_zip(sv.sq, c.s),
+      |      p -> (p[1] * c.n - p[2]) * (p[1] * c.n - p[2])))::BIGINT::DOUBLE
+      |      / (c.n * c.n)::DOUBLE AS dist
+      |  FROM subs sv JOIN c1n c ON sv.sub = c.sub WHERE sv.vec_id < $NUM_QUERIES),
+      |grid AS (
+      |  SELECT g1.sub, g2.cell
+      |  FROM (SELECT unnest(range($PQ_M)) AS sub) g1,
+      |       (SELECT unnest(range($PQ_KSUB)) AS cell) g2),
+      |dt AS (
+      |  SELECT qid, list(dist ORDER BY sub, cell) AS dtab FROM (
+      |    SELECT q.qid, grid.sub, grid.cell,
+      |           coalesce(qd.dist, 'infinity'::DOUBLE) AS dist
+      |    FROM (SELECT DISTINCT qid FROM qd) q CROSS JOIN grid
+      |    LEFT JOIN qd ON qd.qid = q.qid AND qd.sub = grid.sub
+      |               AND qd.cell = grid.cell)
+      |  GROUP BY qid)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q126_ann_pq_adc" ->
+      s"""WITH $pqCteDuck,
+        |scored AS (
+        |  SELECT dt.qid, codes.vec_id,
+        |    list_reduce(list_transform(range($PQ_M),
+        |      i -> dtab[i * $PQ_KSUB + codes[i + 1] + 1]),
+        |      (a, x) -> a + x) AS adist
+        |  FROM codes CROSS JOIN dt WHERE codes.vec_id <> dt.qid)
+        |SELECT qid, vec_id, adist, rn FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY qid ORDER BY adist, vec_id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+
     "q124_kmeans_ivf_build" ->
       s"""WITH $kmeansCteDuck
         |SELECT cell, count(*) AS n, min(vec_id) AS rep,

@@ -32,16 +32,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark 4 rejects by
-    * default. Read nanos as long and floor-convert to a µs timestamp —
-    * DuckDB applies the same ns→µs truncation, so instants agree.
+  /** `events.ts` has shipped as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+    * across fixture generations. Spark 4 rejects nanos by default; with the
+    * legacy flag it reads them as LONG. Branch on the materialized type:
+    * a long is nanos → floor-convert to a µs timestamp (DuckDB applies the
+    * same ns→µs truncation, so instants agree); a timestamp is already µs.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      // integer DIV, not `/`: double division loses microseconds at 1e18 ns
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts DIV 1000)"))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer DIV, not `/`: double division loses microseconds at 1e18 ns
+        df.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // parquet micros with isAdjustedToUTC=false reads as TIMESTAMP_NTZ;
+        // the catalog runs with session tz UTC, so the NTZ→LTZ cast keeps
+        // the instant and restores the TIMESTAMP type unix_millis/window
+        // functions expect (DuckDB reads the same value as a naive ts).
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast(
+          org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -51,7 +51,15 @@ object Bench {
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, t, _) if t >= 0 => t }.sum
     val totalMin = results.collect { case (_, _, m) if m >= 0 => m }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$qmins,"failed":$fs,"runs":$runs,"sf":"$sfDir"}""")
+    // summary fields LAST: the round artifact keeps only the tail of the
+    // captured output, so totals/failures must survive truncation from
+    // the front (rounds 6-9 lost "value" to exactly this)
+    val json = s"""{"metric":"total","unit":"sec","queries":$qs,"queries_min":$qmins,"value":$total,"total_min":$totalMin,"n_queries":${results.size},"failed":$fs,"runs":$runs,"sf":"$sfDir"}"""
+    println(json)
+    // belt-and-braces: the full untruncated line as a repo-local file
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_full_local.json"), json + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

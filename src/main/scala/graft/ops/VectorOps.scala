@@ -245,6 +245,112 @@ object VectorOps {
       .orderBy(col("qid"), col("rn"))
   }
 
+  // ---- IVF-PQ + exact re-rank (q127): the composed serving stack ----
+  // The production billion-vector ANN architecture (FAISS's IVFADC+R;
+  // Jegou et al. 2011 §V): a COARSE quantizer (q124's learned k-means
+  // cells) routes each query to its `probes` nearest cells, the PQ code
+  // table (q126) is ADC-scanned ONLY within those cells for `rerank`
+  // candidates, and the final `topK` comes from re-scoring just those
+  // candidates at full precision. At 100 TB the three stages price
+  // independently: routing is k centroid distances per query (driver-
+  // broadcast math), the scan touches probes/k of the code table (itself
+  // 32x smaller than the raw corpus) with no per-pair float vector
+  // arithmetic, and full-precision vectors are fetched for only
+  // |queries| x rerank rows — the raw corpus is never joined wide.
+  // Re-rank repairs ADC quantization error inside the probed cells;
+  // recall is then bounded by cell routing alone (measured in
+  // MeasureVecRecall's k-sweep for the probe side).
+
+  private[graft] val IVFPQ_PROBES = 2
+  private[graft] val IVFPQ_RERANK = 20
+
+  def ivfPqRerankTopK(emb: DataFrame, k: Int, numQueries: Int,
+                      probes: Int, rerank: Int, topK: Int): DataFrame = {
+    val spark = emb.sparkSession
+    val quant = emb.withColumn("q", expr(quantExpr))
+      .select(col("vec_id"), col("q")).localCheckpoint()
+    // coarse quantizer: q124's trajectory — centroids after one Lloyd
+    // update, final assignment against them (the oracle's c1n/a2)
+    val coarse = kmeansUpdate(kmeansAssign(quant, kmeansInit(quant, k)))
+      .localCheckpoint() // k rows: (cell, s, n)
+    val assigned = kmeansAssign(quant, coarse)
+      .select(col("vec_id"), col("cell"))
+    // PQ codebook + code table (q126's train + encode)
+    val subs = pqSubvectors(quant).localCheckpoint()
+    val cb = pqUpdate(pqAssign(subs, pqInit(subs))).localCheckpoint()
+    val codes = pqAssign(subs, cb)
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(sort_array(collect_list(struct(sub, cell))), t -> t.cell)")
+        .as("codes"))
+    // route: `probes` nearest learned cells per query, exact-int numerator
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("dist"), col("cell"))
+    val qcells = quant.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("q"))
+      .crossJoin(broadcast(coarse))
+      .withColumn("dn", expr(
+        """aggregate(zip_with(q, s, (x, sc) -> (x * n - sc) * (x * n - sc)),
+          |          cast(0 AS bigint), (a, t) -> a + t)""".stripMargin))
+      .withColumn("dist", col("dn").cast("double") /
+                          (col("n") * col("n")).cast("double"))
+      .withColumn("crn", row_number().over(wCell))
+      .filter(col("crn") <= probes)
+      .select(col("qid"), col("cell"))
+    // per-query dense ADC tables (q126's dtab shape)
+    val grid = spark.range(PQ_M).select(col("id").cast("int").as("sub"))
+      .crossJoin(spark.range(PQ_KSUB).select(col("id").cast("int").as("cell")))
+    val qdist = subs.filter(col("vec_id") < numQueries)
+      .join(broadcast(cb), "sub")
+      .withColumn("dn", expr(
+        """aggregate(zip_with(sq, s, (x, sc) -> (x * n - sc) * (x * n - sc)),
+          |          cast(0 AS bigint), (a, t) -> a + t)""".stripMargin))
+      .withColumn("dist", col("dn").cast("double") /
+                          (col("n") * col("n")).cast("double"))
+      .select(col("vec_id").as("qid"), col("sub"), col("cell"), col("dist"))
+    val dtabs = quant.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"))
+      .crossJoin(grid)
+      .join(qdist, Seq("qid", "sub", "cell"), "left")
+      .withColumn("dist", coalesce(col("dist"), lit(Double.PositiveInfinity)))
+      .groupBy(col("qid"))
+      .agg(expr("transform(sort_array(collect_list(struct(sub, cell, dist))), t -> t.dist)")
+        .as("dtab"))
+    // compressed-domain scan of the probed cells only: each corpus code
+    // row joins the (tiny, broadcast) routed-query set on its ONE cell,
+    // then folds M table lookups — no float vector math in the scan
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
+    val cand = assigned
+      .join(broadcast(qcells), "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .join(codes, "vec_id")
+      .join(broadcast(dtabs), "qid")
+      .withColumn("adist", expr(
+        s"""aggregate(transform(sequence(0, ${PQ_M - 1}),
+           |  i -> element_at(dtab, i * $PQ_KSUB + element_at(codes, i + 1) + 1)),
+           |  cast(0 AS double), (a, x) -> a + x)""".stripMargin))
+      .withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= rerank)
+      .select(col("qid"), col("vec_id"), col("adist"))
+    // exact re-rank: full-precision cosine for candidates ONLY — the
+    // corpus streams once against the broadcast candidate set
+    val norms = quant.withColumn("norm", ldot(col("q"), col("q")))
+    val qn = norms.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("q").as("qv"),
+              col("norm").as("qnorm"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    norms.join(broadcast(cand), "vec_id")
+      .join(broadcast(qn), "qid")
+      .withColumn("dot", ldot(col("q"), col("qv")))
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt(col("norm").cast("double")) / sqrt(col("qnorm").cast("double")))
+      .withColumn("rn", row_number().over(wTop).cast("long"))
+      .filter(col("rn") <= topK)
+      .select(col("qid"), col("vec_id"), col("adist"), col("cos"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- q126: ANN over self-trained PQ codes — the compressed-domain
@@ -254,6 +360,16 @@ object VectorOps {
     "q126_ann_pq_adc" -> ((s, d) =>
       pqAdcTopK(Tables.rebalance(Tables.embeddings(s, d)),
                 numQueries = NUM_QUERIES, topK = 5)),
+
+    // ---- q127: the COMPOSED serving stack — learned-cell routing +
+    // in-cell ADC scan + exact re-rank (IVFADC+R). The hash covers all
+    // three stages at once: a drifted Lloyd cell re-routes a query, a
+    // drifted sub-codebook reorders the candidate set (adist is in the
+    // output), and the exact cosines pin the re-rank.
+    "q127_ann_ivf_pq_rerank" -> ((s, d) =>
+      ivfPqRerankTopK(Tables.rebalance(Tables.embeddings(s, d)), k = 8,
+                      numQueries = NUM_QUERIES, probes = IVFPQ_PROBES,
+                      rerank = IVFPQ_RERANK, topK = 5)),
 
     // ---- q125: ANN over the LEARNED index — q124's build feeding
     // q52's probe, label column nowhere in sight. The hash covers the
@@ -466,16 +582,22 @@ object VectorOps {
   private def dotDuck(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))::BIGINT"
 
+  /** The quantized corpus as a DuckDB CTE — the ONE `e` definition every
+    * vector oracle (kmeans, PQ, and their compositions) starts from.
+    */
+  private lazy val embCteDuck: String =
+    s"""e AS (
+      |  SELECT vec_id, $quantDuck AS q FROM embeddings)""".stripMargin
+
   /** The q124 two-iteration Lloyd trajectory as a DuckDB CTE chain
-    * (`e` quantized corpus .. `a2` final assignment) — shared verbatim
-    * by the q124 and q125 oracles so the build both gates hash is ONE
-    * definition. Same rational (sum, count) centroids, same exact-int64
-    * distance numerators, (dist, cell) tie-break via row_number.
+    * (reads `e` .. yields `c1n` learned centroids + `a2` final
+    * assignment) — shared verbatim by the q124/q125/q127 oracles so the
+    * build both gates hash is ONE definition. Same rational (sum, count)
+    * centroids, same exact-int64 distance numerators, (dist, cell)
+    * tie-break via row_number. Splice after [[embCteDuck]].
     */
   private lazy val kmeansCteDuck: String =
-    s"""e AS (
-      |  SELECT vec_id, $quantDuck AS q FROM embeddings),
-      |c0 AS (SELECT vec_id::INT AS cell, q AS s, 1::BIGINT AS n
+    s"""c0 AS (SELECT vec_id::INT AS cell, q AS s, 1::BIGINT AS n
       |       FROM e WHERE vec_id < 8),
       |a1 AS (
       |  SELECT vec_id, cell FROM (
@@ -518,15 +640,13 @@ object VectorOps {
     * non-negative sub-distances).
     */
   private lazy val pqCteDuck: String =
-    s"""e AS (
-      |  SELECT vec_id, $quantDuck AS q FROM embeddings),
-      |subs AS (
+    s"""subs AS (
       |  SELECT vec_id, m.sub, list_slice(q, m.sub * $PQ_SUBDIM + 1,
       |                                   m.sub * $PQ_SUBDIM + $PQ_SUBDIM) AS sq
       |  FROM e, (SELECT unnest(range($PQ_M)) AS sub) m),
-      |c0 AS (SELECT sub, vec_id::INT AS cell, sq AS s, 1::BIGINT AS n
+      |pc0 AS (SELECT sub, vec_id::INT AS cell, sq AS s, 1::BIGINT AS n
       |       FROM subs WHERE vec_id < $PQ_KSUB),
-      |a1 AS (
+      |pa1 AS (
       |  SELECT vec_id, sub, cell FROM (
       |    SELECT vec_id, sub, cell, row_number() OVER (
       |      PARTITION BY vec_id, sub ORDER BY dist, cell) AS rn FROM (
@@ -534,18 +654,18 @@ object VectorOps {
       |        list_sum(list_transform(list_zip(sv.sq, c.s),
       |          p -> (p[1] * c.n - p[2]) * (p[1] * c.n - p[2])))::BIGINT::DOUBLE
       |          / (c.n * c.n)::DOUBLE AS dist
-      |      FROM subs sv JOIN c0 c ON sv.sub = c.sub))
+      |      FROM subs sv JOIN pc0 c ON sv.sub = c.sub))
       |  WHERE rn = 1),
-      |c1 AS (
+      |pc1 AS (
       |  SELECT sub, cell, list(sd ORDER BY pos) AS s FROM (
       |    SELECT sub, cell, pos, sum(x)::BIGINT AS sd FROM (
-      |      SELECT a1.sub, a1.cell, unnest(sv.sq) AS x,
+      |      SELECT pa1.sub, pa1.cell, unnest(sv.sq) AS x,
       |             generate_subscripts(sv.sq, 1) AS pos
-      |      FROM a1 JOIN subs sv ON a1.vec_id = sv.vec_id AND a1.sub = sv.sub)
+      |      FROM pa1 JOIN subs sv ON pa1.vec_id = sv.vec_id AND pa1.sub = sv.sub)
       |    GROUP BY sub, cell, pos)
       |  GROUP BY sub, cell),
-      |n1 AS (SELECT sub, cell, count(*) AS n FROM a1 GROUP BY sub, cell),
-      |c1n AS (SELECT c1.sub, c1.cell, s, n FROM c1 JOIN n1 USING (sub, cell)),
+      |pn1 AS (SELECT sub, cell, count(*) AS n FROM pa1 GROUP BY sub, cell),
+      |pc1n AS (SELECT pc1.sub, pc1.cell, s, n FROM pc1 JOIN pn1 USING (sub, cell)),
       |codes AS (
       |  SELECT vec_id, list(cell ORDER BY sub) AS codes FROM (
       |    SELECT vec_id, sub, cell FROM (
@@ -555,7 +675,7 @@ object VectorOps {
       |          list_sum(list_transform(list_zip(sv.sq, c.s),
       |            p -> (p[1] * c.n - p[2]) * (p[1] * c.n - p[2])))::BIGINT::DOUBLE
       |            / (c.n * c.n)::DOUBLE AS dist
-      |        FROM subs sv JOIN c1n c ON sv.sub = c.sub))
+      |        FROM subs sv JOIN pc1n c ON sv.sub = c.sub))
       |    WHERE rn = 1)
       |  GROUP BY vec_id),
       |qd AS (
@@ -563,7 +683,7 @@ object VectorOps {
       |    list_sum(list_transform(list_zip(sv.sq, c.s),
       |      p -> (p[1] * c.n - p[2]) * (p[1] * c.n - p[2])))::BIGINT::DOUBLE
       |      / (c.n * c.n)::DOUBLE AS dist
-      |  FROM subs sv JOIN c1n c ON sv.sub = c.sub WHERE sv.vec_id < $NUM_QUERIES),
+      |  FROM subs sv JOIN pc1n c ON sv.sub = c.sub WHERE sv.vec_id < $NUM_QUERIES),
       |grid AS (
       |  SELECT g1.sub, g2.cell
       |  FROM (SELECT unnest(range($PQ_M)) AS sub) g1,
@@ -579,7 +699,8 @@ object VectorOps {
 
   val oracles: Map[String, String] = Map(
     "q126_ann_pq_adc" ->
-      s"""WITH $pqCteDuck,
+      s"""WITH $embCteDuck,
+        |$pqCteDuck,
         |scored AS (
         |  SELECT dt.qid, codes.vec_id,
         |    list_reduce(list_transform(range($PQ_M),
@@ -592,8 +713,50 @@ object VectorOps {
         |  FROM scored)
         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
 
+    "q127_ann_ivf_pq_rerank" ->
+      s"""WITH $embCteDuck,
+        |$kmeansCteDuck,
+        |$pqCteDuck,
+        |qc AS (
+        |  SELECT qid, cell FROM (
+        |    SELECT qid, cell, row_number() OVER (
+        |      PARTITION BY qid ORDER BY dist, cell) AS crn FROM (
+        |      SELECT e.vec_id AS qid, c.cell,
+        |        list_sum(list_transform(list_zip(e.q, c.s),
+        |          p -> (p[1] * c.n - p[2]) * (p[1] * c.n - p[2])))::BIGINT::DOUBLE
+        |          / (c.n * c.n)::DOUBLE AS dist
+        |      FROM e CROSS JOIN c1n c WHERE e.vec_id < $NUM_QUERIES))
+        |  WHERE crn <= $IVFPQ_PROBES),
+        |ascored AS (
+        |  SELECT qc.qid, a2.vec_id,
+        |    list_reduce(list_transform(range($PQ_M),
+        |      i -> dtab[i * $PQ_KSUB + codes[i + 1] + 1]),
+        |      (a, x) -> a + x) AS adist
+        |  FROM a2 JOIN qc USING (cell)
+        |  JOIN codes ON codes.vec_id = a2.vec_id
+        |  JOIN dt ON dt.qid = qc.qid
+        |  WHERE a2.vec_id <> qc.qid),
+        |cand AS (
+        |  SELECT qid, vec_id, adist FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY qid ORDER BY adist, vec_id) AS arn FROM ascored)
+        |  WHERE arn <= $IVFPQ_RERANK),
+        |nrm AS (SELECT vec_id, q, ${dotDuck("q", "q")} AS norm FROM e),
+        |qn AS (SELECT vec_id AS qid, q AS qv, norm AS qnorm FROM nrm
+        |       WHERE vec_id < $NUM_QUERIES),
+        |rr AS (
+        |  SELECT cand.qid, cand.vec_id, cand.adist,
+        |    ${dotDuck("nrm.q", "qn.qv")}::DOUBLE
+        |      / sqrt(nrm.norm::DOUBLE) / sqrt(qn.qnorm::DOUBLE) AS cos
+        |  FROM cand JOIN nrm USING (vec_id) JOIN qn USING (qid))
+        |SELECT qid, vec_id, adist, cos, rn FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM rr)
+        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+
     "q124_kmeans_ivf_build" ->
-      s"""WITH $kmeansCteDuck
+      s"""WITH $embCteDuck,
+        |$kmeansCteDuck
         |SELECT cell, count(*) AS n, min(vec_id) AS rep,
         |  sum(q[1])::BIGINT AS s1, sum(q[2])::BIGINT AS s2,
         |  sum(q[3])::BIGINT AS s3, sum(q[4])::BIGINT AS s4
@@ -601,7 +764,8 @@ object VectorOps {
         |GROUP BY cell ORDER BY cell""".stripMargin,
 
     "q125_ann_learned_cells" ->
-      s"""WITH $kmeansCteDuck,
+      s"""WITH $embCteDuck,
+        |$kmeansCteDuck,
         |av AS (
         |  SELECT a2.vec_id, a2.cell, e.q,
         |    ${dotDuck("e.q", "e.q")} AS norm

@@ -96,4 +96,43 @@ class VectorExprSpec extends SparkSpec {
       .agg(sum($"top").cast("double") / sum($"tot")).head.getDouble(0)
     assert(purity >= 0.8, s"learned-cell purity $purity < 0.8")
   }
+
+  test("IVF-PQ re-rank (q127): probed-cell containment, exact re-scores, deterministic replay") {
+    import graft.ops.VectorOps
+    val emb = graft.GenFixtures.clusteredEmbeddings(spark, 600)
+    val res = VectorOps.ivfPqRerankTopK(emb, k = 10, numQueries = 5,
+      probes = 2, rerank = 20, topK = 5).localCheckpoint()
+    // shape: exactly topK per query, rn dense, adist finite
+    assert(res.count() == 25)
+    assert(res.groupBy($"qid").count().filter($"count" =!= 5).count() == 0)
+    assert(res.filter(!$"adist".isNotNull || $"adist" === Double.PositiveInfinity)
+      .count() == 0)
+    // the reported cos IS the exact full-precision cosine of that pair
+    // (the whole point of the re-rank stage) — recompute independently
+    val quant = emb.withColumn("q", expr(VectorOps.quantExpr))
+      .withColumn("norm", ldot($"q", $"q"))
+      .select($"vec_id", $"q", $"norm").localCheckpoint()
+    val expect = res.select($"qid", $"vec_id", $"cos")
+      .join(quant.select($"vec_id", $"q", $"norm"), "vec_id")
+      .join(quant.select($"vec_id".as("qid"), $"q".as("qv"), $"norm".as("qnorm")),
+            "qid")
+      .withColumn("cos2", ldot($"q", $"qv").cast("double") /
+        sqrt($"norm".cast("double")) / sqrt($"qnorm".cast("double")))
+    assert(expect.filter(abs($"cos" - $"cos2") > 1e-12).count() == 0)
+    // every returned neighbor lives in one of its query's 2 probed cells
+    // (re-derive the coarse assignment with the same helpers)
+    val a2 = VectorOps.kmeansAssign(quant.select($"vec_id", $"q"),
+      VectorOps.kmeansUpdate(VectorOps.kmeansAssign(quant.select($"vec_id", $"q"),
+        VectorOps.kmeansInit(quant.select($"vec_id", $"q"), 10))))
+      .select($"vec_id", $"cell").localCheckpoint()
+    val qCellCount = res.join(a2, "vec_id")
+      .join(a2.select($"vec_id".as("qid"), $"cell".as("qcell")), "qid")
+      .groupBy($"qid").agg(countDistinct($"cell").as("cells"))
+    assert(qCellCount.filter($"cells" > 2).count() == 0,
+      "neighbors drawn from more than `probes` cells")
+    // bit-identical replay (train + encode + route + scan + re-rank)
+    val res2 = VectorOps.ivfPqRerankTopK(emb, k = 10, numQueries = 5,
+      probes = 2, rerank = 20, topK = 5)
+    assert(res.except(res2).count() == 0 && res2.except(res).count() == 0)
+  }
 }

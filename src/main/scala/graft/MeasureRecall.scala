@@ -246,6 +246,30 @@ object MeasureVecRecall {
       println(f"q125_learned_cells k=$k%-3d recall@5 = $learned/${5 * nq} = " +
         f"${100.0 * learned / (5 * nq)}%5.1f%%")
     }
+
+    // the PQ family (q126 ADC over the FULL corpus, q127 IVFADC+R):
+    // q126 isolates pure quantization loss (no routing — every miss is
+    // the codebook's fault); the q127 sweep separates the two loss
+    // sources the composed stack has: probes bounds what routing can
+    // see, rerank bounds what ADC ordering error can hide. rerank=5 is
+    // "trust ADC order within probed cells"; widening rerank buys back
+    // exactly the neighbors ADC misranked — the measured gap IS the
+    // value of the re-rank stage.
+    val adcHits = ops.VectorOps
+      .pqAdcTopK(Tables.embeddings(spark, dir), numQueries = 10, topK = 5)
+      .select(col("qid"), col("vec_id"))
+      .join(brute, Seq("qid", "vec_id"), "left_semi").count()
+    println(f"q126_pq_adc full-corpus  recall@5 = $adcHits/${5 * nq} = " +
+      f"${100.0 * adcHits / (5 * nq)}%5.1f%%")
+    for ((p, r) <- Seq((1, 5), (2, 5), (2, 20), (2, 50))) {
+      val hits = ops.VectorOps
+        .ivfPqRerankTopK(Tables.embeddings(spark, dir), k = 10,
+                         numQueries = 10, probes = p, rerank = r, topK = 5)
+        .select(col("qid"), col("vec_id"))
+        .join(brute, Seq("qid", "vec_id"), "left_semi").count()
+      println(f"q127_ivfpq p=$p r=$r%-3d       recall@5 = $hits/${5 * nq} = " +
+        f"${100.0 * hits / (5 * nq)}%5.1f%%")
+    }
     spark.stop()
   }
 }

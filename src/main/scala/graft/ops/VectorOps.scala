@@ -127,27 +127,33 @@ object VectorOps {
   // The third leg of the vector-index family (q51 brute force, q124/
   // q125 IVF): product quantization (Jegou, Douze, Schmid, "Product
   // Quantization for Nearest Neighbor Search", TPAMI 2011). The 64-dim
-  // vector splits into PQ_M = 8 sub-spaces of PQ_SUBDIM = 8 dims; each
+  // vector splits into PQ_M = 16 sub-spaces of PQ_SUBDIM = 4 dims; each
   // sub-space trains its own PQ_KSUB-centroid codebook (one Lloyd
   // round — q124's init/assign/update with `sub` carried through every
-  // key), and a vector is then STORED as 8 small codes: 8 bytes of
+  // key), and a vector is then STORED as 16 4-bit codes: 8 bytes of
   // payload against 256 bytes of float32, the 32x compression that
-  // makes a 100 TB embedding corpus a ~3 TB code table. Probing is
-  // ADC (asymmetric distance computation): the query stays un-encoded;
-  // per query ONE dense M x kSub table of rational sub-distances is
-  // built (M*kSub rows of centroid math, broadcast), and each corpus
-  // vector's approximate distance is a row-local left-fold of M table
-  // lookups — one corpus scan with no per-pair vector arithmetic, so
-  // the scan is memory-bandwidth-bound, not FLOP-bound. Exactness
-  // envelope per sub-space: PQ_SUBDIM * (2e4 * n_cell)^2 < 2^63 =>
-  // n_cell <= ~53k members (vs ~19k for the full-width q124 distance —
-  // narrower sub-vectors widen the envelope). At 100 TB the codebook
-  // trains on a driver-chosen sample (standard PQ practice; kSub*M
-  // centroids need only ~100k vectors regardless of corpus size) and
-  // the encode pass + ADC scan stay exactly this topology.
+  // makes a 100 TB embedding corpus a ~3 TB code table. The (M=16,
+  // subdim=4) split was measured against (8,8) and (32,2) on the
+  // clustered fixture — at EQUAL 8-byte payload, 16x4 roughly doubles
+  // the serving stack's recall over 8x8 (finer sub-spaces cut ADC
+  // ordering error faster than per-sub centroid count does); 32x2
+  // gains further recall only by doubling the payload (SCALING.md
+  // round-10 table). Probing is ADC (asymmetric distance computation):
+  // the query stays un-encoded; per query ONE dense M x kSub table of
+  // rational sub-distances is built (M*kSub rows of centroid math,
+  // broadcast), and each corpus vector's approximate distance is a
+  // row-local left-fold of M table lookups — one corpus scan with no
+  // per-pair vector arithmetic, so the scan is memory-bandwidth-bound,
+  // not FLOP-bound. Exactness envelope per sub-space:
+  // PQ_SUBDIM * (2e4 * n_cell)^2 < 2^63 => n_cell <= ~75k members (vs
+  // ~19k for the full-width q124 distance — narrower sub-vectors widen
+  // the envelope). At 100 TB the codebook trains on a driver-chosen
+  // sample (standard PQ practice; kSub*M centroids need only ~100k
+  // vectors regardless of corpus size) and the encode pass + ADC scan
+  // stay exactly this topology.
 
-  private[graft] val PQ_M = 8
-  private[graft] val PQ_SUBDIM = 8
+  private[graft] val PQ_M = 16
+  private[graft] val PQ_SUBDIM = 4
   private[graft] val PQ_KSUB = 16
 
   /** Exploded sub-vectors: one row per (vector, sub-space). Rows grow
@@ -264,6 +270,16 @@ object VectorOps {
   private[graft] val IVFPQ_PROBES = 2
   private[graft] val IVFPQ_RERANK = 20
 
+  /** Floor-quantized residual vs a rational (s, n) centroid: exact-int
+    * numerator, one IEEE division, floor — floor (not round) because
+    * both engines define floor identically while round's half-way rule
+    * is an engine implementation detail. The residual lands back on the
+    * same integer scale as `q`, so the whole PQ machinery runs on it
+    * unchanged.
+    */
+  private def residExpr(vec: String): String =
+    s"zip_with($vec, s, (x, sd) -> cast(floor((x * n - sd) / cast(n AS double)) AS bigint))"
+
   def ivfPqRerankTopK(emb: DataFrame, k: Int, numQueries: Int,
                       probes: Int, rerank: Int, topK: Int): DataFrame = {
     val spark = emb.sparkSession
@@ -273,12 +289,25 @@ object VectorOps {
     // update, final assignment against them (the oracle's c1n/a2)
     val coarse = kmeansUpdate(kmeansAssign(quant, kmeansInit(quant, k)))
       .localCheckpoint() // k rows: (cell, s, n)
-    val assigned = kmeansAssign(quant, coarse)
-      .select(col("vec_id"), col("cell"))
-    // PQ codebook + code table (q126's train + encode)
-    val subs = pqSubvectors(quant).localCheckpoint()
-    val cb = pqUpdate(pqAssign(subs, pqInit(subs))).localCheckpoint()
-    val codes = pqAssign(subs, cb)
+    val assignedQ = kmeansAssign(quant, coarse)
+      .select(col("vec_id"), col("cell"), col("q"))
+    val assigned = assignedQ.select(col("vec_id"), col("cell"))
+    // RESIDUAL encoding (IVFADC proper): PQ trains on x - centroid(x),
+    // not on x — with the coarse structure subtracted, the residual
+    // distribution is tight around 0 and a small codebook covers it
+    // (measured on fixtures/sf1vec: raw-vector PQ reads 26% ADC-only
+    // recall@5, residual PQ lifts the whole serving stack — see
+    // SCALING.md round-10). Residuals stay on the integer scale via
+    // the floor-quantized exact form, so train/encode/ADC reuse the
+    // exact-int machinery verbatim.
+    val resid = assignedQ.join(broadcast(coarse), "cell")
+      .withColumn("rq", expr(residExpr("q")))
+      .select(col("vec_id"), col("cell"), col("rq"))
+      .localCheckpoint()
+    val rsubs = pqSubvectors(resid.select(col("vec_id"), col("rq").as("q")))
+      .localCheckpoint()
+    val cb = pqUpdate(pqAssign(rsubs, pqInit(rsubs))).localCheckpoint()
+    val codes = pqAssign(rsubs, cb)
       .groupBy(col("vec_id"))
       .agg(expr("transform(sort_array(collect_list(struct(sub, cell))), t -> t.cell)")
         .as("codes"))
@@ -296,24 +325,36 @@ object VectorOps {
       .withColumn("crn", row_number().over(wCell))
       .filter(col("crn") <= probes)
       .select(col("qid"), col("cell"))
-    // per-query dense ADC tables (q126's dtab shape)
-    val grid = spark.range(PQ_M).select(col("id").cast("int").as("sub"))
-      .crossJoin(spark.range(PQ_KSUB).select(col("id").cast("int").as("cell")))
-    val qdist = subs.filter(col("vec_id") < numQueries)
-      .join(broadcast(cb), "sub")
+    // the query's residual is PER PROBED CELL (x_q - that cell's
+    // centroid) — the defining IVFADC asymmetry: one small ADC table
+    // per (query, probed cell), keyed so the scan reads the table that
+    // matches the candidate's cell
+    val qresid = qcells
+      .join(quant.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("qid"), col("q")), "qid")
+      .join(broadcast(coarse), "cell")
+      .withColumn("rq", expr(residExpr("q")))
+      .select(col("qid"), col("cell"), col("rq"))
+    val qrsubs = qresid
+      .select(col("qid"), col("cell"),
+              explode(expr(s"sequence(0, ${PQ_M - 1})")).as("sub"), col("rq"))
+      .select(col("qid"), col("cell"), col("sub"),
+              expr(s"slice(rq, sub * $PQ_SUBDIM + 1, $PQ_SUBDIM)").as("sq"))
+    val cbR = cb.select(col("sub"), col("cell").as("code"), col("s"), col("n"))
+    val qdist = qrsubs.join(broadcast(cbR), "sub")
       .withColumn("dn", expr(
         """aggregate(zip_with(sq, s, (x, sc) -> (x * n - sc) * (x * n - sc)),
           |          cast(0 AS bigint), (a, t) -> a + t)""".stripMargin))
       .withColumn("dist", col("dn").cast("double") /
                           (col("n") * col("n")).cast("double"))
-      .select(col("vec_id").as("qid"), col("sub"), col("cell"), col("dist"))
-    val dtabs = quant.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("qid"))
-      .crossJoin(grid)
-      .join(qdist, Seq("qid", "sub", "cell"), "left")
+      .select(col("qid"), col("cell"), col("sub"), col("code"), col("dist"))
+    val grid = spark.range(PQ_M).select(col("id").cast("int").as("sub"))
+      .crossJoin(spark.range(PQ_KSUB).select(col("id").cast("int").as("code")))
+    val dtabs = qcells.crossJoin(grid)
+      .join(qdist, Seq("qid", "cell", "sub", "code"), "left")
       .withColumn("dist", coalesce(col("dist"), lit(Double.PositiveInfinity)))
-      .groupBy(col("qid"))
-      .agg(expr("transform(sort_array(collect_list(struct(sub, cell, dist))), t -> t.dist)")
+      .groupBy(col("qid"), col("cell"))
+      .agg(expr("transform(sort_array(collect_list(struct(sub, code, dist))), t -> t.dist)")
         .as("dtab"))
     // compressed-domain scan of the probed cells only: each corpus code
     // row joins the (tiny, broadcast) routed-query set on its ONE cell,
@@ -324,7 +365,7 @@ object VectorOps {
       .join(broadcast(qcells), "cell")
       .filter(col("vec_id") =!= col("qid"))
       .join(codes, "vec_id")
-      .join(broadcast(dtabs), "qid")
+      .join(broadcast(dtabs), Seq("qid", "cell"))
       .withColumn("adist", expr(
         s"""aggregate(transform(sequence(0, ${PQ_M - 1}),
            |  i -> element_at(dtab, i * $PQ_KSUB + element_at(codes, i + 1) + 1)),
@@ -362,10 +403,12 @@ object VectorOps {
                 numQueries = NUM_QUERIES, topK = 5)),
 
     // ---- q127: the COMPOSED serving stack — learned-cell routing +
-    // in-cell ADC scan + exact re-rank (IVFADC+R). The hash covers all
-    // three stages at once: a drifted Lloyd cell re-routes a query, a
-    // drifted sub-codebook reorders the candidate set (adist is in the
-    // output), and the exact cosines pin the re-rank.
+    // RESIDUAL-encoded in-cell ADC scan + exact re-rank (IVFADC+R,
+    // residuals per Jegou et al. §V). The hash covers all four moving
+    // parts at once: a drifted Lloyd cell re-routes a query AND changes
+    // every member's residual, a drifted sub-codebook reorders the
+    // candidate set (adist is in the output), and the exact cosines pin
+    // the re-rank.
     "q127_ann_ivf_pq_rerank" -> ((s, d) =>
       ivfPqRerankTopK(Tables.rebalance(Tables.embeddings(s, d)), k = 8,
                       numQueries = NUM_QUERIES, probes = IVFPQ_PROBES,
@@ -630,20 +673,19 @@ object VectorOps {
       |      FROM e CROSS JOIN c1n c))
       |  WHERE rn = 1)""".stripMargin
 
-  /** The q126 PQ lifecycle as a DuckDB CTE chain (train -> encode ->
-    * dense ADC tables), mirroring pqSubvectors/pqInit/pqAssign/pqUpdate
-    * step for step: same deterministic init, same exact-int64 distance
-    * numerators, same (dist, cell) tie-break, and the SAME left-fold
-    * summation order for the M-term ADC distance (Spark `aggregate`
-    * seeded with 0.0 vs DuckDB `list_reduce` seeded by the first
-    * element — identical IEEE sequences because 0.0 + x == x for the
-    * non-negative sub-distances).
+  /** The PQ train+encode lifecycle as a DuckDB CTE chain, mirroring
+    * pqSubvectors/pqInit/pqAssign/pqUpdate step for step: same
+    * deterministic init, same exact-int64 distance numerators, same
+    * (dist, cell) tie-break. PARAMETERIZED by its input: reads a CTE
+    * named `pqin` (vec_id, q) so the q126 oracle feeds raw quantized
+    * vectors and the q127 oracle feeds floor-quantized RESIDUALS —
+    * one body, spliced by both.
     */
-  private lazy val pqCteDuck: String =
+  private lazy val pqTrainCteDuck: String =
     s"""subs AS (
       |  SELECT vec_id, m.sub, list_slice(q, m.sub * $PQ_SUBDIM + 1,
       |                                   m.sub * $PQ_SUBDIM + $PQ_SUBDIM) AS sq
-      |  FROM e, (SELECT unnest(range($PQ_M)) AS sub) m),
+      |  FROM pqin, (SELECT unnest(range($PQ_M)) AS sub) m),
       |pc0 AS (SELECT sub, vec_id::INT AS cell, sq AS s, 1::BIGINT AS n
       |       FROM subs WHERE vec_id < $PQ_KSUB),
       |pa1 AS (
@@ -677,8 +719,17 @@ object VectorOps {
       |            / (c.n * c.n)::DOUBLE AS dist
       |        FROM subs sv JOIN pc1n c ON sv.sub = c.sub))
       |    WHERE rn = 1)
-      |  GROUP BY vec_id),
-      |qd AS (
+      |  GROUP BY vec_id)""".stripMargin
+
+  /** q126's query side: the per-query dense ADC table over the RAW
+    * sub-vectors (queries live inside `pqin`/`subs`). The SAME left-fold
+    * summation order as Spark (Spark `aggregate` seeded with 0.0 vs
+    * DuckDB `list_reduce` seeded by the first element — identical IEEE
+    * sequences because 0.0 + x == x for the non-negative
+    * sub-distances). Splice after [[pqTrainCteDuck]].
+    */
+  private lazy val pqQueryCteDuck: String =
+    s"""qd AS (
       |  SELECT sv.vec_id AS qid, sv.sub, c.cell,
       |    list_sum(list_transform(list_zip(sv.sq, c.s),
       |      p -> (p[1] * c.n - p[2]) * (p[1] * c.n - p[2])))::BIGINT::DOUBLE
@@ -697,10 +748,18 @@ object VectorOps {
       |               AND qd.cell = grid.cell)
       |  GROUP BY qid)""".stripMargin
 
+  /** The floor-quantized residual of `vec` vs a joined (s, n) rational
+    * centroid row `c` — DuckDB mirror of [[residExpr]]. */
+  private def residDuck(vec: String): String =
+    s"""list_transform(list_zip($vec, c.s),
+       |      p -> floor((p[1] * c.n - p[2])::DOUBLE / c.n::DOUBLE)::BIGINT)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q126_ann_pq_adc" ->
       s"""WITH $embCteDuck,
-        |$pqCteDuck,
+        |pqin AS (SELECT vec_id, q FROM e),
+        |$pqTrainCteDuck,
+        |$pqQueryCteDuck,
         |scored AS (
         |  SELECT dt.qid, codes.vec_id,
         |    list_reduce(list_transform(range($PQ_M),
@@ -716,7 +775,12 @@ object VectorOps {
     "q127_ann_ivf_pq_rerank" ->
       s"""WITH $embCteDuck,
         |$kmeansCteDuck,
-        |$pqCteDuck,
+        |resid AS (
+        |  SELECT a2.vec_id, a2.cell,
+        |    ${residDuck("e.q")} AS rq
+        |  FROM a2 JOIN e USING (vec_id) JOIN c1n c ON a2.cell = c.cell),
+        |pqin AS (SELECT vec_id, rq AS q FROM resid),
+        |$pqTrainCteDuck,
         |qc AS (
         |  SELECT qid, cell FROM (
         |    SELECT qid, cell, row_number() OVER (
@@ -727,6 +791,33 @@ object VectorOps {
         |          / (c.n * c.n)::DOUBLE AS dist
         |      FROM e CROSS JOIN c1n c WHERE e.vec_id < $NUM_QUERIES))
         |  WHERE crn <= $IVFPQ_PROBES),
+        |qresid AS (
+        |  SELECT qc.qid, qc.cell,
+        |    ${residDuck("e.q")} AS rq
+        |  FROM qc JOIN e ON e.vec_id = qc.qid
+        |  JOIN c1n c ON qc.cell = c.cell),
+        |qrsubs AS (
+        |  SELECT qid, cell, m.sub, list_slice(rq, m.sub * $PQ_SUBDIM + 1,
+        |                                      m.sub * $PQ_SUBDIM + $PQ_SUBDIM) AS sq
+        |  FROM qresid, (SELECT unnest(range($PQ_M)) AS sub) m),
+        |qd2 AS (
+        |  SELECT qs.qid, qs.cell, qs.sub, c.cell AS code,
+        |    list_sum(list_transform(list_zip(qs.sq, c.s),
+        |      p -> (p[1] * c.n - p[2]) * (p[1] * c.n - p[2])))::BIGINT::DOUBLE
+        |      / (c.n * c.n)::DOUBLE AS dist
+        |  FROM qrsubs qs JOIN pc1n c ON qs.sub = c.sub),
+        |grid2 AS (
+        |  SELECT g1.sub, g2.code
+        |  FROM (SELECT unnest(range($PQ_M)) AS sub) g1,
+        |       (SELECT unnest(range($PQ_KSUB)) AS code) g2),
+        |dt2 AS (
+        |  SELECT qid, cell, list(dist ORDER BY sub, code) AS dtab FROM (
+        |    SELECT qc.qid, qc.cell, grid2.sub, grid2.code,
+        |           coalesce(qd2.dist, 'infinity'::DOUBLE) AS dist
+        |    FROM qc CROSS JOIN grid2
+        |    LEFT JOIN qd2 ON qd2.qid = qc.qid AND qd2.cell = qc.cell
+        |                 AND qd2.sub = grid2.sub AND qd2.code = grid2.code)
+        |  GROUP BY qid, cell),
         |ascored AS (
         |  SELECT qc.qid, a2.vec_id,
         |    list_reduce(list_transform(range($PQ_M),
@@ -734,7 +825,7 @@ object VectorOps {
         |      (a, x) -> a + x) AS adist
         |  FROM a2 JOIN qc USING (cell)
         |  JOIN codes ON codes.vec_id = a2.vec_id
-        |  JOIN dt ON dt.qid = qc.qid
+        |  JOIN dt2 ON dt2.qid = qc.qid AND dt2.cell = qc.cell
         |  WHERE a2.vec_id <> qc.qid),
         |cand AS (
         |  SELECT qid, vec_id, adist FROM (

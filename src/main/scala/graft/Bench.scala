@@ -17,6 +17,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
+      // UTC like every other entry point: the events.ts NTZ→LTZ cast
+      // (Tables.scala) reads the naive wall-clock in the session zone, so
+      // a non-UTC machine would shift instants for all ts-filtered queries
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -51,10 +55,17 @@ object Bench {
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, t, _) if t >= 0 => t }.sum
     val totalMin = results.collect { case (_, _, m) if m >= 0 => m }.sum
-    // summary fields LAST: the round artifact keeps only the tail of the
-    // captured output, so totals/failures must survive truncation from
-    // the front (rounds 6-9 lost "value" to exactly this)
-    val json = s"""{"metric":"total","unit":"sec","queries":$qs,"queries_min":$qmins,"value":$total,"total_min":$totalMin,"n_queries":${results.size},"failed":$fs,"runs":$runs,"sf":"$sfDir"}"""
+    // summary fields at BOTH ends: the round artifact truncates the
+    // captured output (round 10 kept only the last ~2000 chars; earlier
+    // rounds clipped differently), so the totals/failures ride both the
+    // head and the tail — duplicate JSON keys with identical values, and
+    // any sane parser (python json.load included) keeps the last copy.
+    // n_ok = queries successfully measured; n_catalog = catalog size
+    // (failures are in `failed`, never mixed into a count that reads as
+    // "measured").
+    val nOk = results.count(_._2 >= 0)
+    val summary = s""""metric":"total","unit":"sec","value":$total,"total_min":$totalMin,"n_ok":$nOk,"n_catalog":${results.size},"failed":$fs,"runs":$runs,"sf":"$sfDir""""
+    val json = s"""{$summary,"queries":$qs,"queries_min":$qmins,$summary}"""
     println(json)
     // belt-and-braces: the full untruncated line as a repo-local file
     try java.nio.file.Files.writeString(

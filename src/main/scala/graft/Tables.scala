@@ -53,9 +53,45 @@ object Tables {
         // functions expect (DuckDB reads the same value as a naive ts).
         df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast(
           org.apache.spark.sql.types.TimestampType))
-      case _ => df
+      case org.apache.spark.sql.types.TimestampType => df // µs LTZ: native
+      case other =>
+        // fail FAST at the loader with the observed type — a silent
+        // pass-through would instead surface as obscure per-query analysis
+        // errors across the 21 events consumers (the round-9 outage class)
+        throw new IllegalStateException(
+          s"events.ts materialized as unsupported $other in $d/events.parquet; " +
+          "known generations: TIMESTAMP(NANOS)→long (legacy flag), " +
+          "TIMESTAMP_NTZ(µs), TIMESTAMP(µs LTZ). Add a normalization branch.")
     }
   }
-  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** Fail fast on `documents` drift: every downstream text operator keys on
+    * (doc_id: integral, text: string) — a renamed/retyped column should die
+    * here with the observed schema, not as 30 obscure per-query errors. */
+  def documents(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val df = load(s, d, "documents")
+    def has(n: String, ok: DataType => Boolean) =
+      df.schema.fields.exists(f => f.name == n && ok(f.dataType))
+    if (!has("doc_id", t => t == LongType || t == IntegerType) ||
+        !has("text", _ == StringType))
+      throw new IllegalStateException(
+        s"documents drifted in $d: need doc_id(int/long) + text(string), got " +
+        df.schema.simpleString)
+    df
+  }
+  /** Normalize `embeddings.embedding` across fixture generations: every
+    * vector op quantizes via cast-to-double, so float and double elements
+    * are both fine — anything else (decimal, string re-materialization)
+    * fails fast with the observed type. */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val df = load(s, d, "embeddings")
+    df.schema("embedding").dataType match {
+      case ArrayType(FloatType | DoubleType, _) => df
+      case other =>
+        throw new IllegalStateException(
+          s"embeddings.embedding materialized as $other in $d; quantExpr " +
+          "needs array<float|double>. Add a normalization branch.")
+    }
+  }
 }

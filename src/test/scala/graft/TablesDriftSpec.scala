@@ -56,4 +56,61 @@ class TablesDriftSpec extends SparkSpec {
     writeEvents(dir)(timestamp_micros(lit(micros)), TimestampType)
     assert(loadedMicros(dir) == micros)
   }
+
+  test("a GENUINE parquet TIMESTAMP(NANOS) file decodes end-to-end") {
+    // pyarrow-written Timestamp(isAdjustedToUTC=false, NANOS) resource
+    // (tools/gen_nanos_fixture.py): exercises the real legacy-flag decode
+    // (nanosAsLong) that produces the LongType branch, not just the branch
+    // itself. 2021-03-04T05:06:07.123456789Z floors to .123456 µs.
+    val dir = getClass.getResource("/events_nanos").getPath
+    assert(loadedMicros(dir) == micros)
+  }
+
+  test("an unrecognized ts generation fails FAST at the loader, by name") {
+    val dir = Files.createTempDirectory("drift-bad").toString
+    writeEvents(dir)(lit("2021-03-04"), StringType)
+    val e = intercept[IllegalStateException](Tables.events(spark, dir))
+    assert(e.getMessage.contains("events.ts") &&
+           e.getMessage.contains("StringType"), e.getMessage)
+  }
+
+  // ---- the same drift class for the other two driver-generated tables
+  // (VERDICT r10 #7): pin that a parquet regeneration is either a no-op
+  // at the loader or an immediate named failure — never 30 obscure
+  // per-query errors.
+
+  test("embeddings: float and double element generations both load") {
+    for ((t, tag) <- Seq(FloatType -> "f", DoubleType -> "d")) {
+      val dir = Files.createTempDirectory(s"drift-emb-$tag").toString
+      Seq((0L, Seq(0.1, 0.2), 1)).toDF("vec_id", "embedding", "label")
+        .withColumn("embedding", col("embedding").cast(ArrayType(t)))
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val df = Tables.embeddings(spark, dir)
+      // the one quantization formula must give identical int64s either way
+      val q = df.selectExpr(ops.VectorOps.quantExpr).as[Seq[Long]].head()
+      assert(q == Seq(1000L, 2000L), q)
+    }
+  }
+
+  test("embeddings: a non-numeric element generation fails fast, by name") {
+    val dir = Files.createTempDirectory("drift-emb-bad").toString
+    Seq((0L, Seq("0.1"), 1)).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val e = intercept[IllegalStateException](Tables.embeddings(spark, dir))
+    assert(e.getMessage.contains("embeddings.embedding"), e.getMessage)
+  }
+
+  test("documents: doc_id/text retype or rename fails fast, by name") {
+    val dir = Files.createTempDirectory("drift-doc").toString
+    Seq(("a", "some text")).toDF("doc_id", "text") // doc_id as STRING
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = intercept[IllegalStateException](Tables.documents(spark, dir))
+    assert(e.getMessage.contains("documents") &&
+           e.getMessage.contains("doc_id"), e.getMessage)
+    // and the healthy shape (extra columns welcome) passes through
+    val ok = Files.createTempDirectory("drift-doc-ok").toString
+    Seq((1L, "text", "en")).toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$ok/documents.parquet")
+    assert(Tables.documents(spark, ok).count() == 1L)
+  }
 }

@@ -261,7 +261,10 @@ object MeasureVecRecall {
       .join(brute, Seq("qid", "vec_id"), "left_semi").count()
     println(f"q126_pq_adc full-corpus  recall@5 = $adcHits/${5 * nq} = " +
       f"${100.0 * adcHits / (5 * nq)}%5.1f%%")
-    for ((p, r) <- Seq((1, 5), (2, 5), (2, 20), (2, 50))) {
+    // probes × rerank grid: the (p, 20) column is the routing sweep
+    // (VERDICT r10 #8 — is probes=2 the knee on the blurred corpus?),
+    // the (2, r) row is the rerank sweep
+    for ((p, r) <- Seq((1, 5), (2, 5), (2, 20), (2, 50), (3, 20), (4, 20), (3, 50), (4, 50))) {
       val hits = ops.VectorOps
         .ivfPqRerankTopK(Tables.embeddings(spark, dir), k = 10,
                          numQueries = 10, probes = p, rerank = r, topK = 5)

@@ -32,8 +32,33 @@ object VectorOps {
   private[graft] val quantExpr =
     "transform(embedding, x -> cast(round(cast(x AS double) * 10000, 0) AS bigint))"
 
+  /** Lineage pin for the iterative builds: a RELIABLE checkpoint when a
+    * dir is set — surviving executor loss, the 100 TB build setting
+    * (same contract as GraphOps.connectedComponents) — and executor-local
+    * blocks otherwise (single-node dev loop; cheaper, but an executor
+    * loss mid-build kills the job).
+    */
+  private def pin(df: DataFrame, checkpointDir: Option[String]): DataFrame =
+    checkpointDir match {
+      case Some(dir) =>
+        df.sparkSession.sparkContext.setCheckpointDir(dir)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+
 
   private val NUM_QUERIES = 10
+
+  /** First seed vec_id for every deterministic init (coarse k-means AND
+    * per-sub-space PQ): seeds are drawn from [SEED_FROM, SEED_FROM + k),
+    * deliberately DISJOINT from the benchmark query set (vec_id <
+    * NUM_QUERIES). The old first-k init contained the queries themselves
+    * — a recall-methodology confound (the index was seeded by the very
+    * vectors it would be measured on; SCALING.md round-10's md5-seeding
+    * experiment exposed it). Holding queries out of the build makes the
+    * committed recall tables honest; cell ids renumber to 0..k-1.
+    */
+  private[graft] val SEED_FROM = NUM_QUERIES
 
   // ---- k-means IVF index CONSTRUCTION (q124) -------------------------
   // q52/q64 probe cells that something else built; this is the builder:
@@ -52,11 +77,12 @@ object VectorOps {
   // distance, standard k-means practice). Ties break on cell id. Cells
   // that attract no members drop out (standard Lloyd behavior).
 
-  /** Deterministic init: the k lowest vec_ids as singleton centroids. */
+  /** Deterministic held-out init: the k lowest NON-QUERY vec_ids
+    * ([[SEED_FROM]] ..) as singleton centroids, cells renumbered 0..k-1. */
   private[graft] def kmeansInit(quant: DataFrame, k: Int): DataFrame =
-    quant.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cell"), col("q").as("s"),
-              lit(1L).as("n"))
+    quant.filter(col("vec_id") >= SEED_FROM && col("vec_id") < SEED_FROM + k)
+      .select((col("vec_id") - SEED_FROM).cast("int").as("cell"),
+              col("q").as("s"), lit(1L).as("n"))
 
   /** One assignment pass: each vector to its nearest rational centroid
     * (dist asc, cell asc). Input `quant`: (vec_id, q); `cents`:
@@ -85,7 +111,7 @@ object VectorOps {
       .agg(expr("transform(sort_array(collect_list(struct(pos, sd))), t -> t.sd)")
         .as("s"))
     val counts = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
-    sums.join(counts, "cell")
+    sums.join(broadcast(counts), "cell") // k rows: never a sort-merge
   }
 
   /** The full learned-index ANN lifecycle (q125, and the harness behind
@@ -98,11 +124,12 @@ object VectorOps {
     * equality is a row-local predicate on the broadcast join.
     */
   def learnedCellTopK(emb: DataFrame, k: Int, numQueries: Int,
-                      topK: Int): DataFrame = {
-    val quant = emb
+                      topK: Int,
+                      checkpointDir: Option[String] = None): DataFrame = {
+    val quant = pin(emb
       .withColumn("q", expr(quantExpr))
-      .select(col("vec_id"), col("q"))
-      .localCheckpoint() // shared by init + both assignment passes + serve
+      .select(col("vec_id"), col("q")),
+      checkpointDir) // shared by init + both assignment passes + serve
     val assigned =
       kmeansAssign(quant, kmeansUpdate(kmeansAssign(quant, kmeansInit(quant, k))))
         .withColumn("norm", ldot(col("q"), col("q")))
@@ -165,11 +192,12 @@ object VectorOps {
       .select(col("vec_id"), col("sub"),
               expr(s"slice(q, sub * $PQ_SUBDIM + 1, $PQ_SUBDIM)").as("sq"))
 
-  /** Deterministic init, q124's scheme per sub-space: the PQ_KSUB lowest
-    * vec_ids' sub-vectors as singleton centroids. */
+  /** Deterministic init, q124's held-out scheme per sub-space: the
+    * PQ_KSUB lowest NON-QUERY vec_ids' sub-vectors as singleton
+    * centroids, cells renumbered 0..PQ_KSUB-1. */
   private[graft] def pqInit(subs: DataFrame): DataFrame =
-    subs.filter(col("vec_id") < PQ_KSUB)
-      .select(col("sub"), col("vec_id").cast("int").as("cell"),
+    subs.filter(col("vec_id") >= SEED_FROM && col("vec_id") < SEED_FROM + PQ_KSUB)
+      .select(col("sub"), (col("vec_id") - SEED_FROM).cast("int").as("cell"),
               col("sq").as("s"), lit(1L).as("n"))
 
   /** Nearest sub-centroid per (vector, sub-space): q124's exact-int64
@@ -197,7 +225,7 @@ object VectorOps {
       .agg(expr("transform(sort_array(collect_list(struct(pos, sd))), t -> t.sd)")
         .as("s"))
     val counts = assigned.groupBy(col("sub"), col("cell")).agg(count(lit(1)).as("n"))
-    sums.join(counts, Seq("sub", "cell"))
+    sums.join(broadcast(counts), Seq("sub", "cell")) // ≤ M×kSub rows
   }
 
   /** The full PQ lifecycle (q126): train the per-sub-space codebook,
@@ -206,12 +234,13 @@ object VectorOps {
     * explicit left fold in sub-space order (aggregate over a sequence),
     * so the M-term IEEE summation is bit-deterministic cross-engine.
     */
-  def pqAdcTopK(emb: DataFrame, numQueries: Int, topK: Int): DataFrame = {
+  def pqAdcTopK(emb: DataFrame, numQueries: Int, topK: Int,
+                checkpointDir: Option[String] = None): DataFrame = {
     val spark = emb.sparkSession
     val quant = emb.withColumn("q", expr(quantExpr)).select(col("vec_id"), col("q"))
-    val subs = pqSubvectors(quant).localCheckpoint() // train + encode + queries
-    val cents = pqUpdate(pqAssign(subs, pqInit(subs)))
-      .localCheckpoint() // <= PQ_M * PQ_KSUB rows: the whole codebook
+    val subs = pin(pqSubvectors(quant), checkpointDir) // train + encode + queries
+    val cents = pin(pqUpdate(pqAssign(subs, pqInit(subs))),
+      checkpointDir) // <= PQ_M * PQ_KSUB rows: the whole codebook
     val codes = pqAssign(subs, cents)
       .groupBy(col("vec_id"))
       .agg(expr("transform(sort_array(collect_list(struct(sub, cell))), t -> t.cell)")
@@ -232,7 +261,7 @@ object VectorOps {
     val qids = quant.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"))
     val dtabs = qids.crossJoin(grid)
-      .join(qdist, Seq("qid", "sub", "cell"), "left")
+      .join(broadcast(qdist), Seq("qid", "sub", "cell"), "left")
       .withColumn("dist", coalesce(col("dist"), lit(Double.PositiveInfinity)))
       .groupBy(col("qid"))
       .agg(expr("transform(sort_array(collect_list(struct(sub, cell, dist))), t -> t.dist)")
@@ -267,7 +296,14 @@ object VectorOps {
   // recall is then bounded by cell routing alone (measured in
   // MeasureVecRecall's k-sweep for the probe side).
 
-  private[graft] val IVFPQ_PROBES = 2
+  // probes=3 is the measured knee under the HELD-OUT init (round-11
+  // sweep, recall@5 at rerank=20: sf1vec 46→50→52%, sf1vecwide
+  // 32→36→30% for probes 2→3→4): +4 points on both corpus shapes at
+  // 3, while 4 LOSES recall on the blurred corpus — widening probes
+  // without widening rerank dilutes the fixed candidate budget across
+  // more cells, letting ADC misrankings crowd out true neighbors. The
+  // sweep table and protocol live in SCALING.md round-11.
+  private[graft] val IVFPQ_PROBES = 3
   private[graft] val IVFPQ_RERANK = 20
 
   /** Floor-quantized residual vs a rational (s, n) centroid: exact-int
@@ -280,37 +316,82 @@ object VectorOps {
   private def residExpr(vec: String): String =
     s"zip_with($vec, s, (x, sd) -> cast(floor((x * n - sd) / cast(n AS double)) AS bigint))"
 
-  def ivfPqRerankTopK(emb: DataFrame, k: Int, numQueries: Int,
-                      probes: Int, rerank: Int, topK: Int): DataFrame = {
-    val spark = emb.sparkSession
-    val quant = emb.withColumn("q", expr(quantExpr))
-      .select(col("vec_id"), col("q")).localCheckpoint()
+  /** The BUILD half of the IVFADC+R stack, shared by the in-query q127
+    * form and the persisted-index q128 form: returns (quant, coarse,
+    * codebook, codes) where `codes` = (vec_id, cell, codes) CARRIES the
+    * coarse cell — the cell rides the sub-space pipeline as a
+    * functionally-dependent group key, so the corpus-sized
+    * codes ⋈ cell-assignment join that used to close the build (VERDICT
+    * r10's one named scale-killer) no longer exists at all. The only
+    * corpus-sized exchanges left are the per-vector groupBys of the
+    * encode itself (hash on vec_id — inherent to producing one code row
+    * per vector).
+    *
+    * RESIDUAL encoding (IVFADC proper): PQ trains on x - centroid(x),
+    * not on x — with the coarse structure subtracted, the residual
+    * distribution is tight around 0 and a small codebook covers it
+    * (measured on fixtures/sf1vec: raw-vector PQ reads 26% ADC-only
+    * recall@5, residual PQ lifts the whole serving stack — see
+    * SCALING.md round-10). Residuals stay on the integer scale via
+    * the floor-quantized exact form, so train/encode/ADC reuse the
+    * exact-int machinery verbatim.
+    */
+  private[graft] def ivfPqBuild(emb: DataFrame, k: Int,
+      checkpointDir: Option[String] = None)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val quant = pin(emb.withColumn("q", expr(quantExpr))
+      .select(col("vec_id"), col("q")), checkpointDir)
     // coarse quantizer: q124's trajectory — centroids after one Lloyd
     // update, final assignment against them (the oracle's c1n/a2)
-    val coarse = kmeansUpdate(kmeansAssign(quant, kmeansInit(quant, k)))
-      .localCheckpoint() // k rows: (cell, s, n)
+    val coarse = pin(kmeansUpdate(kmeansAssign(quant, kmeansInit(quant, k))),
+      checkpointDir) // k rows: (cell, s, n)
     val assignedQ = kmeansAssign(quant, coarse)
       .select(col("vec_id"), col("cell"), col("q"))
-    val assigned = assignedQ.select(col("vec_id"), col("cell"))
-    // RESIDUAL encoding (IVFADC proper): PQ trains on x - centroid(x),
-    // not on x — with the coarse structure subtracted, the residual
-    // distribution is tight around 0 and a small codebook covers it
-    // (measured on fixtures/sf1vec: raw-vector PQ reads 26% ADC-only
-    // recall@5, residual PQ lifts the whole serving stack — see
-    // SCALING.md round-10). Residuals stay on the integer scale via
-    // the floor-quantized exact form, so train/encode/ADC reuse the
-    // exact-int machinery verbatim.
-    val resid = assignedQ.join(broadcast(coarse), "cell")
+    val resid = pin(assignedQ.join(broadcast(coarse), "cell")
       .withColumn("rq", expr(residExpr("q")))
-      .select(col("vec_id"), col("cell"), col("rq"))
-      .localCheckpoint()
-    val rsubs = pqSubvectors(resid.select(col("vec_id"), col("rq").as("q")))
-      .localCheckpoint()
-    val cb = pqUpdate(pqAssign(rsubs, pqInit(rsubs))).localCheckpoint()
-    val codes = pqAssign(rsubs, cb)
-      .groupBy(col("vec_id"))
-      .agg(expr("transform(sort_array(collect_list(struct(sub, cell))), t -> t.cell)")
+      .select(col("vec_id"), col("cell"), col("rq")), checkpointDir)
+    // sub-vectors with the coarse cell carried through (constant per
+    // vec_id — a rider key, not a new grouping dimension)
+    val rsubsC = pin(resid
+      .select(col("vec_id"), col("cell"),
+              explode(expr(s"sequence(0, ${PQ_M - 1})")).as("sub"), col("rq"))
+      .select(col("vec_id"), col("cell"), col("sub"),
+              expr(s"slice(rq, sub * $PQ_SUBDIM + 1, $PQ_SUBDIM)").as("sq")),
+      checkpointDir)
+    val rsubs = rsubsC.drop("cell")
+    val cb = pin(pqUpdate(pqAssign(rsubs, pqInit(rsubs))), checkpointDir)
+    // encode: pqAssign's exact arithmetic + tie-break with cell riding
+    // the group keys; codebook cell ids renamed `code` to avoid capture
+    val cbR = cb.select(col("sub"), col("cell").as("code"), col("s"), col("n"))
+    val codes = rsubsC.join(broadcast(cbR), "sub")
+      .withColumn("dn", expr(
+        """aggregate(zip_with(sq, s, (x, sc) -> (x * n - sc) * (x * n - sc)),
+          |          cast(0 AS bigint), (a, t) -> a + t)""".stripMargin))
+      .withColumn("dist", col("dn").cast("double") /
+                          (col("n") * col("n")).cast("double"))
+      .groupBy(col("vec_id"), col("cell"), col("sub"), col("sq"))
+      .agg(min(struct(col("dist"), col("code"))).as("m"))
+      .select(col("vec_id"), col("cell"), col("sub"), col("m.code").as("code"))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(expr("transform(sort_array(collect_list(struct(sub, code))), t -> t.code)")
         .as("codes"))
+    (quant, coarse, cb, codes)
+  }
+
+  /** The SERVE half: answers top-`topK` from (coarse, codebook, codes) —
+    * frames either freshly built (q127) or read back from a persisted
+    * index (q128). With `pruneStoredPartitions` the routed cells are
+    * collected driver-side (≤ numQueries × probes already-aggregated
+    * values — the ANN router's natural home is the coordinator) and
+    * applied as a LITERAL filter, so a cell-partitioned codes store
+    * prunes to probed-cell directories at the scan (PartitionFilters in
+    * the plan; PlanGuardSpec pins it).
+    */
+  private[graft] def serveIvfPq(quant: DataFrame, coarse: DataFrame,
+      cb: DataFrame, codes: DataFrame, numQueries: Int, probes: Int,
+      rerank: Int, topK: Int,
+      pruneStoredPartitions: Boolean = false): DataFrame = {
+    val spark = quant.sparkSession
     // route: `probes` nearest learned cells per query, exact-int numerator
     val wCell = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("dist"), col("cell"))
@@ -325,6 +406,15 @@ object VectorOps {
       .withColumn("crn", row_number().over(wCell))
       .filter(col("crn") <= probes)
       .select(col("qid"), col("cell"))
+    // a literal IN on the partition column cannot change the answer (the
+    // candidate scan inner-joins qcells on cell anyway); it exists so the
+    // parquet source can prune whole cell=... directories statically
+    val codesScan =
+      if (pruneStoredPartitions) {
+        val probed = qcells.select(col("cell").cast("int")).distinct()
+          .collect().map(_.getInt(0)).sorted
+        codes.filter(col("cell").isin(probed.toSeq: _*))
+      } else codes
     // the query's residual is PER PROBED CELL (x_q - that cell's
     // centroid) — the defining IVFADC asymmetry: one small ADC table
     // per (query, probed cell), keyed so the scan reads the table that
@@ -351,20 +441,20 @@ object VectorOps {
     val grid = spark.range(PQ_M).select(col("id").cast("int").as("sub"))
       .crossJoin(spark.range(PQ_KSUB).select(col("id").cast("int").as("code")))
     val dtabs = qcells.crossJoin(grid)
-      .join(qdist, Seq("qid", "cell", "sub", "code"), "left")
+      .join(broadcast(qdist), Seq("qid", "cell", "sub", "code"), "left")
       .withColumn("dist", coalesce(col("dist"), lit(Double.PositiveInfinity)))
       .groupBy(col("qid"), col("cell"))
       .agg(expr("transform(sort_array(collect_list(struct(sub, code, dist))), t -> t.dist)")
         .as("dtab"))
     // compressed-domain scan of the probed cells only: each corpus code
     // row joins the (tiny, broadcast) routed-query set on its ONE cell,
-    // then folds M table lookups — no float vector math in the scan
+    // then folds M table lookups — no float vector math in the scan,
+    // and no corpus-sized join anywhere (codes already carry their cell)
     val wAdc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
-    val cand = assigned
+    val cand = codesScan
       .join(broadcast(qcells), "cell")
       .filter(col("vec_id") =!= col("qid"))
-      .join(codes, "vec_id")
       .join(broadcast(dtabs), Seq("qid", "cell"))
       .withColumn("adist", expr(
         s"""aggregate(transform(sequence(0, ${PQ_M - 1}),
@@ -392,7 +482,99 @@ object VectorOps {
       .orderBy(col("qid"), col("rn"))
   }
 
+  def ivfPqRerankTopK(emb: DataFrame, k: Int, numQueries: Int,
+                      probes: Int, rerank: Int, topK: Int,
+                      checkpointDir: Option[String] = None): DataFrame = {
+    val (quant, coarse, cb, codes) = ivfPqBuild(emb, k, checkpointDir)
+    serveIvfPq(quant, coarse, cb, codes, numQueries, probes, rerank, topK)
+  }
+
+  /** Persist the IVF-PQ index so serving never pays the build again:
+    *   <dir>/coarse    — k rows (cell, s, n), the learned coarse cells
+    *   <dir>/codebook  — ≤ PQ_M × PQ_KSUB rows, the residual codebook
+    *   <dir>/codes     — (vec_id, codes) PARTITIONED BY cell
+    * Partitioning the code table by cell is what makes stored serving
+    * sub-linear: a query touches probes/k of the directories and the
+    * scan prunes the rest statically ([[serveIvfPq]]'s literal filter).
+    * At 100 TB the codes table is itself ~32× smaller than the corpus,
+    * and each cell directory is further ~1/k of that.
+    */
+  def buildIvfPqIndex(emb: DataFrame, dir: String, k: Int,
+                      checkpointDir: Option[String] = None): Unit = {
+    val (_, coarse, cb, codes) = ivfPqBuild(emb, k, checkpointDir)
+    coarse.write.mode("overwrite").parquet(s"$dir/coarse")
+    cb.write.mode("overwrite").parquet(s"$dir/codebook")
+    codes.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+  }
+
+  /** Serve q127's exact answer from a [[buildIvfPqIndex]] store: the
+    * corpus is touched only twice — the pruned probed-cell code scan and
+    * the one re-rank stream against a broadcast candidate set — and the
+    * build pipeline appears nowhere in the plan.
+    */
+  def servedIvfPqTopK(spark: SparkSession, indexDir: String, emb: DataFrame,
+                      numQueries: Int, probes: Int, rerank: Int,
+                      topK: Int): DataFrame = {
+    val quant = emb.withColumn("q", expr(quantExpr))
+      .select(col("vec_id"), col("q"))
+    val coarse = spark.read.parquet(s"$indexDir/coarse")
+    val cb = spark.read.parquet(s"$indexDir/codebook")
+    val codes = spark.read.parquet(s"$indexDir/codes")
+    serveIvfPq(quant, coarse, cb, codes, numQueries, probes, rerank, topK,
+      pruneStoredPartitions = true)
+  }
+
+  /** Build-once gate for the q128 catalog entry: the index lives outside
+    * the repo (tmpdir), keyed by source dir, and is rebuilt whenever the
+    * source parquet's (path, length, mtime) set or any index-shaping
+    * parameter changes — a regenerated fixture or a code-level constant
+    * bump can never serve a stale index. Within one JVM the lock keeps
+    * concurrent catalog runs from double-building.
+    */
+  private val indexLock = new Object
+  private[graft] def ensureIvfPqIndex(s: SparkSession, d: String,
+                                      k: Int): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val src = walk(new java.io.File(s"$d/embeddings.parquet"))
+      .map(f => s"${f.getPath}:${f.length}:${f.lastModified}").mkString("|")
+    val params = s"v1|k=$k|M=$PQ_M|sub=$PQ_SUBDIM|ksub=$PQ_KSUB|seed=$SEED_FROM"
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$params|$src".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_ivfpq_" + java.lang.Integer.toHexString(d.hashCode) + s"_k$k")
+    val marker = new java.io.File(base, "_INDEX_FINGERPRINT")
+    indexLock.synchronized {
+      val fresh = marker.exists() &&
+        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == fp
+      if (!fresh) {
+        buildIvfPqIndex(Tables.rebalance(Tables.embeddings(s, d)),
+          base.getPath, k)
+        java.nio.file.Files.write(marker.toPath, fp.getBytes("UTF-8"))
+      }
+    }
+    base.getPath
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- q128: the SERVE-ONLY stack over the persisted index — q127's
+    // exact rows (same oracle SQL) answered from the stored coarse cells,
+    // codebook, and cell-partitioned code table. The build runs at most
+    // once per (fixture, params) and never inside the measured query
+    // after that; what the bench then prices is the real serving
+    // topology: routing = k centroid distances per query, a
+    // partition-pruned ADC scan of probes/k of the code table, one
+    // re-rank stream. This closes VERDICT r10 #1 (the per-query
+    // corpus-sized build join).
+    "q128_ann_serve_stored" -> ((s, d) => {
+      val idx = ensureIvfPqIndex(s, d, k = 8)
+      servedIvfPqTopK(s, idx, Tables.rebalance(Tables.embeddings(s, d)),
+        numQueries = NUM_QUERIES, probes = IVFPQ_PROBES,
+        rerank = IVFPQ_RERANK, topK = 5)
+    }),
 
     // ---- q126: ANN over self-trained PQ codes — the compressed-domain
     // probe. The hash covers the whole lifecycle (train -> encode ->
@@ -640,8 +822,8 @@ object VectorOps {
     * tie-break via row_number. Splice after [[embCteDuck]].
     */
   private lazy val kmeansCteDuck: String =
-    s"""c0 AS (SELECT vec_id::INT AS cell, q AS s, 1::BIGINT AS n
-      |       FROM e WHERE vec_id < 8),
+    s"""c0 AS (SELECT (vec_id - $SEED_FROM)::INT AS cell, q AS s, 1::BIGINT AS n
+      |       FROM e WHERE vec_id >= $SEED_FROM AND vec_id < ${SEED_FROM + 8}),
       |a1 AS (
       |  SELECT vec_id, cell FROM (
       |    SELECT vec_id, cell, row_number() OVER (
@@ -686,8 +868,8 @@ object VectorOps {
       |  SELECT vec_id, m.sub, list_slice(q, m.sub * $PQ_SUBDIM + 1,
       |                                   m.sub * $PQ_SUBDIM + $PQ_SUBDIM) AS sq
       |  FROM pqin, (SELECT unnest(range($PQ_M)) AS sub) m),
-      |pc0 AS (SELECT sub, vec_id::INT AS cell, sq AS s, 1::BIGINT AS n
-      |       FROM subs WHERE vec_id < $PQ_KSUB),
+      |pc0 AS (SELECT sub, (vec_id - $SEED_FROM)::INT AS cell, sq AS s, 1::BIGINT AS n
+      |       FROM subs WHERE vec_id >= $SEED_FROM AND vec_id < ${SEED_FROM + PQ_KSUB}),
       |pa1 AS (
       |  SELECT vec_id, sub, cell FROM (
       |    SELECT vec_id, sub, cell, row_number() OVER (
@@ -754,26 +936,12 @@ object VectorOps {
     s"""list_transform(list_zip($vec, c.s),
        |      p -> floor((p[1] * c.n - p[2])::DOUBLE / c.n::DOUBLE)::BIGINT)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    "q126_ann_pq_adc" ->
-      s"""WITH $embCteDuck,
-        |pqin AS (SELECT vec_id, q FROM e),
-        |$pqTrainCteDuck,
-        |$pqQueryCteDuck,
-        |scored AS (
-        |  SELECT dt.qid, codes.vec_id,
-        |    list_reduce(list_transform(range($PQ_M),
-        |      i -> dtab[i * $PQ_KSUB + codes[i + 1] + 1]),
-        |      (a, x) -> a + x) AS adist
-        |  FROM codes CROSS JOIN dt WHERE codes.vec_id <> dt.qid)
-        |SELECT qid, vec_id, adist, rn FROM (
-        |  SELECT *, row_number() OVER (
-        |    PARTITION BY qid ORDER BY adist, vec_id) AS rn
-        |  FROM scored)
-        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
-
-    "q127_ann_ivf_pq_rerank" ->
-      s"""WITH $embCteDuck,
+  /** The full IVFADC+R lifecycle as ONE DuckDB oracle body — gates BOTH
+    * q127 (build-then-serve in-query) and q128 (persist-then-serve): any
+    * divergence between the two paths shows up as a q128 hash mismatch.
+    */
+  private lazy val ivfPqRerankOracle: String =
+    s"""WITH $embCteDuck,
         |$kmeansCteDuck,
         |resid AS (
         |  SELECT a2.vec_id, a2.cell,
@@ -843,7 +1011,32 @@ object VectorOps {
         |SELECT qid, vec_id, adist, cos, rn FROM (
         |  SELECT *, row_number() OVER (
         |    PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM rr)
+        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q126_ann_pq_adc" ->
+      s"""WITH $embCteDuck,
+        |pqin AS (SELECT vec_id, q FROM e),
+        |$pqTrainCteDuck,
+        |$pqQueryCteDuck,
+        |scored AS (
+        |  SELECT dt.qid, codes.vec_id,
+        |    list_reduce(list_transform(range($PQ_M),
+        |      i -> dtab[i * $PQ_KSUB + codes[i + 1] + 1]),
+        |      (a, x) -> a + x) AS adist
+        |  FROM codes CROSS JOIN dt WHERE codes.vec_id <> dt.qid)
+        |SELECT qid, vec_id, adist, rn FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY qid ORDER BY adist, vec_id) AS rn
+        |  FROM scored)
         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+
+    "q127_ann_ivf_pq_rerank" -> ivfPqRerankOracle,
+
+    // q128 serves q127's EXACT output from the stored index — one oracle
+    // body gates both, so a drift between build-then-serve and
+    // store-then-serve shows up as a q128 hash mismatch
+    "q128_ann_serve_stored" -> ivfPqRerankOracle,
 
     "q124_kmeans_ivf_build" ->
       s"""WITH $embCteDuck,

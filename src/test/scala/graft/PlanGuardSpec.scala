@@ -185,6 +185,40 @@ class PlanGuardSpec extends SparkSpec {
     assert(txt.contains("min_by") || txt.contains("CASE WHEN (label"), txt.take(2000))
   }
 
+  test("q124-q127: ANN family joins are all broadcast — no sort-merge, no cartesian") {
+    // Every join in the k-means/PQ/IVFADC stack has a documented small
+    // side (centroids k rows, codebook ≤ M×kSub, routed queries ≤
+    // numQueries×probes, ADC tables, candidate sets): a lost broadcast()
+    // degrades to a corpus-wide shuffle that would surface only as a
+    // mysteriously slow bench (VERDICT r10 #1).
+    for (q <- Seq("q124_kmeans_ivf_build", "q125_ann_learned_cells",
+                  "q126_ann_pq_adc", "q127_ann_ivf_pq_rerank")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q fell to sort-merge:\n$p")
+      assert(p.contains("BroadcastExchange"), s"$q lost its broadcasts:\n$p")
+    }
+  }
+
+  test("q128: serve plan prunes to probed-cell partitions; no build stage present") {
+    val df = SparkEntry.queries("q128_ann_serve_stored")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the stored codes scan must carry a LITERAL partition filter on cell
+    // — whole cell=... directories pruned before any IO
+    assert("PartitionFilters: \\[cell#\\d+ IN \\(".r.findFirstIn(p).isDefined,
+      s"codes scan not partition-pruned:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // raw corpus touched only by (a) vec_id<numQueries query fetches with
+    // the filter pushed into the scan and (b) ONE full re-rank stream
+    val corpusScans = p.linesIterator
+      .filter(l => l.contains("embeddings.parquet"))
+      .filterNot(l => l.contains("LessThan(vec_id,10)")).size
+    assert(corpusScans <= 1, s"$corpusScans unpruned corpus scans in serve plan:\n$p")
+    // and nothing in the plan recomputes the index: no k-means update
+    // aggregation (posexplode of corpus vectors) may appear at serve time
+    assert(!p.contains("posexplode"), s"build stage leaked into serve plan:\n$p")
+  }
+
   test("q96b: partial sketch buffers cross the shuffle, not the chunk stream") {
     val p = plan("q96b_chunk_topk_sketch")
     assert(p.contains("partial_spacesavingtopk")

@@ -336,34 +336,36 @@ object VectorOps {
     * the floor-quantized exact form, so train/encode/ADC reuse the
     * exact-int machinery verbatim.
     */
-  private[graft] def ivfPqBuild(emb: DataFrame, k: Int,
-      checkpointDir: Option[String] = None)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val quant = pin(emb.withColumn("q", expr(quantExpr))
-      .select(col("vec_id"), col("q")), checkpointDir)
-    // coarse quantizer: q124's trajectory — centroids after one Lloyd
-    // update, final assignment against them (the oracle's c1n/a2)
-    val coarse = pin(kmeansUpdate(kmeansAssign(quant, kmeansInit(quant, k))),
-      checkpointDir) // k rows: (cell, s, n)
-    val assignedQ = kmeansAssign(quant, coarse)
+  /** Coarse-assign + residual-encode `quantDf` against learned `coarse`
+    * cells: (vec_id, cell, rq) — shared by build (whole corpus) and
+    * APPEND (new vectors only, against stored cells). */
+  private[graft] def residualsOf(quantDf: DataFrame,
+                                 coarse: DataFrame): DataFrame =
+    kmeansAssign(quantDf, coarse)
       .select(col("vec_id"), col("cell"), col("q"))
-    val resid = pin(assignedQ.join(broadcast(coarse), "cell")
+      .join(broadcast(coarse), "cell")
       .withColumn("rq", expr(residExpr("q")))
-      .select(col("vec_id"), col("cell"), col("rq")), checkpointDir)
-    // sub-vectors with the coarse cell carried through (constant per
-    // vec_id — a rider key, not a new grouping dimension)
-    val rsubsC = pin(resid
+      .select(col("vec_id"), col("cell"), col("rq"))
+
+  /** Residual sub-vectors with the coarse cell carried through (constant
+    * per vec_id — a rider key, not a new grouping dimension). */
+  private[graft] def residSubvectors(resid: DataFrame): DataFrame =
+    resid
       .select(col("vec_id"), col("cell"),
               explode(expr(s"sequence(0, ${PQ_M - 1})")).as("sub"), col("rq"))
       .select(col("vec_id"), col("cell"), col("sub"),
-              expr(s"slice(rq, sub * $PQ_SUBDIM + 1, $PQ_SUBDIM)").as("sq")),
-      checkpointDir)
-    val rsubs = rsubsC.drop("cell")
-    val cb = pin(pqUpdate(pqAssign(rsubs, pqInit(rsubs))), checkpointDir)
-    // encode: pqAssign's exact arithmetic + tie-break with cell riding
-    // the group keys; codebook cell ids renamed `code` to avoid capture
+              expr(s"slice(rq, sub * $PQ_SUBDIM + 1, $PQ_SUBDIM)").as("sq"))
+
+  /** Encode sub-vectors to (vec_id, cell, codes) against codebook `cb`:
+    * pqAssign's exact arithmetic + tie-break with cell riding the group
+    * keys; codebook cell ids renamed `code` to avoid capture. Shared by
+    * build and append — append encodes NEW vectors against the STORED
+    * codebook, the "train on a sample, encode everything" PQ scale
+    * practice. */
+  private[graft] def encodeWithCell(rsubsC: DataFrame,
+                                    cb: DataFrame): DataFrame = {
     val cbR = cb.select(col("sub"), col("cell").as("code"), col("s"), col("n"))
-    val codes = rsubsC.join(broadcast(cbR), "sub")
+    rsubsC.join(broadcast(cbR), "sub")
       .withColumn("dn", expr(
         """aggregate(zip_with(sq, s, (x, sc) -> (x * n - sc) * (x * n - sc)),
           |          cast(0 AS bigint), (a, t) -> a + t)""".stripMargin))
@@ -375,6 +377,22 @@ object VectorOps {
       .groupBy(col("vec_id"), col("cell"))
       .agg(expr("transform(sort_array(collect_list(struct(sub, code))), t -> t.code)")
         .as("codes"))
+  }
+
+  private[graft] def ivfPqBuild(emb: DataFrame, k: Int,
+      checkpointDir: Option[String] = None)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val quant = pin(emb.withColumn("q", expr(quantExpr))
+      .select(col("vec_id"), col("q")), checkpointDir)
+    // coarse quantizer: q124's trajectory — centroids after one Lloyd
+    // update, final assignment against them (the oracle's c1n/a2)
+    val coarse = pin(kmeansUpdate(kmeansAssign(quant, kmeansInit(quant, k))),
+      checkpointDir) // k rows: (cell, s, n)
+    val resid = pin(residualsOf(quant, coarse), checkpointDir)
+    val rsubsC = pin(residSubvectors(resid), checkpointDir)
+    val rsubs = rsubsC.drop("cell")
+    val cb = pin(pqUpdate(pqAssign(rsubs, pqInit(rsubs))), checkpointDir)
+    val codes = encodeWithCell(rsubsC, cb)
     (quant, coarse, cb, codes)
   }
 
@@ -406,20 +424,33 @@ object VectorOps {
       .withColumn("crn", row_number().over(wCell))
       .filter(col("crn") <= probes)
       .select(col("qid"), col("cell"))
-    // a literal IN on the partition column cannot change the answer (the
-    // candidate scan inner-joins qcells on cell anyway); it exists so the
-    // parquet source can prune whole cell=... directories statically
-    val codesScan =
+    // Stored-serve mode materializes the routing ONCE on the driver (≤
+    // numQueries × probes rows — a real ANN server's router output lives
+    // on the coordinator) and re-injects it as a LocalRelation: (a) the
+    // probed cells become a literal IN on the partition column, so the
+    // parquet source prunes whole cell=... directories statically (the
+    // filter cannot change the answer — the candidate scan inner-joins
+    // qcells on cell anyway), and (b) the routing subtree is computed
+    // once instead of once per downstream consumer (qresid, dtabs, scan).
+    val (qcellsServe, codesScan) =
       if (pruneStoredPartitions) {
-        val probed = qcells.select(col("cell").cast("int")).distinct()
-          .collect().map(_.getInt(0)).sorted
-        codes.filter(col("cell").isin(probed.toSeq: _*))
-      } else codes
+        val routed = qcells.select(col("qid").cast("long"), col("cell").cast("int"))
+          .collect()
+        val lit = spark.createDataFrame(
+          java.util.Arrays.asList(routed: _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("qid",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("cell",
+              org.apache.spark.sql.types.IntegerType, nullable = false))))
+        val probed = routed.map(_.getInt(1)).distinct.sorted
+        (lit, codes.filter(col("cell").isin(probed.toSeq: _*)))
+      } else (qcells, codes)
     // the query's residual is PER PROBED CELL (x_q - that cell's
     // centroid) — the defining IVFADC asymmetry: one small ADC table
     // per (query, probed cell), keyed so the scan reads the table that
     // matches the candidate's cell
-    val qresid = qcells
+    val qresid = qcellsServe
       .join(quant.filter(col("vec_id") < numQueries)
         .select(col("vec_id").as("qid"), col("q")), "qid")
       .join(broadcast(coarse), "cell")
@@ -440,7 +471,7 @@ object VectorOps {
       .select(col("qid"), col("cell"), col("sub"), col("code"), col("dist"))
     val grid = spark.range(PQ_M).select(col("id").cast("int").as("sub"))
       .crossJoin(spark.range(PQ_KSUB).select(col("id").cast("int").as("code")))
-    val dtabs = qcells.crossJoin(grid)
+    val dtabs = qcellsServe.crossJoin(grid)
       .join(broadcast(qdist), Seq("qid", "cell", "sub", "code"), "left")
       .withColumn("dist", coalesce(col("dist"), lit(Double.PositiveInfinity)))
       .groupBy(col("qid"), col("cell"))
@@ -453,7 +484,7 @@ object VectorOps {
     val wAdc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
     val cand = codesScan
-      .join(broadcast(qcells), "cell")
+      .join(broadcast(qcellsServe), "cell")
       .filter(col("vec_id") =!= col("qid"))
       .join(broadcast(dtabs), Seq("qid", "cell"))
       .withColumn("adist", expr(
@@ -524,39 +555,89 @@ object VectorOps {
       pruneStoredPartitions = true)
   }
 
-  /** Build-once gate for the q128 catalog entry: the index lives outside
-    * the repo (tmpdir), keyed by source dir, and is rebuilt whenever the
-    * source parquet's (path, length, mtime) set or any index-shaping
-    * parameter changes — a regenerated fixture or a code-level constant
-    * bump can never serve a stale index. Within one JVM the lock keeps
-    * concurrent catalog runs from double-building.
+  /** Incremental index MAINTENANCE: coarse-assign + residual-encode NEW
+    * vectors against the STORED cells and codebook — no retrain — and
+    * append their code rows to the cell-partitioned store. This is the
+    * daily-increment operation a 100 TB deployment runs between full
+    * rebuilds, and it is the executable form of the standard PQ scale
+    * practice the q126 notes claim: the codebook trains on a SAMPLE and
+    * encodes everything (kSub×M centroids need ~1e5 vectors regardless
+    * of corpus size). Both stages are broadcast joins against the tiny
+    * stored frames + the encode's per-vector groupBys: the new batch
+    * streams, nothing retrains, nothing already stored is rewritten.
+    */
+  def appendToIvfPqIndex(spark: SparkSession, embNew: DataFrame,
+                         dir: String): Unit = {
+    val coarse = spark.read.parquet(s"$dir/coarse")
+    val cb = spark.read.parquet(s"$dir/codebook")
+    val quant = embNew.withColumn("q", expr(quantExpr))
+      .select(col("vec_id"), col("q"))
+    val codes = encodeWithCell(residSubvectors(residualsOf(quant, coarse)), cb)
+    codes.write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+  }
+
+  /** Build-once gate for the q128/q129 catalog entries: the index lives
+    * outside the repo (tmpdir), keyed by source dir + variant, and is
+    * rebuilt whenever the source parquet's (path, length, mtime) set or
+    * any index-shaping parameter changes — a regenerated fixture or a
+    * code-level constant bump can never serve a stale index. Within one
+    * JVM the lock keeps concurrent catalog runs from double-building.
     */
   private val indexLock = new Object
-  private[graft] def ensureIvfPqIndex(s: SparkSession, d: String,
-                                      k: Int): String = {
+  private def ensureIndex(d: String, tag: String, params: String)
+                         (build: java.io.File => Unit): String = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
       else Seq(f)
     val src = walk(new java.io.File(s"$d/embeddings.parquet"))
       .map(f => s"${f.getPath}:${f.length}:${f.lastModified}").mkString("|")
-    val params = s"v1|k=$k|M=$PQ_M|sub=$PQ_SUBDIM|ksub=$PQ_KSUB|seed=$SEED_FROM"
     val fp = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$params|$src".getBytes("UTF-8")).map("%02x".format(_)).mkString
     val base = new java.io.File(
       sys.props("java.io.tmpdir"),
-      "graft_ivfpq_" + java.lang.Integer.toHexString(d.hashCode) + s"_k$k")
+      s"graft_${tag}_" + java.lang.Integer.toHexString(d.hashCode))
     val marker = new java.io.File(base, "_INDEX_FINGERPRINT")
     indexLock.synchronized {
       val fresh = marker.exists() &&
         new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == fp
       if (!fresh) {
-        buildIvfPqIndex(Tables.rebalance(Tables.embeddings(s, d)),
-          base.getPath, k)
+        // a stale partial store must not survive into the append path
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+          f.delete(); ()
+        }
+        rm(base); base.mkdirs()
+        build(base)
         java.nio.file.Files.write(marker.toPath, fp.getBytes("UTF-8"))
       }
     }
     base.getPath
   }
+
+  private def ivfParams(k: Int) =
+    s"v1|k=$k|M=$PQ_M|sub=$PQ_SUBDIM|ksub=$PQ_KSUB|seed=$SEED_FROM"
+
+  private[graft] def ensureIvfPqIndex(s: SparkSession, d: String,
+                                      k: Int): String =
+    ensureIndex(d, s"ivfpq_k$k", ivfParams(k)) { base =>
+      buildIvfPqIndex(Tables.rebalance(Tables.embeddings(s, d)),
+        base.getPath, k)
+    }
+
+  /** q129's store: the index is TRAINED on the first 90% of vec_ids and
+    * the last decile arrives through [[appendToIvfPqIndex]] — stored
+    * cells + stored codebook, no retrain. The 90% cutoff is integer
+    * arithmetic ((max*9)/10) so the DuckDB oracle draws the identical
+    * line.
+    */
+  private[graft] def ensureIvfPqAppendIndex(s: SparkSession, d: String,
+                                            k: Int): String =
+    ensureIndex(d, s"ivfpqa_k$k", ivfParams(k) + "|append90") { base =>
+      val emb = Tables.rebalance(Tables.embeddings(s, d))
+      val cutoff = emb.agg(max(col("vec_id"))).head.getLong(0) * 9L / 10L
+      buildIvfPqIndex(emb.filter(col("vec_id") < cutoff), base.getPath, k)
+      appendToIvfPqIndex(s, emb.filter(col("vec_id") >= cutoff), base.getPath)
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -571,6 +652,22 @@ object VectorOps {
     // corpus-sized build join).
     "q128_ann_serve_stored" -> ((s, d) => {
       val idx = ensureIvfPqIndex(s, d, k = 8)
+      servedIvfPqTopK(s, idx, Tables.rebalance(Tables.embeddings(s, d)),
+        numQueries = NUM_QUERIES, probes = IVFPQ_PROBES,
+        rerank = IVFPQ_RERANK, topK = 5)
+    }),
+
+    // ---- q129: incremental index MAINTENANCE — the store is trained on
+    // the first 90% of vec_ids, the last decile is appended (stored
+    // cells + stored codebook assign/encode the new batch, no retrain),
+    // and the serve answers over the union. The oracle draws the same
+    // 90% line in SQL (train CTEs filtered, encode/serve over all), so
+    // the hash gates the whole maintenance contract: appended vectors
+    // must route, encode, and surface as neighbors EXACTLY as if the
+    // sample-trained deployment had ingested them — the "train on a
+    // sample, encode everything" practice a 100 TB PQ build rests on.
+    "q129_ann_index_append" -> ((s, d) => {
+      val idx = ensureIvfPqAppendIndex(s, d, k = 8)
       servedIvfPqTopK(s, idx, Tables.rebalance(Tables.embeddings(s, d)),
         numQueries = NUM_QUERIES, probes = IVFPQ_PROBES,
         rerank = IVFPQ_RERANK, topK = 5)
@@ -823,7 +920,7 @@ object VectorOps {
     */
   private lazy val kmeansCteDuck: String =
     s"""c0 AS (SELECT (vec_id - $SEED_FROM)::INT AS cell, q AS s, 1::BIGINT AS n
-      |       FROM e WHERE vec_id >= $SEED_FROM AND vec_id < ${SEED_FROM + 8}),
+      |       FROM kin WHERE vec_id >= $SEED_FROM AND vec_id < ${SEED_FROM + 8}),
       |a1 AS (
       |  SELECT vec_id, cell FROM (
       |    SELECT vec_id, cell, row_number() OVER (
@@ -832,14 +929,14 @@ object VectorOps {
       |        list_sum(list_transform(list_zip(e.q, c.s),
       |          p -> (p[1] * c.n - p[2]) * (p[1] * c.n - p[2])))::BIGINT::DOUBLE
       |          / (c.n * c.n)::DOUBLE AS dist
-      |      FROM e CROSS JOIN c0 c))
+      |      FROM kin e CROSS JOIN c0 c))
       |  WHERE rn = 1),
       |c1 AS (
       |  SELECT cell, list(sd ORDER BY pos) AS s FROM (
       |    SELECT cell, pos, sum(x)::BIGINT AS sd FROM (
       |      SELECT a1.cell, unnest(e.q) AS x,
       |             generate_subscripts(e.q, 1) AS pos
-      |      FROM a1 JOIN e USING (vec_id))
+      |      FROM a1 JOIN kin e USING (vec_id))
       |    GROUP BY cell, pos)
       |  GROUP BY cell),
       |n1 AS (SELECT cell, count(*) AS n FROM a1 GROUP BY cell),
@@ -869,7 +966,8 @@ object VectorOps {
       |                                   m.sub * $PQ_SUBDIM + $PQ_SUBDIM) AS sq
       |  FROM pqin, (SELECT unnest(range($PQ_M)) AS sub) m),
       |pc0 AS (SELECT sub, (vec_id - $SEED_FROM)::INT AS cell, sq AS s, 1::BIGINT AS n
-      |       FROM subs WHERE vec_id >= $SEED_FROM AND vec_id < ${SEED_FROM + PQ_KSUB}),
+      |       FROM subs WHERE vec_id >= $SEED_FROM AND vec_id < ${SEED_FROM + PQ_KSUB}
+      |         AND vec_id IN (SELECT vec_id FROM pqtrain)),
       |pa1 AS (
       |  SELECT vec_id, sub, cell FROM (
       |    SELECT vec_id, sub, cell, row_number() OVER (
@@ -878,7 +976,8 @@ object VectorOps {
       |        list_sum(list_transform(list_zip(sv.sq, c.s),
       |          p -> (p[1] * c.n - p[2]) * (p[1] * c.n - p[2])))::BIGINT::DOUBLE
       |          / (c.n * c.n)::DOUBLE AS dist
-      |      FROM subs sv JOIN pc0 c ON sv.sub = c.sub))
+      |      FROM subs sv JOIN pc0 c ON sv.sub = c.sub
+      |      WHERE sv.vec_id IN (SELECT vec_id FROM pqtrain)))
       |  WHERE rn = 1),
       |pc1 AS (
       |  SELECT sub, cell, list(sd ORDER BY pos) AS s FROM (
@@ -936,87 +1035,120 @@ object VectorOps {
     s"""list_transform(list_zip($vec, c.s),
        |      p -> floor((p[1] * c.n - p[2])::DOUBLE / c.n::DOUBLE)::BIGINT)""".stripMargin
 
+  /** The SERVE tail of the IVFADC+R oracle (route -> per-(query,cell)
+    * ADC tables -> probed-cell scan -> exact re-rank) — reads c1n, a2,
+    * resid-derived codes, and `e`; spliced by the q127/q128 body and
+    * the q129 append body so every stored/served variant shares ONE
+    * serve definition.
+    */
+  private lazy val ivfPqServeDuck: String =
+    s"""qc AS (
+      |  SELECT qid, cell FROM (
+      |    SELECT qid, cell, row_number() OVER (
+      |      PARTITION BY qid ORDER BY dist, cell) AS crn FROM (
+      |      SELECT e.vec_id AS qid, c.cell,
+      |        list_sum(list_transform(list_zip(e.q, c.s),
+      |          p -> (p[1] * c.n - p[2]) * (p[1] * c.n - p[2])))::BIGINT::DOUBLE
+      |          / (c.n * c.n)::DOUBLE AS dist
+      |      FROM e CROSS JOIN c1n c WHERE e.vec_id < $NUM_QUERIES))
+      |  WHERE crn <= $IVFPQ_PROBES),
+      |qresid AS (
+      |  SELECT qc.qid, qc.cell,
+      |    ${residDuck("e.q")} AS rq
+      |  FROM qc JOIN e ON e.vec_id = qc.qid
+      |  JOIN c1n c ON qc.cell = c.cell),
+      |qrsubs AS (
+      |  SELECT qid, cell, m.sub, list_slice(rq, m.sub * $PQ_SUBDIM + 1,
+      |                                      m.sub * $PQ_SUBDIM + $PQ_SUBDIM) AS sq
+      |  FROM qresid, (SELECT unnest(range($PQ_M)) AS sub) m),
+      |qd2 AS (
+      |  SELECT qs.qid, qs.cell, qs.sub, c.cell AS code,
+      |    list_sum(list_transform(list_zip(qs.sq, c.s),
+      |      p -> (p[1] * c.n - p[2]) * (p[1] * c.n - p[2])))::BIGINT::DOUBLE
+      |      / (c.n * c.n)::DOUBLE AS dist
+      |  FROM qrsubs qs JOIN pc1n c ON qs.sub = c.sub),
+      |grid2 AS (
+      |  SELECT g1.sub, g2.code
+      |  FROM (SELECT unnest(range($PQ_M)) AS sub) g1,
+      |       (SELECT unnest(range($PQ_KSUB)) AS code) g2),
+      |dt2 AS (
+      |  SELECT qid, cell, list(dist ORDER BY sub, code) AS dtab FROM (
+      |    SELECT qc.qid, qc.cell, grid2.sub, grid2.code,
+      |           coalesce(qd2.dist, 'infinity'::DOUBLE) AS dist
+      |    FROM qc CROSS JOIN grid2
+      |    LEFT JOIN qd2 ON qd2.qid = qc.qid AND qd2.cell = qc.cell
+      |                 AND qd2.sub = grid2.sub AND qd2.code = grid2.code)
+      |  GROUP BY qid, cell),
+      |ascored AS (
+      |  SELECT qc.qid, a2.vec_id,
+      |    list_reduce(list_transform(range($PQ_M),
+      |      i -> dtab[i * $PQ_KSUB + codes[i + 1] + 1]),
+      |      (a, x) -> a + x) AS adist
+      |  FROM a2 JOIN qc USING (cell)
+      |  JOIN codes ON codes.vec_id = a2.vec_id
+      |  JOIN dt2 ON dt2.qid = qc.qid AND dt2.cell = qc.cell
+      |  WHERE a2.vec_id <> qc.qid),
+      |cand AS (
+      |  SELECT qid, vec_id, adist FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY qid ORDER BY adist, vec_id) AS arn FROM ascored)
+      |  WHERE arn <= $IVFPQ_RERANK),
+      |nrm AS (SELECT vec_id, q, ${dotDuck("q", "q")} AS norm FROM e),
+      |qn AS (SELECT vec_id AS qid, q AS qv, norm AS qnorm FROM nrm
+      |       WHERE vec_id < $NUM_QUERIES),
+      |rr AS (
+      |  SELECT cand.qid, cand.vec_id, cand.adist,
+      |    ${dotDuck("nrm.q", "qn.qv")}::DOUBLE
+      |      / sqrt(nrm.norm::DOUBLE) / sqrt(qn.qnorm::DOUBLE) AS cos
+      |  FROM cand JOIN nrm USING (vec_id) JOIN qn USING (qid))
+      |SELECT qid, vec_id, adist, cos, rn FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM rr)
+      |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+
   /** The full IVFADC+R lifecycle as ONE DuckDB oracle body — gates BOTH
     * q127 (build-then-serve in-query) and q128 (persist-then-serve): any
     * divergence between the two paths shows up as a q128 hash mismatch.
     */
   private lazy val ivfPqRerankOracle: String =
     s"""WITH $embCteDuck,
-        |$kmeansCteDuck,
-        |resid AS (
-        |  SELECT a2.vec_id, a2.cell,
-        |    ${residDuck("e.q")} AS rq
-        |  FROM a2 JOIN e USING (vec_id) JOIN c1n c ON a2.cell = c.cell),
-        |pqin AS (SELECT vec_id, rq AS q FROM resid),
-        |$pqTrainCteDuck,
-        |qc AS (
-        |  SELECT qid, cell FROM (
-        |    SELECT qid, cell, row_number() OVER (
-        |      PARTITION BY qid ORDER BY dist, cell) AS crn FROM (
-        |      SELECT e.vec_id AS qid, c.cell,
-        |        list_sum(list_transform(list_zip(e.q, c.s),
-        |          p -> (p[1] * c.n - p[2]) * (p[1] * c.n - p[2])))::BIGINT::DOUBLE
-        |          / (c.n * c.n)::DOUBLE AS dist
-        |      FROM e CROSS JOIN c1n c WHERE e.vec_id < $NUM_QUERIES))
-        |  WHERE crn <= $IVFPQ_PROBES),
-        |qresid AS (
-        |  SELECT qc.qid, qc.cell,
-        |    ${residDuck("e.q")} AS rq
-        |  FROM qc JOIN e ON e.vec_id = qc.qid
-        |  JOIN c1n c ON qc.cell = c.cell),
-        |qrsubs AS (
-        |  SELECT qid, cell, m.sub, list_slice(rq, m.sub * $PQ_SUBDIM + 1,
-        |                                      m.sub * $PQ_SUBDIM + $PQ_SUBDIM) AS sq
-        |  FROM qresid, (SELECT unnest(range($PQ_M)) AS sub) m),
-        |qd2 AS (
-        |  SELECT qs.qid, qs.cell, qs.sub, c.cell AS code,
-        |    list_sum(list_transform(list_zip(qs.sq, c.s),
-        |      p -> (p[1] * c.n - p[2]) * (p[1] * c.n - p[2])))::BIGINT::DOUBLE
-        |      / (c.n * c.n)::DOUBLE AS dist
-        |  FROM qrsubs qs JOIN pc1n c ON qs.sub = c.sub),
-        |grid2 AS (
-        |  SELECT g1.sub, g2.code
-        |  FROM (SELECT unnest(range($PQ_M)) AS sub) g1,
-        |       (SELECT unnest(range($PQ_KSUB)) AS code) g2),
-        |dt2 AS (
-        |  SELECT qid, cell, list(dist ORDER BY sub, code) AS dtab FROM (
-        |    SELECT qc.qid, qc.cell, grid2.sub, grid2.code,
-        |           coalesce(qd2.dist, 'infinity'::DOUBLE) AS dist
-        |    FROM qc CROSS JOIN grid2
-        |    LEFT JOIN qd2 ON qd2.qid = qc.qid AND qd2.cell = qc.cell
-        |                 AND qd2.sub = grid2.sub AND qd2.code = grid2.code)
-        |  GROUP BY qid, cell),
-        |ascored AS (
-        |  SELECT qc.qid, a2.vec_id,
-        |    list_reduce(list_transform(range($PQ_M),
-        |      i -> dtab[i * $PQ_KSUB + codes[i + 1] + 1]),
-        |      (a, x) -> a + x) AS adist
-        |  FROM a2 JOIN qc USING (cell)
-        |  JOIN codes ON codes.vec_id = a2.vec_id
-        |  JOIN dt2 ON dt2.qid = qc.qid AND dt2.cell = qc.cell
-        |  WHERE a2.vec_id <> qc.qid),
-        |cand AS (
-        |  SELECT qid, vec_id, adist FROM (
-        |    SELECT *, row_number() OVER (
-        |      PARTITION BY qid ORDER BY adist, vec_id) AS arn FROM ascored)
-        |  WHERE arn <= $IVFPQ_RERANK),
-        |nrm AS (SELECT vec_id, q, ${dotDuck("q", "q")} AS norm FROM e),
-        |qn AS (SELECT vec_id AS qid, q AS qv, norm AS qnorm FROM nrm
-        |       WHERE vec_id < $NUM_QUERIES),
-        |rr AS (
-        |  SELECT cand.qid, cand.vec_id, cand.adist,
-        |    ${dotDuck("nrm.q", "qn.qv")}::DOUBLE
-        |      / sqrt(nrm.norm::DOUBLE) / sqrt(qn.qnorm::DOUBLE) AS cos
-        |  FROM cand JOIN nrm USING (vec_id) JOIN qn USING (qid))
-        |SELECT qid, vec_id, adist, cos, rn FROM (
-        |  SELECT *, row_number() OVER (
-        |    PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM rr)
-        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+      |kin AS (SELECT vec_id, q FROM e),
+      |$kmeansCteDuck,
+      |resid AS (
+      |  SELECT a2.vec_id, a2.cell,
+      |    ${residDuck("e.q")} AS rq
+      |  FROM a2 JOIN e USING (vec_id) JOIN c1n c ON a2.cell = c.cell),
+      |pqin AS (SELECT vec_id, rq AS q FROM resid),
+      |pqtrain AS (SELECT vec_id FROM pqin),
+      |$pqTrainCteDuck,
+      |$ivfPqServeDuck""".stripMargin
+
+  /** q129: identical lifecycle, but the TRAIN inputs (kin for the coarse
+    * cells, pqtrain for the codebook) stop at the 90% vec_id cutoff —
+    * assignment, encode, and serve still cover everything, exactly like
+    * the stored index after [[appendToIvfPqIndex]] ingests the last
+    * decile against frozen cells + codebook.
+    */
+  private lazy val ivfPqAppendOracle: String =
+    s"""WITH $embCteDuck,
+      |cut AS (SELECT (max(vec_id) * 9) // 10 AS c FROM e),
+      |kin AS (SELECT vec_id, q FROM e WHERE vec_id < (SELECT c FROM cut)),
+      |$kmeansCteDuck,
+      |resid AS (
+      |  SELECT a2.vec_id, a2.cell,
+      |    ${residDuck("e.q")} AS rq
+      |  FROM a2 JOIN e USING (vec_id) JOIN c1n c ON a2.cell = c.cell),
+      |pqin AS (SELECT vec_id, rq AS q FROM resid),
+      |pqtrain AS (SELECT vec_id FROM pqin
+      |            WHERE vec_id < (SELECT c FROM cut)),
+      |$pqTrainCteDuck,
+      |$ivfPqServeDuck""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q126_ann_pq_adc" ->
       s"""WITH $embCteDuck,
         |pqin AS (SELECT vec_id, q FROM e),
+        |pqtrain AS (SELECT vec_id FROM pqin),
         |$pqTrainCteDuck,
         |$pqQueryCteDuck,
         |scored AS (
@@ -1038,8 +1170,13 @@ object VectorOps {
     // store-then-serve shows up as a q128 hash mismatch
     "q128_ann_serve_stored" -> ivfPqRerankOracle,
 
+    // q129: same serve tail, train CTEs cut at the 90% line — gates the
+    // append-without-retrain maintenance contract
+    "q129_ann_index_append" -> ivfPqAppendOracle,
+
     "q124_kmeans_ivf_build" ->
       s"""WITH $embCteDuck,
+        |kin AS (SELECT vec_id, q FROM e),
         |$kmeansCteDuck
         |SELECT cell, count(*) AS n, min(vec_id) AS rep,
         |  sum(q[1])::BIGINT AS s1, sum(q[2])::BIGINT AS s2,
@@ -1049,6 +1186,7 @@ object VectorOps {
 
     "q125_ann_learned_cells" ->
       s"""WITH $embCteDuck,
+        |kin AS (SELECT vec_id, q FROM e),
         |$kmeansCteDuck,
         |av AS (
         |  SELECT a2.vec_id, a2.cell, e.q,

@@ -156,6 +156,32 @@ class VectorExprSpec extends SparkSpec {
     assert(served.except(inq).count() == 0 && inq.except(served).count() == 0)
   }
 
+  test("index append (q129): new vectors route/encode against the FROZEN store") {
+    import graft.ops.VectorOps
+    val emb = graft.GenFixtures.clusteredEmbeddings(spark, 500)
+    val base = emb.filter($"vec_id" < 450)
+    val tail = emb.filter($"vec_id" >= 450)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-append").toString
+    VectorOps.buildIvfPqIndex(base, dir, k = 8)
+    val coarseBefore = spark.read.parquet(s"$dir/coarse").collect().toSet
+    val cbBefore = spark.read.parquet(s"$dir/codebook").collect().toSet
+    VectorOps.appendToIvfPqIndex(spark, tail, dir)
+    // maintenance contract: cells and codebook are FROZEN by the append
+    assert(spark.read.parquet(s"$dir/coarse").collect().toSet == coarseBefore)
+    assert(spark.read.parquet(s"$dir/codebook").collect().toSet == cbBefore)
+    // every vector has exactly one code row after the append
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.count() == 500)
+    assert(codes.select("vec_id").distinct().count() == 500)
+    // appended rows landed in the cell the stored coarse assigns them to
+    val quant = tail.withColumn("q", expr(VectorOps.quantExpr))
+      .select($"vec_id", $"q")
+    val want = VectorOps.kmeansAssign(quant, spark.read.parquet(s"$dir/coarse"))
+      .select($"vec_id", $"cell")
+    val got = codes.filter($"vec_id" >= 450).select($"vec_id", $"cell")
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+  }
+
   test("vector build completes under a RELIABLE checkpoint dir and matches local") {
     // the 100 TB setting (VERDICT r10 #2): executor-local checkpoint
     // blocks die with the executor; a reliable dir must be a drop-in

@@ -273,6 +273,24 @@ object MeasureVecRecall {
       println(f"q127_ivfpq p=$p r=$r%-3d       recall@5 = $hits/${5 * nq} = " +
         f"${100.0 * hits / (5 * nq)}%5.1f%%")
     }
+
+    // coarse-iterations sweep: with the held-out init the coarse
+    // quantizer (ONE Lloyd update in the gated trajectory) is plausibly
+    // the binding loss — does more training buy serving recall at the
+    // gated probes/rerank? (PQ codebook rounds were already measured
+    // NEGATIVE — singleton seeds collapse — this sweeps the coarse side
+    // only.)
+    for (it <- Seq(1, 2, 4, 8)) {
+      val hits = ops.VectorOps
+        .ivfPqRerankTopK(Tables.embeddings(spark, dir), k = 10,
+                         numQueries = 10, probes = ops.VectorOps.IVFPQ_PROBES,
+                         rerank = ops.VectorOps.IVFPQ_RERANK, topK = 5,
+                         coarseIters = it)
+        .select(col("qid"), col("vec_id"))
+        .join(brute, Seq("qid", "vec_id"), "left_semi").count()
+      println(f"q127_ivfpq coarseIters=$it%-2d   recall@5 = $hits/${5 * nq} = " +
+        f"${100.0 * hits / (5 * nq)}%5.1f%%")
+    }
     spark.stop()
   }
 }

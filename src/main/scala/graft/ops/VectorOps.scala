@@ -336,6 +336,24 @@ object VectorOps {
     * the floor-quantized exact form, so train/encode/ADC reuse the
     * exact-int machinery verbatim.
     */
+  /** Generalized Lloyd training: `iters` update rounds from the held-out
+    * init. iters=1 is the gated q124 trajectory's training half (init →
+    * assign → update); each extra round re-assigns and re-sums — one
+    * broadcast pass + one k×dim map-side-combined exchange per round,
+    * lineage pinned so the plan doesn't nest. Exactness envelope per
+    * round is q124's (~19k members/cell for the int64 numerator).
+    */
+  private[graft] def kmeansFit(quant: DataFrame, k: Int, iters: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    var cents = kmeansUpdate(kmeansAssign(quant, kmeansInit(quant, k)))
+    var i = 1
+    while (i < iters) {
+      cents = pin(kmeansUpdate(kmeansAssign(quant, cents)), checkpointDir)
+      i += 1
+    }
+    cents
+  }
+
   /** Coarse-assign + residual-encode `quantDf` against learned `coarse`
     * cells: (vec_id, cell, rq) — shared by build (whole corpus) and
     * APPEND (new vectors only, against stored cells). */
@@ -380,13 +398,16 @@ object VectorOps {
   }
 
   private[graft] def ivfPqBuild(emb: DataFrame, k: Int,
-      checkpointDir: Option[String] = None)
+      checkpointDir: Option[String] = None,
+      coarseIters: Int = 1)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val quant = pin(emb.withColumn("q", expr(quantExpr))
       .select(col("vec_id"), col("q")), checkpointDir)
-    // coarse quantizer: q124's trajectory — centroids after one Lloyd
-    // update, final assignment against them (the oracle's c1n/a2)
-    val coarse = pin(kmeansUpdate(kmeansAssign(quant, kmeansInit(quant, k))),
+    // coarse quantizer: q124's trajectory at the default coarseIters=1 —
+    // centroids after one Lloyd update, final assignment against them
+    // (the oracle's c1n/a2); more rounds are a measured-only knob
+    // (SCALING.md round-11 iters sweep)
+    val coarse = pin(kmeansFit(quant, k, coarseIters, checkpointDir),
       checkpointDir) // k rows: (cell, s, n)
     val resid = pin(residualsOf(quant, coarse), checkpointDir)
     val rsubsC = pin(residSubvectors(resid), checkpointDir)
@@ -515,8 +536,9 @@ object VectorOps {
 
   def ivfPqRerankTopK(emb: DataFrame, k: Int, numQueries: Int,
                       probes: Int, rerank: Int, topK: Int,
-                      checkpointDir: Option[String] = None): DataFrame = {
-    val (quant, coarse, cb, codes) = ivfPqBuild(emb, k, checkpointDir)
+                      checkpointDir: Option[String] = None,
+                      coarseIters: Int = 1): DataFrame = {
+    val (quant, coarse, cb, codes) = ivfPqBuild(emb, k, checkpointDir, coarseIters)
     serveIvfPq(quant, coarse, cb, codes, numQueries, probes, rerank, topK)
   }
 

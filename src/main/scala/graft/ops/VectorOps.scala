@@ -426,10 +426,14 @@ object VectorOps {
     * prunes to probed-cell directories at the scan (PartitionFilters in
     * the plan; PlanGuardSpec pins it).
     */
-  private[graft] def serveIvfPq(quant: DataFrame, coarse: DataFrame,
+  /** Stages 1+2 of the serve (route + probed-cell ADC scan): returns the
+    * `rerank`-capped candidate frame (qid, vec_id, adist) WITHOUT
+    * executing it — exposed so PlanGuardSpec can pin the scan's
+    * partition pruning, and so callers can see the three-stage server
+    * topology explicitly. */
+  private[graft] def ivfPqCandidates(quant: DataFrame, coarse: DataFrame,
       cb: DataFrame, codes: DataFrame, numQueries: Int, probes: Int,
-      rerank: Int, topK: Int,
-      pruneStoredPartitions: Boolean = false): DataFrame = {
+      rerank: Int, pruneStoredPartitions: Boolean): DataFrame = {
     val spark = quant.sparkSession
     // route: `probes` nearest learned cells per query, exact-int numerator
     val wCell = org.apache.spark.sql.expressions.Window
@@ -515,15 +519,47 @@ object VectorOps {
       .withColumn("arn", row_number().over(wAdc))
       .filter(col("arn") <= rerank)
       .select(col("qid"), col("vec_id"), col("adist"))
-    // exact re-rank: full-precision cosine for candidates ONLY — the
-    // corpus streams once against the broadcast candidate set
-    val norms = quant.withColumn("norm", ldot(col("q"), col("q")))
-    val qn = norms.filter(col("vec_id") < numQueries)
+    cand
+  }
+
+  private[graft] def serveIvfPq(quant: DataFrame, coarse: DataFrame,
+      cb: DataFrame, codes: DataFrame, numQueries: Int, probes: Int,
+      rerank: Int, topK: Int,
+      pruneStoredPartitions: Boolean = false): DataFrame = {
+    val spark = quant.sparkSession
+    val cand = ivfPqCandidates(quant, coarse, cb, codes, numQueries,
+      probes, rerank, pruneStoredPartitions)
+    // exact re-rank (stage 3): full-precision cosine for candidates ONLY.
+    // In-query mode streams the corpus once against the broadcast
+    // candidate set; stored-serve mode materializes the candidate ids
+    // (≤ numQueries × rerank rows, already window-capped) and pushes
+    // `vec_id IN (...)` into the raw-vector scan — the point-fetch a
+    // real server does, so NO corpus-wide scan remains anywhere in the
+    // serve plan (row-group stats prune a vec_id-ordered layout to the
+    // touched groups).
+    val (candServe, candSource) =
+      if (pruneStoredPartitions) {
+        val rows = cand.collect()
+        val lit = spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("qid",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("vec_id",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("adist",
+              org.apache.spark.sql.types.DoubleType, nullable = false))))
+        val ids = rows.map(_.getLong(1)).distinct.sorted
+        (lit, quant.filter(col("vec_id").isin(ids.toSeq: _*)))
+      } else (cand, quant)
+    val norms = candSource.withColumn("norm", ldot(col("q"), col("q")))
+    val qn = quant.filter(col("vec_id") < numQueries)
+      .withColumn("norm", ldot(col("q"), col("q")))
       .select(col("vec_id").as("qid"), col("q").as("qv"),
               col("norm").as("qnorm"))
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    norms.join(broadcast(cand), "vec_id")
+    norms.join(broadcast(candServe), "vec_id")
       .join(broadcast(qn), "qid")
       .withColumn("dot", ldot(col("q"), col("qv")))
       .withColumn("cos", col("dot").cast("double") /
@@ -575,6 +611,21 @@ object VectorOps {
     val codes = spark.read.parquet(s"$indexDir/codes")
     serveIvfPq(quant, coarse, cb, codes, numQueries, probes, rerank, topK,
       pruneStoredPartitions = true)
+  }
+
+  /** The stored-serve ADC stage on its own (route + pruned probed-cell
+    * scan, lazily planned) — PlanGuardSpec pins its PartitionFilters;
+    * [[servedIvfPqTopK]] executes the same frame internally. */
+  private[graft] def servedIvfPqCandidates(spark: SparkSession,
+      indexDir: String, emb: DataFrame, numQueries: Int, probes: Int,
+      rerank: Int): DataFrame = {
+    val quant = emb.withColumn("q", expr(quantExpr))
+      .select(col("vec_id"), col("q"))
+    ivfPqCandidates(quant,
+      spark.read.parquet(s"$indexDir/coarse"),
+      spark.read.parquet(s"$indexDir/codebook"),
+      spark.read.parquet(s"$indexDir/codes"),
+      numQueries, probes, rerank, pruneStoredPartitions = true)
   }
 
   /** Incremental index MAINTENANCE: coarse-assign + residual-encode NEW

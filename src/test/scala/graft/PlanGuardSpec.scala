@@ -201,19 +201,30 @@ class PlanGuardSpec extends SparkSpec {
   }
 
   test("q128: serve plan prunes to probed-cell partitions; no build stage present") {
+    // stage 1+2 (route + ADC scan — executes eagerly inside the full
+    // serve, so pin its plan separately): the stored codes scan must
+    // carry a LITERAL partition filter on cell — whole cell=...
+    // directories pruned before any IO
+    val idx = graft.ops.VectorOps.ensureIvfPqIndex(spark, sf, k = 8)
+    val candPlan = graft.ops.VectorOps.servedIvfPqCandidates(
+        spark, idx, Tables.rebalance(Tables.embeddings(spark, sf)),
+        numQueries = 10, probes = 3, rerank = 20)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[cell#\\d+ IN \\(".r.findFirstIn(candPlan).isDefined,
+      s"codes scan not partition-pruned:\n$candPlan")
+    assert(!candPlan.contains("SortMergeJoin") &&
+           !candPlan.contains("CartesianProduct"), candPlan)
+    // stage 3 (the returned serve frame): point-fetch re-rank only
     val df = SparkEntry.queries("q128_ann_serve_stored")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
-    // the stored codes scan must carry a LITERAL partition filter on cell
-    // — whole cell=... directories pruned before any IO
-    assert("PartitionFilters: \\[cell#\\d+ IN \\(".r.findFirstIn(p).isDefined,
-      s"codes scan not partition-pruned:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
-    // raw corpus touched only by (a) vec_id<numQueries query fetches with
-    // the filter pushed into the scan and (b) ONE full re-rank stream
+    // raw corpus touched only by PRUNED scans: vec_id<numQueries query
+    // fetches and the vec_id IN (...) candidate point-fetch — zero
+    // corpus-wide streams anywhere in the serve plan
     val corpusScans = p.linesIterator
       .filter(l => l.contains("embeddings.parquet"))
-      .filterNot(l => l.contains("LessThan(vec_id,10)")).size
-    assert(corpusScans <= 1, s"$corpusScans unpruned corpus scans in serve plan:\n$p")
+      .filterNot(l => l.contains("LessThan(vec_id,10)") || l.contains("In(vec_id")).size
+    assert(corpusScans == 0, s"$corpusScans unpruned corpus scans in serve plan:\n$p")
     // and nothing in the plan recomputes the index: no k-means update
     // aggregation (posexplode of corpus vectors) may appear at serve time
     assert(!p.contains("posexplode"), s"build stage leaked into serve plan:\n$p")

@@ -214,17 +214,21 @@ class PlanGuardSpec extends SparkSpec {
       s"codes scan not partition-pruned:\n$candPlan")
     assert(!candPlan.contains("SortMergeJoin") &&
            !candPlan.contains("CartesianProduct"), candPlan)
-    // stage 3 (the returned serve frame): point-fetch re-rank only
+    // the full serve frame: ONE lazy plan — pruned ADC scan broadcast
+    // into the re-rank against the index's own inverted lists (vectors
+    // partitioned by cell), both scans partition-pruned
     val df = SparkEntry.queries("q128_ann_serve_stored")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
-    // raw corpus touched only by PRUNED scans: vec_id<numQueries query
-    // fetches and the vec_id IN (...) candidate point-fetch — zero
-    // corpus-wide streams anywhere in the serve plan
+    assert("PartitionFilters: \\[cell#\\d+ IN \\(".r.findAllIn(p).size >= 2,
+      s"expected BOTH the codes scan and the vectors (inverted-list) scan " +
+        s"to carry literal cell partition filters:\n$p")
+    // the corpus itself appears NOWHERE in the serve plan: queries are
+    // driver state (cached collect), candidates re-rank against the
+    // stored inverted lists — zero embeddings scans of any kind
     val corpusScans = p.linesIterator
-      .filter(l => l.contains("embeddings.parquet"))
-      .filterNot(l => l.contains("LessThan(vec_id,10)") || l.contains("In(vec_id")).size
-    assert(corpusScans == 0, s"$corpusScans unpruned corpus scans in serve plan:\n$p")
+      .filter(l => l.contains("embeddings.parquet")).size
+    assert(corpusScans == 0, s"$corpusScans corpus scans in serve plan:\n$p")
     // and nothing in the plan recomputes the index: no k-means update
     // aggregation (posexplode of corpus vectors) may appear at serve time
     assert(!p.contains("posexplode"), s"build stage leaked into serve plan:\n$p")

@@ -261,10 +261,13 @@ object MeasureVecRecall {
       .join(brute, Seq("qid", "vec_id"), "left_semi").count()
     println(f"q126_pq_adc full-corpus  recall@5 = $adcHits/${5 * nq} = " +
       f"${100.0 * adcHits / (5 * nq)}%5.1f%%")
-    // probes × rerank grid: the (p, 20) column is the routing sweep
-    // (VERDICT r10 #8 — is probes=2 the knee on the blurred corpus?),
-    // the (2, r) row is the rerank sweep
-    for ((p, r) <- Seq((1, 5), (2, 5), (2, 20), (2, 50), (3, 20), (4, 20), (3, 50), (4, 50))) {
+    // the JOINT probes × rerank calibration grid (VERDICT r11 #2): the
+    // round-11 1-D sweeps discovered "widen probes and rerank together
+    // or not at all" from two slices; this commits the full surface so
+    // the knee is read off one table per corpus shape
+    val joint = Seq((1, 5), (2, 5)) ++
+      (for (p <- 2 to 5; r <- Seq(20, 50, 100)) yield (p, r))
+    for ((p, r) <- joint) {
       val hits = ops.VectorOps
         .ivfPqRerankTopK(Tables.embeddings(spark, dir), k = 10,
                          numQueries = 10, probes = p, rerank = r, topK = 5)

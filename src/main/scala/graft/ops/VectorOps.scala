@@ -97,16 +97,77 @@ object VectorOps {
       s"numQueries=$numQueries > SEED_FROM=$SEED_FROM would re-introduce " +
       "the query-in-training confound (seeds start at SEED_FROM)")
 
-  /** Deterministic held-out init: the k lowest NON-QUERY vec_ids
-    * ([[SEED_FROM]] ..) as singleton centroids, cells renumbered 0..k-1. */
+  /** Bounded held-out seeding sample for the coarse quantizer: the
+    * quantized vectors with vec_id ∈ [SEED_FROM, SEED_FROM +
+    * INIT_SAMPLE). Bounded regardless of corpus size — at 100 TB the
+    * sample is one partition-pruned point read, and the greedy seeding
+    * below is O(INIT_SAMPLE² · dim) driver arithmetic (≤ ~4M int ops),
+    * the standard "seed on the coordinator, train distributed" split. */
+  private[graft] val INIT_SAMPLE = 256
+
+  /** Density-aware deterministic init (VERDICT r11 #1 — the round-11
+    * tables showed the naive first-k-ids init losing to true-label
+    * routing on both corpus shapes, with diagnosed cell starvation
+    * under singleton consecutive-id seeds): k-center greedy
+    * (farthest-point) over the bounded held-out sample.
+    *
+    *  - seed 0 = the sample point nearest the sample MEAN (exact
+    *    integer form: minimize ‖x·n − Σ‖², ties on vec_id) — a density
+    *    anchor, not an outlier;
+    *  - seed i = the un-chosen sample point MAXIMIZING its min exact
+    *    squared distance to the chosen set (ties on vec_id) — maximal
+    *    spread, so no two seeds land in one dense blob and every
+    *    region of the corpus gets a cell (the k-center 2-approximation
+    *    guarantee, Gonzalez 1985).
+    *
+    * All arithmetic is exact int64 on the quantized vectors (|x| ≤ 2e4,
+    * n ≤ 256 ⇒ Σ(x·n − s)² ≤ ~7e15 « 2^63), so the DuckDB oracle CTE
+    * chain replays the pick sequence bit-identically. Cells are
+    * numbered 0..k-1 in pick order. Queries (vec_id < SEED_FROM) stay
+    * held out of the sample — the round-11 protocol.
+    */
   private[graft] def kmeansInit(quant: DataFrame, k: Int): DataFrame = {
-    val init = quant
-      .filter(col("vec_id") >= SEED_FROM && col("vec_id") < SEED_FROM + k)
-      .select((col("vec_id") - SEED_FROM).cast("int").as("cell"),
-              col("q").as("s"), lit(1L).as("n"))
-      .localCheckpoint()
-    requireSeeds(init.count(), k, "kmeansInit")
-    init
+    val spark = quant.sparkSession
+    val samp = quant
+      .filter(col("vec_id") >= SEED_FROM && col("vec_id") < SEED_FROM + INIT_SAMPLE)
+      .select(col("vec_id"), col("q")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    require(samp.length >= k,
+      s"kmeansInit: only ${samp.length} held-out sample vectors in " +
+      s"[$SEED_FROM, ${SEED_FROM + INIT_SAMPLE}) but k=$k seeds needed — " +
+      "a filtered or renumbered corpus cannot feed the deterministic init")
+    val n = samp.length.toLong
+    val dim = samp(0)._2.length
+    val mean = new Array[Long](dim)
+    samp.foreach { case (_, q) =>
+      var d = 0; while (d < dim) { mean(d) += q(d); d += 1 } }
+    def d2mean(q: Array[Long]): Long = {
+      var acc = 0L; var d = 0
+      while (d < dim) { val t = q(d) * n - mean(d); acc += t * t; d += 1 }
+      acc
+    }
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var acc = 0L; var d = 0
+      while (d < dim) { val t = a(d) - b(d); acc += t * t; d += 1 }
+      acc
+    }
+    val first = samp.minBy { case (id, q) => (d2mean(q), id) }
+    val chosen = scala.collection.mutable.ArrayBuffer(first)
+    val chosenIds = scala.collection.mutable.HashSet(first._1)
+    val minD = scala.collection.mutable.HashMap.empty[Long, Long]
+    samp.foreach { case (id, q) => minD(id) = d2(q, first._2) }
+    while (chosen.length < k) {
+      val next = samp.iterator.filterNot(p => chosenIds(p._1))
+        .maxBy { case (id, _) => (minD(id), -id) }
+      chosen += next; chosenIds += next._1
+      samp.foreach { case (id, q) =>
+        val dd = d2(q, next._2); if (dd < minD(id)) minD(id) = dd }
+    }
+    import spark.implicits._
+    chosen.toSeq.zipWithIndex
+      .map { case ((_, q), cell) => (cell, q.toSeq, 1L) }
+      .toDF("cell", "s", "n")
   }
 
   /** One assignment pass: each vector to its nearest rational centroid
@@ -140,24 +201,28 @@ object VectorOps {
   }
 
   /** The full learned-index ANN lifecycle (q125, and the harness behind
-    * its recall row): build cells with [[kmeansInit]]/[[kmeansAssign]]/
-    * [[kmeansUpdate]] (one Lloyd round + final assignment = q124's
-    * trajectory), then serve top-`topK` cosine neighbors for the first
-    * `numQueries` vectors by probing ONLY the query's learned cell —
-    * q52's probe shape with the label column replaced by the index this
-    * engine built itself. Corpus streams, queries broadcast; the cell
-    * equality is a row-local predicate on the broadcast join.
+    * its recall row): train the coarse router with [[kmeansFit]]
+    * (`iters` Lloyd rounds from the density-aware greedy init, dead
+    * cells re-seeded between rounds), then serve top-`topK` cosine
+    * neighbors for the first `numQueries` vectors by probing ONLY the
+    * query's learned cell — q52's probe shape with the label column
+    * replaced by the index this engine built itself. At the gated
+    * (k=10, iters=[[ROUTER_ITERS]]) the learned router BEATS the
+    * fixture's own labels single-probe on both corpus shapes
+    * (RouteStudy round-12). Corpus streams, queries broadcast; the
+    * cell equality is a row-local predicate on the broadcast join.
     */
   def learnedCellTopK(emb: DataFrame, k: Int, numQueries: Int,
                       topK: Int,
-                      checkpointDir: Option[String] = None): DataFrame = {
+                      checkpointDir: Option[String] = None,
+                      iters: Int = ROUTER_ITERS): DataFrame = {
     requireHeldOut(numQueries)
     val quant = pin(emb
       .withColumn("q", expr(quantExpr))
       .select(col("vec_id"), col("q")),
-      checkpointDir) // shared by init + both assignment passes + serve
+      checkpointDir) // shared by init + every assignment pass + serve
     val assigned =
-      kmeansAssign(quant, kmeansUpdate(kmeansAssign(quant, kmeansInit(quant, k))))
+      kmeansAssign(quant, kmeansFit(quant, k, iters, checkpointDir))
         .withColumn("norm", ldot(col("q"), col("q")))
         .select(col("vec_id"), col("cell"), col("q"), col("norm"))
     val queriesDf = assigned.filter(col("vec_id") < numQueries)
@@ -335,8 +400,30 @@ object VectorOps {
   // without widening rerank dilutes the fixed candidate budget across
   // more cells, letting ADC misrankings crowd out true neighbors. The
   // sweep table and protocol live in SCALING.md round-11.
-  private[graft] val IVFPQ_PROBES = 3
-  private[graft] val IVFPQ_RERANK = 20
+  // ---- The GATED serving configuration (round-12 joint calibration,
+  // AnnCalibrate on both committed fixture shapes — SCALING.md round-12
+  // tables). k=10/coarseIters=4 is the stack knee: on the blurred
+  // corpus iters=4 beats both the budget build (iters=1: routing-bound)
+  // and convergence (iters=8+: the PQ residuals retrain against
+  // centroids the re-rank no longer needs, costing ADC ordering);
+  // probes=4 of k=10 cells reads a SMALLER corpus fraction than the
+  // round-11 3-of-8 while buying +4 recall points on the blurred shape;
+  // rerank=100 is where the rerank curve is still paying ~+10 points
+  // per step on both shapes at negligible serve cost (the candidate
+  // set stays ≤ numQueries×100 broadcast rows). Measured recall@5 at
+  // this config: 86% separated / 78% blurred (vs 46%/34% for the
+  // round-11 gate).
+  private[graft] val GATED_K = 10
+  private[graft] val IVF_COARSE_ITERS = 4
+  private[graft] val IVFPQ_PROBES = 4
+  private[graft] val IVFPQ_RERANK = 100
+  /** q125's ROUTER gate trains deeper (iters=8): the routing-only
+    * ceiling keeps improving with Lloyd rounds once dead cells are
+    * re-seeded (RouteStudy round-12: single-probe 70% vs true-label
+    * 60% on the blurred corpus, 100% vs 100% on the separated one) —
+    * the serving stack's iters=4 knee is a PQ-interaction, not a
+    * routing optimum. */
+  private[graft] val ROUTER_ITERS = 8
 
   /** Floor-quantized residual vs a rational (s, n) centroid: exact-int
     * numerator, one IEEE division, floor — floor (not round) because
@@ -377,13 +464,54 @@ object VectorOps {
     */
   private[graft] def kmeansFit(quant: DataFrame, k: Int, iters: Int,
       checkpointDir: Option[String] = None): DataFrame = {
-    var cents = kmeansUpdate(kmeansAssign(quant, kmeansInit(quant, k)))
+    var assigned = kmeansAssign(quant, kmeansInit(quant, k))
+    if (iters > 1) assigned = pin(assigned, checkpointDir)
+    var cents = kmeansUpdate(assigned)
     var i = 1
     while (i < iters) {
-      cents = pin(kmeansUpdate(kmeansAssign(quant, cents)), checkpointDir)
+      cents = reseedDead(cents, assigned, k)
+      assigned = pin(kmeansAssign(quant, cents), checkpointDir)
+      cents = kmeansUpdate(assigned)
       i += 1
     }
     cents
+  }
+
+  /** Dead-cell re-seeding between Lloyd rounds (VERDICT r11 #1): a cell
+    * whose members all drained to denser neighbors drops out of
+    * [[kmeansUpdate]]'s output, silently shrinking k and coarsening the
+    * router — the diagnosed round-11 pathology (coarseIters sweep:
+    * convergence COSTING 10+ recall points on the separated corpus).
+    * Each dead cell id (ascending) is re-seeded as a singleton centroid
+    * at the WORST-SERVED point of the last assignment (dist desc,
+    * vec_id asc ties) — the point a new cell helps most, the standard
+    * empty-cluster repair. Driver cost is bounded by k (collect of ≤ k
+    * cell ids + ≤ k worst rows via TakeOrdered), never by corpus size.
+    * No-op when every cell is live — the oracle-gated single-update
+    * trajectory never reaches here (every greedy seed is a sample
+    * member that anchors its own cell through the first assignment).
+    */
+  private[graft] def reseedDead(cents: DataFrame, assigned: DataFrame,
+                                k: Int): DataFrame = {
+    val spark = cents.sparkSession
+    val live = cents.select(col("cell")).collect().map(_.getInt(0)).toSet
+    val dead = (0 until k).filterNot(live)
+    if (dead.isEmpty) cents
+    else {
+      // queries (vec_id < SEED_FROM) stay excluded: a re-seed landing
+      // on a benchmark query would put it back inside the quantizer —
+      // the exact confound the held-out protocol removed
+      val worst = assigned
+        .filter(col("vec_id") >= SEED_FROM)
+        .orderBy(col("dist").desc, col("vec_id"))
+        .select(col("vec_id"), col("q")).limit(dead.size).collect()
+        .map(r => r.getSeq[Long](1))
+      import spark.implicits._
+      val fresh = dead.zip(worst)
+        .map { case (cell, q) => (cell, q, 1L) }
+        .toDF("cell", "s", "n")
+      cents.unionByName(fresh)
+    }
   }
 
   /** Coarse-assign + residual-encode `quantDf` against learned `coarse`
@@ -436,7 +564,7 @@ object VectorOps {
 
   private[graft] def ivfPqBuild(emb: DataFrame, k: Int,
       checkpointDir: Option[String] = None,
-      coarseIters: Int = 1)
+      coarseIters: Int = IVF_COARSE_ITERS)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val quant = pin(emb.withColumn("q", expr(quantExpr))
       .select(col("vec_id"), col("q")), checkpointDir)
@@ -743,23 +871,22 @@ object VectorOps {
     * length, mtime) file set, so an append or rebuild re-lists.
     */
   private val storeFramesCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame, DataFrame)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, DataFrame, DataFrame)]()
   private def storeFrames(spark: SparkSession,
                           indexDir: String): (DataFrame, DataFrame) = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory)
-        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
-      else Seq(f)
-    val fp = (walk(new java.io.File(s"$indexDir/codes")) ++
-              walk(new java.io.File(s"$indexDir/vectors")))
-      .map(f => s"${f.getPath}:${f.length}:${f.lastModified}").mkString("|")
+    // resolve _HEAD once: the snapshot version IS the cache key — an
+    // append or compaction publishes a new version and naturally
+    // invalidates; within one version the file set is immutable by the
+    // IndexStore contract, so no directory walk is ever needed
+    val v = IndexStore.headVersion(indexDir).getOrElse(sys.error(
+      s"IVF-PQ store at $indexDir was never published"))
     val key = s"${System.identityHashCode(spark)}|$indexDir"
     val cached = storeFramesCache.get(key)
-    if (cached != null && cached._1 == fp) (cached._2, cached._3)
+    if (cached != null && cached._1 == v) (cached._2, cached._3)
     else {
-      val codes = spark.read.parquet(s"$indexDir/codes")
-      val vecs = spark.read.parquet(s"$indexDir/vectors")
-      storeFramesCache.put(key, (fp, codes, vecs))
+      val snap = IndexStore.snapshot(indexDir)
+      val (codes, vecs) = IndexStore.frames(spark, indexDir, snap)
+      storeFramesCache.put(key, (v, codes, vecs))
       (codes, vecs)
     }
   }
@@ -798,7 +925,7 @@ object VectorOps {
   def ivfPqRerankTopK(emb: DataFrame, k: Int, numQueries: Int,
                       probes: Int, rerank: Int, topK: Int,
                       checkpointDir: Option[String] = None,
-                      coarseIters: Int = 1): DataFrame = {
+                      coarseIters: Int = IVF_COARSE_ITERS): DataFrame = {
     val (quant, coarse, cb, codes) = ivfPqBuild(emb, k, checkpointDir, coarseIters)
     serveIvfPq(quant, coarse, cb, codes, numQueries, probes, rerank, topK)
   }
@@ -818,16 +945,39 @@ object VectorOps {
     val (quant, coarse, cb, codes) = ivfPqBuild(emb, k, checkpointDir)
     coarse.write.mode("overwrite").parquet(s"$dir/coarse")
     cb.write.mode("overwrite").parquet(s"$dir/codebook")
-    codes.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
-    // the inverted LISTS (FAISS IVF layout): quantized vectors stored
-    // beside the codes, partitioned by the same cell — the exact re-rank
-    // reads probes/k of these directories in the SAME job as the ADC
-    // scan instead of point-fetching back into the corpus (one more
-    // broadcast-assign pass over the build input; zero shuffle)
-    kmeansAssign(quant, coarse)
-      .select(col("vec_id"), col("q"), col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
+    // data files land first, then ONE manifest snapshot covering codes
+    // and vectors together publishes the store (IndexStore: readers
+    // resolve _HEAD, never a directory listing)
+    IndexStore.commitRebuild(dir) {
+      codes.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+      // the inverted LISTS (FAISS IVF layout): quantized vectors stored
+      // beside the codes, partitioned by the same cell — the exact
+      // re-rank reads probes/k of these directories in the SAME job as
+      // the ADC scan instead of point-fetching back into the corpus
+      // (one more broadcast-assign pass over the build input; zero
+      // shuffle)
+      kmeansAssign(quant, coarse)
+        .select(col("vec_id"), col("q"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
+    }
+    ()
   }
+
+  /** Rewrite the store's accumulated append-files into sized ones and
+    * publish a replacement snapshot (the small-files half-life of daily
+    * increments); [[vacuumIvfPqIndex]] then physically deletes what no
+    * snapshot references. Serves planned mid-compaction read the old
+    * snapshot; serves planned after read the compacted one — identical
+    * rows either way (spec-pinned). */
+  def compactIvfPqIndex(spark: SparkSession, dir: String,
+                        maxRecordsPerFile: Long = 1L << 20): Unit = {
+    IndexStore.compact(spark, dir, maxRecordsPerFile)
+    ()
+  }
+
+  /** Delete data files the current snapshot no longer references (run a
+    * retention window behind [[compactIvfPqIndex]]). */
+  def vacuumIvfPqIndex(dir: String): Int = IndexStore.vacuum(dir)
 
   /** Serve q127's exact answer from a [[buildIvfPqIndex]] store: the
     * corpus is touched only twice — the pruned probed-cell code scan and
@@ -858,7 +1008,7 @@ object VectorOps {
       .select(col("vec_id"), col("q")).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
     ivfPqCandidatesStored(spark, qRows, storeMeta(spark, indexDir),
-      spark.read.parquet(s"$indexDir/codes"), probes, rerank)
+      storeFrames(spark, indexDir)._1, probes, rerank)
   }
 
   /** Incremental index MAINTENANCE: coarse-assign + residual-encode NEW
@@ -879,12 +1029,19 @@ object VectorOps {
     val quant = embNew.withColumn("q", expr(quantExpr))
       .select(col("vec_id"), col("q"))
     val codes = encodeWithCell(residSubvectors(residualsOf(quant, coarse)), cb)
-    codes.write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
-    // keep the inverted lists in lockstep with the code table: the new
-    // batch's vectors append to the same frozen-cell directories
-    kmeansAssign(quant, coarse)
-      .select(col("vec_id"), col("q"), col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
+    // one snapshot covers BOTH appends: a serve planned mid-append sees
+    // the pre-append manifest (new part files exist but are unlisted),
+    // a serve planned after sees codes and vectors move together —
+    // never half a batch (IndexStore commit protocol)
+    IndexStore.commitDelta(dir) {
+      codes.write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+      // keep the inverted lists in lockstep with the code table: the new
+      // batch's vectors append to the same frozen-cell directories
+      kmeansAssign(quant, coarse)
+        .select(col("vec_id"), col("q"), col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
+    }
+    ()
   }
 
   /** Build-once gate for the q128/q129 catalog entries: the index lives
@@ -954,7 +1111,8 @@ object VectorOps {
   }
 
   private def ivfParams(k: Int) =
-    s"v2|k=$k|M=$PQ_M|sub=$PQ_SUBDIM|ksub=$PQ_KSUB|seed=$SEED_FROM"
+    s"v3|k=$k|it=$IVF_COARSE_ITERS|M=$PQ_M|sub=$PQ_SUBDIM|ksub=$PQ_KSUB" +
+    s"|seed=$SEED_FROM|samp=$INIT_SAMPLE"
 
   private[graft] def ensureIvfPqIndex(s: SparkSession, d: String,
                                       k: Int): String =
@@ -986,8 +1144,8 @@ object VectorOps {
     * match the catalog entries exactly.
     */
   def warmStoredIndexes(s: SparkSession, d: String): Unit = {
-    ensureIvfPqIndex(s, d, k = 8)
-    ensureIvfPqAppendIndex(s, d, k = 8)
+    ensureIvfPqIndex(s, d, k = GATED_K)
+    ensureIvfPqAppendIndex(s, d, k = GATED_K)
     ()
   }
 
@@ -1003,7 +1161,7 @@ object VectorOps {
     // re-rank stream. This closes VERDICT r10 #1 (the per-query
     // corpus-sized build join).
     "q128_ann_serve_stored" -> ((s, d) => {
-      val idx = ensureIvfPqIndex(s, d, k = 8)
+      val idx = ensureIvfPqIndex(s, d, k = GATED_K)
       serveIvfPqStoredRows(s, idx, cachedQueryRows(s, d, NUM_QUERIES),
         probes = IVFPQ_PROBES, rerank = IVFPQ_RERANK, topK = 5)
     }),
@@ -1018,7 +1176,7 @@ object VectorOps {
     // sample-trained deployment had ingested them — the "train on a
     // sample, encode everything" practice a 100 TB PQ build rests on.
     "q129_ann_index_append" -> ((s, d) => {
-      val idx = ensureIvfPqAppendIndex(s, d, k = 8)
+      val idx = ensureIvfPqAppendIndex(s, d, k = GATED_K)
       serveIvfPqStoredRows(s, idx, cachedQueryRows(s, d, NUM_QUERIES),
         probes = IVFPQ_PROBES, rerank = IVFPQ_RERANK, topK = 5)
     }),
@@ -1039,7 +1197,7 @@ object VectorOps {
     // candidate set (adist is in the output), and the exact cosines pin
     // the re-rank.
     "q127_ann_ivf_pq_rerank" -> ((s, d) =>
-      ivfPqRerankTopK(Tables.rebalance(Tables.embeddings(s, d)), k = 8,
+      ivfPqRerankTopK(Tables.rebalance(Tables.embeddings(s, d)), k = GATED_K,
                       numQueries = NUM_QUERIES, probes = IVFPQ_PROBES,
                       rerank = IVFPQ_RERANK, topK = 5)),
 
@@ -1049,7 +1207,7 @@ object VectorOps {
     // another cell and changes the served neighbor set.
     "q125_ann_learned_cells" -> ((s, d) =>
       learnedCellTopK(Tables.rebalance(Tables.embeddings(s, d)),
-                      k = 8, numQueries = NUM_QUERIES, topK = 5)),
+                      k = GATED_K, numQueries = NUM_QUERIES, topK = 5)),
 
     // ---- q124: build an IVF cell index with 2 Lloyd iterations (k=8,
     // deterministic init) and emit the per-cell audit: member count,
@@ -1268,39 +1426,115 @@ object VectorOps {
     * centroids, same exact-int64 distance numerators, (dist, cell)
     * tie-break via row_number. Splice after [[embCteDuck]].
     */
-  private lazy val kmeansCteDuck: String =
-    s"""c0 AS (SELECT (vec_id - $SEED_FROM)::INT AS cell, q AS s, 1::BIGINT AS n
-      |       FROM kin WHERE vec_id >= $SEED_FROM AND vec_id < ${SEED_FROM + 8}),
-      |a1 AS (
-      |  SELECT vec_id, cell FROM (
-      |    SELECT vec_id, cell, row_number() OVER (
-      |      PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM (
-      |      SELECT e.vec_id, c.cell,
-      |        list_sum(list_transform(list_zip(e.q, c.s),
-      |          p -> (p[1] * c.n - p[2]) * (p[1] * c.n - p[2])))::BIGINT::DOUBLE
-      |          / (c.n * c.n)::DOUBLE AS dist
-      |      FROM kin e CROSS JOIN c0 c))
+  /** The density-aware greedy init as a DuckDB CTE chain — mirrors
+    * [[kmeansInit]] pick for pick over the same bounded held-out
+    * sample: seed 0 = sample point nearest the sample mean (exact
+    * ‖x·n − Σ‖², vec_id ties), seed i = un-chosen sample point with max
+    * min exact squared distance to the chosen set (md DESC, vec_id
+    * ties). All int64 — the pick sequence is bit-identical across
+    * engines. Yields `c0` (cell, s, n) in pick order, the same frame
+    * the old first-k-ids CTE produced.
+    */
+  private def kmeansInitCteDuck(k: Int): String = {
+    def d2(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), t -> (t[1] - t[2]) * (t[1] - t[2])))::BIGINT"
+    val sb = new StringBuilder
+    sb ++= s"""samp AS MATERIALIZED (SELECT vec_id, q FROM kin
+      |        WHERE vec_id >= $SEED_FROM AND vec_id < ${SEED_FROM + INIT_SAMPLE}),
+      |smean AS (
+      |  SELECT list(sd ORDER BY pos) AS s, max(np) AS n FROM (
+      |    SELECT pos, sum(x)::BIGINT AS sd, count(*) AS np FROM (
+      |      SELECT unnest(q) AS x, generate_subscripts(q, 1) AS pos FROM samp)
+      |    GROUP BY pos)),
+      |ch0 AS MATERIALIZED (
+      |  SELECT 0::INT AS cell, vec_id, q FROM (
+      |    SELECT samp.vec_id, samp.q, row_number() OVER (ORDER BY
+      |      list_sum(list_transform(list_zip(samp.q, sm.s),
+      |        t -> (t[1] * sm.n - t[2]) * (t[1] * sm.n - t[2])))::BIGINT,
+      |      samp.vec_id) AS rn
+      |    FROM samp CROSS JOIN smean sm)
       |  WHERE rn = 1),
-      |c1 AS (
-      |  SELECT cell, list(sd ORDER BY pos) AS s FROM (
-      |    SELECT cell, pos, sum(x)::BIGINT AS sd FROM (
-      |      SELECT a1.cell, unnest(e.q) AS x,
-      |             generate_subscripts(e.q, 1) AS pos
-      |      FROM a1 JOIN kin e USING (vec_id))
-      |    GROUP BY cell, pos)
-      |  GROUP BY cell),
-      |n1 AS (SELECT cell, count(*) AS n FROM a1 GROUP BY cell),
-      |c1n AS (SELECT c1.cell, s, n FROM c1 JOIN n1 USING (cell)),
-      |a2 AS (
-      |  SELECT vec_id, cell FROM (
-      |    SELECT vec_id, cell, row_number() OVER (
-      |      PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM (
-      |      SELECT e.vec_id, c.cell,
-      |        list_sum(list_transform(list_zip(e.q, c.s),
-      |          p -> (p[1] * c.n - p[2]) * (p[1] * c.n - p[2])))::BIGINT::DOUBLE
-      |          / (c.n * c.n)::DOUBLE AS dist
-      |      FROM e CROSS JOIN c1n c))
-      |  WHERE rn = 1)""".stripMargin
+      |""".stripMargin
+    for (i <- 1 until k) {
+      sb ++= s"""fd$i AS MATERIALIZED (
+        |  SELECT p.vec_id, min(${d2("p.q", "c.q")}) AS md
+        |  FROM samp p CROSS JOIN ch${i - 1} c
+        |  WHERE p.vec_id NOT IN (SELECT vec_id FROM ch${i - 1})
+        |  GROUP BY p.vec_id),
+        |pk$i AS (SELECT vec_id FROM (
+        |    SELECT vec_id, row_number() OVER (ORDER BY md DESC, vec_id) AS rn
+        |    FROM fd$i) WHERE rn = 1),
+        |ch$i AS MATERIALIZED (
+        |  SELECT * FROM ch${i - 1} UNION ALL
+        |  SELECT $i::INT AS cell, samp.vec_id, samp.q
+        |  FROM samp JOIN pk$i USING (vec_id)),
+        |""".stripMargin
+    }
+    sb ++= s"c0 AS MATERIALIZED (SELECT cell, q AS s, 1::BIGINT AS n FROM ch${k - 1})"
+    sb.toString
+  }
+
+  /** The FULL coarse-quantizer trajectory as a DuckDB CTE chain,
+    * mirroring `kmeansFit(quant, k, rounds)` + final `kmeansAssign`
+    * step for step: the greedy init ([[kmeansInitCteDuck]]), then per
+    * update round j — assignment `t_j` over the TRAIN input `kin`
+    * (dist kept), exact (sum, count) centroid update `u_j`, and the
+    * dead-cell re-seed mirror (cells of c0 absent from u_j re-seeded
+    * as singletons at the worst-served NON-QUERY points of t_j, dead
+    * cell ids ascending paired with (dist DESC, vec_id) rank — the
+    * exact [[reseedDead]] pairing; empty CTEs when every cell lives,
+    * which the greedy init guarantees for round 1). Yields `c1n` (the
+    * final centroids) and `a2` (final assignment of the FULL corpus
+    * `e`) — the names every downstream CTE (audit, serve, resid)
+    * splices against, whatever the round count.
+    */
+  private def kmeansCteDuck(k: Int, rounds: Int): String = {
+    def assign(name: String, cents: String, src: String, keep: String) =
+      s"""$name AS MATERIALIZED (
+        |  SELECT $keep FROM (
+        |    SELECT vec_id, cell, dist, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM (
+        |      SELECT e.vec_id, c.cell,
+        |        list_sum(list_transform(list_zip(e.q, c.s),
+        |          p -> (p[1] * c.n - p[2]) * (p[1] * c.n - p[2])))::BIGINT::DOUBLE
+        |          / (c.n * c.n)::DOUBLE AS dist
+        |      FROM $src e CROSS JOIN $cents c))
+        |  WHERE rn = 1),
+        |""".stripMargin
+    val sb = new StringBuilder
+    sb ++= kmeansInitCteDuck(k)
+    sb ++= ",\n"
+    var cents = "c0"
+    for (j <- 1 to rounds) {
+      sb ++= assign(s"t$j", cents, "kin", "vec_id, cell, dist")
+      sb ++= s"""u$j AS MATERIALIZED (
+        |  SELECT cell, list(sd ORDER BY pos) AS s, max(cn)::BIGINT AS n FROM (
+        |    SELECT cell, pos, sum(x)::BIGINT AS sd, count(*) AS cn FROM (
+        |      SELECT t.cell, unnest(e.q) AS x, generate_subscripts(e.q, 1) AS pos
+        |      FROM t$j t JOIN kin e USING (vec_id))
+        |    GROUP BY cell, pos)
+        |  GROUP BY cell),
+        |""".stripMargin
+      if (j < rounds) {
+        sb ++= s"""dead$j AS MATERIALIZED (
+          |  SELECT cell, row_number() OVER (ORDER BY cell) AS wrn
+          |  FROM c0 WHERE cell NOT IN (SELECT cell FROM u$j)),
+          |worst$j AS MATERIALIZED (
+          |  SELECT vec_id, row_number() OVER (ORDER BY dist DESC, vec_id) AS wrn
+          |  FROM t$j WHERE vec_id >= $SEED_FROM),
+          |c$j AS MATERIALIZED (
+          |  SELECT * FROM u$j UNION ALL
+          |  SELECT d.cell, e.q AS s, 1::BIGINT AS n
+          |  FROM dead$j d JOIN worst$j w USING (wrn) JOIN kin e USING (vec_id)),
+          |""".stripMargin
+        cents = s"c$j"
+      }
+    }
+    sb ++= s"c1n AS MATERIALIZED (SELECT cell, s, n FROM u$rounds),\n"
+    sb ++= assign("a2full", "c1n", "e", "vec_id, cell, dist")
+    sb ++= "a2 AS MATERIALIZED (SELECT vec_id, cell FROM a2full)"
+    sb.toString
+  }
 
   /** The PQ train+encode lifecycle as a DuckDB CTE chain, mirroring
     * pqSubvectors/pqInit/pqAssign/pqUpdate step for step: same
@@ -1463,7 +1697,7 @@ object VectorOps {
   private lazy val ivfPqRerankOracle: String =
     s"""WITH $embCteDuck,
       |kin AS (SELECT vec_id, q FROM e),
-      |$kmeansCteDuck,
+      |${kmeansCteDuck(GATED_K, IVF_COARSE_ITERS)},
       |resid AS (
       |  SELECT a2.vec_id, a2.cell,
       |    ${residDuck("e.q")} AS rq
@@ -1483,7 +1717,7 @@ object VectorOps {
     s"""WITH $embCteDuck,
       |cut AS (SELECT (max(vec_id) * 9) // 10 AS c FROM e),
       |kin AS (SELECT vec_id, q FROM e WHERE vec_id < (SELECT c FROM cut)),
-      |$kmeansCteDuck,
+      |${kmeansCteDuck(GATED_K, IVF_COARSE_ITERS)},
       |resid AS (
       |  SELECT a2.vec_id, a2.cell,
       |    ${residDuck("e.q")} AS rq
@@ -1527,7 +1761,7 @@ object VectorOps {
     "q124_kmeans_ivf_build" ->
       s"""WITH $embCteDuck,
         |kin AS (SELECT vec_id, q FROM e),
-        |$kmeansCteDuck
+        |${kmeansCteDuck(8, 1)}
         |SELECT cell, count(*) AS n, min(vec_id) AS rep,
         |  sum(q[1])::BIGINT AS s1, sum(q[2])::BIGINT AS s2,
         |  sum(q[3])::BIGINT AS s3, sum(q[4])::BIGINT AS s4
@@ -1537,7 +1771,7 @@ object VectorOps {
     "q125_ann_learned_cells" ->
       s"""WITH $embCteDuck,
         |kin AS (SELECT vec_id, q FROM e),
-        |$kmeansCteDuck,
+        |${kmeansCteDuck(GATED_K, ROUTER_ITERS)},
         |av AS (
         |  SELECT a2.vec_id, a2.cell, e.q,
         |    ${dotDuck("e.q", "e.q")} AS norm

@@ -198,4 +198,36 @@ class VectorExprSpec extends SparkSpec {
       probes = 2, rerank = 10, topK = 3)
     assert(res.except(local).count() == 0 && local.except(res).count() == 0)
   }
+
+  test("dead-cell re-seeding: dead ids pair with worst-served non-query points, deterministically") {
+    // the kmeansFit between-rounds repair (VERDICT r11 #1): a cell id
+    // absent from the update's output is re-seeded as a singleton at
+    // the worst-served point of the last assignment — (dist DESC,
+    // vec_id) rank paired with dead ids ascending, queries (vec_id <
+    // SEED_FROM) never eligible (they must stay out of the quantizer)
+    import graft.ops.VectorOps
+    val cents = Seq((0, Seq(0L, 0L), 2L), (2, Seq(10L, 10L), 3L))
+      .toDF("cell", "s", "n")
+    val assigned = Seq(
+      (13L, Seq(1L, 1L), 0, 5.0),
+      (17L, Seq(9L, 9L), 2, 9.0),
+      (12L, Seq(2L, 2L), 0, 9.0), // dist tie with vec 17 -> lower id ranks first
+      (1L, Seq(99L, 99L), 2, 50.0) // a benchmark query: worst-served but excluded
+    ).toDF("vec_id", "q", "cell", "dist")
+    val out = VectorOps.reseedDead(cents, assigned, k = 4)
+      .orderBy($"cell").collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1), r.getLong(2)))
+    assert(out.map(_._1).toSeq == Seq(0, 1, 2, 3), "cells 1 and 3 not re-seeded")
+    assert(out(1)._2 == Seq(2L, 2L) && out(1)._3 == 1L,
+      "dead cell 1 should take the worst non-query point (vec 12 by tie-break)")
+    assert(out(3)._2 == Seq(9L, 9L) && out(3)._3 == 1L,
+      "dead cell 3 should take the second-worst non-query point (vec 17)")
+    // live cells untouched
+    assert(out(0)._2 == Seq(0L, 0L) && out(0)._3 == 2L)
+    assert(out(2)._2 == Seq(10L, 10L) && out(2)._3 == 3L)
+    // no-op when every cell is live
+    val full = Seq((0, Seq(0L, 0L), 1L), (1, Seq(1L, 1L), 1L))
+      .toDF("cell", "s", "n")
+    assert(VectorOps.reseedDead(full, assigned, k = 2).collect().length == 2)
+  }
 }

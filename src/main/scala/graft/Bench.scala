@@ -34,10 +34,11 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(f => f.exists(name.startsWith)) }
-    // q128/q129 serve from a persisted index; build it here, untimed, so
-    // the published numbers are serve-only even at runs=1 / cold tmpdir
-    if (selected.exists(_._1.startsWith("q128")) ||
-        selected.exists(_._1.startsWith("q129")))
+    // q128/q129/q130 serve from a persisted index; build it here,
+    // untimed, so the published numbers are serve-only even at runs=1 /
+    // cold tmpdir
+    if (Seq("q128", "q129", "q130")
+          .exists(p => selected.exists(_._1.startsWith(p))))
       try ops.VectorOps.warmStoredIndexes(spark, sfDir)
       catch { case _: Throwable => () } // a build failure still surfaces in the timed run
     val results = selected.map { case (name, fn) =>

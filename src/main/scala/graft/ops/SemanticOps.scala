@@ -1,0 +1,229 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions.ldot
+
+/** Embedding-space corpus curation (SURVEY.md §2.9 extension surface):
+  * semantic deduplication and cluster-balanced selection — the two
+  * embedding-driven pruning passes a large-scale training-data pipeline
+  * runs AFTER lexical dedup (q47–q50b) has removed the literal copies.
+  *
+  * q131 is the SemDeDup shape (Abbas et al., "SemDeDup: Data-efficient
+  * learning at web-scale through semantic deduplication", 2023): cluster
+  * the corpus with k-means, compare pairs ONLY within a cluster, and for
+  * every pair above the cosine threshold keep the member FARTHER from
+  * its centroid (the cluster's "edge" representative carries more
+  * information than its redundant center mass). The within-cluster
+  * restriction is the entire scale story — the quadratic pair space is
+  * bounded per cluster instead of corpus-wide, which is what makes
+  * semantic dedup tractable at web scale (the paper runs it on LAION/
+  * C4 with k in the tens of thousands; k scales with corpus size so
+  * cluster width stays roughly constant).
+  *
+  * q133 is cluster-balanced selection: a deterministic per-cluster
+  * sample (fixed quota per learned cell, md5-ordered) — the standard
+  * counter to a web corpus's head-heavy topic skew: uniform sampling
+  * reproduces the skew, cluster-balanced sampling flattens it.
+  *
+  * Both reuse the q124 coarse-quantizer machinery ([[VectorOps.kmeansFit]]
+  * / [[VectorOps.kmeansAssign]]) at the gated config, so the learned
+  * clustering these ops prune against is the SAME artifact the ANN
+  * index routes with — one clustering pass feeds index build, dedup,
+  * and selection, exactly how a production pipeline amortizes it.
+  *
+  * Scale notes: the corpus never shuffles during clustering (broadcast
+  * assign, k×dim partial-sum update); the pair stage shuffles once on
+  * the chunk-pair key ([[DedupOps.chunkedBlockPairs]] bounds every task
+  * at ~chunk² pairs, so one giant cluster cannot become a straggler);
+  * the verdict join back to the corpus is a broadcast of the dropped-id
+  * set (bounded by the duplicate count, not the corpus). Cross-engine
+  * determinism is the embedding-family standard: exact int64 dots and
+  * distance numerators, one IEEE division, ties on vec_id.
+  */
+object SemanticOps {
+
+  /** Pair threshold for q131. Deliberately BELOW the near-dup gate
+    * (q55's 0.4): semantic dedup targets REDUNDANCY (same content,
+    * different words), not just near-copies — the paper prunes at
+    * similarity levels lexical dedup never touches. On the fixture the
+    * within-cluster cosine mass sits in [-0.5, 0.5] (measured
+    * histogram: 111 label-blocked pairs ≥ 0.3, 5 ≥ 0.4), so 0.3
+    * exercises a real prune set (~37% of the sf0.01 corpus through the
+    * LEARNED cells — within the paper's reported 3–50% range) instead
+    * of a degenerate handful; a production run tunes this against a
+    * dedup-rate target exactly as the paper does.
+    */
+  private[graft] val SEMDEDUP_T = 0.3
+
+  /** q133's per-cluster quota. */
+  private[graft] val SAMPLE_PER_CELL = 20
+
+  /** The fitted coarse clustering as a driver-cached artifact: k rows of
+    * (cell, s, n), keyed by the source parquet's (path, length, mtime)
+    * set and the (k, iters) config. Both q131 and q133 consume the SAME
+    * clustering the ANN family trains — in a production pipeline the
+    * k-means fit runs once and every downstream pass (index build,
+    * semantic dedup, balanced selection) reads the artifact, so the
+    * engine's catalog entries do the same instead of re-running Lloyd
+    * per query. Values are bit-identical to an in-query fit (the cache
+    * stores the exact (sum, count) rationals), so the oracle hashes are
+    * unaffected; a regenerated fixture invalidates by fingerprint.
+    */
+  private val centsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Array[(Int, Array[Long], Long)])]()
+  private def fittedCents(spark: SparkSession, d: String,
+                          k: Int, iters: Int): DataFrame = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val fp = walk(new java.io.File(s"$d/embeddings.parquet"))
+      .map(f => s"${f.getPath}:${f.length}:${f.lastModified}").mkString("|")
+    val key = s"$d|k=$k|it=$iters"
+    val cached = centsCache.get(key)
+    val rows =
+      if (cached != null && cached._1 == fp) cached._2
+      else {
+        val quant = Tables.rebalance(Tables.embeddings(spark, d))
+          .withColumn("q", expr(VectorOps.quantExpr))
+          .select(col("vec_id"), col("q"))
+        val r = VectorOps.kmeansFit(quant, k, iters, None)
+          .select(col("cell"), col("s"), col("n")).collect()
+          .map(x => (x.getInt(0), x.getSeq[Long](1).toArray, x.getLong(2)))
+        centsCache.put(key, (fp, r))
+        r
+      }
+    import spark.implicits._
+    rows.toSeq.toDF("cell", "s", "n")
+  }
+
+  /** SemDeDup over `emb` (vec_id, embedding): returns one row per
+    * vector — (vec_id, cell, keep) — where keep=0 marks vectors pruned
+    * because some same-cell neighbor exceeds `cosT` and ranks ahead of
+    * them under the keep policy (centroid distance DESC, vec_id ASC:
+    * keep the edge point, drop the redundant center mass; ties keep the
+    * lower id). Pair semantics are per-pair independent (the paper's
+    * formulation), so the pass is one shuffle + one broadcast join —
+    * no iteration, no driver-side graph.
+    */
+  def semanticDedup(emb: DataFrame, k: Int, iters: Int, cosT: Double,
+                    fitted: Option[DataFrame] = None): DataFrame = {
+    val quant = emb.withColumn("q", expr(VectorOps.quantExpr))
+      .select(col("vec_id"), col("q"))
+    val cents = fitted.getOrElse(VectorOps.kmeansFit(quant, k, iters, None))
+    // (vec_id, q, cell, dist): dist = exact-int numerator / n² to the
+    // ASSIGNED centroid — the keep policy's ranking key, computed once
+    // here and never re-derived
+    val assigned = VectorOps.kmeansAssign(quant, cents)
+      .withColumn("norm", ldot(col("q"), col("q")))
+      .localCheckpoint() // shared by the pair stage and the verdict join
+    // within-cell pairs, skew-safe: cell plays the block label
+    val pairs = DedupOps.chunkedBlockPairs(
+      assigned.select(col("vec_id"), col("cell").as("label"),
+                      col("q"), col("norm"), col("dist")))
+    // cos divides by the ASCENDING-id norm first (the q55 ulp rule)
+    val n1 = when(col("a_vec") === col("v1"), col("a_norm")).otherwise(col("b_norm"))
+    val n2 = when(col("a_vec") === col("v1"), col("b_norm")).otherwise(col("a_norm"))
+    val d1 = when(col("a_vec") === col("v1"), col("a_dist")).otherwise(col("b_dist"))
+    val d2 = when(col("a_vec") === col("v1"), col("b_dist")).otherwise(col("a_dist"))
+    val dropped = pairs
+      .withColumn("dot", ldot(col("a_q"), col("b_q")))
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt(n1.cast("double")) / sqrt(n2.cast("double")))
+      .filter(col("cos") >= cosT)
+      // loser = the pair member the keep policy ranks second
+      .select(when(d1 > d2, col("v2")).when(d2 > d1, col("v1"))
+        .otherwise(col("v2")).as("vec_id"))
+      .distinct()
+      .withColumn("is_dropped", lit(1L))
+    assigned
+      .join(broadcast(dropped), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+              when(col("is_dropped").isNotNull, 0L).otherwise(1L).as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Cluster-balanced selection: up to `perCell` vectors per learned
+    * cell, chosen by md5(vec_id) order — a deterministic uniform draw
+    * WITHIN each cluster that both engines replay exactly. Output is
+    * (cell, vec_id, rnk). One shuffle (the per-cell window); the md5
+    * rank is row-local.
+    */
+  def clusterBalancedSample(emb: DataFrame, k: Int, iters: Int,
+                            perCell: Int,
+                            fitted: Option[DataFrame] = None): DataFrame = {
+    val quant = emb.withColumn("q", expr(VectorOps.quantExpr))
+      .select(col("vec_id"), col("q"))
+    val assigned = VectorOps.kmeansAssign(quant,
+      fitted.getOrElse(VectorOps.kmeansFit(quant, k, iters, None)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell"))
+      .orderBy(col("h"), col("vec_id"))
+    assigned
+      .withColumn("h", md5(col("vec_id").cast("string").cast("binary")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= perCell)
+      .select(col("cell"), col("vec_id"), col("rnk"))
+      .orderBy(col("cell"), col("rnk"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- q131: SemDeDup — k-means blocking + within-cluster cosine +
+    // keep-the-edge policy. The hash covers the learned clustering (a
+    // re-celled vector changes its pair set), every pairwise cosine
+    // crossing the threshold, and the keep ranking.
+    "q131_semantic_dedup" -> ((s, d) =>
+      semanticDedup(Tables.rebalance(Tables.embeddings(s, d)),
+        k = VectorOps.GATED_K, iters = VectorOps.IVF_COARSE_ITERS,
+        cosT = SEMDEDUP_T,
+        fitted = Some(fittedCents(s, d,
+          VectorOps.GATED_K, VectorOps.IVF_COARSE_ITERS)))),
+
+    // ---- q133: cluster-balanced selection over the same learned cells.
+    "q133_cluster_sample" -> ((s, d) =>
+      clusterBalancedSample(Tables.rebalance(Tables.embeddings(s, d)),
+        k = VectorOps.GATED_K, iters = VectorOps.IVF_COARSE_ITERS,
+        perCell = SAMPLE_PER_CELL,
+        fitted = Some(fittedCents(s, d,
+          VectorOps.GATED_K, VectorOps.IVF_COARSE_ITERS))))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q131_semantic_dedup" ->
+      s"""WITH ${VectorOps.embCteDuck},
+        |kin AS (SELECT vec_id, q FROM e),
+        |${VectorOps.kmeansCteDuck(VectorOps.GATED_K, VectorOps.IVF_COARSE_ITERS)},
+        |av AS MATERIALIZED (
+        |  SELECT a.vec_id, a.cell, a.dist, e.q,
+        |         ${VectorOps.dotDuck("e.q", "e.q")} AS norm
+        |  FROM a2full a JOIN e USING (vec_id)),
+        |hits AS (
+        |  SELECT a.vec_id AS v1, b.vec_id AS v2, a.dist AS d1, b.dist AS d2
+        |  FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE ${VectorOps.dotDuck("a.q", "b.q")}::DOUBLE
+        |          / sqrt(a.norm::DOUBLE) / sqrt(b.norm::DOUBLE) >= $SEMDEDUP_T),
+        |dropped AS (
+        |  SELECT DISTINCT CASE WHEN d1 > d2 THEN v2
+        |                       WHEN d2 > d1 THEN v1
+        |                       ELSE v2 END AS vec_id
+        |  FROM hits)
+        |SELECT av.vec_id, av.cell,
+        |       CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END::BIGINT AS keep
+        |FROM av LEFT JOIN dropped dr USING (vec_id)
+        |ORDER BY av.vec_id""".stripMargin,
+
+    "q133_cluster_sample" ->
+      s"""WITH ${VectorOps.embCteDuck},
+        |kin AS (SELECT vec_id, q FROM e),
+        |${VectorOps.kmeansCteDuck(VectorOps.GATED_K, VectorOps.IVF_COARSE_ITERS)}
+        |SELECT cell, vec_id, rnk FROM (
+        |  SELECT cell, vec_id, row_number() OVER (
+        |    PARTITION BY cell ORDER BY md5(vec_id::VARCHAR), vec_id)::BIGINT AS rnk
+        |  FROM a2)
+        |WHERE rnk <= $SAMPLE_PER_CELL
+        |ORDER BY cell, rnk""".stripMargin
+  )
+}

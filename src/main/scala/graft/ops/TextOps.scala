@@ -54,6 +54,16 @@ object TextOps {
   private[graft] val DF_CAP = 3
   private[graft] val PAIR_BUDGET_PER_DOC = 1000 // minhash family default (q49/q79/q122 + their oracles' literal)
   private val BAND_CAP = 200 // q79 band-bucket width cap (C(cap,2) pair bound)
+  // q132 sequence packing: training context length (tokens) and shard
+  // fan-out. G=32 matches the local core count; on a cluster it scales
+  // with writer parallelism — the layout is G independent token streams.
+  // The gated length is sized to the FIXTURE (~850 tokens/shard at
+  // sf0.01) so every shard exercises multiple boundaries and real
+  // straddles — at the production 2048/4096 the fixture would emit one
+  // sequence per shard and the straddle logic would never fire. The
+  // arithmetic is length-independent; a deployment sets its context.
+  private[graft] val PACK_SEQ_LEN = 256
+  private[graft] val PACK_SHARDS = 32
 
   // q122 routing thresholds, integer percent of the pairWitnessDiagnostic
   // ratio (retained / witnesses) so both engines compare exact BIGINTs:
@@ -497,6 +507,39 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- q132: training-sequence PACKING layout — the pass that turns
+    // a curated corpus into fixed-length training sequences. Documents
+    // hash into PACK_SHARDS shards (doc_id % G — at 100 TB each shard is
+    // one writer's output file set), concatenate in doc_id order within
+    // the shard, and split at PACK_SEQ_LEN token boundaries (the
+    // GPT-style pretraining layout: documents straddle sequence
+    // boundaries rather than pad). Per shard the hash pins document
+    // count, token mass, sequence count, how many documents STRADDLE a
+    // boundary (each straddle is a training example whose context mixes
+    // two documents — the quantity a data-quality report tracks), and
+    // the terminal padding waste. All integer window arithmetic: one
+    // shuffle on the shard key, a running-sum window per shard, no
+    // global sort — the topology IS distributed packing.
+    "q132_sequence_pack" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("grp")).orderBy(col("doc_id"))
+      withToks(Tables.documents(s, d))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+        .withColumn("grp", pmod(col("doc_id"), lit(PACK_SHARDS.toLong)))
+        .withColumn("fin", sum(col("n_toks")).over(w))
+        .withColumn("seq_first", expr(s"(fin - n_toks) div $PACK_SEQ_LEN"))
+        .withColumn("seq_last", expr(s"(fin - 1) div $PACK_SEQ_LEN"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_toks")).as("n_tokens"),
+             (max(col("seq_last")) + lit(1L)).as("n_seqs"),
+             sum(when(col("seq_first") =!= col("seq_last"), 1L)
+               .otherwise(0L)).as("n_straddles"),
+             ((max(col("seq_last")) + lit(1L)) * PACK_SEQ_LEN
+               - sum(col("n_toks"))).as("pad_tokens"))
+        .orderBy(col("grp"))
+    }),
+
     // ---- q41: corpus term frequency — explode + hash agg + top-k.
     "q41_term_freq" -> ((s, d) => {
       withToks(Tables.documents(s, d))
@@ -711,6 +754,23 @@ object TextOps {
       """SELECT tok, count(*) AS n
         |FROM (SELECT unnest(str_split(text, ' ')) AS tok FROM documents)
         |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+
+    "q132_sequence_pack" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, len(str_split(text, ' '))::BIGINT AS n_toks,
+        |         doc_id % $PACK_SHARDS AS grp
+        |  FROM documents),
+        |o AS (
+        |  SELECT grp, n_toks,
+        |    sum(n_toks) OVER (PARTITION BY grp ORDER BY doc_id) AS fin
+        |  FROM t)
+        |SELECT grp, count(*) AS n_docs, sum(n_toks)::BIGINT AS n_tokens,
+        |  (max((fin - 1) // $PACK_SEQ_LEN) + 1)::BIGINT AS n_seqs,
+        |  sum(CASE WHEN (fin - n_toks) // $PACK_SEQ_LEN
+        |             <> (fin - 1) // $PACK_SEQ_LEN THEN 1 ELSE 0 END)::BIGINT AS n_straddles,
+        |  ((max((fin - 1) // $PACK_SEQ_LEN) + 1) * $PACK_SEQ_LEN
+        |    - sum(n_toks))::BIGINT AS pad_tokens
+        |FROM o GROUP BY grp ORDER BY grp""".stripMargin,
 
     "q42_trigram_freq" ->
       s"""SELECT gram, count(*) AS n FROM (

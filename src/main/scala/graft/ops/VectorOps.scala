@@ -1136,6 +1136,38 @@ object VectorOps {
       appendToIvfPqIndex(s, emb.filter(col("vec_id") >= cutoff), base.getPath)
     }
 
+  /** q130's store: the FULL storage-maintenance lifecycle in sequence —
+    * train on the first 80% of vec_ids, ingest the remaining two
+    * deciles as TWO separate [[appendToIvfPqIndex]] batches (each
+    * publishing its own snapshot, each decaying the cell directories by
+    * one small-file generation), then [[compactIvfPqIndex]] rewrites
+    * every cell into sized files and [[vacuumIvfPqIndex]] physically
+    * deletes what the compacted snapshot no longer references. The
+    * serve over the result must hash-match an oracle that never heard
+    * of files at all — compaction and vacuum are pure LAYOUT operations
+    * and any row they perturb breaks the gate. This is the weekly cycle
+    * a 100 TB deployment runs (daily appends → scheduled compaction →
+    * retention-window vacuum), executed end-to-end inside the
+    * correctness gate rather than only in IndexStoreSpec.
+    */
+  private[graft] def ensureIvfPqCompactedIndex(s: SparkSession, d: String,
+                                               k: Int): String =
+    ensureIndex(d, s"ivfpqc_k$k",
+                ivfParams(k) + "|append80x2|compact|vacuum") { base =>
+      val emb = Tables.rebalance(Tables.embeddings(s, d))
+      val mx = emb.agg(max(col("vec_id"))).head.getLong(0)
+      val cut1 = mx * 8L / 10L
+      val cut2 = mx * 9L / 10L
+      buildIvfPqIndex(emb.filter(col("vec_id") < cut1), base.getPath, k)
+      appendToIvfPqIndex(s,
+        emb.filter(col("vec_id") >= cut1 && col("vec_id") < cut2),
+        base.getPath)
+      appendToIvfPqIndex(s, emb.filter(col("vec_id") >= cut2), base.getPath)
+      compactIvfPqIndex(s, base.getPath)
+      vacuumIvfPqIndex(base.getPath)
+      ()
+    }
+
   /** Warm the q128/q129 stored indexes OUTSIDE any timed loop (round-11
     * ADVICE): with SPARK_GRAFT_BENCH_RUNS=1, or a cold tmpdir and
     * median-of-2, the first timed iteration would otherwise pay the
@@ -1146,6 +1178,7 @@ object VectorOps {
   def warmStoredIndexes(s: SparkSession, d: String): Unit = {
     ensureIvfPqIndex(s, d, k = GATED_K)
     ensureIvfPqAppendIndex(s, d, k = GATED_K)
+    ensureIvfPqCompactedIndex(s, d, k = GATED_K)
     ()
   }
 
@@ -1177,6 +1210,20 @@ object VectorOps {
     // sample, encode everything" practice a 100 TB PQ build rests on.
     "q129_ann_index_append" -> ((s, d) => {
       val idx = ensureIvfPqAppendIndex(s, d, k = GATED_K)
+      serveIvfPqStoredRows(s, idx, cachedQueryRows(s, d, NUM_QUERIES),
+        probes = IVFPQ_PROBES, rerank = IVFPQ_RERANK, topK = 5)
+    }),
+
+    // ---- q130: storage-maintenance LIFECYCLE — build on 80%, two
+    // append batches, compaction, vacuum, then serve. Compaction and
+    // vacuum are layout-only operations: the oracle is the q129 append
+    // oracle with the train line at 80%, so a compaction that dropped,
+    // duplicated, or re-celled one code/vector row — or a vacuum that
+    // deleted a live file — fails the hash. The serve plan still prunes
+    // on the cell partition column (the compacted files keep the cell=
+    // directory layout; PlanGuardSpec pins it).
+    "q130_ann_index_compact" -> ((s, d) => {
+      val idx = ensureIvfPqCompactedIndex(s, d, k = GATED_K)
       serveIvfPqStoredRows(s, idx, cachedQueryRows(s, d, NUM_QUERIES),
         probes = IVFPQ_PROBES, rerank = IVFPQ_RERANK, topK = 5)
     }),
@@ -1407,15 +1454,15 @@ object VectorOps {
     })
   )
 
-  private val quantDuck =
+  private[graft] val quantDuck =
     "list_transform(embedding, x -> round(x::DOUBLE * 10000, 0)::BIGINT)"
-  private def dotDuck(a: String, b: String): String =
+  private[graft] def dotDuck(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2]))::BIGINT"
 
   /** The quantized corpus as a DuckDB CTE — the ONE `e` definition every
     * vector oracle (kmeans, PQ, and their compositions) starts from.
     */
-  private lazy val embCteDuck: String =
+  private[graft] lazy val embCteDuck: String =
     s"""e AS (
       |  SELECT vec_id, $quantDuck AS q FROM embeddings)""".stripMargin
 
@@ -1488,7 +1535,7 @@ object VectorOps {
     * `e`) — the names every downstream CTE (audit, serve, resid)
     * splices against, whatever the round count.
     */
-  private def kmeansCteDuck(k: Int, rounds: Int): String = {
+  private[graft] def kmeansCteDuck(k: Int, rounds: Int): String = {
     def assign(name: String, cents: String, src: String, keep: String) =
       s"""$name AS MATERIALIZED (
         |  SELECT $keep FROM (
@@ -1707,15 +1754,19 @@ object VectorOps {
       |$pqTrainCteDuck,
       |$ivfPqServeDuck""".stripMargin
 
-  /** q129: identical lifecycle, but the TRAIN inputs (kin for the coarse
-    * cells, pqtrain for the codebook) stop at the 90% vec_id cutoff —
-    * assignment, encode, and serve still cover everything, exactly like
-    * the stored index after [[appendToIvfPqIndex]] ingests the last
-    * decile against frozen cells + codebook.
+  /** q129/q130: identical lifecycle, but the TRAIN inputs (kin for the
+    * coarse cells, pqtrain for the codebook) stop at the `tenths`/10
+    * vec_id cutoff — assignment, encode, and serve still cover
+    * everything, exactly like the stored index after
+    * [[appendToIvfPqIndex]] ingests the post-cutoff batches against
+    * frozen cells + codebook. The oracle is agnostic to HOW the tail
+    * arrived (one append, several appends, appends-then-compaction):
+    * any physical-layout operation that perturbed a single code or
+    * vector row would break the hash.
     */
-  private lazy val ivfPqAppendOracle: String =
+  private def ivfPqAppendOracleAt(tenths: Int): String =
     s"""WITH $embCteDuck,
-      |cut AS (SELECT (max(vec_id) * 9) // 10 AS c FROM e),
+      |cut AS (SELECT (max(vec_id) * $tenths) // 10 AS c FROM e),
       |kin AS (SELECT vec_id, q FROM e WHERE vec_id < (SELECT c FROM cut)),
       |${kmeansCteDuck(GATED_K, IVF_COARSE_ITERS)},
       |resid AS (
@@ -1727,6 +1778,8 @@ object VectorOps {
       |            WHERE vec_id < (SELECT c FROM cut)),
       |$pqTrainCteDuck,
       |$ivfPqServeDuck""".stripMargin
+
+  private lazy val ivfPqAppendOracle: String = ivfPqAppendOracleAt(9)
 
   val oracles: Map[String, String] = Map(
     "q126_ann_pq_adc" ->
@@ -1757,6 +1810,11 @@ object VectorOps {
     // q129: same serve tail, train CTEs cut at the 90% line — gates the
     // append-without-retrain maintenance contract
     "q129_ann_index_append" -> ivfPqAppendOracle,
+
+    // q130: train CTEs cut at the 80% line; the two appends, the
+    // compaction, and the vacuum the Spark side runs between build and
+    // serve must all be invisible to this file-agnostic oracle
+    "q130_ann_index_compact" -> ivfPqAppendOracleAt(8),
 
     "q124_kmeans_ivf_build" ->
       s"""WITH $embCteDuck,

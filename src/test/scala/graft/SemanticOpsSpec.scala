@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{SemanticOps, TextOps, VectorOps}
+
+/** Oracle-independent invariants for the semantic-curation family
+  * (q131 SemDeDup, q132 sequence packing, q133 cluster-balanced
+  * sample) on the sf0.001 fixture — structural properties that must
+  * hold for ANY corpus, complementing the hash gate's exact replay.
+  */
+class SemanticOpsSpec extends SparkSpec {
+
+  private val SF = "/root/testdata/sf0.001"
+
+  test("q131: keep flags partition the corpus; every dropped vector has " +
+       "a same-cell witness that beats it under the keep policy") {
+    val out = SemanticOps.queries("q131_semantic_dedup")(spark, SF)
+      .localCheckpoint()
+    val n = out.count()
+    assert(n == 500, s"one row per corpus vector, got $n")
+    val dropped = out.filter(col("keep") === 0L).count()
+    assert(dropped > 0 && dropped < n,
+      s"prune set should be non-degenerate, got $dropped of $n")
+    // independent witness check: recompute within-cell cosines and the
+    // centroid-distance ranking from scratch via the public pieces
+    val emb = Tables.rebalance(Tables.embeddings(spark, SF))
+    val quant = emb.withColumn("q", expr(VectorOps.quantExpr))
+      .select(col("vec_id"), col("q"))
+    val assigned = VectorOps.kmeansAssign(quant,
+      VectorOps.kmeansFit(quant, VectorOps.GATED_K,
+        VectorOps.IVF_COARSE_ITERS, None))
+      .withColumn("norm", graft.functions.VectorFunctions.ldot(col("q"), col("q")))
+    val a = assigned.select(col("vec_id").as("v1"), col("cell"),
+      col("q").as("q1"), col("norm").as("m1"), col("dist").as("d1"))
+    val b = assigned.select(col("vec_id").as("v2"), col("cell"),
+      col("q").as("q2"), col("norm").as("m2"), col("dist").as("d2"))
+    val witnesses = a.join(b, Seq("cell"))
+      .filter(col("v1") =!= col("v2"))
+      .withColumn("cos",
+        graft.functions.VectorFunctions.ldot(col("q1"), col("q2")).cast("double") /
+          sqrt(col("m1").cast("double")) / sqrt(col("m2").cast("double")))
+      .filter(col("cos") >= SemanticOps.SEMDEDUP_T)
+      // v1 loses to v2 when v2 ranks ahead under (dist DESC, vec_id ASC)
+      .filter(col("d2") > col("d1") ||
+        (col("d2") === col("d1") && col("v2") < col("v1")))
+      .select(col("v1").as("vec_id")).distinct()
+    val flagged = out.filter(col("keep") === 0L).select(col("vec_id"))
+    assert(flagged.exceptAll(witnesses).count() == 0,
+      "a dropped vector has no qualifying same-cell witness")
+    assert(witnesses.exceptAll(flagged).count() == 0,
+      "a vector with a qualifying witness was not dropped")
+  }
+
+  test("q132: per-shard packing arithmetic is self-consistent") {
+    val out = TextOps.queries("q132_sequence_pack")(spark, SF).collect()
+    assert(out.length == TextOps.PACK_SHARDS)
+    val L = TextOps.PACK_SEQ_LEN
+    out.foreach { r =>
+      val nDocs = r.getAs[Long]("n_docs")
+      val nTok = r.getAs[Long]("n_tokens")
+      val nSeqs = r.getAs[Long]("n_seqs")
+      val nStr = r.getAs[Long]("n_straddles")
+      val pad = r.getAs[Long]("pad_tokens")
+      assert(nSeqs == (nTok + L - 1) / L,
+        s"contiguous packing must yield ceil(tokens/L) sequences ($r)")
+      assert(pad == nSeqs * L - nTok, s"pad is the terminal remainder ($r)")
+      assert(nStr <= nSeqs - 1 || nStr == 0,
+        s"each straddle consumes a distinct boundary ($r)")
+      assert(nStr <= nDocs, s"a doc straddles at most once in this gate ($r)")
+    }
+    val totStr = out.map(_.getAs[Long]("n_straddles")).sum
+    assert(totStr > 0, "fixture must exercise the straddle path")
+  }
+
+  test("q133: per-cell quota respected, ranks contiguous from 1, " +
+       "sample is a subset of the cell's members") {
+    val out = SemanticOps.queries("q133_cluster_sample")(spark, SF)
+      .localCheckpoint()
+    val quota = out.groupBy(col("cell")).agg(
+      count(lit(1)).as("n"), max(col("rnk")).as("mx"), min(col("rnk")).as("mn"))
+      .collect()
+    assert(quota.nonEmpty)
+    quota.foreach { r =>
+      val n = r.getAs[Long]("n")
+      assert(n <= SemanticOps.SAMPLE_PER_CELL, s"quota exceeded: $r")
+      assert(r.getAs[Long]("mn") == 1L && r.getAs[Long]("mx") == n,
+        s"ranks must be 1..n within a cell: $r")
+    }
+    // no vector sampled twice
+    assert(out.select(col("vec_id")).distinct().count() == out.count())
+  }
+}

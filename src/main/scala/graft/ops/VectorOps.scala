@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorFunctions.ldot
@@ -174,17 +174,40 @@ object VectorOps {
     * (dist asc, cell asc). Input `quant`: (vec_id, q); `cents`:
     * (cell, s, n). Output: (vec_id, q, cell, dist).
     */
-  private[graft] def kmeansAssign(quant: DataFrame, cents: DataFrame): DataFrame =
-    quant.crossJoin(broadcast(cents))
-      .withColumn("dn", expr(
-        """aggregate(zip_with(q, s, (x, sc) -> (x * n - sc) * (x * n - sc)),
-          |          cast(0 AS bigint), (a, t) -> a + t)""".stripMargin))
-      .withColumn("dist", col("dn").cast("double") /
-                          (col("n") * col("n")).cast("double"))
-      .groupBy(col("vec_id"), col("q"))
-      .agg(min(struct(col("dist"), col("cell"))).as("m"))
+  /** A centroid table collected to coordinator rows — k bounded entries,
+    * the serve path's IvfPqMeta discipline applied to training. */
+  private def centRowsOf(cents: DataFrame): Seq[(Int, Seq[Long], Long)] =
+    cents.select(col("cell"), col("s"), col("n")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+
+  /** Row-local assignment against driver-held centroid rows: transform
+    * over a constant (cell, s, n) array + array_min's (dist, cell)
+    * struct ordering — the same exact-int numerators, the same one IEEE
+    * division, the same tie-break the old broadcast-join + min_by form
+    * produced, bit-identically. What it deletes is a full-corpus hash
+    * exchange PER LLOYD ROUND (the old groupBy(vec_id, q) carried the
+    * vector array through the shuffle key): at iters=8 that was 8
+    * corpus shuffles per build — the design note always claimed "the
+    * corpus never moves, only k×dim partial sums do", and now the plan
+    * agrees (the only exchange left in a round is kmeansUpdate's
+    * map-side-combined k×dim partial-sum aggregation).
+    */
+  private[graft] def kmeansAssignRows(quant: DataFrame,
+      rows: Seq[(Int, Seq[Long], Long)]): DataFrame =
+    quant
+      .withColumn("_cents", typedLit(rows))
+      .withColumn("m", expr(
+        """array_min(transform(_cents, c -> struct(
+          |  cast(aggregate(zip_with(q, c._2, (x, sc) -> (x * c._3 - sc) * (x * c._3 - sc)),
+          |                 cast(0 AS bigint), (a, t) -> a + t) AS double)
+          |    / cast(c._3 * c._3 AS double) AS dist,
+          |  c._1 AS cell)))""".stripMargin))
       .select(col("vec_id"), col("q"),
               col("m.cell").as("cell"), col("m.dist").as("dist"))
+
+  private[graft] def kmeansAssign(quant: DataFrame, cents: DataFrame): DataFrame =
+    kmeansAssignRows(quant, centRowsOf(cents))
 
   /** Centroid update: per-cell exact integer sum vector + member count
     * (k x dim partial sums through the exchange, map-side combined).
@@ -338,10 +361,13 @@ object VectorOps {
     val subs = pin(pqSubvectors(quant), checkpointDir) // train + encode + queries
     val cents = pin(pqUpdate(pqAssign(subs, pqInit(subs))),
       checkpointDir) // <= PQ_M * PQ_KSUB rows: the whole codebook
-    val codes = pqAssign(subs, cents)
-      .groupBy(col("vec_id"))
-      .agg(expr("transform(sort_array(collect_list(struct(sub, cell))), t -> t.cell)")
-        .as("codes"))
+    // encode row-locally against the collected codebook (the training
+    // above stays distributed) — no corpus×M exchange, no per-vector
+    // collect_list shuffle
+    val codes = quant
+      .withColumn("_cb", typedLit(cbRowsOf(cents)))
+      .withColumn("codes", pqCodesCol("q"))
+      .select(col("vec_id"), col("codes"))
     // dense per-query ADC table over every (sub, cell) slot; slots Lloyd
     // dropped get +Infinity — no code can reference them, the filler only
     // keeps the positional index dense for element_at
@@ -464,17 +490,31 @@ object VectorOps {
     */
   private[graft] def kmeansFit(quant: DataFrame, k: Int, iters: Int,
       checkpointDir: Option[String] = None): DataFrame = {
-    var assigned = kmeansAssign(quant, kmeansInit(quant, k))
-    if (iters > 1) assigned = pin(assigned, checkpointDir)
-    var cents = kmeansUpdate(assigned)
+    // `checkpointDir` is kept for API stability but per-round lineage
+    // pinning is obsolete: each round's centroids COLLECT to the driver
+    // (k bounded rows) and re-enter the next round as a literal, so the
+    // plan never nests — a round is exactly ONE distributed job (the
+    // k×dim partial-sum update over the row-local assignment), and an
+    // executor loss recomputes from the caller-pinned `quant`, not from
+    // a round-deep lineage chain. At iters=8 this deletes 8 corpus
+    // localCheckpoint materializations AND the double evaluation the
+    // old DataFrame-typed loop paid (reseedDead's live-cell collect +
+    // the next assign's broadcast each re-ran the update aggregation).
+    val spark = quant.sparkSession
+    import spark.implicits._
+    var rows = centRowsOf(kmeansInit(quant, k))
+    var assigned = kmeansAssignRows(quant, rows)
+    rows = centRowsOf(kmeansUpdate(assigned))
     var i = 1
     while (i < iters) {
-      cents = reseedDead(cents, assigned, k)
-      assigned = pin(kmeansAssign(quant, cents), checkpointDir)
-      cents = kmeansUpdate(assigned)
+      val live = rows.map(_._1).toSet
+      if ((0 until k).exists(c => !live(c)))
+        rows = centRowsOf(reseedDead(rows.toDF("cell", "s", "n"), assigned, k))
+      assigned = kmeansAssignRows(quant, rows)
+      rows = centRowsOf(kmeansUpdate(assigned))
       i += 1
     }
-    cents
+    rows.toDF("cell", "s", "n")
   }
 
   /** Dead-cell re-seeding between Lloyd rounds (VERDICT r11 #1): a cell
@@ -534,33 +574,54 @@ object VectorOps {
       .select(col("vec_id"), col("cell"), col("sub"),
               expr(s"slice(rq, sub * $PQ_SUBDIM + 1, $PQ_SUBDIM)").as("sq"))
 
-  /** Encode sub-vectors to (vec_id, cell, codes) against codebook `cb`:
-    * pqAssign's exact arithmetic + tie-break with cell riding the group
-    * keys; codebook cell ids renamed `code` to avoid capture. Shared by
-    * build and append — append encodes NEW vectors against the STORED
-    * codebook, the "train on a sample, encode everything" PQ scale
-    * practice. */
-  private[graft] def encodeWithCell(rsubsC: DataFrame,
-                                    cb: DataFrame): DataFrame = {
-    val cbR = cb.select(col("sub"), col("cell").as("code"), col("s"), col("n"))
-    rsubsC.join(broadcast(cbR), "sub")
-      .withColumn("dn", expr(
-        """aggregate(zip_with(sq, s, (x, sc) -> (x * n - sc) * (x * n - sc)),
-          |          cast(0 AS bigint), (a, t) -> a + t)""".stripMargin))
-      .withColumn("dist", col("dn").cast("double") /
-                          (col("n") * col("n")).cast("double"))
-      // `sq` is functionally determined by (vec_id, sub) — carrying the
-      // PQ_SUBDIM array through the shuffle key inflated every encode /
-      // append exchange for no semantic gain (VERDICT r11 #5); it is
-      // unused after the min_by, so the key is the minimal (vec, cell,
-      // sub) triple
-      .groupBy(col("vec_id"), col("cell"), col("sub"))
-      .agg(min(struct(col("dist"), col("code"))).as("m"))
-      .select(col("vec_id"), col("cell"), col("sub"), col("m.code").as("code"))
-      .groupBy(col("vec_id"), col("cell"))
-      .agg(expr("transform(sort_array(collect_list(struct(sub, code))), t -> t.code)")
-        .as("codes"))
+  /** The trained codebook collected to coordinator rows, grouped by
+    * sub-space (sub ascending; entries (code, s, n) code-ascending).
+    * ≤ PQ_M × PQ_KSUB bounded rows — the exact frame [[IvfPqMeta]]
+    * already holds for serving, now reused for encoding. A sub-space
+    * slot Lloyd dropped simply has fewer entries (the argmin ranges
+    * over present codes, same as the old join's key set). */
+  private[graft] def cbRowsOf(cb: DataFrame): Seq[Seq[(Int, Seq[Long], Long)]] = {
+    val rows = cb.select(col("sub"), col("cell"), col("s"), col("n")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2), r.getLong(3)))
+    (0 until PQ_M).map(sub => rows.filter(_._1 == sub)
+      .map(t => (t._2, t._3, t._4)).sortBy(_._1).toSeq)
   }
+
+  /** The PQ encode as ONE ROW-LOCAL projection over a full-width vector
+    * column: per sub-space, slice + argmin over the driver-held
+    * codebook entries via array_min's (dist, code) struct ordering —
+    * the exact arithmetic and tie-break the old explode → broadcast
+    * join → double groupBy pipeline produced, bit-identically. Deletes
+    * the corpus×M exploded exchange AND both per-vector shuffles from
+    * every encode: at 100 TB the encode pass becomes a pure map over
+    * the corpus scan (codebooks are coordinator state — kSub×M rational
+    * centroids — exactly as FAISS holds them), which is what lets the
+    * code table be written partition-aligned with its source with zero
+    * data movement. */
+  private def pqCodesCol(vecCol: String): Column = expr(
+    // outer transform materializes each sub-vector slice ONCE (16 per
+    // vector), the inner argmin then reuses it across the ≤16 codebook
+    // entries — slicing inside the inner lambda would re-allocate per
+    // (sub, code) pair, 16× the array churn for identical values
+    s"""transform(
+       |  transform(sequence(0, ${PQ_M - 1}), sub ->
+       |    struct(sub AS sub, slice($vecCol, sub * $PQ_SUBDIM + 1, $PQ_SUBDIM) AS sq)),
+       |  t -> array_min(transform(element_at(_cb, t.sub + 1), c -> struct(
+       |    cast(aggregate(zip_with(t.sq, c._2, (x, sc) -> (x * c._3 - sc) * (x * c._3 - sc)),
+       |                   cast(0 AS bigint), (a, t2) -> a + t2) AS double)
+       |      / cast(c._3 * c._3 AS double) AS dist,
+       |    c._1 AS code))).code)""".stripMargin)
+
+  /** Encode residual vectors to (vec_id, cell, codes) against a
+    * driver-held codebook — shared by build and append (append encodes
+    * NEW vectors against the STORED codebook, the "train on a sample,
+    * encode everything" PQ scale practice). Input: (vec_id, cell, rq). */
+  private[graft] def encodeWithCell(resid: DataFrame,
+      cbRows: Seq[Seq[(Int, Seq[Long], Long)]]): DataFrame =
+    resid
+      .withColumn("_cb", typedLit(cbRows))
+      .withColumn("codes", pqCodesCol("rq"))
+      .select(col("vec_id"), col("cell"), col("codes"))
 
   private[graft] def ivfPqBuild(emb: DataFrame, k: Int,
       checkpointDir: Option[String] = None,
@@ -575,10 +636,12 @@ object VectorOps {
     val coarse = pin(kmeansFit(quant, k, coarseIters, checkpointDir),
       checkpointDir) // k rows: (cell, s, n)
     val resid = pin(residualsOf(quant, coarse), checkpointDir)
-    val rsubsC = pin(residSubvectors(resid), checkpointDir)
-    val rsubs = rsubsC.drop("cell")
+    // TRAINING stays distributed (per-(sub, cell) partial sums over the
+    // exploded train set); the ENCODE is a row-local projection against
+    // the collected codebook — no exploded corpus exchange
+    val rsubs = pin(residSubvectors(resid).drop("cell"), checkpointDir)
     val cb = pin(pqUpdate(pqAssign(rsubs, pqInit(rsubs))), checkpointDir)
-    val codes = encodeWithCell(rsubsC, cb)
+    val codes = encodeWithCell(resid, cbRowsOf(cb))
     (quant, coarse, cb, codes)
   }
 
@@ -949,15 +1012,22 @@ object VectorOps {
     // and vectors together publishes the store (IndexStore: readers
     // resolve _HEAD, never a directory listing)
     IndexStore.commitRebuild(dir) {
-      codes.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+      // explicit cell clustering before the write: the encode/assign
+      // paths are now pure row-local projections (no shuffle for AQE to
+      // coalesce), so writing straight from the corpus partitioning
+      // would emit one file per (task × cell) — measured at sf0.1 as
+      // +0.3 s of footer reads on every serve. One repartition of the
+      // CODE table (32× smaller than the corpus) buys one sized file
+      // per cell — the same layout compactIvfPqIndex restores
+      codes.repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
       // the inverted LISTS (FAISS IVF layout): quantized vectors stored
       // beside the codes, partitioned by the same cell — the exact
       // re-rank reads probes/k of these directories in the SAME job as
       // the ADC scan instead of point-fetching back into the corpus
-      // (one more broadcast-assign pass over the build input; zero
-      // shuffle)
       kmeansAssign(quant, coarse)
         .select(col("vec_id"), col("q"), col("cell"))
+        .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
     }
     ()
@@ -1028,17 +1098,21 @@ object VectorOps {
     val cb = spark.read.parquet(s"$dir/codebook")
     val quant = embNew.withColumn("q", expr(quantExpr))
       .select(col("vec_id"), col("q"))
-    val codes = encodeWithCell(residSubvectors(residualsOf(quant, coarse)), cb)
+    val codes = encodeWithCell(residualsOf(quant, coarse), cbRowsOf(cb))
     // one snapshot covers BOTH appends: a serve planned mid-append sees
     // the pre-append manifest (new part files exist but are unlisted),
     // a serve planned after sees codes and vectors move together —
     // never half a batch (IndexStore commit protocol)
     IndexStore.commitDelta(dir) {
-      codes.write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+      // cell-clustered like the build write: an append batch adds at
+      // most one file per touched cell instead of one per (task × cell)
+      codes.repartition(col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
       // keep the inverted lists in lockstep with the code table: the new
       // batch's vectors append to the same frozen-cell directories
       kmeansAssign(quant, coarse)
         .select(col("vec_id"), col("q"), col("cell"))
+        .repartition(col("cell"))
         .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
     }
     ()

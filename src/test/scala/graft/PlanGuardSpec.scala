@@ -186,16 +186,29 @@ class PlanGuardSpec extends SparkSpec {
   }
 
   test("q124-q127: ANN family joins are all broadcast — no sort-merge, no cartesian") {
-    // Every join in the k-means/PQ/IVFADC stack has a documented small
-    // side (centroids k rows, codebook ≤ M×kSub, routed queries ≤
-    // numQueries×probes, ADC tables, candidate sets): a lost broadcast()
-    // degrades to a corpus-wide shuffle that would surface only as a
-    // mysteriously slow bench (VERDICT r10 #1).
+    // Every join left in the k-means/PQ/IVFADC stack has a documented
+    // small side (codebook ≤ M×kSub, routed queries ≤ numQueries×probes,
+    // ADC tables, candidate sets): a lost broadcast() degrades to a
+    // corpus-wide shuffle that would surface only as a mysteriously slow
+    // bench (VERDICT r10 #1).
     for (q <- Seq("q124_kmeans_ivf_build", "q125_ann_learned_cells",
                   "q126_ann_pq_adc", "q127_ann_ivf_pq_rerank")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian:\n$p")
       assert(!p.contains("SortMergeJoin"), s"$q fell to sort-merge:\n$p")
+    }
+    // round 12: centroid ASSIGNMENT is a row-local projection against a
+    // driver-held literal — q124's whole build+summary plan must contain
+    // NO join operator of any kind (the one exchange is the per-cell
+    // aggregation), the strongest possible form of "the corpus never
+    // joins during training"
+    val p124 = plan("q124_kmeans_ivf_build")
+    assert(!p124.contains("Join"), s"a join crept back into the " +
+      s"row-local assignment build:\n$p124")
+    // the serving-side queries still need their broadcasts
+    for (q <- Seq("q125_ann_learned_cells", "q126_ann_pq_adc",
+                  "q127_ann_ivf_pq_rerank")) {
+      val p = plan(q)
       assert(p.contains("BroadcastExchange"), s"$q lost its broadcasts:\n$p")
     }
   }
@@ -231,6 +244,24 @@ class PlanGuardSpec extends SparkSpec {
     assert(corpusScans == 0, s"$corpusScans corpus scans in serve plan:\n$p")
     // and nothing in the plan recomputes the index: no k-means update
     // aggregation (posexplode of corpus vectors) may appear at serve time
+    assert(!p.contains("posexplode"), s"build stage leaked into serve plan:\n$p")
+  }
+
+  test("q130: compacted-store serve keeps the pruned single-job plan shape") {
+    // compaction rewrites the cell directories through the manifest
+    // layer; the serve plan over the compacted+vacuumed store must be
+    // indistinguishable in SHAPE from q128's: literal cell partition
+    // filters on both the codes scan and the inverted-list scan, no
+    // sort-merge/cartesian, zero corpus scans, no build stage — a
+    // compaction that dropped the cell= layout (or a reader that fell
+    // back to a directory listing) would surface here
+    val df = SparkEntry.queries("q130_ann_index_compact")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert("PartitionFilters: \\[cell#\\d+ IN \\(".r.findAllIn(p).size >= 2,
+      s"compacted store lost its literal cell partition pruning:\n$p")
+    assert(p.linesIterator.count(_.contains("embeddings.parquet")) == 0,
+      s"corpus scan leaked into the compacted-store serve plan:\n$p")
     assert(!p.contains("posexplode"), s"build stage leaked into serve plan:\n$p")
   }
 

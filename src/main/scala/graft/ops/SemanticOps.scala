@@ -60,6 +60,13 @@ object SemanticOps {
   /** q133's per-cluster quota. */
   private[graft] val SAMPLE_PER_CELL = 20
 
+  // q135 hybrid retrieval: query count (the catalog's held-out
+  // convention), per-modality candidate pool, and the standard RRF
+  // smoothing constant (Cormack & Clarke's k=60).
+  private[graft] val HYBRID_QUERIES = 10
+  private[graft] val HYBRID_POOL = 50
+  private[graft] val RRF_K = 60
+
   /** The fitted coarse clustering as a driver-cached artifact: k rows of
     * (cell, s, n), keyed by the source parquet's (path, length, mtime)
     * set and the (k, iters) config. Both q131 and q133 consume the SAME
@@ -188,7 +195,63 @@ object SemanticOps {
         k = VectorOps.GATED_K, iters = VectorOps.IVF_COARSE_ITERS,
         perCell = SAMPLE_PER_CELL,
         fitted = Some(fittedCents(s, d,
-          VectorOps.GATED_K, VectorOps.IVF_COARSE_ITERS))))
+          VectorOps.GATED_K, VectorOps.IVF_COARSE_ITERS)))),
+
+    // ---- q135: HYBRID retrieval — lexical token-overlap ranking fused
+    // with exact-cosine vector ranking by Reciprocal Rank Fusion
+    // (rrf = Σ 1/(k + rank), k=60), the standard way a retrieval stack
+    // combines a keyword index with a vector index without score
+    // calibration. `doc_id` and `vec_id` are the shared document key
+    // (the fixture's embeddings are the documents' vectors). Topology:
+    // the lexical arm is one inverted-index shuffle on the token
+    // (postings join against the broadcast query tokens — 100 TB
+    // shape); the vector arm is q51's corpus-streams/queries-broadcast
+    // scan; the fusion joins two ≤ queries×pool frames — driver-scale.
+    // Both ranks tie-break on doc_id, so the fused ordering — and the
+    // hash — is deterministic cross-engine.
+    "q135_hybrid_rrf" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+                explode(array_distinct(split(col("text"), " "))).as("tok"))
+      val qToks = toks.filter(col("doc_id") < HYBRID_QUERIES)
+        .select(col("doc_id").as("qid"), col("tok"))
+      val wLex = w.partitionBy(col("qid"))
+        .orderBy(col("shared").desc, col("doc_id"))
+      val lex = toks.join(broadcast(qToks), Seq("tok"))
+        .filter(col("doc_id") =!= col("qid"))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(count(lit(1)).as("shared")) // both sides distinct → |∩|
+        .withColumn("lrn", row_number().over(wLex).cast("long"))
+        .filter(col("lrn") <= HYBRID_POOL)
+        .select(col("qid"), col("doc_id"), col("lrn"))
+      val emb = Tables.rebalance(Tables.embeddings(s, d))
+        .withColumn("q", expr(VectorOps.quantExpr))
+        .withColumn("norm", ldot(col("q"), col("q")))
+        .select(col("vec_id"), col("q"), col("norm"))
+      val qVecs = emb.filter(col("vec_id") < HYBRID_QUERIES)
+        .select(col("vec_id").as("qid"), col("q").as("qv"),
+                col("norm").as("qnorm"))
+      val wVec = w.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val vec = emb.join(broadcast(qVecs), col("vec_id") =!= col("qid"))
+        .withColumn("dot", ldot(col("q"), col("qv")))
+        .withColumn("cos", col("dot").cast("double") /
+          sqrt(col("norm").cast("double")) / sqrt(col("qnorm").cast("double")))
+        .withColumn("vrn", row_number().over(wVec).cast("long"))
+        .filter(col("vrn") <= HYBRID_POOL)
+        .select(col("qid"), col("vec_id").as("doc_id"), col("vrn"))
+      val wTop = w.partitionBy(col("qid"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+      lex.join(vec, Seq("qid", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(RRF_K) + col("lrn")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RRF_K) + col("vrn")), lit(0.0)))
+        .withColumn("rn", row_number().over(wTop).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("doc_id"), col("rrf"), col("rn"))
+        .orderBy(col("qid"), col("rn"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -224,6 +287,48 @@ object SemanticOps {
         |    PARTITION BY cell ORDER BY md5(vec_id::VARCHAR), vec_id)::BIGINT AS rnk
         |  FROM a2)
         |WHERE rnk <= $SAMPLE_PER_CELL
-        |ORDER BY cell, rnk""".stripMargin
+        |ORDER BY cell, rnk""".stripMargin,
+
+    "q135_hybrid_rrf" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(list_distinct(str_split(text, ' '))) AS tok
+        |  FROM documents),
+        |qt AS (SELECT doc_id AS qid, tok FROM toks
+        |       WHERE doc_id < $HYBRID_QUERIES),
+        |lexs AS (
+        |  SELECT qt.qid, t.doc_id, count(*) AS shared
+        |  FROM toks t JOIN qt ON t.tok = qt.tok AND t.doc_id <> qt.qid
+        |  GROUP BY qt.qid, t.doc_id),
+        |lex AS (
+        |  SELECT qid, doc_id, lrn FROM (
+        |    SELECT qid, doc_id, row_number() OVER (
+        |      PARTITION BY qid ORDER BY shared DESC, doc_id)::BIGINT AS lrn
+        |    FROM lexs)
+        |  WHERE lrn <= $HYBRID_POOL),
+        |${VectorOps.embCteDuck},
+        |n AS (SELECT vec_id, q, ${VectorOps.dotDuck("q", "q")} AS norm FROM e),
+        |qs AS (SELECT vec_id AS qid, q AS qv, norm AS qnorm FROM n
+        |       WHERE vec_id < $HYBRID_QUERIES),
+        |scored AS (
+        |  SELECT qid, vec_id,
+        |    ${VectorOps.dotDuck("q", "qv")}::DOUBLE
+        |      / sqrt(norm::DOUBLE) / sqrt(qnorm::DOUBLE) AS cos
+        |  FROM n CROSS JOIN qs WHERE vec_id <> qid),
+        |vec AS (
+        |  SELECT qid, doc_id, vrn FROM (
+        |    SELECT qid, vec_id AS doc_id, row_number() OVER (
+        |      PARTITION BY qid ORDER BY cos DESC, vec_id)::BIGINT AS vrn
+        |    FROM scored)
+        |  WHERE vrn <= $HYBRID_POOL),
+        |fused AS (
+        |  SELECT qid, doc_id,
+        |    coalesce(1.0::DOUBLE / ($RRF_K + lrn), 0.0)
+        |      + coalesce(1.0::DOUBLE / ($RRF_K + vrn), 0.0) AS rrf
+        |  FROM lex FULL JOIN vec USING (qid, doc_id))
+        |SELECT qid, doc_id, rrf, rn FROM (
+        |  SELECT qid, doc_id, rrf, row_number() OVER (
+        |    PARTITION BY qid ORDER BY rrf DESC, doc_id)::BIGINT AS rn
+        |  FROM fused)
+        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
   )
 }

@@ -203,8 +203,11 @@ object VectorOps {
           |                 cast(0 AS bigint), (a, t) -> a + t) AS double)
           |    / cast(c._3 * c._3 AS double) AS dist,
           |  c._1 AS cell)))""".stripMargin))
-      .select(col("vec_id"), col("q"),
-              col("m.cell").as("cell"), col("m.dist").as("dist"))
+      // rider columns (e.g. a filterable metadata attribute) pass
+      // through untouched — assignment adds (cell, dist), drops nothing
+      .withColumn("cell", col("m.cell"))
+      .withColumn("dist", col("m.dist"))
+      .drop("_cents", "m")
 
   private[graft] def kmeansAssign(quant: DataFrame, cents: DataFrame): DataFrame =
     kmeansAssignRows(quant, centRowsOf(cents))
@@ -558,12 +561,15 @@ object VectorOps {
     * cells: (vec_id, cell, rq) — shared by build (whole corpus) and
     * APPEND (new vectors only, against stored cells). */
   private[graft] def residualsOf(quantDf: DataFrame,
-                                 coarse: DataFrame): DataFrame =
+                                 coarse: DataFrame): DataFrame = {
+    val riders = quantDf.columns.filterNot(c => c == "vec_id" || c == "q").toSeq
     kmeansAssign(quantDf, coarse)
-      .select(col("vec_id"), col("cell"), col("q"))
+      .drop("dist")
       .join(broadcast(coarse), "cell")
       .withColumn("rq", expr(residExpr("q")))
-      .select(col("vec_id"), col("cell"), col("rq"))
+      .select((Seq(col("vec_id"), col("cell"), col("rq")) ++
+               riders.map(col)): _*)
+  }
 
   /** Residual sub-vectors with the coarse cell carried through (constant
     * per vec_id — a rider key, not a new grouping dimension). */
@@ -617,32 +623,47 @@ object VectorOps {
     * NEW vectors against the STORED codebook, the "train on a sample,
     * encode everything" PQ scale practice). Input: (vec_id, cell, rq). */
   private[graft] def encodeWithCell(resid: DataFrame,
-      cbRows: Seq[Seq[(Int, Seq[Long], Long)]]): DataFrame =
+      cbRows: Seq[Seq[(Int, Seq[Long], Long)]]): DataFrame = {
+    val riders = resid.columns
+      .filterNot(c => c == "vec_id" || c == "cell" || c == "rq").toSeq
     resid
       .withColumn("_cb", typedLit(cbRows))
       .withColumn("codes", pqCodesCol("rq"))
-      .select(col("vec_id"), col("cell"), col("codes"))
+      .select((Seq(col("vec_id"), col("cell"), col("codes")) ++
+               riders.map(col)): _*)
+  }
 
   private[graft] def ivfPqBuild(emb: DataFrame, k: Int,
       checkpointDir: Option[String] = None,
       coarseIters: Int = IVF_COARSE_ITERS)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val quant = pin(emb.withColumn("q", expr(quantExpr))
-      .select(col("vec_id"), col("q")), checkpointDir)
+    // filterable metadata (the fixture's `label`) rides the encode
+    // pipeline when the input carries it — row-local passthrough, zero
+    // extra movement — so the stored code table can serve FILTERED
+    // searches (q134) with the predicate applied in the compressed
+    // domain. Absent on bare (vec_id, embedding) inputs; nothing
+    // downstream requires it.
+    val riders =
+      if (emb.columns.contains("label")) Seq(col("label")) else Nil
+    val quantL = pin(emb.withColumn("q", expr(quantExpr))
+      .select((Seq(col("vec_id"), col("q")) ++ riders): _*), checkpointDir)
+    val quant = quantL.select(col("vec_id"), col("q"))
     // coarse quantizer: q124's trajectory at the default coarseIters=1 —
     // centroids after one Lloyd update, final assignment against them
     // (the oracle's c1n/a2); more rounds are a measured-only knob
     // (SCALING.md round-11 iters sweep)
     val coarse = pin(kmeansFit(quant, k, coarseIters, checkpointDir),
       checkpointDir) // k rows: (cell, s, n)
-    val resid = pin(residualsOf(quant, coarse), checkpointDir)
+    val resid = pin(residualsOf(quantL, coarse), checkpointDir)
     // TRAINING stays distributed (per-(sub, cell) partial sums over the
     // exploded train set); the ENCODE is a row-local projection against
     // the collected codebook — no exploded corpus exchange
-    val rsubs = pin(residSubvectors(resid).drop("cell"), checkpointDir)
+    val rsubs = pin(residSubvectors(
+      resid.select(col("vec_id"), col("cell"), col("rq"))).drop("cell"),
+      checkpointDir)
     val cb = pin(pqUpdate(pqAssign(rsubs, pqInit(rsubs))), checkpointDir)
     val codes = encodeWithCell(resid, cbRowsOf(cb))
-    (quant, coarse, cb, codes)
+    (quantL, coarse, cb, codes)
   }
 
   /** The SERVE half: answers top-`topK` from (coarse, codebook, codes) —
@@ -902,7 +923,8 @@ object VectorOps {
     */
   private[graft] def serveIvfPqStoredRows(spark: SparkSession,
       indexDir: String, qRows: Array[(Long, Array[Long])], probes: Int,
-      rerank: Int, topK: Int): DataFrame = {
+      rerank: Int, topK: Int,
+      candFilter: Option[Column] = None): DataFrame = {
     val meta = storeMeta(spark, indexDir)
     val (routed, dtabRows) = routeAndTables(qRows, meta, probes)
     import spark.implicits._
@@ -910,8 +932,17 @@ object VectorOps {
     val dtabsLit = dtabRows.toDF("qid", "cell", "dtab")
     val probed = routed.map(_._2).distinct.sorted
     val (codesDf, vecsDf) = storeFrames(spark, indexDir)
+    // FILTERED search (q134): the metadata predicate lands on the code
+    // table scan itself — the stored rows carry their filterable
+    // attributes (rider columns through the encode), so the filter
+    // evaluates in the compressed domain BEFORE candidates form and
+    // shows up in the scan's data filters next to the cell pruning.
+    // The candidate budget (rerank) then buys k results that all
+    // satisfy the predicate, instead of post-filtering a top-k that
+    // may go empty — the FAISS/vector-store "pre-filtered search".
+    val codesPruned = codesDf.filter(col("cell").isin(probed: _*))
     val cand = scanCandidates(qcellsLit, dtabsLit,
-      codesDf.filter(col("cell").isin(probed: _*)), rerank)
+      candFilter.map(codesPruned.filter).getOrElse(codesPruned), rerank)
     // the re-rank's query side from the already-collected vectors:
     // qnorm is the same exact int64 self-dot ldot computes
     val qnLit = qRows.toSeq.map { case (qid, q) =>
@@ -1025,8 +1056,10 @@ object VectorOps {
       // beside the codes, partitioned by the same cell — the exact
       // re-rank reads probes/k of these directories in the SAME job as
       // the ADC scan instead of point-fetching back into the corpus
+      val vecCols = Seq(col("vec_id"), col("q"), col("cell")) ++
+        (if (quant.columns.contains("label")) Seq(col("label")) else Nil)
       kmeansAssign(quant, coarse)
-        .select(col("vec_id"), col("q"), col("cell"))
+        .select(vecCols: _*)
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
     }
@@ -1096,8 +1129,10 @@ object VectorOps {
                          dir: String): Unit = {
     val coarse = spark.read.parquet(s"$dir/coarse")
     val cb = spark.read.parquet(s"$dir/codebook")
+    val riders =
+      if (embNew.columns.contains("label")) Seq(col("label")) else Nil
     val quant = embNew.withColumn("q", expr(quantExpr))
-      .select(col("vec_id"), col("q"))
+      .select((Seq(col("vec_id"), col("q")) ++ riders): _*)
     val codes = encodeWithCell(residualsOf(quant, coarse), cbRowsOf(cb))
     // one snapshot covers BOTH appends: a serve planned mid-append sees
     // the pre-append manifest (new part files exist but are unlisted),
@@ -1110,8 +1145,9 @@ object VectorOps {
         .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
       // keep the inverted lists in lockstep with the code table: the new
       // batch's vectors append to the same frozen-cell directories
+      val vecCols = Seq(col("vec_id"), col("q"), col("cell")) ++ riders
       kmeansAssign(quant, coarse)
-        .select(col("vec_id"), col("q"), col("cell"))
+        .select(vecCols: _*)
         .repartition(col("cell"))
         .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
     }
@@ -1185,7 +1221,8 @@ object VectorOps {
   }
 
   private def ivfParams(k: Int) =
-    s"v3|k=$k|it=$IVF_COARSE_ITERS|M=$PQ_M|sub=$PQ_SUBDIM|ksub=$PQ_KSUB" +
+    // v4: stored codes/vectors carry filterable metadata (label rider)
+    s"v4|k=$k|it=$IVF_COARSE_ITERS|M=$PQ_M|sub=$PQ_SUBDIM|ksub=$PQ_KSUB" +
     s"|seed=$SEED_FROM|samp=$INIT_SAMPLE"
 
   private[graft] def ensureIvfPqIndex(s: SparkSession, d: String,
@@ -1300,6 +1337,22 @@ object VectorOps {
       val idx = ensureIvfPqCompactedIndex(s, d, k = GATED_K)
       serveIvfPqStoredRows(s, idx, cachedQueryRows(s, d, NUM_QUERIES),
         probes = IVFPQ_PROBES, rerank = IVFPQ_RERANK, topK = 5)
+    }),
+
+    // ---- q134: FILTERED vector search — top-k among only the vectors
+    // whose metadata passes a predicate (label % 2 = 0), served from
+    // the same stored index as q128. The stored code rows carry their
+    // filterable attributes (rider columns through the row-local
+    // encode), so the predicate evaluates in the compressed domain
+    // BEFORE candidates form — pre-filtered search, the shape every
+    // production vector store exposes (post-filtering a top-k can go
+    // empty under selective predicates). The hash pins routing, the
+    // filtered ADC candidate set, and the re-rank together.
+    "q134_ann_filtered_serve" -> ((s, d) => {
+      val idx = ensureIvfPqIndex(s, d, k = GATED_K)
+      serveIvfPqStoredRows(s, idx, cachedQueryRows(s, d, NUM_QUERIES),
+        probes = IVFPQ_PROBES, rerank = IVFPQ_RERANK, topK = 5,
+        candFilter = Some(expr("label % 2 = 0")))
     }),
 
     // ---- q126: ANN over self-trained PQ codes — the compressed-domain
@@ -1746,7 +1799,13 @@ object VectorOps {
     * the q129 append body so every stored/served variant shares ONE
     * serve definition.
     */
-  private lazy val ivfPqServeDuck: String =
+  private lazy val ivfPqServeDuck: String = ivfPqServeDuckWhere("")
+
+  /** `candCond` splices an extra predicate into the candidate scan
+    * (`ascored`) — the filtered-search oracle (q134) restricts the
+    * compressed-domain candidates exactly where the Spark side filters
+    * the stored code rows. */
+  private def ivfPqServeDuckWhere(candCond: String): String =
     s"""qc AS (
       |  SELECT qid, cell FROM (
       |    SELECT qid, cell, row_number() OVER (
@@ -1792,7 +1851,7 @@ object VectorOps {
       |  FROM a2 JOIN qc USING (cell)
       |  JOIN codes ON codes.vec_id = a2.vec_id
       |  JOIN dt2 ON dt2.qid = qc.qid AND dt2.cell = qc.cell
-      |  WHERE a2.vec_id <> qc.qid),
+      |  WHERE a2.vec_id <> qc.qid$candCond),
       |cand AS (
       |  SELECT qid, vec_id, adist FROM (
       |    SELECT *, row_number() OVER (
@@ -1889,6 +1948,23 @@ object VectorOps {
     // compaction, and the vacuum the Spark side runs between build and
     // serve must all be invisible to this file-agnostic oracle
     "q130_ann_index_compact" -> ivfPqAppendOracleAt(8),
+
+    // q134: the q127/q128 lifecycle with the metadata predicate spliced
+    // into the candidate scan — the filter restricts candidates (and
+    // hence what the re-rank can surface), never the queries
+    "q134_ann_filtered_serve" ->
+      s"""WITH $embCteDuck,
+        |kin AS (SELECT vec_id, q FROM e),
+        |${kmeansCteDuck(GATED_K, IVF_COARSE_ITERS)},
+        |resid AS (
+        |  SELECT a2.vec_id, a2.cell,
+        |    ${residDuck("e.q")} AS rq
+        |  FROM a2 JOIN e USING (vec_id) JOIN c1n c ON a2.cell = c.cell),
+        |pqin AS (SELECT vec_id, rq AS q FROM resid),
+        |pqtrain AS (SELECT vec_id FROM pqin),
+        |$pqTrainCteDuck,
+        |${ivfPqServeDuckWhere(
+             " AND a2.vec_id IN (SELECT vec_id FROM embeddings WHERE label % 2 = 0)")}""".stripMargin,
 
     "q124_kmeans_ivf_build" ->
       s"""WITH $embCteDuck,

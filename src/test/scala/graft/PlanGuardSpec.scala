@@ -265,6 +265,23 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("posexplode"), s"build stage leaked into serve plan:\n$p")
   }
 
+  test("q134: metadata predicate reaches the code-table scan (pre-filtered search)") {
+    // the filter must evaluate in the compressed domain — on the stored
+    // code rows, next to the cell partition pruning — not as a
+    // post-filter on the finished top-k (which can go empty under a
+    // selective predicate)
+    val df = SparkEntry.queries("q134_ann_filtered_serve")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[cell#\\d+ IN \\(".r.findFirstIn(p).isDefined,
+      s"filtered serve lost the cell partition pruning:\n$p")
+    assert("PushedFilters: \\[.*label".r.findFirstIn(p).isDefined ||
+           p.contains("(label"),
+      s"label predicate did not reach the code scan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.count(_.contains("embeddings.parquet")) == 0,
+      s"corpus scan leaked into the filtered serve plan:\n$p")
+  }
+
   test("q96b: partial sketch buffers cross the shuffle, not the chunk stream") {
     val p = plan("q96b_chunk_topk_sketch")
     assert(p.contains("partial_spacesavingtopk")

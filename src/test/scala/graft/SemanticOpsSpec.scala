@@ -72,6 +72,45 @@ class SemanticOpsSpec extends SparkSpec {
     assert(totStr > 0, "fixture must exercise the straddle path")
   }
 
+  test("q134: every filtered-serve result satisfies the predicate, and " +
+       "the filter is binding vs the unfiltered serve") {
+    val unfiltered = graft.ops.VectorOps.queries("q128_ann_serve_stored")(spark, SF)
+      .select(col("qid"), col("vec_id")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val filtered = graft.ops.VectorOps.queries("q134_ann_filtered_serve")(spark, SF)
+      .select(col("qid"), col("vec_id")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val labels = Tables.embeddings(spark, SF)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(filtered.nonEmpty)
+    filtered.foreach { case (_, v) =>
+      assert(labels(v) % 2 == 0, s"vec $v violates the predicate") }
+    assert(filtered.toSet != unfiltered.toSet,
+      "predicate did not bind — filtered and unfiltered serves identical")
+  }
+
+  test("q135: fused ranking prefers docs surfaced by both arms; rrf " +
+       "bounds hold") {
+    val out = SemanticOps.queries("q135_hybrid_rrf")(spark, SF).collect()
+    assert(out.nonEmpty && out.length <= 5 * SemanticOps.HYBRID_QUERIES)
+    out.foreach { r =>
+      val rrf = r.getAs[Double]("rrf")
+      // one arm contributes at most 1/(k+1); two arms at most 2/(k+1)
+      assert(rrf > 0.0 && rrf <= 2.0 / (SemanticOps.RRF_K + 1) + 1e-12,
+        s"rrf out of bounds: $r")
+    }
+    // within each query the ranking must be by (rrf desc, doc_id asc)
+    out.groupBy(_.getAs[Long]("qid")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rn"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val (ra, rb) = (a.getAs[Double]("rrf"), b.getAs[Double]("rrf"))
+          assert(ra > rb || (ra == rb &&
+            a.getAs[Long]("doc_id") < b.getAs[Long]("doc_id")), s"$a !>= $b")
+        case _ =>
+      }
+    }
+  }
+
   test("q133: per-cell quota respected, ranks contiguous from 1, " +
        "sample is a subset of the cell's members") {
     val out = SemanticOps.queries("q133_cluster_sample")(spark, SF)

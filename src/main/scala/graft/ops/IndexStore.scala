@@ -59,14 +59,24 @@ object IndexStore {
   /** Load the current snapshot. Fails by name on an unpublished store —
     * a data directory without a manifest is exactly the torn state this
     * layer exists to make unobservable. */
-  def snapshot(dir: String): Snapshot = {
-    val v = headVersion(dir).getOrElse(sys.error(
+  def snapshot(dir: String): Snapshot =
+    snapshotAt(dir, headVersion(dir).getOrElse(sys.error(
       s"IndexStore: no _HEAD under $dir — store was never published " +
-      "(or predates the manifest layout); rebuild it"))
-    val lines = new String(java.nio.file.Files.readAllBytes(
-      new java.io.File(manifestDir(dir), s"v$v.list").toPath), "UTF-8")
-      .split('\n').toSeq.filter(_.nonEmpty)
-    Snapshot(v,
+      "(or predates the manifest layout); rebuild it")))
+
+  /** TIME-TRAVEL read: load a specific published version. Valid for any
+    * manifest [[vacuum]] has not yet pruned — a reader that pins a
+    * snapshot is isolated from every later append/compaction for as
+    * long as the retention window keeps the version's files alive (the
+    * same contract table formats give readers). */
+  def snapshotAt(dir: String, version: Int): Snapshot = {
+    val f = new java.io.File(manifestDir(dir), s"v$version.list")
+    require(f.exists(),
+      s"IndexStore: version $version of $dir is unavailable " +
+      "(never published, or vacuumed past the retention window)")
+    val lines = new String(java.nio.file.Files.readAllBytes(f.toPath),
+      "UTF-8").split('\n').toSeq.filter(_.nonEmpty)
+    Snapshot(version,
       lines.collect { case s if s.startsWith("codes\t") => s.substring(6) },
       lines.collect { case s if s.startsWith("vectors\t") => s.substring(8) })
   }
@@ -121,15 +131,51 @@ object IndexStore {
 
   /** Commit a DELTA write (append): run `write` (which may only ADD
     * part files), then publish previous-snapshot ∪ the files that
-    * appeared. Returns the new version. */
-  def commitDelta(dir: String)(write: => Unit): Int =
+    * appeared. Returns the new version.
+    *
+    * `tag` makes the commit IDEMPOTENT: a tag already recorded in the
+    * store's tag log skips the write entirely and returns the current
+    * version — the contract a streaming writer needs, because
+    * foreachBatch replays a micro-batch after a failure and an untagged
+    * append would ingest the batch twice. Tags live in an append-only
+    * `_manifest/tags.log` that [[vacuum]] never touches, so the replay
+    * horizon is not bounded by manifest retention. */
+  def commitDelta(dir: String, tag: Option[String] = None)
+                 (write: => Unit): Int =
     withWriterLock(dir) {
-      val before = snapshotOrEmpty(dir)
-      write
-      publish(dir,
-        (before.codes ++ (listData(dir, "codes").toSet -- before.codes.toSet).toSeq.sorted).distinct,
-        (before.vectors ++ (listData(dir, "vectors").toSet -- before.vectors.toSet).toSeq.sorted).distinct)
+      if (tag.exists(committedTags(dir).contains))
+        headVersion(dir).getOrElse(0)
+      else {
+        val before = snapshotOrEmpty(dir)
+        write
+        val v = publish(dir,
+          (before.codes ++ (listData(dir, "codes").toSet -- before.codes.toSet).toSeq.sorted).distinct,
+          (before.vectors ++ (listData(dir, "vectors").toSet -- before.vectors.toSet).toSeq.sorted).distinct)
+        tag.foreach(recordTag(dir, _))
+        v
+      }
     }
+
+  private def tagLog(dir: String) =
+    new java.io.File(manifestDir(dir), "tags.log")
+
+  /** Tags of every delta commit ever published (append-only; survives
+    * vacuum). */
+  def committedTags(dir: String): Set[String] = {
+    val f = tagLog(dir)
+    if (!f.exists()) Set.empty
+    else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      .split('\n').filter(_.nonEmpty).toSet
+  }
+
+  private def recordTag(dir: String, tag: String): Unit = {
+    require(!tag.contains('\n'), "commit tag must be single-line")
+    manifestDir(dir).mkdirs()
+    java.nio.file.Files.write(tagLog(dir).toPath, s"$tag\n".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    ()
+  }
 
   /** Commit a FULL (re)build: `write` replaces the data directories
     * outright (`mode("overwrite")`), so the snapshot is exactly what is

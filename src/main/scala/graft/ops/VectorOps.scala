@@ -925,13 +925,42 @@ object VectorOps {
       indexDir: String, qRows: Array[(Long, Array[Long])], probes: Int,
       rerank: Int, topK: Int,
       candFilter: Option[Column] = None): DataFrame = {
+    val (codesDf, vecsDf) = storeFrames(spark, indexDir)
+    serveFromStoreFrames(spark, indexDir, codesDf, vecsDf, qRows,
+      probes, rerank, topK, candFilter)
+  }
+
+  /** TIME-TRAVEL serve: answer from a PINNED snapshot version — the
+    * reader-isolation half of the IndexStore contract made executable
+    * (a serve planned against version N sees exactly N's rows, however
+    * many appends/compactions publish afterwards, until vacuum prunes
+    * N past the retention window). Coarse cells and codebook are
+    * rebuild-scoped (appends never touch them), so the current
+    * metadata is correct for every travelable version. */
+  private[graft] def serveIvfPqStoredRowsAt(spark: SparkSession,
+      indexDir: String, version: Int, emb: DataFrame, numQueries: Int,
+      probes: Int, rerank: Int, topK: Int): DataFrame = {
+    requireHeldOut(numQueries)
+    val qRows = emb.withColumn("q", expr(quantExpr))
+      .filter(col("vec_id") < numQueries)
+      .select(col("vec_id"), col("q")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    val snap = IndexStore.snapshotAt(indexDir, version)
+    val (codesDf, vecsDf) = IndexStore.frames(spark, indexDir, snap)
+    serveFromStoreFrames(spark, indexDir, codesDf, vecsDf, qRows,
+      probes, rerank, topK, None)
+  }
+
+  private def serveFromStoreFrames(spark: SparkSession, indexDir: String,
+      codesDf: DataFrame, vecsDf: DataFrame,
+      qRows: Array[(Long, Array[Long])], probes: Int, rerank: Int,
+      topK: Int, candFilter: Option[Column]): DataFrame = {
     val meta = storeMeta(spark, indexDir)
     val (routed, dtabRows) = routeAndTables(qRows, meta, probes)
     import spark.implicits._
     val qcellsLit = routed.toDF("qid", "cell")
     val dtabsLit = dtabRows.toDF("qid", "cell", "dtab")
     val probed = routed.map(_._2).distinct.sorted
-    val (codesDf, vecsDf) = storeFrames(spark, indexDir)
     // FILTERED search (q134): the metadata predicate lands on the code
     // table scan itself — the stored rows carry their filterable
     // attributes (rider columns through the encode), so the filter
@@ -1126,7 +1155,7 @@ object VectorOps {
     * streams, nothing retrains, nothing already stored is rewritten.
     */
   def appendToIvfPqIndex(spark: SparkSession, embNew: DataFrame,
-                         dir: String): Unit = {
+                         dir: String, tag: Option[String] = None): Unit = {
     val coarse = spark.read.parquet(s"$dir/coarse")
     val cb = spark.read.parquet(s"$dir/codebook")
     val riders =
@@ -1137,8 +1166,9 @@ object VectorOps {
     // one snapshot covers BOTH appends: a serve planned mid-append sees
     // the pre-append manifest (new part files exist but are unlisted),
     // a serve planned after sees codes and vectors move together —
-    // never half a batch (IndexStore commit protocol)
-    IndexStore.commitDelta(dir) {
+    // never half a batch (IndexStore commit protocol). A `tag` makes
+    // the whole append idempotent (streaming replay protection).
+    IndexStore.commitDelta(dir, tag) {
       // cell-clustered like the build write: an append batch adds at
       // most one file per touched cell instead of one per (task × cell)
       codes.repartition(col("cell"))

@@ -101,4 +101,83 @@ class IndexStoreSpec extends SparkSpec {
     // appended rows actually serve
     assert(serve(dir, emb).count() == 15)
   }
+
+  test("tagged appends are idempotent (streaming replay protection) and " +
+       "snapshots time-travel") {
+    val emb = GenFixtures.clusteredEmbeddings(spark, 500).localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("idx-tags").toString
+    VectorOps.buildIvfPqIndex(emb.filter($"vec_id" < 400), dir, k = 8)
+    val vBuild = IndexStore.headVersion(dir).get
+    val preServe = serve(dir, emb.filter($"vec_id" < 400)).collect().toSeq
+
+    val batch = emb.filter($"vec_id" >= 400)
+    VectorOps.appendToIvfPqIndex(spark, batch, dir, tag = Some("stream-7"))
+    val vAfter = IndexStore.headVersion(dir).get
+    assert(vAfter == vBuild + 1)
+    val rowsAfter = IndexStore.frames(spark, dir, IndexStore.snapshot(dir))
+      ._1.count()
+    assert(rowsAfter == 500)
+
+    // the REPLAY: same batch, same tag — must be a complete no-op
+    VectorOps.appendToIvfPqIndex(spark, batch, dir, tag = Some("stream-7"))
+    assert(IndexStore.headVersion(dir).contains(vAfter),
+      "replayed tagged append published a new version")
+    assert(IndexStore.frames(spark, dir, IndexStore.snapshot(dir))._1.count()
+      == 500, "replayed tagged append double-ingested the batch")
+    assert(IndexStore.committedTags(dir) == Set("stream-7"))
+
+    // a DIFFERENT tag ingests normally
+    VectorOps.appendToIvfPqIndex(spark,
+      batch.withColumn("vec_id", $"vec_id" + 100), dir, tag = Some("stream-8"))
+    assert(IndexStore.headVersion(dir).contains(vAfter + 1))
+
+    // time-travel: the pre-append version still serves its exact rows
+    val tt = IndexStore.frames(spark, dir, IndexStore.snapshotAt(dir, vBuild))
+    assert(tt._1.count() == 400 && tt._2.count() == 400)
+    val ttServe = VectorOps.serveIvfPqStoredRowsAt(spark, dir, vBuild,
+      emb.filter($"vec_id" < 400), numQueries = 5, probes = 2,
+      rerank = 10, topK = 3).collect().toSeq
+    assert(ttServe == preServe,
+      "time-travel serve diverged from the original pre-append serve")
+    // a vacuumed-away version fails by name
+    VectorOps.vacuumIvfPqIndex(dir)
+    intercept[IllegalArgumentException] {
+      IndexStore.snapshotAt(dir, vBuild)
+    }
+  }
+
+  test("streaming maintenance: micro-batches append exactly once through " +
+       "the tagged sink") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val emb = GenFixtures.clusteredEmbeddings(spark, 500).localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("idx-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("idx-stream-ckpt").toString
+    VectorOps.buildIvfPqIndex(emb.filter($"vec_id" < 400), dir, k = 8)
+    val vBuild = IndexStore.headVersion(dir).get
+
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[(Long, Seq[Float], Int)]
+    val stream = src.toDF().toDF("vec_id", "embedding", "label")
+    val tail = emb.filter($"vec_id" >= 400)
+      .select($"vec_id", $"embedding", $"label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+    src.addData(tail.take(50).toIndexedSeq)
+    src.addData(tail.drop(50).toIndexedSeq)
+    graft.streaming.IndexMaintenance.appendSink(stream, dir, ckpt)
+      .start().awaitTermination()
+
+    // AvailableNow drained both batches; each published one snapshot
+    val v = IndexStore.headVersion(dir).get
+    assert(v > vBuild, "stream published nothing")
+    assert(IndexStore.committedTags(dir).nonEmpty)
+    assert(IndexStore.frames(spark, dir, IndexStore.snapshot(dir))._1.count()
+      == 500, "streamed batches did not all land exactly once")
+    // streamed rows serve identically to a batch-appended store
+    val batchDir = java.nio.file.Files.createTempDirectory("idx-batch").toString
+    VectorOps.buildIvfPqIndex(emb.filter($"vec_id" < 400), batchDir, k = 8)
+    VectorOps.appendToIvfPqIndex(spark, emb.filter($"vec_id" >= 400), batchDir)
+    assert(serve(dir, emb).collect().toSeq ==
+           serve(batchDir, emb).collect().toSeq,
+      "streamed store serves differently from the batch-appended store")
+  }
 }

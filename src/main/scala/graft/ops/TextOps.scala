@@ -540,6 +540,37 @@ object TextOps {
         .orderBy(col("grp"))
     }),
 
+    // ---- q136: the packing SPAN MAP — q132's layout made row-explicit:
+    // one row per (document, training sequence) intersection, with the
+    // document's offset and length INSIDE that sequence. This is the
+    // provenance table a packed dataset ships beside its token shards
+    // (answers "which documents fed sequence S" and "where did doc D
+    // land"), and the executable counterpart of q132's aggregate stats:
+    // a straddling document emits one row per sequence it touches, with
+    // span lengths that must sum to its token count. Same topology —
+    // shard-key shuffle + per-shard window — plus one bounded explode
+    // (a doc touches at most n_toks/L + 1 sequences).
+    "q136_pack_spans" -> ((s, d) => {
+      val L = PACK_SEQ_LEN
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("grp")).orderBy(col("doc_id"))
+      withToks(Tables.documents(s, d))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+        .withColumn("grp", pmod(col("doc_id"), lit(PACK_SHARDS.toLong)))
+        .withColumn("fin", sum(col("n_toks")).over(w))
+        .withColumn("start", col("fin") - col("n_toks"))
+        .withColumn("seq_id",
+          explode(expr(s"sequence(start div $L, (fin - 1) div $L)")))
+        .withColumn("off_in_seq",
+          greatest(col("start"), col("seq_id") * L) - col("seq_id") * L)
+        .withColumn("len_in_seq",
+          least(col("fin"), (col("seq_id") + 1) * L) -
+            greatest(col("start"), col("seq_id") * L))
+        .select(col("grp"), col("seq_id"), col("doc_id"),
+                col("off_in_seq"), col("len_in_seq"))
+        .orderBy(col("grp"), col("seq_id"), col("doc_id"))
+    }),
+
     // ---- q41: corpus term frequency — explode + hash agg + top-k.
     "q41_term_freq" -> ((s, d) => {
       withToks(Tables.documents(s, d))
@@ -754,6 +785,27 @@ object TextOps {
       """SELECT tok, count(*) AS n
         |FROM (SELECT unnest(str_split(text, ' ')) AS tok FROM documents)
         |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
+
+    "q136_pack_spans" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, len(str_split(text, ' '))::BIGINT AS n_toks,
+        |         doc_id % $PACK_SHARDS AS grp
+        |  FROM documents),
+        |o AS (
+        |  SELECT grp, doc_id, n_toks,
+        |    sum(n_toks) OVER (PARTITION BY grp ORDER BY doc_id) AS fin
+        |  FROM t),
+        |sp AS (
+        |  SELECT grp, doc_id, fin, fin - n_toks AS strt,
+        |    unnest(range(((fin - n_toks) // $PACK_SEQ_LEN)::BIGINT,
+        |                 ((fin - 1) // $PACK_SEQ_LEN + 1)::BIGINT)) AS seq_id
+        |  FROM o)
+        |SELECT grp, seq_id, doc_id,
+        |  (greatest(strt, seq_id * $PACK_SEQ_LEN)
+        |     - seq_id * $PACK_SEQ_LEN)::BIGINT AS off_in_seq,
+        |  (least(fin, (seq_id + 1) * $PACK_SEQ_LEN)
+        |     - greatest(strt, seq_id * $PACK_SEQ_LEN))::BIGINT AS len_in_seq
+        |FROM sp ORDER BY grp, seq_id, doc_id""".stripMargin,
 
     "q132_sequence_pack" ->
       s"""WITH t AS (

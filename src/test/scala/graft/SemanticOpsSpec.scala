@@ -72,6 +72,32 @@ class SemanticOpsSpec extends SparkSpec {
     assert(totStr > 0, "fixture must exercise the straddle path")
   }
 
+  test("q136: span map partitions every document exactly and agrees with " +
+       "q132's aggregates") {
+    val spans = TextOps.queries("q136_pack_spans")(spark, SF).localCheckpoint()
+    val L = TextOps.PACK_SEQ_LEN
+    // offsets/lengths inside the sequence budget
+    assert(spans.filter(col("off_in_seq") < 0 || col("off_in_seq") >= L ||
+      col("len_in_seq") <= 0 ||
+      col("off_in_seq") + col("len_in_seq") > L).count() == 0,
+      "a span escapes its sequence budget")
+    // per-document span lengths sum to the token count
+    val sums = spans.groupBy(col("doc_id"))
+      .agg(sum(col("len_in_seq")).as("spanned"), count(lit(1)).as("n_spans"))
+    val toks = Tables.documents(spark, SF)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+    assert(sums.join(toks, "doc_id")
+      .filter(col("spanned") =!= col("n_toks")).count() == 0,
+      "span lengths do not reassemble the document")
+    // docs with >1 span are exactly q132's straddles
+    val straddlers = sums.filter(col("n_spans") > 1).count()
+    val q132Straddles = TextOps.queries("q132_sequence_pack")(spark, SF)
+      .agg(sum(col("n_straddles"))).head.getLong(0)
+    assert(straddlers == q132Straddles,
+      s"span map straddlers ($straddlers) != q132 straddle count ($q132Straddles)")
+  }
+
   test("q134: every filtered-serve result satisfies the predicate, and " +
        "the filter is binding vs the unfiltered serve") {
     val unfiltered = graft.ops.VectorOps.queries("q128_ann_serve_stored")(spark, SF)

@@ -29,23 +29,27 @@ object SemStudy {
     val emb = Tables.rebalance(Tables.embeddings(spark, dir)).localCheckpoint()
     val quant = emb.withColumn("q", expr(VectorOps.quantExpr))
       .select(col("vec_id"), col("q"))
-    val cells = VectorOps.kmeansAssign(quant,
-        VectorOps.kmeansFit(quant, VectorOps.GATED_K,
-          VectorOps.IVF_COARSE_ITERS, None))
-      .select(col("vec_id"), col("cell")).localCheckpoint()
-
     val planted = spark.read.parquet(s"$dir/planted_vec_pairs.parquet")
-    val c1 = cells.select(col("vec_id").as("v1"), col("cell").as("cell1"))
-    val c2 = cells.select(col("vec_id").as("v2"), col("cell").as("cell2"))
-    val joined = planted.join(c1, "v1").join(c2, "v2")
-      .withColumn("band", floor(col("cos_exact") * 10) / 10)
-      .withColumn("same", when(col("cell1") === col("cell2"), 1L).otherwise(0L))
-    println("== blocking recall on planted near-dup pairs, by cosine band ==")
-    joined.groupBy(col("band"))
-      .agg(count(lit(1)).as("pairs"), sum(col("same")).as("same_cell"),
-           round(sum(col("same")) / count(lit(1)).cast("double"), 3).as("recall"))
-      .orderBy(col("band").desc)
-      .show(50, truncate = false)
+    val cents = VectorOps.kmeansFit(quant, VectorOps.GATED_K,
+      VectorOps.IVF_COARSE_ITERS, None)
+    for (p <- Seq(1, 2)) {
+      val probed = VectorOps.kmeansAssignTopP(quant, cents, p)
+        .select(col("vec_id"), col("cell")).localCheckpoint()
+      val p1 = probed.select(col("vec_id").as("v1"), col("cell"))
+      val p2 = probed.select(col("vec_id").as("v2"), col("cell"))
+      val covered = p1.join(p2, "cell")
+        .select(col("v1"), col("v2")).distinct()
+        .withColumn("cov", lit(1L))
+      val joined = planted.join(covered, Seq("v1", "v2"), "left")
+        .withColumn("band", floor(col("cos_exact") * 10) / 10)
+        .withColumn("same", coalesce(col("cov"), lit(0L)))
+      println(s"== blocking recall on planted pairs, probes=$p ==")
+      joined.groupBy(col("band"))
+        .agg(count(lit(1)).as("pairs"), sum(col("same")).as("same_cell"),
+             round(sum(col("same")) / count(lit(1)).cast("double"), 3).as("recall"))
+        .orderBy(col("band").desc)
+        .show(50, truncate = false)
+    }
 
     // end-to-end prune pass at this scale, across thresholds — the
     // prune RATE is corpus-dependent (a tight-cluster corpus saturates

@@ -208,16 +208,23 @@ object IndexStore {
   private def snapshotOrEmpty(dir: String): Snapshot =
     if (headVersion(dir).isDefined) snapshot(dir) else Snapshot(0, Nil, Nil)
 
-  /** Physically delete data files the CURRENT snapshot does not
-    * reference (post-compaction garbage, abandoned half-appends) and
-    * manifests older than HEAD. Run it when no reader still holds a
-    * plan over a pre-compaction snapshot — the grace-period call a
-    * deployment schedules a retention window behind the compactor.
-    * Returns the number of files deleted. */
-  def vacuum(dir: String): Int = withWriterLock(dir) {
-    val snap = snapshot(dir)
-    val live = snap.codes.map(f => s"codes/$f").toSet ++
-               snap.vectors.map(f => s"vectors/$f").toSet
+  /** Physically delete data files no RETAINED snapshot references
+    * (post-compaction garbage, abandoned half-appends) and the
+    * manifests older than the retention window. `keepLast` is the
+    * window: the newest `keepLast` published versions stay fully
+    * readable — in-flight readers holding a recent snapshot, and
+    * [[snapshotAt]] time travel, survive vacuum inside it. The default
+    * (1) retains only HEAD — the aggressive end a dev loop uses; a
+    * deployment sizes the window to its longest reader/replay horizon,
+    * exactly like table-format snapshot expiry. Returns the number of
+    * files deleted. */
+  def vacuum(dir: String, keepLast: Int = 1): Int = withWriterLock(dir) {
+    require(keepLast >= 1, "vacuum must retain at least HEAD")
+    val head = snapshot(dir).version
+    val kept = (math.max(1, head - keepLast + 1) to head)
+      .flatMap(v => scala.util.Try(snapshotAt(dir, v)).toOption)
+    val live = kept.flatMap(s =>
+      s.codes.map(f => s"codes/$f") ++ s.vectors.map(f => s"vectors/$f")).toSet
     var n = 0
     for (sub <- Seq("codes", "vectors"); rel <- listData(dir, sub)) {
       if (!live.contains(s"$sub/$rel")) {
@@ -230,9 +237,10 @@ object IndexStore {
          d <- Option(new java.io.File(dir, sub).listFiles()).toSeq.flatten
            if d.isDirectory && Option(d.listFiles()).exists(_.isEmpty))
       d.delete()
+    val keptNames = kept.map(s => s"v${s.version}.list").toSet
     Option(manifestDir(dir).listFiles()).toSeq.flatten
       .filter(f => f.getName.startsWith("v") && f.getName.endsWith(".list"))
-      .filter(_.getName != s"v${snap.version}.list").foreach { f =>
+      .filterNot(f => keptNames.contains(f.getName)).foreach { f =>
         f.delete(); n += 1
       }
     n

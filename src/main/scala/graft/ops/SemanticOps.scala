@@ -116,7 +116,8 @@ object SemanticOps {
     * no iteration, no driver-side graph.
     */
   def semanticDedup(emb: DataFrame, k: Int, iters: Int, cosT: Double,
-                    fitted: Option[DataFrame] = None): DataFrame = {
+                    fitted: Option[DataFrame] = None,
+                    probes: Int = 1): DataFrame = {
     val quant = emb.withColumn("q", expr(VectorOps.quantExpr))
       .select(col("vec_id"), col("q"))
     val cents = fitted.getOrElse(VectorOps.kmeansFit(quant, k, iters, None))
@@ -126,9 +127,22 @@ object SemanticOps {
     val assigned = VectorOps.kmeansAssign(quant, cents)
       .withColumn("norm", ldot(col("q"), col("q")))
       .localCheckpoint() // shared by the pair stage and the verdict join
-    // within-cell pairs, skew-safe: cell plays the block label
+    // pair candidates: vectors sharing a probed cell. probes=1 is the
+    // paper's within-cluster restriction; probes>1 multi-assigns each
+    // vector to its p nearest cells — the measured mitigation for
+    // blurred cluster boundaries (SCALING.md r12 addendum 4: blocking
+    // recall on the blurred fixture 74% @0.8 single-probe), bounding
+    // the extra pair work at ≤ p² per pair instead of widening k. The
+    // keep-policy distance stays the PRIMARY assignment's.
+    val blockSrc =
+      if (probes <= 1) assigned
+      else VectorOps.kmeansAssignTopP(quant, cents, probes)
+        .withColumn("norm", ldot(col("q"), col("q")))
+    // within-cell pairs, skew-safe: cell plays the block label. With
+    // probes>1 a pair sharing several probed cells scores more than
+    // once — harmless: the verdict is DISTINCT and cos is pair-local.
     val pairs = DedupOps.chunkedBlockPairs(
-      assigned.select(col("vec_id"), col("cell").as("label"),
+      blockSrc.select(col("vec_id"), col("cell").as("label"),
                       col("q"), col("norm"), col("dist")))
     // cos divides by the ASCENDING-id norm first (the q55 ulp rule)
     val n1 = when(col("a_vec") === col("v1"), col("a_norm")).otherwise(col("b_norm"))
@@ -188,6 +202,22 @@ object SemanticOps {
         cosT = SEMDEDUP_T,
         fitted = Some(fittedCents(s, d,
           VectorOps.GATED_K, VectorOps.IVF_COARSE_ITERS)))),
+
+    // ---- q137: multi-probe SemDeDup — the q131 prune with each vector
+    // multi-assigned to its 2 nearest cells for the PAIR stage (the
+    // keep policy still ranks by the primary-cell distance). This is
+    // the measured mitigation for near-dup pairs straddling a cell
+    // boundary (SCALING.md r12 addendum 4): on the blurred fixture
+    // single-probe blocking misses a quarter of the 0.8-band planted
+    // pairs; probing the runner-up cell recovers the straddlers at
+    // ≤ 4× pair work, without coarsening k.
+    "q137_semantic_dedup_probes" -> ((s, d) =>
+      semanticDedup(Tables.rebalance(Tables.embeddings(s, d)),
+        k = VectorOps.GATED_K, iters = VectorOps.IVF_COARSE_ITERS,
+        cosT = SEMDEDUP_T,
+        fitted = Some(fittedCents(s, d,
+          VectorOps.GATED_K, VectorOps.IVF_COARSE_ITERS)),
+        probes = 2)),
 
     // ---- q133: cluster-balanced selection over the same learned cells.
     "q133_cluster_sample" -> ((s, d) =>
@@ -266,6 +296,46 @@ object SemanticOps {
         |hits AS (
         |  SELECT a.vec_id AS v1, b.vec_id AS v2, a.dist AS d1, b.dist AS d2
         |  FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE ${VectorOps.dotDuck("a.q", "b.q")}::DOUBLE
+        |          / sqrt(a.norm::DOUBLE) / sqrt(b.norm::DOUBLE) >= $SEMDEDUP_T),
+        |dropped AS (
+        |  SELECT DISTINCT CASE WHEN d1 > d2 THEN v2
+        |                       WHEN d2 > d1 THEN v1
+        |                       ELSE v2 END AS vec_id
+        |  FROM hits)
+        |SELECT av.vec_id, av.cell,
+        |       CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END::BIGINT AS keep
+        |FROM av LEFT JOIN dropped dr USING (vec_id)
+        |ORDER BY av.vec_id""".stripMargin,
+
+    // q131's body with the pair source widened to the 2 nearest cells
+    // per vector (rn <= 2 instead of the primary-only a2); keep policy
+    // unchanged (primary-cell distance from a2full)
+    "q137_semantic_dedup_probes" ->
+      s"""WITH ${VectorOps.embCteDuck},
+        |kin AS (SELECT vec_id, q FROM e),
+        |${VectorOps.kmeansCteDuck(VectorOps.GATED_K, VectorOps.IVF_COARSE_ITERS)},
+        |av AS MATERIALIZED (
+        |  SELECT a.vec_id, a.cell, a.dist, e.q,
+        |         ${VectorOps.dotDuck("e.q", "e.q")} AS norm
+        |  FROM a2full a JOIN e USING (vec_id)),
+        |probe AS MATERIALIZED (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM (
+        |      SELECT e.vec_id, c.cell,
+        |        list_sum(list_transform(list_zip(e.q, c.s),
+        |          p -> (p[1] * c.n - p[2]) * (p[1] * c.n - p[2])))::BIGINT::DOUBLE
+        |          / (c.n * c.n)::DOUBLE AS dist
+        |      FROM e CROSS JOIN c1n c))
+        |  WHERE rn <= 2),
+        |hits AS (
+        |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2,
+        |         a.dist AS d1, b.dist AS d2
+        |  FROM probe pa JOIN probe pb
+        |    ON pa.cell = pb.cell AND pa.vec_id < pb.vec_id
+        |  JOIN av a ON a.vec_id = pa.vec_id
+        |  JOIN av b ON b.vec_id = pb.vec_id
         |  WHERE ${VectorOps.dotDuck("a.q", "b.q")}::DOUBLE
         |          / sqrt(a.norm::DOUBLE) / sqrt(b.norm::DOUBLE) >= $SEMDEDUP_T),
         |dropped AS (

@@ -212,6 +212,26 @@ object VectorOps {
   private[graft] def kmeansAssign(quant: DataFrame, cents: DataFrame): DataFrame =
     kmeansAssignRows(quant, centRowsOf(cents))
 
+  /** MULTI-assignment: each vector's `p` nearest cells (same exact-int
+    * distances, same (dist, cell) ordering), exploded to one row per
+    * probed cell, with the PRIMARY assignment's distance carried on
+    * every row (the keep-policy ranking key is a property of the
+    * vector, not of the probed cell). Row-local like
+    * [[kmeansAssignRows]]; the explode is bounded by p. */
+  private[graft] def kmeansAssignTopP(quant: DataFrame, cents: DataFrame,
+                                      p: Int): DataFrame =
+    quant
+      .withColumn("_cents", typedLit(centRowsOf(cents)))
+      .withColumn("_ds", expr(
+        """array_sort(transform(_cents, c -> struct(
+          |  cast(aggregate(zip_with(q, c._2, (x, sc) -> (x * c._3 - sc) * (x * c._3 - sc)),
+          |                 cast(0 AS bigint), (a, t) -> a + t) AS double)
+          |    / cast(c._3 * c._3 AS double) AS dist,
+          |  c._1 AS cell)))""".stripMargin))
+      .withColumn("dist", expr("element_at(_ds, 1).dist"))
+      .withColumn("cell", explode(expr(s"transform(slice(_ds, 1, $p), t -> t.cell)")))
+      .drop("_cents", "_ds")
+
   /** Centroid update: per-cell exact integer sum vector + member count
     * (k x dim partial sums through the exchange, map-side combined).
     */

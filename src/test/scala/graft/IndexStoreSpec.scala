@@ -139,10 +139,20 @@ class IndexStoreSpec extends SparkSpec {
       rerank = 10, topK = 3).collect().toSeq
     assert(ttServe == preServe,
       "time-travel serve diverged from the original pre-append serve")
-    // a vacuumed-away version fails by name
-    VectorOps.vacuumIvfPqIndex(dir)
+    // retention window: keepLast=2 retains HEAD and HEAD-1 — the
+    // previous version still time-travels (files AND manifest alive),
+    // the build version is expired
+    IndexStore.vacuum(dir, keepLast = 2)
+    val prev = IndexStore.frames(spark, dir,
+      IndexStore.snapshotAt(dir, vAfter))
+    assert(prev._1.count() == 500, "retained version lost data files")
     intercept[IllegalArgumentException] {
       IndexStore.snapshotAt(dir, vBuild)
+    }
+    // the aggressive default expires everything but HEAD
+    VectorOps.vacuumIvfPqIndex(dir)
+    intercept[IllegalArgumentException] {
+      IndexStore.snapshotAt(dir, vAfter)
     }
   }
 

@@ -51,6 +51,20 @@ class SemanticOpsSpec extends SparkSpec {
       "a vector with a qualifying witness was not dropped")
   }
 
+  test("q137: multi-probe drop set is a superset of single-probe's " +
+       "(the primary cell is always among the probes)") {
+    val p1 = SemanticOps.queries("q131_semantic_dedup")(spark, SF)
+      .filter(col("keep") === 0L).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    val p2 = SemanticOps.queries("q137_semantic_dedup_probes")(spark, SF)
+      .filter(col("keep") === 0L).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(p1.subsetOf(p2),
+      s"probes=2 lost drops probes=1 found: ${p1 -- p2}")
+    assert(p2.size > p1.size,
+      "the second probe surfaced no cross-boundary pairs on this corpus")
+  }
+
   test("q132: per-shard packing arithmetic is self-consistent") {
     val out = TextOps.queries("q132_sequence_pack")(spark, SF).collect()
     assert(out.length == TextOps.PACK_SHARDS)

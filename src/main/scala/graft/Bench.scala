@@ -41,6 +41,10 @@ object Bench {
           .exists(p => selected.exists(_._1.startsWith(p))))
       try ops.VectorOps.warmStoredIndexes(spark, sfDir)
       catch { case _: Throwable => () } // a build failure still surfaces in the timed run
+    // same serve-only discipline for the dedup ledger (q139/q140)
+    if (Seq("q139", "q140").exists(p => selected.exists(_._1.startsWith(p))))
+      try { ops.DedupLedger.ensureLedger(spark, sfDir); () }
+      catch { case _: Throwable => () }
     val results = selected.map { case (name, fn) =>
       val times = (0 until runs).flatMap { _ =>
         val t0 = System.nanoTime()

@@ -1,0 +1,326 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** INCREMENTAL deduplication against a PERSISTED corpus ledger — the
+  * missing half of the dedup family (q47–q50b, q55, q97 are all
+  * single-pass batch dedup): a production pipeline does not re-shingle
+  * 100 TB of history every day; it dedups the daily increment against a
+  * stored fingerprint ledger and appends the survivors' fingerprints,
+  * so each day's work is proportional to the INCREMENT, not the corpus.
+  *
+  * The ledger holds two tables, published through the same
+  * [[IndexStore]] manifest lifecycle the ANN index uses (immutable data
+  * files, versioned snapshots covering both tables together, atomic
+  * `_HEAD` flip, idempotent tagged deltas, time travel, compaction,
+  * vacuum — one storage layer, two consumers):
+  *
+  *   - `codes`  = EXACT ledger: one row per distinct historical text,
+  *     `(cell, h, owner)` — `h` = sha2-256 of the text, `owner` = the
+  *     smallest doc_id that carried it, `cell` = h's first hex nibble
+  *     (16 partitions: gives compaction a sizing key and keeps any one
+  *     directory's listing 1/16th of the ledger).
+  *   - `vectors` = NEAR ledger: the q49 MinHash machinery persisted —
+  *     per doc, the [[DedupOps.NUM_SEEDS]] minhash signature plus its
+  *     LSH band keys, stored as one row per band:
+  *     `(cell = band, bkey, doc_id, sig)`.
+  *
+  * Batch-vs-ledger semantics (all exact integer arithmetic, so the
+  * DuckDB oracle replays it bit-for-bit):
+  *
+  *   - EXACT duplicate: the batch doc's sha2 exists in the exact
+  *     ledger → `exact_of` = the smallest matching owner.
+  *   - NEAR duplicate: the batch doc shares an LSH band key with a
+  *     ledger doc AND ≥ [[SIG_MIN]] of the 12 minhash values agree
+  *     (estimated Jaccard ≥ 0.5 — the q49 threshold, estimated from
+  *     the stored signature because the ledger deliberately does NOT
+  *     keep history's shingle sets: signatures are ~100 bytes/doc where
+  *     shingles are the document itself) → `near_of` = the smallest
+  *     matching ledger doc.
+  *   - `keep` = 1 iff neither fired; survivors' fingerprints are then
+  *     appended (exact-collapsed: one `(h, owner=min doc_id)` row per
+  *     distinct surviving text, signature rows for those owners only)
+  *     under an idempotency TAG, so a replayed ingest publishes nothing
+  *     twice.
+  *
+  * Scale topology: the ledger-side tables STREAM (they are the corpus-
+  * sized side and are never collected or re-fingerprinted); the batch's
+  * hashes and band rows BROADCAST (the daily increment is the small
+  * side by construction). One broadcast hash join per table, one
+  * aggregation keyed by batch doc — per-day cost is O(increment +
+  * ledger scan), and the ledger scan prunes to the manifest's file
+  * list. The verdict spine is the batch, so driver state is bounded by
+  * the increment, never the corpus.
+  *
+  * The catalog gates BOTH ends of the lifecycle:
+  *   - q139 dedups the last decile (doc_id ≥ max*9/10 — q129's integer
+  *     train-line idiom) against the PINNED v1 snapshot (history only):
+  *     time travel makes the pre-append state replayable even though
+  *     the store's HEAD has already ingested the survivors.
+  *   - q140 re-dedups the same batch against HEAD (v2 = history +
+  *     appended survivors): every batch doc must now be a duplicate —
+  *     survivors exact-match their own appended fingerprint, dropped
+  *     docs still match what dropped them — so `keep` must be all-zero
+  *     and the hash pins exactly WHAT the append published.
+  */
+object DedupLedger {
+
+  /** Minimum agreeing minhash positions (of [[DedupOps.NUM_SEEDS]] =
+    * 12) for a near verdict: 6/12 estimates Jaccard 0.5 = the q49
+    * family's JACCARD_T. */
+  private[graft] val SIG_MIN = 6
+
+  /** q129's integer train-line idiom: history = doc_id < max*9/10. */
+  private def cutoffOf(docs: DataFrame): Long =
+    docs.agg(max(col("doc_id"))).head.getLong(0) * 9L / 10L
+
+  /** Per-doc minhash signature + band rows: `(doc_id, cell = band,
+    * bkey, sig)`. EXACTLY the q49 derivation ([[DedupOps.minhashPairsOn]]):
+    * one md5 per distinct trigram shingle, `NUM_SEEDS` cheap derived
+    * hashes, per-seed minima in ONE groupBy. Docs with < 3 tokens have
+    * no shingles and emit no rows (they can only exact-match). */
+  private[ops] def sigBands(docs: DataFrame): DataFrame = {
+    import DedupOps.{HASH_P, NUM_SEEDS, ROWS_PER_BAND}
+    val g = TextOps.shingled(docs)
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .withColumn("hm",
+        expr("conv(substring(md5(gram), 1, 15), 16, 10)").cast("long") % HASH_P)
+    val minAggs = (0 until NUM_SEEDS).map { sd =>
+      min(expr(s"(hm * ${2 * sd + 1} + ${7919 * sd}) % $HASH_P")).as(s"m$sd")
+    }
+    val sig = g.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+      .withColumn("sig", array((0 until NUM_SEEDS).map(i => col(s"m$i")): _*))
+    val bandStructs = (0 until NUM_SEEDS / ROWS_PER_BAND).map { b =>
+      val ms = (0 until ROWS_PER_BAND).map(r => s"m${b * ROWS_PER_BAND + r}")
+      s"named_struct('cell', $b, 'bkey', concat_ws('|', ${ms.mkString(", ")}))"
+    }
+    sig.select(col("doc_id"), col("sig"),
+        explode(expr(s"array(${bandStructs.mkString(", ")})")).as("bs"))
+      .select(col("bs.cell").as("cell"), col("bs.bkey").as("bkey"),
+              col("doc_id"), col("sig"))
+  }
+
+  /** Exact-ledger rows for `docs`, collapsed to one `(cell, h, owner)`
+    * per distinct text. */
+  private def exactRows(docs: DataFrame): DataFrame =
+    docs.select(sha2(col("text"), 256).as("h"), col("doc_id"))
+      .groupBy(col("h")).agg(min(col("doc_id")).as("owner"))
+      .withColumn("cell",
+        expr("conv(substring(h, 1, 1), 16, 10)").cast("int"))
+      .select(col("cell"), col("h"), col("owner"))
+
+  /** Build (REBUILD-commit) the ledger from `history`. Both tables are
+    * clustered on their partition key before the write so each cell
+    * lands as one file set, not one fragment per upstream task. */
+  def buildLedger(history: DataFrame, dir: String): Int =
+    IndexStore.commitRebuild(dir) {
+      exactRows(history)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+      sigBands(history)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
+    }
+
+  /** Append `survivors`' fingerprints as one idempotent tagged delta:
+    * exact rows collapse batch-internal text duplicates to their min-id
+    * representative; signature rows are written for those
+    * representatives only (an exact-identical text would carry an
+    * identical signature — storing it twice buys nothing). */
+  def appendSurvivors(survivors: DataFrame, dir: String, tag: String): Int = {
+    val reps = exactRows(survivors).localCheckpoint()
+    IndexStore.commitDelta(dir, Some(tag)) {
+      reps.repartition(col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+      sigBands(survivors.join(
+          reps.select(col("owner").as("doc_id")), Seq("doc_id"), "left_semi"))
+        .repartition(col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
+    }
+  }
+
+  /** Verdict of `batch` against the ledger at `snap`: one row per batch
+    * doc — `(doc_id, exact_of, near_of, keep)`. The ledger side streams
+    * from the snapshot's explicit file list; the batch side broadcasts.
+    */
+  def dedupAgainstLedger(spark: SparkSession, batch: DataFrame,
+                         dir: String, snap: IndexStore.Snapshot): DataFrame = {
+    val (exact, sigs) = IndexStore.frames(spark, dir, snap)
+    val bh = batch.select(col("doc_id").as("bdoc"), sha2(col("text"), 256).as("h"))
+    val ex = exact.join(broadcast(bh), Seq("h"))
+      .groupBy(col("bdoc")).agg(min(col("owner")).as("exact_of"))
+    val bb = sigBands(batch).select(col("cell"), col("bkey"),
+      col("doc_id").as("bdoc"), col("sig").as("bsig"))
+    val nm = sigs.join(broadcast(bb), Seq("cell", "bkey"))
+      .withColumn("agree", expr(
+        "aggregate(zip_with(sig, bsig, (x, y) -> IF(x = y, 1, 0)), 0, (a, v) -> a + v)"))
+      .groupBy(col("bdoc"))
+      .agg(min(when(col("agree") >= SIG_MIN, col("doc_id"))).as("near_of"))
+    batch.select(col("doc_id"))
+      .join(broadcast(ex.withColumnRenamed("bdoc", "doc_id")), Seq("doc_id"), "left")
+      .join(broadcast(nm.withColumnRenamed("bdoc", "doc_id")), Seq("doc_id"), "left")
+      .withColumn("keep", when(col("exact_of").isNull && col("near_of").isNull,
+        1L).otherwise(0L))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Build-once gate for q139/q140: v1 = ledger over history (doc_id <
+    * max*9/10), v2 = v1 + the batch's survivors appended under the
+    * idempotency tag. Rebuilt whenever documents.parquet or any
+    * fingerprint-shaping constant changes. */
+  private def ledgerParams =
+    s"v1|seeds=${DedupOps.NUM_SEEDS}|rows=${DedupOps.ROWS_PER_BAND}" +
+    s"|sigmin=$SIG_MIN|cut90"
+
+  private[graft] def ensureLedger(s: SparkSession, d: String): String =
+    VectorOps.ensureIndex(d, "ledger", ledgerParams, "documents.parquet") { base =>
+      val docs = Tables.rebalance(Tables.documents(s, d))
+      val cutoff = cutoffOf(docs)
+      val batch = docs.filter(col("doc_id") >= cutoff).localCheckpoint()
+      buildLedger(docs.filter(col("doc_id") < cutoff), base.getPath)
+      val verdict = dedupAgainstLedger(s, batch, base.getPath,
+        IndexStore.snapshot(base.getPath))
+      appendSurvivors(
+        batch.join(verdict.filter(col("keep") === 1L).select(col("doc_id")),
+          Seq("doc_id"), "left_semi"),
+        base.getPath, tag = s"batch@$cutoff")
+      ()
+    }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- q139: the INCREMENT dedup — last decile vs the PINNED v1
+    // (history-only) snapshot. HEAD has already ingested the survivors;
+    // snapshotAt(1) is what makes the pre-append verdict replayable —
+    // the same isolation a production reader gets mid-ingest.
+    "q139_ledger_dedup" -> ((s, d) => {
+      val dir = ensureLedger(s, d)
+      val docs = Tables.rebalance(Tables.documents(s, d))
+      val cutoff = cutoffOf(docs)
+      dedupAgainstLedger(s, docs.filter(col("doc_id") >= cutoff), dir,
+        IndexStore.snapshotAt(dir, 1))
+    }),
+
+    // ---- q140: the GROWTH gate — the same batch re-deduped against
+    // HEAD (history + appended survivors). Every doc must now be a
+    // duplicate: survivors exact-match their own appended fingerprint
+    // (exact_of ≤ self), dropped docs still match what dropped them —
+    // keep is all-zero and the hash pins exactly what the append
+    // published (a survivor whose fingerprint failed to land, or a
+    // non-representative whose signature leaked in, both break it).
+    "q140_ledger_growth" -> ((s, d) => {
+      val dir = ensureLedger(s, d)
+      val docs = Tables.rebalance(Tables.documents(s, d))
+      val cutoff = cutoffOf(docs)
+      dedupAgainstLedger(s, docs.filter(col("doc_id") >= cutoff), dir,
+        IndexStore.snapshot(dir))
+    })
+  )
+
+  /** Shared oracle CTE chain: signatures/bands for ALL docs, the train
+    * line, history/batch split, and the two verdict arms against an
+    * arbitrary ledger population. */
+  private def verdictDuck(ledExact: String, ledSigDocs: String): String =
+    s"""SELECT b.doc_id, ex.exact_of, nr.near_of,
+      |  CASE WHEN ex.exact_of IS NULL AND nr.near_of IS NULL
+      |       THEN 1 ELSE 0 END::BIGINT AS keep
+      |FROM batch b
+      |LEFT JOIN (
+      |  SELECT bdoc, min(owner) AS exact_of FROM (
+      |    SELECT b2.doc_id AS bdoc, le.owner
+      |    FROM batch b2 JOIN ($ledExact) le USING (h))
+      |  GROUP BY bdoc) ex ON ex.bdoc = b.doc_id
+      |LEFT JOIN (
+      |  SELECT bdoc, min(hdoc) AS near_of FROM (
+      |    SELECT cb.bdoc, cb.hdoc
+      |    FROM (SELECT DISTINCT hb.doc_id AS hdoc, bb.doc_id AS bdoc
+      |          FROM bands hb
+      |          JOIN ($ledSigDocs) lsd ON hb.doc_id = lsd.doc_id
+      |          JOIN bands bb ON hb.band = bb.band AND hb.bkey = bb.bkey
+      |          JOIN batch bt ON bb.doc_id = bt.doc_id) cb
+      |    JOIN sig sa ON sa.doc_id = cb.hdoc
+      |    JOIN sig sb ON sb.doc_id = cb.bdoc AND sb.s = sa.s
+      |    GROUP BY cb.bdoc, cb.hdoc
+      |    HAVING sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)
+      |           >= $SIG_MIN)
+      |  GROUP BY bdoc) nr ON nr.bdoc = b.doc_id
+      |ORDER BY b.doc_id""".stripMargin
+
+  private def baseDuck: String = {
+    import DedupOps.{HASH_P, NUM_SEEDS, ROWS_PER_BAND, trigramDuck}
+    s"""g0 AS (
+      |  SELECT doc_id, list_distinct($trigramDuck) AS grams
+      |  FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)),
+      |g AS (SELECT doc_id, unnest(grams) AS gram FROM g0),
+      |hh AS (SELECT doc_id,
+      |         ('0x' || substr(md5(gram), 1, 15))::BIGINT % $HASH_P AS hm
+      |       FROM g),
+      |sig AS (
+      |  SELECT doc_id, s,
+      |    min((hm * (2 * s + 1) + 7919 * s) % $HASH_P) AS mh
+      |  FROM hh CROSS JOIN (SELECT unnest(range(0, $NUM_SEEDS)) AS s) seeds
+      |  GROUP BY doc_id, s),
+      |bands AS (
+      |  SELECT doc_id, s // $ROWS_PER_BAND AS band,
+      |    string_agg(mh::VARCHAR, '|' ORDER BY s) AS bkey
+      |  FROM sig GROUP BY doc_id, s // $ROWS_PER_BAND),
+      |cut AS (SELECT (max(doc_id) * 9) // 10 AS c FROM documents),
+      |eh AS (SELECT doc_id, sha256(text) AS h FROM documents),
+      |batch AS (SELECT doc_id, h FROM eh, cut WHERE doc_id >= c),
+      |hist_exact AS (
+      |  SELECT h, min(doc_id) AS owner FROM eh, cut WHERE doc_id < c
+      |  GROUP BY h),
+      |hist_sig_docs AS (SELECT doc_id FROM documents, cut WHERE doc_id < c)"""
+      .stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q139_ledger_dedup" ->
+      s"""WITH $baseDuck
+        |${verdictDuck("SELECT h, owner FROM hist_exact",
+                       "SELECT doc_id FROM hist_sig_docs")}""".stripMargin,
+
+    // HEAD ledger = history + the appended survivors: survivors are the
+    // q139 keeps; their exact rows collapse batch-internal duplicates
+    // to the min-id representative, and ONLY representatives contribute
+    // signature rows — the oracle re-derives that exact population.
+    "q140_ledger_growth" ->
+      s"""WITH $baseDuck,
+        |v1_ex AS (
+        |  SELECT bdoc, min(owner) AS exact_of FROM (
+        |    SELECT b2.doc_id AS bdoc, le.owner
+        |    FROM batch b2 JOIN hist_exact le USING (h))
+        |  GROUP BY bdoc),
+        |v1_nr AS (
+        |  SELECT bdoc, min(hdoc) AS near_of FROM (
+        |    SELECT cb.bdoc, cb.hdoc
+        |    FROM (SELECT DISTINCT hb.doc_id AS hdoc, bb.doc_id AS bdoc
+        |          FROM bands hb
+        |          JOIN hist_sig_docs lsd ON hb.doc_id = lsd.doc_id
+        |          JOIN bands bb ON hb.band = bb.band AND hb.bkey = bb.bkey
+        |          JOIN batch bt ON bb.doc_id = bt.doc_id) cb
+        |    JOIN sig sa ON sa.doc_id = cb.hdoc
+        |    JOIN sig sb ON sb.doc_id = cb.bdoc AND sb.s = sa.s
+        |    GROUP BY cb.bdoc, cb.hdoc
+        |    HAVING sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)
+        |           >= $SIG_MIN)
+        |  GROUP BY bdoc),
+        |survivors AS (
+        |  SELECT b.doc_id, b.h FROM batch b
+        |  LEFT JOIN v1_ex ON v1_ex.bdoc = b.doc_id
+        |  LEFT JOIN v1_nr ON v1_nr.bdoc = b.doc_id
+        |  WHERE v1_ex.exact_of IS NULL AND v1_nr.near_of IS NULL),
+        |surv_reps AS (SELECT h, min(doc_id) AS owner FROM survivors
+        |              GROUP BY h),
+        |head_exact AS (
+        |  SELECT h, owner FROM hist_exact
+        |  UNION ALL SELECT h, owner FROM surv_reps),
+        |head_sig_docs AS (
+        |  SELECT doc_id FROM hist_sig_docs
+        |  UNION ALL SELECT owner AS doc_id FROM surv_reps)
+        |${verdictDuck("SELECT h, owner FROM head_exact",
+                       "SELECT doc_id FROM head_sig_docs")}""".stripMargin
+  )
+}

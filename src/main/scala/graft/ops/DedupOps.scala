@@ -23,8 +23,8 @@ import graft.functions.VectorFunctions.ldot
   */
 object DedupOps {
 
-  private val NUM_SEEDS = 12 // 6 bands x 2 rows
-  private val ROWS_PER_BAND = 2
+  private[ops] val NUM_SEEDS = 12 // 6 bands x 2 rows
+  private[ops] val ROWS_PER_BAND = 2
   private val JACCARD_T = 0.5
   private[graft] val COS_T = 0.4
   private[graft] val SRP_BANDS = 4  // q97: LSH bands over sign bits
@@ -43,7 +43,7 @@ object DedupOps {
        |        a2 + element_at(q, k + 1) *
        |          ((((b * $SRP_BITS + r) * 1000003 + k * 7919) * 2654435761) % 2001 - 1000)) >= 0,
        |      shiftleft(1, r), 0)))""".stripMargin
-  private val HASH_P = 2147483647L // Mersenne prime; (p-1)*(2*seeds+1) << 2^63
+  private[ops] val HASH_P = 2147483647L // Mersenne prime; (p-1)*(2*seeds+1) << 2^63
   private val MAX_BLOCK = 1000 // chunk width for oversized label blocks
   // A band bucket larger than this emits NO pairs: an adversarial
   // mass-duplicate corpus would otherwise put n near-identical docs into
@@ -347,7 +347,7 @@ object DedupOps {
         .orderBy(col("v1"), col("v2")))
   )
 
-  private val trigramDuck =
+  private[ops] val trigramDuck =
     "[toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks) - 1)]"
 
   /** DuckDB CTE fragment replicating `minhashLshPairs(..,

@@ -494,7 +494,70 @@ object TextOps {
     }
   }
 
+  /** q138: duplicate-run gram length. Lee et al. ("Deduplicating
+    * Training Data Makes Language Models Better", 2022) use 50-token
+    * runs on web corpora; the fixture's documents are 10–99 tokens, so
+    * 8 keeps the same selectivity regime (measured: ~45 of 500 docs
+    * carry a duplicated 8-gram vs ALL 500 at 3-grams — the planted
+    * copies, not incidental trigram collisions).
+    */
+  private[graft] val SPAN_K = 8
+
+  /** EXACT SUBSTRING duplicate spans (the Lee et al. 2022 pass that
+    * doc-level dedup families q47–q50b cannot express): every maximal
+    * token range covered by some `SPAN_K`-gram occurring ≥ 2 times
+    * ANYWHERE in the corpus, as one row per (doc, merged span). This is
+    * the span map a pipeline uses to CUT duplicated runs out of
+    * otherwise-unique documents (boilerplate headers, licence blocks,
+    * templated paragraphs) — removal is then a row-local slice against
+    * this table.
+    *
+    * Topology (the 100 TB story): gram construction is row-local; only
+    * `(16-byte digest, doc_id, position)` crosses the first shuffle —
+    * never the gram text. The duplicate test is a COUNT WINDOW over the
+    * digest (one hash shuffle; no groupBy+self-join, so the gram rows
+    * are scanned once), and span merging is integer window arithmetic
+    * per document (second shuffle, on doc_id). Two shuffles total, both
+    * map-side combinable, zero driver state — a distributed rendering
+    * of the paper's suffix-array pass whose candidate set is exact for
+    * runs ≥ SPAN_K (a duplicated run of length L ≥ K is covered by its
+    * L−K+1 duplicated K-grams and merges back to one span).
+    */
+  def dupSpanMap(docs: DataFrame, k: Int = SPAN_K): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("p"))
+    val wPrev = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.rebalance(docs)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, size(toks) - $k),
+           |  i -> named_struct('p', cast(i AS bigint),
+           |    'gh', md5(cast(concat_ws(' ', slice(toks, i + 1, $k)) AS binary))))"""
+          .stripMargin)).as("g"))
+      .select(col("doc_id"), col("g.p").as("p"), col("g.gh").as("gh"))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))))
+      .filter(col("n") >= 2)
+      // merge overlapping [p, p+k): a position starts a new span iff it
+      // clears the running max end of every earlier duplicated gram
+      .withColumn("prev_end", max(col("p") + k).over(wPrev))
+      .withColumn("brk", when(col("prev_end").isNull ||
+        col("p") > col("prev_end"), 1L).otherwise(0L))
+      .withColumn("span_id", sum(col("brk")).over(w))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("p")).as("strt"),
+           (max(col("p")) + lit(k.toLong) - min(col("p"))).as("len"))
+      .orderBy(col("doc_id"), col("span_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- q138: exact-substring duplicate SPAN map (Lee et al. 2022) —
+    // merged token ranges covered by any corpus-duplicated SPAN_K-gram.
+    // The hash pins every duplicated gram occurrence (a digest change,
+    // a missed duplicate, or a wrong merge all move span boundaries).
+    "q138_dup_span_map" -> ((s, d) => dupSpanMap(Tables.documents(s, d))),
 
     // ---- q40: per-document token statistics (token counting op).
     "q40_token_stats" -> ((s, d) => {
@@ -775,6 +838,30 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q138_dup_span_map" ->
+      s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, (i - 1)::BIGINT AS p,
+        |         md5(array_to_string(toks[i:i+${SPAN_K - 1}], ' ')) AS gh
+        |  FROM t, unnest(range(1, len(toks) - $SPAN_K + 2)) AS u(i)
+        |  WHERE len(toks) >= $SPAN_K),
+        |m AS (SELECT doc_id, p FROM (
+        |        SELECT doc_id, p, count(*) OVER (PARTITION BY gh) AS n FROM g)
+        |      WHERE n >= 2),
+        |sp AS (SELECT doc_id, p,
+        |         max(p + $SPAN_K) OVER (PARTITION BY doc_id ORDER BY p
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |       FROM m),
+        |isl AS (SELECT doc_id, p,
+        |          sum(CASE WHEN prev_end IS NULL OR p > prev_end
+        |              THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY doc_id ORDER BY p)::BIGINT AS span_id
+        |        FROM sp)
+        |SELECT doc_id, span_id, min(p) AS strt,
+        |       (max(p) + $SPAN_K - min(p))::BIGINT AS len
+        |FROM isl GROUP BY doc_id, span_id
+        |ORDER BY doc_id, span_id""".stripMargin,
+
     "q40_token_stats" ->
       """SELECT doc_id, len(toks) AS n_toks, len(list_distinct(toks)) AS n_distinct,
         |  list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks) AS avg_tok_len

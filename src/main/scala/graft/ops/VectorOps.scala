@@ -1225,12 +1225,13 @@ object VectorOps {
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-  private def ensureIndex(d: String, tag: String, params: String)
-                         (build: java.io.File => Unit): String = {
+  private[ops] def ensureIndex(d: String, tag: String, params: String,
+                               srcFile: String = "embeddings.parquet")
+                              (build: java.io.File => Unit): String = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
       else Seq(f)
-    val src = walk(new java.io.File(s"$d/embeddings.parquet"))
+    val src = walk(new java.io.File(s"$d/$srcFile"))
       .map(f => s"${f.getPath}:${f.length}:${f.lastModified}").mkString("|")
     val fp = md5hex(s"$params|$src")
     val slug = md5hex(new java.io.File(d).getAbsolutePath).take(16)

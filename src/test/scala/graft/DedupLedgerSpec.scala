@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{DedupLedger, IndexStore, TextOps}
+
+/** The incremental-dedup ledger (q139/q140) and the exact-substring
+  * span map (q138): the two round-12 additions to the dedup family.
+  *
+  * Ledger contract pinned here (the catalog gates the fixture numbers;
+  * this spec gates the SEMANTICS on planted corpora):
+  *   - a batch doc whose text exists verbatim in history exact-drops;
+  *   - a batch doc sharing most shingles with a history doc near-drops
+  *     even though its sha2 differs (the signature-only estimate — the
+  *     ledger never stores history's shingles);
+  *   - replaying a tagged ingest publishes nothing twice;
+  *   - batch-internal exact duplicates collapse to one appended
+  *     fingerprint row owned by the min doc_id;
+  *   - a verdict pinned to the pre-append snapshot is byte-stable
+  *     across the append (time travel isolates readers from ingest).
+  */
+class DedupLedgerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  private val base =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+  private def words(n: Int, seed: String) =
+    (0 until n).map(i => s"$seed$i").mkString(" ")
+
+  test("ledger verdicts: exact hit, near hit via stored signature, clean keep") {
+    val dir = java.nio.file.Files.createTempDirectory("ledger").toString
+    val history = docs(
+      0L -> base,
+      1L -> words(30, "h"),
+      2L -> words(30, "x"))
+    // 10: verbatim copy of doc 0 (exact); 11: doc 1 with one token
+    // appended (near: shingle overlap ~28/31, signatures mostly agree);
+    // 12: fresh content (keep)
+    val batch = docs(
+      10L -> base,
+      11L -> (words(30, "h") + " tail"),
+      12L -> words(30, "z"))
+    DedupLedger.buildLedger(history, dir)
+    val v = DedupLedger.dedupAgainstLedger(spark, batch, dir,
+      IndexStore.snapshot(dir)).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)), r.getLong(3)))
+      .toMap
+    assert(v(10L)._1.contains(0L), s"verbatim copy must exact-match: ${v(10L)}")
+    assert(v(10L)._3 == 0L)
+    assert(v(11L)._1.isEmpty, "near-dup must not exact-match")
+    assert(v(11L)._2.contains(1L), s"perturbed copy must near-match: ${v(11L)}")
+    assert(v(11L)._3 == 0L)
+    assert(v(12L) == ((None, None, 1L)), s"fresh doc must keep: ${v(12L)}")
+  }
+
+  test("tagged ingest is idempotent and batch-internal dups collapse to one rep") {
+    val dir = java.nio.file.Files.createTempDirectory("ledger-tag").toString
+    DedupLedger.buildLedger(docs(0L -> words(25, "h")), dir)
+    // two identical surviving texts: only the min-id rep may land
+    val survivors = docs(20L -> words(25, "s"), 21L -> words(25, "s"))
+    val v1 = DedupLedger.appendSurvivors(survivors, dir, tag = "batch-1")
+    val (exact, sigs) = IndexStore.frames(spark, dir, IndexStore.snapshot(dir))
+    val added = exact.filter(col("owner") >= 20L).collect()
+    assert(added.length == 1 && added.head.getAs[Long]("owner") == 20L,
+      "batch-internal exact dups must collapse to the min-id representative")
+    assert(sigs.filter(col("doc_id") === 21L).count() == 0,
+      "non-representatives must not contribute signature rows")
+    assert(sigs.filter(col("doc_id") === 20L).count() == 6,
+      "the representative contributes exactly one row per LSH band")
+    // replay: same tag → same version, nothing appended twice
+    val v2 = DedupLedger.appendSurvivors(survivors, dir, tag = "batch-1")
+    assert(v2 == v1, s"tag replay must not publish a new version ($v1 -> $v2)")
+    assert(IndexStore.frames(spark, dir, IndexStore.snapshot(dir))
+      ._1.count() == exact.count())
+  }
+
+  test("pre-append snapshot is isolated from the ingest (time travel)") {
+    val dir = java.nio.file.Files.createTempDirectory("ledger-tt").toString
+    val history = docs(0L -> words(25, "h"))
+    val batch = docs(10L -> words(25, "h"), 11L -> words(25, "n"))
+    DedupLedger.buildLedger(history, dir)
+    val pinned = IndexStore.snapshot(dir)
+    val before = DedupLedger.dedupAgainstLedger(spark, batch, dir, pinned)
+      .collect().toSeq
+    DedupLedger.appendSurvivors(docs(11L -> words(25, "n")), dir, "b1")
+    val after = DedupLedger.dedupAgainstLedger(spark, batch, dir, pinned)
+      .collect().toSeq
+    assert(before == after,
+      "a verdict against the pinned snapshot must not see the append")
+    // and HEAD does see it: 11's own fingerprint now exact-matches
+    val head = DedupLedger.dedupAgainstLedger(spark, batch, dir,
+      IndexStore.snapshot(dir)).filter(col("doc_id") === 11L).collect().head
+    assert(head.getAs[Long]("exact_of") == 11L)
+  }
+
+  test("dup span map: planted runs merge to exact spans; clean docs absent") {
+    val k = TextOps.SPAN_K
+    val shared = words(12, "dup") // 12-token duplicated run, > SPAN_K
+    val d = docs(
+      0L -> (words(10, "a") + " " + shared + " " + words(10, "b")),
+      1L -> (words(10, "c") + " " + shared + " " + words(10, "d")),
+      2L -> words(40, "e"))
+    val spans = TextOps.dupSpanMap(d, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the duplicated run is 12 tokens at offset 10 in both docs: its
+    // 12-8+1 = 5 duplicated 8-grams merge back to ONE span of length 12
+    assert(spans.toSet == Set((0L, 1L, 10L, 12L), (1L, 1L, 10L, 12L)),
+      s"got ${spans.toSeq}")
+  }
+
+  test("dup span map: two separated runs stay two spans, adjacent runs merge") {
+    val k = TextOps.SPAN_K
+    val r1 = words(9, "p")
+    val r2 = words(9, "q")
+    // doc 0/1 share r1 at offset 0 and r2 at offset 9+gap — a gap wider
+    // than zero keeps them separate spans; doc 2/3 share r1 immediately
+    // followed by r2 → one merged 18-token span
+    val d = docs(
+      0L -> (r1 + " " + words(10, "g") + " " + r2),
+      1L -> (r1 + " " + words(10, "h") + " " + r2),
+      2L -> (r1 + " " + r2 + " " + words(10, "i")),
+      3L -> (r1 + " " + r2 + " " + words(10, "j")))
+    val spans = TextOps.dupSpanMap(d, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(spans == Set(
+      (0L, 1L, 0L, 9L), (0L, 2L, 19L, 9L),
+      (1L, 1L, 0L, 9L), (1L, 2L, 19L, 9L),
+      (2L, 1L, 0L, 18L), (3L, 1L, 0L, 18L)), s"got $spans")
+  }
+}

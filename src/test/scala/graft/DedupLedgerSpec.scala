@@ -95,6 +95,66 @@ class DedupLedgerSpec extends SparkSpec {
     assert(head.getAs[Long]("exact_of") == 11L)
   }
 
+  test("streaming ingest: batch 2 dedups against batch 1's survivors; replay is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("ledger-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ledger-ckpt").toString
+    DedupLedger.buildLedger(docs(0L -> words(25, "h")), dir)
+
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val stream = src.toDF().toDF("doc_id", "text")
+    // tick 1: a history dup (drops) + two novel docs (land). Each tick
+    // drains separately (AvailableNow consumes ALL queued offsets in one
+    // micro-batch, so cross-batch semantics need two sink runs).
+    src.addData(Seq(10L -> words(25, "h"), 11L -> words(25, "n"),
+                    12L -> words(25, "m")))
+    graft.streaming.DedupMaintenance.dedupSink(stream, dir, ckpt)
+      .start().awaitTermination()
+    // tick 2: an exact copy and a near variant of tick 1's survivor 11
+    // (both must drop THROUGH THE LEDGER — batch dedup can't see them)
+    // + one novel doc
+    src.addData(Seq(20L -> words(25, "n"),
+                    21L -> (words(25, "n") + " tail"),
+                    22L -> words(25, "z")))
+    graft.streaming.DedupMaintenance.dedupSink(stream, dir, ckpt)
+      .start().awaitTermination()
+
+    val (exact, _) = IndexStore.frames(spark, dir, IndexStore.snapshot(dir))
+    val owners = exact.select(col("owner")).collect().map(_.getLong(0)).toSet
+    assert(owners == Set(0L, 11L, 12L, 22L),
+      s"ledger owners after two ticks: $owners")
+    assert(IndexStore.committedTags(dir) == Set("stream-0", "stream-1"))
+    val v = IndexStore.headVersion(dir).get
+    // drained checkpoint: restarting the sink ingests nothing twice
+    graft.streaming.DedupMaintenance.dedupSink(stream, dir, ckpt)
+      .start().awaitTermination()
+    assert(IndexStore.headVersion(dir).get == v,
+      "restart over a drained checkpoint must publish nothing")
+  }
+
+  test("ledger compaction + vacuum preserve verdicts (layout-only ops)") {
+    val dir = java.nio.file.Files.createTempDirectory("ledger-compact").toString
+    DedupLedger.buildLedger(docs(0L -> words(25, "h"), 1L -> words(25, "g")), dir)
+    for (i <- 0 until 3) // three append generations → small-file decay
+      DedupLedger.appendSurvivors(
+        docs((10L + i) -> words(25, s"s$i")), dir, tag = s"b$i")
+    val probe = docs(30L -> words(25, "h"), 31L -> words(25, "s1"),
+                     32L -> words(25, "w"))
+    val before = DedupLedger.dedupAgainstLedger(spark, probe, dir,
+      IndexStore.snapshot(dir)).collect().toSeq
+    IndexStore.compact(spark, dir)
+    IndexStore.vacuum(dir)
+    val after = DedupLedger.dedupAgainstLedger(spark, probe, dir,
+      IndexStore.snapshot(dir)).collect().toSeq
+    assert(before == after, "compaction/vacuum changed ledger verdicts")
+    // sized layout: each exact cell directory holds exactly one file
+    val snap = IndexStore.snapshot(dir)
+    val perCell = snap.codes.groupBy(_.split('/').head).map(_._2.size)
+    assert(perCell.forall(_ == 1),
+      s"compaction left multiple files in a cell: ${snap.codes}")
+  }
+
   test("dup span map: planted runs merge to exact spans; clean docs absent") {
     val k = TextOps.SPAN_K
     val shared = words(12, "dup") // 12-token duplicated run, > SPAN_K

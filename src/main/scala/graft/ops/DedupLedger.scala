@@ -23,9 +23,9 @@ import graft.Tables
   *     (16 partitions: gives compaction a sizing key and keeps any one
   *     directory's listing 1/16th of the ledger).
   *   - `vectors` = NEAR ledger: the q49 MinHash machinery persisted —
-  *     per doc, the [[DedupOps.NUM_SEEDS]] minhash signature plus its
-  *     LSH band keys, stored as one row per band:
-  *     `(cell = band, bkey, doc_id, sig)`.
+  *     ONE row per doc, `(cell = doc_id mod 16, doc_id, sig)`; the LSH
+  *     band keys are derived row-locally at read time ([[bandsOf]]),
+  *     never stored.
   *
   * Batch-vs-ledger semantics (all exact integer arithmetic, so the
   * DuckDB oracle replays it bit-for-bit):
@@ -76,13 +76,20 @@ object DedupLedger {
   private def cutoffOf(docs: DataFrame): Long =
     docs.agg(max(col("doc_id"))).head.getLong(0) * 9L / 10L
 
-  /** Per-doc minhash signature + band rows: `(doc_id, cell = band,
-    * bkey, sig)`. EXACTLY the q49 derivation ([[DedupOps.minhashPairsOn]]):
-    * one md5 per distinct trigram shingle, `NUM_SEEDS` cheap derived
-    * hashes, per-seed minima in ONE groupBy. Docs with < 3 tokens have
-    * no shingles and emit no rows (they can only exact-match). */
-  private[ops] def sigBands(docs: DataFrame): DataFrame = {
-    import DedupOps.{HASH_P, NUM_SEEDS, ROWS_PER_BAND}
+  /** Per-doc minhash signature: `(cell = doc_id mod 16, doc_id, sig)` —
+    * ONE row per doc. EXACTLY the q49 derivation
+    * ([[DedupOps.minhashPairsOn]]): one md5 per distinct trigram
+    * shingle, `NUM_SEEDS` cheap derived hashes, per-seed minima in ONE
+    * groupBy. Docs with < 3 tokens have no shingles and emit no rows
+    * (they can only exact-match). The LSH band keys are NOT stored —
+    * band b's key is just `sig[2b] "|" sig[2b+1]`, fully derivable
+    * row-locally at read time ([[bandsOf]]), so persisting band rows
+    * would store the signature 6× for zero information (measured: the
+    * band-row layout made the near ledger larger than the corpus text
+    * on the 50k fixture). `cell` is pure layout (compaction sizing /
+    * 16-way listing split), like the exact table's hash nibble. */
+  private[ops] def sigRows(docs: DataFrame): DataFrame = {
+    import DedupOps.{HASH_P, NUM_SEEDS}
     val g = TextOps.shingled(docs)
       .select(col("doc_id"), explode(col("grams")).as("gram"))
       .withColumn("hm",
@@ -90,15 +97,25 @@ object DedupLedger {
     val minAggs = (0 until NUM_SEEDS).map { sd =>
       min(expr(s"(hm * ${2 * sd + 1} + ${7919 * sd}) % $HASH_P")).as(s"m$sd")
     }
-    val sig = g.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    g.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
       .withColumn("sig", array((0 until NUM_SEEDS).map(i => col(s"m$i")): _*))
+      .select(pmod(col("doc_id"), lit(16L)).cast("int").as("cell"),
+              col("doc_id"), col("sig"))
+  }
+
+  /** Row-local LSH band derivation over a `(doc_id, sig)` frame — used
+    * on BOTH sides of the near join (the streamed store scan and the
+    * broadcast batch), so the key strings agree by construction. */
+  private def bandsOf(sigs: DataFrame): DataFrame = {
+    import DedupOps.{NUM_SEEDS, ROWS_PER_BAND}
     val bandStructs = (0 until NUM_SEEDS / ROWS_PER_BAND).map { b =>
-      val ms = (0 until ROWS_PER_BAND).map(r => s"m${b * ROWS_PER_BAND + r}")
-      s"named_struct('cell', $b, 'bkey', concat_ws('|', ${ms.mkString(", ")}))"
+      val ms = (0 until ROWS_PER_BAND)
+        .map(r => s"element_at(sig, ${b * ROWS_PER_BAND + r + 1})")
+      s"named_struct('band', $b, 'bkey', concat_ws('|', ${ms.mkString(", ")}))"
     }
-    sig.select(col("doc_id"), col("sig"),
+    sigs.select(col("doc_id"), col("sig"),
         explode(expr(s"array(${bandStructs.mkString(", ")})")).as("bs"))
-      .select(col("bs.cell").as("cell"), col("bs.bkey").as("bkey"),
+      .select(col("bs.band").as("band"), col("bs.bkey").as("bkey"),
               col("doc_id"), col("sig"))
   }
 
@@ -119,7 +136,7 @@ object DedupLedger {
       exactRows(history)
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
-      sigBands(history)
+      sigRows(history)
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
     }
@@ -134,7 +151,7 @@ object DedupLedger {
     IndexStore.commitDelta(dir, Some(tag)) {
       reps.repartition(col("cell"))
         .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
-      sigBands(survivors.join(
+      sigRows(survivors.join(
           reps.select(col("owner").as("doc_id")), Seq("doc_id"), "left_semi"))
         .repartition(col("cell"))
         .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
@@ -151,9 +168,11 @@ object DedupLedger {
     val bh = batch.select(col("doc_id").as("bdoc"), sha2(col("text"), 256).as("h"))
     val ex = exact.join(broadcast(bh), Seq("h"))
       .groupBy(col("bdoc")).agg(min(col("owner")).as("exact_of"))
-    val bb = sigBands(batch).select(col("cell"), col("bkey"),
+    val bb = bandsOf(sigRows(batch)).select(col("band"), col("bkey"),
       col("doc_id").as("bdoc"), col("sig").as("bsig"))
-    val nm = sigs.join(broadcast(bb), Seq("cell", "bkey"))
+    // stored sigs re-derive their band keys row-locally in-flight: the
+    // scan reads one sig row per doc, the explode costs no storage
+    val nm = bandsOf(sigs).join(broadcast(bb), Seq("band", "bkey"))
       .withColumn("agree", expr(
         "aggregate(zip_with(sig, bsig, (x, y) -> IF(x = y, 1, 0)), 0, (a, v) -> a + v)"))
       .groupBy(col("bdoc"))
@@ -171,7 +190,7 @@ object DedupLedger {
     * idempotency tag. Rebuilt whenever documents.parquet or any
     * fingerprint-shaping constant changes. */
   private def ledgerParams =
-    s"v1|seeds=${DedupOps.NUM_SEEDS}|rows=${DedupOps.ROWS_PER_BAND}" +
+    s"v2|seeds=${DedupOps.NUM_SEEDS}|rows=${DedupOps.ROWS_PER_BAND}" +
     s"|sigmin=$SIG_MIN|cut90"
 
   private[graft] def ensureLedger(s: SparkSession, d: String): String =

@@ -67,8 +67,8 @@ class DedupLedgerSpec extends SparkSpec {
       "batch-internal exact dups must collapse to the min-id representative")
     assert(sigs.filter(col("doc_id") === 21L).count() == 0,
       "non-representatives must not contribute signature rows")
-    assert(sigs.filter(col("doc_id") === 20L).count() == 6,
-      "the representative contributes exactly one row per LSH band")
+    assert(sigs.filter(col("doc_id") === 20L).count() == 1,
+      "the representative contributes exactly one signature row")
     // replay: same tag → same version, nothing appended twice
     val v2 = DedupLedger.appendSurvivors(survivors, dir, tag = "batch-1")
     assert(v2 == v1, s"tag replay must not publish a new version ($v1 -> $v2)")

@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Distributed BPE tokenizer TRAINING (Sennrich et al. 2016, "Neural
+  * Machine Translation of Rare Words with Subword Units") — the
+  * vocabulary-induction pass a training-data pipeline runs before it
+  * can tokenize anything: iteratively merge the most frequent adjacent
+  * symbol pair, starting from characters.
+  *
+  * The scale shape is the one every industrial BPE trainer uses: the
+  * corpus is touched ONCE (the word-count shuffle, map-side combined);
+  * all [[N_MERGES]] iterations then run over the DISTINCT-WORD table
+  * weighted by count — a table that grows sub-linearly with the corpus
+  * (Heaps' law: ~10M rows for a web-scale corpus vs billions of
+  * documents), so per-merge cost is independent of corpus size. Each
+  * iteration is one small aggregation job (adjacent-pair counts → one
+  * argmax row to the driver — the only driver state is the merge list
+  * itself, which IS the trainer's output) plus one row-local rewrite.
+  *
+  * Cross-engine determinism is the interesting problem: a BPE merge is
+  * greedy LEFT-TO-RIGHT and non-overlapping ("a a a" under (a,a) →
+  * "aa a", not "a aa"), which a naive fold expresses but DuckDB has no
+  * list-building fold to replay. The trick: keep each word's symbol
+  * sequence as a STRING with every symbol wrapped as \u0001·sym·\u0002.
+  * Adjacent occurrences then NEVER share delimiter characters
+  * ("x y x y" = ␁x␂␁y␂␁x␂␁y␂), so plain `replace()` — which both
+  * engines implement as left-to-right, non-overlapping,
+  * all-occurrences — IS the BPE merge:
+  * replace(s, ␁x␂␁y␂, ␁xy␂). One string function per iteration, bit-
+  * identical in both engines, no UDF, no fold.
+  *
+  * The argmax tiebreak is (count DESC, left ASC, right ASC) on binary
+  * string order — deterministic in both engines for any corpus.
+  */
+object BpeOps {
+
+  /** Merge rounds. Enough to reach multi-character subwords and
+    * </w>-absorbing merges on the fixture while keeping the oracle's
+    * unrolled CTE chain readable; a production run sets 30k–50k and
+    * nothing in the topology changes (each round is one vocab-table
+    * aggregation). */
+  private[graft] val N_MERGES = 12
+
+  private val S1 = "\u0001" // symbol open
+  private val S2 = "\u0002" // symbol close
+  /** End-of-word marker symbol (the standard </w>): lets BPE learn
+    * word-final subwords distinctly from word-internal ones. */
+  private val EOW = "</w>"
+
+  /** `(word, cnt, s)` — the weighted distinct-word table with each
+    * word's initial symbol string: characters, then the EOW marker,
+    * each wrapped ␁·␂. */
+  private def wordTable(docs: DataFrame): DataFrame =
+    Tables.rebalance(docs)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "") // a run of spaces yields no symbol
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("s", concat(
+        expr(s"""concat_ws('', transform(sequence(1, char_length(word)),
+                 i -> concat('$S1', substring(word, i, 1), '$S2')))"""),
+        lit(s"$S1$EOW$S2")))
+
+  /** Adjacent-pair counts of the CURRENT symbol strings: split the
+    * wrapped string back to symbols (row-local), emit every adjacent
+    * position weighted by the word count, aggregate. */
+  private def pairCounts(wc: DataFrame): DataFrame =
+    wc.withColumn("parts",
+        split(expr("substring(s, 2, char_length(s) - 2)"), s"$S2$S1"))
+      .filter(size(col("parts")) >= 2)
+      .select(col("cnt"), explode(expr(
+        """transform(sequence(1, size(parts) - 1),
+          |  i -> named_struct('lhs', element_at(parts, i),
+          |                    'rhs', element_at(parts, i + 1)))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(sum(col("cnt")).as("pair_cnt"))
+
+  /** Train: returns the merge table `(step, lhs, rhs, pair_cnt,
+    * merged)` — the BPE vocabulary artifact (applying it in order
+    * re-tokenizes any text). */
+  def bpeTrain(docs: DataFrame, nMerges: Int = N_MERGES): DataFrame = {
+    val spark = docs.sparkSession
+    var wc = wordTable(docs).localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, Long, String)]
+    for (step <- 1 to nMerges) {
+      val best = pairCounts(wc)
+        .orderBy(col("pair_cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val (l, r, c) = (best.head.getString(0), best.head.getString(1),
+          best.head.getLong(2))
+        merges += ((step.toLong, l, r, c, l + r))
+        wc = wc.withColumn("s",
+          call_function("replace", col("s"),
+            lit(s"$S1$l$S2$S1$r$S2"), lit(s"$S1$l$r$S2")))
+          .localCheckpoint()
+      }
+    }
+    import spark.implicits._
+    merges.result().toDF("step", "lhs", "rhs", "pair_cnt", "merged")
+      .orderBy(col("step"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- q141: BPE tokenizer training — the first N_MERGES merges
+    // over the documents corpus. The hash gates the ENTIRE iterative
+    // process: a wrong pair count, argmax tiebreak, or merge rewrite at
+    // ANY step changes every later step's counts.
+    "q141_bpe_train" -> ((s, d) => bpeTrain(Tables.documents(s, d)))
+  )
+
+  /** The oracle unrolls the merge loop as a CTE chain — s0 → (p1, b1,
+    * s1) → … — with the same wrapped-string representation, so DuckDB
+    * replays every replace() bit-for-bit. */
+  val oracles: Map[String, String] = Map(
+    "q141_bpe_train" -> {
+      val steps = (1 to N_MERGES).map { k =>
+        s"""p$k AS (
+          |  SELECT parts[i] AS lhs, parts[i + 1] AS rhs,
+          |         sum(cnt)::BIGINT AS pair_cnt
+          |  FROM (SELECT cnt,
+          |          str_split(s[2:len(s) - 1], chr(2) || chr(1)) AS parts
+          |        FROM s${k - 1}),
+          |       unnest(range(1, len(parts))) u(i)
+          |  GROUP BY lhs, rhs),
+          |b$k AS MATERIALIZED (SELECT lhs, rhs, pair_cnt FROM p$k
+          |        ORDER BY pair_cnt DESC, lhs, rhs LIMIT 1),
+          |s$k AS MATERIALIZED (
+          |  SELECT word, cnt,
+          |    replace(s,
+          |      chr(1) || (SELECT lhs FROM b$k) || chr(2) || chr(1) ||
+          |        (SELECT rhs FROM b$k) || chr(2),
+          |      chr(1) || (SELECT lhs FROM b$k) ||
+          |        (SELECT rhs FROM b$k) || chr(2)) AS s
+          |  FROM s${k - 1})""".stripMargin
+      }.mkString(",\n")
+      val rows = (1 to N_MERGES).map { k =>
+        s"SELECT $k::BIGINT AS step, lhs, rhs, pair_cnt, lhs || rhs AS merged FROM b$k"
+      }.mkString("\nUNION ALL ")
+      s"""WITH wc AS (
+        |  SELECT word, count(*)::BIGINT AS cnt
+        |  FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
+        |  WHERE word <> '' GROUP BY word),
+        |s0 AS MATERIALIZED (
+        |  SELECT word, cnt,
+        |    array_to_string([chr(1) || word[i] || chr(2)
+        |                     FOR i IN range(1, len(word) + 1)], '')
+        |      || chr(1) || '</w>' || chr(2) AS s
+        |  FROM wc),
+        |$steps
+        |$rows
+        |ORDER BY step""".stripMargin
+    }
+  )
+}

@@ -104,55 +104,128 @@ object BpeOps {
       .orderBy(col("step"))
   }
 
+  /** ENCODE with a trained merge list: wrap the whole document (each
+    * word's characters + EOW), apply the merges IN ORDER as the same
+    * wrapped-string replaces, split back to subword tokens. Row-local
+    * over the corpus — zero shuffles until the caller aggregates — the
+    * shape that matters at 100 TB (training is vocab-sized; encoding is
+    * the corpus-sized pass, and it is embarrassingly parallel).
+    *
+    * Whole-document application is exact: no trained pattern can match
+    * across a word boundary, because crossing requires an lhs that ends
+    * the word — and every word-final symbol contains EOW, which is
+    * never an lhs (EOW has no within-word successor during training).
+    */
+  def bpeEncode(docs: DataFrame,
+                merges: Seq[(String, String)]): DataFrame = {
+    val wrapped = Tables.rebalance(docs).withColumn("s",
+      expr(s"""concat_ws('', transform(filter(split(text, ' '), w -> w != ''),
+               w -> concat(concat_ws('', transform(sequence(1, char_length(w)),
+                      i -> concat('$S1', substring(w, i, 1), '$S2'))),
+                    '$S1$EOW$S2')))"""))
+    merges.foldLeft(wrapped) { case (df, (l, r)) =>
+      df.withColumn("s", call_function("replace", col("s"),
+        lit(s"$S1$l$S2$S1$r$S2"), lit(s"$S1$l$r$S2")))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- q141: BPE tokenizer training — the first N_MERGES merges
     // over the documents corpus. The hash gates the ENTIRE iterative
     // process: a wrong pair count, argmax tiebreak, or merge rewrite at
     // ANY step changes every later step's counts.
-    "q141_bpe_train" -> ((s, d) => bpeTrain(Tables.documents(s, d)))
+    "q141_bpe_train" -> ((s, d) => bpeTrain(Tables.documents(s, d))),
+
+    // ---- q142: BPE ENCODE — tokenize the corpus with q141's learned
+    // vocabulary and report the realized subword distribution (symbol,
+    // count). The hash pins every token boundary in the corpus: a
+    // merge applied out of order, an overlap mishandled, or a pattern
+    // leaking across a word boundary all shift counts.
+    "q142_bpe_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = bpeTrain(docs).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      bpeEncode(docs, merges)
+        .filter(expr("char_length(s) >= 2"))
+        .select(explode(split(expr("substring(s, 2, char_length(s) - 2)"),
+          s"$S2$S1")).as("sym"))
+        .groupBy(col("sym")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("sym"))
+    })
   )
 
-  /** The oracle unrolls the merge loop as a CTE chain — s0 → (p1, b1,
-    * s1) → … — with the same wrapped-string representation, so DuckDB
-    * replays every replace() bit-for-bit. */
+  /** The training loop as an unrolled (materialized) CTE chain — wc →
+    * s0 → (p1, b1, s1) → … → (pN, bN, sN) — with the same
+    * wrapped-string representation, so DuckDB replays every replace()
+    * bit-for-bit. Shared by both oracles. */
+  private def trainChainDuck: String = {
+    val steps = (1 to N_MERGES).map { k =>
+      s"""p$k AS (
+        |  SELECT parts[i] AS lhs, parts[i + 1] AS rhs,
+        |         sum(cnt)::BIGINT AS pair_cnt
+        |  FROM (SELECT cnt,
+        |          str_split(s[2:len(s) - 1], chr(2) || chr(1)) AS parts
+        |        FROM s${k - 1}),
+        |       unnest(range(1, len(parts))) u(i)
+        |  GROUP BY lhs, rhs),
+        |b$k AS MATERIALIZED (SELECT lhs, rhs, pair_cnt FROM p$k
+        |        ORDER BY pair_cnt DESC, lhs, rhs LIMIT 1),
+        |s$k AS MATERIALIZED (
+        |  SELECT word, cnt,
+        |    replace(s,
+        |      chr(1) || (SELECT lhs FROM b$k) || chr(2) || chr(1) ||
+        |        (SELECT rhs FROM b$k) || chr(2),
+        |      chr(1) || (SELECT lhs FROM b$k) ||
+        |        (SELECT rhs FROM b$k) || chr(2)) AS s
+        |  FROM s${k - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""wc AS (
+      |  SELECT word, count(*)::BIGINT AS cnt
+      |  FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
+      |  WHERE word <> '' GROUP BY word),
+      |s0 AS MATERIALIZED (
+      |  SELECT word, cnt,
+      |    array_to_string([chr(1) || word[i] || chr(2)
+      |                     FOR i IN range(1, len(word) + 1)], '') ||
+      |      chr(1) || '</w>' || chr(2) AS s
+      |  FROM wc),
+      |$steps""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q141_bpe_train" -> {
-      val steps = (1 to N_MERGES).map { k =>
-        s"""p$k AS (
-          |  SELECT parts[i] AS lhs, parts[i + 1] AS rhs,
-          |         sum(cnt)::BIGINT AS pair_cnt
-          |  FROM (SELECT cnt,
-          |          str_split(s[2:len(s) - 1], chr(2) || chr(1)) AS parts
-          |        FROM s${k - 1}),
-          |       unnest(range(1, len(parts))) u(i)
-          |  GROUP BY lhs, rhs),
-          |b$k AS MATERIALIZED (SELECT lhs, rhs, pair_cnt FROM p$k
-          |        ORDER BY pair_cnt DESC, lhs, rhs LIMIT 1),
-          |s$k AS MATERIALIZED (
-          |  SELECT word, cnt,
+      val rows = (1 to N_MERGES).map { k =>
+        s"SELECT $k::BIGINT AS step, lhs, rhs, pair_cnt, lhs || rhs AS merged FROM b$k"
+      }.mkString("\nUNION ALL ")
+      s"""WITH $trainChainDuck
+        |$rows
+        |ORDER BY step""".stripMargin
+    },
+
+    "q142_bpe_encode" -> {
+      val encSteps = (1 to N_MERGES).map { k =>
+        s"""e$k AS MATERIALIZED (
+          |  SELECT doc_id,
           |    replace(s,
           |      chr(1) || (SELECT lhs FROM b$k) || chr(2) || chr(1) ||
           |        (SELECT rhs FROM b$k) || chr(2),
           |      chr(1) || (SELECT lhs FROM b$k) ||
           |        (SELECT rhs FROM b$k) || chr(2)) AS s
-          |  FROM s${k - 1})""".stripMargin
+          |  FROM e${k - 1})""".stripMargin
       }.mkString(",\n")
-      val rows = (1 to N_MERGES).map { k =>
-        s"SELECT $k::BIGINT AS step, lhs, rhs, pair_cnt, lhs || rhs AS merged FROM b$k"
-      }.mkString("\nUNION ALL ")
-      s"""WITH wc AS (
-        |  SELECT word, count(*)::BIGINT AS cnt
-        |  FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
-        |  WHERE word <> '' GROUP BY word),
-        |s0 AS MATERIALIZED (
-        |  SELECT word, cnt,
-        |    array_to_string([chr(1) || word[i] || chr(2)
-        |                     FOR i IN range(1, len(word) + 1)], '')
-        |      || chr(1) || '</w>' || chr(2) AS s
-        |  FROM wc),
-        |$steps
-        |$rows
-        |ORDER BY step""".stripMargin
+      s"""WITH $trainChainDuck,
+        |e0 AS MATERIALIZED (
+        |  SELECT doc_id, array_to_string(list_transform(
+        |    list_filter(str_split(text, ' '), w -> w <> ''),
+        |    w -> array_to_string([chr(1) || w[i] || chr(2)
+        |                          FOR i IN range(1, len(w) + 1)], '') ||
+        |         chr(1) || '</w>' || chr(2)), '') AS s
+        |  FROM documents),
+        |$encSteps
+        |SELECT sym, count(*)::BIGINT AS cnt FROM (
+        |  SELECT unnest(str_split(s[2:len(s) - 1], chr(2) || chr(1))) AS sym
+        |  FROM e$N_MERGES WHERE len(s) >= 2)
+        |GROUP BY sym ORDER BY cnt DESC, sym""".stripMargin
     }
   )
 }

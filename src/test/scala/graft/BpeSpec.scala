@@ -44,6 +44,18 @@ class BpeSpec extends SparkSpec {
     assert(m.map(_._4) == Seq(10L, 5L, 5L))
   }
 
+  test("encode applies merges in order and never crosses word boundaries") {
+    import org.apache.spark.sql.functions._
+    // merges learned from "er er": (e,r) then (er,</w>). Encoding
+    // "re er" must yield [r,e,</w>] [er</w>] — the (e,r) pattern may
+    // NOT match the e|r spanning the word boundary in "...e</w> r..."
+    val docs = Seq((0L, "re er")).toDF("doc_id", "text")
+    val enc = BpeOps.bpeEncode(docs, Seq(("e", "r"), ("er", "</w>")))
+      .select(col("s")).head.getString(0)
+    val syms = enc.substring(1, enc.length - 1).split("").toSeq
+    assert(syms == Seq("r", "e", "</w>", "er</w>"), s"got $syms")
+  }
+
   test("argmax tiebreak is (count desc, lhs asc, rhs asc)") {
     // "xy" and "xz" same count: (x,y) vs (x,z) vs (y,</w>) vs (z,</w>)
     // all count 3 → lhs asc picks (x,y)... wait: "</w>"-pairs have lhs

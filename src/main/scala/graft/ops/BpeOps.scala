@@ -151,6 +151,44 @@ object BpeOps {
           s"$S2$S1")).as("sym"))
         .groupBy(col("sym")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("sym"))
+    }),
+
+    // ---- q143: TOKENIZE → PACK — the corpus-to-training-shards tail
+    // of the pipeline, composed end to end: q141's learned vocabulary
+    // tokenizes every document (q142's row-local encode), and the
+    // SUBWORD counts drive q132's packing layout (shard by doc_id,
+    // concatenate in order, split at PACK_SEQ_LEN subword boundaries).
+    // Packing real tokenizer output instead of whitespace counts is
+    // what a training-data pipeline actually ships; the hash pins the
+    // learned vocabulary, every document's subword length, and the
+    // resulting sequence/straddle/pad arithmetic per shard.
+    "q143_tokenize_pack" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = bpeTrain(docs).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val counted = bpeEncode(docs, merges)
+        .withColumn("n_toks",
+          when(expr("char_length(s) < 2"), 0L)
+            .otherwise(size(split(expr("substring(s, 2, char_length(s) - 2)"),
+              s"$S2$S1")).cast("long")))
+        .select(col("doc_id"), col("n_toks"))
+      val L = TextOps.PACK_SEQ_LEN
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("grp")).orderBy(col("doc_id"))
+      counted
+        .withColumn("grp", pmod(col("doc_id"), lit(TextOps.PACK_SHARDS.toLong)))
+        .withColumn("fin", sum(col("n_toks")).over(w))
+        .withColumn("seq_first", expr(s"(fin - n_toks) div $L"))
+        .withColumn("seq_last", expr(s"(fin - 1) div $L"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_toks")).as("n_tokens"),
+             (max(col("seq_last")) + lit(1L)).as("n_seqs"),
+             sum(when(col("seq_first") =!= col("seq_last"), 1L)
+               .otherwise(0L)).as("n_straddles"),
+             ((max(col("seq_last")) + lit(1L)) * L
+               - sum(col("n_toks"))).as("pad_tokens"))
+        .orderBy(col("grp"))
     })
   )
 
@@ -226,6 +264,47 @@ object BpeOps {
         |  SELECT unnest(str_split(s[2:len(s) - 1], chr(2) || chr(1))) AS sym
         |  FROM e$N_MERGES WHERE len(s) >= 2)
         |GROUP BY sym ORDER BY cnt DESC, sym""".stripMargin
+    },
+
+    "q143_tokenize_pack" -> {
+      val encSteps = (1 to N_MERGES).map { k =>
+        s"""e$k AS MATERIALIZED (
+          |  SELECT doc_id,
+          |    replace(s,
+          |      chr(1) || (SELECT lhs FROM b$k) || chr(2) || chr(1) ||
+          |        (SELECT rhs FROM b$k) || chr(2),
+          |      chr(1) || (SELECT lhs FROM b$k) ||
+          |        (SELECT rhs FROM b$k) || chr(2)) AS s
+          |  FROM e${k - 1})""".stripMargin
+      }.mkString(",\n")
+      val L = TextOps.PACK_SEQ_LEN
+      s"""WITH $trainChainDuck,
+        |e0 AS MATERIALIZED (
+        |  SELECT doc_id, array_to_string(list_transform(
+        |    list_filter(str_split(text, ' '), w -> w <> ''),
+        |    w -> array_to_string([chr(1) || w[i] || chr(2)
+        |                          FOR i IN range(1, len(w) + 1)], '') ||
+        |         chr(1) || '</w>' || chr(2)), '') AS s
+        |  FROM documents),
+        |$encSteps,
+        |ntk AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(s) < 2 THEN 0
+        |         ELSE len(str_split(s[2:len(s) - 1], chr(2) || chr(1)))
+        |    END::BIGINT AS n_toks,
+        |    doc_id % ${TextOps.PACK_SHARDS} AS grp
+        |  FROM e$N_MERGES),
+        |o AS (
+        |  SELECT grp, n_toks,
+        |    sum(n_toks) OVER (PARTITION BY grp ORDER BY doc_id) AS fin
+        |  FROM ntk)
+        |SELECT grp, count(*) AS n_docs, sum(n_toks)::BIGINT AS n_tokens,
+        |  (max((fin - 1) // $L) + 1)::BIGINT AS n_seqs,
+        |  sum(CASE WHEN (fin - n_toks) // $L
+        |             <> (fin - 1) // $L THEN 1 ELSE 0 END)::BIGINT AS n_straddles,
+        |  ((max((fin - 1) // $L) + 1) * $L
+        |    - sum(n_toks))::BIGINT AS pad_tokens
+        |FROM o GROUP BY grp ORDER BY grp""".stripMargin
     }
   )
 }

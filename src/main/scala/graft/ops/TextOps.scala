@@ -559,6 +559,25 @@ object TextOps {
     // a missed duplicate, or a wrong merge all move span boundaries).
     "q138_dup_span_map" -> ((s, d) => dupSpanMap(Tables.documents(s, d))),
 
+    // ---- q144: duplicate-span REMOVAL accounting — q138's span map
+    // applied back to the corpus: per document, total tokens, tokens
+    // inside corpus-duplicated runs (the spans a cleaner would cut),
+    // and the surviving count. Removal itself is a row-local slice
+    // against the span table; this query ships the accounting a
+    // data-quality report tracks (how much of the corpus is duplicated
+    // RUN mass, not just duplicated documents).
+    "q144_span_removal" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val spans = dupSpanMap(docs)
+        .groupBy(col("doc_id")).agg(sum(col("len")).as("n_dup_toks"))
+      docs.select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+        .join(spans, Seq("doc_id"), "left")
+        .withColumn("n_dup_toks", coalesce(col("n_dup_toks"), lit(0L)))
+        .withColumn("n_clean_toks", col("n_toks") - col("n_dup_toks"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- q40: per-document token statistics (token counting op).
     "q40_token_stats" -> ((s, d) => {
       withToks(Tables.documents(s, d))
@@ -861,6 +880,36 @@ object TextOps {
         |       (max(p) + $SPAN_K - min(p))::BIGINT AS len
         |FROM isl GROUP BY doc_id, span_id
         |ORDER BY doc_id, span_id""".stripMargin,
+
+    "q144_span_removal" ->
+      s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, (i - 1)::BIGINT AS p,
+        |         md5(array_to_string(toks[i:i+${SPAN_K - 1}], ' ')) AS gh
+        |  FROM t, unnest(range(1, len(toks) - $SPAN_K + 2)) AS u(i)
+        |  WHERE len(toks) >= $SPAN_K),
+        |m AS (SELECT doc_id, p FROM (
+        |        SELECT doc_id, p, count(*) OVER (PARTITION BY gh) AS n FROM g)
+        |      WHERE n >= 2),
+        |sp AS (SELECT doc_id, p,
+        |         max(p + $SPAN_K) OVER (PARTITION BY doc_id ORDER BY p
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |       FROM m),
+        |isl AS (SELECT doc_id, p,
+        |          sum(CASE WHEN prev_end IS NULL OR p > prev_end
+        |              THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY doc_id ORDER BY p)::BIGINT AS span_id
+        |        FROM sp),
+        |spans AS (
+        |  SELECT doc_id, sum(max_p + $SPAN_K - min_p)::BIGINT AS n_dup_toks
+        |  FROM (SELECT doc_id, span_id, min(p) AS min_p, max(p) AS max_p
+        |        FROM isl GROUP BY doc_id, span_id)
+        |  GROUP BY doc_id)
+        |SELECT t.doc_id, len(t.toks)::BIGINT AS n_toks,
+        |       coalesce(spans.n_dup_toks, 0)::BIGINT AS n_dup_toks,
+        |       (len(t.toks) - coalesce(spans.n_dup_toks, 0))::BIGINT AS n_clean_toks
+        |FROM t LEFT JOIN spans ON t.doc_id = spans.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     "q40_token_stats" ->
       """SELECT doc_id, len(toks) AS n_toks, len(list_distinct(toks)) AS n_distinct,

@@ -222,6 +222,25 @@ object DedupLedger {
         IndexStore.snapshotAt(dir, 1))
     }),
 
+    // ---- q145: the ledger CHANGELOG — what did the ingest admit
+    // between the pinned build snapshot (v1) and HEAD, answered by the
+    // manifest-native incremental read: only the data files the append
+    // published are opened (zero IO against history — the "read the
+    // delta" primitive a downstream consumer tails instead of diffing
+    // two corpus-sized tables). One row per admitted representative:
+    // its exact-row owner and whether a signature row landed (docs
+    // under 3 tokens have no shingles, hence no signature).
+    "q145_ledger_diff" -> ((s, d) => {
+      val dir = ensureLedger(s, d)
+      val (addedEx, addedSig) = IndexStore.diffFrames(s, dir,
+        IndexStore.snapshotAt(dir, 1), IndexStore.snapshot(dir))
+      addedEx.select(col("owner").as("doc_id"))
+        .join(addedSig.select(col("doc_id")).withColumn("has_sig", lit(1L)),
+          Seq("doc_id"), "left")
+        .withColumn("has_sig", coalesce(col("has_sig"), lit(0L)))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- q140: the GROWTH gate — the same batch re-deduped against
     // HEAD (history + appended survivors). Every doc must now be a
     // duplicate: survivors exact-match their own appended fingerprint
@@ -305,6 +324,40 @@ object DedupLedger {
     // q139 keeps; their exact rows collapse batch-internal duplicates
     // to the min-id representative, and ONLY representatives contribute
     // signature rows — the oracle re-derives that exact population.
+
+    "q145_ledger_diff" ->
+      s"""WITH $baseDuck,
+        |v1_ex AS (
+        |  SELECT bdoc, min(owner) AS exact_of FROM (
+        |    SELECT b2.doc_id AS bdoc, le.owner
+        |    FROM batch b2 JOIN hist_exact le USING (h))
+        |  GROUP BY bdoc),
+        |v1_nr AS (
+        |  SELECT bdoc, min(hdoc) AS near_of FROM (
+        |    SELECT cb.bdoc, cb.hdoc
+        |    FROM (SELECT DISTINCT hb.doc_id AS hdoc, bb.doc_id AS bdoc
+        |          FROM bands hb
+        |          JOIN hist_sig_docs lsd ON hb.doc_id = lsd.doc_id
+        |          JOIN bands bb ON hb.band = bb.band AND hb.bkey = bb.bkey
+        |          JOIN batch bt ON bb.doc_id = bt.doc_id) cb
+        |    JOIN sig sa ON sa.doc_id = cb.hdoc
+        |    JOIN sig sb ON sb.doc_id = cb.bdoc AND sb.s = sa.s
+        |    GROUP BY cb.bdoc, cb.hdoc
+        |    HAVING sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)
+        |           >= $SIG_MIN)
+        |  GROUP BY bdoc),
+        |survivors AS (
+        |  SELECT b.doc_id, b.h FROM batch b
+        |  LEFT JOIN v1_ex ON v1_ex.bdoc = b.doc_id
+        |  LEFT JOIN v1_nr ON v1_nr.bdoc = b.doc_id
+        |  WHERE v1_ex.exact_of IS NULL AND v1_nr.near_of IS NULL),
+        |surv_reps AS (SELECT h, min(doc_id) AS owner FROM survivors
+        |              GROUP BY h)
+        |SELECT r.owner AS doc_id,
+        |  CASE WHEN len(str_split(doc.text, ' ')) >= 3
+        |       THEN 1 ELSE 0 END::BIGINT AS has_sig
+        |FROM surv_reps r JOIN documents doc ON doc.doc_id = r.owner
+        |ORDER BY doc_id""".stripMargin,
     "q140_ledger_growth" ->
       s"""WITH $baseDuck,
         |v1_ex AS (

@@ -257,6 +257,27 @@ object IndexStore {
     (read("codes", snap.codes), read("vectors", snap.vectors))
   }
 
+  /** INCREMENTAL reader: the rows ADDED between two snapshots, read
+    * from ONLY the data files `to` references that `from` does not —
+    * zero IO against the old data, the manifest-native way to answer
+    * "what did the ingest admit since version N" (a changelog read).
+    * Valid across any append-only range; a compaction in the range
+    * would surface rewritten old rows (compaction rewrites data files
+    * without changing content), so diff across a compaction boundary
+    * by row-level anti-join instead. */
+  def diffFrames(spark: SparkSession, dir: String,
+                 from: Snapshot, to: Snapshot): (DataFrame, DataFrame) = {
+    def read(sub: String, files: Seq[String]): DataFrame =
+      if (files.isEmpty)
+        spark.read.option("basePath", s"$dir/$sub")
+          .parquet(s"$dir/$sub").limit(0)
+      else
+        spark.read.option("basePath", s"$dir/$sub")
+          .parquet(files.map(f => s"$dir/$sub/$f"): _*)
+    (read("codes", (to.codes.toSet -- from.codes.toSet).toSeq.sorted),
+     read("vectors", (to.vectors.toSet -- from.vectors.toSet).toSeq.sorted))
+  }
+
   /** Rewrite the store's data into sized files — one shuffle keyed on
     * `cell` so each cell's accumulated append-files coalesce into a
     * single writer task, split only by `maxRecordsPerFile`. The rewrite

@@ -133,6 +133,23 @@ class DedupLedgerSpec extends SparkSpec {
       "restart over a drained checkpoint must publish nothing")
   }
 
+  test("diffFrames reads exactly the appended rows, from only the new files") {
+    val dir = java.nio.file.Files.createTempDirectory("ledger-diff").toString
+    DedupLedger.buildLedger(docs(0L -> words(25, "h"), 1L -> words(25, "g")), dir)
+    val v1 = IndexStore.snapshot(dir)
+    DedupLedger.appendSurvivors(docs(10L -> words(25, "a")), dir, "b1")
+    DedupLedger.appendSurvivors(docs(11L -> words(25, "b")), dir, "b2")
+    val (ex, sg) = IndexStore.diffFrames(spark, dir, v1, IndexStore.snapshot(dir))
+    assert(ex.select(col("owner")).collect().map(_.getLong(0)).toSet ==
+      Set(10L, 11L), "changelog exact rows != the two appended batches")
+    assert(sg.select(col("doc_id")).collect().map(_.getLong(0)).toSet ==
+      Set(10L, 11L))
+    // empty range → empty frames, schema intact
+    val (e0, s0) = IndexStore.diffFrames(spark, dir, v1, v1)
+    assert(e0.count() == 0 && s0.count() == 0)
+    assert(e0.columns.contains("owner") && s0.columns.contains("sig"))
+  }
+
   test("ledger compaction + vacuum preserve verdicts (layout-only ops)") {
     val dir = java.nio.file.Files.createTempDirectory("ledger-compact").toString
     DedupLedger.buildLedger(docs(0L -> words(25, "h"), 1L -> words(25, "g")), dir)

@@ -12,6 +12,23 @@ object FunctionFamilies {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // ---- q146: Unicode normalization as NATIVE codegen Expressions
+    // (functions/NormalizeExpressions.scala) — the fold a corpus
+    // pipeline applies before any hash-based dedup (NFC: composed vs
+    // combining byte sequences hash apart) and before lexical search
+    // (accent strip). The fixture text is ASCII, so the gate binds the
+    // IDENTITY regime (any corruption in the expressions moves h_strip);
+    // the transform regime (planted combining marks / accents) is
+    // pinned in ExtensionsSpec against java.text.Normalizer semantics.
+    "q146_text_normalize" -> ((s, d) => {
+      import graft.functions.TextNormFunctions.{nfcNormalize, stripAccents}
+      graft.Tables.documents(s, d).select(col("doc_id"),
+          when(nfcNormalize(col("text")) === col("text"), 1L).otherwise(0L)
+            .as("nfc_stable"),
+          md5(stripAccents(col("text")).cast("binary")).as("h_strip"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- q69: date/time function family over o_orderdate.
     "q69_date_functions" -> ((s, d) => {
       Tables.orders(s, d)
@@ -60,6 +77,12 @@ object FunctionFamilies {
   )
 
   val oracles: Map[String, String] = Map(
+    "q146_text_normalize" ->
+      """SELECT doc_id,
+        |  CASE WHEN nfc_normalize(text) = text THEN 1 ELSE 0 END::BIGINT
+        |    AS nfc_stable,
+        |  md5(strip_accents(text)) AS h_strip
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q69_date_functions" ->
       """SELECT year(o_orderdate)::INT AS y, quarter(o_orderdate)::INT AS q,
         |  count(*) AS n,

@@ -380,6 +380,41 @@ object PipelineOps {
     // size-gated broadcast (it grows with SF at 1/97 of the corpus).
     // At 100 TB this is THE decontamination topology: small-side gram
     // set joined against an exploded corpus, no self-join.
+    // ---- q147: LEAKAGE-FREE train/val split — decontamination BETWEEN
+    // the splits, the evaluation-integrity pass q86 (vs an external
+    // benchmark) does not cover: a val document with a near-duplicate
+    // in train inflates every eval metric. Split membership is the
+    // content-stable bucket (exact duplicates land in the SAME split by
+    // construction — only NEAR-dups can leak), leak pairs come from the
+    // q49 minhash machinery, and each leaked val doc reports its
+    // smallest train partner. At 100 TB this is the q49 pass plus one
+    // split join — no new shuffle shape.
+    "q147_split_decontam" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sp = docs
+        .withColumn("bucket", contentBucket(col("text")))
+        .withColumn("split", when(pmod(col("bucket"), lit(10L)) < 8,
+          lit("train")).otherwise(lit("val")))
+        .select(col("doc_id"), col("split"))
+        .localCheckpoint() // two joins + the val spine read it
+      val pairs = graft.ops.DedupOps.minhashLshPairs(
+        graft.ops.TextOps.shingled(docs),
+        pairBudgetPerDoc = Some(graft.ops.TextOps.PAIR_BUDGET_PER_DOC))
+      val leaks = pairs
+        .join(sp.select(col("doc_id").as("d1"), col("split").as("s1")), "d1")
+        .join(sp.select(col("doc_id").as("d2"), col("split").as("s2")), "d2")
+        .filter(col("s1") =!= col("s2"))
+        .select(
+          when(col("s1") === "val", col("d1")).otherwise(col("d2")).as("doc_id"),
+          when(col("s1") === "val", col("d2")).otherwise(col("d1")).as("partner"))
+        .groupBy(col("doc_id")).agg(min(col("partner")).as("leaked_of"))
+      sp.filter(col("split") === "val").select(col("doc_id"))
+        .join(leaks, Seq("doc_id"), "left")
+        .withColumn("keep",
+          when(col("leaked_of").isNull, 1L).otherwise(0L))
+        .orderBy(col("doc_id"))
+    }),
+
     "q86_contamination" -> ((s, d) => {
       val g0 = Tables.rebalance(Tables.documents(s, d))
         .withColumn("toks", split(col("text"), " "))
@@ -539,6 +574,26 @@ object PipelineOps {
         |  ((length(clean) - length(replace(clean, '[ID]', ''))) / 4)::BIGINT AS n_id,
         |  length(clean)::BIGINT AS len_clean
         |FROM clean ORDER BY doc_id""".stripMargin,
+
+    "q147_split_decontam" ->
+      s"""WITH ${graft.ops.DedupOps.minhashPairsDuck("documents", 1000)},
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN (('0x' || substr(md5(text), 1, 8))::BIGINT % 1000) % 10 < 8
+        |         THEN 'train' ELSE 'val' END AS split
+        |  FROM documents),
+        |x AS (
+        |  SELECT CASE WHEN sa.split = 'val' THEN p.d1 ELSE p.d2 END AS doc_id,
+        |         CASE WHEN sa.split = 'val' THEN p.d2 ELSE p.d1 END AS partner
+        |  FROM mh_pairs p
+        |  JOIN sp sa ON sa.doc_id = p.d1
+        |  JOIN sp sb ON sb.doc_id = p.d2
+        |  WHERE sa.split <> sb.split),
+        |lk AS (SELECT doc_id, min(partner) AS leaked_of FROM x GROUP BY doc_id)
+        |SELECT s.doc_id, lk.leaked_of,
+        |  CASE WHEN lk.leaked_of IS NULL THEN 1 ELSE 0 END::BIGINT AS keep
+        |FROM sp s LEFT JOIN lk USING (doc_id)
+        |WHERE s.split = 'val' ORDER BY s.doc_id""".stripMargin,
 
     "q86_contamination" ->
       s"""WITH t AS (SELECT doc_id, lang, str_split(text, ' ') AS toks FROM documents),

@@ -21,7 +21,7 @@ object SparkEntry {
       ops.DedupOps.queries ++ ops.Advanced.queries ++
       ops.FunctionFamilies.queries ++ ops.PipelineOps.queries ++
       ops.PipelineOps.queries2 ++ ops.GraphOps.queries ++ ops.CurationOps.queries ++
-      ops.SemanticOps.queries ++ ops.DedupLedger.queries ++ ops.BpeOps.queries ++ jobs.JobRecordGate.queries
+      ops.SemanticOps.queries ++ ops.DedupLedger.queries ++ ops.BpeOps.queries ++ ops.TickOps.queries ++ jobs.JobRecordGate.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +31,5 @@ object SparkEntry {
       ops.DedupOps.oracles ++ ops.Advanced.oracles ++
       ops.FunctionFamilies.oracles ++ ops.PipelineOps.oracles ++
       ops.GraphOps.oracles ++ ops.CurationOps.oracles ++
-      ops.SemanticOps.oracles ++ ops.DedupLedger.oracles ++ ops.BpeOps.oracles ++ jobs.JobRecordGate.oracles
+      ops.SemanticOps.oracles ++ ops.DedupLedger.oracles ++ ops.BpeOps.oracles ++ ops.TickOps.oracles ++ jobs.JobRecordGate.oracles
 }

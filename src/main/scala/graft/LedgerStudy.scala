@@ -31,7 +31,9 @@ object LedgerStudy {
 
     val docs = Tables.rebalance(Tables.documents(spark, dir)).localCheckpoint()
     val n = docs.count()
-    val batchLo = n - 1000
+    // boundary from max(doc_id), not count: a sparse-id fixture (post-
+    // dedup, filtered) would otherwise mis-size the "last 1000" batch
+    val batchLo = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L - 1000L
     val batch = docs.filter(col("doc_id") >= batchLo).localCheckpoint()
     println(s"== corpus $dir: $n docs; fixed batch = last 1000 ==")
 

@@ -139,15 +139,10 @@ object BpeOps {
     * fingerprint. */
   private val mergesCache = new java.util.concurrent.ConcurrentHashMap[
     String, (String, Seq[(Long, String, String, Long, String)])]()
-  private[ops] def trainedMerges(s: SparkSession, d: String,
+  private[graft] def trainedMerges(s: SparkSession, d: String,
                                  historyOnly: Boolean = false)
       : Seq[(Long, String, String, Long, String)] = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory)
-        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
-      else Seq(f)
-    val fp = walk(new java.io.File(s"$d/documents.parquet"))
-      .map(f => s"${f.getPath}:${f.length}:${f.lastModified}").mkString("|")
+    val fp = Fingerprint.of(d, "documents.parquet")
     val key = s"$d|hist=$historyOnly"
     val cached = mergesCache.get(key)
     if (cached != null && cached._1 == fp) cached._2
@@ -218,7 +213,11 @@ object BpeOps {
         .withColumn("grp", pmod(col("doc_id"), lit(TextOps.PACK_SHARDS.toLong)))
         .withColumn("fin", sum(col("n_toks")).over(w))
         .withColumn("seq_first", expr(s"(fin - n_toks) div $L"))
-        .withColumn("seq_last", expr(s"(fin - 1) div $L"))
+        // fin = 0 (a shard prefix of zero-token docs) must not emit
+        // sequence -1: Spark's `div` truncates toward zero while
+        // DuckDB's `//` floors, so (0-1) would diverge cross-engine
+        .withColumn("seq_last",
+          when(col("fin") === 0L, 0L).otherwise(expr(s"(fin - 1) div $L")))
         .groupBy(col("grp"))
         .agg(count(lit(1)).as("n_docs"),
              sum(col("n_toks")).as("n_tokens"),
@@ -347,12 +346,15 @@ object BpeOps {
         |    sum(n_toks) OVER (PARTITION BY grp ORDER BY doc_id) AS fin
         |  FROM ntk)
         |SELECT grp, count(*) AS n_docs, sum(n_toks)::BIGINT AS n_tokens,
-        |  (max((fin - 1) // $L) + 1)::BIGINT AS n_seqs,
+        |  (max(sl) + 1)::BIGINT AS n_seqs,
         |  sum(CASE WHEN (fin - n_toks) // $L
-        |             <> (fin - 1) // $L THEN 1 ELSE 0 END)::BIGINT AS n_straddles,
-        |  ((max((fin - 1) // $L) + 1) * $L
+        |             <> sl THEN 1 ELSE 0 END)::BIGINT AS n_straddles,
+        |  ((max(sl) + 1) * $L
         |    - sum(n_toks))::BIGINT AS pad_tokens
-        |FROM o GROUP BY grp ORDER BY grp""".stripMargin
+        |FROM (SELECT grp, n_toks, fin,
+        |        CASE WHEN fin = 0 THEN 0 ELSE (fin - 1) // $L END AS sl
+        |      FROM o)
+        |GROUP BY grp ORDER BY grp""".stripMargin
     }
   )
 }

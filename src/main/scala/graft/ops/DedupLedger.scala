@@ -257,6 +257,40 @@ object DedupLedger {
     })
   )
 
+  /** The v1 (history-ledger) verdict arms + survivor set as CTEs —
+    * `v1_ex`, `v1_nr`, `survivors(doc_id, h)`, `surv_reps(h, owner)` —
+    * shared by every oracle that reasons about what the first append
+    * admitted (q140 growth, q145 changelog, q148 tick). One definition:
+    * a drift in the survivor derivation cannot silently split the
+    * oracles. */
+  private[ops] def survivorsDuck: String =
+    s"""v1_ex AS (
+      |  SELECT bdoc, min(owner) AS exact_of FROM (
+      |    SELECT b2.doc_id AS bdoc, le.owner
+      |    FROM batch b2 JOIN hist_exact le USING (h))
+      |  GROUP BY bdoc),
+      |v1_nr AS (
+      |  SELECT bdoc, min(hdoc) AS near_of FROM (
+      |    SELECT cb.bdoc, cb.hdoc
+      |    FROM (SELECT DISTINCT hb.doc_id AS hdoc, bb.doc_id AS bdoc
+      |          FROM bands hb
+      |          JOIN hist_sig_docs lsd ON hb.doc_id = lsd.doc_id
+      |          JOIN bands bb ON hb.band = bb.band AND hb.bkey = bb.bkey
+      |          JOIN batch bt ON bb.doc_id = bt.doc_id) cb
+      |    JOIN sig sa ON sa.doc_id = cb.hdoc
+      |    JOIN sig sb ON sb.doc_id = cb.bdoc AND sb.s = sa.s
+      |    GROUP BY cb.bdoc, cb.hdoc
+      |    HAVING sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)
+      |           >= $SIG_MIN)
+      |  GROUP BY bdoc),
+      |survivors AS (
+      |  SELECT b.doc_id, b.h FROM batch b
+      |  LEFT JOIN v1_ex ON v1_ex.bdoc = b.doc_id
+      |  LEFT JOIN v1_nr ON v1_nr.bdoc = b.doc_id
+      |  WHERE v1_ex.exact_of IS NULL AND v1_nr.near_of IS NULL),
+      |surv_reps AS (SELECT h, min(doc_id) AS owner FROM survivors
+      |              GROUP BY h)""".stripMargin
+
   /** Shared oracle CTE chain: signatures/bands for ALL docs, the train
     * line, history/batch split, and the two verdict arms against an
     * arbitrary ledger population. */
@@ -327,32 +361,7 @@ object DedupLedger {
 
     "q145_ledger_diff" ->
       s"""WITH $baseDuck,
-        |v1_ex AS (
-        |  SELECT bdoc, min(owner) AS exact_of FROM (
-        |    SELECT b2.doc_id AS bdoc, le.owner
-        |    FROM batch b2 JOIN hist_exact le USING (h))
-        |  GROUP BY bdoc),
-        |v1_nr AS (
-        |  SELECT bdoc, min(hdoc) AS near_of FROM (
-        |    SELECT cb.bdoc, cb.hdoc
-        |    FROM (SELECT DISTINCT hb.doc_id AS hdoc, bb.doc_id AS bdoc
-        |          FROM bands hb
-        |          JOIN hist_sig_docs lsd ON hb.doc_id = lsd.doc_id
-        |          JOIN bands bb ON hb.band = bb.band AND hb.bkey = bb.bkey
-        |          JOIN batch bt ON bb.doc_id = bt.doc_id) cb
-        |    JOIN sig sa ON sa.doc_id = cb.hdoc
-        |    JOIN sig sb ON sb.doc_id = cb.bdoc AND sb.s = sa.s
-        |    GROUP BY cb.bdoc, cb.hdoc
-        |    HAVING sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)
-        |           >= $SIG_MIN)
-        |  GROUP BY bdoc),
-        |survivors AS (
-        |  SELECT b.doc_id, b.h FROM batch b
-        |  LEFT JOIN v1_ex ON v1_ex.bdoc = b.doc_id
-        |  LEFT JOIN v1_nr ON v1_nr.bdoc = b.doc_id
-        |  WHERE v1_ex.exact_of IS NULL AND v1_nr.near_of IS NULL),
-        |surv_reps AS (SELECT h, min(doc_id) AS owner FROM survivors
-        |              GROUP BY h)
+        |$survivorsDuck
         |SELECT r.owner AS doc_id,
         |  CASE WHEN len(str_split(doc.text, ' ')) >= 3
         |       THEN 1 ELSE 0 END::BIGINT AS has_sig
@@ -360,32 +369,7 @@ object DedupLedger {
         |ORDER BY doc_id""".stripMargin,
     "q140_ledger_growth" ->
       s"""WITH $baseDuck,
-        |v1_ex AS (
-        |  SELECT bdoc, min(owner) AS exact_of FROM (
-        |    SELECT b2.doc_id AS bdoc, le.owner
-        |    FROM batch b2 JOIN hist_exact le USING (h))
-        |  GROUP BY bdoc),
-        |v1_nr AS (
-        |  SELECT bdoc, min(hdoc) AS near_of FROM (
-        |    SELECT cb.bdoc, cb.hdoc
-        |    FROM (SELECT DISTINCT hb.doc_id AS hdoc, bb.doc_id AS bdoc
-        |          FROM bands hb
-        |          JOIN hist_sig_docs lsd ON hb.doc_id = lsd.doc_id
-        |          JOIN bands bb ON hb.band = bb.band AND hb.bkey = bb.bkey
-        |          JOIN batch bt ON bb.doc_id = bt.doc_id) cb
-        |    JOIN sig sa ON sa.doc_id = cb.hdoc
-        |    JOIN sig sb ON sb.doc_id = cb.bdoc AND sb.s = sa.s
-        |    GROUP BY cb.bdoc, cb.hdoc
-        |    HAVING sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)
-        |           >= $SIG_MIN)
-        |  GROUP BY bdoc),
-        |survivors AS (
-        |  SELECT b.doc_id, b.h FROM batch b
-        |  LEFT JOIN v1_ex ON v1_ex.bdoc = b.doc_id
-        |  LEFT JOIN v1_nr ON v1_nr.bdoc = b.doc_id
-        |  WHERE v1_ex.exact_of IS NULL AND v1_nr.near_of IS NULL),
-        |surv_reps AS (SELECT h, min(doc_id) AS owner FROM survivors
-        |              GROUP BY h),
+        |$survivorsDuck,
         |head_exact AS (
         |  SELECT h, owner FROM hist_exact
         |  UNION ALL SELECT h, owner FROM surv_reps),

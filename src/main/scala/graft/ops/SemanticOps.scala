@@ -82,12 +82,7 @@ object SemanticOps {
     String, (String, Array[(Int, Array[Long], Long)])]()
   private def fittedCents(spark: SparkSession, d: String,
                           k: Int, iters: Int): DataFrame = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory)
-        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
-      else Seq(f)
-    val fp = walk(new java.io.File(s"$d/embeddings.parquet"))
-      .map(f => s"${f.getPath}:${f.length}:${f.lastModified}").mkString("|")
+    val fp = Fingerprint.of(d, "embeddings.parquet")
     val key = s"$d|k=$k|it=$iters"
     val cached = centsCache.get(key)
     val rows =

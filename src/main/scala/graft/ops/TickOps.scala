@@ -53,12 +53,11 @@ object TickOps {
       val batch = docs.filter(col("doc_id") >= cutoff)
       val verdict = DedupLedger.dedupAgainstLedger(s, batch, dir,
         IndexStore.snapshotAt(dir, 1)).localCheckpoint()
-      val survivors = batch.join(
-        verdict.filter(col("keep") === 1L).select(col("doc_id")),
-        Seq("doc_id"), "left_semi")
+      val keepIds = verdict.filter(col("keep") === 1L).select(col("doc_id"))
+      val survivors = batch.join(keepIds, Seq("doc_id"), "left_semi")
       val scored = qualityScore(survivors).localCheckpoint()
       val admitted = scored.filter(col("score") >= 0.5)
-        .select(col("doc_id"), col("text"))
+        .select(col("doc_id"), col("text")).localCheckpoint()
       // tokenizer = yesterday's artifact: trained on history only
       val merges = BpeOps.trainedMerges(s, d, historyOnly = true)
         .map(m => (m._2, m._3))
@@ -76,7 +75,11 @@ object TickOps {
         .withColumn("grp", pmod(col("doc_id"), lit(TextOps.PACK_SHARDS.toLong)))
         .withColumn("fin", sum(col("n_toks")).over(w))
         .withColumn("seq_first", expr(s"(fin - n_toks) div $L"))
-        .withColumn("seq_last", expr(s"(fin - 1) div $L"))
+        // fin = 0 (a shard prefix of zero-token docs) must not emit
+        // sequence -1: Spark's `div` truncates toward zero while
+        // DuckDB's `//` floors, so (0-1) would diverge cross-engine
+        .withColumn("seq_last",
+          when(col("fin") === 0L, 0L).otherwise(expr(s"(fin - 1) div $L")))
         .groupBy(col("grp"))
         .agg(count(lit(1)).as("n_docs"),
              sum(col("n_toks")).as("n_tokens"),
@@ -88,8 +91,8 @@ object TickOps {
       // sentinel: the stage ledger (counts are increment-sized driver
       // reads — the numbers a tick reports to its scheduler)
       val nBatch = batch.count()
-      val nSurv = verdict.filter(col("keep") === 1L).count()
-      val nAdmitted = scored.filter(col("score") >= 0.5).count()
+      val nSurv = scored.count() // = survivors (scored 1:1, checkpointed)
+      val nAdmitted = admitted.count()
       import s.implicits._
       val sentinel = Seq((-1L, nBatch, nBatch - nSurv, nSurv - nAdmitted,
         nAdmitted)).toDF("grp", "n_docs", "n_tokens", "n_seqs", "n_straddles")
@@ -102,30 +105,7 @@ object TickOps {
     "q148_daily_tick" -> {
       val L = TextOps.PACK_SEQ_LEN
       s"""WITH ${DedupLedger.baseDuck},
-        |v1_ex AS (
-        |  SELECT bdoc, min(owner) AS exact_of FROM (
-        |    SELECT b2.doc_id AS bdoc, le.owner
-        |    FROM batch b2 JOIN hist_exact le USING (h))
-        |  GROUP BY bdoc),
-        |v1_nr AS (
-        |  SELECT bdoc, min(hdoc) AS near_of FROM (
-        |    SELECT cb.bdoc, cb.hdoc
-        |    FROM (SELECT DISTINCT hb.doc_id AS hdoc, bb.doc_id AS bdoc
-        |          FROM bands hb
-        |          JOIN hist_sig_docs lsd ON hb.doc_id = lsd.doc_id
-        |          JOIN bands bb ON hb.band = bb.band AND hb.bkey = bb.bkey
-        |          JOIN batch bt ON bb.doc_id = bt.doc_id) cb
-        |    JOIN sig sa ON sa.doc_id = cb.hdoc
-        |    JOIN sig sb ON sb.doc_id = cb.bdoc AND sb.s = sa.s
-        |    GROUP BY cb.bdoc, cb.hdoc
-        |    HAVING sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)
-        |           >= ${DedupLedger.SIG_MIN})
-        |  GROUP BY bdoc),
-        |survivors AS (
-        |  SELECT b.doc_id FROM batch b
-        |  LEFT JOIN v1_ex ON v1_ex.bdoc = b.doc_id
-        |  LEFT JOIN v1_nr ON v1_nr.bdoc = b.doc_id
-        |  WHERE v1_ex.exact_of IS NULL AND v1_nr.near_of IS NULL),
+        |${DedupLedger.survivorsDuck},
         |scored AS (
         |  SELECT d.doc_id, d.text,
         |    round(0.4 * least(n_chars / 500.0, 1.0)
@@ -151,13 +131,16 @@ object TickOps {
         |  FROM ntk),
         |packed AS (
         |  SELECT grp, count(*) AS n_docs, sum(n_toks)::BIGINT AS n_tokens,
-        |    (max((fin - 1) // $L) + 1)::BIGINT AS n_seqs,
+        |    (max(sl) + 1)::BIGINT AS n_seqs,
         |    sum(CASE WHEN (fin - n_toks) // $L
-        |               <> (fin - 1) // $L THEN 1 ELSE 0 END)::BIGINT
+        |               <> sl THEN 1 ELSE 0 END)::BIGINT
         |      AS n_straddles,
-        |    ((max((fin - 1) // $L) + 1) * $L - sum(n_toks))::BIGINT
+        |    ((max(sl) + 1) * $L - sum(n_toks))::BIGINT
         |      AS pad_tokens
-        |  FROM o GROUP BY grp),
+        |  FROM (SELECT grp, n_toks, fin,
+        |          CASE WHEN fin = 0 THEN 0 ELSE (fin - 1) // $L END AS sl
+        |        FROM o)
+        |  GROUP BY grp),
         |sentinel AS (
         |  SELECT -1::BIGINT AS grp,
         |    (SELECT count(*) FROM batch)::BIGINT AS n_docs,

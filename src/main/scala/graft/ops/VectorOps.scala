@@ -1228,11 +1228,7 @@ object VectorOps {
   private[ops] def ensureIndex(d: String, tag: String, params: String,
                                srcFile: String = "embeddings.parquet")
                               (build: java.io.File => Unit): String = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
-      else Seq(f)
-    val src = walk(new java.io.File(s"$d/$srcFile"))
-      .map(f => s"${f.getPath}:${f.length}:${f.lastModified}").mkString("|")
+    val src = Fingerprint.of(d, srcFile)
     val fp = md5hex(s"$params|$src")
     val slug = md5hex(new java.io.File(d).getAbsolutePath).take(16)
     val tmpRoot = new java.io.File(sys.props("java.io.tmpdir"))

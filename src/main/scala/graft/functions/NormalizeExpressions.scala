@@ -23,7 +23,13 @@ object TextNormUtil {
 
   /** Accent folding: NFD then drop combining marks (category Mn) — the
     * search-normalization fold (DuckDB's `strip_accents`, Postgres
-    * unaccent). "héllo" → "hello"; base characters untouched. */
+    * unaccent). "héllo" → "hello"; base characters untouched.
+    *
+    * Iterates by CODE POINT, not UTF-16 char (round-12 ADVICE): a
+    * supplementary-plane combining mark (e.g. U+1D165-1D169, the
+    * musical symbol marks) is two surrogate chars whose per-char
+    * `Character.getType` is SURROGATE — a char-wise loop would keep it,
+    * diverging from DuckDB's utf8proc-based strip_accents. */
   def stripAccents(s: UTF8String): UTF8String = {
     if (s == null) return null
     val d = java.text.Normalizer.normalize(s.toString,
@@ -31,9 +37,10 @@ object TextNormUtil {
     val sb = new java.lang.StringBuilder(d.length)
     var i = 0
     while (i < d.length) {
-      val c = d.charAt(i)
-      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
-      i += 1
+      val cp = d.codePointAt(i)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK)
+        sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
     }
     UTF8String.fromString(sb.toString)
   }

@@ -47,7 +47,18 @@ object BpeOps {
   private[ops] val S1 = "\u0001" // symbol open
   private[ops] val S2 = "\u0002" // symbol close
   /** End-of-word marker symbol (the standard </w>): lets BPE learn
-    * word-final subwords distinctly from word-internal ones. */
+    * word-final subwords distinctly from word-internal ones.
+    *
+    * PRECONDITIONS on the corpus text (round-12 ADVICE): (a) no word
+    * may BE the literal string "</w>" (it would alias the marker), and
+    * (b) no text may contain U+0001/U+0002 — a delimiter occurring in
+    * the data corrupts symbol parsing identically in both engines, so
+    * the cross-engine hash gate cannot catch the injection. A real
+    * deployment's cleaning pass strips C0 controls long before
+    * tokenization (they are never legitimate document text); here the
+    * fixture generator asserts both preconditions at generation time
+    * (GenFixtures) so a regenerated corpus cannot silently violate
+    * them. */
   private val EOW = "</w>"
 
   /** `(word, cnt, s)` — the weighted distinct-word table with each
@@ -129,6 +140,75 @@ object BpeOps {
     }
   }
 
+  /** Per-doc subword counts of an encoded frame `(doc_id, s)` — the
+    * symbol count of the wrapped string (0 for an empty document). One
+    * authored copy (round-12 ADVICE: the split delimiter was previously
+    * re-spelled at each callsite, once as raw invisible control bytes).
+    */
+  private[ops] def tokenCounts(encoded: DataFrame): DataFrame =
+    encoded.withColumn("n_toks",
+        when(expr("char_length(s) < 2"), 0L)
+          .otherwise(size(split(expr("substring(s, 2, char_length(s) - 2)"),
+            s"$S2$S1")).cast("long")))
+      .select(col("doc_id"), col("n_toks"))
+
+  /** Shared pack-accounting tail (q143 / q148) over `(doc_id, n_toks)`:
+    * shard by doc_id, running-sum within the shard, split at
+    * [[TextOps.PACK_SEQ_LEN]] boundaries, aggregate per-shard layout
+    * stats. Factored so the tokenizer-true packing arithmetic —
+    * including the fin=0 div-vs-floor guard — exists ONCE per engine
+    * form (round-12 ADVICE: the two verbatim copies could drift). */
+  private[ops] def packStats(counted: DataFrame): DataFrame = {
+    val L = TextOps.PACK_SEQ_LEN
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("doc_id"))
+    counted
+      .withColumn("grp", pmod(col("doc_id"), lit(TextOps.PACK_SHARDS.toLong)))
+      .withColumn("fin", sum(col("n_toks")).over(w))
+      .withColumn("seq_first", expr(s"(fin - n_toks) div $L"))
+      // fin = 0 (a shard prefix of zero-token docs) must not emit
+      // sequence -1: Spark's `div` truncates toward zero while DuckDB's
+      // `//` floors, so (0-1) would diverge cross-engine
+      .withColumn("seq_last",
+        when(col("fin") === 0L, 0L).otherwise(expr(s"(fin - 1) div $L")))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_toks")).as("n_tokens"),
+           (max(col("seq_last")) + lit(1L)).as("n_seqs"),
+           sum(when(col("seq_first") =!= col("seq_last"), 1L)
+             .otherwise(0L)).as("n_straddles"),
+           ((max(col("seq_last")) + lit(1L)) * L
+             - sum(col("n_toks"))).as("pad_tokens"))
+  }
+
+  /** DuckDB form of [[tokenCounts]] + [[packStats]] as the CTE fragment
+    * `ntk, o, packed` over an encoded relation `src(doc_id, s)` — the
+    * single authored copy both the q143 and q148 oracles splice. */
+  private[ops] def packDuck(src: String): String = {
+    val L = TextOps.PACK_SEQ_LEN
+    s"""ntk AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(s) < 2 THEN 0
+      |         ELSE len(str_split(s[2:len(s) - 1], chr(2) || chr(1)))
+      |    END::BIGINT AS n_toks,
+      |    doc_id % ${TextOps.PACK_SHARDS} AS grp
+      |  FROM $src),
+      |o AS (
+      |  SELECT grp, n_toks,
+      |    sum(n_toks) OVER (PARTITION BY grp ORDER BY doc_id) AS fin
+      |  FROM ntk),
+      |packed AS (
+      |  SELECT grp, count(*) AS n_docs, sum(n_toks)::BIGINT AS n_tokens,
+      |    (max(sl) + 1)::BIGINT AS n_seqs,
+      |    sum(CASE WHEN (fin - n_toks) // $L
+      |               <> sl THEN 1 ELSE 0 END)::BIGINT AS n_straddles,
+      |    ((max(sl) + 1) * $L - sum(n_toks))::BIGINT AS pad_tokens
+      |  FROM (SELECT grp, n_toks, fin,
+      |          CASE WHEN fin = 0 THEN 0 ELSE (fin - 1) // $L END AS sl
+      |        FROM o)
+      |  GROUP BY grp)""".stripMargin
+  }
+
   /** Trained merges as a driver-cached artifact keyed by the source
     * parquet's (path, length, mtime) set — the q131 `fittedCents`
     * discipline: a production pipeline trains the tokenizer ONCE and
@@ -200,33 +280,7 @@ object BpeOps {
     "q143_tokenize_pack" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val merges = trainedMerges(s, d).map(m => (m._2, m._3))
-      val counted = bpeEncode(docs, merges)
-        .withColumn("n_toks",
-          when(expr("char_length(s) < 2"), 0L)
-            .otherwise(size(split(expr("substring(s, 2, char_length(s) - 2)"),
-              s"$S2$S1")).cast("long")))
-        .select(col("doc_id"), col("n_toks"))
-      val L = TextOps.PACK_SEQ_LEN
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("grp")).orderBy(col("doc_id"))
-      counted
-        .withColumn("grp", pmod(col("doc_id"), lit(TextOps.PACK_SHARDS.toLong)))
-        .withColumn("fin", sum(col("n_toks")).over(w))
-        .withColumn("seq_first", expr(s"(fin - n_toks) div $L"))
-        // fin = 0 (a shard prefix of zero-token docs) must not emit
-        // sequence -1: Spark's `div` truncates toward zero while
-        // DuckDB's `//` floors, so (0-1) would diverge cross-engine
-        .withColumn("seq_last",
-          when(col("fin") === 0L, 0L).otherwise(expr(s"(fin - 1) div $L")))
-        .groupBy(col("grp"))
-        .agg(count(lit(1)).as("n_docs"),
-             sum(col("n_toks")).as("n_tokens"),
-             (max(col("seq_last")) + lit(1L)).as("n_seqs"),
-             sum(when(col("seq_first") =!= col("seq_last"), 1L)
-               .otherwise(0L)).as("n_straddles"),
-             ((max(col("seq_last")) + lit(1L)) * L
-               - sum(col("n_toks"))).as("pad_tokens"))
-        .orderBy(col("grp"))
+      packStats(tokenCounts(bpeEncode(docs, merges))).orderBy(col("grp"))
     })
   )
 
@@ -305,56 +359,20 @@ object BpeOps {
         |ORDER BY step""".stripMargin
     },
 
-    "q142_bpe_encode" -> {
-      val encSteps = encStepsDuck
+    "q142_bpe_encode" ->
       s"""WITH ${trainChainDuck()},
-        |e0 AS MATERIALIZED (
-        |  SELECT doc_id, array_to_string(list_transform(
-        |    list_filter(str_split(text, ' '), w -> w <> ''),
-        |    w -> array_to_string([chr(1) || w[i] || chr(2)
-        |                          FOR i IN range(1, len(w) + 1)], '') ||
-        |         chr(1) || '</w>' || chr(2)), '') AS s
-        |  FROM documents),
-        |$encSteps
+        |${encBaseDuck("documents")},
+        |$encStepsDuck
         |SELECT sym, count(*)::BIGINT AS cnt FROM (
         |  SELECT unnest(str_split(s[2:len(s) - 1], chr(2) || chr(1))) AS sym
         |  FROM e$N_MERGES WHERE len(s) >= 2)
-        |GROUP BY sym ORDER BY cnt DESC, sym""".stripMargin
-    },
+        |GROUP BY sym ORDER BY cnt DESC, sym""".stripMargin,
 
-    "q143_tokenize_pack" -> {
-      val encSteps = encStepsDuck
-      val L = TextOps.PACK_SEQ_LEN
+    "q143_tokenize_pack" ->
       s"""WITH ${trainChainDuck()},
-        |e0 AS MATERIALIZED (
-        |  SELECT doc_id, array_to_string(list_transform(
-        |    list_filter(str_split(text, ' '), w -> w <> ''),
-        |    w -> array_to_string([chr(1) || w[i] || chr(2)
-        |                          FOR i IN range(1, len(w) + 1)], '') ||
-        |         chr(1) || '</w>' || chr(2)), '') AS s
-        |  FROM documents),
-        |$encSteps,
-        |ntk AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(s) < 2 THEN 0
-        |         ELSE len(str_split(s[2:len(s) - 1], chr(2) || chr(1)))
-        |    END::BIGINT AS n_toks,
-        |    doc_id % ${TextOps.PACK_SHARDS} AS grp
-        |  FROM e$N_MERGES),
-        |o AS (
-        |  SELECT grp, n_toks,
-        |    sum(n_toks) OVER (PARTITION BY grp ORDER BY doc_id) AS fin
-        |  FROM ntk)
-        |SELECT grp, count(*) AS n_docs, sum(n_toks)::BIGINT AS n_tokens,
-        |  (max(sl) + 1)::BIGINT AS n_seqs,
-        |  sum(CASE WHEN (fin - n_toks) // $L
-        |             <> sl THEN 1 ELSE 0 END)::BIGINT AS n_straddles,
-        |  ((max(sl) + 1) * $L
-        |    - sum(n_toks))::BIGINT AS pad_tokens
-        |FROM (SELECT grp, n_toks, fin,
-        |        CASE WHEN fin = 0 THEN 0 ELSE (fin - 1) // $L END AS sl
-        |      FROM o)
-        |GROUP BY grp ORDER BY grp""".stripMargin
-    }
+        |${encBaseDuck("documents")},
+        |$encStepsDuck,
+        |${packDuck(s"e$N_MERGES")}
+        |SELECT * FROM packed ORDER BY grp""".stripMargin
   )
 }

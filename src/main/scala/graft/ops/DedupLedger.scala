@@ -47,12 +47,16 @@ import graft.Tables
   *
   * Scale topology: the ledger-side tables STREAM (they are the corpus-
   * sized side and are never collected or re-fingerprinted); the batch's
-  * hashes and band rows BROADCAST (the daily increment is the small
-  * side by construction). One broadcast hash join per table, one
-  * aggregation keyed by batch doc — per-day cost is O(increment +
-  * ledger scan), and the ledger scan prunes to the manifest's file
-  * list. The verdict spine is the batch, so driver state is bounded by
-  * the increment, never the corpus.
+  * hashes and band rows broadcast WHILE MEASURABLY SMALL and fall back
+  * to shuffle-hash joins past the size gate — the increment scales
+  * with ingest rate, not corpus size, so "small by construction" is a
+  * usual-case expectation, not an invariant ([[ScaleOps
+  * .broadcastIfSmall]] routes it; LedgerTopologySpec pins that the
+  * forced-shuffle plan returns the identical verdict). One equi-join
+  * per table, one aggregation keyed by batch doc — per-day cost is
+  * O(increment + ledger scan), and the ledger scan prunes to the
+  * manifest's file list. The verdict spine is the batch, so driver
+  * state is bounded by the increment, never the corpus.
   *
   * The catalog gates BOTH ends of the lifecycle:
   *   - q139 dedups the last decile (doc_id ≥ max*9/10 — q129's integer
@@ -160,26 +164,37 @@ object DedupLedger {
 
   /** Verdict of `batch` against the ledger at `snap`: one row per batch
     * doc — `(doc_id, exact_of, near_of, keep)`. The ledger side streams
-    * from the snapshot's explicit file list; the batch side broadcasts.
-    */
+    * from the snapshot's explicit file list; the batch side broadcasts
+    * ONLY while it is measurably small (round-12 VERDICT #1: the
+    * increment scales with ingest rate, not corpus size — a hard
+    * `broadcast()` hint on a 100 GB/day increment is a guaranteed
+    * driver OOM, the exact latent-OOM pattern `broadcastIfSmall` was
+    * built to ban). Past `maxBroadcast` the hint drops away and AQE
+    * picks a shuffle-hash join on the same keys — verdict-identical
+    * topology change, pinned by LedgerTopologySpec's forced-shuffle
+    * run (the q103 salted-join discipline: prove the plan shape is
+    * oracle-invisible). */
   def dedupAgainstLedger(spark: SparkSession, batch: DataFrame,
-                         dir: String, snap: IndexStore.Snapshot): DataFrame = {
+                         dir: String, snap: IndexStore.Snapshot,
+                         maxBroadcast: Long = 256L << 20): DataFrame = {
+    def gate(df: DataFrame): DataFrame =
+      ScaleOps.broadcastIfSmall(df, maxBroadcast)
     val (exact, sigs) = IndexStore.frames(spark, dir, snap)
     val bh = batch.select(col("doc_id").as("bdoc"), sha2(col("text"), 256).as("h"))
-    val ex = exact.join(broadcast(bh), Seq("h"))
+    val ex = exact.join(gate(bh), Seq("h"))
       .groupBy(col("bdoc")).agg(min(col("owner")).as("exact_of"))
     val bb = bandsOf(sigRows(batch)).select(col("band"), col("bkey"),
       col("doc_id").as("bdoc"), col("sig").as("bsig"))
     // stored sigs re-derive their band keys row-locally in-flight: the
     // scan reads one sig row per doc, the explode costs no storage
-    val nm = bandsOf(sigs).join(broadcast(bb), Seq("band", "bkey"))
+    val nm = bandsOf(sigs).join(gate(bb), Seq("band", "bkey"))
       .withColumn("agree", expr(
         "aggregate(zip_with(sig, bsig, (x, y) -> IF(x = y, 1, 0)), 0, (a, v) -> a + v)"))
       .groupBy(col("bdoc"))
       .agg(min(when(col("agree") >= SIG_MIN, col("doc_id"))).as("near_of"))
     batch.select(col("doc_id"))
-      .join(broadcast(ex.withColumnRenamed("bdoc", "doc_id")), Seq("doc_id"), "left")
-      .join(broadcast(nm.withColumnRenamed("bdoc", "doc_id")), Seq("doc_id"), "left")
+      .join(gate(ex.withColumnRenamed("bdoc", "doc_id")), Seq("doc_id"), "left")
+      .join(gate(nm.withColumnRenamed("bdoc", "doc_id")), Seq("doc_id"), "left")
       .withColumn("keep", when(col("exact_of").isNull && col("near_of").isNull,
         1L).otherwise(0L))
       .orderBy(col("doc_id"))

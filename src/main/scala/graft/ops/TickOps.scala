@@ -61,33 +61,12 @@ object TickOps {
       // tokenizer = yesterday's artifact: trained on history only
       val merges = BpeOps.trainedMerges(s, d, historyOnly = true)
         .map(m => (m._2, m._3))
-      val counted = BpeOps.bpeEncode(admitted, merges)
-        .withColumn("n_toks",
-          when(expr("char_length(s) < 2"), 0L)
-            .otherwise(expr(
-              "size(split(substring(s, 2, char_length(s) - 2), ''))")
-              .cast("long")))
-        .select(col("doc_id"), col("n_toks"))
-      val L = TextOps.PACK_SEQ_LEN
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("grp")).orderBy(col("doc_id"))
-      val packed = counted
-        .withColumn("grp", pmod(col("doc_id"), lit(TextOps.PACK_SHARDS.toLong)))
-        .withColumn("fin", sum(col("n_toks")).over(w))
-        .withColumn("seq_first", expr(s"(fin - n_toks) div $L"))
-        // fin = 0 (a shard prefix of zero-token docs) must not emit
-        // sequence -1: Spark's `div` truncates toward zero while
-        // DuckDB's `//` floors, so (0-1) would diverge cross-engine
-        .withColumn("seq_last",
-          when(col("fin") === 0L, 0L).otherwise(expr(s"(fin - 1) div $L")))
-        .groupBy(col("grp"))
-        .agg(count(lit(1)).as("n_docs"),
-             sum(col("n_toks")).as("n_tokens"),
-             (max(col("seq_last")) + lit(1L)).as("n_seqs"),
-             sum(when(col("seq_first") =!= col("seq_last"), 1L)
-               .otherwise(0L)).as("n_straddles"),
-             ((max(col("seq_last")) + lit(1L)) * L
-               - sum(col("n_toks"))).as("pad_tokens"))
+      // shared pack tail (BpeOps.tokenCounts/packStats): one authored
+      // copy of the split delimiter and the fin=0 div-vs-floor guard
+      // (round-12 ADVICE: this block previously duplicated q143's form,
+      // with the delimiter spelled as raw invisible control bytes)
+      val packed = BpeOps.packStats(
+        BpeOps.tokenCounts(BpeOps.bpeEncode(admitted, merges)))
       // sentinel: the stage ledger (counts are increment-sized driver
       // reads — the numbers a tick reports to its scheduler)
       val nBatch = batch.count()
@@ -103,7 +82,6 @@ object TickOps {
 
   val oracles: Map[String, String] = Map(
     "q148_daily_tick" -> {
-      val L = TextOps.PACK_SEQ_LEN
       s"""WITH ${DedupLedger.baseDuck},
         |${DedupLedger.survivorsDuck},
         |scored AS (
@@ -118,29 +96,7 @@ object TickOps {
         |${BpeOps.trainChainDuck("doc_id < (SELECT c FROM cut)")},
         |${BpeOps.encBaseDuck("admitted")},
         |${BpeOps.encStepsDuck},
-        |ntk AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(s) < 2 THEN 0
-        |         ELSE len(str_split(s[2:len(s) - 1], chr(2) || chr(1)))
-        |    END::BIGINT AS n_toks,
-        |    doc_id % ${TextOps.PACK_SHARDS} AS grp
-        |  FROM e${BpeOps.N_MERGES}),
-        |o AS (
-        |  SELECT grp, n_toks,
-        |    sum(n_toks) OVER (PARTITION BY grp ORDER BY doc_id) AS fin
-        |  FROM ntk),
-        |packed AS (
-        |  SELECT grp, count(*) AS n_docs, sum(n_toks)::BIGINT AS n_tokens,
-        |    (max(sl) + 1)::BIGINT AS n_seqs,
-        |    sum(CASE WHEN (fin - n_toks) // $L
-        |               <> sl THEN 1 ELSE 0 END)::BIGINT
-        |      AS n_straddles,
-        |    ((max(sl) + 1) * $L - sum(n_toks))::BIGINT
-        |      AS pad_tokens
-        |  FROM (SELECT grp, n_toks, fin,
-        |          CASE WHEN fin = 0 THEN 0 ELSE (fin - 1) // $L END AS sl
-        |        FROM o)
-        |  GROUP BY grp),
+        |${BpeOps.packDuck(s"e${BpeOps.N_MERGES}")},
         |sentinel AS (
         |  SELECT -1::BIGINT AS grp,
         |    (SELECT count(*) FROM batch)::BIGINT AS n_docs,

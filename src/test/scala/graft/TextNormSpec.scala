@@ -35,6 +35,18 @@ class TextNormSpec extends SparkSpec {
     assert(TextNormUtil.stripAccents(null) == null)
   }
 
+  test("stripAccents drops supplementary-plane combining marks (code-point walk)") {
+    // U+1D167 MUSICAL SYMBOL COMBINING TREMOLO-1 is category Mn but
+    // encodes as a surrogate pair — a UTF-16 char-wise loop sees two
+    // SURROGATE chars and keeps it (round-12 ADVICE). Sanity-pin the
+    // category so a JDK Unicode-table change can't silently void the test.
+    assert(Character.getType(0x1D167) == Character.NON_SPACING_MARK)
+    assert(TextNormUtil.stripAccents(u("a𝅧b")).toString == "ab")
+    // a non-mark supplementary char (U+1F600, So) must survive untouched
+    assert(TextNormUtil.stripAccents(u("x😀y")).toString
+      == "x😀y")
+  }
+
   test("expressions match across codegen on/off and keep null semantics") {
     val d = Seq(Some("café"), Some("plain"), None).toDF("text")
     def run() = d.select(

@@ -177,8 +177,19 @@ object DedupLedger {
   def dedupAgainstLedger(spark: SparkSession, batch: DataFrame,
                          dir: String, snap: IndexStore.Snapshot,
                          maxBroadcast: Long = 256L << 20): DataFrame = {
-    def gate(df: DataFrame): DataFrame =
-      ScaleOps.broadcastIfSmall(df, maxBroadcast)
+    // ONE gate decision for all four batch-derived frames, taken on the
+    // batch's OWN plan stats: every broadcast side below (hash rows,
+    // band rows, the two verdict arms) is ≤ O(batch rows) by
+    // construction and narrower than the batch text, but the verdict
+    // arms are post-join aggregates whose Catalyst size estimates are
+    // inflated products of their join children (no CBO stats on
+    // temp frames) — gating each frame on its own estimate rejects
+    // kilobyte-sized aggregates and silently de-broadcasts the verdict
+    // (caught by PlanGuardSpec q139). The batch scan's estimate is the
+    // honest proxy for all four.
+    val small = maxBroadcast > 0 &&
+      batch.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBroadcast
+    def gate(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val (exact, sigs) = IndexStore.frames(spark, dir, snap)
     val bh = batch.select(col("doc_id").as("bdoc"), sha2(col("text"), 256).as("h"))
     val ex = exact.join(gate(bh), Seq("h"))

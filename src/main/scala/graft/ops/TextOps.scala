@@ -514,20 +514,23 @@ object TextOps {
     *
     * Topology (the 100 TB story): gram construction is row-local; only
     * `(16-byte digest, doc_id, position)` crosses the first shuffle —
-    * never the gram text. The duplicate test is a COUNT WINDOW over the
-    * digest (one hash shuffle; no groupBy+self-join, so the gram rows
-    * are scanned once), and span merging is integer window arithmetic
-    * per document (second shuffle, on doc_id). Two shuffles total, both
-    * map-side combinable, zero driver state — a distributed rendering
-    * of the paper's suffix-array pass whose candidate set is exact for
-    * runs ≥ SPAN_K (a duplicated run of length L ≥ K is covered by its
-    * L−K+1 duplicated K-grams and merges back to one span).
+    * never the gram text. The duplicate test is a map-side-combined
+    * groupBy over the digest feeding a size-gated semi-join back to the
+    * gram rows (skew-safe: a hot digest partial-aggregates per task
+    * before the shuffle, and the rejoin is AQE-splittable — the count
+    * WINDOW this replaced shuffled every occurrence of a hot gram into
+    * one task), and span merging is integer window arithmetic per
+    * document (shuffle on doc_id). Zero driver state — a distributed
+    * rendering of the paper's suffix-array pass whose candidate set is
+    * exact for runs ≥ SPAN_K (a duplicated run of length L ≥ K is
+    * covered by its L−K+1 duplicated K-grams and merges back to one
+    * span).
     */
   def dupSpanMap(docs: DataFrame, k: Int = SPAN_K): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("p"))
     val wPrev = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    Tables.rebalance(docs)
+    val grams = Tables.rebalance(docs)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"), explode(expr(
@@ -536,9 +539,23 @@ object TextOps {
            |    'gh', md5(cast(concat_ws(' ', slice(toks, i + 1, $k)) AS binary))))"""
           .stripMargin)).as("g"))
       .select(col("doc_id"), col("g.p").as("p"), col("g.gh").as("gh"))
-      .withColumn("n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))))
+    // duplicate test, SKEW-SAFE (round-12 VERDICT #3): the former COUNT
+    // WINDOW partitioned by gh had no partial aggregation — a
+    // boilerplate 8-gram with 10⁹ occurrences shuffles every occurrence
+    // into ONE task. groupBy(gh) partial-aggregates map-side (each task
+    // emits one row per distinct digest it saw — the salted-partial
+    // pattern with the task id as the implicit salt), so the reduce
+    // side receives ≤ #tasks rows per digest no matter how hot the
+    // gram. The rejoin gates through broadcastIfSmall (the duplicated-
+    // digest set is usually a sliver of the gram table); past the gate
+    // it is an AQE-splittable shuffle join — unlike a window, a skewed
+    // join partition CAN be split at runtime. SpanSkewSpec plants a
+    // hot gram and pins both the plan shape and the result.
+    val dupDigests = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2)
+      .select(col("gh"))
+    grams.join(ScaleOps.broadcastIfSmall(dupDigests), Seq("gh"), "left_semi")
       // merge overlapping [p, p+k): a position starts a new span iff it
       // clears the running max end of every earlier duplicated gram
       .withColumn("prev_end", max(col("p") + k).over(wPrev))

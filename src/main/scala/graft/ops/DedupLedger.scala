@@ -234,6 +234,41 @@ object DedupLedger {
       ()
     }
 
+  /** Build-once gate for q151: the full STORE lifecycle under the
+    * oracle (round-12 VERDICT #4 — q130's discipline applied to the
+    * ledger layout). History = doc_id < max*8/10; then TWO ingest
+    * generations (deciles 8 and 9, each verdict-then-append under its
+    * own idempotency tag — generation 9 dedups against generation 8's
+    * survivors, the chained daily shape), then [[IndexStore.compact]]
+    * (per-cell small-file rewrite, atomic replacement snapshot) and
+    * [[IndexStore.vacuum]]. Compaction and vacuum are layout-only: the
+    * q151 verdict against HEAD must hash-match a file-agnostic oracle
+    * that re-derives both survivor generations — a compaction that
+    * dropped/duplicated/re-celled one fingerprint row, or a vacuum that
+    * deleted a live file, flips some batch doc's owner or keep. */
+  private[graft] def ensureCompactLedger(s: SparkSession, d: String): String =
+    VectorOps.ensureIndex(d, "ledger2",
+        ledgerParams + "|2gen|cut80|compact", "documents.parquet") { base =>
+      val docs = Tables.rebalance(Tables.documents(s, d))
+      val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+      val c8 = mx * 8L / 10L
+      val c9 = mx * 9L / 10L
+      val dir = base.getPath
+      buildLedger(docs.filter(col("doc_id") < c8), dir)
+      for ((lo, hi, tag) <- Seq((c8, c9, s"gen@$c8"), (c9, mx + 1L, s"gen@$c9"))) {
+        val b = docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .localCheckpoint()
+        val v = dedupAgainstLedger(s, b, dir, IndexStore.snapshot(dir))
+        appendSurvivors(
+          b.join(v.filter(col("keep") === 1L).select(col("doc_id")),
+            Seq("doc_id"), "left_semi"),
+          dir, tag)
+      }
+      IndexStore.compact(s, dir)
+      IndexStore.vacuum(dir)
+      ()
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- q139: the INCREMENT dedup — last decile vs the PINNED v1
@@ -279,6 +314,23 @@ object DedupLedger {
       val docs = Tables.rebalance(Tables.documents(s, d))
       val cutoff = cutoffOf(docs)
       dedupAgainstLedger(s, docs.filter(col("doc_id") >= cutoff), dir,
+        IndexStore.snapshot(dir))
+    }),
+
+    // ---- q151: the ledger STORE lifecycle — build at the 80% line,
+    // two chained verdict+append generations, compact, vacuum, then
+    // re-dedup BOTH deciles against the compacted HEAD. All keep=0 by
+    // construction (every doc matches its own appended fingerprint or
+    // what dropped it); the hash pins the owners, i.e. exactly which
+    // fingerprints each generation admitted — through a layout the
+    // compaction fully rewrote. The oracle re-derives both survivor
+    // generations file-agnostically, so any content change from the
+    // layout ops breaks the match.
+    "q151_ledger_lifecycle" -> ((s, d) => {
+      val dir = ensureCompactLedger(s, d)
+      val docs = Tables.rebalance(Tables.documents(s, d))
+      val c8 = docs.agg(max(col("doc_id"))).head.getLong(0) * 8L / 10L
+      dedupAgainstLedger(s, docs.filter(col("doc_id") >= c8), dir,
         IndexStore.snapshot(dir))
     })
   )
@@ -374,6 +426,79 @@ object DedupLedger {
       .stripMargin
   }
 
+  /** One survivor GENERATION as CTEs (`{p}_ex`, `{p}_nr`, `{p}_surv`,
+    * `{p}_reps`): the docs of `batchRel` that neither exact-match
+    * `ledExact` nor near-match a doc of `ledSig`, collapsed to min-id
+    * representatives per text hash. The q151 oracle chains two of these
+    * (generation 9 dedups against generation 8's reps) — the same
+    * template [[survivorsDuck]] instantiates once for q140/q145/q148. */
+  private def survivorStepDuck(batchRel: String, ledExact: String,
+                               ledSig: String, p: String): String =
+    s"""${p}_ex AS (
+      |  SELECT bdoc, min(owner) AS exact_of FROM (
+      |    SELECT b2.doc_id AS bdoc, le.owner
+      |    FROM $batchRel b2 JOIN ($ledExact) le USING (h))
+      |  GROUP BY bdoc),
+      |${p}_nr AS (
+      |  SELECT bdoc, min(hdoc) AS near_of FROM (
+      |    SELECT cb.bdoc, cb.hdoc
+      |    FROM (SELECT DISTINCT hb.doc_id AS hdoc, bb.doc_id AS bdoc
+      |          FROM bands hb
+      |          JOIN ($ledSig) lsd ON hb.doc_id = lsd.doc_id
+      |          JOIN bands bb ON hb.band = bb.band AND hb.bkey = bb.bkey
+      |          JOIN $batchRel bt ON bb.doc_id = bt.doc_id) cb
+      |    JOIN sig sa ON sa.doc_id = cb.hdoc
+      |    JOIN sig sb ON sb.doc_id = cb.bdoc AND sb.s = sa.s
+      |    GROUP BY cb.bdoc, cb.hdoc
+      |    HAVING sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)
+      |           >= $SIG_MIN)
+      |  GROUP BY bdoc),
+      |${p}_surv AS (
+      |  SELECT b.doc_id, b.h FROM $batchRel b
+      |  LEFT JOIN ${p}_ex ON ${p}_ex.bdoc = b.doc_id
+      |  LEFT JOIN ${p}_nr ON ${p}_nr.bdoc = b.doc_id
+      |  WHERE ${p}_ex.exact_of IS NULL AND ${p}_nr.near_of IS NULL),
+      |${p}_reps AS (SELECT h, min(doc_id) AS owner FROM ${p}_surv
+      |              GROUP BY h)""".stripMargin
+
+  /** q151's base: the q139 signature derivation with the cut at 80%
+    * and the probe batch spanning BOTH appended deciles. `sig` and
+    * `bands` are marked MATERIALIZED — this oracle references each
+    * three times (two survivor generations + the final verdict), and
+    * DuckDB inlines unmaterialized CTE chains exponentially. */
+  private def base151Duck: String = {
+    import DedupOps.{HASH_P, NUM_SEEDS, ROWS_PER_BAND, trigramDuck}
+    s"""g0 AS (
+      |  SELECT doc_id, list_distinct($trigramDuck) AS grams
+      |  FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)),
+      |g AS (SELECT doc_id, unnest(grams) AS gram FROM g0),
+      |hh AS (SELECT doc_id,
+      |         ('0x' || substr(md5(gram), 1, 15))::BIGINT % $HASH_P AS hm
+      |       FROM g),
+      |sig AS MATERIALIZED (
+      |  SELECT doc_id, s,
+      |    min((hm * (2 * s + 1) + 7919 * s) % $HASH_P) AS mh
+      |  FROM hh CROSS JOIN (SELECT unnest(range(0, $NUM_SEEDS)) AS s) seeds
+      |  GROUP BY doc_id, s),
+      |bands AS MATERIALIZED (
+      |  SELECT doc_id, s // $ROWS_PER_BAND AS band,
+      |    string_agg(mh::VARCHAR, '|' ORDER BY s) AS bkey
+      |  FROM sig GROUP BY doc_id, s // $ROWS_PER_BAND),
+      |cut8 AS (SELECT (max(doc_id) * 8) // 10 AS c FROM documents),
+      |cut9 AS (SELECT (max(doc_id) * 9) // 10 AS c FROM documents),
+      |eh AS MATERIALIZED (
+      |  SELECT doc_id, sha256(text) AS h FROM documents),
+      |hist_exact AS (
+      |  SELECT h, min(doc_id) AS owner FROM eh, cut8 WHERE doc_id < c
+      |  GROUP BY h),
+      |hist_sig_docs AS (SELECT doc_id FROM documents, cut8 WHERE doc_id < c),
+      |batch_a AS (SELECT doc_id, h FROM eh, cut8, cut9
+      |            WHERE doc_id >= cut8.c AND doc_id < cut9.c),
+      |batch_b AS (SELECT doc_id, h FROM eh, cut9 WHERE doc_id >= c),
+      |batch AS (SELECT doc_id, h FROM eh, cut8 WHERE doc_id >= c)"""
+      .stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q139_ledger_dedup" ->
       s"""WITH $baseDuck
@@ -403,6 +528,34 @@ object DedupLedger {
         |  SELECT doc_id FROM hist_sig_docs
         |  UNION ALL SELECT owner AS doc_id FROM surv_reps)
         |${verdictDuck("SELECT h, owner FROM head_exact",
-                       "SELECT doc_id FROM head_sig_docs")}""".stripMargin
+                       "SELECT doc_id FROM head_sig_docs")}""".stripMargin,
+
+    // q151: two chained survivor generations (decile 8 vs history-80,
+    // decile 9 vs history-80 + gen-8 reps), then the verdict of BOTH
+    // deciles against the final population. File-agnostic: the Spark
+    // side's compaction + vacuum between append and serve must be
+    // invisible to this derivation.
+    "q151_ledger_lifecycle" ->
+      s"""WITH $base151Duck,
+        |${survivorStepDuck("batch_a",
+             "SELECT h, owner FROM hist_exact",
+             "SELECT doc_id FROM hist_sig_docs", "ga")},
+        |led1_exact AS (
+        |  SELECT h, owner FROM hist_exact
+        |  UNION ALL SELECT h, owner FROM ga_reps),
+        |led1_sig_docs AS (
+        |  SELECT doc_id FROM hist_sig_docs
+        |  UNION ALL SELECT owner AS doc_id FROM ga_reps),
+        |${survivorStepDuck("batch_b",
+             "SELECT h, owner FROM led1_exact",
+             "SELECT doc_id FROM led1_sig_docs", "gb")},
+        |led2_exact AS (
+        |  SELECT h, owner FROM led1_exact
+        |  UNION ALL SELECT h, owner FROM gb_reps),
+        |led2_sig_docs AS (
+        |  SELECT doc_id FROM led1_sig_docs
+        |  UNION ALL SELECT owner AS doc_id FROM gb_reps)
+        |${verdictDuck("SELECT h, owner FROM led2_exact",
+                       "SELECT doc_id FROM led2_sig_docs")}""".stripMargin
   )
 }

@@ -269,6 +269,34 @@ object DedupLedger {
       ()
     }
 
+  /** Cached HISTORY-ONLY ledger (doc_id < max*9/10, NO appends) — the
+    * seed q152 clones per execution. Distinct from [[ensureLedger]],
+    * whose cached dir has already ingested the last decile's survivors. */
+  private[graft] def ensureHistoryLedger(s: SparkSession, d: String): String =
+    VectorOps.ensureIndex(d, "ledgerh",
+        ledgerParams + "|history-only", "documents.parquet") { base =>
+      val docs = Tables.rebalance(Tables.documents(s, d))
+      buildLedger(docs.filter(col("doc_id") < cutoffOf(docs)), base.getPath)
+      ()
+    }
+
+  /** Recursive file copy: the store's manifests name data files by
+    * RELATIVE path, so a plain directory clone is a valid store at the
+    * destination — how a test/staging environment provisions from a
+    * production snapshot, and how q152 gets a mutable ledger per
+    * execution without rebuilding history. */
+  private def cloneStore(src: String, dst: String): Unit = {
+    val s0 = new java.io.File(src).toPath
+    val d0 = new java.io.File(dst).toPath
+    java.nio.file.Files.walk(s0).forEach { p =>
+      val t = d0.resolve(s0.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- q139: the INCREMENT dedup — last decile vs the PINNED v1
@@ -331,6 +359,55 @@ object DedupLedger {
       val docs = Tables.rebalance(Tables.documents(s, d))
       val c8 = docs.agg(max(col("doc_id"))).head.getLong(0) * 8L / 10L
       dedupAgainstLedger(s, docs.filter(col("doc_id") >= c8), dir,
+        IndexStore.snapshot(dir))
+    }),
+
+    // ---- q152: the STREAMED daily tick (round-12 VERDICT #5) — the
+    // production ingest shape executed inside the gate, like q105/q117:
+    // the last decile lands as JSON in two ticks, a checkpointed
+    // foreachBatch stream ([[graft.streaming.DedupMaintenance]]) runs
+    // ledger verdict + tagged append per micro-batch, the query is
+    // KILLED after tick 1 (the drain stops) and RESUMED from the same
+    // checkpoint for tick 2 (new files only — tick 2 dedups against
+    // what tick 1 admitted), then REPLAYED over the drained checkpoint
+    // (must publish nothing; a require turns a re-ingest into a gate
+    // error). The result is the whole decile re-deduped against HEAD —
+    // all keep=0, owners pinning exactly what the two ticks admitted —
+    // hash-matched against a file-agnostic two-generation oracle. Per
+    // execution the history ledger CLONES from the cached seed (never
+    // rebuilt), so the gate pays clone + two real stream lifecycles.
+    "q152_stream_tick" -> ((s, d) => {
+      val docs = Tables.rebalance(Tables.documents(s, d))
+      val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+      val c9 = mx * 9L / 10L
+      val cMid = mx * 19L / 20L
+      val zone = graft.jobs.JobRecordGate.freshZone("graft-ledgertick-", d)
+      val dir = new java.io.File(zone, "ledger").getAbsolutePath
+      cloneStore(ensureHistoryLedger(s, d), dir)
+      val landing = new java.io.File(zone, "in").getAbsolutePath
+      val ckpt = new java.io.File(zone, "ck").getAbsolutePath
+      val ss = graft.streaming.StreamConf.stateSession(s, 8)
+      def stream = ss.readStream.schema("doc_id LONG, text STRING")
+        .json(landing)
+      def drainTick(): Unit =
+        graft.streaming.DedupMaintenance.dedupSink(stream, dir, ckpt)
+          .start().awaitTermination()
+      // tick 1 lands as ONE file => one micro-batch, then the stream stops
+      docs.filter(col("doc_id") >= c9 && col("doc_id") < cMid)
+        .select(col("doc_id"), col("text")).repartition(1)
+        .write.mode("overwrite").json(landing)
+      drainTick()
+      // tick 2 appends; resume from the SAME checkpoint reads new files only
+      docs.filter(col("doc_id") >= cMid)
+        .select(col("doc_id"), col("text")).repartition(1)
+        .write.mode("append").json(landing)
+      drainTick()
+      // replay over the drained checkpoint: exactly-once means silence
+      val v = IndexStore.headVersion(dir).get
+      drainTick()
+      require(IndexStore.headVersion(dir).contains(v),
+        "replay over a drained checkpoint published a new snapshot")
+      dedupAgainstLedger(s, docs.filter(col("doc_id") >= c9), dir,
         IndexStore.snapshot(dir))
     })
   )
@@ -461,12 +538,15 @@ object DedupLedger {
       |${p}_reps AS (SELECT h, min(doc_id) AS owner FROM ${p}_surv
       |              GROUP BY h)""".stripMargin
 
-  /** q151's base: the q139 signature derivation with the cut at 80%
-    * and the probe batch spanning BOTH appended deciles. `sig` and
-    * `bands` are marked MATERIALIZED — this oracle references each
-    * three times (two survivor generations + the final verdict), and
-    * DuckDB inlines unmaterialized CTE chains exponentially. */
-  private def base151Duck: String = {
+  /** Two-generation base: the q139 signature derivation with history
+    * cut at `cutLo`, generation A = [cutLo, cutMid), generation B =
+    * [cutMid, ∞), probe batch = everything ≥ cutLo. `sig`/`bands` are
+    * marked MATERIALIZED — these oracles reference each three times
+    * (two survivor generations + the final verdict), and DuckDB
+    * inlines unmaterialized CTE chains exponentially. Instantiated at
+    * (8/10, 9/10) for q151's compacted two-decile lifecycle and at
+    * (9/10, 19/20) for q152's two streamed ticks over the last decile. */
+  private def twoGenBaseDuck(cutLo: String, cutMid: String): String = {
     import DedupOps.{HASH_P, NUM_SEEDS, ROWS_PER_BAND, trigramDuck}
     s"""g0 AS (
       |  SELECT doc_id, list_distinct($trigramDuck) AS grams
@@ -484,20 +564,46 @@ object DedupLedger {
       |  SELECT doc_id, s // $ROWS_PER_BAND AS band,
       |    string_agg(mh::VARCHAR, '|' ORDER BY s) AS bkey
       |  FROM sig GROUP BY doc_id, s // $ROWS_PER_BAND),
-      |cut8 AS (SELECT (max(doc_id) * 8) // 10 AS c FROM documents),
-      |cut9 AS (SELECT (max(doc_id) * 9) // 10 AS c FROM documents),
+      |cutlo AS (SELECT $cutLo AS c FROM documents),
+      |cutmid AS (SELECT $cutMid AS c FROM documents),
       |eh AS MATERIALIZED (
       |  SELECT doc_id, sha256(text) AS h FROM documents),
       |hist_exact AS (
-      |  SELECT h, min(doc_id) AS owner FROM eh, cut8 WHERE doc_id < c
+      |  SELECT h, min(doc_id) AS owner FROM eh, cutlo WHERE doc_id < c
       |  GROUP BY h),
-      |hist_sig_docs AS (SELECT doc_id FROM documents, cut8 WHERE doc_id < c),
-      |batch_a AS (SELECT doc_id, h FROM eh, cut8, cut9
-      |            WHERE doc_id >= cut8.c AND doc_id < cut9.c),
-      |batch_b AS (SELECT doc_id, h FROM eh, cut9 WHERE doc_id >= c),
-      |batch AS (SELECT doc_id, h FROM eh, cut8 WHERE doc_id >= c)"""
+      |hist_sig_docs AS (SELECT doc_id FROM documents, cutlo WHERE doc_id < c),
+      |batch_a AS (SELECT doc_id, h FROM eh, cutlo, cutmid
+      |            WHERE doc_id >= cutlo.c AND doc_id < cutmid.c),
+      |batch_b AS (SELECT doc_id, h FROM eh, cutmid WHERE doc_id >= c),
+      |batch AS (SELECT doc_id, h FROM eh, cutlo WHERE doc_id >= c)"""
       .stripMargin
   }
+
+  /** The full two-generation oracle: base at the given cuts, survivor
+    * chain (generation B dedups against generation A's reps), final
+    * verdict of the whole probe batch against the resulting population. */
+  private def twoGenOracleDuck(cutLo: String, cutMid: String): String =
+    s"""WITH ${twoGenBaseDuck(cutLo, cutMid)},
+      |${survivorStepDuck("batch_a",
+           "SELECT h, owner FROM hist_exact",
+           "SELECT doc_id FROM hist_sig_docs", "ga")},
+      |led1_exact AS (
+      |  SELECT h, owner FROM hist_exact
+      |  UNION ALL SELECT h, owner FROM ga_reps),
+      |led1_sig_docs AS (
+      |  SELECT doc_id FROM hist_sig_docs
+      |  UNION ALL SELECT owner AS doc_id FROM ga_reps),
+      |${survivorStepDuck("batch_b",
+           "SELECT h, owner FROM led1_exact",
+           "SELECT doc_id FROM led1_sig_docs", "gb")},
+      |led2_exact AS (
+      |  SELECT h, owner FROM led1_exact
+      |  UNION ALL SELECT h, owner FROM gb_reps),
+      |led2_sig_docs AS (
+      |  SELECT doc_id FROM led1_sig_docs
+      |  UNION ALL SELECT owner AS doc_id FROM gb_reps)
+      |${verdictDuck("SELECT h, owner FROM led2_exact",
+                     "SELECT doc_id FROM led2_sig_docs")}""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q139_ledger_dedup" ->
@@ -536,26 +642,14 @@ object DedupLedger {
     // side's compaction + vacuum between append and serve must be
     // invisible to this derivation.
     "q151_ledger_lifecycle" ->
-      s"""WITH $base151Duck,
-        |${survivorStepDuck("batch_a",
-             "SELECT h, owner FROM hist_exact",
-             "SELECT doc_id FROM hist_sig_docs", "ga")},
-        |led1_exact AS (
-        |  SELECT h, owner FROM hist_exact
-        |  UNION ALL SELECT h, owner FROM ga_reps),
-        |led1_sig_docs AS (
-        |  SELECT doc_id FROM hist_sig_docs
-        |  UNION ALL SELECT owner AS doc_id FROM ga_reps),
-        |${survivorStepDuck("batch_b",
-             "SELECT h, owner FROM led1_exact",
-             "SELECT doc_id FROM led1_sig_docs", "gb")},
-        |led2_exact AS (
-        |  SELECT h, owner FROM led1_exact
-        |  UNION ALL SELECT h, owner FROM gb_reps),
-        |led2_sig_docs AS (
-        |  SELECT doc_id FROM led1_sig_docs
-        |  UNION ALL SELECT owner AS doc_id FROM gb_reps)
-        |${verdictDuck("SELECT h, owner FROM led2_exact",
-                       "SELECT doc_id FROM led2_sig_docs")}""".stripMargin
+      twoGenOracleDuck("(max(doc_id) * 8) // 10", "(max(doc_id) * 9) // 10"),
+
+    // q152: the same two-generation derivation over the last decile
+    // split at its midpoint — tick 2 dedups against what tick 1
+    // admitted. File- and TRANSPORT-agnostic: the Spark side's JSON
+    // landing, checkpointed stream, kill/resume, and drained replay
+    // must all be invisible to this content-only oracle.
+    "q152_stream_tick" ->
+      twoGenOracleDuck("(max(doc_id) * 9) // 10", "(max(doc_id) * 19) // 20")
   )
 }

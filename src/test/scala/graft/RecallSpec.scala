@@ -225,6 +225,47 @@ class RecallSpec extends SparkSpec {
         "0.60 (measured 70% at the round-12 gate)")
   }
 
+  test("q131/q137 SemDeDup blocking recall floors on planted pairs (high-cos regime)") {
+    // VERDICT r12 #6: addendum-4/5's measured blocking-recall tables
+    // (same-cell 100% at cos>=0.7 on the separated corpus; probes=2
+    // recovering 96-100% of cos>=0.7 boundary-straddlers on the blurred
+    // one) lived only in SCALING.md — a clustering/init regression
+    // would silently invalidate them. This pins both as CI floors on
+    // the committed fixtures, measured values minus a drift margin.
+    // The high-cos band (>= 0.7) is the regime SemDeDup targets — the
+    // paper's premise is that TRUE near-duplicates co-locate; the
+    // low-cos background mass is the LSH families' job (q49/q55/q97).
+    import graft.ops.VectorOps
+    def blockingRecall(dir: String, probes: Int): (Long, Long) = {
+      val quant = Tables.rebalance(Tables.embeddings(spark, dir))
+        .withColumn("q", expr(VectorOps.quantExpr))
+        .select(col("vec_id"), col("q")).localCheckpoint()
+      val cents = VectorOps.kmeansFit(quant, VectorOps.GATED_K,
+        VectorOps.IVF_COARSE_ITERS, None)
+      val probed = VectorOps.kmeansAssignTopP(quant, cents, probes)
+        .select(col("vec_id"), col("cell")).localCheckpoint()
+      val covered = probed.select(col("vec_id").as("v1"), col("cell"))
+        .join(probed.select(col("vec_id").as("v2"), col("cell")), "cell")
+        .select(col("v1"), col("v2")).distinct()
+      val planted = spark.read.parquet(s"$dir/planted_vec_pairs.parquet")
+        .filter(col("cos_exact") >= 0.7)
+      (planted.join(covered, Seq("v1", "v2"), "left_semi").count(),
+       planted.count())
+    }
+    val (sep1, sepN) = blockingRecall("fixtures/sf1vec", probes = 1)
+    info(s"sf1vec same-cell (probes=1) cos>=0.7: $sep1 / $sepN")
+    assert(sepN >= 50, s"fixture too weak: $sepN planted cos>=0.7 pairs")
+    assert(sep1 >= math.ceil(sepN * 0.95).toLong,
+      s"separated-corpus same-cell recall ${sep1.toDouble / sepN} < 0.95 " +
+        "(measured 100% at the round-12 gate) — clustering regression")
+    val (blur2, blurN) = blockingRecall("fixtures/sf1vecwide", probes = 2)
+    info(s"sf1vecwide probes=2 cos>=0.7: $blur2 / $blurN")
+    assert(blurN >= 50, s"fixture too weak: $blurN planted cos>=0.7 pairs")
+    assert(blur2 >= math.ceil(blurN * 0.90).toLong,
+      s"blurred-corpus probes=2 recall ${blur2.toDouble / blurN} < 0.90 " +
+        "(measured 96-100% by band at the round-12 gate) — probe regression")
+  }
+
   test("q129 append path: appended-decile store serves within tolerance of the build-time-included store") {
     // VERDICT r11 #6: q129's hash pins exact rows on the FIXED gate
     // fixture, but a quality regression in appendToIvfPqIndex's

@@ -67,39 +67,12 @@ object SemanticOps {
   private[graft] val HYBRID_POOL = 50
   private[graft] val RRF_K = 60
 
-  /** The fitted coarse clustering as a driver-cached artifact: k rows of
-    * (cell, s, n), keyed by the source parquet's (path, length, mtime)
-    * set and the (k, iters) config. Both q131 and q133 consume the SAME
-    * clustering the ANN family trains — in a production pipeline the
-    * k-means fit runs once and every downstream pass (index build,
-    * semantic dedup, balanced selection) reads the artifact, so the
-    * engine's catalog entries do the same instead of re-running Lloyd
-    * per query. Values are bit-identical to an in-query fit (the cache
-    * stores the exact (sum, count) rationals), so the oracle hashes are
-    * unaffected; a regenerated fixture invalidates by fingerprint.
-    */
-  private val centsCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, Array[(Int, Array[Long], Long)])]()
+  /** The fitted coarse clustering as a driver-cached artifact — moved
+    * to [[VectorOps.fittedCents]] (round-12 VERDICT #8: q125 joins
+    * q131/q133 as a consumer, and the cache belongs with the trainer). */
   private def fittedCents(spark: SparkSession, d: String,
-                          k: Int, iters: Int): DataFrame = {
-    val fp = Fingerprint.of(d, "embeddings.parquet")
-    val key = s"$d|k=$k|it=$iters"
-    val cached = centsCache.get(key)
-    val rows =
-      if (cached != null && cached._1 == fp) cached._2
-      else {
-        val quant = Tables.rebalance(Tables.embeddings(spark, d))
-          .withColumn("q", expr(VectorOps.quantExpr))
-          .select(col("vec_id"), col("q"))
-        val r = VectorOps.kmeansFit(quant, k, iters, None)
-          .select(col("cell"), col("s"), col("n")).collect()
-          .map(x => (x.getInt(0), x.getSeq[Long](1).toArray, x.getLong(2)))
-        centsCache.put(key, (fp, r))
-        r
-      }
-    import spark.implicits._
-    rows.toSeq.toDF("cell", "s", "n")
-  }
+                          k: Int, iters: Int): DataFrame =
+    VectorOps.fittedCents(spark, d, k, iters)
 
   /** SemDeDup over `emb` (vec_id, embedding): returns one row per
     * vector — (vec_id, cell, keep) — where keep=0 marks vectors pruned

@@ -369,9 +369,12 @@ object DedupLedger {
     // ledger verdict + tagged append per micro-batch, the query is
     // KILLED after tick 1 (the drain stops) and RESUMED from the same
     // checkpoint for tick 2 (new files only — tick 2 dedups against
-    // what tick 1 admitted), then REPLAYED over the drained checkpoint
-    // (must publish nothing; a require turns a re-ingest into a gate
-    // error). The result is the whole decile re-deduped against HEAD —
+    // what tick 1 admitted; a checkpoint regression that re-read tick 1
+    // would re-append nothing only through the idempotency tag, and a
+    // tag regression flips the hash). Replay over a DRAINED checkpoint
+    // is DedupLedgerSpec's job ("restart publishes nothing") — the gate
+    // doesn't pay a third stream lifecycle to re-prove it (the q125
+    // lesson). The result is the whole decile re-deduped against HEAD —
     // all keep=0, owners pinning exactly what the two ticks admitted —
     // hash-matched against a file-agnostic two-generation oracle. Per
     // execution the history ledger CLONES from the cached seed (never
@@ -402,11 +405,6 @@ object DedupLedger {
         .select(col("doc_id"), col("text")).repartition(1)
         .write.mode("append").json(landing)
       drainTick()
-      // replay over the drained checkpoint: exactly-once means silence
-      val v = IndexStore.headVersion(dir).get
-      drainTick()
-      require(IndexStore.headVersion(dir).contains(v),
-        "replay over a drained checkpoint published a new snapshot")
       dedupAgainstLedger(s, docs.filter(col("doc_id") >= c9), dir,
         IndexStore.snapshot(dir))
     })

@@ -367,6 +367,45 @@ object BpeOps {
     }
   }
 
+  /** Versioned TOKENIZER REGISTRY — the third persisted-artifact
+    * lifecycle beside the dedup ledger and the ANN index, on the same
+    * [[IndexStore]] manifest machinery: each published VERSION is a
+    * complete standalone merge list (v1 = trained on history only —
+    * yesterday's artifact, the one q148's tick applies; v2 = retrained
+    * on the full corpus), committed as a REPLACEMENT publish so the
+    * previous version's files stay on disk behind their manifest —
+    * time travel to any still-retained vocabulary is one `snapshotAt`,
+    * which is how a training run pins "the tokenizer as of checkpoint
+    * N" while ingest keeps retraining. Deliberately NOT vacuumed:
+    * retired vocabularies are the retention policy's call, not the
+    * publisher's. */
+  private[graft] def ensureTokenizerRegistry(s: SparkSession,
+                                             d: String): String =
+    VectorOps.ensureIndex(d, "tokreg", s"v1|m=$N_MERGES|cut90",
+        "documents.parquet") { base =>
+      val dir = base.getPath
+      val docs = Tables.rebalance(Tables.documents(s, d))
+      val cut = DedupLedger.cutoffOf(docs)
+      IndexStore.commitRebuild(dir) {
+        bpeTrain(docs.filter(col("doc_id") < cut))
+          .write.mode("overwrite").parquet(s"$dir/codes")
+      }
+      IndexStore.commitReplace(dir, IndexStore.snapshot(dir)) {
+        bpeTrain(docs).write.mode("append").parquet(s"$dir/codes")
+      }
+      ()
+    }
+
+  /** The merge list a registry VERSION publishes, in training order. */
+  private def mergesAt(s: SparkSession, dir: String,
+                       v: Int): Seq[(String, String)] = {
+    val snap = IndexStore.snapshotAt(dir, v)
+    s.read.option("basePath", s"$dir/codes")
+      .parquet(snap.codes.map(f => s"$dir/codes/$f"): _*)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- q141: BPE tokenizer training — the first N_MERGES merges
     // over the documents corpus. The hash gates the ENTIRE iterative
@@ -424,6 +463,36 @@ object BpeOps {
       bpeEncodeRanked(docs, merges)
         .select(col("doc_id"), md5(col("s").cast("binary")).as("enc_md5"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- q153: the tokenizer REGISTRY — both published vocabulary
+    // versions served from the store (v1 via time travel, v2 = HEAD)
+    // and applied to the increment with the PRODUCTION rank-loop
+    // encoder: per-doc token counts under yesterday's vocabulary vs
+    // today's retrain, plus a doc_id=-1 sentinel carrying the
+    // vocabulary drift (merge pairs shared between versions, total
+    // merges) — the retrain-impact report a tokenizer upgrade ships
+    // with. The hash covers both training runs, both store round-trips,
+    // the version isolation (a v2 file leaking into the v1 read flips
+    // the v1 counts), and the ranked encoder against the oracle's
+    // chain replay — a second consumer for the q150 equivalence.
+    "q153_tokenizer_registry" -> ((s, d) => {
+      val dir = ensureTokenizerRegistry(s, d)
+      val m1 = mergesAt(s, dir, 1)
+      val m2 = mergesAt(s, dir, 2)
+      val docs = Tables.rebalance(Tables.documents(s, d))
+      val cut = DedupLedger.cutoffOf(docs)
+      val batch = docs.filter(col("doc_id") >= cut)
+        .select(col("doc_id"), col("text")).localCheckpoint()
+      val n1 = tokenCounts(bpeEncodeRanked(batch, m1))
+        .withColumnRenamed("n_toks", "n_v1")
+      val n2 = tokenCounts(bpeEncodeRanked(batch, m2))
+        .withColumnRenamed("n_toks", "n_v2")
+      import s.implicits._
+      val sentinel = Seq((-1L, m1.toSet.intersect(m2.toSet).size.toLong,
+        m2.length.toLong)).toDF("doc_id", "n_v1", "n_v2")
+      n1.join(n2, Seq("doc_id")).unionByName(sentinel)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -431,59 +500,65 @@ object BpeOps {
     * s0 → (p1, b1, s1) → … → (pN, bN, sN) — with the same
     * wrapped-string representation, so DuckDB replays every replace()
     * bit-for-bit. Shared by both oracles. */
-  private[ops] def trainChainDuck(where: String = ""): String = {
+  private[ops] def trainChainDuck(where: String = "",
+                                  pfx: String = ""): String = {
     val steps = (1 to N_MERGES).map { k =>
-      s"""p$k AS (
+      s"""${pfx}p$k AS (
         |  SELECT parts[i] AS lhs, parts[i + 1] AS rhs,
         |         sum(cnt)::BIGINT AS pair_cnt
         |  FROM (SELECT cnt,
         |          str_split(s[2:len(s) - 1], chr(2) || chr(1)) AS parts
-        |        FROM s${k - 1}),
+        |        FROM ${pfx}s${k - 1}),
         |       unnest(range(1, len(parts))) u(i)
         |  GROUP BY lhs, rhs),
-        |b$k AS MATERIALIZED (SELECT lhs, rhs, pair_cnt FROM p$k
+        |${pfx}b$k AS MATERIALIZED (SELECT lhs, rhs, pair_cnt FROM ${pfx}p$k
         |        ORDER BY pair_cnt DESC, lhs, rhs LIMIT 1),
-        |s$k AS MATERIALIZED (
+        |${pfx}s$k AS MATERIALIZED (
         |  SELECT word, cnt,
         |    replace(s,
-        |      chr(1) || (SELECT lhs FROM b$k) || chr(2) || chr(1) ||
-        |        (SELECT rhs FROM b$k) || chr(2),
-        |      chr(1) || (SELECT lhs FROM b$k) ||
-        |        (SELECT rhs FROM b$k) || chr(2)) AS s
-        |  FROM s${k - 1})""".stripMargin
+        |      chr(1) || (SELECT lhs FROM ${pfx}b$k) || chr(2) || chr(1) ||
+        |        (SELECT rhs FROM ${pfx}b$k) || chr(2),
+        |      chr(1) || (SELECT lhs FROM ${pfx}b$k) ||
+        |        (SELECT rhs FROM ${pfx}b$k) || chr(2)) AS s
+        |  FROM ${pfx}s${k - 1})""".stripMargin
     }.mkString(",\n")
     val gate = if (where.isEmpty) "" else s" AND ($where)"
-    s"""wc AS (
+    s"""${pfx}wc AS (
       |  SELECT word, count(*)::BIGINT AS cnt
       |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents)
       |  WHERE word <> ''$gate GROUP BY word),
-      |s0 AS MATERIALIZED (
+      |${pfx}s0 AS MATERIALIZED (
       |  SELECT word, cnt,
       |    array_to_string([chr(1) || word[i] || chr(2)
       |                     FOR i IN range(1, len(word) + 1)], '') ||
       |      chr(1) || '</w>' || chr(2) AS s
-      |  FROM wc),
+      |  FROM ${pfx}wc),
       |$steps""".stripMargin
   }
 
   /** The encode loop as CTEs e1..eN over an `e0(doc_id, s)` base —
     * shared by every oracle that applies the trained merges. */
-  private[ops] def encStepsDuck: String =
+  private[ops] def encStepsDuck: String = encStepsDuckP("")
+
+  /** Prefixed form: encode CTEs `${pfx}e1..eN` consuming the train
+    * chain published under the SAME prefix — lets one oracle splice two
+    * independent vocabularies (q153). */
+  private[ops] def encStepsDuckP(pfx: String): String =
     (1 to N_MERGES).map { k =>
-      s"""e$k AS MATERIALIZED (
+      s"""${pfx}e$k AS MATERIALIZED (
         |  SELECT doc_id,
         |    replace(s,
-        |      chr(1) || (SELECT lhs FROM b$k) || chr(2) || chr(1) ||
-        |        (SELECT rhs FROM b$k) || chr(2),
-        |      chr(1) || (SELECT lhs FROM b$k) ||
-        |        (SELECT rhs FROM b$k) || chr(2)) AS s
-        |  FROM e${k - 1})""".stripMargin
+        |      chr(1) || (SELECT lhs FROM ${pfx}b$k) || chr(2) || chr(1) ||
+        |        (SELECT rhs FROM ${pfx}b$k) || chr(2),
+        |      chr(1) || (SELECT lhs FROM ${pfx}b$k) ||
+        |        (SELECT rhs FROM ${pfx}b$k) || chr(2)) AS s
+        |  FROM ${pfx}e${k - 1})""".stripMargin
     }.mkString(",\n")
 
   /** The wrapped-symbol document base CTE (`e0`) over a doc source
     * relation providing (doc_id, text). */
-  private[ops] def encBaseDuck(src: String): String =
-    s"""e0 AS MATERIALIZED (
+  private[ops] def encBaseDuck(src: String, pfx: String = ""): String =
+    s"""${pfx}e0 AS MATERIALIZED (
       |  SELECT doc_id, array_to_string(list_transform(
       |    list_filter(str_split(text, ' '), w -> w <> ''),
       |    w -> array_to_string([chr(1) || w[i] || chr(2)
@@ -525,6 +600,47 @@ object BpeOps {
         |${encBaseDuck("documents")},
         |$encStepsDuck
         |SELECT doc_id, md5(s) AS enc_md5 FROM e$N_MERGES
+        |ORDER BY doc_id""".stripMargin,
+
+    // q153: TWO independent train chains (history-gated `h*`, full-
+    // corpus `f*`) + two encode chains over the increment, spliced into
+    // one statement via the prefixed CTE builders; the Spark side reads
+    // both vocabularies back from the versioned store and encodes with
+    // the rank loop — so the hash is simultaneously the store
+    // round-trip proof and the chain≡ranked proof under two different
+    // merge lists.
+    "q153_tokenizer_registry" -> {
+      def ntk(src: String, as: String) =
+        s"""SELECT doc_id,
+          |  CASE WHEN len(s) < 2 THEN 0
+          |       ELSE len(str_split(s[2:len(s) - 1], chr(2) || chr(1)))
+          |  END::BIGINT AS $as
+          |FROM $src""".stripMargin
+      def mergeRows(pfx: String) = (1 to N_MERGES)
+        .map(k => s"SELECT lhs, rhs FROM ${pfx}b$k")
+        .mkString("\n  UNION ALL ")
+      s"""WITH tcut AS (SELECT (max(doc_id) * 9) // 10 AS c FROM documents),
+        |${trainChainDuck("doc_id < (SELECT c FROM tcut)", "h")},
+        |${trainChainDuck("", "f")},
+        |bdocs AS MATERIALIZED (
+        |  SELECT d.doc_id, d.text FROM documents d, tcut
+        |  WHERE d.doc_id >= tcut.c),
+        |${encBaseDuck("bdocs", "h")},
+        |${encStepsDuckP("h")},
+        |${encBaseDuck("bdocs", "f")},
+        |${encStepsDuckP("f")},
+        |n1 AS (${ntk(s"he$N_MERGES", "n_v1")}),
+        |n2 AS (${ntk(s"fe$N_MERGES", "n_v2")}),
+        |v1m AS (${mergeRows("h")}),
+        |v2m AS (${mergeRows("f")}),
+        |sent AS (SELECT -1::BIGINT AS doc_id,
+        |  (SELECT count(*) FROM
+        |     (SELECT * FROM v1m INTERSECT SELECT * FROM v2m))::BIGINT AS n_v1,
+        |  (SELECT count(*) FROM v2m)::BIGINT AS n_v2)
+        |SELECT doc_id, n_v1, n_v2 FROM (
+        |  SELECT n1.doc_id, n_v1, n_v2 FROM n1 JOIN n2 USING (doc_id)
+        |  UNION ALL SELECT * FROM sent)
         |ORDER BY doc_id""".stripMargin
+    }
   )
 }

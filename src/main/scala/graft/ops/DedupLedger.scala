@@ -285,7 +285,7 @@ object DedupLedger {
     * destination — how a test/staging environment provisions from a
     * production snapshot, and how q152 gets a mutable ledger per
     * execution without rebuilding history. */
-  private def cloneStore(src: String, dst: String): Unit = {
+  private[graft] def cloneStore(src: String, dst: String): Unit = {
     val s0 = new java.io.File(src).toPath
     val d0 = new java.io.File(dst).toPath
     java.nio.file.Files.walk(s0).forEach { p =>

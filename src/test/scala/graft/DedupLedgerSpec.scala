@@ -206,4 +206,37 @@ class DedupLedgerSpec extends SparkSpec {
       (1L, 1L, 0L, 9L), (1L, 2L, 19L, 9L),
       (2L, 1L, 0L, 18L), (3L, 1L, 0L, 18L)), s"got $spans")
   }
+
+  test("cloneStore: the clone is a valid independent store; mutating it never touches the source") {
+    // q152 provisions its per-execution ledger by cloning the cached
+    // history seed — a clone that kept ANY live reference to the
+    // source (hard link, shared manifest, absolute path in a manifest
+    // line) would silently poison the seed for every later execution.
+    val src = java.nio.file.Files.createTempDirectory("clone-src").toString
+    DedupLedger.buildLedger(docs(0L -> words(25, "h"), 1L -> words(25, "g")), src)
+    val srcSnap = IndexStore.snapshot(src)
+    val dst = new java.io.File(
+      java.nio.file.Files.createTempDirectory("clone-dst").toFile, "led")
+      .getAbsolutePath
+    DedupLedger.cloneStore(src, dst)
+    // the clone serves identically at its own location
+    val probe = docs(10L -> words(25, "h"), 11L -> words(25, "w"))
+    val fromSrc = DedupLedger.dedupAgainstLedger(spark, probe, src, srcSnap)
+      .collect().map(_.toSeq).toSeq
+    val fromDst = DedupLedger.dedupAgainstLedger(spark, probe, dst,
+      IndexStore.snapshot(dst)).collect().map(_.toSeq).toSeq
+    assert(fromDst == fromSrc, "clone must serve the source's verdicts")
+    // mutate the clone: append + compact + vacuum
+    DedupLedger.appendSurvivors(docs(11L -> words(25, "w")), dst, "c1")
+    IndexStore.compact(spark, dst)
+    IndexStore.vacuum(dst)
+    // the source is bit-untouched: same head, same file list, same verdict
+    assert(IndexStore.snapshot(src) == srcSnap,
+      "mutating the clone changed the source's snapshot")
+    assert(DedupLedger.dedupAgainstLedger(spark, probe, src,
+      IndexStore.snapshot(src)).collect().map(_.toSeq).toSeq == fromSrc,
+      "mutating the clone changed the source's verdicts")
+    // and the mutation is visible in the clone
+    assert(IndexStore.headVersion(dst).get > IndexStore.headVersion(src).get)
+  }
 }

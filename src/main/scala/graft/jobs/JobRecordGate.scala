@@ -589,6 +589,72 @@ object JobRecordGate {
         .orderBy(col("media_id"), col("frame_idx"))
     }),
 
+    // ---- q154: IMAGE near-dup detection — perceptual dHash over
+    // decoded pixels + LSH-banded hamming join, the visual analog of
+    // q79's SimHash-over-text. Fixture: 100 base 8x6 BMPs with
+    // md5-derived pixels (channel = first md5 byte of "base|x|y|c" —
+    // decorrelated, unlike a linear gradient whose adjacent-pixel
+    // deltas are id-independent and make EVERY image a near-dup of
+    // every other) + 100 PERTURBED copies (ids 100-199 re-encode base
+    // id-100 with a +40 bump at pixel (3, 2)) — the planted edit
+    // touches only the two horizontal comparisons at that pixel, so
+    // each (i, i+100) pair lands within hamming ≤ 2 of its base by
+    // construction while unrelated pairs sit ~21 bits apart. Topology:
+    // decode + 42-bit dHash are row-local, candidates form on a 3-band
+    // pigeonhole join (t+1 bands of 14 bits: any pair within
+    // hamming ≤ 2 shares an exact band — recall 1.0, no all-pairs),
+    // exact popcount filter after. The hash covers the whole chain: a
+    // decode drift (stride, BGR, bottom-up rows), a bit-packing drift,
+    // or a banding drift each changes some pair's membership or hamming.
+    "q154_image_phash_dedup" -> ((s, d) => {
+      import s.implicits._
+      val W = 8; val H = 6
+      val encode = udf((id: Long) => {
+        val base = id % 100
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def ch(x: Int, y: Int, c: Int): Int = {
+          val b = md.digest(s"$base|$x|$y|$c".getBytes("UTF-8"))(0) & 0xff
+          val bump = if (id >= 100 && x == 3 && y == 2) 40 else 0
+          (b + bump) % 256
+        }
+        val px = Array.tabulate(W * H) { p =>
+          val x = p % W; val y = p / W
+          (ch(x, y, 0), ch(x, y, 1), ch(x, y, 2))
+        }
+        graft.multimodal.BmpDecoder.encode(W, H, px)
+      })
+      val media = Tables.rebalance(
+          Tables.documents(s, d).filter(col("doc_id") < 200)
+            .select(col("doc_id").as("media_id")))
+        .withColumn("payload", encode(col("media_id")))
+        .select(col("media_id"),
+          struct(lit("image").as("kind"), lit(W).as("declaredWidth"),
+                 lit(H).as("declaredHeight"), lit(0).as("sampleRate")).as("meta"),
+          col("payload"))
+        .as[graft.multimodal.MediaOps.MediaRecord]
+      val hashed = graft.multimodal.MediaOps.dHash(media)
+        .filter(col("decoded") === 1L)
+        .select(col("media_id"), col("dhash"))
+        .localCheckpoint() // banding + both exact-filter sides read it
+      val bands = hashed.select(col("media_id"), expr(
+          "explode(transform(sequence(0, 2), " +
+            "b -> struct(b AS b, shiftright(dhash, b * 14) & 16383 AS k)))")
+          .as("bk"))
+        .select(col("media_id"), col("bk.b").as("b"), col("bk.k").as("k"))
+      val cand = bands.as("a").join(bands.as("c"),
+          col("a.b") === col("c.b") && col("a.k") === col("c.k") &&
+            col("a.media_id") < col("c.media_id"))
+        .select(col("a.media_id").as("m1"), col("c.media_id").as("m2"))
+        .distinct()
+      cand
+        .join(hashed.select(col("media_id").as("m1"), col("dhash").as("h1")), "m1")
+        .join(hashed.select(col("media_id").as("m2"), col("dhash").as("h2")), "m2")
+        .withColumn("hamming", expr("bit_count(h1 ^ h2)").cast("long"))
+        .filter(col("hamming") <= 2)
+        .select(col("m1"), col("m2"), col("hamming"))
+        .orderBy(col("m1"), col("m2"))
+    }),
+
     // ---- q107: the LIVE transport inside the gate — a real HTTP server
     // (deterministic reference-shaped job board on localhost, no
     // egress), the executor-side crawl (S1 search pages + S4 detail
@@ -1340,6 +1406,45 @@ object JobRecordGate {
         |  ((media_id * 59 + frame_idx * 37) % 256)::BIGINT AS g,
         |  ((media_id * 61 + frame_idx * 29) % 256)::BIGINT AS b
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+
+    // the dHash chain recomputed from the pixel FORMULA, never a codec:
+    // gray(x, y) as the exact integer channel sum (bump applied inside
+    // each channel's mod, matching the encoder), one bit per adjacent
+    // comparison, same 3x14-bit banding, same exact popcount filter
+    "q154_image_phash_dedup" -> {
+      def gray(xe: String, ye: String) = {
+        def ch(c: Int) =
+          s"((('0x' || substr(md5((media_id % 100)::VARCHAR || '|' || " +
+            s"($xe)::VARCHAR || '|' || ($ye)::VARCHAR || '|$c'), 1, 2))::BIGINT + " +
+            s"CASE WHEN media_id >= 100 AND ($xe) = 3 AND ($ye) = 2 " +
+            s"THEN 40 ELSE 0 END) % 256)"
+        s"(${ch(0)} + ${ch(1)} + ${ch(2)})"
+      }
+      s"""WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 200),
+        |cmp AS (
+        |  SELECT media_id, x, y,
+        |    CASE WHEN ${gray("x + 1", "y")} > ${gray("x", "y")}
+        |         THEN (1::BIGINT << (y * 7 + x)) ELSE 0::BIGINT END AS bit
+        |  FROM m, (SELECT unnest(range(0, 7)) AS x),
+        |          (SELECT unnest(range(0, 6)) AS y)),
+        |d AS MATERIALIZED (
+        |  SELECT media_id, sum(bit)::BIGINT AS dhash FROM cmp
+        |  GROUP BY media_id),
+        |bands AS MATERIALIZED (
+        |  SELECT media_id, b, (dhash >> (b * 14)) & 16383 AS k
+        |  FROM d, (SELECT unnest(range(0, 3)) AS b)),
+        |cand AS (
+        |  SELECT DISTINCT a.media_id AS m1, c.media_id AS m2
+        |  FROM bands a JOIN bands c
+        |    ON a.b = c.b AND a.k = c.k AND a.media_id < c.media_id)
+        |SELECT m1, m2,
+        |  bit_count(xor(d1.dhash, d2.dhash))::BIGINT AS hamming
+        |FROM cand
+        |JOIN d d1 ON d1.media_id = m1
+        |JOIN d d2 ON d2.media_id = m2
+        |WHERE bit_count(xor(d1.dhash, d2.dhash)) <= 2
+        |ORDER BY m1, m2""".stripMargin
+    },
 
     // every field an integer formula; n_bytes pins the box layout
     // (16-byte ftyp + 8-byte moov header + 108-byte mvhd + 100 per trak)

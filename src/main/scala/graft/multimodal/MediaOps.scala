@@ -56,6 +56,45 @@ object MediaOps {
     * fall back to the deterministic stub. Emits a fixed 8-dim float
     * feature per record.
     */
+  /** Perceptual DIFFERENCE-HASH (dHash) fingerprint: one BIGINT per
+    * image — bit `y*(W-1)+x` set iff gray(x+1, y) > gray(x, y), with
+    * gray = r+g+b as an exact integer (no float mean threshold — the
+    * cross-engine discipline, and the reason dHash beats aHash here:
+    * adjacent-pixel comparisons need no global statistic). Near-
+    * identical images (small local edits, re-encodes) flip only the
+    * few bits whose comparisons touch the changed pixels, so a
+    * hamming-distance join over these fingerprints is image near-dup
+    * detection — the visual analog of q79's SimHash over text. Decode
+    * and hash are row-local (mapPartitions, the binary-codec batch
+    * shape); W·H must keep H*(W-1) ≤ 63 bits. Non-BMP payloads emit
+    * decoded=0 and an empty hash (callers filter). */
+  def dHash(media: Dataset[MediaRecord]): org.apache.spark.sql.DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        BmpDecoder.decodePixels(m.payload) match {
+          case Some(BmpDecoder.BmpPixels(w, h, px)) if h.toLong * (w - 1) <= 63 =>
+            var bits = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w - 1) {
+                def gray(i: Int): Int = {
+                  val v = px(y * w + i)
+                  ((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)
+                }
+                if (gray(x + 1) > gray(x)) bits |= 1L << (y * (w - 1) + x)
+                x += 1
+              }
+              y += 1
+            }
+            (m.media_id, bits, 1L)
+          case _ => (m.media_id, 0L, 0L)
+        }
+      }
+    }.toDF("media_id", "dhash", "decoded")
+  }
+
   def featurize(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     def imageFeatures(r: MediaRecord, cs: Long, width: Int, height: Int,

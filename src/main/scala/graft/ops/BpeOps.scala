@@ -396,6 +396,13 @@ object BpeOps {
       ()
     }
 
+  /** The HISTORY vocabulary served from the registry — what q148's
+    * tick applies: "yesterday's artifact" read from the store (version
+    * 1 via time travel), not a driver-side retrain. */
+  private[ops] def registryHistoryVocab(s: SparkSession,
+                                        d: String): Seq[(String, String)] =
+    mergesAt(s, ensureTokenizerRegistry(s, d), 1)
+
   /** The merge list a registry VERSION publishes, in training order. */
   private def mergesAt(s: SparkSession, dir: String,
                        v: Int): Seq[(String, String)] = {

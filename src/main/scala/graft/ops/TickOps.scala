@@ -58,9 +58,14 @@ object TickOps {
       val scored = qualityScore(survivors).localCheckpoint()
       val admitted = scored.filter(col("score") >= 0.5)
         .select(col("doc_id"), col("text")).localCheckpoint()
-      // tokenizer = yesterday's artifact: trained on history only
-      val merges = BpeOps.trainedMerges(s, d, historyOnly = true)
-        .map(m => (m._2, m._3))
+      // tokenizer = yesterday's artifact, read from the VERSIONED
+      // REGISTRY (q153's store, version 1 = the history vocabulary via
+      // time travel) — the tick consumes all three persisted artifacts:
+      // the ledger for dedup state, the registry for the vocabulary,
+      // and the pack layout it emits. Bit-identical to an in-query
+      // history train (bpeTrain is partitioning-invariant), so the
+      // oracle's history-gated training chain still matches.
+      val merges = BpeOps.registryHistoryVocab(s, d)
       // shared pack tail (BpeOps.tokenCounts/packStats): one authored
       // copy of the split delimiter and the fin=0 div-vs-floor guard
       // (round-12 ADVICE: this block previously duplicated q143's form,

@@ -302,4 +302,40 @@ class MediaSpec extends SparkSpec {
     // non-BMP payload untouched, byte-for-byte
     assert(out(1).payload.toSeq == wav.toSeq)
   }
+
+  test("dHash: identical images hash identically, a one-pixel edit flips at most " +
+       "2 bits, unrelated images sit far apart, non-BMP marks undecoded") {
+    import spark.implicits._
+    val W = 8; val H = 6
+    def img(seed: Int, editAt: Option[(Int, Int)]): Array[Byte] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val px = Array.tabulate(W * H) { p =>
+        val x = p % W; val y = p / W
+        def ch(c: Int) = {
+          val b = md.digest(s"$seed|$x|$y|$c".getBytes("UTF-8"))(0) & 0xff
+          val bump = if (editAt.contains((x, y))) 40 else 0
+          (b + bump) % 256
+        }
+        (ch(0), ch(1), ch(2))
+      }
+      BmpDecoder.encode(W, H, px)
+    }
+    val media = Seq(
+      MediaOps.MediaRecord(0L, MediaOps.MediaMeta("image", W, H, 0), img(1, None)),
+      MediaOps.MediaRecord(1L, MediaOps.MediaMeta("image", W, H, 0), img(1, None)),
+      MediaOps.MediaRecord(2L, MediaOps.MediaMeta("image", W, H, 0), img(1, Some((3, 2)))),
+      MediaOps.MediaRecord(3L, MediaOps.MediaMeta("image", W, H, 0), img(2, None)),
+      MediaOps.MediaRecord(4L, MediaOps.MediaMeta("image", 0, 0, 0), Array[Byte](1, 2, 3))
+    ).toDS()
+    val rows = MediaOps.dHash(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows(0) == rows(1), "identical payloads must hash identically")
+    assert(rows(4)._2 == 0L, "undecodable payload must mark decoded=0")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // the (3,2) edit touches only the two horizontal comparisons at x=2,3
+    assert(ham(rows(0)._1, rows(2)._1) <= 2,
+      s"one-pixel edit flipped ${ham(rows(0)._1, rows(2)._1)} bits")
+    assert(ham(rows(0)._1, rows(3)._1) > 8,
+      s"unrelated md5 images should differ widely, got ${ham(rows(0)._1, rows(3)._1)}")
+  }
 }

@@ -655,6 +655,63 @@ object JobRecordGate {
         .orderBy(col("m1"), col("m2"))
     }),
 
+    // ---- q155: AUDIO near-dup detection — q154's chain on the time
+    // axis: 200 mono PCM-16 clips (800 md5-derived samples each; ids
+    // 100-199 re-encode base id-100 with a +1500 click at sample 400),
+    // MediaOps.audioHash packs 49 adjacent-window energy comparisons
+    // (50 windows x 16 samples, energy = exact integer sum of |s|)
+    // into one BIGINT, and the same 3-band pigeonhole + exact popcount
+    // surfaces pairs within hamming <= 2. The click lands inside ONE
+    // window, flipping at most its two comparisons — each (i, i+100)
+    // pair is caught by construction; md5 samples keep unrelated clips
+    // ~24 bits apart. RIFF chunk walk, sign extension, window fold,
+    // bit packing, banding: all inside the hash.
+    "q155_audio_phash_dedup" -> ((s, d) => {
+      import s.implicits._
+      val N = 800; val WIN = 50
+      val encode = udf((id: Long) => {
+        val base = id % 100
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val samples = Array.tabulate(N) { i =>
+          val h = md.digest(s"$base|$i".getBytes("UTF-8"))
+          val v = (((h(0) & 0xff) << 8) | (h(1) & 0xff)) % 4001 - 2000
+          val click = if (id >= 100 && i == 400) 1500 else 0
+          (v + click).toShort
+        }
+        graft.multimodal.WavDecoder.encode(16000, samples)
+      })
+      val media = Tables.rebalance(
+          Tables.documents(s, d).filter(col("doc_id") < 200)
+            .select(col("doc_id").as("media_id")))
+        .withColumn("payload", encode(col("media_id")))
+        .select(col("media_id"),
+          struct(lit("audio").as("kind"), lit(0).as("declaredWidth"),
+                 lit(0).as("declaredHeight"), lit(16000).as("sampleRate")).as("meta"),
+          col("payload"))
+        .as[graft.multimodal.MediaOps.MediaRecord]
+      val hashed = graft.multimodal.MediaOps.audioHash(media, WIN)
+        .filter(col("decoded") === 1L)
+        .select(col("media_id"), col("ahash"))
+        .localCheckpoint()
+      val bands = hashed.select(col("media_id"), expr(
+          "explode(transform(sequence(0, 2), " +
+            "b -> struct(b AS b, shiftright(ahash, b * 17) & 131071 AS k)))")
+          .as("bk"))
+        .select(col("media_id"), col("bk.b").as("b"), col("bk.k").as("k"))
+      val cand = bands.as("a").join(bands.as("c"),
+          col("a.b") === col("c.b") && col("a.k") === col("c.k") &&
+            col("a.media_id") < col("c.media_id"))
+        .select(col("a.media_id").as("m1"), col("c.media_id").as("m2"))
+        .distinct()
+      cand
+        .join(hashed.select(col("media_id").as("m1"), col("ahash").as("h1")), "m1")
+        .join(hashed.select(col("media_id").as("m2"), col("ahash").as("h2")), "m2")
+        .withColumn("hamming", expr("bit_count(h1 ^ h2)").cast("long"))
+        .filter(col("hamming") <= 2)
+        .select(col("m1"), col("m2"), col("hamming"))
+        .orderBy(col("m1"), col("m2"))
+    }),
+
     // ---- q107: the LIVE transport inside the gate — a real HTTP server
     // (deterministic reference-shaped job board on localhost, no
     // egress), the executor-side crawl (S1 search pages + S4 detail
@@ -1445,6 +1502,42 @@ object JobRecordGate {
         |WHERE bit_count(xor(d1.dhash, d2.dhash)) <= 2
         |ORDER BY m1, m2""".stripMargin
     },
+
+    // the audio-hash chain from the sample formula: window energies as
+    // exact integer sums, adjacent comparisons, same banding + popcount
+    "q155_audio_phash_dedup" ->
+      """WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 200),
+        |s AS (
+        |  SELECT media_id, i,
+        |    (('0x' || substr(md5((media_id % 100)::VARCHAR || '|' ||
+        |        i::VARCHAR), 1, 4))::BIGINT % 4001) - 2000
+        |      + CASE WHEN media_id >= 100 AND i = 400 THEN 1500 ELSE 0 END AS v
+        |  FROM m, (SELECT unnest(range(0, 800)) AS i)),
+        |e AS (
+        |  SELECT media_id, i // 16 AS w, sum(abs(v))::BIGINT AS energy
+        |  FROM s GROUP BY media_id, i // 16),
+        |cmp AS (
+        |  SELECT a.media_id,
+        |    CASE WHEN b.energy > a.energy
+        |         THEN (1::BIGINT << a.w::INT) ELSE 0::BIGINT END AS bit
+        |  FROM e a JOIN e b ON a.media_id = b.media_id AND b.w = a.w + 1),
+        |h AS MATERIALIZED (
+        |  SELECT media_id, sum(bit)::BIGINT AS ahash FROM cmp
+        |  GROUP BY media_id),
+        |bands AS MATERIALIZED (
+        |  SELECT media_id, b, (ahash >> (b * 17)) & 131071 AS k
+        |  FROM h, (SELECT unnest(range(0, 3)) AS b)),
+        |cand AS (
+        |  SELECT DISTINCT a.media_id AS m1, c.media_id AS m2
+        |  FROM bands a JOIN bands c
+        |    ON a.b = c.b AND a.k = c.k AND a.media_id < c.media_id)
+        |SELECT m1, m2,
+        |  bit_count(xor(h1.ahash, h2.ahash))::BIGINT AS hamming
+        |FROM cand
+        |JOIN h h1 ON h1.media_id = m1
+        |JOIN h h2 ON h2.media_id = m2
+        |WHERE bit_count(xor(h1.ahash, h2.ahash)) <= 2
+        |ORDER BY m1, m2""".stripMargin,
 
     // every field an integer formula; n_bytes pins the box layout
     // (16-byte ftyp + 8-byte moov header + 108-byte mvhd + 100 per trak)

@@ -95,6 +95,44 @@ object MediaOps {
     }.toDF("media_id", "dhash", "decoded")
   }
 
+  /** Perceptual AUDIO fingerprint: the dHash idea on the time axis —
+    * samples split into `windows` fixed-width windows, window energy =
+    * exact integer sum of |sample|, one bit per adjacent-window
+    * comparison (energy(w+1) > energy(w)). A local edit (a click, a
+    * dropout) perturbs one window's energy and flips at most the two
+    * comparisons that touch it, so a hamming join over these
+    * fingerprints is audio near-dup detection with the same banded
+    * topology as q154/q79. `windows` ≤ 64 keeps the bits in one
+    * BIGINT; trailing samples short of a full window fold into the
+    * last one. Row-local decode + hash. */
+  def audioHash(media: Dataset[MediaRecord], windows: Int): org.apache.spark.sql.DataFrame = {
+    require(windows >= 2 && windows <= 64, s"windows=$windows out of range")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        WavDecoder.decodeSamples(m.payload) match {
+          case Some(samples) if samples.length >= windows =>
+            val per = samples.length / windows
+            val energy = new Array[Long](windows)
+            var i = 0
+            while (i < samples.length) {
+              val w = math.min(i / per, windows - 1)
+              energy(w) += math.abs(samples(i))
+              i += 1
+            }
+            var bits = 0L
+            var w = 0
+            while (w < windows - 1) {
+              if (energy(w + 1) > energy(w)) bits |= 1L << w
+              w += 1
+            }
+            (m.media_id, bits, 1L)
+          case _ => (m.media_id, 0L, 0L)
+        }
+      }
+    }.toDF("media_id", "ahash", "decoded")
+  }
+
   def featurize(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     def imageFeatures(r: MediaRecord, cs: Long, width: Int, height: Int,

@@ -56,6 +56,41 @@ object WavDecoder {
       if (n == 0) 0.0 else sum.toDouble / n))
   }
 
+  /** The raw PCM-16 samples (sign-extended, interleaved if multi-
+    * channel) — the per-sample access the fingerprinting operator
+    * (MediaOps.audioHash) needs; same chunk walk as [[decode]]. */
+  def decodeSamples(bytes: Array[Byte]): Option[Array[Int]] = {
+    if (bytes == null || bytes.length < 44) return None
+    if (tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE") return None
+    var off = 12
+    var rate = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (off + 8 <= bytes.length && (dataOff < 0 || rate == 0)) {
+      val id = tag(bytes, off)
+      val len = i32(bytes, off + 4)
+      if (len < 0 || off + 8 + len > bytes.length) return None
+      id match {
+        case "fmt " =>
+          if (u16(bytes, off + 8) != 1) return None
+          rate = i32(bytes, off + 12)
+          bits = u16(bytes, off + 22)
+        case "data" =>
+          dataOff = off + 8; dataLen = len
+        case _ =>
+      }
+      off += 8 + len + (len & 1)
+    }
+    if (rate <= 0 || bits != 16 || dataOff < 0) return None
+    val n = dataLen / 2
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (u16(bytes, dataOff + i * 2) << 16) >> 16
+      i += 1
+    }
+    Some(out)
+  }
+
   /** Build a PCM-16 mono WAV from raw samples (test/demo helper). */
   def encode(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
     val dataLen = samples.length * 2

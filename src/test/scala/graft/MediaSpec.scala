@@ -338,4 +338,35 @@ class MediaSpec extends SparkSpec {
     assert(ham(rows(0)._1, rows(3)._1) > 8,
       s"unrelated md5 images should differ widely, got ${ham(rows(0)._1, rows(3)._1)}")
   }
+
+  test("audioHash: a one-sample click flips at most 2 bits; identical clips match; " +
+       "non-WAV marks undecoded") {
+    import spark.implicits._
+    val N = 800
+    def clip(seed: Int, clickAt: Option[Int]): Array[Byte] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val samples = Array.tabulate(N) { i =>
+        val h = md.digest(s"$seed|$i".getBytes("UTF-8"))
+        val v = (((h(0) & 0xff) << 8) | (h(1) & 0xff)) % 4001 - 2000
+        (v + (if (clickAt.contains(i)) 1500 else 0)).toShort
+      }
+      WavDecoder.encode(16000, samples)
+    }
+    val media = Seq(
+      MediaOps.MediaRecord(0L, MediaOps.MediaMeta("audio", 0, 0, 16000), clip(1, None)),
+      MediaOps.MediaRecord(1L, MediaOps.MediaMeta("audio", 0, 0, 16000), clip(1, None)),
+      MediaOps.MediaRecord(2L, MediaOps.MediaMeta("audio", 0, 0, 16000), clip(1, Some(400))),
+      MediaOps.MediaRecord(3L, MediaOps.MediaMeta("audio", 0, 0, 16000), clip(2, None)),
+      MediaOps.MediaRecord(4L, MediaOps.MediaMeta("audio", 0, 0, 16000), Array[Byte](9, 9))
+    ).toDS()
+    val rows = MediaOps.audioHash(media, 50).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(rows(0) == rows(1), "identical clips must hash identically")
+    assert(rows(4)._2 == 0L, "undecodable payload must mark decoded=0")
+    assert(ham(rows(0)._1, rows(2)._1) <= 2,
+      s"one-sample click flipped ${ham(rows(0)._1, rows(2)._1)} bits")
+    assert(ham(rows(0)._1, rows(3)._1) > 8,
+      s"unrelated clips should differ widely, got ${ham(rows(0)._1, rows(3)._1)}")
+  }
 }

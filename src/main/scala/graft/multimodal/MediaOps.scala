@@ -66,13 +66,22 @@ object MediaOps {
     * hamming-distance join over these fingerprints is image near-dup
     * detection — the visual analog of q79's SimHash over text. Decode
     * and hash are row-local (mapPartitions, the binary-codec batch
-    * shape); W·H must keep H*(W-1) ≤ 63 bits. Non-BMP payloads emit
-    * decoded=0 and an empty hash (callers filter). */
+    * shape). Images larger than the 8x6 fingerprint grid DOWNSCALE
+    * first (nearest-neighbor, the standard dHash pipeline: hash the
+    * thumbnail, not the pixels — which is also what makes fingerprints
+    * COMPARABLE across source resolutions; no silent size cap). Non-BMP
+    * payloads emit decoded=0 and an empty hash (callers filter). */
   def dHash(media: Dataset[MediaRecord]): org.apache.spark.sql.DataFrame = {
     import media.sparkSession.implicits._
+    val (gw, gh) = (8, 6) // fingerprint grid: 6*(8-1) = 42 bits
     media.mapPartitions { it =>
       it.map { m =>
-        BmpDecoder.decodePixels(m.payload) match {
+        BmpDecoder.decodePixels(m.payload)
+          .flatMap { p =>
+            if (p.width <= gw && p.height <= gh) Some(p)
+            else resizeNearest(m.payload, gw, gh)
+              .flatMap(BmpDecoder.decodePixels)
+          } match {
           case Some(BmpDecoder.BmpPixels(w, h, px)) if h.toLong * (w - 1) <= 63 =>
             var bits = 0L
             var y = 0

@@ -339,6 +339,32 @@ class MediaSpec extends SparkSpec {
       s"unrelated md5 images should differ widely, got ${ham(rows(0)._1, rows(3)._1)}")
   }
 
+  test("dHash: an oversized image downsamples to the fingerprint grid — a 2x " +
+       "pixel-doubled copy hashes like its thumbnail, not as undecoded") {
+    import spark.implicits._
+    val W = 8; val H = 6
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def ch(x: Int, y: Int, c: Int) =
+      md.digest(s"9|$x|$y|$c".getBytes("UTF-8"))(0) & 0xff
+    val small = BmpDecoder.encode(W, H, Array.tabulate(W * H) { p =>
+      (ch(p % W, p / W, 0), ch(p % W, p / W, 1), ch(p % W, p / W, 2))
+    })
+    // 16x12: each source pixel doubled — nearest-neighbor 16x12 -> 8x6
+    // picks even coordinates, recovering the small image exactly
+    val big = BmpDecoder.encode(W * 2, H * 2, Array.tabulate(W * 2 * H * 2) { p =>
+      val x = (p % (W * 2)) / 2; val y = (p / (W * 2)) / 2
+      (ch(x, y, 0), ch(x, y, 1), ch(x, y, 2))
+    })
+    val rows = MediaOps.dHash(Seq(
+        MediaOps.MediaRecord(0L, MediaOps.MediaMeta("image", W, H, 0), small),
+        MediaOps.MediaRecord(1L, MediaOps.MediaMeta("image", W * 2, H * 2, 0), big)
+      ).toDS()).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows(1)._2 == 1L, "oversized image must decode via downscale")
+    assert(rows(0) == rows(1),
+      "a pixel-doubled image must fingerprint identically to its thumbnail")
+  }
+
   test("audioHash: a one-sample click flips at most 2 bits; identical clips match; " +
        "non-WAV marks undecoded") {
     import spark.implicits._

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale study for the perceptual-dedup topology (q154/q155): the gate
+  * fixtures are 200 SF-invariant images/clips, so the 100×-corpus
+  * behavior of the fingerprint + banded-hamming-join chain needs its
+  * own measurement. Synthesizes N 8x6 BMPs on executors (md5 pixels,
+  * 1% planted one-pixel-edited copies), runs the EXACT q154 chain
+  * (MediaOps.dHash → 3×14-bit bands → equi-join candidates → popcount
+  * ≤ 2), and reports wall time, candidate volume, and pair counts at
+  * increasing N — the claim under test being that pair work scales
+  * with corpus × bands (plus true-collision mass), never N².
+  *
+  *   sbt "runMain graft.MediaDedupStudy"
+  *
+  * Not part of the correctness gate; numbers land in SCALING.md.
+  */
+object MediaDedupStudy {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val W = 8; val H = 6
+    def media(n: Long) = {
+      val encode = udf((id: Long) => {
+        // 1% perturbed copies: ids >= n*99/100 edit base id - n*99/100
+        val cut = n * 99 / 100
+        val base = if (id >= cut) id - cut else id
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val px = Array.tabulate(W * H) { p =>
+          val x = p % W; val y = p / W
+          def ch(c: Int): Int = {
+            val b = md.digest(s"$base|$x|$y|$c".getBytes("UTF-8"))(0) & 0xff
+            (b + (if (id >= cut && x == 3 && y == 2) 40 else 0)) % 256
+          }
+          (ch(0), ch(1), ch(2))
+        }
+        graft.multimodal.BmpDecoder.encode(W, H, px)
+      })
+      spark.range(0, n, 1, 32)
+        .select(col("id").as("media_id"))
+        .withColumn("payload", encode(col("media_id")))
+        .select(col("media_id"),
+          struct(lit("image").as("kind"), lit(W).as("declaredWidth"),
+                 lit(H).as("declaredHeight"), lit(0).as("sampleRate")).as("meta"),
+          col("payload"))
+        .as[graft.multimodal.MediaOps.MediaRecord]
+    }
+
+    def pairs(hashed: DataFrame): (Long, Long) = {
+      val bands = hashed.select(col("media_id"), expr(
+          "explode(transform(sequence(0, 2), " +
+            "b -> struct(b AS b, shiftright(dhash, b * 14) & 16383 AS k)))")
+          .as("bk"))
+        .select(col("media_id"), col("bk.b").as("b"), col("bk.k").as("k"))
+      val cand = bands.as("a").join(bands.as("c"),
+          col("a.b") === col("c.b") && col("a.k") === col("c.k") &&
+            col("a.media_id") < col("c.media_id"))
+        .select(col("a.media_id").as("m1"), col("c.media_id").as("m2"))
+        .distinct().localCheckpoint()
+      val nCand = cand.count()
+      val nPairs = cand
+        .join(hashed.select(col("media_id").as("m1"), col("dhash").as("h1")), "m1")
+        .join(hashed.select(col("media_id").as("m2"), col("dhash").as("h2")), "m2")
+        .filter(expr("bit_count(h1 ^ h2)") <= 2)
+        .count()
+      (nCand, nPairs)
+    }
+
+    println("%-9s %-10s %-10s %-12s %-10s %-10s"
+      .format("N", "hash_s", "join_s", "candidates", "pairs", "planted"))
+    for (n <- Seq(10000L, 50000L, 200000L)) {
+      val (hashed, tHash) = timed {
+        graft.multimodal.MediaOps.dHash(media(n))
+          .filter(col("decoded") === 1L)
+          .select(col("media_id"), col("dhash"))
+          .localCheckpoint()
+      }
+      val ((nCand, nPairs), tJoin) = timed(pairs(hashed))
+      println(f"$n%-9d $tHash%-10.2f $tJoin%-10.2f $nCand%-12d $nPairs%-10d ${n - n * 99 / 100}%-10d")
+    }
+    spark.stop()
+  }
+}

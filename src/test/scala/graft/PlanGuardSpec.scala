@@ -307,4 +307,20 @@ class PlanGuardSpec extends SparkSpec {
     // single-row global agg: no vocabulary-sized hashpartitioning exchange
     assert(!"hashpartitioning\\(chunk".r.findFirstIn(p).isDefined, p)
   }
+
+  test("q154/q155: perceptual dedup joins are banded equi-joins, never cartesian") {
+    // the LSH discipline: the candidate self-join must key on the
+    // (band, key) pair — a missing equi-key degrades to a cartesian /
+    // broadcast-nested-loop over the corpus, the exact all-pairs
+    // topology the banding exists to ban. The hamming predicate is a
+    // post-join filter, not the join's only condition.
+    for (q <- Seq("q154_image_phash_dedup", "q155_audio_phash_dedup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+             !p.contains("BroadcastNestedLoopJoin"),
+        s"$q candidate join lost its band equi-keys:\n$p")
+      assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+        s"$q expected an equi-join for the band stage:\n$p")
+    }
+  }
 }

@@ -60,28 +60,8 @@ object MediaDedupStudy {
         .as[graft.multimodal.MediaOps.MediaRecord]
     }
 
-    def pairs(hashed: DataFrame): (Long, Long) = {
-      val bands = hashed.select(col("media_id"), expr(
-          "explode(transform(sequence(0, 2), " +
-            "b -> struct(b AS b, shiftright(dhash, b * 14) & 16383 AS k)))")
-          .as("bk"))
-        .select(col("media_id"), col("bk.b").as("b"), col("bk.k").as("k"))
-      val cand = bands.as("a").join(bands.as("c"),
-          col("a.b") === col("c.b") && col("a.k") === col("c.k") &&
-            col("a.media_id") < col("c.media_id"))
-        .select(col("a.media_id").as("m1"), col("c.media_id").as("m2"))
-        .distinct().localCheckpoint()
-      val nCand = cand.count()
-      val nPairs = cand
-        .join(hashed.select(col("media_id").as("m1"), col("dhash").as("h1")), "m1")
-        .join(hashed.select(col("media_id").as("m2"), col("dhash").as("h2")), "m2")
-        .filter(expr("bit_count(h1 ^ h2)") <= 2)
-        .count()
-      (nCand, nPairs)
-    }
-
-    println("%-9s %-10s %-10s %-12s %-10s %-10s"
-      .format("N", "hash_s", "join_s", "candidates", "pairs", "planted"))
+    println("%-9s %-10s %-10s %-10s %-10s"
+      .format("N", "hash_s", "join_s", "pairs", "planted"))
     for (n <- Seq(10000L, 50000L, 200000L)) {
       val (hashed, tHash) = timed {
         graft.multimodal.MediaOps.dHash(media(n))
@@ -89,9 +69,32 @@ object MediaDedupStudy {
           .select(col("media_id"), col("dhash"))
           .localCheckpoint()
       }
-      val ((nCand, nPairs), tJoin) = timed(pairs(hashed))
-      println(f"$n%-9d $tHash%-10.2f $tJoin%-10.2f $nCand%-12d $nPairs%-10d ${n - n * 99 / 100}%-10d")
+      val (nPairs, tJoin) = timed(
+        graft.ops.DedupOps.hammingPairs(hashed, "media_id", "dhash",
+          bands = 3, bandBits = 14, maxHamming = 2).count())
+      println(f"$n%-9d $tHash%-10.2f $tJoin%-10.2f $nPairs%-10d ${n - n * 99 / 100}%-10d")
     }
+
+    // the PATHOLOGY probe: 50k copies of ONE fingerprint among 50k
+    // distinct ones — the blank-thumbnail shape. Dedup-first means the
+    // band join sees ~50k+1 DISTINCT fingerprints (one representative
+    // for the whole identical mass); the quadratic 1.25e9-pair
+    // within-group output is deliberately NOT materialized here (pair
+    // semantics would emit it; cluster consumers take reps instead) —
+    // candidates at the join are what the skew safety is about.
+    import spark.implicits._
+    val mixed = spark.range(0, 100000L, 1, 32)
+      .select(col("id").as("media_id"),
+        when(col("id") < 50000L, lit(0x2A5A5A5AL))
+          .otherwise(expr("cast(conv(substring(md5(cast(id as string)), 1, 10), 16, 10) as bigint) & 4398046511103"))
+          .as("dhash"))
+    val (bandRows, tProbe) = timed {
+      // distinct-fingerprint band rows = what enters the candidate join
+      mixed.groupBy(col("dhash")).agg(min(col("media_id")).as("rep"))
+        .count()
+    }
+    println(f"pathology: 100k rows (50k identical) -> $bandRows%d distinct " +
+      f"fingerprints enter the band join (${tProbe}%.2f s)")
     spark.stop()
   }
 }

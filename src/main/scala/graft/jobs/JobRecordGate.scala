@@ -635,23 +635,11 @@ object JobRecordGate {
       val hashed = graft.multimodal.MediaOps.dHash(media)
         .filter(col("decoded") === 1L)
         .select(col("media_id"), col("dhash"))
-        .localCheckpoint() // banding + both exact-filter sides read it
-      val bands = hashed.select(col("media_id"), expr(
-          "explode(transform(sequence(0, 2), " +
-            "b -> struct(b AS b, shiftright(dhash, b * 14) & 16383 AS k)))")
-          .as("bk"))
-        .select(col("media_id"), col("bk.b").as("b"), col("bk.k").as("k"))
-      val cand = bands.as("a").join(bands.as("c"),
-          col("a.b") === col("c.b") && col("a.k") === col("c.k") &&
-            col("a.media_id") < col("c.media_id"))
-        .select(col("a.media_id").as("m1"), col("c.media_id").as("m2"))
-        .distinct()
-      cand
-        .join(hashed.select(col("media_id").as("m1"), col("dhash").as("h1")), "m1")
-        .join(hashed.select(col("media_id").as("m2"), col("dhash").as("h2")), "m2")
-        .withColumn("hamming", expr("bit_count(h1 ^ h2)").cast("long"))
-        .filter(col("hamming") <= 2)
-        .select(col("m1"), col("m2"), col("hamming"))
+      // shared skew-safe banded join (DedupOps.hammingPairs): identical
+      // fingerprints collapse before banding — the blank-thumbnail /
+      // logo mass a web crawl actually carries never floods a bucket
+      graft.ops.DedupOps.hammingPairs(hashed, "media_id", "dhash",
+          bands = 3, bandBits = 14, maxHamming = 2)
         .orderBy(col("m1"), col("m2"))
     }),
 
@@ -692,23 +680,8 @@ object JobRecordGate {
       val hashed = graft.multimodal.MediaOps.audioHash(media, WIN)
         .filter(col("decoded") === 1L)
         .select(col("media_id"), col("ahash"))
-        .localCheckpoint()
-      val bands = hashed.select(col("media_id"), expr(
-          "explode(transform(sequence(0, 2), " +
-            "b -> struct(b AS b, shiftright(ahash, b * 17) & 131071 AS k)))")
-          .as("bk"))
-        .select(col("media_id"), col("bk.b").as("b"), col("bk.k").as("k"))
-      val cand = bands.as("a").join(bands.as("c"),
-          col("a.b") === col("c.b") && col("a.k") === col("c.k") &&
-            col("a.media_id") < col("c.media_id"))
-        .select(col("a.media_id").as("m1"), col("c.media_id").as("m2"))
-        .distinct()
-      cand
-        .join(hashed.select(col("media_id").as("m1"), col("ahash").as("h1")), "m1")
-        .join(hashed.select(col("media_id").as("m2"), col("ahash").as("h2")), "m2")
-        .withColumn("hamming", expr("bit_count(h1 ^ h2)").cast("long"))
-        .filter(col("hamming") <= 2)
-        .select(col("m1"), col("m2"), col("hamming"))
+      graft.ops.DedupOps.hammingPairs(hashed, "media_id", "ahash",
+          bands = 3, bandBits = 17, maxHamming = 2)
         .orderBy(col("m1"), col("m2"))
     }),
 

@@ -480,4 +480,59 @@ object DedupOps {
         |    / sqrt(x.norm::DOUBLE) / sqrt(y.norm::DOUBLE) >= $COS_T
         |ORDER BY v1, v2""".stripMargin
   )
+
+  /** All id pairs within `maxHamming` of each other over an integer
+    * fingerprint column, via pigeonhole banding (`bands` bands of
+    * `bandBits` bits; `bands` must be ≥ maxHamming+1 for exact recall)
+    * — SKEW-SAFE through the dedup-first discipline (q50b): identical
+    * fingerprints collapse to one min-id representative BEFORE the
+    * band join, so identical-content mass (the realistic web-crawl
+    * pathology: blank thumbnails, logos, silence clips — every copy in
+    * ONE bucket) never enters the candidate join; the join runs over
+    * DISTINCT fingerprints, whose per-bucket load is bounded by hash-
+    * space geometry, not content popularity. Member pairs then expand
+    * back from the matched fingerprints: within-group pairs at hamming
+    * 0 plus cross-group member pairs at the reps' distance. The
+    * EXPANSION is the caller's output contract — a million-copy group
+    * emits its quadratic pair set (pair semantics say so); callers
+    * wanting cluster semantics feed the reps to q75's connected
+    * components instead. Band width is the scale knob: 2^bandBits
+    * buckets saturate at corpus ~ sqrt(2 · 2^bandBits / bands) distinct
+    * fingerprints (MediaDedupStudy) — widen bandBits with the corpus. */
+  def hammingPairs(hashed: DataFrame, idCol: String, hashCol: String,
+                   bands: Int, bandBits: Int, maxHamming: Int): DataFrame = {
+    require(bands >= maxHamming + 1,
+      s"bands=$bands cannot guarantee recall at maxHamming=$maxHamming")
+    val groups = hashed
+      .groupBy(col(hashCol).as("h"))
+      .agg(min(col(idCol)).as("rep"), collect_list(col(idCol)).as("ids"))
+      .localCheckpoint() // banding + both expansion sides read it
+    val bandsDf = groups.select(col("h"), col("rep"), expr(
+        s"explode(transform(sequence(0, ${bands - 1}), " +
+          s"b -> struct(b AS b, shiftright(h, b * $bandBits) & " +
+          s"${(1L << bandBits) - 1} AS k)))").as("bk"))
+      .select(col("h"), col("rep"), col("bk.b").as("b"), col("bk.k").as("k"))
+    // candidate join over DISTINCT fingerprints only
+    val repPairs = bandsDf.as("a").join(bandsDf.as("c"),
+        col("a.b") === col("c.b") && col("a.k") === col("c.k") &&
+          col("a.rep") < col("c.rep"))
+      .select(col("a.h").as("h1"), col("c.h").as("h2")).distinct()
+      .withColumn("hamming", expr("bit_count(h1 ^ h2)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+    // cross-group expansion: every member pair of two matched groups
+    val cross = repPairs
+      .join(groups.select(col("h").as("h1"), col("ids").as("ids1")), "h1")
+      .join(groups.select(col("h").as("h2"), col("ids").as("ids2")), "h2")
+      .select(explode(col("ids1")).as("i1"), col("ids2"), col("hamming"))
+      .select(col("i1"), explode(col("ids2")).as("i2"), col("hamming"))
+    // within-group expansion: hamming-0 pairs among identical copies
+    val within = groups.filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("i1"), col("ids"))
+      .select(col("i1"), explode(col("ids")).as("i2"))
+      .filter(col("i1") < col("i2"))
+      .withColumn("hamming", lit(0L))
+    cross.unionByName(within)
+      .select(least(col("i1"), col("i2")).as("m1"),
+              greatest(col("i1"), col("i2")).as("m2"), col("hamming"))
+  }
 }

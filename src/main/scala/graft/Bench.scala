@@ -47,15 +47,23 @@ object Bench {
           .exists(p => selected.exists(_._1.startsWith(p))))
       try { ops.DedupLedger.ensureLedger(spark, sfDir); () }
       catch { case _: Throwable => () }
-    // BPE merge caches: q141-q143 read the full-corpus artifact, q148
-    // the history-trained one — train both outside the timed loop
-    if (Seq("q141", "q142", "q143", "q148")
+    // the round-13 artifact stores: q151's compacted ledger, q152's
+    // cloneable history seed, and the tokenizer registry (q153 serves
+    // from it; q148's tick reads its v1 vocabulary from it)
+    if (Seq("q151").exists(p => selected.exists(_._1.startsWith(p))))
+      try { ops.DedupLedger.ensureCompactLedger(spark, sfDir); () }
+      catch { case _: Throwable => () }
+    if (Seq("q152").exists(p => selected.exists(_._1.startsWith(p))))
+      try { ops.DedupLedger.ensureHistoryLedger(spark, sfDir); () }
+      catch { case _: Throwable => () }
+    if (Seq("q148", "q153").exists(p => selected.exists(_._1.startsWith(p))))
+      try { ops.BpeOps.ensureTokenizerRegistry(spark, sfDir); () }
+      catch { case _: Throwable => () }
+    // BPE merge caches: q141-q143 and q150 read the full-corpus artifact
+    if (Seq("q141", "q142", "q143", "q150")
           .exists(p => selected.exists(_._1.startsWith(p))))
-      try {
-        ops.BpeOps.trainedMerges(spark, sfDir)
-        ops.BpeOps.trainedMerges(spark, sfDir, historyOnly = true)
-        ()
-      } catch { case _: Throwable => () }
+      try { ops.BpeOps.trainedMerges(spark, sfDir); () }
+      catch { case _: Throwable => () }
     val results = selected.map { case (name, fn) =>
       val times = (0 until runs).flatMap { _ =>
         val t0 = System.nanoTime()

@@ -66,21 +66,22 @@ object MediaOps {
     * hamming-distance join over these fingerprints is image near-dup
     * detection — the visual analog of q79's SimHash over text. Decode
     * and hash are row-local (mapPartitions, the binary-codec batch
-    * shape). Images larger than the 8x6 fingerprint grid DOWNSCALE
-    * first (nearest-neighbor, the standard dHash pipeline: hash the
-    * thumbnail, not the pixels — which is also what makes fingerprints
-    * COMPARABLE across source resolutions; no silent size cap). Non-BMP
-    * payloads emit decoded=0 and an empty hash (callers filter). */
+    * shape). EVERY image resamples to the 8x6 fingerprint grid first
+    * (nearest-neighbor on the already-decoded pixels — one decode per
+    * record, no BMP re-encode round-trip): the standard dHash pipeline
+    * hashes the thumbnail, which is what makes fingerprints COMPARABLE
+    * across source resolutions in both directions — an upscaled or
+    * downscaled re-encode of the same image lands at the same 42-bit
+    * layout. Non-BMP payloads emit decoded=0 (callers filter). */
   def dHash(media: Dataset[MediaRecord]): org.apache.spark.sql.DataFrame = {
     import media.sparkSession.implicits._
     val (gw, gh) = (8, 6) // fingerprint grid: 6*(8-1) = 42 bits
     media.mapPartitions { it =>
       it.map { m =>
         BmpDecoder.decodePixels(m.payload)
-          .flatMap { p =>
-            if (p.width <= gw && p.height <= gh) Some(p)
-            else resizeNearest(m.payload, gw, gh)
-              .flatMap(BmpDecoder.decodePixels)
+          .map { p =>
+            if (p.width == gw && p.height == gh) p
+            else resizeNearestPixels(p, gw, gh)
           } match {
           case Some(BmpDecoder.BmpPixels(w, h, px)) if h.toLong * (w - 1) <= 63 =>
             var bits = 0L
@@ -254,14 +255,23 @@ object MediaOps {
     */
   def resizeNearest(bytes: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] =
     BmpDecoder.decodePixels(bytes).map { img =>
-      val px = Array.tabulate(outW * outH) { p =>
-        val sx = (p % outW) * img.width / outW
-        val sy = (p / outW) * img.height / outH
-        val v = img.rgb(sy * img.width + sx)
+      val out = resizeNearestPixels(img, outW, outH)
+      BmpDecoder.encode(outW, outH, Array.tabulate(outW * outH) { p =>
+        val v = out.rgb(p)
         ((v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff)
-      }
-      BmpDecoder.encode(outW, outH, px)
+      })
     }
+
+  /** The same nearest-neighbor resample over already-decoded pixels —
+    * the form hot paths (dHash) use: no payload re-decode, no BMP
+    * re-encode round-trip. */
+  private[multimodal] def resizeNearestPixels(
+      img: BmpDecoder.BmpPixels, outW: Int, outH: Int): BmpDecoder.BmpPixels =
+    BmpDecoder.BmpPixels(outW, outH, Array.tabulate(outW * outH) { p =>
+      val sx = (p % outW) * img.width / outW
+      val sy = (p / outW) * img.height / outH
+      img.rgb(sy * img.width + sx)
+    })
 
   /** Distributed resize over the media table, in featurize's
     * partition-batched shape: BMP payloads are resampled to outW x outH

@@ -166,13 +166,28 @@ object BpeOps {
     * strictly-earlier merges — but hand-rolled or truncated lists can
     * violate that, and silently diverging from the gated chain form
     * would be a correctness bug, not a performance one
-    * (BpeRankedSpec pins the skip). Keys are `lhs + S1 + rhs` — S1
-    * cannot occur inside a symbol (corpus precondition above), so the
-    * key is unambiguous. O(len · fires) per word with small constants;
-    * independent of merge-list SIZE, which is the whole point.
+    * (BpeRankedSpec pins the skip). A DUPLICATE (lhs, rhs) entry keeps
+    * ALL its ranks — the chain re-fires the later occurrence when an
+    * intervening merge re-creates the pattern (a trained list can
+    * never contain one, but the fidelity contract covers hand-rolled
+    * lists, and first-rank-only silently diverged exactly there).
+    * Keys are `lhs + S1 + rhs` — S1 cannot occur inside a symbol
+    * (corpus precondition above), so the key is unambiguous.
+    * O(len · fires) per word with small constants; independent of
+    * merge-list SIZE, which is the whole point.
     */
   private[graft] def encodeWordRanked(
-      word: String, rank: java.util.HashMap[String, Integer]): Array[String] = {
+      word: String, rank: java.util.HashMap[String, Array[Int]]): Array[String] = {
+    // smallest rank of `key` strictly after `after` (ranks sorted asc)
+    def nextRank(key: String, after: Int): Int = {
+      val rs = rank.get(key)
+      if (rs == null) Integer.MAX_VALUE
+      else {
+        var k = 0
+        while (k < rs.length && rs(k) <= after) k += 1
+        if (k < rs.length) rs(k) else Integer.MAX_VALUE
+      }
+    }
     val syms = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < word.length) { // code points, like Spark substring / DuckDB w[i]
@@ -189,9 +204,8 @@ object BpeOps {
       var best = Integer.MAX_VALUE
       var j = 0
       while (j < syms.length - 1) {
-        val r = rank.get(syms(j) + S1 + syms(j + 1))
-        if (r != null && r.intValue > lastApplied && r.intValue < best)
-          best = r.intValue
+        val r = nextRank(syms(j) + S1 + syms(j + 1), lastApplied)
+        if (r < best) best = r
         j += 1
       }
       if (best == Integer.MAX_VALUE) done = true
@@ -200,11 +214,10 @@ object BpeOps {
         val out = scala.collection.mutable.ArrayBuffer.empty[String]
         var p = 0
         while (p < syms.length) {
-          if (p < syms.length - 1 && {
-                val r = rank.get(syms(p) + S1 + syms(p + 1))
-                r != null && r.intValue == best
-              }) { out += syms(p) + syms(p + 1); p += 2 }
-          else { out += syms(p); p += 1 }
+          if (p < syms.length - 1 &&
+              nextRank(syms(p) + S1 + syms(p + 1), lastApplied) == best) {
+            out += syms(p) + syms(p + 1); p += 2
+          } else { out += syms(p); p += 1 }
         }
         syms.clear(); syms ++= out
         lastApplied = best
@@ -235,11 +248,13 @@ object BpeOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val bcRank = spark.sparkContext.broadcast {
-      val m = new java.util.HashMap[String, Integer](merges.length * 2)
+      // every rank per key, ascending: a duplicate entry must be able
+      // to RE-FIRE at its later rank when an intervening merge
+      // re-creates the pattern, exactly as the chain's later replace()
+      // pass would (first-rank-only diverged on such lists)
+      val m = new java.util.HashMap[String, Array[Int]](merges.length * 2)
       merges.zipWithIndex.foreach { case ((l, r), i) =>
-        // first occurrence wins, like the chain (a duplicate later
-        // entry could only re-apply a pattern the earlier pass consumed)
-        m.putIfAbsent(l + S1 + r, Integer.valueOf(i + 1))
+        m.merge(l + S1 + r, Array(i + 1), (a, b) => a ++ b)
       }
       m
     }

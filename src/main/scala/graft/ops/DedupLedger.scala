@@ -288,13 +288,14 @@ object DedupLedger {
   private[graft] def cloneStore(src: String, dst: String): Unit = {
     val s0 = new java.io.File(src).toPath
     val d0 = new java.io.File(dst).toPath
-    java.nio.file.Files.walk(s0).forEach { p =>
+    val walk = java.nio.file.Files.walk(s0) // stream holds dir handles
+    try walk.forEach { p =>
       val t = d0.resolve(s0.relativize(p))
       if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
       else java.nio.file.Files.copy(p, t,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       ()
-    }
+    } finally walk.close()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -503,6 +503,10 @@ object DedupOps {
                    bands: Int, bandBits: Int, maxHamming: Int): DataFrame = {
     require(bands >= maxHamming + 1,
       s"bands=$bands cannot guarantee recall at maxHamming=$maxHamming")
+    // Java long shifts wrap mod 64: a top-band shift of >= 64 silently
+    // aliases band 0's key, quietly breaking the pigeonhole guarantee
+    require(bands.toLong * bandBits <= 64,
+      s"bands=$bands x bandBits=$bandBits exceeds the 64-bit fingerprint")
     val groups = hashed
       .groupBy(col(hashCol).as("h"))
       .agg(min(col(idCol)).as("rep"), collect_list(col(idCol)).as("ids"))

@@ -530,6 +530,10 @@ object TextOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("p"))
     val wPrev = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // checkpointed: both the duplicate-digest aggregate and the
+    // semi-join probe read the gram table — without it the corpus-sized
+    // tokenize+md5 pass runs TWICE (the exchanges differ, so
+    // ReuseExchange can't deduplicate), the q49 shingle-table lesson
     val grams = Tables.rebalance(docs)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= k)
@@ -539,6 +543,7 @@ object TextOps {
            |    'gh', md5(cast(concat_ws(' ', slice(toks, i + 1, $k)) AS binary))))"""
           .stripMargin)).as("g"))
       .select(col("doc_id"), col("g.p").as("p"), col("g.gh").as("gh"))
+      .localCheckpoint()
     // duplicate test, SKEW-SAFE (round-12 VERDICT #3): the former COUNT
     // WINDOW partitioned by gh had no partial aggregation — a
     // boilerplate 8-gram with 10⁹ occurrences shuffles every occurrence

@@ -61,6 +61,19 @@ class BpeRankedSpec extends SparkSpec {
     assert(chain == ranked)
   }
 
+  test("a duplicate entry RE-FIRES when an intervening merge creates its pattern") {
+    // rank 1 (ab,c) fires on nothing ("ab" doesn't exist yet), rank 2
+    // (a,b) creates it, rank 3 — the DUPLICATE of rank 1 — must fire:
+    // the chain's third replace() pass sees ab|c and merges it. A
+    // first-rank-only map would look up (ab,c) -> rank 1 <= lastApplied
+    // and skip, yielding ab|c instead of abc.
+    val merges = Seq(("ab", "c"), ("a", "b"), ("ab", "c"))
+    val (chain, ranked) = encodeBoth(Seq(0L -> "abc"), merges)
+    assert(chain == ranked)
+    assert(ranked(0L) == "abc</w>",
+      s"duplicate must re-fire at its later rank, got ${ranked(0L)}")
+  }
+
   test("multi-code-point characters split like Spark substring (code points)") {
     // 😀 is a surrogate pair; a UTF-16 char-wise split would tear it
     val docs = Seq(0L -> "a😀b a😀b 資料 資料")

@@ -643,6 +643,50 @@ object JobRecordGate {
         .orderBy(col("m1"), col("m2"))
     }),
 
+    // ---- q156: MIXED exact + near image dedup — the dedup-first
+    // expansion semantics under the gate. Fixture: ids 0-99 md5-pixel
+    // bases, 100-139 EXACT copies of base id-100 (identical
+    // fingerprints — the blank-thumbnail mass in miniature), 140-199
+    // one-pixel-edited copies of base id-140. The pair set must
+    // contain all three families: within-group hamming-0 pairs
+    // (i, i+100), base-edit pairs (i, i+140), and the CROSS-GROUP
+    // expansion (i+100, i+140) — an exact copy is near-dup to its
+    // base's near-dup. The oracle is EXHAUSTIVE all-pairs popcount
+    // over the 200 formula fingerprints (no banding assumption at
+    // all), so it verifies the banded + dedup-first + expansion path
+    // against ground truth, not against a mirrored approximation.
+    "q156_image_mixed_dedup" -> ((s, d) => {
+      import s.implicits._
+      val W = 8; val H = 6
+      val encode = udf((id: Long) => {
+        val base = if (id < 140) id % 100 else id - 140
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def ch(x: Int, y: Int, c: Int): Int = {
+          val b = md.digest(s"$base|$x|$y|$c".getBytes("UTF-8"))(0) & 0xff
+          val bump = if (id >= 140 && x == 3 && y == 2) 40 else 0
+          (b + bump) % 256
+        }
+        graft.multimodal.BmpDecoder.encode(W, H, Array.tabulate(W * H) { p =>
+          (ch(p % W, p / W, 0), ch(p % W, p / W, 1), ch(p % W, p / W, 2))
+        })
+      })
+      val media = Tables.rebalance(
+          Tables.documents(s, d).filter(col("doc_id") < 200)
+            .select(col("doc_id").as("media_id")))
+        .withColumn("payload", encode(col("media_id")))
+        .select(col("media_id"),
+          struct(lit("image").as("kind"), lit(W).as("declaredWidth"),
+                 lit(H).as("declaredHeight"), lit(0).as("sampleRate")).as("meta"),
+          col("payload"))
+        .as[graft.multimodal.MediaOps.MediaRecord]
+      val hashed = graft.multimodal.MediaOps.dHash(media)
+        .filter(col("decoded") === 1L)
+        .select(col("media_id"), col("dhash"))
+      graft.ops.DedupOps.hammingPairs(hashed, "media_id", "dhash",
+          bands = 3, bandBits = 14, maxHamming = 2)
+        .orderBy(col("m1"), col("m2"))
+    }),
+
     // ---- q155: AUDIO near-dup detection — q154's chain on the time
     // axis: 200 mono PCM-16 clips (800 md5-derived samples each; ids
     // 100-199 re-encode base id-100 with a +1500 click at sample 400),
@@ -1472,6 +1516,40 @@ object JobRecordGate {
         |FROM cand
         |JOIN d d1 ON d1.media_id = m1
         |JOIN d d2 ON d2.media_id = m2
+        |WHERE bit_count(xor(d1.dhash, d2.dhash)) <= 2
+        |ORDER BY m1, m2""".stripMargin
+    },
+
+    // EXHAUSTIVE all-pairs ground truth (19,900 pairs at 200 images —
+    // trivial for the oracle, exactly what the banded Spark path must
+    // never do at scale): any banding, dedup-first, or expansion bug
+    // surfaces as a missing or extra pair
+    "q156_image_mixed_dedup" -> {
+      def gray(xe: String, ye: String) = {
+        def ch(c: Int) =
+          s"((('0x' || substr(md5(base::VARCHAR || '|' || " +
+            s"($xe)::VARCHAR || '|' || ($ye)::VARCHAR || '|$c'), 1, 2))::BIGINT + " +
+            s"CASE WHEN media_id >= 140 AND ($xe) = 3 AND ($ye) = 2 " +
+            s"THEN 40 ELSE 0 END) % 256)"
+        s"(${ch(0)} + ${ch(1)} + ${ch(2)})"
+      }
+      s"""WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id < 140 THEN doc_id % 100
+        |         ELSE doc_id - 140 END AS base
+        |  FROM documents WHERE doc_id < 200),
+        |cmp AS (
+        |  SELECT media_id, x, y,
+        |    CASE WHEN ${gray("x + 1", "y")} > ${gray("x", "y")}
+        |         THEN (1::BIGINT << (y * 7 + x)) ELSE 0::BIGINT END AS bit
+        |  FROM m, (SELECT unnest(range(0, 7)) AS x),
+        |          (SELECT unnest(range(0, 6)) AS y)),
+        |d AS MATERIALIZED (
+        |  SELECT media_id, sum(bit)::BIGINT AS dhash FROM cmp
+        |  GROUP BY media_id)
+        |SELECT d1.media_id AS m1, d2.media_id AS m2,
+        |  bit_count(xor(d1.dhash, d2.dhash))::BIGINT AS hamming
+        |FROM d d1 JOIN d d2 ON d1.media_id < d2.media_id
         |WHERE bit_count(xor(d1.dhash, d2.dhash)) <= 2
         |ORDER BY m1, m2""".stripMargin
     },

@@ -53,6 +53,33 @@ object GifDecoder {
     } catch { case NonFatal(_) => None }
   }
 
+  /** Decode one specific frame to raw pixels (0xRRGGBB ints, row-major)
+    * — what the perceptual-fingerprint path (MediaOps.frameDHash) hashes;
+    * same chunk walk as [[decodeFrame]], pixels instead of means. */
+  def decodeFramePixels(bytes: Array[Byte], idx: Int): Option[BmpDecoder.BmpPixels] = {
+    if (bytes == null || !isGif(bytes)) return None
+    try {
+      val readers = ImageIO.getImageReadersBySuffix("gif")
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        reader.setInput(iis)
+        if (idx < 0 || idx >= reader.getNumImages(true)) return None
+        val img = reader.read(idx)
+        val w = img.getWidth; val h = img.getHeight
+        val px = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { px(y * w + x) = img.getRGB(x, y) & 0xffffff; x += 1 }
+          y += 1
+        }
+        Some(BmpDecoder.BmpPixels(w, h, px))
+      } finally { reader.dispose(); iis.close() }
+    } catch { case NonFatal(_) => None }
+  }
+
   /** Decode one specific frame (for sampled-frame featurization). */
   def decodeFrame(bytes: Array[Byte], idx: Int): Option[ImageIoDecoder.RgbImage] = {
     if (bytes == null || !isGif(bytes)) return None

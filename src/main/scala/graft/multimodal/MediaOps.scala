@@ -71,38 +71,115 @@ object MediaOps {
     * record, no BMP re-encode round-trip): the standard dHash pipeline
     * hashes the thumbnail, which is what makes fingerprints COMPARABLE
     * across source resolutions in both directions — an upscaled or
-    * downscaled re-encode of the same image lands at the same 42-bit
-    * layout. Non-BMP payloads emit decoded=0 (callers filter). */
-  def dHash(media: Dataset[MediaRecord]): org.apache.spark.sql.DataFrame = {
+    * downscaled re-encode of the same image lands at the same bit
+    * layout. Non-BMP payloads emit decoded=0 (callers filter).
+    *
+    * The GRID is the scale knob, not a constant (VERDICT r13 #2):
+    * fingerprint width gh·(gw−1) bits decides how far the banded
+    * hamming join stays in the linear-candidates regime (SCALING.md
+    * r13 addendum 3) — the default 8×6 (42 bits) is the fixture-scale
+    * gate config; corpora past ~10⁶ distinct images take the wide path
+    * ([[dHashWide]], e.g. 16×8 = 120 bits). */
+  def dHash(media: Dataset[MediaRecord], gw: Int = 8,
+            gh: Int = 6): org.apache.spark.sql.DataFrame = {
+    require(gh.toLong * (gw - 1) <= 63,
+      s"grid ${gw}x$gh needs ${gh * (gw - 1)} bits > 63 — use dHashWide")
     import media.sparkSession.implicits._
-    val (gw, gh) = (8, 6) // fingerprint grid: 6*(8-1) = 42 bits
     media.mapPartitions { it =>
       it.map { m =>
-        BmpDecoder.decodePixels(m.payload)
-          .map { p =>
-            if (p.width == gw && p.height == gh) p
-            else resizeNearestPixels(p, gw, gh)
-          } match {
-          case Some(BmpDecoder.BmpPixels(w, h, px)) if h.toLong * (w - 1) <= 63 =>
-            var bits = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w - 1) {
-                def gray(i: Int): Int = {
-                  val v = px(y * w + i)
-                  ((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)
-                }
-                if (gray(x + 1) > gray(x)) bits |= 1L << (y * (w - 1) + x)
-                x += 1
-              }
-              y += 1
-            }
-            (m.media_id, bits, 1L)
-          case _ => (m.media_id, 0L, 0L)
+        decodeToGrid(m.payload, gw, gh) match {
+          case Some(p) => (m.media_id, dHashWords(p)(0), 1L)
+          case None => (m.media_id, 0L, 0L)
         }
       }
     }.toDF("media_id", "dhash", "decoded")
+  }
+
+  /** [[dHash]] past 63 bits: the same difference hash packed into
+    * little-endian `array<bigint>` words (bit i → word i/64, position
+    * i%64 — the layout [[graft.ops.DedupOps.hammingPairsWide]] bands
+    * over). A 16×8 grid gives 120 bits = 3×40-bit bands = 10¹²
+    * buckets, holding candidate volume linear far past the N ~ 10⁵
+    * saturation point the 42-bit form measured. */
+  def dHashWide(media: Dataset[MediaRecord], gw: Int,
+                gh: Int): org.apache.spark.sql.DataFrame = {
+    import media.sparkSession.implicits._
+    val words = (gh * (gw - 1) + 63) / 64
+    media.mapPartitions { it =>
+      it.map { m =>
+        decodeToGrid(m.payload, gw, gh) match {
+          case Some(p) => (m.media_id, dHashWords(p), 1L)
+          case None => (m.media_id, new Array[Long](words), 0L)
+        }
+      }
+    }.toDF("media_id", "dhash", "decoded")
+  }
+
+  /** Per-sampled-frame difference hashes for animated payloads — the
+    * fingerprint SEQUENCE [[graft.ops.DedupOps.temporalNearDupPairs]]
+    * votes over: up to `maxFrames` evenly-spaced frames per GIF record
+    * (the [[featurizeFrames]] sampling formula, so position i is the
+    * same relative timestamp in videos of different lengths), each
+    * frame decoded to pixels, resampled to the fingerprint grid, and
+    * hashed exactly like a still image. One row per (video, sample
+    * position): `frame_idx` is the ALIGNMENT key (sample position),
+    * `src_idx` the decoded frame. Non-animated payloads emit no rows. */
+  def frameDHash(media: Dataset[MediaRecord], maxFrames: Int, gw: Int = 8,
+                 gh: Int = 6): org.apache.spark.sql.DataFrame = {
+    require(gh.toLong * (gw - 1) <= 63,
+      s"grid ${gw}x$gh needs ${gh * (gw - 1)} bits > 63 — use a wide variant")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        GifDecoder.decode(m.payload).toSeq.flatMap { anim =>
+          val n = math.min(maxFrames, anim.frames)
+          (0 until n).flatMap { i =>
+            val idx = if (n == 1) 0 else i * (anim.frames - 1) / (n - 1)
+            GifDecoder.decodeFramePixels(m.payload, idx).map { p0 =>
+              val p = if (p0.width == gw && p0.height == gh) p0
+                      else resizeNearestPixels(p0, gw, gh)
+              (m.media_id, i.toLong, idx.toLong, dHashWords(p)(0))
+            }
+          }
+        }
+      }
+    }.toDF("media_id", "frame_idx", "src_idx", "fhash")
+  }
+
+  /** Decode any payload the pure-JVM tier can read and resample it to
+    * the fingerprint grid (one decode per record, no re-encode). */
+  private def decodeToGrid(payload: Array[Byte], gw: Int,
+                           gh: Int): Option[BmpDecoder.BmpPixels] =
+    BmpDecoder.decodePixels(payload).map { p =>
+      if (p.width == gw && p.height == gh) p
+      else resizeNearestPixels(p, gw, gh)
+    }
+
+  /** The dHash bit loop over already-gridded pixels, packed into
+    * little-endian 64-bit words: bit y·(W−1)+x is set iff
+    * gray(x+1, y) > gray(x, y) with gray = r+g+b exact-integer. Shared
+    * by the long, wide, and per-frame forms so one comparison rule
+    * defines the whole perceptual family. */
+  private[multimodal] def dHashWords(p: BmpDecoder.BmpPixels): Array[Long] = {
+    val w = p.width; val h = p.height
+    val out = new Array[Long]((h * (w - 1) + 63) / 64)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w - 1) {
+        def gray(i: Int): Int = {
+          val v = p.rgb(y * w + i)
+          ((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)
+        }
+        if (gray(x + 1) > gray(x)) {
+          val b = y * (w - 1) + x
+          out(b >> 6) |= 1L << (b & 63)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
   }
 
   /** Perceptual AUDIO fingerprint: the dHash idea on the time axis —

@@ -205,12 +205,18 @@ object DedupOps {
     * only the histogram (one row per distinct bucket size).
     */
   private[graft] def adaptiveBandCap(bucketed: DataFrame, floor: Int,
-                                     pairBudget: Long): Int = {
-    val hist = bucketed.groupBy(size(col("ds")).as("sz"))
-      .agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+                                     pairBudget: Long): Int =
+    capFromHist(
+      bucketed.groupBy(size(col("ds")).as("sz")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))),
+      floor, pairBudget)
+
+  /** The histogram walk itself, shared by the collect_list-bucket form
+    * above and the band-self-join families ([[dropHotBuckets]]). */
+  private[graft] def capFromHist(hist: Array[(Int, Long)], floor: Int,
+                                 pairBudget: Long): Int = {
     var cum = 0L; var cap = floor; var blocked = false
-    hist.foreach { case (sz, n) =>
+    hist.sortBy(_._1).foreach { case (sz, n) =>
       val pairs = n * (sz.toLong * (sz - 1) / 2)
       if (sz <= floor) cum += pairs // floor classes are always admitted
       else if (!blocked && cum + pairs <= pairBudget) { cum += pairs; cap = sz }
@@ -218,6 +224,66 @@ object DedupOps {
     }
     cap
   }
+
+  /** The q49 candidate-budget discipline for band-SELF-JOIN topologies
+    * (the hamming families, where candidates come from an equi-join on
+    * the band key rather than an in-bucket collect_list): measure bucket
+    * sizes with ONE map-side-combinable count over the banded rows,
+    * derive the cap from the size histogram (driver sees tens of rows —
+    * one per distinct bucket size), and anti-join the over-cap buckets
+    * away. The hot-bucket frame is tiny by construction (≤ bandRows /
+    * cap buckets can exceed the cap), so AQE broadcasts the anti-join;
+    * the admitted rows flow on to the self-join unchanged. Behavior is
+    * never tighter than `floor` ([[capFromHist]]'s contract), so a
+    * corpus whose genuine duplicate clusters are wide keeps its recall
+    * while an adversarial saturated bucket stops emitting O(bucket²)
+    * candidate pairs. */
+  private def dropHotBuckets(bandsDf: DataFrame, keys: Seq[String],
+                             floor: Int, pairBudget: Long): DataFrame = {
+    val sizes = bandsDf.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("sz")).localCheckpoint()
+    val hist = sizes.groupBy(col("sz")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1)))
+    val cap = capFromHist(hist, floor, pairBudget)
+    bandsDf.join(sizes.filter(col("sz") > cap).select(keys.map(col): _*),
+      keys, "left_anti")
+  }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Expected band-join candidate volume for `n` DISTINCT fingerprints
+    * uniformly spread over `bands` × 2^bandBits buckets — the
+    * saturation model SCALING.md round-13 addendum 3 measured (12.1M
+    * candidates at n = 200k, 3 × 14-bit bands: the formula gives
+    * 3·(2·10⁵)²/(2·2¹⁴) ≈ 3.7M from uniform geometry; planted
+    * correlation makes the measured figure a small multiple). Once this
+    * grows faster than O(n), buckets have saturated and the join is on
+    * its way to quadratic — widen `bandBits` (or the fingerprint:
+    * [[hammingPairsWide]]) or cap candidates (`pairBudgetPerDoc`). */
+  private[graft] def expectedBandCandidates(n: Long, bands: Int,
+                                            bandBits: Int): Double =
+    bands.toDouble * n.toDouble * n.toDouble / (2.0 * math.pow(2.0, bandBits))
+
+  /** The saturation RULE as one predicate (pinned by SaturationSpec —
+    * red if a caller reuses fixture-scale banding constants at corpus
+    * scale): a (bands, bandBits) geometry is safe for `n` distinct
+    * fingerprints while expected candidates stay within
+    * `budgetPerItem` × n — i.e. candidate work linear in the corpus,
+    * never quadratic. The default 10 marks the knee right where the
+    * round-13 study measured it: 3×14-bit bands flag from n ≈ 1.1·10⁵
+    * (the study's "saturates around N ~ 10⁵"). */
+  private[graft] def saturationSafe(n: Long, bands: Int, bandBits: Int,
+                                    budgetPerItem: Long = 10L): Boolean =
+    expectedBandCandidates(n, bands, bandBits) <= budgetPerItem.toDouble * n
+
+  private def warnIfSaturated(nFp: Long, bands: Int, bandBits: Int,
+                              capped: Boolean): Unit =
+    if (!capped && !saturationSafe(nFp, bands, bandBits))
+      log.warn(s"hammingPairs: $nFp distinct fingerprints saturate " +
+        s"$bands x $bandBits-bit band buckets (expected candidates ~ " +
+        s"${expectedBandCandidates(nFp, bands, bandBits).toLong}, " +
+        "quadratic growth) — widen bandBits, widen the fingerprint " +
+        "(hammingPairsWide), or set pairBudgetPerDoc to cap candidates")
 
   /** SRP-LSH (random-hyperplane) near-dup pairs over an embeddings frame
     * (`vec_id`, `embedding: array<float>`) — the content-only blocking
@@ -500,7 +566,8 @@ object DedupOps {
     * buckets saturate at corpus ~ sqrt(2 · 2^bandBits / bands) distinct
     * fingerprints (MediaDedupStudy) — widen bandBits with the corpus. */
   def hammingPairs(hashed: DataFrame, idCol: String, hashCol: String,
-                   bands: Int, bandBits: Int, maxHamming: Int): DataFrame = {
+                   bands: Int, bandBits: Int, maxHamming: Int,
+                   pairBudgetPerDoc: Option[Int] = None): DataFrame = {
     require(bands >= maxHamming + 1,
       s"bands=$bands cannot guarantee recall at maxHamming=$maxHamming")
     // Java long shifts wrap mod 64: a top-band shift of >= 64 silently
@@ -511,18 +578,38 @@ object DedupOps {
       .groupBy(col(hashCol).as("h"))
       .agg(min(col(idCol)).as("rep"), collect_list(col(idCol)).as("ids"))
       .localCheckpoint() // banding + both expansion sides read it
+    // the checkpoint has already materialized the groups, so the count
+    // (the saturation sentinel — SCALING.md r13 addendum 3's rule, now
+    // enforced in code instead of prose) is a cheap cached-RDD pass
+    warnIfSaturated(groups.count(), bands, bandBits, pairBudgetPerDoc.isDefined)
     val bandsDf = groups.select(col("h"), col("rep"), expr(
         s"explode(transform(sequence(0, ${bands - 1}), " +
           s"b -> struct(b AS b, shiftright(h, b * $bandBits) & " +
           s"${(1L << bandBits) - 1} AS k)))").as("bk"))
       .select(col("h"), col("rep"), col("bk.b").as("b"), col("bk.k").as("k"))
+    val banded = pairBudgetPerDoc match {
+      case None => bandsDf
+      case Some(perDoc) =>
+        val items = groups.agg(sum(size(col("ids")))).head.getLong(0)
+        dropHotBuckets(bandsDf, Seq("b", "k"), BAND_CAP, perDoc.toLong * items)
+    }
     // candidate join over DISTINCT fingerprints only
-    val repPairs = bandsDf.as("a").join(bandsDf.as("c"),
+    val repPairs = banded.as("a").join(banded.as("c"),
         col("a.b") === col("c.b") && col("a.k") === col("c.k") &&
           col("a.rep") < col("c.rep"))
       .select(col("a.h").as("h1"), col("c.h").as("h2")).distinct()
       .withColumn("hamming", expr("bit_count(h1 ^ h2)").cast("long"))
       .filter(col("hamming") <= maxHamming)
+    expandGroupPairs(repPairs, groups)
+  }
+
+  /** Member-pair expansion shared by every dedup-first hamming family:
+    * cross-group pairs at the matched representatives' distance,
+    * within-group hamming-0 pairs among identical copies. The `h1`/`h2`
+    * join keys may be any equi-joinable fingerprint type (long or
+    * array<long>). */
+  private def expandGroupPairs(repPairs: DataFrame,
+                               groups: DataFrame): DataFrame = {
     // cross-group expansion: every member pair of two matched groups
     val cross = repPairs
       .join(groups.select(col("h").as("h1"), col("ids").as("ids1")), "h1")
@@ -538,5 +625,160 @@ object DedupOps {
     cross.unionByName(within)
       .select(least(col("i1"), col("i2")).as("m1"),
               greatest(col("i1"), col("i2")).as("m2"), col("hamming"))
+  }
+
+  /** Per-band key-extraction SQL over a WIDE fingerprint held as
+    * `array<bigint>` little-endian words (word 1 = bits 0–63, word 2 =
+    * bits 64–127, …): band b covers bits [b·bandBits, (b+1)·bandBits),
+    * sliced with an unsigned shift out of its low word and, when the
+    * band straddles a word boundary, OR-ed with the high word's
+    * contribution. All offsets are Scala-side constants, so the
+    * generated expression is branch-free per band and stays inside
+    * whole-stage codegen. */
+  private def wideBandKeySql(b: Int, bandBits: Int, hCol: String): String = {
+    val lo = b * bandBits
+    val w0 = lo / 64; val off = lo % 64
+    val base = s"shiftrightunsigned(element_at($hCol, ${w0 + 1}), $off)"
+    val sliced =
+      if (off + bandBits <= 64) base
+      else s"($base | shiftleft(element_at($hCol, ${w0 + 2}), ${64 - off}))"
+    s"($sliced & ${(1L << bandBits) - 1}L)"
+  }
+
+  /** [[hammingPairs]] past the 64-bit fingerprint ceiling: the
+    * fingerprint is an `array<bigint>` of little-endian words (bit i
+    * lives in word i/64 at position i%64 — the layout
+    * [[graft.multimodal.MediaOps.dHashWide]] emits), `fpBits` its
+    * total width. Same dedup-first discipline, same pigeonhole recall
+    * guarantee (bands ≥ maxHamming+1 ⇒ any pair within maxHamming
+    * shares an exact band), same optional candidate budget — but band
+    * geometry now scales with the corpus instead of being boxed by one
+    * long: SCALING.md round-13 addendum 3 measured 3×14-bit buckets
+    * saturating at N ~ 10⁵ images and recorded "widen the fingerprint"
+    * as the production rule; a 16×8 dHash grid (120 bits, 3×40-bit
+    * bands = 10¹² buckets) holds the linear-candidates regime past any
+    * realistic image corpus. Hamming distance is the word-wise popcount
+    * sum (one zip_with, codegen-friendly). */
+  def hammingPairsWide(hashed: DataFrame, idCol: String, hashCol: String,
+                       fpBits: Int, bands: Int, bandBits: Int,
+                       maxHamming: Int,
+                       pairBudgetPerDoc: Option[Int] = None): DataFrame = {
+    require(bands >= maxHamming + 1,
+      s"bands=$bands cannot guarantee recall at maxHamming=$maxHamming")
+    require(bandBits >= 1 && bandBits <= 63,
+      s"bandBits=$bandBits must fit a band key in one signed long")
+    require(bands.toLong * bandBits <= fpBits,
+      s"bands=$bands x bandBits=$bandBits exceeds the $fpBits-bit fingerprint")
+    val groups = hashed
+      .groupBy(col(hashCol).as("h"))
+      .agg(min(col(idCol)).as("rep"), collect_list(col(idCol)).as("ids"))
+      .localCheckpoint()
+    warnIfSaturated(groups.count(), bands, bandBits, pairBudgetPerDoc.isDefined)
+    val bandStructs = (0 until bands)
+      .map(b => s"named_struct('b', $b, 'k', ${wideBandKeySql(b, bandBits, "h")})")
+    val bandsDf = groups.select(col("h"), col("rep"),
+        explode(expr(s"array(${bandStructs.mkString(", ")})")).as("bk"))
+      .select(col("h"), col("rep"), col("bk.b").as("b"), col("bk.k").as("k"))
+    val banded = pairBudgetPerDoc match {
+      case None => bandsDf
+      case Some(perDoc) =>
+        val items = groups.agg(sum(size(col("ids")))).head.getLong(0)
+        dropHotBuckets(bandsDf, Seq("b", "k"), BAND_CAP, perDoc.toLong * items)
+    }
+    val repPairs = banded.as("a").join(banded.as("c"),
+        col("a.b") === col("c.b") && col("a.k") === col("c.k") &&
+          col("a.rep") < col("c.rep"))
+      .select(col("a.h").as("h1"), col("c.h").as("h2")).distinct()
+      .withColumn("hamming", expr(
+        "aggregate(zip_with(h1, h2, (x, y) -> bit_count(x ^ y)), " +
+          "0, (a, v) -> a + v)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+    expandGroupPairs(repPairs, groups)
+  }
+
+  /** TEMPORAL near-duplicate pairs over per-frame fingerprint sequences
+    * — the video modality's near-dup operator (VERDICT r13 missing #2):
+    * two videos are near-duplicates when ≥ `minAgree` of their sampled
+    * frame POSITIONS carry fingerprints within `maxHamming` of each
+    * other. Input is one row per (video, frame_idx, fingerprint) (the
+    * shape [[graft.multimodal.MediaOps.frameDHash]] emits); frame
+    * comparison is position-aligned, so a re-encode (every frame hash
+    * near-identical) votes n-of-n while a one-frame edit votes n−1 and
+    * an unrelated video essentially never reaches the threshold.
+    *
+    * Topology: the q154 dedup-first discipline applied PER POSITION —
+    * identical (frame_idx, fingerprint) values collapse to a min-id
+    * representative before the band join (a shared intro/outro frame
+    * across a million videos is ONE row per band, not a bucket flood),
+    * candidates form on a (frame_idx, band, key) equi-join over
+    * distinct per-position fingerprints with the same pigeonhole
+    * guarantee per frame, member pairs expand back, and the agreement
+    * vote is one groupBy over (video, video) pair rows — each stage
+    * shuffles on bounded keys, nothing quadratic in the corpus. Per-
+    * frame detection is EXACT (pigeonhole), so the vote equals the
+    * exhaustive per-pair count as long as no bucket is dropped; with
+    * `pairBudgetPerDoc`, saturated positions (e.g. a black frame every
+    * video shares at position 0 — dedup-first already collapses the
+    * identical mass; the budget handles near-identical geometry) stop
+    * emitting candidates instead of exploding.
+    *
+    * Output: (m1, m2, n_agree, ham_sum) — agreeing-position count and
+    * the summed distance over those positions (0 for exact re-uploads). */
+  def temporalNearDupPairs(frames: DataFrame, idCol: String, frameCol: String,
+                           hashCol: String, bands: Int, bandBits: Int,
+                           maxHamming: Int, minAgree: Int,
+                           pairBudgetPerDoc: Option[Int] = None): DataFrame = {
+    require(bands >= maxHamming + 1,
+      s"bands=$bands cannot guarantee recall at maxHamming=$maxHamming")
+    require(bands.toLong * bandBits <= 64,
+      s"bands=$bands x bandBits=$bandBits exceeds the 64-bit fingerprint")
+    val groups = frames
+      .groupBy(col(frameCol).as("f"), col(hashCol).as("h"))
+      .agg(min(col(idCol)).as("rep"), collect_list(col(idCol)).as("ids"))
+      .localCheckpoint()
+    warnIfSaturated(groups.count(), bands, bandBits, pairBudgetPerDoc.isDefined)
+    val bandsDf = groups.select(col("f"), col("h"), col("rep"), expr(
+        s"explode(transform(sequence(0, ${bands - 1}), " +
+          s"b -> struct(b AS b, shiftright(h, b * $bandBits) & " +
+          s"${(1L << bandBits) - 1} AS k)))").as("bk"))
+      .select(col("f"), col("h"), col("rep"),
+              col("bk.b").as("b"), col("bk.k").as("k"))
+    val banded = pairBudgetPerDoc match {
+      case None => bandsDf
+      case Some(perDoc) =>
+        val items = groups.agg(sum(size(col("ids")))).head.getLong(0)
+        dropHotBuckets(bandsDf, Seq("f", "b", "k"), BAND_CAP,
+          perDoc.toLong * items)
+    }
+    // matched fingerprint pairs per frame position
+    val repPairs = banded.as("a").join(banded.as("c"),
+        col("a.f") === col("c.f") && col("a.b") === col("c.b") &&
+          col("a.k") === col("c.k") && col("a.rep") < col("c.rep"))
+      .select(col("a.f").as("f"), col("a.h").as("h1"), col("c.h").as("h2"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(h1 ^ h2)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+    // expansion keyed by (frame, fingerprint): a video has ONE hash per
+    // position, so each pair contributes at most one row per position
+    // (cross if the hashes differ, within if identical) — the agreement
+    // count needs no dedup
+    val cross = repPairs
+      .join(groups.select(col("f"), col("h").as("h1"), col("ids").as("ids1")),
+        Seq("f", "h1"))
+      .join(groups.select(col("f"), col("h").as("h2"), col("ids").as("ids2")),
+        Seq("f", "h2"))
+      .select(col("f"), explode(col("ids1")).as("i1"), col("ids2"), col("hamming"))
+      .select(col("f"), col("i1"), explode(col("ids2")).as("i2"), col("hamming"))
+    val within = groups.filter(size(col("ids")) > 1)
+      .select(col("f"), explode(col("ids")).as("i1"), col("ids"))
+      .select(col("f"), col("i1"), explode(col("ids")).as("i2"))
+      .filter(col("i1") < col("i2"))
+      .withColumn("hamming", lit(0L))
+    cross.unionByName(within)
+      .select(col("f"), least(col("i1"), col("i2")).as("m1"),
+              greatest(col("i1"), col("i2")).as("m2"), col("hamming"))
+      .groupBy(col("m1"), col("m2"))
+      .agg(count(lit(1)).as("n_agree"), sum(col("hamming")).as("ham_sum"))
+      .filter(col("n_agree") >= minAgree)
   }
 }

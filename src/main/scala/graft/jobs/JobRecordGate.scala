@@ -729,6 +729,128 @@ object JobRecordGate {
         .orderBy(col("m1"), col("m2"))
     }),
 
+    // ---- q157: VIDEO temporal near-dup — the composition VERDICT r13
+    // missing #2 named: q119's frame sampling feeding q154's perceptual
+    // hash, voted along the time axis. Fixture: 200 four-frame 8x6
+    // animated GIFs (md5-derived per-(base, frame, pixel, channel)
+    // colors, encoded through the JDK writer with an EXPLICIT indexed
+    // palette — <= 48 distinct colors per frame, so the round-trip is
+    // lossless by construction); ids 100-199 re-encode base id-100 with
+    // a +40 bump at pixel (3, 2) of ONE frame (id % 4). Per planted
+    // pair, 3 frames are bit-identical and the edited frame lands
+    // within hamming <= 2, so the >= 3-of-4 agreement vote catches
+    // every copy while unrelated videos (~21 bits apart per frame)
+    // never reach it. Topology: per-frame decode + hash are row-local
+    // (frameDHash), candidates form on a (frame, band, key) pigeonhole
+    // join over per-position DISTINCT fingerprints (the q154
+    // dedup-first discipline per position — a shared intro frame can
+    // never flood a bucket), and the vote is one groupBy over pair
+    // rows. The oracle is EXHAUSTIVE: per-frame hamming recomputed
+    // from the pixel FORMULA for all 19,900 pairs (never the codec,
+    // no banding assumption), so GIF palette drift, frame mis-seek,
+    // banding, expansion, and vote bugs all flip the hash.
+    "q157_video_temporal_dedup" -> ((s, d) => {
+      import s.implicits._
+      val W = 8; val H = 6; val F = 4
+      val encode = udf((id: Long) => {
+        import javax.imageio.{IIOImage, ImageIO}
+        val base = id % 100
+        val editF = (id % F).toInt
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val writer = ImageIO.getImageWritersBySuffix("gif").next()
+        val out = new java.io.ByteArrayOutputStream()
+        val ios = ImageIO.createImageOutputStream(out)
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        (0 until F).foreach { f =>
+          def ch(x: Int, y: Int, c: Int): Int = {
+            val b = md.digest(s"$base|$f|$x|$y|$c".getBytes("UTF-8"))(0) & 0xff
+            val bump = if (id >= 100 && f == editF && x == 3 && y == 2) 40 else 0
+            (b + bump) % 256
+          }
+          val colors = Array.tabulate(W * H) { p =>
+            val x = p % W; val y = p / W
+            (ch(x, y, 0) << 16) | (ch(x, y, 1) << 8) | ch(x, y, 2)
+          }
+          // explicit exact palette: setRGB resolves each pixel to its
+          // own entry — no quantization anywhere in the fixture
+          val pal = colors.distinct
+          val cm = new java.awt.image.IndexColorModel(8, pal.length,
+            pal.map(v => ((v >> 16) & 0xff).toByte),
+            pal.map(v => ((v >> 8) & 0xff).toByte),
+            pal.map(v => (v & 0xff).toByte))
+          val img = new java.awt.image.BufferedImage(W, H,
+            java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+          var p = 0
+          while (p < W * H) { img.setRGB(p % W, p / W, colors(p)); p += 1 }
+          writer.writeToSequence(new IIOImage(img, null, null), null)
+        }
+        writer.endWriteSequence()
+        writer.dispose(); ios.close()
+        out.toByteArray
+      })
+      val media = Tables.rebalance(
+          Tables.documents(s, d).filter(col("doc_id") < 200)
+            .select(col("doc_id").as("media_id")))
+        .withColumn("payload", encode(col("media_id")))
+        .select(col("media_id"),
+          struct(lit("video").as("kind"), lit(W).as("declaredWidth"),
+                 lit(H).as("declaredHeight"), lit(0).as("sampleRate")).as("meta"),
+          col("payload"))
+        .as[graft.multimodal.MediaOps.MediaRecord]
+      val frames = graft.multimodal.MediaOps.frameDHash(media, F)
+      graft.ops.DedupOps.temporalNearDupPairs(frames,
+          "media_id", "frame_idx", "fhash",
+          bands = 3, bandBits = 14, maxHamming = 2, minAgree = 3)
+        .orderBy(col("m1"), col("m2"))
+    }),
+
+    // ---- q160: WIDE-fingerprint image near-dup — q156's mixed
+    // exact+near fixture at the 16x8 grid (120 bits, the geometry
+    // SCALING.md r13 addendum 3 prescribed for 10^6+ corpora and
+    // VERDICT r13 #1 found unimplementable): dHashWide packs the bits
+    // into two little-endian words, hammingPairsWide bands them 3x40
+    // (band 1 straddles the word boundary — the slice arithmetic is in
+    // the gate), and the candidate budget rides the same join the q49
+    // family uses (inert at fixture scale: every bucket is far below
+    // the 200 floor; the point is the PATH is the production path).
+    // Oracle: exhaustive all-pairs hamming recomputed comparison-by-
+    // comparison from the pixel formula — no words, no banding, no
+    // packing assumption — so a bit-layout or slice bug changes some
+    // pair's membership or distance and flips the hash.
+    "q160_image_wide_dedup" -> ((s, d) => {
+      import s.implicits._
+      val W = 16; val H = 8
+      val encode = udf((id: Long) => {
+        val base = if (id < 140) id % 100 else id - 140
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def ch(x: Int, y: Int, c: Int): Int = {
+          val b = md.digest(s"$base|$x|$y|$c".getBytes("UTF-8"))(0) & 0xff
+          val bump = if (id >= 140 && x == 3 && y == 2) 40 else 0
+          (b + bump) % 256
+        }
+        graft.multimodal.BmpDecoder.encode(W, H, Array.tabulate(W * H) { p =>
+          (ch(p % W, p / W, 0), ch(p % W, p / W, 1), ch(p % W, p / W, 2))
+        })
+      })
+      val media = Tables.rebalance(
+          Tables.documents(s, d).filter(col("doc_id") < 200)
+            .select(col("doc_id").as("media_id")))
+        .withColumn("payload", encode(col("media_id")))
+        .select(col("media_id"),
+          struct(lit("image").as("kind"), lit(W).as("declaredWidth"),
+                 lit(H).as("declaredHeight"), lit(0).as("sampleRate")).as("meta"),
+          col("payload"))
+        .as[graft.multimodal.MediaOps.MediaRecord]
+      val hashed = graft.multimodal.MediaOps.dHashWide(media, W, H)
+        .filter(col("decoded") === 1L)
+        .select(col("media_id"), col("dhash"))
+      graft.ops.DedupOps.hammingPairsWide(hashed, "media_id", "dhash",
+          fpBits = H * (W - 1), bands = 3, bandBits = 40, maxHamming = 2,
+          pairBudgetPerDoc = Some(1000))
+        .orderBy(col("m1"), col("m2"))
+    }),
+
     // ---- q107: the LIVE transport inside the gate — a real HTTP server
     // (deterministic reference-shaped job board on localhost, no
     // egress), the executor-side crawl (S1 search pages + S4 detail
@@ -1589,6 +1711,74 @@ object JobRecordGate {
         |JOIN h h2 ON h2.media_id = m2
         |WHERE bit_count(xor(h1.ahash, h2.ahash)) <= 2
         |ORDER BY m1, m2""".stripMargin,
+
+    // EXHAUSTIVE per-frame ground truth from the pixel formula: one
+    // boolean per (video, frame, comparison), pair hamming = count of
+    // differing comparisons (no bit packing, no banding, no codec),
+    // agreement = frames within 2, vote >= 3 of 4
+    "q157_video_temporal_dedup" -> {
+      def gray(xe: String, ye: String) = {
+        def ch(c: Int) =
+          s"((('0x' || substr(md5((media_id % 100)::VARCHAR || '|' || " +
+            s"f::VARCHAR || '|' || ($xe)::VARCHAR || '|' || " +
+            s"($ye)::VARCHAR || '|$c'), 1, 2))::BIGINT + " +
+            s"CASE WHEN media_id >= 100 AND f = media_id % 4 " +
+            s"AND ($xe) = 3 AND ($ye) = 2 THEN 40 ELSE 0 END) % 256)"
+        s"(${ch(0)} + ${ch(1)} + ${ch(2)})"
+      }
+      s"""WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 200),
+        |cmp AS MATERIALIZED (
+        |  SELECT media_id, f, x, y,
+        |    ${gray("x + 1", "y")} > ${gray("x", "y")} AS bit
+        |  FROM m, (SELECT unnest(range(0, 4)) AS f),
+        |          (SELECT unnest(range(0, 7)) AS x),
+        |          (SELECT unnest(range(0, 6)) AS y)),
+        |fr AS (
+        |  SELECT a.media_id AS m1, b.media_id AS m2, a.f,
+        |    count(*) FILTER (WHERE a.bit <> b.bit) AS ham
+        |  FROM cmp a JOIN cmp b
+        |    ON a.f = b.f AND a.x = b.x AND a.y = b.y
+        |   AND a.media_id < b.media_id
+        |  GROUP BY a.media_id, b.media_id, a.f)
+        |SELECT m1, m2,
+        |  count(*) FILTER (WHERE ham <= 2)::BIGINT AS n_agree,
+        |  coalesce(sum(ham) FILTER (WHERE ham <= 2), 0)::BIGINT AS ham_sum
+        |FROM fr GROUP BY m1, m2
+        |HAVING count(*) FILTER (WHERE ham <= 2) >= 3
+        |ORDER BY m1, m2""".stripMargin
+    },
+
+    // the q156 exhaustive discipline at the 16x8 grid: hamming counted
+    // comparison-by-comparison straight from the formula — the wide
+    // word packing and the straddling band slices are judged purely by
+    // the pair set they produce
+    "q160_image_wide_dedup" -> {
+      def gray(xe: String, ye: String) = {
+        def ch(c: Int) =
+          s"((('0x' || substr(md5(base::VARCHAR || '|' || " +
+            s"($xe)::VARCHAR || '|' || ($ye)::VARCHAR || '|$c'), 1, 2))::BIGINT + " +
+            s"CASE WHEN media_id >= 140 AND ($xe) = 3 AND ($ye) = 2 " +
+            s"THEN 40 ELSE 0 END) % 256)"
+        s"(${ch(0)} + ${ch(1)} + ${ch(2)})"
+      }
+      s"""WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id < 140 THEN doc_id % 100
+        |         ELSE doc_id - 140 END AS base
+        |  FROM documents WHERE doc_id < 200),
+        |cmp AS MATERIALIZED (
+        |  SELECT media_id, x, y,
+        |    ${gray("x + 1", "y")} > ${gray("x", "y")} AS bit
+        |  FROM m, (SELECT unnest(range(0, 15)) AS x),
+        |          (SELECT unnest(range(0, 8)) AS y))
+        |SELECT a.media_id AS m1, b.media_id AS m2,
+        |  count(*) FILTER (WHERE a.bit <> b.bit)::BIGINT AS hamming
+        |FROM cmp a JOIN cmp b
+        |  ON a.x = b.x AND a.y = b.y AND a.media_id < b.media_id
+        |GROUP BY a.media_id, b.media_id
+        |HAVING count(*) FILTER (WHERE a.bit <> b.bit) <= 2
+        |ORDER BY m1, m2""".stripMargin
+    },
 
     // every field an integer formula; n_bytes pins the box layout
     // (16-byte ftyp + 8-byte moov header + 108-byte mvhd + 100 per trak)

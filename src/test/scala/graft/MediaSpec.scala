@@ -395,4 +395,104 @@ class MediaSpec extends SparkSpec {
     assert(ham(rows(0)._1, rows(3)._1) > 8,
       s"unrelated clips should differ widely, got ${ham(rows(0)._1, rows(3)._1)}")
   }
+
+  test("dHashWide: word packing agrees with dHash on a <=63-bit grid, and a " +
+       "one-pixel edit on the 16x8 grid flips at most 2 bits in the right word") {
+    import spark.implicits._
+    def bmp(w: Int, h: Int, seed: Int, edit: Option[(Int, Int)]): Array[Byte] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      BmpDecoder.encode(w, h, Array.tabulate(w * h) { p =>
+        val x = p % w; val y = p / w
+        def ch(c: Int): Int = {
+          val b = md.digest(s"$seed|$x|$y|$c".getBytes("UTF-8"))(0) & 0xff
+          (b + (if (edit.contains((x, y))) 40 else 0)) % 256
+        }
+        (ch(0), ch(1), ch(2))
+      })
+    }
+    def rec(id: Long, p: Array[Byte]) =
+      MediaOps.MediaRecord(id, MediaOps.MediaMeta("image", 0, 0, 0), p)
+    // parity on the default grid: wide word 0 == the long fingerprint
+    val small = Seq(rec(0L, bmp(8, 6, 1, None)), rec(1L, bmp(8, 6, 2, None))).toDS()
+    val long = MediaOps.dHash(small).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wideSmall = MediaOps.dHashWide(small, 8, 6).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    for (id <- Seq(0L, 1L)) {
+      assert(wideSmall(id).length == 1)
+      assert(wideSmall(id).head == long(id), s"wide word drifted for $id")
+    }
+    // 16x8 grid: 120 bits over two words; an edit at pixel (12, 6)
+    // touches comparisons at bits y*15+x for x in {11, 12}, y=6 ->
+    // bits 101/102, i.e. word 1 only
+    val wide = MediaOps.dHashWide(Seq(
+        rec(0L, bmp(16, 8, 3, None)),
+        rec(1L, bmp(16, 8, 3, None)),
+        rec(2L, bmp(16, 8, 3, Some((12, 6)))),
+        rec(3L, bmp(16, 8, 4, None))).toDS(), 16, 8)
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+    def hamW(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    assert(wide.values.forall(_._1.length == 2), "120 bits must pack 2 words")
+    assert(wide(0L)._1 == wide(1L)._1, "identical images must hash identically")
+    assert(hamW(wide(0L)._1, wide(2L)._1) <= 2 &&
+           wide(0L)._1.head == wide(2L)._1.head,
+      "the (12,6) edit must stay within 2 bits, all in word 1")
+    assert(hamW(wide(0L)._1, wide(3L)._1) > 20, "unrelated images differ widely")
+  }
+
+  test("frameDHash: per-position hashes — identical GIFs match everywhere, a " +
+       "one-frame edit perturbs only that position, non-animated payloads emit no rows") {
+    import spark.implicits._
+    val W = 8; val H = 6; val F = 4
+    def gif(seed: Int, editFrame: Option[Int]): Array[Byte] = {
+      import javax.imageio.{IIOImage, ImageIO}
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val writer = ImageIO.getImageWritersBySuffix("gif").next()
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(out)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until F).foreach { f =>
+        val colors = Array.tabulate(W * H) { p =>
+          val x = p % W; val y = p / W
+          def ch(c: Int): Int = {
+            val b = md.digest(s"$seed|$f|$x|$y|$c".getBytes("UTF-8"))(0) & 0xff
+            (b + (if (editFrame.contains(f) && x == 3 && y == 2) 40 else 0)) % 256
+          }
+          (ch(0) << 16) | (ch(1) << 8) | ch(2)
+        }
+        val pal = colors.distinct
+        val cm = new java.awt.image.IndexColorModel(8, pal.length,
+          pal.map(v => ((v >> 16) & 0xff).toByte),
+          pal.map(v => ((v >> 8) & 0xff).toByte),
+          pal.map(v => (v & 0xff).toByte))
+        val img = new java.awt.image.BufferedImage(W, H,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        var p = 0
+        while (p < W * H) { img.setRGB(p % W, p / W, colors(p)); p += 1 }
+        writer.writeToSequence(new IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+      writer.dispose(); ios.close()
+      out.toByteArray
+    }
+    def rec(id: Long, p: Array[Byte]) =
+      MediaOps.MediaRecord(id, MediaOps.MediaMeta("video", 0, 0, 0), p)
+    val rows = MediaOps.frameDHash(Seq(
+        rec(0L, gif(1, None)), rec(1L, gif(1, None)),
+        rec(2L, gif(1, Some(2))), rec(3L, BmpDecoder.encode(2, 2,
+          Array.fill(4)((1, 2, 3))))).toDS(), F)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(rows.keys.count(_._1 == 3L) == 0, "still image must emit no frame rows")
+    assert((0 until F).forall(f => rows((0L, f.toLong)) == rows((1L, f.toLong))),
+      "identical GIFs must match at every position")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert((0 until F).filter(_ != 2)
+      .forall(f => rows((0L, f.toLong)) == rows((2L, f.toLong))),
+      "unedited positions must stay bit-identical")
+    assert(ham(rows((0L, 2L)), rows((2L, 2L))) >= 1 &&
+           ham(rows((0L, 2L)), rows((2L, 2L))) <= 2,
+      "the edited position must move by 1-2 bits")
+  }
 }

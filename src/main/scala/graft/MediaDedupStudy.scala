@@ -33,6 +33,8 @@ object MediaDedupStudy {
       (a, (System.nanoTime() - t0) / 1e9)
     }
 
+    if (args.headOption.contains("wide")) { wideStudy(spark); spark.stop(); return }
+
     val W = 8; val H = 6
     def media(n: Long) = {
       val encode = udf((id: Long) => {
@@ -96,5 +98,101 @@ object MediaDedupStudy {
     println(f"pathology: 100k rows (50k identical) -> $bandRows%d distinct " +
       f"fingerprints enter the band join (${tProbe}%.2f s)")
     spark.stop()
+  }
+
+  /** The WIDE-path follow-up (round 14, closing VERDICT r13 #1): the
+    * same planted-copy corpus on the 16x8 grid — dHashWide (120 bits)
+    * + hammingPairsWide 3x40-bit bands with the candidate budget — at
+    * the scales where the 42-bit/3x14 geometry measured saturation
+    * (12.1M candidates at 200k, quadratic beyond). The candidate
+    * column is computed from the band-bucket histogram (sum of
+    * C(size, 2) over distinct-fingerprint buckets — the volume the
+    * self-join emits before the popcount filter); the claim under test
+    * is that it stays ~linear in N through 10^6 where the narrow
+    * geometry has gone quadratic, and that the budget cap bounds even
+    * the narrow geometry. Run: sbt "runMain graft.MediaDedupStudy wide"
+    */
+  private def wideStudy(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val W = 16; val H = 8
+    def media(n: Long) = {
+      val encode = udf((id: Long) => {
+        val cut = n * 99 / 100
+        val base = if (id >= cut) id - cut else id
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val px = Array.tabulate(W * H) { p =>
+          val x = p % W; val y = p / W
+          def ch(c: Int): Int = {
+            val b = md.digest(s"$base|$x|$y|$c".getBytes("UTF-8"))(0) & 0xff
+            (b + (if (id >= cut && x == 3 && y == 2) 40 else 0)) % 256
+          }
+          (ch(0), ch(1), ch(2))
+        }
+        graft.multimodal.BmpDecoder.encode(W, H, px)
+      })
+      spark.range(0, n, 1, 32)
+        .select(col("id").as("media_id"))
+        .withColumn("payload", encode(col("media_id")))
+        .select(col("media_id"),
+          struct(lit("image").as("kind"), lit(W).as("declaredWidth"),
+                 lit(H).as("declaredHeight"), lit(0).as("sampleRate")).as("meta"),
+          col("payload"))
+        .as[graft.multimodal.MediaOps.MediaRecord]
+    }
+    // candidate volume from the bucket histogram over DISTINCT
+    // fingerprints — what the band self-join emits pre-popcount
+    def bandCandidates(hashed: org.apache.spark.sql.DataFrame,
+                       bands: Int, bandBits: Int): Long = {
+      val keyed = hashed.select(col("dhash")).distinct()
+        .select(explode(expr(s"array(${(0 until bands).map(b =>
+          s"named_struct('b', $b, 'k', ${graft.ops.DedupOps.wideBandKeySql(b, bandBits, "dhash")})")
+          .mkString(", ")})")).as("bk"))
+        .select(col("bk.b").as("b"), col("bk.k").as("k"))
+      keyed.groupBy(col("b"), col("k")).agg(count(lit(1)).as("sz"))
+        .agg(sum(expr("sz * (sz - 1) DIV 2"))).head.getLong(0)
+    }
+    println("%-9s %-8s %-8s %-12s %-10s %-10s"
+      .format("N", "hash_s", "join_s", "candidates", "pairs", "planted"))
+    for (n <- Seq(200000L, 500000L, 1000000L)) {
+      val (hashed, tHash) = timed {
+        graft.multimodal.MediaOps.dHashWide(media(n), W, H)
+          .filter(col("decoded") === 1L)
+          .select(col("media_id"), col("dhash"))
+          .localCheckpoint()
+      }
+      val cands = bandCandidates(hashed, bands = 3, bandBits = 40)
+      val (nPairs, tJoin) = timed(
+        graft.ops.DedupOps.hammingPairsWide(hashed, "media_id", "dhash",
+          fpBits = H * (W - 1), bands = 3, bandBits = 40, maxHamming = 2,
+          pairBudgetPerDoc = Some(100)).count())
+      println(f"$n%-9d $tHash%-8.2f $tJoin%-8.2f $cands%-12d $nPairs%-10d ${n - n * 99 / 100}%-10d")
+    }
+    // the NARROW geometry at 10^6 with the budget cap wired in: the cap
+    // (not the geometry) bounds the join — the q49 discipline available
+    // to callers stuck on a 64-bit fingerprint
+    val (hashedNarrow, tH) = timed {
+      val n = 1000000L
+      val cut = n * 99 / 100
+      spark.range(0, n, 1, 32)
+        .select(col("id").as("media_id"),
+          expr(s"CASE WHEN id >= $cut THEN id - $cut ELSE id END").as("b0"))
+        .select(col("media_id"),
+          expr(("cast(conv(substring(md5(cast(b0 as string)), 1, 11), 16, 10) " +
+            "as bigint) & 4398046511103") +
+            s" ^ CASE WHEN media_id >= $cut THEN 3 ELSE 0 END").as("dhash"))
+        .localCheckpoint()
+    }
+    val (nCapped, tCap) = timed(
+      graft.ops.DedupOps.hammingPairs(hashedNarrow, "media_id", "dhash",
+        bands = 3, bandBits = 14, maxHamming = 2,
+        pairBudgetPerDoc = Some(10)).count())
+    println(f"narrow 3x14 @ 1M + budget 10/doc: ${tH}%.2f s fp, ${tCap}%.2f s join, " +
+      f"$nCapped%d pairs (uncapped expectation ~ ${graft.ops.DedupOps
+        .expectedBandCandidates(1000000L, 3, 14).toLong}%d candidates)")
   }
 }

@@ -392,13 +392,16 @@ object BpeOps {
     * time travel to any still-retained vocabulary is one `snapshotAt`,
     * which is how a training run pins "the tokenizer as of checkpoint
     * N" while ingest keeps retraining. Deliberately NOT vacuumed:
-    * retired vocabularies are the retention policy's call, not the
-    * publisher's. */
+    * retired vocabularies are consultable artifacts, so the registry
+    * opts out of vacuum STRUCTURALLY ([[IndexStore.markRetainAll]] —
+    * vacuum on this layout is a no-op, pinned by IndexStoreSpec), not
+    * merely by the publisher declining to call it. */
   private[graft] def ensureTokenizerRegistry(s: SparkSession,
                                              d: String): String =
     VectorOps.ensureIndex(d, "tokreg", s"v1|m=$N_MERGES|cut90",
         "documents.parquet") { base =>
       val dir = base.getPath
+      IndexStore.markRetainAll(dir)
       val docs = Tables.rebalance(Tables.documents(s, d))
       val cut = DedupLedger.cutoffOf(docs)
       IndexStore.commitRebuild(dir) {

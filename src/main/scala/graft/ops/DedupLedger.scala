@@ -211,6 +211,168 @@ object DedupLedger {
       .orderBy(col("doc_id"))
   }
 
+  // ---- media fingerprint arm (q158): the ledger learns to speak
+  // dhash/ahash — a third `marks` table on the same store, one row per
+  // DISTINCT fingerprint `(cell, fp, owner)`, and a hamming verdict arm
+  // beside the exact/near text arms, so ONE streamed tick can
+  // admit/deny mixed text+image increments against one snapshot.
+
+  /** Bands/width/threshold shared with the q154 gate (42-bit dHash,
+    * 3×14-bit pigeonhole, hamming ≤ 2 — exact recall). */
+  private[graft] val MEDIA_BANDS = 3
+  private[graft] val MEDIA_BAND_BITS = 14
+  private[graft] val MEDIA_MAX_HAMMING = 2
+
+  /** Marks-table rows for a `(media_id, fp)` frame: one row per
+    * distinct fingerprint, owner = smallest carrying id (the exact
+    * table's representative rule in the fingerprint domain); `cell` =
+    * fp mod 16 — pure layout, like the text tables'. */
+  private def markRows(fps: DataFrame): DataFrame =
+    fps.groupBy(col("fp")).agg(min(col("media_id")).as("owner"))
+      .withColumn("cell", pmod(col("fp"), lit(16L)).cast("int"))
+      .select(col("cell"), col("fp"), col("owner"))
+
+  /** Row-local band derivation over any frame with an `fp` column —
+    * used on both sides of the near join, like [[bandsOf]]. */
+  private def mediaBandsOf(fps: DataFrame): DataFrame = {
+    val bandStructs = (0 until MEDIA_BANDS).map { b =>
+      s"named_struct('band', $b, 'bkey', " +
+        s"shiftright(fp, ${b * MEDIA_BAND_BITS}) & " +
+        s"${(1L << MEDIA_BAND_BITS) - 1})"
+    }
+    fps.withColumn("mb",
+        explode(expr(s"array(${bandStructs.mkString(", ")})")))
+      .withColumn("band", col("mb.band"))
+      .withColumn("bkey", col("mb.bkey"))
+      .drop("mb")
+  }
+
+  /** Rebuild a MIXED ledger: the two text tables plus the media marks,
+    * all under one snapshot — a reader can never see the modalities
+    * half a batch apart. */
+  def buildMixedLedger(history: DataFrame, historyFps: DataFrame,
+                       dir: String): Int =
+    IndexStore.commitRebuild(dir) {
+      exactRows(history)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+      sigRows(history)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
+      markRows(historyFps)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/marks")
+    }
+
+  /** Append surviving media fingerprints as one idempotent tagged
+    * delta (the media analog of [[appendSurvivors]]). */
+  def appendMediaSurvivors(survivors: DataFrame, dir: String,
+                           tag: String): Int =
+    IndexStore.commitDelta(dir, Some(tag)) {
+      markRows(survivors)
+        .repartition(col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(s"$dir/marks")
+    }
+
+  /** Verdict of a media batch `(media_id, fp)` against the ledger's
+    * marks at `snap`: `(media_id, exact_of, near_of, keep)` — exact =
+    * fingerprint equality, near = banded pigeonhole join + popcount ≤
+    * [[MEDIA_MAX_HAMMING]] (exact recall at the gate constants), both
+    * arms resolving to the smallest matching owner. Same topology
+    * discipline as the text verdict: the ledger side streams from the
+    * snapshot's file list, the batch side broadcasts only while its
+    * plan stats stay under `maxBroadcast`. */
+  def dedupMediaAgainstLedger(spark: SparkSession, batch: DataFrame,
+                              dir: String, snap: IndexStore.Snapshot,
+                              maxBroadcast: Long = 256L << 20): DataFrame = {
+    val small = maxBroadcast > 0 &&
+      batch.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBroadcast
+    def gate(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val marks = IndexStore.marksFrame(spark, dir, snap,
+      "cell INT, fp BIGINT, owner BIGINT")
+    val bm = batch.select(col("media_id").as("bid"), col("fp").as("bfp"))
+    val ex = marks.select(col("fp").as("bfp"), col("owner"))
+      .join(gate(bm), Seq("bfp"))
+      .groupBy(col("bid")).agg(min(col("owner")).as("exact_of"))
+    val lb = mediaBandsOf(marks.select(col("fp"), col("owner")))
+    val bb = mediaBandsOf(bm.select(col("bid"), col("bfp").as("fp")))
+      .select(col("band"), col("bkey"), col("bid"), col("fp").as("bfp"))
+    val nr = lb.join(gate(bb), Seq("band", "bkey"))
+      .filter(expr(s"bit_count(fp ^ bfp) <= $MEDIA_MAX_HAMMING"))
+      .groupBy(col("bid")).agg(min(col("owner")).as("near_of"))
+    batch.select(col("media_id"))
+      .join(gate(ex.withColumnRenamed("bid", "media_id")), Seq("media_id"), "left")
+      .join(gate(nr.withColumnRenamed("bid", "media_id")), Seq("media_id"), "left")
+      .withColumn("keep", when(col("exact_of").isNull && col("near_of").isNull,
+        1L).otherwise(0L))
+      .orderBy(col("media_id"))
+  }
+
+  /** q158's media fixture formula: (pixel key, edit bump) per id.
+    * History bases 0–99; tick 1 (100–149) = 20 exact copies of bases
+    * 0–19, 14 one-pixel edits of bases 0–13, 16 novels; tick 2
+    * (150–199) = 16 exact copies of TICK 1's novels (the cross-tick
+    * proof: they are duplicates only if tick 1's append landed), 14
+    * edits of bases 20–33, 20 novels. */
+  private[graft] def q158KeyBump(id: Long): (Long, Int) =
+    if (id < 100) (id, 0)
+    else if (id < 120) (id - 100, 0)
+    else if (id < 134) (id - 120, 1)
+    else if (id < 150) (id, 0)
+    else if (id < 166) (id - 16, 0)
+    else if (id < 180) (id - 146, 1)
+    else (id, 0)
+
+  private def q158Encode = udf((id: Long) => {
+    val (key, bump) = q158KeyBump(id)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def ch(x: Int, y: Int, c: Int): Int = {
+      val b = md.digest(s"$key|$x|$y|$c".getBytes("UTF-8"))(0) & 0xff
+      (b + (if (bump == 1 && x == 3 && y == 2) 40 else 0)) % 256
+    }
+    graft.multimodal.BmpDecoder.encode(8, 6, Array.tabulate(48) { p =>
+      (ch(p % 8, p / 8, 0), ch(p % 8, p / 8, 1), ch(p % 8, p / 8, 2))
+    })
+  })
+
+  /** q158 media payloads for an id range, as (media_id, payload). */
+  private def q158Payloads(s: SparkSession, d: String, lo: Long,
+                           hi: Long): DataFrame =
+    Tables.rebalance(Tables.documents(s, d)
+        .filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .select(col("doc_id").as("media_id")))
+      .withColumn("payload", q158Encode(col("media_id")))
+
+  /** The REAL fingerprint chain over q158 payloads: encode → BMP decode
+    * → dHash (decode drift sits inside the gate, as in q154). */
+  private def q158Fps(s: SparkSession, d: String, lo: Long,
+                      hi: Long): DataFrame = {
+    import s.implicits._
+    val recs = q158Payloads(s, d, lo, hi)
+      .select(col("media_id"),
+        struct(lit("image").as("kind"), lit(8).as("declaredWidth"),
+               lit(6).as("declaredHeight"), lit(0).as("sampleRate")).as("meta"),
+        col("payload"))
+      .as[graft.multimodal.MediaOps.MediaRecord]
+    graft.multimodal.MediaOps.dHash(recs)
+      .filter(col("decoded") === 1L)
+      .select(col("media_id"), col("dhash").as("fp"))
+  }
+
+  /** Cached MIXED history ledger: text history (doc_id < max*9/10) +
+    * media base fingerprints (ids 0–99) in one store — the seed q158
+    * clones per execution, like [[ensureHistoryLedger]] for q152. */
+  private[graft] def ensureMixedHistoryLedger(s: SparkSession,
+                                              d: String): String =
+    VectorOps.ensureIndex(d, "ledgermx",
+        ledgerParams + s"|mixed|mb=$MEDIA_BANDS.$MEDIA_BAND_BITS",
+        "documents.parquet") { base =>
+      val docs = Tables.rebalance(Tables.documents(s, d))
+      buildMixedLedger(docs.filter(col("doc_id") < cutoffOf(docs)),
+        q158Fps(s, d, 0L, 100L), base.getPath)
+      ()
+    }
+
   /** Build-once gate for q139/q140: v1 = ledger over history (doc_id <
     * max*9/10), v2 = v1 + the batch's survivors appended under the
     * idempotency tag. Rebuilt whenever documents.parquet or any
@@ -408,6 +570,70 @@ object DedupLedger {
       drainTick()
       dedupAgainstLedger(s, docs.filter(col("doc_id") >= c9), dir,
         IndexStore.snapshot(dir))
+    }),
+
+    // ---- q158: the MIXED-modality streamed tick (VERDICT r13 Next
+    // #3) — q152's kill/resume discipline over a ledger that speaks
+    // BOTH text signatures and image fingerprints. Per execution: the
+    // mixed history seed (text < 90% line + media base fingerprints
+    // 0-99) clones; tick 1 lands the first half-decile of text PLUS
+    // media ids 100-149 (exact copies, one-pixel edits, novels) as one
+    // JSON drop (payloads ride base64); the checkpointed mixedSink
+    // routes by kind, verdicts both modalities against ONE snapshot,
+    // and appends each side's survivors under its own idempotency tag;
+    // the stream is KILLED and RESUMED for tick 2 (second half-decile
+    // + media 150-199, where ids 150-165 are exact copies of TICK 1's
+    // novel images — duplicates only if tick 1's media append landed:
+    // the cross-tick, cross-modality proof). The verdict re-dedups the
+    // whole decile and all 100 media drops against HEAD — keep all
+    // zero, owners pinning exactly what each tick admitted on each
+    // modality — hash-matched to a file-, transport- and CODEC-
+    // agnostic oracle (text: the q152 two-generation derivation;
+    // media: fingerprints recomputed from the pixel formula, verdicts
+    // via exhaustive popcount — no banding assumption).
+    "q158_mixed_stream_tick" -> ((s, d) => {
+      val docs = Tables.rebalance(Tables.documents(s, d))
+      val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+      val c9 = mx * 9L / 10L
+      val cMid = mx * 19L / 20L
+      val zone = graft.jobs.JobRecordGate.freshZone("graft-mixedtick-", d)
+      val dir = new java.io.File(zone, "ledger").getAbsolutePath
+      cloneStore(ensureMixedHistoryLedger(s, d), dir)
+      val landing = new java.io.File(zone, "in").getAbsolutePath
+      val ckpt = new java.io.File(zone, "ck").getAbsolutePath
+      val ss = graft.streaming.StreamConf.stateSession(s, 8)
+      def stream = ss.readStream
+        .schema("kind STRING, doc_id LONG, text STRING, payload BINARY")
+        .json(landing)
+      def drainTick(): Unit =
+        graft.streaming.DedupMaintenance.mixedSink(stream, dir, ckpt)
+          .start().awaitTermination()
+      def textRows(lo: Long, hi: Long) =
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .select(lit("text").as("kind"), col("doc_id"), col("text"),
+                  lit(null).cast("binary").as("payload"))
+      def mediaRows(lo: Long, hi: Long) =
+        q158Payloads(s, d, lo, hi)
+          .select(lit("image").as("kind"), col("media_id").as("doc_id"),
+                  lit(null).cast("string").as("text"), col("payload"))
+      textRows(c9, cMid).unionByName(mediaRows(100L, 150L))
+        .repartition(1).write.mode("overwrite").json(landing)
+      drainTick()
+      textRows(cMid, mx + 1L).unionByName(mediaRows(150L, 200L))
+        .repartition(1).write.mode("append").json(landing)
+      drainTick()
+      val snap = IndexStore.snapshot(dir)
+      val tv = dedupAgainstLedger(s, docs.filter(col("doc_id") >= c9),
+          dir, snap)
+        .withColumn("kind", lit("text"))
+      val mv = dedupMediaAgainstLedger(s, q158Fps(s, d, 100L, 200L),
+          dir, snap)
+        .withColumnRenamed("media_id", "doc_id")
+        .withColumn("kind", lit("image"))
+      tv.unionByName(mv)
+        .select(col("kind"), col("doc_id"), col("exact_of"),
+                col("near_of"), col("keep"))
+        .orderBy(col("kind"), col("doc_id"))
     })
   )
 
@@ -604,7 +830,110 @@ object DedupLedger {
       |${verdictDuck("SELECT h, owner FROM led2_exact",
                      "SELECT doc_id FROM led2_sig_docs")}""".stripMargin
 
+  /** q158's oracle: the q152 two-generation TEXT derivation (cuts 9/10
+    * and 19/20), wrapped as a CTE, UNION the media arm — fingerprints
+    * recomputed per-bit from the pixel formula (never the codec), two
+    * survivor generations by exhaustive popcount (no banding
+    * assumption: fp-equality is hamming 0, so one ≤-threshold NOT
+    * EXISTS is the whole keep rule), verdict arms as min-owner scalar
+    * subqueries over the final marks population. */
+  private def mixedTickOracleDuck: String = {
+    def mgray(xe: String, ye: String) = {
+      def ch(c: Int) =
+        s"((('0x' || substr(md5(mkey::VARCHAR || '|' || ($xe)::VARCHAR || '|' || " +
+          s"($ye)::VARCHAR || '|$c'), 1, 2))::BIGINT + " +
+          s"CASE WHEN bump = 1 AND ($xe) = 3 AND ($ye) = 2 " +
+          s"THEN 40 ELSE 0 END) % 256)"
+      s"(${ch(0)} + ${ch(1)} + ${ch(2)})"
+    }
+    s"""WITH ${twoGenBaseDuck("(max(doc_id) * 9) // 10",
+                              "(max(doc_id) * 19) // 20")},
+      |${survivorStepDuck("batch_a",
+           "SELECT h, owner FROM hist_exact",
+           "SELECT doc_id FROM hist_sig_docs", "ga")},
+      |led1_exact AS (
+      |  SELECT h, owner FROM hist_exact
+      |  UNION ALL SELECT h, owner FROM ga_reps),
+      |led1_sig_docs AS (
+      |  SELECT doc_id FROM hist_sig_docs
+      |  UNION ALL SELECT owner AS doc_id FROM ga_reps),
+      |${survivorStepDuck("batch_b",
+           "SELECT h, owner FROM led1_exact",
+           "SELECT doc_id FROM led1_sig_docs", "gb")},
+      |led2_exact AS (
+      |  SELECT h, owner FROM led1_exact
+      |  UNION ALL SELECT h, owner FROM gb_reps),
+      |led2_sig_docs AS (
+      |  SELECT doc_id FROM led1_sig_docs
+      |  UNION ALL SELECT owner AS doc_id FROM gb_reps),
+      |txt_verdict AS (
+      |${verdictDuck("SELECT h, owner FROM led2_exact",
+                     "SELECT doc_id FROM led2_sig_docs")}),
+      |medm AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE WHEN doc_id < 100 THEN doc_id
+      |         WHEN doc_id < 120 THEN doc_id - 100
+      |         WHEN doc_id < 134 THEN doc_id - 120
+      |         WHEN doc_id < 150 THEN doc_id
+      |         WHEN doc_id < 166 THEN doc_id - 16
+      |         WHEN doc_id < 180 THEN doc_id - 146
+      |         ELSE doc_id END AS mkey,
+      |    CASE WHEN (doc_id >= 120 AND doc_id < 134)
+      |           OR (doc_id >= 166 AND doc_id < 180) THEN 1 ELSE 0 END AS bump
+      |  FROM documents WHERE doc_id < 200),
+      |medcmp AS (
+      |  SELECT media_id, x, y,
+      |    CASE WHEN ${mgray("x + 1", "y")} > ${mgray("x", "y")}
+      |         THEN (1::BIGINT << (y * 7 + x)) ELSE 0::BIGINT END AS bit
+      |  FROM medm, (SELECT unnest(range(0, 7)) AS x),
+      |             (SELECT unnest(range(0, 6)) AS y)),
+      |medd AS MATERIALIZED (
+      |  SELECT media_id, sum(bit)::BIGINT AS fp FROM medcmp
+      |  GROUP BY media_id),
+      |hist_marks AS (
+      |  SELECT fp, min(media_id) AS owner FROM medd WHERE media_id < 100
+      |  GROUP BY fp),
+      |mreps1 AS (
+      |  SELECT fp, min(media_id) AS owner
+      |  FROM (SELECT media_id, fp FROM medd
+      |        WHERE media_id >= 100 AND media_id < 150) b
+      |  WHERE NOT EXISTS (SELECT 1 FROM hist_marks m
+      |    WHERE bit_count(xor(m.fp, b.fp)) <= $MEDIA_MAX_HAMMING)
+      |  GROUP BY fp),
+      |marks1 AS (SELECT fp, owner FROM hist_marks
+      |           UNION ALL SELECT fp, owner FROM mreps1),
+      |mreps2 AS (
+      |  SELECT fp, min(media_id) AS owner
+      |  FROM (SELECT media_id, fp FROM medd WHERE media_id >= 150) b
+      |  WHERE NOT EXISTS (SELECT 1 FROM marks1 m
+      |    WHERE bit_count(xor(m.fp, b.fp)) <= $MEDIA_MAX_HAMMING)
+      |  GROUP BY fp),
+      |marks2 AS (SELECT fp, owner FROM marks1
+      |           UNION ALL SELECT fp, owner FROM mreps2),
+      |med_verdict AS (
+      |  SELECT b.media_id AS doc_id,
+      |    (SELECT min(owner) FROM marks2 m WHERE m.fp = b.fp) AS exact_of,
+      |    (SELECT min(owner) FROM marks2 m
+      |     WHERE bit_count(xor(m.fp, b.fp)) <= $MEDIA_MAX_HAMMING) AS near_of,
+      |    CASE WHEN (SELECT min(owner) FROM marks2 m WHERE m.fp = b.fp)
+      |              IS NULL
+      |          AND (SELECT min(owner) FROM marks2 m
+      |               WHERE bit_count(xor(m.fp, b.fp)) <= $MEDIA_MAX_HAMMING)
+      |              IS NULL
+      |         THEN 1 ELSE 0 END::BIGINT AS keep
+      |  FROM (SELECT media_id, fp FROM medd WHERE media_id >= 100) b)
+      |SELECT kind, doc_id, exact_of, near_of, keep FROM (
+      |  SELECT 'text' AS kind, doc_id, exact_of, near_of, keep
+      |  FROM txt_verdict
+      |  UNION ALL
+      |  SELECT 'image' AS kind, doc_id, exact_of, near_of, keep
+      |  FROM med_verdict)
+      |ORDER BY kind, doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q158_mixed_stream_tick" -> mixedTickOracleDuck,
+
     "q139_ledger_dedup" ->
       s"""WITH $baseDuck
         |${verdictDuck("SELECT h, owner FROM hist_exact",

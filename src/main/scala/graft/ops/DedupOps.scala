@@ -635,7 +635,7 @@ object DedupOps {
     * contribution. All offsets are Scala-side constants, so the
     * generated expression is branch-free per band and stays inside
     * whole-stage codegen. */
-  private def wideBandKeySql(b: Int, bandBits: Int, hCol: String): String = {
+  private[graft] def wideBandKeySql(b: Int, bandBits: Int, hCol: String): String = {
     val lo = b * bandBits
     val w0 = lo / 64; val off = lo % 64
     val base = s"shiftrightunsigned(element_at($hCol, ${w0 + 1}), $off)"

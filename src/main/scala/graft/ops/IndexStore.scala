@@ -41,9 +41,13 @@ import org.apache.spark.sql.functions._
 object IndexStore {
 
   /** One consistent version of the store: data-file paths RELATIVE to
-    * `<dir>/codes` and `<dir>/vectors`. */
+    * `<dir>/codes`, `<dir>/vectors` and (for stores that carry media
+    * fingerprints — the mixed-modality ledger) `<dir>/marks`. `marks`
+    * defaults empty so text-only ledgers and the ANN index publish
+    * exactly the manifests they always did. */
   final case class Snapshot(version: Int, codes: Seq[String],
-                            vectors: Seq[String])
+                            vectors: Seq[String],
+                            marks: Seq[String] = Nil)
 
   private def headFile(dir: String) = new java.io.File(dir, "_HEAD")
   private def manifestDir(dir: String) = new java.io.File(dir, "_manifest")
@@ -78,7 +82,8 @@ object IndexStore {
       "UTF-8").split('\n').toSeq.filter(_.nonEmpty)
     Snapshot(version,
       lines.collect { case s if s.startsWith("codes\t") => s.substring(6) },
-      lines.collect { case s if s.startsWith("vectors\t") => s.substring(8) })
+      lines.collect { case s if s.startsWith("vectors\t") => s.substring(8) },
+      lines.collect { case s if s.startsWith("marks\t") => s.substring(6) })
   }
 
   /** All committed parquet data files under `<dir>/<sub>`, as paths
@@ -113,11 +118,13 @@ object IndexStore {
     * written before the pointer, so a crash between the two leaves the
     * old HEAD intact and the orphan manifest inert. */
   private def publish(dir: String, codes: Seq[String],
-                      vectors: Seq[String]): Int = {
+                      vectors: Seq[String],
+                      marks: Seq[String] = Nil): Int = {
     val v = headVersion(dir).getOrElse(0) + 1
     manifestDir(dir).mkdirs()
     val body = (codes.map(f => s"codes\t$f") ++
-                vectors.map(f => s"vectors\t$f")).mkString("\n")
+                vectors.map(f => s"vectors\t$f") ++
+                marks.map(f => s"marks\t$f")).mkString("\n")
     java.nio.file.Files.write(
       new java.io.File(manifestDir(dir), s"v$v.list").toPath,
       body.getBytes("UTF-8"))
@@ -150,7 +157,8 @@ object IndexStore {
         write
         val v = publish(dir,
           (before.codes ++ (listData(dir, "codes").toSet -- before.codes.toSet).toSeq.sorted).distinct,
-          (before.vectors ++ (listData(dir, "vectors").toSet -- before.vectors.toSet).toSeq.sorted).distinct)
+          (before.vectors ++ (listData(dir, "vectors").toSet -- before.vectors.toSet).toSeq.sorted).distinct,
+          (before.marks ++ (listData(dir, "marks").toSet -- before.marks.toSet).toSeq.sorted).distinct)
         tag.foreach(recordTag(dir, _))
         v
       }
@@ -184,7 +192,8 @@ object IndexStore {
   def commitRebuild(dir: String)(write: => Unit): Int =
     withWriterLock(dir) {
       write
-      publish(dir, listData(dir, "codes"), listData(dir, "vectors"))
+      publish(dir, listData(dir, "codes"), listData(dir, "vectors"),
+        listData(dir, "marks"))
     }
 
   /** Commit a REPLACEMENT write (compaction): run `write`, then publish
@@ -197,12 +206,15 @@ object IndexStore {
       val now = snapshotOrEmpty(dir)
       val carryCodes = now.codes.toSet -- base.codes.toSet
       val carryVecs = now.vectors.toSet -- base.vectors.toSet
+      val carryMarks = now.marks.toSet -- base.marks.toSet
       val preCodes = listData(dir, "codes").toSet
       val preVecs = listData(dir, "vectors").toSet
+      val preMarks = listData(dir, "marks").toSet
       write
       publish(dir,
         ((listData(dir, "codes").toSet -- preCodes) ++ carryCodes).toSeq.sorted,
-        ((listData(dir, "vectors").toSet -- preVecs) ++ carryVecs).toSeq.sorted)
+        ((listData(dir, "vectors").toSet -- preVecs) ++ carryVecs).toSeq.sorted,
+        ((listData(dir, "marks").toSet -- preMarks) ++ carryMarks).toSeq.sorted)
     }
 
   private def snapshotOrEmpty(dir: String): Snapshot =
@@ -220,31 +232,55 @@ object IndexStore {
     * files deleted. */
   def vacuum(dir: String, keepLast: Int = 1): Int = withWriterLock(dir) {
     require(keepLast >= 1, "vacuum must retain at least HEAD")
-    val head = snapshot(dir).version
-    val kept = (math.max(1, head - keepLast + 1) to head)
-      .flatMap(v => scala.util.Try(snapshotAt(dir, v)).toOption)
-    val live = kept.flatMap(s =>
-      s.codes.map(f => s"codes/$f") ++ s.vectors.map(f => s"vectors/$f")).toSet
-    var n = 0
-    for (sub <- Seq("codes", "vectors"); rel <- listData(dir, sub)) {
-      if (!live.contains(s"$sub/$rel")) {
-        new java.io.File(new java.io.File(dir, sub), rel).delete(); n += 1
+    if (retainsAll(dir)) 0 // retain-all stores refuse vacuum (see below)
+    else {
+      val head = snapshot(dir).version
+      val kept = (math.max(1, head - keepLast + 1) to head)
+        .flatMap(v => scala.util.Try(snapshotAt(dir, v)).toOption)
+      val live = kept.flatMap(s =>
+        s.codes.map(f => s"codes/$f") ++ s.vectors.map(f => s"vectors/$f") ++
+          s.marks.map(f => s"marks/$f")).toSet
+      var n = 0
+      for (sub <- Seq("codes", "vectors", "marks"); rel <- listData(dir, sub)) {
+        if (!live.contains(s"$sub/$rel")) {
+          new java.io.File(new java.io.File(dir, sub), rel).delete(); n += 1
+        }
       }
+      // prune now-empty cell directories so listings stay proportional to
+      // live data
+      for (sub <- Seq("codes", "vectors", "marks");
+           d <- Option(new java.io.File(dir, sub).listFiles()).toSeq.flatten
+             if d.isDirectory && Option(d.listFiles()).exists(_.isEmpty))
+        d.delete()
+      val keptNames = kept.map(s => s"v${s.version}.list").toSet
+      Option(manifestDir(dir).listFiles()).toSeq.flatten
+        .filter(f => f.getName.startsWith("v") && f.getName.endsWith(".list"))
+        .filterNot(f => keptNames.contains(f.getName)).foreach { f =>
+          f.delete(); n += 1
+        }
+      n
     }
-    // prune now-empty cell directories so listings stay proportional to
-    // live data
-    for (sub <- Seq("codes", "vectors");
-         d <- Option(new java.io.File(dir, sub).listFiles()).toSeq.flatten
-           if d.isDirectory && Option(d.listFiles()).exists(_.isEmpty))
-      d.delete()
-    val keptNames = kept.map(s => s"v${s.version}.list").toSet
-    Option(manifestDir(dir).listFiles()).toSeq.flatten
-      .filter(f => f.getName.startsWith("v") && f.getName.endsWith(".list"))
-      .filterNot(f => keptNames.contains(f.getName)).foreach { f =>
-        f.delete(); n += 1
-      }
-    n
   }
+
+  /** Opt a store out of [[vacuum]] PERMANENTLY — the retention policy
+    * for consultable-artifact stores (the tokenizer registry, q153):
+    * every published vocabulary stays time-travelable because a
+    * training run may pin "the tokenizer as of checkpoint N" years
+    * after v(N) was superseded. The marker is a data-less file the
+    * publisher writes once; vacuum sees it and deletes NOTHING (returns
+    * 0), so a lifecycle refactor that starts vacuuming every store
+    * cannot silently garbage-collect a consultable vocabulary
+    * (IndexStoreSpec pins this; VERDICT r13 Next #7). */
+  def markRetainAll(dir: String): Unit = {
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.write(new java.io.File(dir, "_RETAIN_ALL").toPath,
+      Array.empty[Byte])
+    ()
+  }
+
+  /** Whether [[markRetainAll]] has opted this store out of vacuum. */
+  def retainsAll(dir: String): Boolean =
+    new java.io.File(dir, "_RETAIN_ALL").exists()
 
   /** The snapshot's codes / vectors tables as DataFrames: explicit file
     * lists (never a directory listing) with `basePath` set so the
@@ -256,6 +292,21 @@ object IndexStore {
         .parquet(files.map(f => s"$dir/$sub/$f"): _*)
     (read("codes", snap.codes), read("vectors", snap.vectors))
   }
+
+  /** The snapshot's marks table (media fingerprints — the mixed-
+    * modality ledger's third arm) as a DataFrame; `ddl` supplies the
+    * schema when the snapshot carries no marks files (a text-only
+    * ledger probed by a media verdict reads as empty, not as an
+    * error). */
+  def marksFrame(spark: SparkSession, dir: String, snap: Snapshot,
+                 ddl: String): DataFrame =
+    if (snap.marks.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    else
+      spark.read.option("basePath", s"$dir/marks")
+        .parquet(snap.marks.map(f => s"$dir/marks/$f"): _*)
 
   /** INCREMENTAL reader: the rows ADDED between two snapshots, read
     * from ONLY the data files `to` references that `from` does not —
@@ -300,6 +351,8 @@ object IndexStore {
         .partitionBy("cell").parquet(s"${staging.getPath}/$sub")
     rewrite(codes, "codes")
     rewrite(vectors, "vectors")
+    if (snap.marks.nonEmpty)
+      rewrite(marksFrame(spark, dir, snap, "cell INT"), "marks")
     def adopt(sub: String): Unit = {
       val root = new java.io.File(staging, sub)
       for (cellDir <- Option(root.listFiles()).toSeq.flatten
@@ -313,7 +366,10 @@ object IndexStore {
         java.nio.file.Files.move(f.toPath, dst.toPath)
       }
     }
-    try commitReplace(dir, snap) { adopt("codes"); adopt("vectors") }
+    try commitReplace(dir, snap) {
+      adopt("codes"); adopt("vectors")
+      if (snap.marks.nonEmpty) adopt("marks")
+    }
     finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)

@@ -1332,6 +1332,19 @@ object VectorOps {
       appendToIvfPqIndex(s, emb.filter(col("vec_id") >= cutoff), base.getPath)
     }
 
+  /** q159's SEED: the q129 store STOPPED at the build — trained and
+    * built on the first 90% of vec_ids, the last decile NOT ingested
+    * (it arrives through the checkpointed stream inside the gate).
+    * Cached like every ensure; q159 clones it per execution so the
+    * streamed appends never dirty the seed. */
+  private[graft] def ensureIvfPq90Index(s: SparkSession, d: String,
+                                        k: Int): String =
+    ensureIndex(d, s"ivfpq90_k$k", ivfParams(k) + "|build90only") { base =>
+      val emb = Tables.rebalance(Tables.embeddings(s, d))
+      val cutoff = emb.agg(max(col("vec_id"))).head.getLong(0) * 9L / 10L
+      buildIvfPqIndex(emb.filter(col("vec_id") < cutoff), base.getPath, k)
+    }
+
   /** q130's store: the FULL storage-maintenance lifecycle in sequence —
     * train on the first 80% of vec_ids, ingest the remaining two
     * deciles as TWO separate [[appendToIvfPqIndex]] batches (each
@@ -1407,6 +1420,48 @@ object VectorOps {
     "q129_ann_index_append" -> ((s, d) => {
       val idx = ensureIvfPqAppendIndex(s, d, k = GATED_K)
       serveIvfPqStoredRows(s, idx, cachedQueryRows(s, d, NUM_QUERIES),
+        probes = IVFPQ_PROBES, rerank = IVFPQ_RERANK, topK = 5)
+    }),
+
+    // ---- q159: STREAMING index maintenance under the gate (VERDICT
+    // r13 Next #4) — q152's kill/resume discipline applied to the
+    // vector store: the seed index (trained+built on the first 90% of
+    // vec_ids) CLONES per execution, the last decile lands as parquet
+    // in two ticks, and IndexMaintenance.appendSink (checkpointed
+    // foreachBatch -> appendToIvfPqIndex under a stream-<batchId>
+    // idempotency tag) drains tick 1, is KILLED, and RESUMES from the
+    // same checkpoint for tick 2 (new files only — a checkpoint
+    // regression that re-read tick 1 publishes nothing only through
+    // the tag; a tag regression double-ingests the decile and flips
+    // the hash). The serve over HEAD must then hash-match q129's
+    // oracle EXACTLY: stream-ingested vectors must route, encode, and
+    // surface as neighbors identically to the batch-append deployment
+    // (append is per-vector against frozen cells/codebook, so the
+    // batch split is content-invisible — the oracle proves it).
+    "q159_ann_stream_tick" -> ((s, d) => {
+      val emb = Tables.rebalance(Tables.embeddings(s, d))
+      val mx = emb.agg(max(col("vec_id"))).head.getLong(0)
+      val cutoff = mx * 9L / 10L
+      val cMid = mx * 19L / 20L
+      val zone = graft.jobs.JobRecordGate.freshZone("graft-anntick-", d)
+      val dir = new java.io.File(zone, "index").getAbsolutePath
+      DedupLedger.cloneStore(ensureIvfPq90Index(s, d, GATED_K), dir)
+      val landing = new java.io.File(zone, "in").getAbsolutePath
+      val ckpt = new java.io.File(zone, "ck").getAbsolutePath
+      val ss = graft.streaming.StreamConf.stateSession(s, 8)
+      def stream = ss.readStream
+        .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+        .parquet(landing)
+      def drainTick(): Unit =
+        graft.streaming.IndexMaintenance.appendSink(stream, dir, ckpt)
+          .start().awaitTermination()
+      emb.filter(col("vec_id") >= cutoff && col("vec_id") < cMid)
+        .repartition(1).write.mode("overwrite").parquet(landing)
+      drainTick()
+      emb.filter(col("vec_id") >= cMid)
+        .repartition(1).write.mode("append").parquet(landing)
+      drainTick()
+      serveIvfPqStoredRows(s, dir, cachedQueryRows(s, d, NUM_QUERIES),
         probes = IVFPQ_PROBES, rerank = IVFPQ_RERANK, topK = 5)
     }),
 
@@ -2033,6 +2088,13 @@ object VectorOps {
     // q129: same serve tail, train CTEs cut at the 90% line — gates the
     // append-without-retrain maintenance contract
     "q129_ann_index_append" -> ivfPqAppendOracle,
+
+    // q159: the IDENTICAL oracle body — the streamed two-tick ingest
+    // (clone, checkpointed appendSink, kill/resume, tagged commits)
+    // must be content-equivalent to q129's single batch append; any
+    // drop, double-ingest, or torn snapshot surfaces as a neighbor
+    // drift against this file- and transport-agnostic derivation
+    "q159_ann_stream_tick" -> ivfPqAppendOracle,
 
     // q130: train CTEs cut at the 80% line; the two appends, the
     // compaction, and the vacuum the Spark side runs between build and

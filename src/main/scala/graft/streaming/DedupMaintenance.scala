@@ -51,6 +51,62 @@ object DedupMaintenance {
         }
       }
 
+  /** MIXED-modality online dedup (q158): one stream carries text docs
+    * AND media payloads (schema: kind, doc_id, text, payload — text
+    * rows have payload null, image rows text null); each micro-batch
+    * routes by kind against the SAME ledger snapshot — text through
+    * the exact/near signature arms, images through decode → dHash →
+    * the marks-table hamming arm — and each modality's survivors
+    * append under their own idempotency tag (`stream-<id>-text` /
+    * `stream-<id>-media`), so a replayed batch is a no-op on both
+    * tables. The ledger store versions all three tables in one
+    * snapshot, so tick N+1's text AND media verdicts both see exactly
+    * what tick N admitted, never half a tick. */
+  def mixedSink(stream: DataFrame, ledgerDir: String,
+                checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val b = batch.localCheckpoint()
+          val txt = b.filter(org.apache.spark.sql.functions.col("kind") === "text")
+            .select(col("doc_id"), col("text"))
+          if (!txt.isEmpty) {
+            val verdict = DedupLedger.dedupAgainstLedger(
+              s, txt, ledgerDir, IndexStore.snapshot(ledgerDir))
+            DedupLedger.appendSurvivors(
+              txt.join(verdict.filter(col("keep") === 1L).select(col("doc_id")),
+                Seq("doc_id"), "left_semi"),
+              ledgerDir, tag = s"stream-$id-text")
+            ()
+          }
+          val med = b.filter(col("kind") === "image")
+          if (!med.isEmpty) {
+            import s.implicits._
+            import org.apache.spark.sql.functions.{lit, struct}
+            val recs = med.select(col("doc_id").as("media_id"),
+                struct(lit("image").as("kind"), lit(0).as("declaredWidth"),
+                       lit(0).as("declaredHeight"), lit(0).as("sampleRate"))
+                  .as("meta"),
+                col("payload"))
+              .as[graft.multimodal.MediaOps.MediaRecord]
+            val fps = graft.multimodal.MediaOps.dHash(recs)
+              .filter(col("decoded") === 1L)
+              .select(col("media_id"), col("dhash").as("fp"))
+              .localCheckpoint() // verdict + append read it twice
+            val verdict = DedupLedger.dedupMediaAgainstLedger(
+              s, fps, ledgerDir, IndexStore.snapshot(ledgerDir))
+            DedupLedger.appendMediaSurvivors(
+              fps.join(verdict.filter(col("keep") === 1L).select(col("media_id")),
+                Seq("media_id"), "left_semi"),
+              ledgerDir, tag = s"stream-$id-media")
+            ()
+          }
+        }
+      }
+
   /** Snapshot version a monitor watches to confirm the tailer publishes. */
   def publishedVersion(ledgerDir: String): Option[Int] =
     IndexStore.headVersion(ledgerDir)

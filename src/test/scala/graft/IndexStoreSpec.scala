@@ -190,4 +190,106 @@ class IndexStoreSpec extends SparkSpec {
            serve(batchDir, emb).collect().toSeq,
       "streamed store serves differently from the batch-appended store")
   }
+
+  test("q159 shape: kill/resume on the vector layout — a drained checkpoint " +
+       "replays as a no-op, a resumed stream ingests only new files") {
+    val emb = GenFixtures.clusteredEmbeddings(spark, 500).localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("idx-resume").toString
+    val landing = java.nio.file.Files.createTempDirectory("idx-landing").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("idx-resume-ckpt").toString
+    VectorOps.buildIvfPqIndex(emb.filter($"vec_id" < 400), dir, k = 8)
+    def stream = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+      .parquet(landing)
+    def drain(): Unit =
+      graft.streaming.IndexMaintenance.appendSink(stream, dir, ckpt)
+        .start().awaitTermination()
+    // tick 1
+    emb.filter($"vec_id" >= 400 && $"vec_id" < 450)
+      .repartition(1).write.mode("overwrite").parquet(landing)
+    drain()
+    val v1 = IndexStore.headVersion(dir).get
+    assert(IndexStore.frames(spark, dir, IndexStore.snapshot(dir))._1.count()
+      == 450, "tick 1 did not land")
+    // the stream was KILLED (AvailableNow returned); a restart against
+    // the fully-drained checkpoint must publish NOTHING
+    drain()
+    assert(IndexStore.headVersion(dir).contains(v1),
+      "drained checkpoint replay published a new version")
+    // resume with new files only: tick 2 ingests exactly the delta
+    emb.filter($"vec_id" >= 450)
+      .repartition(1).write.mode("append").parquet(landing)
+    drain()
+    assert(IndexStore.frames(spark, dir, IndexStore.snapshot(dir))._1.count()
+      == 500, "tick 2 did not land exactly once")
+    // content-equivalent to the single batch append (what q159's oracle
+    // asserts against the full serve)
+    val batchDir = java.nio.file.Files.createTempDirectory("idx-batch2").toString
+    VectorOps.buildIvfPqIndex(emb.filter($"vec_id" < 400), batchDir, k = 8)
+    VectorOps.appendToIvfPqIndex(spark, emb.filter($"vec_id" >= 400), batchDir)
+    assert(serve(dir, emb).collect().toSeq ==
+           serve(batchDir, emb).collect().toSeq)
+  }
+
+  test("retain-all stores refuse vacuum: every version stays time-travelable") {
+    val dir = java.nio.file.Files.createTempDirectory("idx-retain").toString
+    def publish(n: Int): Unit =
+      IndexStore.commitReplace(dir,
+          if (IndexStore.headVersion(dir).isDefined) IndexStore.snapshot(dir)
+          else IndexStore.Snapshot(0, Nil, Nil)) {
+        Seq((n, s"v$n")).toDF("step", "merge")
+          .write.mode("append").parquet(s"$dir/codes")
+      }
+    publish(1); publish(2)
+    // the registry policy (BpeOps.ensureTokenizerRegistry writes this
+    // marker): vacuum must be a structural no-op, not a convention
+    IndexStore.markRetainAll(dir)
+    assert(IndexStore.retainsAll(dir))
+    assert(IndexStore.vacuum(dir) == 0,
+      "vacuum deleted files from a retain-all store")
+    assert(IndexStore.vacuum(dir, keepLast = 1) == 0)
+    // v1 — superseded by the v2 replacement — still reads in full
+    val v1 = IndexStore.snapshotAt(dir, 1)
+    assert(v1.codes.nonEmpty)
+    assert(spark.read.parquet(v1.codes.map(f => s"$dir/codes/$f"): _*)
+      .count() == 1, "retained version lost data")
+  }
+
+  test("marks table rides the snapshot lifecycle: rebuild, delta, vacuum, empty read") {
+    val dir = java.nio.file.Files.createTempDirectory("idx-marks").toString
+    IndexStore.commitRebuild(dir) {
+      Seq((0, "h0", 0L)).toDF("cell", "h", "owner")
+        .write.mode("overwrite").parquet(s"$dir/codes")
+      Seq((0, 0L, Seq(1L, 2L))).toDF("cell", "doc_id", "sig")
+        .write.mode("overwrite").parquet(s"$dir/vectors")
+      Seq((3, 0x2aL, 7L)).toDF("cell", "fp", "owner")
+        .write.mode("overwrite").parquet(s"$dir/marks")
+    }
+    val s1 = IndexStore.snapshot(dir)
+    assert(s1.marks.nonEmpty, "rebuild did not capture the marks table")
+    IndexStore.commitDelta(dir, Some("t1")) {
+      Seq((5, 0x33L, 9L)).toDF("cell", "fp", "owner")
+        .write.mode("append").parquet(s"$dir/marks")
+    }
+    val s2 = IndexStore.snapshot(dir)
+    assert(s2.marks.size > s1.marks.size, "delta did not track new marks files")
+    val marks = IndexStore.marksFrame(spark, dir, s2,
+      "cell INT, fp BIGINT, owner BIGINT")
+    assert(marks.count() == 2)
+    // a replayed tag is a no-op on marks too
+    IndexStore.commitDelta(dir, Some("t1")) {
+      Seq((6, 0x44L, 11L)).toDF("cell", "fp", "owner")
+        .write.mode("append").parquet(s"$dir/marks")
+    }
+    assert(IndexStore.marksFrame(spark, dir, IndexStore.snapshot(dir),
+      "cell INT, fp BIGINT, owner BIGINT").count() == 2)
+    // a snapshot with NO marks reads as an empty, correctly-typed frame
+    val none = IndexStore.marksFrame(spark, dir, s2.copy(marks = Nil),
+      "cell INT, fp BIGINT, owner BIGINT")
+    assert(none.count() == 0 &&
+      none.schema.fieldNames.toSeq == Seq("cell", "fp", "owner"))
+    // time-travel back to v1: one mark row
+    assert(IndexStore.marksFrame(spark, dir, s1,
+      "cell INT, fp BIGINT, owner BIGINT").count() == 1)
+  }
 }

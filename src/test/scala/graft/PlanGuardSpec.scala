@@ -69,6 +69,21 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("q122: the routed path's winning branch reads the checkpointed shingle " +
+       "table the witness diagnostic already materialized") {
+    // routedNearDupPairs runs the witness-ratio diagnostic EAGERLY over
+    // one shingle checkpoint, then the winning branch must re-read THAT
+    // materialized RDD — a drift that re-derives the tokenize→trigram
+    // pipeline (or re-scans parquet) pays a second corpus pass per
+    // branch at 100 TB (VERDICT r13 What's-wrong #3: verify before
+    // touching anything)
+    val p = plan("q122_routed_neardup")
+    assert(!p.contains("Scan parquet"), s"q122 re-scans the corpus:\n$p")
+    assert(p.contains("Scan ExistingRDD"), s"q122 missing checkpoint scan:\n$p")
+    assert(!p.contains("concat_ws( , element_at"),
+      s"q122 re-derives trigrams in the final plan:\n$p")
+  }
+
   test("q84: the verdict chain is one scan-shaped pass (no extra shuffle)") {
     val p = plan("q84_filter_pipeline")
     // exactly one parquet scan of two columns, partial+final agg, and the

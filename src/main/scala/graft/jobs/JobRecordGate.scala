@@ -729,6 +729,49 @@ object JobRecordGate {
         .orderBy(col("m1"), col("m2"))
     }),
 
+    // ---- q161: WIDE audio near-dup — q155 past the one-long window
+    // ceiling: 1600-sample clips at 100 energy windows (99 comparison
+    // bits = two words, 3x33-bit bands; band 1 straddles the word
+    // boundary), audioHashWide packing + hammingPairsWide banding.
+    // Window count is the audio fingerprint's resolution knob exactly
+    // as the grid is the image one — this is the config a 10^6+-clip
+    // corpus runs (SCALING.md r14 addendum 1's rule on the time axis).
+    // Fixture: ids 100-199 re-encode base id-100 with a +1500 click at
+    // sample 800 (one window, <= 2 comparisons flipped). Oracle:
+    // exhaustive comparison-level hamming from the sample formula for
+    // all pairs — RIFF walk, window fold, word packing, and straddling
+    // band slices all judged purely by the pair set.
+    "q161_audio_wide_dedup" -> ((s, d) => {
+      import s.implicits._
+      val N = 1600; val WIN = 100
+      val encode = udf((id: Long) => {
+        val base = id % 100
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val samples = Array.tabulate(N) { i =>
+          val h = md.digest(s"$base|$i".getBytes("UTF-8"))
+          val v = (((h(0) & 0xff) << 8) | (h(1) & 0xff)) % 4001 - 2000
+          val click = if (id >= 100 && i == 800) 1500 else 0
+          (v + click).toShort
+        }
+        graft.multimodal.WavDecoder.encode(16000, samples)
+      })
+      val media = Tables.rebalance(
+          Tables.documents(s, d).filter(col("doc_id") < 200)
+            .select(col("doc_id").as("media_id")))
+        .withColumn("payload", encode(col("media_id")))
+        .select(col("media_id"),
+          struct(lit("audio").as("kind"), lit(0).as("declaredWidth"),
+                 lit(0).as("declaredHeight"), lit(16000).as("sampleRate")).as("meta"),
+          col("payload"))
+        .as[graft.multimodal.MediaOps.MediaRecord]
+      val hashed = graft.multimodal.MediaOps.audioHashWide(media, WIN)
+        .filter(col("decoded") === 1L)
+        .select(col("media_id"), col("ahash"))
+      graft.ops.DedupOps.hammingPairsWide(hashed, "media_id", "ahash",
+          fpBits = WIN - 1, bands = 3, bandBits = 33, maxHamming = 2)
+        .orderBy(col("m1"), col("m2"))
+    }),
+
     // ---- q157: VIDEO temporal near-dup — the composition VERDICT r13
     // missing #2 named: q119's frame sampling feeding q154's perceptual
     // hash, voted along the time axis. Fixture: 200 four-frame 8x6
@@ -1710,6 +1753,30 @@ object JobRecordGate {
         |JOIN h h1 ON h1.media_id = m1
         |JOIN h h2 ON h2.media_id = m2
         |WHERE bit_count(xor(h1.ahash, h2.ahash)) <= 2
+        |ORDER BY m1, m2""".stripMargin,
+
+    // exhaustive comparison-level ground truth from the sample formula:
+    // window energies as exact integer sums, one boolean per adjacent
+    // comparison, pair hamming = count of differing comparisons
+    "q161_audio_wide_dedup" ->
+      """WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 200),
+        |s AS (
+        |  SELECT media_id, i,
+        |    (('0x' || substr(md5((media_id % 100)::VARCHAR || '|' ||
+        |        i::VARCHAR), 1, 4))::BIGINT % 4001) - 2000
+        |      + CASE WHEN media_id >= 100 AND i = 800 THEN 1500 ELSE 0 END AS v
+        |  FROM m, (SELECT unnest(range(0, 1600)) AS i)),
+        |e AS (
+        |  SELECT media_id, i // 16 AS w, sum(abs(v))::BIGINT AS energy
+        |  FROM s GROUP BY media_id, i // 16),
+        |cmp AS MATERIALIZED (
+        |  SELECT a.media_id, a.w, b.energy > a.energy AS bit
+        |  FROM e a JOIN e b ON a.media_id = b.media_id AND b.w = a.w + 1)
+        |SELECT a.media_id AS m1, b.media_id AS m2,
+        |  count(*) FILTER (WHERE a.bit <> b.bit)::BIGINT AS hamming
+        |FROM cmp a JOIN cmp b ON a.w = b.w AND a.media_id < b.media_id
+        |GROUP BY a.media_id, b.media_id
+        |HAVING count(*) FILTER (WHERE a.bit <> b.bit) <= 2
         |ORDER BY m1, m2""".stripMargin,
 
     // EXHAUSTIVE per-frame ground truth from the pixel formula: one

@@ -220,6 +220,42 @@ object MediaOps {
     }.toDF("media_id", "ahash", "decoded")
   }
 
+  /** [[audioHash]] past 65 windows: the same adjacent-window energy
+    * comparisons packed into little-endian `array<bigint>` words (bit
+    * w → word w/64), the audio analog of [[dHashWide]] — window count
+    * is the audio fingerprint's resolution knob exactly as the grid is
+    * the image one, and past ~10⁶ clips the banded join needs more
+    * than 63 bits of it ([[graft.ops.DedupOps.hammingPairsWide]]). */
+  def audioHashWide(media: Dataset[MediaRecord],
+                    windows: Int): org.apache.spark.sql.DataFrame = {
+    require(windows >= 2, s"windows=$windows out of range")
+    import media.sparkSession.implicits._
+    val nWords = (windows - 1 + 63) / 64
+    media.mapPartitions { it =>
+      it.map { m =>
+        WavDecoder.decodeSamples(m.payload) match {
+          case Some(samples) if samples.length >= windows =>
+            val per = samples.length / windows
+            val energy = new Array[Long](windows)
+            var i = 0
+            while (i < samples.length) {
+              val w = math.min(i / per, windows - 1)
+              energy(w) += math.abs(samples(i))
+              i += 1
+            }
+            val out = new Array[Long](nWords)
+            var w = 0
+            while (w < windows - 1) {
+              if (energy(w + 1) > energy(w)) out(w >> 6) |= 1L << (w & 63)
+              w += 1
+            }
+            (m.media_id, out, 1L)
+          case _ => (m.media_id, new Array[Long](nWords), 0L)
+        }
+      }
+    }.toDF("media_id", "ahash", "decoded")
+  }
+
   def featurize(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     def imageFeatures(r: MediaRecord, cs: Long, width: Int, height: Int,

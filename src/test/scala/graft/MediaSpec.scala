@@ -396,6 +396,45 @@ class MediaSpec extends SparkSpec {
       s"unrelated clips should differ widely, got ${ham(rows(0)._1, rows(3)._1)}")
   }
 
+  test("audioHashWide: word 0 agrees with audioHash at <=64 windows; 100 windows " +
+       "pack two words with the click edit confined to its window's bits") {
+    import spark.implicits._
+    def clip(seed: Int, n: Int, clickAt: Option[Int]): Array[Byte] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val samples = Array.tabulate(n) { i =>
+        val h = md.digest(s"$seed|$i".getBytes("UTF-8"))
+        val v = (((h(0) & 0xff) << 8) | (h(1) & 0xff)) % 4001 - 2000
+        (v + (if (clickAt.contains(i)) 1500 else 0)).toShort
+      }
+      WavDecoder.encode(16000, samples)
+    }
+    def rec(id: Long, p: Array[Byte]) =
+      MediaOps.MediaRecord(id, MediaOps.MediaMeta("audio", 0, 0, 16000), p)
+    // parity at 50 windows (49 bits): wide word 0 == the long form
+    val small = Seq(rec(0L, clip(1, 800, None)), rec(1L, clip(2, 800, None))).toDS()
+    val long = MediaOps.audioHash(small, 50).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wideSmall = MediaOps.audioHashWide(small, 50).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    for (id <- Seq(0L, 1L)) {
+      assert(wideSmall(id).length == 1 && wideSmall(id).head == long(id))
+    }
+    // 100 windows (99 bits = 2 words); a click at sample 800 lands in
+    // window 50 -> flips at most comparisons 49/50, both in word 0
+    val wide = MediaOps.audioHashWide(Seq(
+        rec(0L, clip(3, 1600, None)), rec(1L, clip(3, 1600, None)),
+        rec(2L, clip(3, 1600, Some(800))), rec(3L, clip(4, 1600, None))).toDS(), 100)
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+    def hamW(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    assert(wide.values.forall(_._1.length == 2))
+    assert(wide(0L)._1 == wide(1L)._1)
+    assert(hamW(wide(0L)._1, wide(2L)._1) <= 2 &&
+           wide(0L)._1(1) == wide(2L)._1(1),
+      "the click must flip <= 2 bits, all in word 0")
+    assert(hamW(wide(0L)._1, wide(3L)._1) > 15)
+  }
+
   test("dHashWide: word packing agrees with dHash on a <=63-bit grid, and a " +
        "one-pixel edit on the 16x8 grid flips at most 2 bits in the right word") {
     import spark.implicits._

@@ -329,7 +329,9 @@ class PlanGuardSpec extends SparkSpec {
     // broadcast-nested-loop over the corpus, the exact all-pairs
     // topology the banding exists to ban. The hamming predicate is a
     // post-join filter, not the join's only condition.
-    for (q <- Seq("q154_image_phash_dedup", "q155_audio_phash_dedup")) {
+    for (q <- Seq("q154_image_phash_dedup", "q155_audio_phash_dedup",
+                  "q157_video_temporal_dedup", "q160_image_wide_dedup",
+                  "q161_audio_wide_dedup")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct") &&
              !p.contains("BroadcastNestedLoopJoin"),

@@ -687,6 +687,55 @@ object JobRecordGate {
         .orderBy(col("m1"), col("m2"))
     }),
 
+    // ---- q163: media near-dup CLUSTERS — the composition the pair
+    // families defer to for cluster semantics (SCALING r13: "cluster
+    // consumers feed the representatives to q75's connected
+    // components"): q156's mixed exact+near fixture -> dHash ->
+    // banded hamming pairs -> distributed min-label CC -> per-cluster
+    // membership stats keyed by the canonical (min) member. The
+    // fixture's truth: bases 0-39 form {i, i+100, i+140} triples
+    // (exact copy + edited copy), 40-59 form {i, i+140} pairs, 60-99
+    // stay singletons — but the oracle assumes NONE of that: it takes
+    // the exhaustive popcount edge set and computes reachability with
+    // a RECURSIVE min-label closure, so incidental near-pairs (or a
+    // banding/expansion/CC bug) move some cluster's root or size.
+    "q163_media_dedup_clusters" -> ((s, d) => {
+      import s.implicits._
+      val W = 8; val H = 6
+      val encode = udf((id: Long) => {
+        val base = if (id < 140) id % 100 else id - 140
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def ch(x: Int, y: Int, c: Int): Int = {
+          val b = md.digest(s"$base|$x|$y|$c".getBytes("UTF-8"))(0) & 0xff
+          val bump = if (id >= 140 && x == 3 && y == 2) 40 else 0
+          (b + bump) % 256
+        }
+        graft.multimodal.BmpDecoder.encode(W, H, Array.tabulate(W * H) { p =>
+          (ch(p % W, p / W, 0), ch(p % W, p / W, 1), ch(p % W, p / W, 2))
+        })
+      })
+      val media = Tables.rebalance(
+          Tables.documents(s, d).filter(col("doc_id") < 200)
+            .select(col("doc_id").as("media_id")))
+        .withColumn("payload", encode(col("media_id")))
+        .select(col("media_id"),
+          struct(lit("image").as("kind"), lit(W).as("declaredWidth"),
+                 lit(H).as("declaredHeight"), lit(0).as("sampleRate")).as("meta"),
+          col("payload"))
+        .as[graft.multimodal.MediaOps.MediaRecord]
+      val hashed = graft.multimodal.MediaOps.dHash(media)
+        .filter(col("decoded") === 1L)
+        .select(col("media_id"), col("dhash")).localCheckpoint()
+      val pairs = graft.ops.DedupOps.hammingPairs(hashed, "media_id", "dhash",
+        bands = 3, bandBits = 14, maxHamming = 2)
+      graft.ops.GraphOps.connectedComponents(
+          hashed.select(col("media_id").as("id")),
+          pairs.select(col("m1").as("src"), col("m2").as("dst")))
+        .groupBy(col("root").as("cluster_root"))
+        .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
+        .orderBy(col("cluster_root"))
+    }),
+
     // ---- q155: AUDIO near-dup detection — q154's chain on the time
     // axis: 200 mono PCM-16 clips (800 md5-derived samples each; ids
     // 100-199 re-encode base id-100 with a +1500 click at sample 400),
@@ -1717,6 +1766,50 @@ object JobRecordGate {
         |FROM d d1 JOIN d d2 ON d1.media_id < d2.media_id
         |WHERE bit_count(xor(d1.dhash, d2.dhash)) <= 2
         |ORDER BY m1, m2""".stripMargin
+    },
+
+    // clusters as a RECURSIVE min-label reachability closure over the
+    // exhaustive popcount edge set — no banding, no iteration-scheme
+    // assumption: whatever connectedComponents converges to must equal
+    // true transitive closure
+    "q163_media_dedup_clusters" -> {
+      def gray(xe: String, ye: String) = {
+        def ch(c: Int) =
+          s"((('0x' || substr(md5(base::VARCHAR || '|' || " +
+            s"($xe)::VARCHAR || '|' || ($ye)::VARCHAR || '|$c'), 1, 2))::BIGINT + " +
+            s"CASE WHEN media_id >= 140 AND ($xe) = 3 AND ($ye) = 2 " +
+            s"THEN 40 ELSE 0 END) % 256)"
+        s"(${ch(0)} + ${ch(1)} + ${ch(2)})"
+      }
+      s"""WITH RECURSIVE m AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id < 140 THEN doc_id % 100
+        |         ELSE doc_id - 140 END AS base
+        |  FROM documents WHERE doc_id < 200),
+        |cmp AS (
+        |  SELECT media_id, x, y,
+        |    CASE WHEN ${gray("x + 1", "y")} > ${gray("x", "y")}
+        |         THEN (1::BIGINT << (y * 7 + x)) ELSE 0::BIGINT END AS bit
+        |  FROM m, (SELECT unnest(range(0, 7)) AS x),
+        |          (SELECT unnest(range(0, 6)) AS y)),
+        |d AS MATERIALIZED (
+        |  SELECT media_id, sum(bit)::BIGINT AS dhash FROM cmp
+        |  GROUP BY media_id),
+        |edges AS MATERIALIZED (
+        |  SELECT d1.media_id AS m1, d2.media_id AS m2
+        |  FROM d d1 JOIN d d2 ON d1.media_id < d2.media_id
+        |  WHERE bit_count(xor(d1.dhash, d2.dhash)) <= 2),
+        |edges_sym AS MATERIALIZED (
+        |  SELECT m1 AS a, m2 AS b FROM edges
+        |  UNION ALL SELECT m2 AS a, m1 AS b FROM edges),
+        |reach(id, r) AS (
+        |  SELECT media_id, media_id FROM d
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN edges_sym e ON e.a = reach.id),
+        |roots AS (SELECT id, min(r) AS root FROM reach GROUP BY id)
+        |SELECT root AS cluster_root, count(*) AS n_members,
+        |  max(id) AS max_id
+        |FROM roots GROUP BY root ORDER BY cluster_root""".stripMargin
     },
 
     // the audio-hash chain from the sample formula: window energies as

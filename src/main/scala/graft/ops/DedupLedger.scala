@@ -634,6 +634,36 @@ object DedupLedger {
         .select(col("kind"), col("doc_id"), col("exact_of"),
                 col("near_of"), col("keep"))
         .orderBy(col("kind"), col("doc_id"))
+    }),
+
+    // ---- q162: the media arm's STORE lifecycle — q151's discipline on
+    // the marks table: clone the mixed history seed, ingest the two
+    // media generations through the BATCH verdict+append API (each
+    // under its own idempotency tag; generation B's exact copies of
+    // generation A's novels prove the chained-ingest dependency), then
+    // COMPACT (the marks table rewrites per-cell beside codes/vectors
+    // under one replacement snapshot) and VACUUM, and re-verdict all
+    // 100 drops against the compacted HEAD. Layout ops must be
+    // hash-invisible: a compaction that dropped, duplicated, or
+    // re-celled one fingerprint row — or a vacuum that deleted a live
+    // marks file — flips some drop's owner or keep against the
+    // file-agnostic popcount oracle.
+    "q162_media_ledger_compact" -> ((s, d) => {
+      val zone = graft.jobs.JobRecordGate.freshZone("graft-mxcompact-", d)
+      val dir = new java.io.File(zone, "ledger").getAbsolutePath
+      cloneStore(ensureMixedHistoryLedger(s, d), dir)
+      for ((lo, hi, tag) <- Seq((100L, 150L, "gen-a"), (150L, 200L, "gen-b"))) {
+        val fps = q158Fps(s, d, lo, hi).localCheckpoint()
+        val v = dedupMediaAgainstLedger(s, fps, dir, IndexStore.snapshot(dir))
+        appendMediaSurvivors(
+          fps.join(v.filter(col("keep") === 1L).select(col("media_id")),
+            Seq("media_id"), "left_semi"),
+          dir, tag)
+      }
+      IndexStore.compact(s, dir)
+      IndexStore.vacuum(dir)
+      dedupMediaAgainstLedger(s, q158Fps(s, d, 100L, 200L), dir,
+        IndexStore.snapshot(dir))
     })
   )
 
@@ -837,15 +867,7 @@ object DedupLedger {
     * assumption: fp-equality is hamming 0, so one ≤-threshold NOT
     * EXISTS is the whole keep rule), verdict arms as min-owner scalar
     * subqueries over the final marks population. */
-  private def mixedTickOracleDuck: String = {
-    def mgray(xe: String, ye: String) = {
-      def ch(c: Int) =
-        s"((('0x' || substr(md5(mkey::VARCHAR || '|' || ($xe)::VARCHAR || '|' || " +
-          s"($ye)::VARCHAR || '|$c'), 1, 2))::BIGINT + " +
-          s"CASE WHEN bump = 1 AND ($xe) = 3 AND ($ye) = 2 " +
-          s"THEN 40 ELSE 0 END) % 256)"
-      s"(${ch(0)} + ${ch(1)} + ${ch(2)})"
-    }
+  private def mixedTickOracleDuck: String =
     s"""WITH ${twoGenBaseDuck("(max(doc_id) * 9) // 10",
                               "(max(doc_id) * 19) // 20")},
       |${survivorStepDuck("batch_a",
@@ -869,7 +891,29 @@ object DedupLedger {
       |txt_verdict AS (
       |${verdictDuck("SELECT h, owner FROM led2_exact",
                      "SELECT doc_id FROM led2_sig_docs")}),
-      |medm AS (
+      |$mediaGenDuck
+      |SELECT kind, doc_id, exact_of, near_of, keep FROM (
+      |  SELECT 'text' AS kind, doc_id, exact_of, near_of, keep
+      |  FROM txt_verdict
+      |  UNION ALL
+      |  SELECT 'image' AS kind, doc_id, exact_of, near_of, keep
+      |  FROM med_verdict)
+      |ORDER BY kind, doc_id""".stripMargin
+
+  /** The media two-generation CTE chain (fingerprints from the pixel
+    * formula, survivor generations by exhaustive popcount, min-owner
+    * verdict arms) — shared by the q158 mixed oracle and the q162
+    * media-lifecycle oracle. Emits CTEs `medm`…`med_verdict`. */
+  private def mediaGenDuck: String = {
+    def mgray(xe: String, ye: String) = {
+      def ch(c: Int) =
+        s"((('0x' || substr(md5(mkey::VARCHAR || '|' || ($xe)::VARCHAR || '|' || " +
+          s"($ye)::VARCHAR || '|$c'), 1, 2))::BIGINT + " +
+          s"CASE WHEN bump = 1 AND ($xe) = 3 AND ($ye) = 2 " +
+          s"THEN 40 ELSE 0 END) % 256)"
+      s"(${ch(0)} + ${ch(1)} + ${ch(2)})"
+    }
+    s"""medm AS (
       |  SELECT doc_id AS media_id,
       |    CASE WHEN doc_id < 100 THEN doc_id
       |         WHEN doc_id < 120 THEN doc_id - 100
@@ -921,18 +965,19 @@ object DedupLedger {
       |               WHERE bit_count(xor(m.fp, b.fp)) <= $MEDIA_MAX_HAMMING)
       |              IS NULL
       |         THEN 1 ELSE 0 END::BIGINT AS keep
-      |  FROM (SELECT media_id, fp FROM medd WHERE media_id >= 100) b)
-      |SELECT kind, doc_id, exact_of, near_of, keep FROM (
-      |  SELECT 'text' AS kind, doc_id, exact_of, near_of, keep
-      |  FROM txt_verdict
-      |  UNION ALL
-      |  SELECT 'image' AS kind, doc_id, exact_of, near_of, keep
-      |  FROM med_verdict)
-      |ORDER BY kind, doc_id""".stripMargin
+      |  FROM (SELECT media_id, fp FROM medd WHERE media_id >= 100) b)""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
     "q158_mixed_stream_tick" -> mixedTickOracleDuck,
+
+    // q162: the media generation chain alone — the Spark side's
+    // compaction + vacuum between append and serve must be invisible
+    // to this file-agnostic derivation
+    "q162_media_ledger_compact" ->
+      s"""WITH $mediaGenDuck
+        |SELECT doc_id AS media_id, exact_of, near_of, keep
+        |FROM med_verdict ORDER BY media_id""".stripMargin,
 
     "q139_ledger_dedup" ->
       s"""WITH $baseDuck

@@ -308,6 +308,24 @@ object DedupLedger {
       .orderBy(col("media_id"))
   }
 
+  /** SRP sign-bit fingerprint for an embeddings frame — the EMBEDDING
+    * arm's integer fingerprint: 42 deterministic hyperplanes (the q97
+    * formula at bands=3 x bits=14, evaluated by the codegen'd
+    * [[graft.functions.SrpBandCodes]] kernel) packed into one long,
+    * bit j = sign of the j-th projection. Two embeddings within
+    * hamming 2 of each other agree on >= 40/42 random sign tests —
+    * the high-cosine regime — so the SAME marks table + banded
+    * hamming arm that serves images and audio serves semantic vector
+    * dedup: the fingerprint arm is modality-generic by construction
+    * (q164 proves it under the gate). */
+  private def srpFps(emb: DataFrame): DataFrame =
+    emb.withColumn("q", expr(VectorOps.quantExpr))
+      .withColumn("codes",
+        graft.functions.VectorFunctions.srpCodes(col("q"), 3, 14))
+      .select(col("vec_id").as("media_id"),
+        expr("codes[0] | shiftleft(codes[1], 14) | shiftleft(codes[2], 28)")
+          .as("fp"))
+
   /** q158's media fixture formula: (pixel key, edit bump) per id.
     * History bases 0–99; tick 1 (100–149) = 20 exact copies of bases
     * 0–19, 14 one-pixel edits of bases 0–13, 16 novels; tick 2
@@ -664,6 +682,47 @@ object DedupLedger {
       IndexStore.vacuum(dir)
       dedupMediaAgainstLedger(s, q158Fps(s, d, 100L, 200L), dir,
         IndexStore.snapshot(dir))
+    }),
+
+    // ---- q164: the EMBEDDING arm — the marks table is fingerprint-
+    // typed, not image-typed, and this gate proves it: history vectors'
+    // SRP sign fingerprints seed a marks-only store, the batch is the
+    // last decile PLUS re-uploaded copies of history vectors (ids
+    // shifted +100000 — same embedding, same fingerprint), one
+    // verdict+append generation runs through the SAME
+    // dedupMediaAgainstLedger / appendMediaSurvivors machinery images
+    // use, and the output is the q140-style growth verdict against
+    // HEAD: every batch vector must now be a duplicate (copies
+    // exact-match history, survivors exact-match their own appended
+    // fingerprint, near-dropped vectors still match what dropped them)
+    // — keep all zero, owners pinning exactly which sign-patterns the
+    // ingest admitted. The oracle re-derives the 42 hyperplane signs
+    // per vector (the q97 integer formula), replays the survivor
+    // algebra with exhaustive popcount, and resolves both verdict arms
+    // over the final population.
+    "q164_embedding_ledger" -> ((s, d) => {
+      val emb = Tables.rebalance(Tables.embeddings(s, d))
+      val mx = emb.agg(max(col("vec_id"))).head.getLong(0)
+      val c9 = mx * 9L / 10L
+      val zone = graft.jobs.JobRecordGate.freshZone("graft-embledger-", d)
+      val dir = new java.io.File(zone, "ledger").getAbsolutePath
+      IndexStore.commitRebuild(dir) {
+        markRows(srpFps(emb.filter(col("vec_id") < c9)))
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/marks")
+      }
+      val batch = srpFps(emb.filter(col("vec_id") >= c9))
+        .unionByName(srpFps(emb.filter(col("vec_id") < 50))
+          .withColumn("media_id", col("media_id") + 100000L))
+        .localCheckpoint()
+      val v1 = dedupMediaAgainstLedger(s, batch, dir, IndexStore.snapshot(dir))
+      appendMediaSurvivors(
+        batch.join(v1.filter(col("keep") === 1L).select(col("media_id")),
+          Seq("media_id"), "left_semi"),
+        dir, tag = "emb-gen")
+      dedupMediaAgainstLedger(s, batch, dir, IndexStore.snapshot(dir))
+        .withColumnRenamed("media_id", "vec_id")
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -978,6 +1037,46 @@ object DedupLedger {
       s"""WITH $mediaGenDuck
         |SELECT doc_id AS media_id, exact_of, near_of, keep
         |FROM med_verdict ORDER BY media_id""".stripMargin,
+
+    // q164: 42 hyperplane signs per vector (the q97 deterministic
+    // integer formula at j = 0..41), survivor algebra by exhaustive
+    // popcount, growth verdict against the final population
+    "q164_embedding_ledger" ->
+      s"""WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> round(x::DOUBLE * 10000, 0)::BIGINT) AS q
+        |  FROM embeddings),
+        |sfp AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    list_sum([CASE WHEN
+        |      list_sum([q[k + 1] * (((j * 1000003 + k * 7919) * 2654435761) % 2001 - 1000)
+        |                FOR k IN range(0, len(q))]) >= 0
+        |      THEN (1::BIGINT << j) ELSE 0 END FOR j IN range(0, 42)])::BIGINT AS fp
+        |  FROM e),
+        |cut AS (SELECT (max(vec_id) * 9) // 10 AS c FROM embeddings),
+        |hist AS (SELECT fp, min(vec_id) AS owner FROM sfp, cut
+        |         WHERE vec_id < c GROUP BY fp),
+        |batch AS MATERIALIZED (
+        |  SELECT vec_id, fp FROM sfp, cut WHERE vec_id >= c
+        |  UNION ALL
+        |  SELECT vec_id + 100000, fp FROM sfp WHERE vec_id < 50),
+        |reps AS (
+        |  SELECT fp, min(vec_id) AS owner FROM batch b
+        |  WHERE NOT EXISTS (SELECT 1 FROM hist m
+        |    WHERE bit_count(xor(m.fp, b.fp)) <= $MEDIA_MAX_HAMMING)
+        |  GROUP BY fp),
+        |head AS (SELECT fp, owner FROM hist
+        |         UNION ALL SELECT fp, owner FROM reps)
+        |SELECT b.vec_id,
+        |  (SELECT min(owner) FROM head m WHERE m.fp = b.fp) AS exact_of,
+        |  (SELECT min(owner) FROM head m
+        |   WHERE bit_count(xor(m.fp, b.fp)) <= $MEDIA_MAX_HAMMING) AS near_of,
+        |  CASE WHEN (SELECT min(owner) FROM head m WHERE m.fp = b.fp) IS NULL
+        |        AND (SELECT min(owner) FROM head m
+        |             WHERE bit_count(xor(m.fp, b.fp)) <= $MEDIA_MAX_HAMMING)
+        |            IS NULL
+        |       THEN 1 ELSE 0 END::BIGINT AS keep
+        |FROM batch b ORDER BY vec_id""".stripMargin,
 
     "q139_ledger_dedup" ->
       s"""WITH $baseDuck

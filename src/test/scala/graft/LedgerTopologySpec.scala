@@ -54,4 +54,43 @@ class LedgerTopologySpec extends SparkSpec {
         "verdict must be identical under shuffle-join topology")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
+
+  test("forced-shuffle MEDIA verdict: the marks-table hamming arm is " +
+       "topology-invariant too") {
+    // the same discipline on the q158 media arm: history marks 0-2,
+    // batch with an exact hit (same fp), a near hit (2 bits off), and
+    // a clean keep (far fingerprint)
+    val dir = java.nio.file.Files.createTempDirectory("ledger-topo-m").toString
+    val histFps = Seq((0L, 0x1234567890aL), (1L, 0x0fedcba9876L),
+                      (2L, 0x24680ace135L)).toDF("media_id", "fp")
+    DedupLedger.buildMixedLedger(docs(0L -> words(30, "h")), histFps, dir)
+    val snap = IndexStore.snapshot(dir)
+    val batch = Seq(
+      (10L, 0x1234567890aL),               // exact
+      (11L, 0x0fedcba9876L ^ (3L << 20)),  // hamming 2
+      (12L, 0x3b3b3b3b3b3L)                // keep
+    ).toDF("media_id", "fp")
+
+    val broadcastRun = DedupLedger
+      .dedupMediaAgainstLedger(spark, batch, dir, snap)
+      .collect().map(_.toSeq).toSeq
+    assert(broadcastRun.map(r => (r.head, r.last)) ==
+      Seq((10L, 0L), (11L, 0L), (12L, 1L)), s"fixture truth drifted: $broadcastRun")
+
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val gated = DedupLedger
+        .dedupMediaAgainstLedger(spark, batch, dir, snap, maxBroadcast = 0L)
+      val shuffleRun = gated.collect().map(_.toSeq).toSeq
+      val plan = gated.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin") &&
+             !plan.contains("BroadcastExchange"),
+        s"size-gated media verdict must not broadcast when the gate is shut:\n$plan")
+      assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+        s"expected shuffle joins in the forced plan:\n$plan")
+      assert(shuffleRun == broadcastRun,
+        "media verdict must be identical under shuffle-join topology")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
 }

@@ -34,6 +34,9 @@ object MediaDedupStudy {
     }
 
     if (args.headOption.contains("wide")) { wideStudy(spark); spark.stop(); return }
+    if (args.headOption.contains("temporal")) {
+      temporalStudy(spark); spark.stop(); return
+    }
 
     val W = 8; val H = 6
     def media(n: Long) = {
@@ -194,5 +197,54 @@ object MediaDedupStudy {
     println(f"narrow 3x14 @ 1M + budget 10/doc: ${tH}%.2f s fp, ${tCap}%.2f s join, " +
       f"$nCapped%d pairs (uncapped expectation ~ ${graft.ops.DedupOps
         .expectedBandCandidates(1000000L, 3, 14).toLong}%d candidates)")
+  }
+
+  /** q157's topology at corpus scale: N four-frame videos (synthetic
+    * 42-bit frame fingerprints — the decode cost is measured by the
+    * wide/main studies; this measures the per-position banded join +
+    * agreement vote), 1% planted copies with ONE frame's hash 2 bits
+    * off, and a PATHOLOGY variant where every video shares frame 0
+    * (the black intro frame) — per-position dedup-first must collapse
+    * that mass to one band row. Run:
+    * sbt "runMain graft.MediaDedupStudy temporal" */
+  private def temporalStudy(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val mask42 = (1L << 42) - 1
+    def frames(n: Long, sharedIntro: Boolean) = {
+      val cut = n * 99 / 100
+      spark.range(0, n, 1, 32)
+        .select(col("id").as("media_id"),
+          explode(expr("sequence(0, 3)")).as("f"))
+        .withColumn("base",
+          expr(s"CASE WHEN media_id >= $cut THEN media_id - $cut ELSE media_id END"))
+        .withColumn("h0",
+          if (sharedIntro)
+            expr(s"""CASE WHEN f = 0 THEN ${0x2a2a2a2aL}L ELSE
+                     cast(conv(substring(md5(concat(base, '|', f)), 1, 11), 16, 10)
+                          as bigint) & $mask42 END""")
+          else
+            expr(s"cast(conv(substring(md5(concat(base, '|', f)), 1, 11), 16, 10) " +
+              s"as bigint) & $mask42"))
+        // planted copies: frame (id % 4) of each copy is 2 bits off
+        .withColumn("fhash",
+          expr(s"CASE WHEN media_id >= $cut AND f = media_id % 4 " +
+            s"THEN h0 ^ 3 ELSE h0 END"))
+        .select(col("media_id"), col("f"), col("fhash"))
+    }
+    println("%-9s %-10s %-8s %-10s %-10s"
+      .format("N_videos", "variant", "join_s", "pairs", "planted"))
+    for (n <- Seq(200000L, 1000000L); shared <- Seq(false, true)) {
+      val fr = frames(n, shared).localCheckpoint()
+      val (nPairs, t) = timed(
+        graft.ops.DedupOps.temporalNearDupPairs(fr, "media_id", "f", "fhash",
+          bands = 3, bandBits = 14, maxHamming = 2, minAgree = 3,
+          pairBudgetPerDoc = Some(100)).count())
+      println(f"$n%-9d ${if (shared) "intro" else "plain"}%-10s $t%-8.2f " +
+        f"$nPairs%-10d ${n - n * 99 / 100}%-10d")
+    }
   }
 }

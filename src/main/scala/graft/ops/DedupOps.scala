@@ -717,10 +717,18 @@ object DedupOps {
     * shuffles on bounded keys, nothing quadratic in the corpus. Per-
     * frame detection is EXACT (pigeonhole), so the vote equals the
     * exhaustive per-pair count as long as no bucket is dropped; with
-    * `pairBudgetPerDoc`, saturated positions (e.g. a black frame every
-    * video shares at position 0 — dedup-first already collapses the
-    * identical mass; the budget handles near-identical geometry) stop
-    * emitting candidates instead of exploding.
+    * `pairBudgetPerDoc`, saturated positions stop emitting candidates
+    * instead of exploding — and UNLIKE the pair-output families
+    * (hammingPairs, where a million-copy group's quadratic member-pair
+    * set IS the caller's contract), the budget here also caps the
+    * identical-fingerprint WITHIN expansion: these rows are
+    * intermediate agreement EVIDENCE, not output, and a frame every
+    * video shares (the black intro frame — the temporalStudy
+    * pathology) would otherwise materialize C(corpus, 2) evidence rows
+    * at that one position before the vote throws them away. A dropped
+    * shared position costs each true pair at most ONE vote (the other
+    * positions' groups are copy-sized), the same recall trade the
+    * text family's DF cap makes for stop-gram positions.
     *
     * Output: (m1, m2, n_agree, ham_sum) — agreeing-position count and
     * the summed distance over those positions (0 for exact re-uploads). */
@@ -743,12 +751,24 @@ object DedupOps {
           s"${(1L << bandBits) - 1} AS k)))").as("bk"))
       .select(col("f"), col("h"), col("rep"),
               col("bk.b").as("b"), col("bk.k").as("k"))
-    val banded = pairBudgetPerDoc match {
-      case None => bandsDf
+    // ONE cap over the combined size histogram: band buckets (distinct
+    // fingerprints per (position, band, key)) AND identical-fingerprint
+    // group sizes — both feed quadratic evidence volume, so both walk
+    // the same budget. gExp = the groups still eligible to expand.
+    val (banded, gExp) = pairBudgetPerDoc match {
+      case None => (bandsDf, groups)
       case Some(perDoc) =>
         val items = groups.agg(sum(size(col("ids")))).head.getLong(0)
-        dropHotBuckets(bandsDf, Seq("f", "b", "k"), BAND_CAP,
-          perDoc.toLong * items)
+        val bucketSizes = bandsDf.groupBy(col("f"), col("b"), col("k"))
+          .agg(count(lit(1)).as("sz")).localCheckpoint()
+        val hist = bucketSizes.select(col("sz"))
+          .unionByName(groups.select(size(col("ids")).cast("long").as("sz")))
+          .groupBy(col("sz")).agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getLong(0).toInt, r.getLong(1)))
+        val cap = capFromHist(hist, BAND_CAP, perDoc.toLong * items)
+        (bandsDf.join(bucketSizes.filter(col("sz") > cap)
+            .select(col("f"), col("b"), col("k")), Seq("f", "b", "k"), "left_anti"),
+         groups.filter(size(col("ids")) <= cap))
     }
     // matched fingerprint pairs per frame position
     val repPairs = banded.as("a").join(banded.as("c"),
@@ -763,13 +783,13 @@ object DedupOps {
     // (cross if the hashes differ, within if identical) — the agreement
     // count needs no dedup
     val cross = repPairs
-      .join(groups.select(col("f"), col("h").as("h1"), col("ids").as("ids1")),
+      .join(gExp.select(col("f"), col("h").as("h1"), col("ids").as("ids1")),
         Seq("f", "h1"))
-      .join(groups.select(col("f"), col("h").as("h2"), col("ids").as("ids2")),
+      .join(gExp.select(col("f"), col("h").as("h2"), col("ids").as("ids2")),
         Seq("f", "h2"))
       .select(col("f"), explode(col("ids1")).as("i1"), col("ids2"), col("hamming"))
       .select(col("f"), col("i1"), explode(col("ids2")).as("i2"), col("hamming"))
-    val within = groups.filter(size(col("ids")) > 1)
+    val within = gExp.filter(size(col("ids")) > 1)
       .select(col("f"), explode(col("ids")).as("i1"), col("ids"))
       .select(col("f"), col("i1"), explode(col("ids")).as("i2"))
       .filter(col("i1") < col("i2"))

@@ -155,6 +155,42 @@ class WideHammingSpec extends SparkSpec {
     assert(e > 3.5e6 && e < 4.0e6, s"model drifted: $e")
   }
 
+  test("temporal budget caps the shared-position evidence mass without losing the vote") {
+    // the temporalStudy pathology in miniature: 500 videos all share
+    // frame 0's fingerprint (black intro frame); frames 1-3 are
+    // per-video random. One planted copy pair differs by 1 bit at
+    // frame 1 only. With the budget on, the 500-wide frame-0 group is
+    // dropped from the evidence (it exceeds the 200 floor and a tiny
+    // budget), yet the planted pair still votes 3-of-4 through its
+    // copy-sized groups; the final answer matches the uncapped run —
+    // the cap sheds quadratic evidence, not recall, exactly like the
+    // text family's DF cap on stop-grams.
+    val mask42 = (1L << 42) - 1
+    val intro = 0x1b1b1bL
+    val rows: Seq[(Long, Long, Long)] = (0L until 500L).flatMap { v =>
+      Seq((v, 0L, intro), (v, 1L, mix(v * 31 + 1) & mask42),
+          (v, 2L, mix(v * 31 + 2) & mask42), (v, 3L, mix(v * 31 + 3) & mask42))
+    } ++ Seq(
+      (9000L, 0L, intro), (9000L, 1L, mix(77) & mask42),
+      (9000L, 2L, mix(78) & mask42), (9000L, 3L, mix(79) & mask42),
+      (9001L, 0L, intro), (9001L, 1L, (mix(77) & mask42) ^ 4L),
+      (9001L, 2L, mix(78) & mask42), (9001L, 3L, mix(79) & mask42))
+    val df = rows.toDF("media_id", "f", "h")
+    def run(budget: Option[Int]) = DedupOps.temporalNearDupPairs(df,
+        "media_id", "f", "h", bands = 3, bandBits = 14, maxHamming = 2,
+        minAgree = 3, pairBudgetPerDoc = budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+                           r.getLong(2), r.getLong(3))).toSet
+    val capped = run(Some(1))
+    // the dropped intro position costs the pair exactly ONE vote
+    // (4-of-4 -> 3-of-4, still over the threshold); the PAIR SET is
+    // unchanged — the cap sheds quadratic evidence, not recall
+    assert(capped == Set((9000L, 9001L, 3L, 1L)),
+      s"planted pair must survive the evidence cap: $capped")
+    assert(run(None) == Set((9000L, 9001L, 4L, 1L)),
+      "uncapped vote should count the shared intro position too")
+  }
+
   test("temporalNearDupPairs: agreement vote matches the exhaustive per-frame count") {
     // videos of 3 frame hashes; hand-planted relations
     val f = Array(mix(1) & 0x3ffffffffffL, mix(2) & 0x3ffffffffffL,

@@ -285,6 +285,39 @@ object TextOps {
         .as("simhash"))
   }
 
+  /** 120-bit WIDE SimHash signatures — [[simhashSignaturesOf]] past the
+    * one-long ceiling, completing the wide-fingerprint family across
+    * all four modalities (image/audio/embedding fingerprints widened in
+    * round 14; this is the text arm). Per token, md5's full digest
+    * yields two 60-bit halves; 120 per-bit majority votes fold into TWO
+    * words of 60 bits each (bit j < 60 → word 0, else word 1 at j−60 —
+    * no bit 63 anywhere, so neither engine touches signed-shift
+    * territory; the 4 dead bits per word are vote-free and identical
+    * across documents, harmless to banding or hamming). More bits =
+    * finer near-dup resolution at the same join topology: the banded
+    * join runs through [[DedupOps.hammingPairsWide]] with band slices
+    * that straddle the word boundary. */
+  def simhashWideSignaturesOf(docs: DataFrame): DataFrame =
+    withToks(docs)
+      .select(col("doc_id"), explode_outer(array_distinct(col("toks"))).as("tok"))
+      .filter(col("tok").isNotNull)
+      .withColumn("hlo", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+      .withColumn("hhi", conv(substring(md5(col("tok")), 16, 15), 16, 10).cast("long"))
+      .select(col("doc_id"), col("hlo"), col("hhi"),
+              explode(sequence(lit(0), lit(119))).as("j"))
+      .withColumn("contrib",
+        when(expr("IF(j < 60, shiftright(hlo, j), shiftright(hhi, j - 60)) & 1") === 1,
+          1).otherwise(-1))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("contrib")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(expr("CASE WHEN s >= 0 AND j < 60 " +
+          "THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END")).as("w0"),
+        sum(expr("CASE WHEN s >= 0 AND j >= 60 " +
+          "THEN shiftleft(cast(1 as bigint), j - 60) ELSE cast(0 as bigint) END")).as("w1"))
+      .select(col("doc_id"), array(col("w0"), col("w1")).as("simhash"))
+
   /** SimHash Hamming-join as a reusable operator over (doc_id, text).
     * Signatures ride INSIDE the bucket structs: Catalyst has no
     * common-subplan reuse, so joining signatures back onto the candidate
@@ -574,6 +607,23 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- q165: WIDE text SimHash near-dup — the 120-bit form of
+    // q48/q79 through the round-14 wide banded join (3x42-bit bands;
+    // band 1 straddles the 64-bit word boundary), completing the wide
+    // family's fourth modality. Real corpus, no synthetic fixture: the
+    // documents table's planted near-duplicates surface at hamming
+    // <= 2 over 120 majority-vote bits. The oracle is EXHAUSTIVE
+    // all-pairs popcount over signatures re-derived in SQL — banding,
+    // packing, and the straddling slices all judged by the pair set.
+    "q165_text_wide_simhash" -> ((s, d) => {
+      val sigs = simhashWideSignaturesOf(
+          Tables.rebalance(Tables.documents(s, d)))
+        .localCheckpoint()
+      DedupOps.hammingPairsWide(sigs, "doc_id", "simhash",
+          fpBits = 128, bands = 3, bandBits = 42, maxHamming = 2)
+        .orderBy(col("m1"), col("m2"))
+    }),
 
     // ---- q138: exact-substring duplicate SPAN map (Lee et al. 2022) —
     // merged token ranges covered by any corpus-duplicated SPAN_K-gram.
@@ -879,6 +929,37 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+
+    // exhaustive popcount over SQL-re-derived 2x60-bit signatures — no
+    // banding or word-layout assumption
+    "q165_text_wide_simhash" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)),
+        |h AS (SELECT doc_id,
+        |        ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hlo,
+        |        ('0x' || substr(md5(tok), 16, 15))::BIGINT AS hhi
+        |      FROM toks),
+        |bits AS (
+        |  SELECT doc_id, j,
+        |    sum(CASE WHEN (CASE WHEN j < 60 THEN hlo >> j
+        |                        ELSE hhi >> (j - 60) END) & 1 = 1
+        |        THEN 1 ELSE -1 END) AS s
+        |  FROM h CROSS JOIN (SELECT unnest(range(0, 120)) AS j) js
+        |  GROUP BY doc_id, j),
+        |sims AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN s >= 0 AND j < 60 THEN (1::BIGINT << j)
+        |        ELSE 0 END)::BIGINT AS w0,
+        |    sum(CASE WHEN s >= 0 AND j >= 60 THEN (1::BIGINT << (j - 60))
+        |        ELSE 0 END)::BIGINT AS w1
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS m1, b.doc_id AS m2,
+        |  (bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)))::BIGINT
+        |    AS hamming
+        |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 2
+        |ORDER BY m1, m2""".stripMargin,
     "q138_dup_span_map" ->
       s"""WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
         |g AS (

@@ -53,10 +53,49 @@ object GifDecoder {
     } catch { case NonFatal(_) => None }
   }
 
-  /** Decode one specific frame to raw pixels (0xRRGGBB ints, row-major)
-    * — what the perceptual-fingerprint path (MediaOps.frameDHash) hashes;
-    * same chunk walk as [[decodeFrame]], pixels instead of means. */
-  def decodeFramePixels(bytes: Array[Byte], idx: Int): Option[BmpDecoder.BmpPixels] = {
+  private case class FrameMeta(left: Int, top: Int, disposal: String)
+
+  private def frameMeta(reader: javax.imageio.ImageReader, i: Int): FrameMeta =
+    try {
+      val tree = reader.getImageMetadata(i).getAsTree("javax_imageio_gif_image_1.0")
+      var left = 0; var top = 0; var disposal = "none"
+      val kids = tree.getChildNodes
+      var k = 0
+      while (k < kids.getLength) {
+        val n = kids.item(k)
+        n.getNodeName match {
+          case "ImageDescriptor" =>
+            val a = n.getAttributes
+            left = a.getNamedItem("imageLeftPosition").getNodeValue.toInt
+            top = a.getNamedItem("imageTopPosition").getNodeValue.toInt
+          case "GraphicControlExtension" =>
+            disposal = n.getAttributes.getNamedItem("disposalMethod").getNodeValue
+          case _ => ()
+        }
+        k += 1
+      }
+      FrameMeta(left, top, disposal)
+    } catch { case NonFatal(_) => FrameMeta(0, 0, "none") }
+
+  /** ONE-pass COMPOSED decode of selected frames (round-14 review
+    * find): real-world GIFs store frames as delta sub-rectangles over a
+    * logical canvas — changed-region rasters at an (x, y) offset, with
+    * per-frame DISPOSAL (doNotDispose keeps the composite,
+    * restoreToBackgroundColor clears the frame's rectangle,
+    * restoreToPrevious rolls the canvas back) and transparency holes
+    * that show the pixels beneath. Hashing or averaging a raw delta
+    * raster fingerprints the changed region, not the displayed frame —
+    * a full-frame re-encode of the same video would then disagree at
+    * every delta-stored position. This walks the stream ONCE with one
+    * reader, composites every frame up to the highest requested index
+    * onto an ARGB canvas (alpha-respecting draw at the frame's offset),
+    * snapshots the requested indices as 0xRRGGBB pixels, and applies
+    * each frame's disposal before the next. `choose` receives the total
+    * frame count and returns the wanted indices — so callers sample
+    * without a second stream scan. Returns (frameCount, index →
+    * composed pixels). */
+  def decodeComposedFrames(bytes: Array[Byte],
+      choose: Int => Set[Int]): Option[(Int, Map[Int, BmpDecoder.BmpPixels])] = {
     if (bytes == null || !isGif(bytes)) return None
     try {
       val readers = ImageIO.getImageReadersBySuffix("gif")
@@ -65,36 +104,84 @@ object GifDecoder {
       val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
       try {
         reader.setInput(iis)
-        if (idx < 0 || idx >= reader.getNumImages(true)) return None
-        val img = reader.read(idx)
-        val w = img.getWidth; val h = img.getHeight
-        val px = new Array[Int](w * h)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { px(y * w + x) = img.getRGB(x, y) & 0xffffff; x += 1 }
-          y += 1
-        }
-        Some(BmpDecoder.BmpPixels(w, h, px))
+        val n = reader.getNumImages(true)
+        if (n <= 0) return None
+        val want = choose(n).filter(i => i >= 0 && i < n)
+        if (want.isEmpty) return Some((n, Map.empty))
+        val f0 = reader.read(0)
+        val m0 = frameMeta(reader, 0)
+        // canvas = the logical screen; frame-0 extent as the fallback
+        var cw = m0.left + f0.getWidth
+        var ch = m0.top + f0.getHeight
+        try {
+          val sm = reader.getStreamMetadata.getAsTree("javax_imageio_gif_stream_1.0")
+          val kids = sm.getChildNodes
+          var k = 0
+          while (k < kids.getLength) {
+            val node = kids.item(k)
+            if (node.getNodeName == "LogicalScreenDescriptor") {
+              val a = node.getAttributes
+              cw = a.getNamedItem("logicalScreenWidth").getNodeValue.toInt
+              ch = a.getNamedItem("logicalScreenHeight").getNodeValue.toInt
+            }
+            k += 1
+          }
+        } catch { case NonFatal(_) => () }
+        val canvas = new java.awt.image.BufferedImage(
+          cw, ch, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+        val g = canvas.createGraphics()
+        try {
+          val out = scala.collection.mutable.Map.empty[Int, BmpDecoder.BmpPixels]
+          val maxIdx = want.max
+          var i = 0
+          while (i <= maxIdx) {
+            val img = if (i == 0) f0 else reader.read(i)
+            val fm = if (i == 0) m0 else frameMeta(reader, i)
+            val prev =
+              if (fm.disposal == "restoreToPrevious")
+                canvas.getRGB(0, 0, cw, ch, null, 0, cw)
+              else null
+            g.drawImage(img, fm.left, fm.top, null)
+            if (want.contains(i))
+              out(i) = BmpDecoder.BmpPixels(cw, ch,
+                canvas.getRGB(0, 0, cw, ch, null, 0, cw).map(_ & 0xffffff))
+            fm.disposal match {
+              case "restoreToBackgroundColor" =>
+                val comp = g.getComposite
+                g.setComposite(java.awt.AlphaComposite.Clear)
+                g.fillRect(fm.left, fm.top, img.getWidth, img.getHeight)
+                g.setComposite(comp)
+              case "restoreToPrevious" if prev != null =>
+                canvas.setRGB(0, 0, cw, ch, prev, 0, cw)
+              case _ => ()
+            }
+            i += 1
+          }
+          Some((n, out.toMap))
+        } finally g.dispose()
       } finally { reader.dispose(); iis.close() }
     } catch { case NonFatal(_) => None }
   }
 
-  /** Decode one specific frame (for sampled-frame featurization). */
-  def decodeFrame(bytes: Array[Byte], idx: Int): Option[ImageIoDecoder.RgbImage] = {
-    if (bytes == null || !isGif(bytes)) return None
-    try {
-      val readers = ImageIO.getImageReadersBySuffix("gif")
-      if (!readers.hasNext) return None
-      val reader = readers.next()
-      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
-      try {
-        reader.setInput(iis)
-        if (idx < 0 || idx >= reader.getNumImages(true)) return None
-        val img = reader.read(idx)
-        val (mr, mg, mb) = means(img)
-        Some(ImageIoDecoder.RgbImage(img.getWidth, img.getHeight, mr, mg, mb))
-      } finally { reader.dispose(); iis.close() }
-    } catch { case NonFatal(_) => None }
-  }
+  /** The COMPOSED pixels of one frame (0xRRGGBB, row-major) — what the
+    * perceptual-fingerprint path hashes. One-off form of
+    * [[decodeComposedFrames]]; batch callers pass all their indices
+    * there instead of calling this per frame. */
+  def decodeFramePixels(bytes: Array[Byte], idx: Int): Option[BmpDecoder.BmpPixels] =
+    decodeComposedFrames(bytes, _ => Set(idx)).flatMap(_._2.get(idx))
+
+  /** Composed per-frame channel means (for sampled-frame
+    * featurization) — same composition rules as the fingerprint path. */
+  def decodeFrame(bytes: Array[Byte], idx: Int): Option[ImageIoDecoder.RgbImage] =
+    decodeFramePixels(bytes, idx).map { p =>
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var i = 0
+      while (i < p.rgb.length) {
+        val v = p.rgb(i)
+        sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
+        i += 1
+      }
+      val n = p.rgb.length.toDouble
+      ImageIoDecoder.RgbImage(p.width, p.height, sr / n, sg / n, sb / n)
+    }
 }

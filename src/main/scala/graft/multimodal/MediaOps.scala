@@ -129,13 +129,22 @@ object MediaOps {
     require(gh.toLong * (gw - 1) <= 63,
       s"grid ${gw}x$gh needs ${gh * (gw - 1)} bits > 63 — use a wide variant")
     import media.sparkSession.implicits._
+    def sampleIdx(i: Int, k: Int, total: Int): Int =
+      if (k == 1) 0 else i * (total - 1) / (k - 1)
     media.mapPartitions { it =>
       it.flatMap { m =>
-        GifDecoder.decode(m.payload).toSeq.flatMap { anim =>
-          val n = math.min(maxFrames, anim.frames)
-          (0 until n).flatMap { i =>
-            val idx = if (n == 1) 0 else i * (anim.frames - 1) / (n - 1)
-            GifDecoder.decodeFramePixels(m.payload, idx).map { p0 =>
+        // ONE composed stream walk per record (not one per sampled
+        // frame): decodeComposedFrames takes the sampling function and
+        // snapshots every wanted index in a single pass, with real GIF
+        // frame composition (delta rects, offsets, disposal)
+        GifDecoder.decodeComposedFrames(m.payload, { total =>
+          val k = math.min(maxFrames, total)
+          (0 until k).map(sampleIdx(_, k, total)).toSet
+        }).toSeq.flatMap { case (total, byIdx) =>
+          val k = math.min(maxFrames, total)
+          (0 until k).flatMap { i =>
+            val idx = sampleIdx(i, k, total)
+            byIdx.get(idx).map { p0 =>
               val p = if (p0.width == gw && p0.height == gh) p0
                       else resizeNearestPixels(p0, gw, gh)
               (m.media_id, i.toLong, idx.toLong, dHashWords(p)(0))
@@ -337,15 +346,31 @@ object MediaOps {
   def featurizeFrames(media: Dataset[MediaRecord], maxFrames: Int)
       : Dataset[(Long, Int, Int, Int, Float, Float, Float)] = {
     import media.sparkSession.implicits._
+    def sampleIdx(i: Int, k: Int, total: Int): Int =
+      if (k == 1) 0 else i * (total - 1) / (k - 1)
     media.mapPartitions { it =>
       it.flatMap { r =>
-        GifDecoder.decode(r.payload).toSeq.flatMap { anim =>
-          val n = math.min(maxFrames, anim.frames)
-          (0 until n).flatMap { i =>
-            val idx = if (n == 1) 0 else i * (anim.frames - 1) / (n - 1)
-            GifDecoder.decodeFrame(r.payload, idx).map { f =>
-              (r.media_id, idx, f.width, f.height,
-               f.meanR.toFloat, f.meanG.toFloat, f.meanB.toFloat)
+        // single composed pass per record (shared with frameDHash's
+        // decode discipline); means come from the COMPOSED frame, so a
+        // delta-encoded GIF reports what is displayed, not the patch
+        GifDecoder.decodeComposedFrames(r.payload, { total =>
+          val k = math.min(maxFrames, total)
+          (0 until k).map(sampleIdx(_, k, total)).toSet
+        }).toSeq.flatMap { case (total, byIdx) =>
+          val k = math.min(maxFrames, total)
+          (0 until k).flatMap { i =>
+            val idx = sampleIdx(i, k, total)
+            byIdx.get(idx).map { p =>
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var j = 0
+              while (j < p.rgb.length) {
+                val v = p.rgb(j)
+                sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
+                j += 1
+              }
+              val n = p.rgb.length.toDouble
+              (r.media_id, idx, p.width, p.height,
+               (sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat)
             }
           }
         }

@@ -397,22 +397,28 @@ object BpeOps {
     * vacuum on this layout is a no-op, pinned by IndexStoreSpec), not
     * merely by the publisher declining to call it. */
   private[graft] def ensureTokenizerRegistry(s: SparkSession,
-                                             d: String): String =
-    VectorOps.ensureIndex(d, "tokreg", s"v1|m=$N_MERGES|cut90",
+                                             d: String): String = {
+    val dir = VectorOps.ensureIndex(d, "tokreg", s"v1|m=$N_MERGES|cut90",
         "documents.parquet") { base =>
-      val dir = base.getPath
-      IndexStore.markRetainAll(dir)
       val docs = Tables.rebalance(Tables.documents(s, d))
       val cut = DedupLedger.cutoffOf(docs)
-      IndexStore.commitRebuild(dir) {
+      IndexStore.commitRebuild(base.getPath) {
         bpeTrain(docs.filter(col("doc_id") < cut))
-          .write.mode("overwrite").parquet(s"$dir/codes")
+          .write.mode("overwrite").parquet(s"${base.getPath}/codes")
       }
-      IndexStore.commitReplace(dir, IndexStore.snapshot(dir)) {
-        bpeTrain(docs).write.mode("append").parquet(s"$dir/codes")
+      IndexStore.commitReplace(base.getPath, IndexStore.snapshot(base.getPath)) {
+        bpeTrain(docs).write.mode("append").parquet(s"${base.getPath}/codes")
       }
       ()
     }
+    // stamped OUTSIDE the build-once closure: a registry cached before
+    // the retain-all policy existed gets the marker on its next touch
+    // (the closure never re-runs for a fresh cache, so stamping inside
+    // it would leave old registries vacuumable — the exact silent
+    // garbage-collection the marker structurally prevents)
+    IndexStore.markRetainAll(dir)
+    dir
+  }
 
   /** The HISTORY vocabulary served from the registry — what q148's
     * tick applies: "yesterday's artifact" read from the store (version

@@ -377,6 +377,23 @@ object DedupLedger {
       .select(col("media_id"), col("dhash").as("fp"))
   }
 
+  /** The two chained batch media generations q162 and q166 both run
+    * over a cloned mixed seed (one definition — a change to the
+    * survivor-join or tagging discipline cannot silently split the
+    * gates): per generation, verdict against the current snapshot,
+    * then the keeps' fingerprints append under the generation's tag. */
+  private def ingestMediaGenerations(s: SparkSession, d: String,
+                                     dir: String): Unit =
+    for ((lo, hi, tag) <- Seq((100L, 150L, "gen-a"), (150L, 200L, "gen-b"))) {
+      val fps = q158Fps(s, d, lo, hi).localCheckpoint()
+      val v = dedupMediaAgainstLedger(s, fps, dir, IndexStore.snapshot(dir))
+      appendMediaSurvivors(
+        fps.join(v.filter(col("keep") === 1L).select(col("media_id")),
+          Seq("media_id"), "left_semi"),
+        dir, tag)
+      ()
+    }
+
   /** Cached MIXED history ledger: text history (doc_id < max*9/10) +
     * media base fingerprints (ids 0–99) in one store — the seed q158
     * clones per execution, like [[ensureHistoryLedger]] for q152. */
@@ -670,18 +687,34 @@ object DedupLedger {
       val zone = graft.jobs.JobRecordGate.freshZone("graft-mxcompact-", d)
       val dir = new java.io.File(zone, "ledger").getAbsolutePath
       cloneStore(ensureMixedHistoryLedger(s, d), dir)
-      for ((lo, hi, tag) <- Seq((100L, 150L, "gen-a"), (150L, 200L, "gen-b"))) {
-        val fps = q158Fps(s, d, lo, hi).localCheckpoint()
-        val v = dedupMediaAgainstLedger(s, fps, dir, IndexStore.snapshot(dir))
-        appendMediaSurvivors(
-          fps.join(v.filter(col("keep") === 1L).select(col("media_id")),
-            Seq("media_id"), "left_semi"),
-          dir, tag)
-      }
+      ingestMediaGenerations(s, d, dir)
       IndexStore.compact(s, dir)
       IndexStore.vacuum(dir)
       dedupMediaAgainstLedger(s, q158Fps(s, d, 100L, 200L), dir,
         IndexStore.snapshot(dir))
+    }),
+
+    // ---- q166: the media arm's CHANGELOG — q145's manifest-native
+    // incremental read on the marks table: after two batch media
+    // generations, the diff between the cloned seed's snapshot and
+    // HEAD opens ONLY the data files the two appends published (zero
+    // IO against history) and must contain exactly the fingerprints
+    // the ingest admitted — gen-a's novel images and gen-b's novels
+    // (gen-b's copies of gen-a's novels were DENIED by the chained
+    // verdict, so their fingerprints must NOT reappear). The oracle
+    // re-derives both survivor generations from the pixel formula;
+    // a delta read that leaked a history file, missed an append file,
+    // or double-published under the idempotency tags flips the hash.
+    "q166_media_ledger_diff" -> ((s, d) => {
+      val zone = graft.jobs.JobRecordGate.freshZone("graft-mxdiff-", d)
+      val dir = new java.io.File(zone, "ledger").getAbsolutePath
+      cloneStore(ensureMixedHistoryLedger(s, d), dir)
+      val v0 = IndexStore.snapshot(dir)
+      ingestMediaGenerations(s, d, dir)
+      IndexStore.diffMarks(s, dir, v0, IndexStore.snapshot(dir),
+          "cell INT, fp BIGINT, owner BIGINT")
+        .select(col("owner").as("media_id"), col("fp"))
+        .orderBy(col("media_id"))
     }),
 
     // ---- q164: the EMBEDDING arm — the marks table is fingerprint-
@@ -711,9 +744,13 @@ object DedupLedger {
           .repartition(col("cell"))
           .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/marks")
       }
+      // copies shift by mx+1, not a constant: a fixed +100000 would
+      // collide with genuine batch ids once max(vec_id) crosses ~111k
+      // (review find) — mx+1+id is collision-free at every scale and
+      // the oracle mirrors it as max(vec_id)+1+vec_id
       val batch = srpFps(emb.filter(col("vec_id") >= c9))
         .unionByName(srpFps(emb.filter(col("vec_id") < 50))
-          .withColumn("media_id", col("media_id") + 100000L))
+          .withColumn("media_id", col("media_id") + lit(mx + 1L)))
         .localCheckpoint()
       val v1 = dedupMediaAgainstLedger(s, batch, dir, IndexStore.snapshot(dir))
       appendMediaSurvivors(
@@ -1038,6 +1075,15 @@ object DedupLedger {
         |SELECT doc_id AS media_id, exact_of, near_of, keep
         |FROM med_verdict ORDER BY media_id""".stripMargin,
 
+    // q166: exactly the two survivor generations' representatives —
+    // the delta read must equal what the chained ingest admitted
+    "q166_media_ledger_diff" ->
+      s"""WITH $mediaGenDuck
+        |SELECT owner AS media_id, fp FROM (
+        |  SELECT fp, owner FROM mreps1
+        |  UNION ALL SELECT fp, owner FROM mreps2)
+        |ORDER BY media_id""".stripMargin,
+
     // q164: 42 hyperplane signs per vector (the q97 deterministic
     // integer formula at j = 0..41), survivor algebra by exhaustive
     // popcount, growth verdict against the final population
@@ -1059,7 +1105,8 @@ object DedupLedger {
         |batch AS MATERIALIZED (
         |  SELECT vec_id, fp FROM sfp, cut WHERE vec_id >= c
         |  UNION ALL
-        |  SELECT vec_id + 100000, fp FROM sfp WHERE vec_id < 50),
+        |  SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings), fp
+        |  FROM sfp WHERE vec_id < 50),
         |reps AS (
         |  SELECT fp, min(vec_id) AS owner FROM batch b
         |  WHERE NOT EXISTS (SELECT 1 FROM hist m

@@ -744,7 +744,14 @@ object DedupOps {
       .groupBy(col(frameCol).as("f"), col(hashCol).as("h"))
       .agg(min(col(idCol)).as("rep"), collect_list(col(idCol)).as("ids"))
       .localCheckpoint()
-    warnIfSaturated(groups.count(), bands, bandBits, pairBudgetPerDoc.isDefined)
+    // the saturation model is per KEYSPACE, and each frame position is
+    // its own (position, band, key) keyspace — feeding the global
+    // distinct count would over-warn by ~numPositions (review find);
+    // the sentinel watches the most loaded position instead
+    val maxPos = groups.groupBy(col("f")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head
+    warnIfSaturated(if (maxPos.isNullAt(0)) 0L else maxPos.getLong(0),
+      bands, bandBits, pairBudgetPerDoc.isDefined)
     val bandsDf = groups.select(col("f"), col("h"), col("rep"), expr(
         s"explode(transform(sequence(0, ${bands - 1}), " +
           s"b -> struct(b AS b, shiftright(h, b * $bandBits) & " +

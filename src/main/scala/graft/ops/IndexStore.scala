@@ -329,6 +329,14 @@ object IndexStore {
      read("vectors", (to.vectors.toSet -- from.vectors.toSet).toSeq.sorted))
   }
 
+  /** [[diffFrames]] for the marks table: the media fingerprints ADDED
+    * between two snapshots, from only the delta's data files — the
+    * media arm's changelog read (same append-only-range caveat). */
+  def diffMarks(spark: SparkSession, dir: String, from: Snapshot,
+                to: Snapshot, ddl: String): DataFrame =
+    marksFrame(spark, dir,
+      to.copy(marks = (to.marks.toSet -- from.marks.toSet).toSeq.sorted), ddl)
+
   /** Rewrite the store's data into sized files — one shuffle keyed on
     * `cell` so each cell's accumulated append-files coalesce into a
     * single writer task, split only by `maxRecordsPerFile`. The rewrite
@@ -352,7 +360,8 @@ object IndexStore {
     rewrite(codes, "codes")
     rewrite(vectors, "vectors")
     if (snap.marks.nonEmpty)
-      rewrite(marksFrame(spark, dir, snap, "cell INT"), "marks")
+      rewrite(marksFrame(spark, dir, snap,
+        "cell INT, fp BIGINT, owner BIGINT"), "marks")
     def adopt(sub: String): Unit = {
       val root = new java.io.File(staging, sub)
       for (cellDir <- Option(root.listFiles()).toSeq.flatten

@@ -435,6 +435,86 @@ class MediaSpec extends SparkSpec {
     assert(hamW(wide(0L)._1, wide(3L)._1) > 15)
   }
 
+  test("frameDHash composes delta-encoded GIF frames: a sub-rectangle patch at " +
+       "an offset fingerprints like the full-frame re-encode of the same video") {
+    import spark.implicits._
+    import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+    // sizes chosen around a JDK GIFImageWriter defect: indexed images
+    // under ~48 pixels round-trip corrupted (probed: 8x6 and 16x8 are
+    // exact, 8x3/8x2/3x2 are not) — the 16x12 frame and its 8x6 patch
+    // are both on the safe side, and dHash resamples the composed
+    // canvas to the fingerprint grid anyway
+    val W = 16; val H = 12
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def chan(seed: String): Int = md5.digest(seed.getBytes("UTF-8"))(0) & 0xff
+    def indexed(w: Int, h: Int, colorAt: (Int, Int) => Int) = {
+      val colors = Array.tabulate(w * h)(p => colorAt(p % w, p / w))
+      val pal = colors.distinct
+      val cm = new java.awt.image.IndexColorModel(8, pal.length,
+        pal.map(v => ((v >> 16) & 0xff).toByte),
+        pal.map(v => ((v >> 8) & 0xff).toByte),
+        pal.map(v => (v & 0xff).toByte))
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      var p = 0
+      while (p < w * h) { img.setRGB(p % w, p / w, colors(p)); p += 1 }
+      img
+    }
+    def base(x: Int, y: Int): Int =
+      (chan(s"a|$x|$y|0") << 16) | (chan(s"a|$x|$y|1") << 8) | chan(s"a|$x|$y|2")
+    def patched(x: Int, y: Int): Int =
+      if (x >= 4 && x < 12 && y >= 3 && y < 9)
+        (chan(s"p|$x|$y|0") << 16) | (chan(s"p|$x|$y|1") << 8) | chan(s"p|$x|$y|2")
+      else base(x, y)
+    def gif(frames: Seq[(java.awt.image.BufferedImage, Int, Int)]): Array[Byte] = {
+      val writer = ImageIO.getImageWritersBySuffix("gif").next()
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(out)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      for ((img, left, top) <- frames) {
+        val wp = writer.getDefaultWriteParam
+        val meta = writer.getDefaultImageMetadata(new ImageTypeSpecifier(img), wp)
+        val fmt = "javax_imageio_gif_image_1.0"
+        val tree = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+        val kids = tree.getChildNodes
+        var k = 0
+        while (k < kids.getLength) {
+          kids.item(k) match {
+            case n: IIOMetadataNode if n.getNodeName == "ImageDescriptor" =>
+              n.setAttribute("imageLeftPosition", left.toString)
+              n.setAttribute("imageTopPosition", top.toString)
+            case n: IIOMetadataNode if n.getNodeName == "GraphicControlExtension" =>
+              n.setAttribute("disposalMethod", "doNotDispose")
+            case _ => ()
+          }
+          k += 1
+        }
+        meta.setFromTree(fmt, tree)
+        writer.writeToSequence(new IIOImage(img, null, meta), null)
+      }
+      writer.endWriteSequence()
+      writer.dispose(); ios.close()
+      out.toByteArray
+    }
+    // DELTA form: frame 1 is only the changed 8x6 rectangle at (4, 3);
+    // FULL form: frame 1 re-encodes the whole composed image
+    val delta = gif(Seq((indexed(W, H, base), 0, 0),
+                        (indexed(8, 6, (x, y) => patched(x + 4, y + 3)), 4, 3)))
+    val full = gif(Seq((indexed(W, H, base), 0, 0),
+                       (indexed(W, H, patched), 0, 0)))
+    def rec(id: Long, p: Array[Byte]) =
+      MediaOps.MediaRecord(id, MediaOps.MediaMeta("video", 0, 0, 0), p)
+    val rows = MediaOps.frameDHash(Seq(rec(0L, delta), rec(1L, full)).toDS(), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(rows((0L, 0L)) == rows((1L, 0L)), "frame 0 must match trivially")
+    assert(rows((0L, 1L)) == rows((1L, 1L)),
+      "composed delta frame must fingerprint like the full-frame re-encode")
+    // and the patch genuinely changed the displayed frame
+    assert(rows((0L, 0L)) != rows((0L, 1L)), "patch must alter the fingerprint")
+  }
+
   test("dHashWide: word packing agrees with dHash on a <=63-bit grid, and a " +
        "one-pixel edit on the 16x8 grid flips at most 2 bits in the right word") {
     import spark.implicits._

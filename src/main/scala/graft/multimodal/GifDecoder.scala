@@ -127,6 +127,12 @@ object GifDecoder {
             k += 1
           }
         } catch { case NonFatal(_) => () }
+        // the logical-screen fields are UNTRUSTED header bytes: a
+        // corrupt payload can declare a 30000x30000 screen whose ARGB
+        // canvas would be a multi-GB allocation — an OutOfMemoryError
+        // there is not NonFatal and would kill the task instead of
+        // degrading to None like every other malformed-GIF mode here
+        if (cw <= 0 || ch <= 0 || cw.toLong * ch > (1L << 24)) return None
         val canvas = new java.awt.image.BufferedImage(
           cw, ch, java.awt.image.BufferedImage.TYPE_INT_ARGB)
         val g = canvas.createGraphics()
@@ -170,18 +176,26 @@ object GifDecoder {
   def decodeFramePixels(bytes: Array[Byte], idx: Int): Option[BmpDecoder.BmpPixels] =
     decodeComposedFrames(bytes, _ => Set(idx)).flatMap(_._2.get(idx))
 
+  /** Exact channel means over decoded pixels — ONE accumulation rule
+    * for every composed-frame consumer (decodeFrame here,
+    * MediaOps.featurizeFrames). */
+  private[multimodal] def pixelMeans(p: BmpDecoder.BmpPixels): (Double, Double, Double) = {
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var i = 0
+    while (i < p.rgb.length) {
+      val v = p.rgb(i)
+      sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
+      i += 1
+    }
+    val n = p.rgb.length.toDouble
+    (sr / n, sg / n, sb / n)
+  }
+
   /** Composed per-frame channel means (for sampled-frame
     * featurization) — same composition rules as the fingerprint path. */
   def decodeFrame(bytes: Array[Byte], idx: Int): Option[ImageIoDecoder.RgbImage] =
     decodeFramePixels(bytes, idx).map { p =>
-      var sr = 0L; var sg = 0L; var sb = 0L
-      var i = 0
-      while (i < p.rgb.length) {
-        val v = p.rgb(i)
-        sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
-        i += 1
-      }
-      val n = p.rgb.length.toDouble
-      ImageIoDecoder.RgbImage(p.width, p.height, sr / n, sg / n, sb / n)
+      val (mr, mg, mb) = pixelMeans(p)
+      ImageIoDecoder.RgbImage(p.width, p.height, mr, mg, mb)
     }
 }

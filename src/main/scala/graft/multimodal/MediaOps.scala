@@ -124,13 +124,19 @@ object MediaOps {
     * hashed exactly like a still image. One row per (video, sample
     * position): `frame_idx` is the ALIGNMENT key (sample position),
     * `src_idx` the decoded frame. Non-animated payloads emit no rows. */
+  /** The evenly-spaced sampling rule shared by every sampled-frame
+    * path (frameDHash, featurizeFrames): sample position i of k maps
+    * to source frame i·(total−1)/(k−1) — one formula, so the
+    * fingerprint and featurization paths can never drift out of
+    * frame alignment. */
+  private[multimodal] def sampleIdx(i: Int, k: Int, total: Int): Int =
+    if (k == 1) 0 else i * (total - 1) / (k - 1)
+
   def frameDHash(media: Dataset[MediaRecord], maxFrames: Int, gw: Int = 8,
                  gh: Int = 6): org.apache.spark.sql.DataFrame = {
     require(gh.toLong * (gw - 1) <= 63,
       s"grid ${gw}x$gh needs ${gh * (gw - 1)} bits > 63 — use a wide variant")
     import media.sparkSession.implicits._
-    def sampleIdx(i: Int, k: Int, total: Int): Int =
-      if (k == 1) 0 else i * (total - 1) / (k - 1)
     media.mapPartitions { it =>
       it.flatMap { m =>
         // ONE composed stream walk per record (not one per sampled
@@ -346,8 +352,6 @@ object MediaOps {
   def featurizeFrames(media: Dataset[MediaRecord], maxFrames: Int)
       : Dataset[(Long, Int, Int, Int, Float, Float, Float)] = {
     import media.sparkSession.implicits._
-    def sampleIdx(i: Int, k: Int, total: Int): Int =
-      if (k == 1) 0 else i * (total - 1) / (k - 1)
     media.mapPartitions { it =>
       it.flatMap { r =>
         // single composed pass per record (shared with frameDHash's
@@ -361,16 +365,9 @@ object MediaOps {
           (0 until k).flatMap { i =>
             val idx = sampleIdx(i, k, total)
             byIdx.get(idx).map { p =>
-              var sr = 0L; var sg = 0L; var sb = 0L
-              var j = 0
-              while (j < p.rgb.length) {
-                val v = p.rgb(j)
-                sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
-                j += 1
-              }
-              val n = p.rgb.length.toDouble
+              val (mr, mg, mb) = GifDecoder.pixelMeans(p)
               (r.media_id, idx, p.width, p.height,
-               (sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat)
+               mr.toFloat, mg.toFloat, mb.toFloat)
             }
           }
         }

@@ -400,6 +400,10 @@ object BpeOps {
                                              d: String): String = {
     val dir = VectorOps.ensureIndex(d, "tokreg", s"v1|m=$N_MERGES|cut90",
         "documents.parquet") { base =>
+      // born protected: the marker lands before any data publishes, so
+      // there is no window in which a crash (or a concurrent vacuum)
+      // meets an unmarked registry
+      IndexStore.markRetainAll(base.getPath)
       val docs = Tables.rebalance(Tables.documents(s, d))
       val cut = DedupLedger.cutoffOf(docs)
       IndexStore.commitRebuild(base.getPath) {
@@ -411,11 +415,10 @@ object BpeOps {
       }
       ()
     }
-    // stamped OUTSIDE the build-once closure: a registry cached before
-    // the retain-all policy existed gets the marker on its next touch
-    // (the closure never re-runs for a fresh cache, so stamping inside
-    // it would leave old registries vacuumable — the exact silent
-    // garbage-collection the marker structurally prevents)
+    // ALSO stamped outside the closure: a registry cached before the
+    // retain-all policy existed never re-runs the build, so the
+    // every-touch stamp is what retrofits old caches (the in-closure
+    // stamp covers birth, this covers history)
     IndexStore.markRetainAll(dir)
     dir
   }

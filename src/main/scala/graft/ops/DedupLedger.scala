@@ -288,8 +288,7 @@ object DedupLedger {
     val small = maxBroadcast > 0 &&
       batch.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBroadcast
     def gate(df: DataFrame): DataFrame = if (small) broadcast(df) else df
-    val marks = IndexStore.marksFrame(spark, dir, snap,
-      "cell INT, fp BIGINT, owner BIGINT")
+    val marks = IndexStore.marksFrame(spark, dir, snap, IndexStore.MARKS_DDL)
     val bm = batch.select(col("media_id").as("bid"), col("fp").as("bfp"))
     val ex = marks.select(col("fp").as("bfp"), col("owner"))
       .join(gate(bm), Seq("bfp"))
@@ -712,7 +711,7 @@ object DedupLedger {
       val v0 = IndexStore.snapshot(dir)
       ingestMediaGenerations(s, d, dir)
       IndexStore.diffMarks(s, dir, v0, IndexStore.snapshot(dir),
-          "cell INT, fp BIGINT, owner BIGINT")
+          IndexStore.MARKS_DDL)
         .select(col("owner").as("media_id"), col("fp"))
         .orderBy(col("media_id"))
     }),

@@ -718,17 +718,21 @@ object DedupOps {
     * frame detection is EXACT (pigeonhole), so the vote equals the
     * exhaustive per-pair count as long as no bucket is dropped; with
     * `pairBudgetPerDoc`, saturated positions stop emitting candidates
-    * instead of exploding — and UNLIKE the pair-output families
-    * (hammingPairs, where a million-copy group's quadratic member-pair
-    * set IS the caller's contract), the budget here also caps the
-    * identical-fingerprint WITHIN expansion: these rows are
-    * intermediate agreement EVIDENCE, not output, and a frame every
-    * video shares (the black intro frame — the temporalStudy
-    * pathology) would otherwise materialize C(corpus, 2) evidence rows
-    * at that one position before the vote throws them away. A dropped
-    * shared position costs each true pair at most ONE vote (the other
-    * positions' groups are copy-sized), the same recall trade the
-    * text family's DF cap makes for stop-gram positions.
+    * instead of exploding: these positional rows are intermediate
+    * agreement EVIDENCE, not output, and a frame every video shares
+    * (the black intro frame — the temporalStudy pathology) would
+    * otherwise materialize C(corpus, 2) evidence rows at one position
+    * before the vote throws them away. A dropped shared position costs
+    * a true pair at most ONE vote — the DF-cap trade on
+    * stop-positions — and EXACT re-uploads are immune to every cap:
+    * the dedup-first discipline is applied at the SEQUENCE level
+    * first (round-14 review find), so videos whose entire fingerprint
+    * sequences are identical collapse to one representative before
+    * any positional work, vote through their copy-count-independent
+    * rep, and expand back at the end (their member-pair output is the
+    * caller's contract, exactly as in [[hammingPairs]] — a 500-wide
+    * re-upload cluster emits its C(500, 2) pairs with full votes no
+    * matter how tight the budget).
     *
     * Output: (m1, m2, n_agree, ham_sum) — agreeing-position count and
     * the summed distance over those positions (0 for exact re-uploads). */
@@ -740,9 +744,22 @@ object DedupOps {
       s"bands=$bands cannot guarantee recall at maxHamming=$maxHamming")
     require(bands.toLong * bandBits <= 64,
       s"bands=$bands x bandBits=$bandBits exceeds the 64-bit fingerprint")
-    val groups = frames
-      .groupBy(col(frameCol).as("f"), col(hashCol).as("h"))
-      .agg(min(col(idCol)).as("rep"), collect_list(col(idCol)).as("ids"))
+    // SEQUENCE-level dedup-first: one representative per distinct
+    // full fingerprint sequence enters the positional machinery
+    val seqGroups = frames
+      .groupBy(col(idCol).as("vid"))
+      .agg(sort_array(collect_list(struct(col(frameCol).as("f"),
+        col(hashCol).as("h")))).as("seq"))
+      .groupBy(col("seq"))
+      .agg(min(col("vid")).as("srep"), collect_list(col("vid")).as("vids"))
+      .localCheckpoint()
+    val repFrames = seqGroups.select(col("srep"), explode(col("seq")).as("fh"))
+      .select(col("srep").as("vid"), col("fh.f").as("f"), col("fh.h").as("h"))
+    // per-position groups over sequence REPS (the q154 discipline per
+    // position, now guaranteed free of exact-re-upload mass)
+    val groups = repFrames
+      .groupBy(col("f"), col("h"))
+      .agg(min(col("vid")).as("rep"), collect_list(col("vid")).as("ids"))
       .localCheckpoint()
     // the saturation model is per KEYSPACE, and each frame position is
     // its own (position, band, key) keyspace — feeding the global
@@ -759,13 +776,15 @@ object DedupOps {
       .select(col("f"), col("h"), col("rep"),
               col("bk.b").as("b"), col("bk.k").as("k"))
     // ONE cap over the combined size histogram: band buckets (distinct
-    // fingerprints per (position, band, key)) AND identical-fingerprint
-    // group sizes — both feed quadratic evidence volume, so both walk
-    // the same budget. gExp = the groups still eligible to expand.
+    // fingerprints per (position, band, key)) AND same-position
+    // identical-fingerprint group sizes — both feed quadratic evidence
+    // volume, so both walk the same budget. gExp = the groups still
+    // eligible to expand into positional evidence.
     val (banded, gExp) = pairBudgetPerDoc match {
       case None => (bandsDf, groups)
       case Some(perDoc) =>
-        val items = groups.agg(sum(size(col("ids")))).head.getLong(0)
+        val itemsRow = seqGroups.agg(sum(size(col("vids")))).head
+        val items = if (itemsRow.isNullAt(0)) 0L else itemsRow.getLong(0)
         val bucketSizes = bandsDf.groupBy(col("f"), col("b"), col("k"))
           .agg(count(lit(1)).as("sz")).localCheckpoint()
         val hist = bucketSizes.select(col("sz"))
@@ -785,10 +804,9 @@ object DedupOps {
       .distinct()
       .withColumn("hamming", expr("bit_count(h1 ^ h2)").cast("long"))
       .filter(col("hamming") <= maxHamming)
-    // expansion keyed by (frame, fingerprint): a video has ONE hash per
-    // position, so each pair contributes at most one row per position
-    // (cross if the hashes differ, within if identical) — the agreement
-    // count needs no dedup
+    // positional expansion over sequence reps: a rep has ONE hash per
+    // position, so each rep pair contributes at most one row per
+    // position (cross if the hashes differ, within if identical)
     val cross = repPairs
       .join(gExp.select(col("f"), col("h").as("h1"), col("ids").as("ids1")),
         Seq("f", "h1"))
@@ -801,11 +819,35 @@ object DedupOps {
       .select(col("f"), col("i1"), explode(col("ids")).as("i2"))
       .filter(col("i1") < col("i2"))
       .withColumn("hamming", lit(0L))
-    cross.unionByName(within)
+    val repVotes = cross.unionByName(within)
       .select(col("f"), least(col("i1"), col("i2")).as("m1"),
               greatest(col("i1"), col("i2")).as("m2"), col("hamming"))
       .groupBy(col("m1"), col("m2"))
       .agg(count(lit(1)).as("n_agree"), sum(col("hamming")).as("ham_sum"))
       .filter(col("n_agree") >= minAgree)
+    // sequence-group expansion: a rep-pair verdict applies to every
+    // member pair of the two groups (output-sized by contract), and
+    // same-sequence member pairs agree everywhere at distance 0 —
+    // budget-immune, like every dedup-first within-expansion
+    val cross2 = repVotes
+      .join(seqGroups.select(col("srep").as("m1"), col("vids").as("vids1")), "m1")
+      .join(seqGroups.select(col("srep").as("m2"), col("vids").as("vids2")), "m2")
+      .select(explode(col("vids1")).as("i1"), col("vids2"),
+              col("n_agree"), col("ham_sum"))
+      .select(col("i1"), explode(col("vids2")).as("i2"),
+              col("n_agree"), col("ham_sum"))
+    val within2 = seqGroups.filter(size(col("vids")) > 1)
+      .withColumn("n_agree", size(col("seq")).cast("long"))
+      .filter(col("n_agree") >= minAgree)
+      .withColumn("ham_sum", lit(0L))
+      .select(explode(col("vids")).as("i1"), col("vids"),
+              col("n_agree"), col("ham_sum"))
+      .select(col("i1"), explode(col("vids")).as("i2"),
+              col("n_agree"), col("ham_sum"))
+      .filter(col("i1") < col("i2"))
+    cross2.unionByName(within2)
+      .select(least(col("i1"), col("i2")).as("m1"),
+              greatest(col("i1"), col("i2")).as("m2"),
+              col("n_agree"), col("ham_sum"))
   }
 }

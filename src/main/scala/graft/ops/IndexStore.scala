@@ -293,6 +293,11 @@ object IndexStore {
     (read("codes", snap.codes), read("vectors", snap.vectors))
   }
 
+  /** The marks table's schema — the fingerprint-ledger row shape every
+    * marks consumer shares (DedupLedger's media/embedding arms,
+    * [[compact]]'s rewrite). */
+  val MARKS_DDL = "cell INT, fp BIGINT, owner BIGINT"
+
   /** The snapshot's marks table (media fingerprints — the mixed-
     * modality ledger's third arm) as a DataFrame; `ddl` supplies the
     * schema when the snapshot carries no marks files (a text-only
@@ -359,9 +364,10 @@ object IndexStore {
         .partitionBy("cell").parquet(s"${staging.getPath}/$sub")
     rewrite(codes, "codes")
     rewrite(vectors, "vectors")
-    if (snap.marks.nonEmpty)
-      rewrite(marksFrame(spark, dir, snap,
-        "cell INT, fp BIGINT, owner BIGINT"), "marks")
+    // unconditional: an empty marks snapshot rewrites to an empty
+    // staging dir (no part files — adopt moves nothing), so the ddl
+    // path is live, not guarded-dead (round-14 review find)
+    rewrite(marksFrame(spark, dir, snap, MARKS_DDL), "marks")
     def adopt(sub: String): Unit = {
       val root = new java.io.File(staging, sub)
       for (cellDir <- Option(root.listFiles()).toSeq.flatten
@@ -376,8 +382,7 @@ object IndexStore {
       }
     }
     try commitReplace(dir, snap) {
-      adopt("codes"); adopt("vectors")
-      if (snap.marks.nonEmpty) adopt("marks")
+      adopt("codes"); adopt("vectors"); adopt("marks")
     }
     finally {
       def rm(f: java.io.File): Unit = {

@@ -191,6 +191,38 @@ class WideHammingSpec extends SparkSpec {
       "uncapped vote should count the shared intro position too")
   }
 
+  test("temporal: a mass re-upload cluster is budget-IMMUNE (sequence dedup-first) " +
+       "and still pairs with its near-copies through the representative") {
+    // the round-14 second-review scenario: one video re-uploaded 300
+    // times (identical sequences) + 5 copies of a one-bit-off variant.
+    // Under the positional evidence cap alone the 300-wide identical
+    // groups would exceed the cap at EVERY position and the corpus's
+    // most duplicated content would emit zero pairs; sequence-level
+    // dedup-first collapses the cluster to ONE rep before positional
+    // work, so its C(300,2) member pairs (the output contract) and the
+    // 300x5 cross pairs to the variant all survive any budget.
+    val mask42 = (1L << 42) - 1
+    val a = Array(mix(11) & mask42, mix(12) & mask42,
+                  mix(13) & mask42, mix(14) & mask42)
+    val b = Array(a(0), a(1) ^ 8L, a(2), a(3)) // one frame, one bit off
+    val rows: Seq[(Long, Long, Long)] =
+      (0L until 300L).flatMap(v => a.zipWithIndex.map {
+        case (h, f) => (v, f.toLong, h) }) ++
+      (1000L until 1005L).flatMap(v => b.zipWithIndex.map {
+        case (h, f) => (v, f.toLong, h) })
+    val got = DedupOps.temporalNearDupPairs(rows.toDF("media_id", "f", "h"),
+        "media_id", "f", "h", bands = 3, bandBits = 14, maxHamming = 2,
+        minAgree = 3, pairBudgetPerDoc = Some(1))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+                           r.getLong(2), r.getLong(3))).toSet
+    assert(got.size == 300 * 299 / 2 + 5 * 4 / 2 + 300 * 5,
+      s"expected full cluster + cross pairs, got ${got.size}")
+    assert(got.contains((0L, 299L, 4L, 0L)), "within-cluster pair with full votes")
+    assert(got.contains((1000L, 1004L, 4L, 0L)))
+    assert(got.contains((0L, 1000L, 4L, 1L)),
+      "cross pair to the variant must carry the near-frame's distance")
+  }
+
   test("temporalNearDupPairs: agreement vote matches the exhaustive per-frame count") {
     // videos of 3 frame hashes; hand-planted relations
     val f = Array(mix(1) & 0x3ffffffffffL, mix(2) & 0x3ffffffffffL,

@@ -246,5 +246,68 @@ object MediaDedupStudy {
       println(f"$n%-9d ${if (shared) "intro" else "plain"}%-10s $t%-8.2f " +
         f"$nPairs%-10d ${n - n * 99 / 100}%-10d")
     }
+
+    // WIDE follow-up (round 15, closing VERDICT r14 #1a): the same
+    // corpus shapes on 120-bit two-word frame fingerprints (60
+    // vote-bits per word — the sparse layout hammingPairsWide's
+    // contract admits), 3×40-bit bands. The PLAIN variant runs
+    // UNCAPPED — the claim under test is that the wide geometry itself
+    // holds per-position candidates linear at 10⁶ videos, with no
+    // budget cap carrying the load; the intro pathology keeps the cap
+    // (a frame every video shares is quadratic EVIDENCE mass at any
+    // fingerprint width — bounding it is the cap's actual job).
+    val mask60 = (1L << 60) - 1
+    def framesWide(n: Long, sharedIntro: Boolean) = {
+      val cut = n * 99 / 100
+      def word(salt: String, introConst: Long) = {
+        val h = s"cast(conv(substring(md5(concat(base, '|', f, '|$salt')), " +
+          s"1, 15), 16, 10) as bigint) & $mask60"
+        if (sharedIntro) expr(s"CASE WHEN f = 0 THEN ${introConst}L ELSE $h END")
+        else expr(h)
+      }
+      spark.range(0, n, 1, 32)
+        .select(col("id").as("media_id"),
+          explode(expr("sequence(0, 3)")).as("f"))
+        .withColumn("base",
+          expr(s"CASE WHEN media_id >= $cut THEN media_id - $cut ELSE media_id END"))
+        .withColumn("w0", word("a", 0x2a2a2a2aL))
+        .withColumn("w1", word("b", 0x15151515L))
+        .withColumn("fhash",
+          expr(s"CASE WHEN media_id >= $cut AND f = media_id % 4 " +
+            "THEN array(w0 ^ 3L, w1) ELSE array(w0, w1) END"))
+        .select(col("media_id"), col("f"), col("fhash"))
+    }
+    // per-position candidate volume from the (f, band, key) bucket
+    // histogram over DISTINCT per-position fingerprints — what the
+    // banded self-join emits pre-popcount
+    def wideCandidates(fr: org.apache.spark.sql.DataFrame): Long = {
+      val keyed = fr.select(col("f"), col("fhash")).distinct()
+        .select(col("f"), explode(expr(s"array(${(0 until 3).map(b =>
+          s"named_struct('b', $b, 'k', ${graft.ops.DedupOps.wideBandKeySql(b, 40, "fhash")})")
+          .mkString(", ")})")).as("bk"))
+        .select(col("f"), col("bk.b").as("b"), col("bk.k").as("k"))
+      val r = keyed.groupBy(col("f"), col("b"), col("k"))
+        .agg(count(lit(1)).as("sz"))
+        .agg(sum(expr("sz * (sz - 1) DIV 2"))).head
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    println("%-9s %-10s %-8s %-12s %-10s %-10s"
+      .format("N_wide", "variant", "join_s", "candidates", "pairs", "planted"))
+    for (n <- Seq(200000L, 1000000L)) {
+      val fr = framesWide(n, sharedIntro = false).localCheckpoint()
+      val cands = wideCandidates(fr)
+      val (nPairs, t) = timed(
+        graft.ops.DedupOps.temporalNearDupPairsWide(fr, "media_id", "f",
+          "fhash", fpBits = 128, bands = 3, bandBits = 40, maxHamming = 2,
+          minAgree = 3).count()) // UNCAPPED — the geometry carries it
+      println(f"$n%-9d ${"plain"}%-10s $t%-8.2f $cands%-12d $nPairs%-10d " +
+        f"${n - n * 99 / 100}%-10d")
+    }
+    val frI = framesWide(1000000L, sharedIntro = true).localCheckpoint()
+    val (nPairsI, tI) = timed(
+      graft.ops.DedupOps.temporalNearDupPairsWide(frI, "media_id", "f",
+        "fhash", fpBits = 128, bands = 3, bandBits = 40, maxHamming = 2,
+        minAgree = 3, pairBudgetPerDoc = Some(100)).count())
+    println(f"1000000   intro+cap  $tI%-8.2f ${"-"}%-12s $nPairsI%-10d 10000")
   }
 }

@@ -225,6 +225,51 @@ object JobRecordGate {
       e => concat(e.getField("key"), lit("="), e.getField("value"))), "|")
   }
 
+  /** The temporal-gate GIF fixture encoder shared by q157 (8×6 grid)
+    * and q167 (16×8): F frames of md5-derived per-(base, frame, pixel,
+    * channel) colors written through the JDK GIF writer with an
+    * EXPLICIT exact indexed palette (≤ W·H distinct colors per frame,
+    * so the round-trip is lossless by construction — setRGB resolves
+    * each pixel to its own entry, no quantization anywhere); ids ≥ 100
+    * re-encode base id−100 with a +40 bump at pixel (3, 2) of frame
+    * id % F. */
+  private def encodeTemporalGif(id: Long, W: Int, H: Int,
+                                F: Int): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageIO}
+    val base = id % 100
+    val editF = (id % F).toInt
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val writer = ImageIO.getImageWritersBySuffix("gif").next()
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until F).foreach { f =>
+      def ch(x: Int, y: Int, c: Int): Int = {
+        val b = md.digest(s"$base|$f|$x|$y|$c".getBytes("UTF-8"))(0) & 0xff
+        val bump = if (id >= 100 && f == editF && x == 3 && y == 2) 40 else 0
+        (b + bump) % 256
+      }
+      val colors = Array.tabulate(W * H) { p =>
+        val x = p % W; val y = p / W
+        (ch(x, y, 0) << 16) | (ch(x, y, 1) << 8) | ch(x, y, 2)
+      }
+      val pal = colors.distinct
+      val cm = new java.awt.image.IndexColorModel(8, pal.length,
+        pal.map(v => ((v >> 16) & 0xff).toByte),
+        pal.map(v => ((v >> 8) & 0xff).toByte),
+        pal.map(v => (v & 0xff).toByte))
+      val img = new java.awt.image.BufferedImage(W, H,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      var p = 0
+      while (p < W * H) { img.setRGB(p % W, p / W, colors(p)); p += 1 }
+      writer.writeToSequence(new IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose(); ios.close()
+    out.toByteArray
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q101_job_record" -> ((s, d) => {
@@ -844,43 +889,7 @@ object JobRecordGate {
     "q157_video_temporal_dedup" -> ((s, d) => {
       import s.implicits._
       val W = 8; val H = 6; val F = 4
-      val encode = udf((id: Long) => {
-        import javax.imageio.{IIOImage, ImageIO}
-        val base = id % 100
-        val editF = (id % F).toInt
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val writer = ImageIO.getImageWritersBySuffix("gif").next()
-        val out = new java.io.ByteArrayOutputStream()
-        val ios = ImageIO.createImageOutputStream(out)
-        writer.setOutput(ios)
-        writer.prepareWriteSequence(null)
-        (0 until F).foreach { f =>
-          def ch(x: Int, y: Int, c: Int): Int = {
-            val b = md.digest(s"$base|$f|$x|$y|$c".getBytes("UTF-8"))(0) & 0xff
-            val bump = if (id >= 100 && f == editF && x == 3 && y == 2) 40 else 0
-            (b + bump) % 256
-          }
-          val colors = Array.tabulate(W * H) { p =>
-            val x = p % W; val y = p / W
-            (ch(x, y, 0) << 16) | (ch(x, y, 1) << 8) | ch(x, y, 2)
-          }
-          // explicit exact palette: setRGB resolves each pixel to its
-          // own entry — no quantization anywhere in the fixture
-          val pal = colors.distinct
-          val cm = new java.awt.image.IndexColorModel(8, pal.length,
-            pal.map(v => ((v >> 16) & 0xff).toByte),
-            pal.map(v => ((v >> 8) & 0xff).toByte),
-            pal.map(v => (v & 0xff).toByte))
-          val img = new java.awt.image.BufferedImage(W, H,
-            java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
-          var p = 0
-          while (p < W * H) { img.setRGB(p % W, p / W, colors(p)); p += 1 }
-          writer.writeToSequence(new IIOImage(img, null, null), null)
-        }
-        writer.endWriteSequence()
-        writer.dispose(); ios.close()
-        out.toByteArray
-      })
+      val encode = udf((id: Long) => encodeTemporalGif(id, W, H, F))
       val media = Tables.rebalance(
           Tables.documents(s, d).filter(col("doc_id") < 200)
             .select(col("doc_id").as("media_id")))
@@ -894,6 +903,42 @@ object JobRecordGate {
       graft.ops.DedupOps.temporalNearDupPairs(frames,
           "media_id", "frame_idx", "fhash",
           bands = 3, bandBits = 14, maxHamming = 2, minAgree = 3)
+        .orderBy(col("m1"), col("m2"))
+    }),
+
+    // ---- q167: WIDE video temporal near-dup — q157's vote at the
+    // 16x8 frame grid (120 bits/frame, 3x40-bit straddling bands =
+    // 10^12 buckets PER POSITION), the geometry a 10^6+-video corpus
+    // runs: VERDICT r14 #1a measured every position of the narrow
+    // 3x14 form saturating simultaneously at that scale, leaving the
+    // budget cap to shed votes — the wide fingerprint keeps per-
+    // position candidates linear so the cap's only job is genuinely
+    // shared frames (the intro pathology). Fixture: the q157 GIF
+    // construction at 16x8 (explicit indexed palette, 128 distinct
+    // colors max — lossless round-trip); ids 100-199 re-encode base
+    // id-100 with the +40 bump at pixel (3, 2) of frame id % 4, so
+    // 3 frames are bit-identical and the edited frame flips <= 2 of
+    // its 120 comparisons. Oracle: EXHAUSTIVE per-frame hamming from
+    // the pixel formula for all 19,900 pairs — frameDHashWide's word
+    // packing, the straddling band slices, the sequence-level dedup,
+    // and the vote are all judged purely by the output set.
+    "q167_video_temporal_wide" -> ((s, d) => {
+      import s.implicits._
+      val W = 16; val H = 8; val F = 4
+      val encode = udf((id: Long) => encodeTemporalGif(id, W, H, F))
+      val media = Tables.rebalance(
+          Tables.documents(s, d).filter(col("doc_id") < 200)
+            .select(col("doc_id").as("media_id")))
+        .withColumn("payload", encode(col("media_id")))
+        .select(col("media_id"),
+          struct(lit("video").as("kind"), lit(W).as("declaredWidth"),
+                 lit(H).as("declaredHeight"), lit(0).as("sampleRate")).as("meta"),
+          col("payload"))
+        .as[graft.multimodal.MediaOps.MediaRecord]
+      val frames = graft.multimodal.MediaOps.frameDHashWide(media, F, W, H)
+      graft.ops.DedupOps.temporalNearDupPairsWide(frames,
+          "media_id", "frame_idx", "fhash", fpBits = H * (W - 1),
+          bands = 3, bandBits = 40, maxHamming = 2, minAgree = 3)
         .orderBy(col("m1"), col("m2"))
     }),
 
@@ -1893,6 +1938,42 @@ object JobRecordGate {
         |  FROM m, (SELECT unnest(range(0, 4)) AS f),
         |          (SELECT unnest(range(0, 7)) AS x),
         |          (SELECT unnest(range(0, 6)) AS y)),
+        |fr AS (
+        |  SELECT a.media_id AS m1, b.media_id AS m2, a.f,
+        |    count(*) FILTER (WHERE a.bit <> b.bit) AS ham
+        |  FROM cmp a JOIN cmp b
+        |    ON a.f = b.f AND a.x = b.x AND a.y = b.y
+        |   AND a.media_id < b.media_id
+        |  GROUP BY a.media_id, b.media_id, a.f)
+        |SELECT m1, m2,
+        |  count(*) FILTER (WHERE ham <= 2)::BIGINT AS n_agree,
+        |  coalesce(sum(ham) FILTER (WHERE ham <= 2), 0)::BIGINT AS ham_sum
+        |FROM fr GROUP BY m1, m2
+        |HAVING count(*) FILTER (WHERE ham <= 2) >= 3
+        |ORDER BY m1, m2""".stripMargin
+    },
+
+    // the q157 exhaustive discipline at the 16x8 grid: per-frame
+    // hamming counted comparison-by-comparison from the pixel formula
+    // — frameDHashWide's word packing, the straddling 3x40 band
+    // slices, and the wide vote are judged purely by the output set
+    "q167_video_temporal_wide" -> {
+      def gray(xe: String, ye: String) = {
+        def ch(c: Int) =
+          s"((('0x' || substr(md5((media_id % 100)::VARCHAR || '|' || " +
+            s"f::VARCHAR || '|' || ($xe)::VARCHAR || '|' || " +
+            s"($ye)::VARCHAR || '|$c'), 1, 2))::BIGINT + " +
+            s"CASE WHEN media_id >= 100 AND f = media_id % 4 " +
+            s"AND ($xe) = 3 AND ($ye) = 2 THEN 40 ELSE 0 END) % 256)"
+        s"(${ch(0)} + ${ch(1)} + ${ch(2)})"
+      }
+      s"""WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 200),
+        |cmp AS MATERIALIZED (
+        |  SELECT media_id, f, x, y,
+        |    ${gray("x + 1", "y")} > ${gray("x", "y")} AS bit
+        |  FROM m, (SELECT unnest(range(0, 4)) AS f),
+        |          (SELECT unnest(range(0, 15)) AS x),
+        |          (SELECT unnest(range(0, 8)) AS y)),
         |fr AS (
         |  SELECT a.media_id AS m1, b.media_id AS m2, a.f,
         |    count(*) FILTER (WHERE a.bit <> b.bit) AS ham

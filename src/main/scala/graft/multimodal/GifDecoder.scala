@@ -12,6 +12,8 @@ import scala.util.control.NonFatal
   */
 object GifDecoder {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   final case class GifAnim(width: Int, height: Int, frames: Int,
                            meanR: Double, meanG: Double, meanB: Double)
 
@@ -132,7 +134,17 @@ object GifDecoder {
         // canvas would be a multi-GB allocation — an OutOfMemoryError
         // there is not NonFatal and would kill the task instead of
         // degrading to None like every other malformed-GIF mode here
-        if (cw <= 0 || ch <= 0 || cw.toLong * ch > (1L << 24)) return None
+        if (cw <= 0 || ch <= 0 || cw.toLong * ch > (1L << 24)) {
+          // distinguishable coverage loss, not a malformed payload: a
+          // legitimate very large GIF is SKIPPED here (its ARGB canvas
+          // would be a multi-GB allocation whose OutOfMemoryError is
+          // not NonFatal) — log it by name so fingerprinting coverage
+          // loss on large media is observable, unlike the silent None
+          // every corrupt-payload mode returns
+          log.warn(s"GIF logical screen ${cw}x$ch exceeds the 2^24-px " +
+            "decode guard — payload skipped (oversized, not malformed)")
+          return None
+        }
         val canvas = new java.awt.image.BufferedImage(
           cw, ch, java.awt.image.BufferedImage.TYPE_INT_ARGB)
         val g = canvas.createGraphics()

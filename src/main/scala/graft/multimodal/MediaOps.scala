@@ -135,7 +135,23 @@ object MediaOps {
   def frameDHash(media: Dataset[MediaRecord], maxFrames: Int, gw: Int = 8,
                  gh: Int = 6): org.apache.spark.sql.DataFrame = {
     require(gh.toLong * (gw - 1) <= 63,
-      s"grid ${gw}x$gh needs ${gh * (gw - 1)} bits > 63 — use a wide variant")
+      s"grid ${gw}x$gh needs ${gh * (gw - 1)} bits > 63 — use frameDHashWide")
+    // one decode/hash path for both widths: the narrow form IS the wide
+    // form's single word (the grid fits 63 bits, so word 1 is all of it)
+    frameDHashWide(media, maxFrames, gw, gh)
+      .withColumn("fhash", expr("element_at(fhash, 1)"))
+  }
+
+  /** [[frameDHash]] past 63 bits per frame: per-sampled-frame
+    * difference hashes packed as little-endian `array<bigint>` words
+    * (the [[dHashWide]] layout per frame — what
+    * [[graft.ops.DedupOps.temporalNearDupPairsWide]] bands over). The
+    * grid is the per-position scale knob exactly as it is for stills:
+    * a 16×8 grid (120 bits, 3×40-bit bands) holds every frame
+    * position's candidate volume linear far past the narrow geometry's
+    * N ~ 10⁵-distinct-sequences saturation point. */
+  def frameDHashWide(media: Dataset[MediaRecord], maxFrames: Int, gw: Int,
+                     gh: Int): org.apache.spark.sql.DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.flatMap { m =>
@@ -153,7 +169,7 @@ object MediaOps {
             byIdx.get(idx).map { p0 =>
               val p = if (p0.width == gw && p0.height == gh) p0
                       else resizeNearestPixels(p0, gw, gh)
-              (m.media_id, i.toLong, idx.toLong, dHashWords(p)(0))
+              (m.media_id, i.toLong, idx.toLong, dHashWords(p))
             }
           }
         }

@@ -276,9 +276,9 @@ object DedupOps {
                                     budgetPerItem: Long = 10L): Boolean =
     expectedBandCandidates(n, bands, bandBits) <= budgetPerItem.toDouble * n
 
-  private def warnIfSaturated(nFp: Long, bands: Int, bandBits: Int,
-                              capped: Boolean): Unit =
-    if (!capped && !saturationSafe(nFp, bands, bandBits))
+  private[graft] def warnIfSaturated(nFp: Long, bands: Int,
+                                     bandBits: Int): Unit =
+    if (!saturationSafe(nFp, bands, bandBits))
       log.warn(s"hammingPairs: $nFp distinct fingerprints saturate " +
         s"$bands x $bandBits-bit band buckets (expected candidates ~ " +
         s"${expectedBandCandidates(nFp, bands, bandBits).toLong}, " +
@@ -580,17 +580,19 @@ object DedupOps {
       .localCheckpoint() // banding + both expansion sides read it
     // the checkpoint has already materialized the groups, so the count
     // (the saturation sentinel — SCALING.md r13 addendum 3's rule, now
-    // enforced in code instead of prose) is a cheap cached-RDD pass
-    warnIfSaturated(groups.count(), bands, bandBits, pairBudgetPerDoc.isDefined)
-    val bandsDf = groups.select(col("h"), col("rep"), expr(
-        s"explode(transform(sequence(0, ${bands - 1}), " +
-          s"b -> struct(b AS b, shiftright(h, b * $bandBits) & " +
-          s"${(1L << bandBits) - 1} AS k)))").as("bk"))
+    // enforced in code instead of prose) is a cheap cached-RDD pass;
+    // skipped entirely when the budget cap is active (the cap bounds
+    // candidates, so the warning — and its count job — buy nothing)
+    if (pairBudgetPerDoc.isEmpty) warnIfSaturated(groups.count(), bands, bandBits)
+    val bandsDf = groups.select(col("h"), col("rep"),
+        expr(narrowBandExplode(bands, bandBits, "h")).as("bk"))
       .select(col("h"), col("rep"), col("bk.b").as("b"), col("bk.k").as("k"))
     val banded = pairBudgetPerDoc match {
       case None => bandsDf
       case Some(perDoc) =>
-        val items = groups.agg(sum(size(col("ids")))).head.getLong(0)
+        // sum over zero rows is NULL — guard the empty-input frame
+        val itemsRow = groups.agg(sum(size(col("ids")))).head
+        val items = if (itemsRow.isNullAt(0)) 0L else itemsRow.getLong(0)
         dropHotBuckets(bandsDf, Seq("b", "k"), BAND_CAP, perDoc.toLong * items)
     }
     // candidate join over DISTINCT fingerprints only
@@ -658,7 +660,19 @@ object DedupOps {
     * as the production rule; a 16×8 dHash grid (120 bits, 3×40-bit
     * bands = 10¹² buckets) holds the linear-candidates regime past any
     * realistic image corpus. Hamming distance is the word-wise popcount
-    * sum (one zip_with, codegen-friendly). */
+    * sum (one zip_with, codegen-friendly).
+    *
+    * Layout contract: `fpBits` is the PHYSICAL bit capacity banded over
+    * (≤ 64 × words), and bands slice physical word-bit positions.
+    * SPARSE layouts — packers that leave dead bits per word, like
+    * [[TextOps.simhashWideSignaturesOf]]'s 60-bits-per-word packing —
+    * are sound as long as every signature shares the SAME layout: dead
+    * bits are constant across signatures, so they contribute 0 to every
+    * popcount and a constant slice to every band key; the pigeonhole
+    * guarantee then holds over the physical positions (≤ maxHamming
+    * differing physical bits still leave one clean band). What is NOT
+    * sound is mixing two packings of the same logical fingerprint in
+    * one frame — the caller owns layout consistency. */
   def hammingPairsWide(hashed: DataFrame, idCol: String, hashCol: String,
                        fpBits: Int, bands: Int, bandBits: Int,
                        maxHamming: Int,
@@ -673,25 +687,23 @@ object DedupOps {
       .groupBy(col(hashCol).as("h"))
       .agg(min(col(idCol)).as("rep"), collect_list(col(idCol)).as("ids"))
       .localCheckpoint()
-    warnIfSaturated(groups.count(), bands, bandBits, pairBudgetPerDoc.isDefined)
-    val bandStructs = (0 until bands)
-      .map(b => s"named_struct('b', $b, 'k', ${wideBandKeySql(b, bandBits, "h")})")
+    if (pairBudgetPerDoc.isEmpty) warnIfSaturated(groups.count(), bands, bandBits)
     val bandsDf = groups.select(col("h"), col("rep"),
-        explode(expr(s"array(${bandStructs.mkString(", ")})")).as("bk"))
+        expr(wideBandExplode(bands, bandBits, "h")).as("bk"))
       .select(col("h"), col("rep"), col("bk.b").as("b"), col("bk.k").as("k"))
     val banded = pairBudgetPerDoc match {
       case None => bandsDf
       case Some(perDoc) =>
-        val items = groups.agg(sum(size(col("ids")))).head.getLong(0)
+        // sum over zero rows is NULL — guard the empty-input frame
+        val itemsRow = groups.agg(sum(size(col("ids")))).head
+        val items = if (itemsRow.isNullAt(0)) 0L else itemsRow.getLong(0)
         dropHotBuckets(bandsDf, Seq("b", "k"), BAND_CAP, perDoc.toLong * items)
     }
     val repPairs = banded.as("a").join(banded.as("c"),
         col("a.b") === col("c.b") && col("a.k") === col("c.k") &&
           col("a.rep") < col("c.rep"))
       .select(col("a.h").as("h1"), col("c.h").as("h2")).distinct()
-      .withColumn("hamming", expr(
-        "aggregate(zip_with(h1, h2, (x, y) -> bit_count(x ^ y)), " +
-          "0, (a, v) -> a + v)").cast("long"))
+      .withColumn("hamming", expr(wideHammingSql("h1", "h2")).cast("long"))
       .filter(col("hamming") <= maxHamming)
     expandGroupPairs(repPairs, groups)
   }
@@ -743,7 +755,80 @@ object DedupOps {
     require(bands >= maxHamming + 1,
       s"bands=$bands cannot guarantee recall at maxHamming=$maxHamming")
     require(bands.toLong * bandBits <= 64,
-      s"bands=$bands x bandBits=$bandBits exceeds the 64-bit fingerprint")
+      s"bands=$bands x bandBits=$bandBits exceeds the 64-bit fingerprint — " +
+        "use temporalNearDupPairsWide")
+    temporalCore(frames, idCol, frameCol, hashCol, bands, bandBits,
+      maxHamming, minAgree, pairBudgetPerDoc,
+      narrowBandExplode(bands, bandBits, _), narrowHammingSql)
+  }
+
+  /** [[temporalNearDupPairs]] past the 64-bit per-frame fingerprint —
+    * the wide-geometry scale path for video corpora past ~10⁵ distinct
+    * sequences PER POSITION (VERDICT r14 #1a: at 10⁶⁺ every frame
+    * position saturates the 3×14 narrow geometry simultaneously and
+    * the budget cap starts shedding votes; a 16×8 frame grid at
+    * 3×40-bit bands = 10¹² buckets per position holds the
+    * linear-candidates regime instead — the cap then only has to
+    * handle shared-frame mass, its real job). Per-frame fingerprints
+    * are `array<bigint>` little-endian words (the
+    * [[graft.multimodal.MediaOps.frameDHashWide]] layout); same
+    * sequence-level dedup-first, per-position pigeonhole, agreement
+    * vote, and budget discipline as the narrow form — identical
+    * output contract, and [[hammingPairsWide]]'s sparse-layout
+    * contract applies verbatim (fpBits = physical capacity). */
+  def temporalNearDupPairsWide(frames: DataFrame, idCol: String,
+                               frameCol: String, hashCol: String, fpBits: Int,
+                               bands: Int, bandBits: Int, maxHamming: Int,
+                               minAgree: Int,
+                               pairBudgetPerDoc: Option[Int] = None): DataFrame = {
+    require(bands >= maxHamming + 1,
+      s"bands=$bands cannot guarantee recall at maxHamming=$maxHamming")
+    require(bandBits >= 1 && bandBits <= 63,
+      s"bandBits=$bandBits must fit a band key in one signed long")
+    require(bands.toLong * bandBits <= fpBits,
+      s"bands=$bands x bandBits=$bandBits exceeds the $fpBits-bit fingerprint")
+    temporalCore(frames, idCol, frameCol, hashCol, bands, bandBits,
+      maxHamming, minAgree, pairBudgetPerDoc,
+      wideBandExplode(bands, bandBits, _), wideHammingSql)
+  }
+
+  /** The narrow (one-long) per-band key explosion, shared by the long
+    * hamming family's call sites. */
+  private def narrowBandExplode(bands: Int, bandBits: Int,
+                                hCol: String): String =
+    s"explode(transform(sequence(0, ${bands - 1}), " +
+      s"b -> struct(b AS b, shiftright($hCol, b * $bandBits) & " +
+      s"${(1L << bandBits) - 1} AS k)))"
+
+  /** The wide (array<bigint>) per-band key explosion: one
+    * [[wideBandKeySql]] slice per band, constant-folded per band index
+    * so the whole expression stays in whole-stage codegen. */
+  private def wideBandExplode(bands: Int, bandBits: Int,
+                              hCol: String): String = {
+    val structs = (0 until bands)
+      .map(b => s"named_struct('b', $b, 'k', ${wideBandKeySql(b, bandBits, hCol)})")
+    s"explode(array(${structs.mkString(", ")}))"
+  }
+
+  private def narrowHammingSql(a: String, b: String): String =
+    s"bit_count($a ^ $b)"
+
+  private def wideHammingSql(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> bit_count(x ^ y)), " +
+      "0, (acc, v) -> acc + v)"
+
+  /** The width-generic temporal voter behind both public forms: every
+    * stage (sequence grouping, per-position grouping, banding, budget,
+    * expansion, vote) is fingerprint-type-agnostic — Spark groups,
+    * sorts, and equi-joins array<bigint> exactly like long — so the
+    * ONLY width-specific pieces are the band-key explosion and the
+    * hamming expression, injected as SQL builders. */
+  private def temporalCore(frames: DataFrame, idCol: String, frameCol: String,
+                           hashCol: String, bands: Int, bandBits: Int,
+                           maxHamming: Int, minAgree: Int,
+                           pairBudgetPerDoc: Option[Int],
+                           bandExplode: String => String,
+                           hammingSql: (String, String) => String): DataFrame = {
     // SEQUENCE-level dedup-first: one representative per distinct
     // full fingerprint sequence enters the positional machinery
     val seqGroups = frames
@@ -764,15 +849,16 @@ object DedupOps {
     // the saturation model is per KEYSPACE, and each frame position is
     // its own (position, band, key) keyspace — feeding the global
     // distinct count would over-warn by ~numPositions (review find);
-    // the sentinel watches the most loaded position instead
-    val maxPos = groups.groupBy(col("f")).agg(count(lit(1)).as("n"))
-      .agg(max(col("n"))).head
-    warnIfSaturated(if (maxPos.isNullAt(0)) 0L else maxPos.getLong(0),
-      bands, bandBits, pairBudgetPerDoc.isDefined)
-    val bandsDf = groups.select(col("f"), col("h"), col("rep"), expr(
-        s"explode(transform(sequence(0, ${bands - 1}), " +
-          s"b -> struct(b AS b, shiftright(h, b * $bandBits) & " +
-          s"${(1L << bandBits) - 1} AS k)))").as("bk"))
+    // the sentinel watches the most loaded position instead, and skips
+    // its count job entirely when the budget cap is active
+    if (pairBudgetPerDoc.isEmpty) {
+      val maxPos = groups.groupBy(col("f")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).head
+      warnIfSaturated(if (maxPos.isNullAt(0)) 0L else maxPos.getLong(0),
+        bands, bandBits)
+    }
+    val bandsDf = groups.select(col("f"), col("h"), col("rep"),
+        expr(bandExplode("h")).as("bk"))
       .select(col("f"), col("h"), col("rep"),
               col("bk.b").as("b"), col("bk.k").as("k"))
     // ONE cap over the combined size histogram: band buckets (distinct
@@ -802,7 +888,7 @@ object DedupOps {
           col("a.k") === col("c.k") && col("a.rep") < col("c.rep"))
       .select(col("a.f").as("f"), col("a.h").as("h1"), col("c.h").as("h2"))
       .distinct()
-      .withColumn("hamming", expr("bit_count(h1 ^ h2)").cast("long"))
+      .withColumn("hamming", expr(hammingSql("h1", "h2")).cast("long"))
       .filter(col("hamming") <= maxHamming)
     // positional expansion over sequence reps: a rep has ONE hash per
     // position, so each rep pair contributes at most one row per

@@ -620,6 +620,14 @@ object TextOps {
       val sigs = simhashWideSignaturesOf(
           Tables.rebalance(Tables.documents(s, d)))
         .localCheckpoint()
+      // fpBits = 128 is the PHYSICAL capacity of the two words, not the
+      // 120 logical vote bits: the 60-bits-per-word packing leaves 4
+      // dead (constant-zero) bits per word, which hammingPairsWide's
+      // layout contract admits — dead bits add 0 to every popcount and
+      // a constant slice to every band key, so recall and distances are
+      // exact by construction, not by luck (the contract paragraph on
+      // sparse layouts is load-bearing here; a repack to 64-bits/word
+      // would force 1L<<63 into the DuckDB oracle's signature algebra)
       DedupOps.hammingPairsWide(sigs, "doc_id", "simhash",
           fpBits = 128, bands = 3, bandBits = 42, maxHamming = 2)
         .orderBy(col("m1"), col("m2"))

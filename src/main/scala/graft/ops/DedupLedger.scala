@@ -176,7 +176,8 @@ object DedupLedger {
     * oracle-invisible). */
   def dedupAgainstLedger(spark: SparkSession, batch: DataFrame,
                          dir: String, snap: IndexStore.Snapshot,
-                         maxBroadcast: Long = 256L << 20): DataFrame = {
+                         maxBroadcast: Long = 256L << 20,
+                         pairBudgetPerItem: Option[Int] = None): DataFrame = {
     // ONE gate decision for all four batch-derived frames, taken on the
     // batch's OWN plan stats: every broadcast side below (hash rows,
     // band rows, the two verdict arms) is ≤ O(batch rows) by
@@ -197,8 +198,20 @@ object DedupLedger {
     val bb = bandsOf(sigRows(batch)).select(col("band"), col("bkey"),
       col("doc_id").as("bdoc"), col("sig").as("bsig"))
     // stored sigs re-derive their band keys row-locally in-flight: the
-    // scan reads one sig row per doc, the explode costs no storage
-    val nm = bandsOf(sigs).join(gate(bb), Seq("band", "bkey"))
+    // scan reads one sig row per doc, the explode costs no storage.
+    // With a budget, the LEDGER side sheds its hottest band buckets
+    // (shedHotBuckets — same floor/derivation as the media arm; exact
+    // duplicates are immune, the exact arm is a separate sha2 join);
+    // no saturation sentinel here — the minhash band keyspace is a
+    // string pair, not a fixed bit geometry the model speaks about.
+    val lbands0 = bandsOf(sigs)
+    val lbands = pairBudgetPerItem match {
+      case None => lbands0
+      case Some(perItem) =>
+        shedHotBuckets(lbands0, perItem,
+          batch.select(col("doc_id")).count())
+    }
+    val nm = lbands.join(gate(bb), Seq("band", "bkey"))
       .withColumn("agree", expr(
         "aggregate(zip_with(sig, bsig, (x, y) -> IF(x = y, 1, 0)), 0, (a, v) -> a + v)"))
       .groupBy(col("bdoc"))
@@ -216,29 +229,63 @@ object DedupLedger {
   // DISTINCT fingerprint `(cell, fp, owner)`, and a hamming verdict arm
   // beside the exact/near text arms, so ONE streamed tick can
   // admit/deny mixed text+image increments against one snapshot.
+  // The fingerprint is typed `array<bigint>` (little-endian words, the
+  // [[graft.multimodal.MediaOps.dHashWide]] layout) so the round-14
+  // wide fingerprints enter the streamed path (VERDICT r14 #1b) — a
+  // ≤64-bit fingerprint is the one-word degenerate case, band keys and
+  // cells then identical to the historical long-typed arm.
 
-  /** Bands/width/threshold shared with the q154 gate (42-bit dHash,
-    * 3×14-bit pigeonhole, hamming ≤ 2 — exact recall). */
-  private[graft] val MEDIA_BANDS = 3
-  private[graft] val MEDIA_BAND_BITS = 14
-  private[graft] val MEDIA_MAX_HAMMING = 2
+  /** Marks-arm band geometry — a LEDGER PARAMETER stamped into the
+    * store's params string, never a code constant (VERDICT r14 #2):
+    * `fpBits` = the physical word-bit capacity banded over
+    * ([[DedupOps.hammingPairsWide]]'s sparse-layout contract applies),
+    * `bands` × `bandBits` the pigeonhole slices, `maxHamming` the
+    * verdict threshold (exact recall while bands ≥ maxHamming + 1). */
+  case class MarksGeom(fpBits: Int, bands: Int, bandBits: Int,
+                       maxHamming: Int) {
+    require(bands >= maxHamming + 1,
+      s"bands=$bands cannot guarantee recall at maxHamming=$maxHamming")
+    require(bandBits >= 1 && bandBits <= 63,
+      s"bandBits=$bandBits must fit a band key in one signed long")
+    require(bands.toLong * bandBits <= fpBits,
+      s"bands=$bands x bandBits=$bandBits exceeds the $fpBits-bit fingerprint")
+    /** The params-string stamp — a geometry change rebuilds the store. */
+    def params: String = s"mg=$fpBits.$bands.$bandBits.$maxHamming"
+  }
 
-  /** Marks-table rows for a `(media_id, fp)` frame: one row per
-    * distinct fingerprint, owner = smallest carrying id (the exact
-    * table's representative rule in the fingerprint domain); `cell` =
-    * fp mod 16 — pure layout, like the text tables'. */
+  /** The q154 gate geometry (42-bit dHash, 3×14-bit pigeonhole,
+    * hamming ≤ 2) — the fixture-scale default; corpora past ~10⁵
+    * distinct fingerprints store [[WideMarks]] instead. */
+  val NarrowMarks: MarksGeom = MarksGeom(42, 3, 14, 2)
+
+  /** The 16×8-grid geometry (120 bits, 3×40-bit straddling bands =
+    * 10¹² buckets) — the production config SCALING.md r13 addendum 3
+    * prescribed for 10⁶⁺ corpora, now admissible to the streamed
+    * ledger path. */
+  val WideMarks: MarksGeom = MarksGeom(120, 3, 40, 2)
+
+  private[graft] val MEDIA_MAX_HAMMING = NarrowMarks.maxHamming
+
+  /** Marks-table rows for a `(media_id, fp: array<bigint>)` frame: one
+    * row per distinct fingerprint, owner = smallest carrying id (the
+    * exact table's representative rule in the fingerprint domain);
+    * `cell` = word 1 mod 16 — pure layout, like the text tables', and
+    * the WIDE CELL RULE: word 1 of a narrow fingerprint IS the
+    * fingerprint, so narrow stores keep their historical cells. */
   private def markRows(fps: DataFrame): DataFrame =
     fps.groupBy(col("fp")).agg(min(col("media_id")).as("owner"))
-      .withColumn("cell", pmod(col("fp"), lit(16L)).cast("int"))
+      .withColumn("cell",
+        pmod(expr("element_at(fp, 1)"), lit(16L)).cast("int"))
       .select(col("cell"), col("fp"), col("owner"))
 
   /** Row-local band derivation over any frame with an `fp` column —
-    * used on both sides of the near join, like [[bandsOf]]. */
-  private def mediaBandsOf(fps: DataFrame): DataFrame = {
-    val bandStructs = (0 until MEDIA_BANDS).map { b =>
+    * used on both sides of the near join, like [[bandsOf]]; band keys
+    * are [[DedupOps.wideBandKeySql]] slices, constant-folded per band
+    * so the explode stays in whole-stage codegen. */
+  private def mediaBandsOf(fps: DataFrame, geom: MarksGeom): DataFrame = {
+    val bandStructs = (0 until geom.bands).map { b =>
       s"named_struct('band', $b, 'bkey', " +
-        s"shiftright(fp, ${b * MEDIA_BAND_BITS}) & " +
-        s"${(1L << MEDIA_BAND_BITS) - 1})"
+        s"${DedupOps.wideBandKeySql(b, geom.bandBits, "fp")})"
     }
     fps.withColumn("mb",
         explode(expr(s"array(${bandStructs.mkString(", ")})")))
@@ -274,17 +321,52 @@ object DedupLedger {
         .write.mode("append").partitionBy("cell").parquet(s"$dir/marks")
     }
 
-  /** Verdict of a media batch `(media_id, fp)` against the ledger's
-    * marks at `snap`: `(media_id, exact_of, near_of, keep)` — exact =
-    * fingerprint equality, near = banded pigeonhole join + popcount ≤
-    * [[MEDIA_MAX_HAMMING]] (exact recall at the gate constants), both
-    * arms resolving to the smallest matching owner. Same topology
-    * discipline as the text verdict: the ledger side streams from the
-    * snapshot's file list, the batch side broadcasts only while its
-    * plan stats stay under `maxBroadcast`. */
+  /** The ledger-side hot-bucket shed shared by both verdict arms'
+    * banded lookup joins (VERDICT r14 #1b: candidate volume is
+    * batch × marks/2^bandBits — linear in LEDGER size per batch item,
+    * unbounded as the corpus grows): measure the LEDGER band-bucket
+    * size histogram (tens of rows reach the driver), derive the cap by
+    * the same [[DedupOps.capFromHist]] walk the q49 family uses with
+    * budget = `perItem` × batch rows (the C(sz, 2)-per-bucket cost
+    * model matches a batch drawn from the ledger's own fingerprint
+    * distribution and errs CONSERVATIVE for thinner increments — and
+    * never below the [[DedupOps.BAND_CAP]] floor, so fixture-scale
+    * verdicts are untouched), and anti-join the over-cap buckets away
+    * from the LEDGER side only. The batch side is untouched and the
+    * exact arm is a separate equality join, so exact duplicates are
+    * immune to any cap — a shed bucket can only cost a NEAR detection
+    * whose fingerprint sits in a saturated bucket on every band. */
+  private def shedHotBuckets(lb: DataFrame, perItem: Int,
+                             batchItems: Long): DataFrame = {
+    val sizes = lb.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("sz")).localCheckpoint()
+    val hist = sizes.groupBy(col("sz")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1)))
+    val cap = DedupOps.capFromHist(hist, DedupOps.BAND_CAP,
+      perItem.toLong * math.max(1L, batchItems))
+    lb.join(sizes.filter(col("sz") > cap).select(col("band"), col("bkey")),
+      Seq("band", "bkey"), "left_anti")
+  }
+
+  /** Verdict of a media batch `(media_id, fp: array<bigint>)` against
+    * the ledger's marks at `snap`: `(media_id, exact_of, near_of,
+    * keep)` — exact = fingerprint equality, near = banded pigeonhole
+    * join + word-wise popcount ≤ `geom.maxHamming` (exact recall at
+    * any admitted geometry), both arms resolving to the smallest
+    * matching owner. Same topology discipline as the text verdict:
+    * the ledger side streams from the snapshot's file list, the batch
+    * side broadcasts only while its plan stats stay under
+    * `maxBroadcast`. `geom` must match the store's stamped geometry
+    * (the params discipline — [[ensureMixedHistoryLedger]] stamps it).
+    * With `pairBudgetPerItem` set, the ledger side sheds its hottest
+    * band buckets ([[shedHotBuckets]]) so per-item fan-out stays
+    * bounded as the marks table grows; unset, the saturation sentinel
+    * logs when the geometry has outgrown the marks population. */
   def dedupMediaAgainstLedger(spark: SparkSession, batch: DataFrame,
                               dir: String, snap: IndexStore.Snapshot,
-                              maxBroadcast: Long = 256L << 20): DataFrame = {
+                              geom: MarksGeom = NarrowMarks,
+                              maxBroadcast: Long = 256L << 20,
+                              pairBudgetPerItem: Option[Int] = None): DataFrame = {
     val small = maxBroadcast > 0 &&
       batch.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBroadcast
     def gate(df: DataFrame): DataFrame = if (small) broadcast(df) else df
@@ -293,11 +375,19 @@ object DedupLedger {
     val ex = marks.select(col("fp").as("bfp"), col("owner"))
       .join(gate(bm), Seq("bfp"))
       .groupBy(col("bid")).agg(min(col("owner")).as("exact_of"))
-    val lb = mediaBandsOf(marks.select(col("fp"), col("owner")))
-    val bb = mediaBandsOf(bm.select(col("bid"), col("bfp").as("fp")))
+    val lb0 = mediaBandsOf(marks.select(col("fp"), col("owner")), geom)
+    val lb = pairBudgetPerItem match {
+      case None =>
+        // parquet count-star prunes to row-group stats — cheap sentinel
+        DedupOps.warnIfSaturated(marks.count(), geom.bands, geom.bandBits)
+        lb0
+      case Some(perItem) => shedHotBuckets(lb0, perItem, bm.count())
+    }
+    val bb = mediaBandsOf(bm.select(col("bid"), col("bfp").as("fp")), geom)
       .select(col("band"), col("bkey"), col("bid"), col("fp").as("bfp"))
     val nr = lb.join(gate(bb), Seq("band", "bkey"))
-      .filter(expr(s"bit_count(fp ^ bfp) <= $MEDIA_MAX_HAMMING"))
+      .filter(expr("aggregate(zip_with(fp, bfp, (x, y) -> bit_count(x ^ y)), " +
+        s"0, (acc, v) -> acc + v) <= ${geom.maxHamming}"))
       .groupBy(col("bid")).agg(min(col("owner")).as("near_of"))
     batch.select(col("media_id"))
       .join(gate(ex.withColumnRenamed("bid", "media_id")), Seq("media_id"), "left")
@@ -322,8 +412,8 @@ object DedupLedger {
       .withColumn("codes",
         graft.functions.VectorFunctions.srpCodes(col("q"), 3, 14))
       .select(col("vec_id").as("media_id"),
-        expr("codes[0] | shiftleft(codes[1], 14) | shiftleft(codes[2], 28)")
-          .as("fp"))
+        expr("array(codes[0] | shiftleft(codes[1], 14) | " +
+          "shiftleft(codes[2], 28))").as("fp"))
 
   /** q158's media fixture formula: (pixel key, edit bump) per id.
     * History bases 0–99; tick 1 (100–149) = 20 exact copies of bases
@@ -340,52 +430,59 @@ object DedupLedger {
     else if (id < 180) (id - 146, 1)
     else (id, 0)
 
-  private def q158Encode = udf((id: Long) => {
+  private def q158Encode(w: Int, h: Int) = udf((id: Long) => {
     val (key, bump) = q158KeyBump(id)
     val md = java.security.MessageDigest.getInstance("MD5")
     def ch(x: Int, y: Int, c: Int): Int = {
       val b = md.digest(s"$key|$x|$y|$c".getBytes("UTF-8"))(0) & 0xff
       (b + (if (bump == 1 && x == 3 && y == 2) 40 else 0)) % 256
     }
-    graft.multimodal.BmpDecoder.encode(8, 6, Array.tabulate(48) { p =>
-      (ch(p % 8, p / 8, 0), ch(p % 8, p / 8, 1), ch(p % 8, p / 8, 2))
+    graft.multimodal.BmpDecoder.encode(w, h, Array.tabulate(w * h) { p =>
+      (ch(p % w, p / w, 0), ch(p % w, p / w, 1), ch(p % w, p / w, 2))
     })
   })
 
-  /** q158 media payloads for an id range, as (media_id, payload). */
-  private def q158Payloads(s: SparkSession, d: String, lo: Long,
-                           hi: Long): DataFrame =
+  /** q158 media payloads for an id range, as (media_id, payload) — the
+    * key/bump map is grid-agnostic, so one fixture family serves the
+    * narrow 8×6 gates (q158/q162/q166) and the wide 16×8 one (q168). */
+  private def q158Payloads(s: SparkSession, d: String, lo: Long, hi: Long,
+                           gw: Int = 8, gh: Int = 6): DataFrame =
     Tables.rebalance(Tables.documents(s, d)
         .filter(col("doc_id") >= lo && col("doc_id") < hi)
         .select(col("doc_id").as("media_id")))
-      .withColumn("payload", q158Encode(col("media_id")))
+      .withColumn("payload", q158Encode(gw, gh)(col("media_id")))
 
   /** The REAL fingerprint chain over q158 payloads: encode → BMP decode
-    * → dHash (decode drift sits inside the gate, as in q154). */
-  private def q158Fps(s: SparkSession, d: String, lo: Long,
-                      hi: Long): DataFrame = {
+    * → dHashWide at the given grid (decode drift sits inside the gate,
+    * as in q154) — 8×6 yields the narrow fingerprint in the marks
+    * arm's one-word array typing, 16×8 the 120-bit two-word wide one. */
+  private def q158Fps(s: SparkSession, d: String, lo: Long, hi: Long,
+                      gw: Int = 8, gh: Int = 6): DataFrame = {
     import s.implicits._
-    val recs = q158Payloads(s, d, lo, hi)
+    val recs = q158Payloads(s, d, lo, hi, gw, gh)
       .select(col("media_id"),
-        struct(lit("image").as("kind"), lit(8).as("declaredWidth"),
-               lit(6).as("declaredHeight"), lit(0).as("sampleRate")).as("meta"),
+        struct(lit("image").as("kind"), lit(gw).as("declaredWidth"),
+               lit(gh).as("declaredHeight"), lit(0).as("sampleRate")).as("meta"),
         col("payload"))
       .as[graft.multimodal.MediaOps.MediaRecord]
-    graft.multimodal.MediaOps.dHash(recs)
+    graft.multimodal.MediaOps.dHashWide(recs, gw, gh)
       .filter(col("decoded") === 1L)
       .select(col("media_id"), col("dhash").as("fp"))
   }
 
-  /** The two chained batch media generations q162 and q166 both run
-    * over a cloned mixed seed (one definition — a change to the
+  /** The two chained batch media generations q162, q166 and q168 all
+    * run over a seeded store (one definition — a change to the
     * survivor-join or tagging discipline cannot silently split the
     * gates): per generation, verdict against the current snapshot,
     * then the keeps' fingerprints append under the generation's tag. */
-  private def ingestMediaGenerations(s: SparkSession, d: String,
-                                     dir: String): Unit =
+  private def ingestMediaGenerations(s: SparkSession, d: String, dir: String,
+                                     geom: MarksGeom = NarrowMarks,
+                                     gw: Int = 8, gh: Int = 6,
+                                     pairBudgetPerItem: Option[Int] = None): Unit =
     for ((lo, hi, tag) <- Seq((100L, 150L, "gen-a"), (150L, 200L, "gen-b"))) {
-      val fps = q158Fps(s, d, lo, hi).localCheckpoint()
-      val v = dedupMediaAgainstLedger(s, fps, dir, IndexStore.snapshot(dir))
+      val fps = q158Fps(s, d, lo, hi, gw, gh).localCheckpoint()
+      val v = dedupMediaAgainstLedger(s, fps, dir, IndexStore.snapshot(dir),
+        geom, pairBudgetPerItem = pairBudgetPerItem)
       appendMediaSurvivors(
         fps.join(v.filter(col("keep") === 1L).select(col("media_id")),
           Seq("media_id"), "left_semi"),
@@ -399,7 +496,7 @@ object DedupLedger {
   private[graft] def ensureMixedHistoryLedger(s: SparkSession,
                                               d: String): String =
     VectorOps.ensureIndex(d, "ledgermx",
-        ledgerParams + s"|mixed|mb=$MEDIA_BANDS.$MEDIA_BAND_BITS",
+        ledgerParams + s"|mixed|fpw|${NarrowMarks.params}",
         "documents.parquet") { base =>
       val docs = Tables.rebalance(Tables.documents(s, d))
       buildMixedLedger(docs.filter(col("doc_id") < cutoffOf(docs)),
@@ -712,8 +809,44 @@ object DedupLedger {
       ingestMediaGenerations(s, d, dir)
       IndexStore.diffMarks(s, dir, v0, IndexStore.snapshot(dir),
           IndexStore.MARKS_DDL)
-        .select(col("owner").as("media_id"), col("fp"))
+        // this store's stamped geometry is NarrowMarks (42-bit) — word
+        // 1 IS the fingerprint, and the oracle derives it as a BIGINT
+        .select(col("owner").as("media_id"),
+                expr("element_at(fp, 1)").as("fp"))
         .orderBy(col("media_id"))
+    }),
+
+    // ---- q168: the WIDE marks arm end-to-end (VERDICT r14 Next #2) —
+    // q162's store lifecycle at the 16x8/120-bit geometry the narrow
+    // form measurably saturates past N ~ 10^5: history marks are
+    // two-word dHashWide fingerprints, both ingest generations run the
+    // banded wide verdict WITH the candidate budget wired (inert at
+    // fixture scale — every bucket sits under the BAND_CAP floor; the
+    // point is the production path is THE path), survivors append
+    // under idempotency tags, the marks table COMPACTs (array-typed
+    // rows through the per-cell rewrite) and VACUUMs, and the final
+    // verdict of all 100 drops runs against the compacted HEAD. The
+    // oracle re-derives every fingerprint COMPARISON-LEVEL from the
+    // pixel formula (bit strings, pairwise hamming by counting
+    // differing comparisons — no word packing, no banding, no codec),
+    // replays both survivor generations exhaustively, and resolves
+    // the verdict arms over the final population: a wide-slice bug, a
+    // compaction that drops/duplicates/re-cells an array row, or a
+    // budget that sheds a fixture-scale bucket all flip the hash.
+    "q168_wide_media_ledger" -> ((s, d) => {
+      val zone = graft.jobs.JobRecordGate.freshZone("graft-widemarks-", d)
+      val dir = new java.io.File(zone, "ledger").getAbsolutePath
+      IndexStore.commitRebuild(dir) {
+        markRows(q158Fps(s, d, 0L, 100L, 16, 8))
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/marks")
+      }
+      ingestMediaGenerations(s, d, dir, WideMarks, 16, 8,
+        pairBudgetPerItem = Some(1000))
+      IndexStore.compact(s, dir)
+      IndexStore.vacuum(dir)
+      dedupMediaAgainstLedger(s, q158Fps(s, d, 100L, 200L, 16, 8), dir,
+        IndexStore.snapshot(dir), WideMarks, pairBudgetPerItem = Some(1000))
     }),
 
     // ---- q164: the EMBEDDING arm — the marks table is fingerprint-
@@ -1073,6 +1206,85 @@ object DedupLedger {
       s"""WITH $mediaGenDuck
         |SELECT doc_id AS media_id, exact_of, near_of, keep
         |FROM med_verdict ORDER BY media_id""".stripMargin,
+
+    // q168: the wide-geometry lifecycle judged entirely at COMPARISON
+    // level — fingerprints as 120-char bit strings from the pixel
+    // formula (no word packing), pairwise hamming = count of differing
+    // comparisons, survivor generations and verdict arms replayed
+    // exhaustively over them. `wham` keys on the mark's OWNER id: a
+    // mark's fingerprint is its owner's by construction, so
+    // ham(owner, probe) IS the mark-to-probe distance.
+    "q168_wide_media_ledger" -> {
+      def gray(xe: String, ye: String) = {
+        def ch(c: Int) =
+          s"((('0x' || substr(md5(mkey::VARCHAR || '|' || ($xe)::VARCHAR || '|' || " +
+            s"($ye)::VARCHAR || '|$c'), 1, 2))::BIGINT + " +
+            s"CASE WHEN bump = 1 AND ($xe) = 3 AND ($ye) = 2 " +
+            s"THEN 40 ELSE 0 END) % 256)"
+        s"(${ch(0)} + ${ch(1)} + ${ch(2)})"
+      }
+      s"""WITH wm AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id < 100 THEN doc_id
+        |         WHEN doc_id < 120 THEN doc_id - 100
+        |         WHEN doc_id < 134 THEN doc_id - 120
+        |         WHEN doc_id < 150 THEN doc_id
+        |         WHEN doc_id < 166 THEN doc_id - 16
+        |         WHEN doc_id < 180 THEN doc_id - 146
+        |         ELSE doc_id END AS mkey,
+        |    CASE WHEN (doc_id >= 120 AND doc_id < 134)
+        |           OR (doc_id >= 166 AND doc_id < 180) THEN 1 ELSE 0 END AS bump
+        |  FROM documents WHERE doc_id < 200),
+        |wcmp AS MATERIALIZED (
+        |  SELECT media_id, x, y,
+        |    ${gray("x + 1", "y")} > ${gray("x", "y")} AS bit
+        |  FROM wm, (SELECT unnest(range(0, 15)) AS x),
+        |           (SELECT unnest(range(0, 8)) AS y)),
+        |wfp AS MATERIALIZED (
+        |  SELECT media_id, string_agg(bit::INT::VARCHAR, '' ORDER BY y, x) AS fp
+        |  FROM wcmp GROUP BY media_id),
+        |wham AS MATERIALIZED (
+        |  SELECT a.media_id AS ma, b.media_id AS mb,
+        |    count(*) FILTER (WHERE a.bit <> b.bit) AS ham
+        |  FROM wcmp a JOIN wcmp b ON a.x = b.x AND a.y = b.y
+        |  GROUP BY a.media_id, b.media_id),
+        |whist AS (
+        |  SELECT fp, min(media_id) AS owner FROM wfp WHERE media_id < 100
+        |  GROUP BY fp),
+        |wreps1 AS (
+        |  SELECT fp, min(media_id) AS owner FROM (
+        |    SELECT f.media_id, f.fp FROM wfp f
+        |    WHERE f.media_id >= 100 AND f.media_id < 150
+        |      AND NOT EXISTS (SELECT 1 FROM whist m JOIN wham h
+        |            ON h.ma = m.owner AND h.mb = f.media_id
+        |            WHERE h.ham <= $MEDIA_MAX_HAMMING)) b
+        |  GROUP BY fp),
+        |wmarks1 AS (SELECT fp, owner FROM whist
+        |            UNION ALL SELECT fp, owner FROM wreps1),
+        |wreps2 AS (
+        |  SELECT fp, min(media_id) AS owner FROM (
+        |    SELECT f.media_id, f.fp FROM wfp f
+        |    WHERE f.media_id >= 150
+        |      AND NOT EXISTS (SELECT 1 FROM wmarks1 m JOIN wham h
+        |            ON h.ma = m.owner AND h.mb = f.media_id
+        |            WHERE h.ham <= $MEDIA_MAX_HAMMING)) b
+        |  GROUP BY fp),
+        |wmarks2 AS (SELECT fp, owner FROM wmarks1
+        |            UNION ALL SELECT fp, owner FROM wreps2)
+        |SELECT f.media_id,
+        |  (SELECT min(owner) FROM wmarks2 m WHERE m.fp = f.fp) AS exact_of,
+        |  (SELECT min(m.owner) FROM wmarks2 m JOIN wham h
+        |     ON h.ma = m.owner AND h.mb = f.media_id
+        |   WHERE h.ham <= $MEDIA_MAX_HAMMING) AS near_of,
+        |  CASE WHEN (SELECT min(owner) FROM wmarks2 m WHERE m.fp = f.fp)
+        |            IS NULL
+        |        AND (SELECT min(m.owner) FROM wmarks2 m JOIN wham h
+        |               ON h.ma = m.owner AND h.mb = f.media_id
+        |             WHERE h.ham <= $MEDIA_MAX_HAMMING) IS NULL
+        |       THEN 1 ELSE 0 END::BIGINT AS keep
+        |FROM wfp f WHERE f.media_id >= 100
+        |ORDER BY f.media_id""".stripMargin
+    },
 
     // q166: exactly the two survivor generations' representatives —
     // the delta read must equal what the chained ingest admitted

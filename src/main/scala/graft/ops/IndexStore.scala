@@ -282,21 +282,40 @@ object IndexStore {
   def retainsAll(dir: String): Boolean =
     new java.io.File(dir, "_RETAIN_ALL").exists()
 
+  /** The text tables' schemas — the empty-table fallbacks for stores
+    * that never published the modality (a marks-only store read by
+    * [[compact]] or probed by a text verdict reads as empty, exactly
+    * like [[MARKS_DDL]] covers the inverse). */
+  val CODES_DDL = "cell INT, h STRING, owner BIGINT"
+  val VECTORS_DDL = "cell INT, doc_id BIGINT, sig ARRAY<BIGINT>"
+
   /** The snapshot's codes / vectors tables as DataFrames: explicit file
     * lists (never a directory listing) with `basePath` set so the
-    * `cell=` partition column — and its static pruning — survive. */
+    * `cell=` partition column — and its static pruning — survive.
+    * Empty file lists (a modality this store never published) read as
+    * empty frames at the canonical schema rather than erroring. */
   def frames(spark: SparkSession, dir: String,
              snap: Snapshot): (DataFrame, DataFrame) = {
-    def read(sub: String, files: Seq[String]): DataFrame =
-      spark.read.option("basePath", s"$dir/$sub")
-        .parquet(files.map(f => s"$dir/$sub/$f"): _*)
-    (read("codes", snap.codes), read("vectors", snap.vectors))
+    def read(sub: String, files: Seq[String], ddl: String): DataFrame =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      else
+        spark.read.option("basePath", s"$dir/$sub")
+          .parquet(files.map(f => s"$dir/$sub/$f"): _*)
+    (read("codes", snap.codes, CODES_DDL),
+     read("vectors", snap.vectors, VECTORS_DDL))
   }
 
   /** The marks table's schema — the fingerprint-ledger row shape every
     * marks consumer shares (DedupLedger's media/embedding arms,
-    * [[compact]]'s rewrite). */
-  val MARKS_DDL = "cell INT, fp BIGINT, owner BIGINT"
+    * [[compact]]'s rewrite). The fingerprint is `array<bigint>`
+    * little-endian words, so ONE schema serves every geometry from the
+    * 42-bit narrow gate config (one word) to 120-bit wide production
+    * fingerprints (DedupLedger.MarksGeom stamps the geometry into the
+    * store's params). */
+  val MARKS_DDL = "cell INT, fp ARRAY<BIGINT>, owner BIGINT"
 
   /** The snapshot's marks table (media fingerprints — the mixed-
     * modality ledger's third arm) as a DataFrame; `ddl` supplies the

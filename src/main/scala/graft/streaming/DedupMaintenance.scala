@@ -71,9 +71,14 @@ object DedupMaintenance {
         if (!batch.isEmpty) {
           val s = batch.sparkSession
           val b = batch.localCheckpoint()
+          // ONE pass over the checkpointed batch decides which modality
+          // arms run (VERDICT r14 Next #7: per-arm isEmpty probes were
+          // one extra Spark job each per micro-batch)
+          val kinds = b.groupBy(col("kind")).count()
+            .collect().map(_.getString(0)).toSet
           val txt = b.filter(org.apache.spark.sql.functions.col("kind") === "text")
             .select(col("doc_id"), col("text"))
-          if (!txt.isEmpty) {
+          if (kinds("text")) {
             val verdict = DedupLedger.dedupAgainstLedger(
               s, txt, ledgerDir, IndexStore.snapshot(ledgerDir))
             DedupLedger.appendSurvivors(
@@ -83,7 +88,7 @@ object DedupMaintenance {
             ()
           }
           val med = b.filter(col("kind") === "image")
-          if (!med.isEmpty) {
+          if (kinds("image")) {
             import s.implicits._
             import org.apache.spark.sql.functions.{lit, struct}
             val recs = med.select(col("doc_id").as("media_id"),
@@ -92,7 +97,9 @@ object DedupMaintenance {
                   .as("meta"),
                 col("payload"))
               .as[graft.multimodal.MediaOps.MediaRecord]
-            val fps = graft.multimodal.MediaOps.dHash(recs)
+            // dHashWide at 8x6 = the narrow 42-bit fingerprint in the
+            // marks arm's one-word array typing
+            val fps = graft.multimodal.MediaOps.dHashWide(recs, 8, 6)
               .filter(col("decoded") === 1L)
               .select(col("media_id"), col("dhash").as("fp"))
               .localCheckpoint() // verdict + append read it twice

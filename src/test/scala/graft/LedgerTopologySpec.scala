@@ -61,14 +61,14 @@ class LedgerTopologySpec extends SparkSpec {
     // batch with an exact hit (same fp), a near hit (2 bits off), and
     // a clean keep (far fingerprint)
     val dir = java.nio.file.Files.createTempDirectory("ledger-topo-m").toString
-    val histFps = Seq((0L, 0x1234567890aL), (1L, 0x0fedcba9876L),
-                      (2L, 0x24680ace135L)).toDF("media_id", "fp")
+    val histFps = Seq((0L, Seq(0x1234567890aL)), (1L, Seq(0x0fedcba9876L)),
+                      (2L, Seq(0x24680ace135L))).toDF("media_id", "fp")
     DedupLedger.buildMixedLedger(docs(0L -> words(30, "h")), histFps, dir)
     val snap = IndexStore.snapshot(dir)
     val batch = Seq(
-      (10L, 0x1234567890aL),               // exact
-      (11L, 0x0fedcba9876L ^ (3L << 20)),  // hamming 2
-      (12L, 0x3b3b3b3b3b3L)                // keep
+      (10L, Seq(0x1234567890aL)),               // exact
+      (11L, Seq(0x0fedcba9876L ^ (3L << 20))),  // hamming 2
+      (12L, Seq(0x3b3b3b3b3b3L))                // keep
     ).toDF("media_id", "fp")
 
     val broadcastRun = DedupLedger
@@ -92,5 +92,54 @@ class LedgerTopologySpec extends SparkSpec {
       assert(shuffleRun == broadcastRun,
         "media verdict must be identical under shuffle-join topology")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
+  test("ledger band join sheds a planted hot mark bucket under the " +
+       "candidate budget; exact duplicates stay immune") {
+    // VERDICT r14 Next #3: the marks-side lookup join had no candidate
+    // budget — per-item fan-out grows with ledger marks (~marks/2^14
+    // comparisons per item at the narrow geometry). Plant a bucket of
+    // 300 marks that share EVERY band key prefix on band 0 (fps =
+    // i << 14 → band-0 key 0 for all) plus a far-away mark, then probe
+    // with a tiny budget: the 300-bucket must stop feeding candidates
+    // (its C(300, 2) histogram class blows the budget) while an exact
+    // duplicate of a hot-bucket member still resolves through the
+    // equality arm, which no cap touches.
+    val dir = java.nio.file.Files.createTempDirectory("ledger-topo-hot").toString
+    val hot = (0 until 300).map(i => (i.toLong, Seq(i.toLong << 14)))
+    val histFps = (hot :+ (900L, Seq(0x155551555515555L)))
+      .toDF("media_id", "fp")
+    DedupLedger.buildMixedLedger(docs(0L -> words(30, "h")), histFps, dir)
+    val snap = IndexStore.snapshot(dir)
+    // 1001 flips two bits INSIDE band 1 (bits 22-23), so its only
+    // surviving pigeonhole matches against mark 9 are the two HOT
+    // buckets (band 0 key 0, band 2 key 0) — its band-1 key (9 ^ 768)
+    // collides with no mark. 1002's near hit rides the cold mark's
+    // size-1 buckets, untouched by any cap.
+    val batch = Seq(
+      (1000L, Seq(7L << 14)),                  // exact copy of hot member 7
+      (1001L, Seq((9L << 14) ^ (3L << 22))),   // hamming 2 off hot member 9
+      (1002L, Seq(0x155551555515555L ^ 3L)),   // hamming 2 off the cold mark
+      (1003L, Seq(0x2aaaa2aaaa2aaaaL))         // clean keep
+    ).toDF("media_id", "fp")
+
+    val uncapped = DedupLedger
+      .dedupMediaAgainstLedger(spark, batch, dir, snap)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(uncapped == Seq((1000L, 0L), (1001L, 0L), (1002L, 0L), (1003L, 1L)),
+      s"fixture truth drifted: $uncapped")
+
+    val capped = DedupLedger
+      .dedupMediaAgainstLedger(spark, batch, dir, snap,
+        pairBudgetPerItem = Some(1))
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    // 1000 exact-matches through the equality arm (budget-immune);
+    // 1002's near hit sits in cold buckets (kept); 1001's ONLY match
+    // lives in the shed hot bucket on every band that still collides
+    // (band 0 is the hot one; bands 1-2 keys differ by the fp spread),
+    // so its near evidence is gone — keep flips to 1: the documented
+    // bounded-degradation trade, never an explosion
+    assert(capped == Seq((1000L, 0L), (1001L, 1L), (1002L, 0L), (1003L, 1L)),
+      s"capped verdict drifted: $capped")
   }
 }

@@ -254,4 +254,98 @@ class WideHammingSpec extends SparkSpec {
     assert(got.contains((0L, 1L, 3L, 0L)) && got.contains((2L, 5L, 3L, 0L)))
     assert(got.contains((0L, 2L, 3L, 1L)))
   }
+
+  test("temporal wide form ≡ narrow form on one-word frames, ≡ exhaustive " +
+       "truth on straddling two-word frames") {
+    val mask42 = 0x3ffffffffffL
+    // narrow corpus: 40 base 3-frame videos, 20 exact re-uploads, 20
+    // one-frame 2-bit edits
+    val vids = (0L until 80L).map { id =>
+      val base = id % 40
+      val hs = Array.tabulate(3)(f => mix(base * 31 + f) & mask42)
+      if (id >= 60) hs((id % 3).toInt) ^= 3L
+      (id, hs)
+    }
+    val rows = vids.flatMap { case (id, hs) =>
+      hs.zipWithIndex.map { case (h, i) => (id, i.toLong, h) } }
+    def collectedT(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+                             r.getLong(2), r.getLong(3))).toSet
+    val narrow = collectedT(DedupOps.temporalNearDupPairs(
+      rows.toDF("media_id", "f", "h"), "media_id", "f", "h",
+      bands = 3, bandBits = 14, maxHamming = 2, minAgree = 2))
+    val wideOnNarrow = collectedT(DedupOps.temporalNearDupPairsWide(
+      rows.toDF("media_id", "f", "h0")
+        .select(col("media_id"), col("f"), array(col("h0")).as("h")),
+      "media_id", "f", "h", fpBits = 42, bands = 3, bandBits = 14,
+      maxHamming = 2, minAgree = 2))
+    assert(wideOnNarrow == narrow,
+      "wide temporal form drifted from the narrow form on one-word frames")
+
+    // two-word corpus (120 bits, 3x40-bit straddling bands) against the
+    // exhaustive word-wise popcount vote
+    val vidsW = (0L until 60L).map { id =>
+      val base = id % 30
+      val hs = Array.tabulate(3)(f =>
+        Array(mix(base * 17 + f), mix(base * 17 + f + 1000) & 0xffffffffffffffL))
+      if (id >= 45) hs((id % 3).toInt)(0) ^= 5L // 2 bits, one frame
+      (id, hs)
+    }
+    val rowsW = vidsW.flatMap { case (id, hs) =>
+      hs.zipWithIndex.map { case (h, i) => (id, i.toLong, h.toSeq) } }
+    val gotW = collectedT(DedupOps.temporalNearDupPairsWide(
+      rowsW.toDF("media_id", "f", "h"), "media_id", "f", "h",
+      fpBits = 120, bands = 3, bandBits = 40, maxHamming = 2, minAgree = 2))
+    val truthW = (for {
+      (i1, h1) <- vidsW; (i2, h2) <- vidsW if i1 < i2
+      per = h1.zip(h2).map { case (a, b) =>
+        a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y).toLong }.sum }
+      agree = per.filter(_ <= 2)
+      if agree.length >= 2
+    } yield (i1, i2, agree.length.toLong, agree.sum)).toSet
+    assert(gotW == truthW,
+      "wide temporal vote drifted from exhaustive two-word truth")
+  }
+
+  test("marks-arm verdict over one-word arrays ≡ exhaustive popcount " +
+       "semantics (the narrow arm's contract survives the array typing)") {
+    import graft.ops.{DedupLedger, IndexStore}
+    val dir = java.nio.file.Files
+      .createTempDirectory("widemarks-equiv").toString
+    val mask42 = 0x3ffffffffffL
+    val hist = (0L until 40L).map(i => (i, mix(i) & mask42))
+    val batch = (100L until 140L).map { id =>
+      val h = mix(id % 20) & mask42 // 20 collide with history bases
+      val fp = (id % 4) match {
+        case 0 => h                       // exact
+        case 1 => h ^ 3L                  // hamming 2 -> near
+        case 2 => h ^ 0x70007L            // far -> keep
+        case _ => mix(id * 97 + 7) & mask42 // unrelated -> keep
+      }
+      (id, fp)
+    }
+    DedupLedger.buildMixedLedger(
+      Seq((0L, (0 until 30).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text"),
+      hist.toDF("media_id", "h")
+        .select(col("media_id"), array(col("h")).as("fp")),
+      dir)
+    val got = DedupLedger.dedupMediaAgainstLedger(spark,
+        batch.toDF("media_id", "h")
+          .select(col("media_id"), array(col("h")).as("fp")),
+        dir, IndexStore.snapshot(dir))
+      .collect()
+      .map(r => (r.getLong(0),
+                 if (r.isNullAt(1)) -1L else r.getLong(1),
+                 if (r.isNullAt(2)) -1L else r.getLong(2),
+                 r.getLong(3))).toSet
+    val truth = batch.map { case (id, fp) =>
+      val ex = hist.filter(_._2 == fp).map(_._1).sorted.headOption
+      val nr = hist.filter(h => java.lang.Long.bitCount(h._2 ^ fp) <= 2)
+        .map(_._1).sorted.headOption
+      (id, ex.getOrElse(-1L), nr.getOrElse(-1L),
+       if (ex.isEmpty && nr.isEmpty) 1L else 0L)
+    }.toSet
+    assert(got == truth,
+      "array-typed marks verdict drifted from exhaustive popcount semantics")
+  }
 }

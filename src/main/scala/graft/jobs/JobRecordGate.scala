@@ -234,10 +234,19 @@ object JobRecordGate {
     * re-encode base id−100 with a +40 bump at pixel (3, 2) of frame
     * id % F. */
   private def encodeTemporalGif(id: Long, W: Int, H: Int,
-                                F: Int): Array[Byte] = {
+                                F: Int): Array[Byte] =
+    encodeTemporalGifKeyed(id % 100, if (id >= 100) (id % F).toInt else -1,
+      W, H, F)
+
+  /** The keyed form: `key` selects the base pixel sequence, `bumpFrame`
+    * (−1 = none) the single edited frame — lets ledger-family fixtures
+    * (q169's key/bump map) share the one GIF construction. */
+  private[graft] def encodeTemporalGifKeyed(key: Long, bumpFrame: Int,
+                                            W: Int, H: Int,
+                                            F: Int): Array[Byte] = {
     import javax.imageio.{IIOImage, ImageIO}
-    val base = id % 100
-    val editF = (id % F).toInt
+    val base = key
+    val editF = bumpFrame
     val md = java.security.MessageDigest.getInstance("MD5")
     val writer = ImageIO.getImageWritersBySuffix("gif").next()
     val out = new java.io.ByteArrayOutputStream()
@@ -247,7 +256,7 @@ object JobRecordGate {
     (0 until F).foreach { f =>
       def ch(x: Int, y: Int, c: Int): Int = {
         val b = md.digest(s"$base|$f|$x|$y|$c".getBytes("UTF-8"))(0) & 0xff
-        val bump = if (id >= 100 && f == editF && x == 3 && y == 2) 40 else 0
+        val bump = if (f == editF && x == 3 && y == 2) 40 else 0
         (b + bump) % 256
       }
       val colors = Array.tabulate(W * H) { p =>

@@ -208,7 +208,7 @@ object DedupLedger {
     val lbands = pairBudgetPerItem match {
       case None => lbands0
       case Some(perItem) =>
-        shedHotBuckets(lbands0, perItem,
+        shedHotBuckets(lbands0, Seq("band", "bkey"), perItem,
           batch.select(col("doc_id")).count())
     }
     val nm = lbands.join(gate(bb), Seq("band", "bkey"))
@@ -336,16 +336,16 @@ object DedupLedger {
     * exact arm is a separate equality join, so exact duplicates are
     * immune to any cap — a shed bucket can only cost a NEAR detection
     * whose fingerprint sits in a saturated bucket on every band. */
-  private def shedHotBuckets(lb: DataFrame, perItem: Int,
+  private def shedHotBuckets(lb: DataFrame, keys: Seq[String], perItem: Int,
                              batchItems: Long): DataFrame = {
-    val sizes = lb.groupBy(col("band"), col("bkey"))
+    val sizes = lb.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("sz")).localCheckpoint()
     val hist = sizes.groupBy(col("sz")).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getLong(0).toInt, r.getLong(1)))
     val cap = DedupOps.capFromHist(hist, DedupOps.BAND_CAP,
       perItem.toLong * math.max(1L, batchItems))
-    lb.join(sizes.filter(col("sz") > cap).select(col("band"), col("bkey")),
-      Seq("band", "bkey"), "left_anti")
+    lb.join(sizes.filter(col("sz") > cap).select(keys.map(col): _*),
+      keys, "left_anti")
   }
 
   /** Verdict of a media batch `(media_id, fp: array<bigint>)` against
@@ -381,7 +381,8 @@ object DedupLedger {
         // parquet count-star prunes to row-group stats — cheap sentinel
         DedupOps.warnIfSaturated(marks.count(), geom.bands, geom.bandBits)
         lb0
-      case Some(perItem) => shedHotBuckets(lb0, perItem, bm.count())
+      case Some(perItem) =>
+        shedHotBuckets(lb0, Seq("band", "bkey"), perItem, bm.count())
     }
     val bb = mediaBandsOf(bm.select(col("bid"), col("bfp").as("fp")), geom)
       .select(col("band"), col("bkey"), col("bid"), col("fp").as("bfp"))
@@ -414,6 +415,112 @@ object DedupLedger {
       .select(col("vec_id").as("media_id"),
         expr("array(codes[0] | shiftleft(codes[1], 14) | " +
           "shiftleft(codes[2], 28))").as("fp"))
+
+  // ---- video SEQUENCE arm (q169): the ledger learns fingerprint
+  // sequences — a fourth `seqs` table on the same store, one row per
+  // (owner, sample position, per-frame fingerprint) of each admitted
+  // video, and a VOTE verdict arm beside exact/near/marks: the
+  // streamed analog of the batch temporal operator
+  // ([[DedupOps.temporalNearDupPairsWide]]), so a mixed tick can
+  // admit/deny VIDEOS (VERDICT r14 missing #3 / Next #4).
+
+  /** Sequence-table rows for a `(media_id, f, fp)` frames frame:
+    * videos with IDENTICAL fingerprint sequences collapse to the
+    * min-id owner (the sequence-level dedup-first rule, exactly as
+    * the batch temporal operator applies it), each owner storing one
+    * row per position; `cell` = owner mod 16 co-locates a video's
+    * rows. */
+  private def seqRows(frames: DataFrame): DataFrame =
+    frames.groupBy(col("media_id"))
+      .agg(sort_array(collect_list(struct(col("f"), col("fp")))).as("seq"))
+      .groupBy(col("seq")).agg(min(col("media_id")).as("owner"))
+      .select(col("owner"), explode(col("seq")).as("fh"))
+      .select(pmod(col("owner"), lit(16L)).cast("int").as("cell"),
+              col("owner"), col("fh.f").as("f"), col("fh.fp").as("fp"))
+
+  /** Append surviving videos' fingerprint sequences as one idempotent
+    * tagged delta (the video analog of [[appendMediaSurvivors]]). */
+  def appendVideoSurvivors(frames: DataFrame, dir: String,
+                           tag: String): Int =
+    IndexStore.commitDelta(dir, Some(tag)) {
+      seqRows(frames)
+        .repartition(col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(s"$dir/seqs")
+    }
+
+  /** Verdict of a VIDEO batch `(media_id, f, fp: array<bigint>)` —
+    * one row per sampled frame position, the
+    * [[graft.multimodal.MediaOps.frameDHashWide]] shape — against the
+    * ledger's seqs at `snap`: `(media_id, exact_of, near_of, keep)`.
+    * EXACT = an owner with the IDENTICAL fingerprint sequence
+    * (canonical sorted (f, fp) list equi-joined — frame count and
+    * every position must agree). NEAR = the temporal vote: ≥
+    * `minAgree` positions carry fingerprints within `geom.maxHamming`
+    * of the owner's (per-position pigeonhole banding, so recall per
+    * position is exact); both arms resolve to the smallest matching
+    * owner. Topology: the ledger streams from the snapshot's file
+    * list; candidates form on a (position, band, key) equi-join
+    * (bounded keys, nothing quadratic); the batch side broadcasts
+    * only under the size gate. With `pairBudgetPerItem`, hot
+    * (position, band, key) ledger buckets shed exactly as the marks
+    * arm's do — a shared intro frame across the admitted corpus is
+    * ONE ledger row per position by the seqRows dedup-first rule, so
+    * the cap's job is residual near-collision mass only. */
+  def dedupVideoAgainstLedger(spark: SparkSession, batch: DataFrame,
+                              dir: String, snap: IndexStore.Snapshot,
+                              geom: MarksGeom = NarrowMarks,
+                              minAgree: Int = 3,
+                              maxBroadcast: Long = 256L << 20,
+                              pairBudgetPerItem: Option[Int] = None): DataFrame = {
+    val small = maxBroadcast > 0 &&
+      batch.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBroadcast
+    def gate(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val led = IndexStore.seqsFrame(spark, dir, snap)
+    // exact arm: canonical sequence equality
+    val bseqs = batch.select(col("media_id").as("bid"), col("f"), col("fp"))
+      .groupBy(col("bid"))
+      .agg(sort_array(collect_list(struct(col("f"), col("fp")))).as("seq"))
+    val lseqs = led.groupBy(col("owner"))
+      .agg(sort_array(collect_list(struct(col("f"), col("fp")))).as("seq"))
+    val ex = lseqs.join(gate(bseqs), Seq("seq"))
+      .groupBy(col("bid")).agg(min(col("owner")).as("exact_of"))
+    // vote arm: per-position banded candidates -> agreeing positions
+    val lb0 = mediaBandsOf(led.select(col("owner"), col("f"), col("fp")), geom)
+    val lb = pairBudgetPerItem match {
+      case None =>
+        // the sentinel watches the most loaded position (each position
+        // is its own keyspace, as in the batch temporal operator)
+        val maxPos = led.groupBy(col("f")).agg(count(lit(1)).as("n"))
+          .agg(max(col("n"))).head
+        DedupOps.warnIfSaturated(
+          if (maxPos.isNullAt(0)) 0L else maxPos.getLong(0),
+          geom.bands, geom.bandBits)
+        lb0
+      case Some(perItem) =>
+        shedHotBuckets(lb0, Seq("f", "band", "bkey"), perItem,
+          batch.select(col("media_id")).distinct().count())
+    }
+    val bb = mediaBandsOf(
+        batch.select(col("media_id").as("bid"), col("f"), col("fp")), geom)
+      .select(col("f"), col("band"), col("bkey"), col("bid"),
+              col("fp").as("bfp"))
+    val nr = lb.join(gate(bb), Seq("f", "band", "bkey"))
+      .filter(expr("aggregate(zip_with(fp, bfp, (x, y) -> bit_count(x ^ y)), " +
+        s"0, (acc, v) -> acc + v) <= ${geom.maxHamming}"))
+      // several bands can match the same (video, owner, position) —
+      // one vote per position
+      .select(col("bid"), col("owner"), col("f")).distinct()
+      .groupBy(col("bid"), col("owner"))
+      .agg(count(lit(1)).as("n_agree"))
+      .filter(col("n_agree") >= minAgree)
+      .groupBy(col("bid")).agg(min(col("owner")).as("near_of"))
+    batch.select(col("media_id")).distinct()
+      .join(gate(ex.withColumnRenamed("bid", "media_id")), Seq("media_id"), "left")
+      .join(gate(nr.withColumnRenamed("bid", "media_id")), Seq("media_id"), "left")
+      .withColumn("keep", when(col("exact_of").isNull && col("near_of").isNull,
+        1L).otherwise(0L))
+      .orderBy(col("media_id"))
+  }
 
   /** q158's media fixture formula: (pixel key, edit bump) per id.
     * History bases 0–99; tick 1 (100–149) = 20 exact copies of bases
@@ -487,6 +594,58 @@ object DedupLedger {
         fps.join(v.filter(col("keep") === 1L).select(col("media_id")),
           Seq("media_id"), "left_semi"),
         dir, tag)
+      ()
+    }
+
+  /** q169 video payloads: the q158 key/bump map over 4-frame 8×6
+    * animated GIFs (the q157 construction via
+    * [[graft.jobs.JobRecordGate.encodeTemporalGifKeyed]]): exact
+    * copies share every frame; edits bump pixel (3, 2) of frame
+    * id % 4 (≤ 2 comparisons flip, so that frame still AGREES and the
+    * vote reads 4-of-4 at ham_sum ≤ 2 — a near-dup); novels are
+    * unrelated at every position. */
+  private def q169Payloads(s: SparkSession, d: String, lo: Long,
+                           hi: Long): DataFrame = {
+    val enc = udf((id: Long) => {
+      val (key, bump) = q158KeyBump(id)
+      graft.jobs.JobRecordGate.encodeTemporalGifKeyed(key,
+        if (bump == 1) (id % 4).toInt else -1, 8, 6, 4)
+    })
+    Tables.rebalance(Tables.documents(s, d)
+        .filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .select(col("doc_id").as("media_id")))
+      .withColumn("payload", enc(col("media_id")))
+  }
+
+  /** The REAL video fingerprint chain: GIF encode → composed-frame
+    * decode → per-position dHash words (decode drift sits inside the
+    * gate, as everywhere in the media family). */
+  private def q169Frames(s: SparkSession, d: String, lo: Long,
+                         hi: Long): DataFrame = {
+    import s.implicits._
+    val recs = q169Payloads(s, d, lo, hi)
+      .select(col("media_id"),
+        struct(lit("video").as("kind"), lit(8).as("declaredWidth"),
+               lit(6).as("declaredHeight"), lit(0).as("sampleRate")).as("meta"),
+        col("payload"))
+      .as[graft.multimodal.MediaOps.MediaRecord]
+    graft.multimodal.MediaOps.frameDHashWide(recs, 4, 8, 6)
+      .select(col("media_id"), col("frame_idx").as("f"), col("fhash").as("fp"))
+  }
+
+  /** Cached VIDEO history ledger: sequence rows for videos 0–99 — the
+    * seed q169 clones per execution. */
+  private[graft] def ensureVideoHistoryLedger(s: SparkSession,
+                                              d: String): String =
+    VectorOps.ensureIndex(d, "ledgervid",
+        ledgerParams + s"|video|${NarrowMarks.params}|agree=3|F=4",
+        "documents.parquet") { base =>
+      IndexStore.commitRebuild(base.getPath) {
+        seqRows(q169Frames(s, d, 0L, 100L))
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"${base.getPath}/seqs")
+      }
       ()
     }
 
@@ -847,6 +1006,50 @@ object DedupLedger {
       IndexStore.vacuum(dir)
       dedupMediaAgainstLedger(s, q158Fps(s, d, 100L, 200L, 16, 8), dir,
         IndexStore.snapshot(dir), WideMarks, pairBudgetPerItem = Some(1000))
+    }),
+
+    // ---- q169: the VIDEO streamed tick (VERDICT r14 missing #3 /
+    // Next #4) — q158's kill/resume discipline over the ledger's
+    // SEQUENCE arm: the seeded store holds per-position fingerprint
+    // rows for history videos 0-99; tick 1 lands videos 100-149 as
+    // real animated-GIF payloads (kind "video" through the SAME
+    // mixedSink router the text/image arms use — 20 exact re-uploads
+    // of history, 14 one-frame edits, 16 novels), the checkpointed
+    // stream verdicts them through the temporal VOTE arm (exact =
+    // identical fingerprint sequence, near = >= 3-of-4 positions
+    // within hamming 2) and appends survivors' sequences under the
+    // tick's idempotency tag; the stream is KILLED and RESUMED for
+    // tick 2 (150-199, where 150-165 are exact copies of TICK 1's
+    // novel videos — duplicates only if tick 1's sequence append
+    // landed: the cross-tick proof). The verdict re-dedups all 100
+    // drops against HEAD — keep all zero, owners pinning exactly
+    // which sequences each tick admitted — hash-matched to a file-,
+    // transport- and CODEC-agnostic oracle that recomputes every
+    // per-frame comparison from the pixel formula and replays both
+    // survivor generations by exhaustive vote.
+    "q169_video_stream_tick" -> ((s, d) => {
+      val zone = graft.jobs.JobRecordGate.freshZone("graft-vidtick-", d)
+      val dir = new java.io.File(zone, "ledger").getAbsolutePath
+      cloneStore(ensureVideoHistoryLedger(s, d), dir)
+      val landing = new java.io.File(zone, "in").getAbsolutePath
+      val ckpt = new java.io.File(zone, "ck").getAbsolutePath
+      val ss = graft.streaming.StreamConf.stateSession(s, 8)
+      def stream = ss.readStream
+        .schema("kind STRING, doc_id LONG, text STRING, payload BINARY")
+        .json(landing)
+      def drainTick(): Unit =
+        graft.streaming.DedupMaintenance.mixedSink(stream, dir, ckpt)
+          .start().awaitTermination()
+      def videoRows(lo: Long, hi: Long) =
+        q169Payloads(s, d, lo, hi)
+          .select(lit("video").as("kind"), col("media_id").as("doc_id"),
+                  lit(null).cast("string").as("text"), col("payload"))
+      videoRows(100L, 150L).repartition(1).write.mode("overwrite").json(landing)
+      drainTick()
+      videoRows(150L, 200L).repartition(1).write.mode("append").json(landing)
+      drainTick()
+      dedupVideoAgainstLedger(s, q169Frames(s, d, 100L, 200L), dir,
+        IndexStore.snapshot(dir))
     }),
 
     // ---- q164: the EMBEDDING arm — the marks table is fingerprint-
@@ -1284,6 +1487,93 @@ object DedupLedger {
         |       THEN 1 ELSE 0 END::BIGINT AS keep
         |FROM wfp f WHERE f.media_id >= 100
         |ORDER BY f.media_id""".stripMargin
+    },
+
+    // q169: the video tick judged entirely at COMPARISON level — one
+    // boolean per (video, frame, comparison) from the pixel formula,
+    // per-position pair hamming by counting differing comparisons,
+    // the agreement vote exhaustively over ALL ordered pairs, two
+    // survivor generations replayed at the sequence level (canonical
+    // bit-string per video = the exact arm's identity), verdict arms
+    // over the final population. `vvote` keys on the sequence mark's
+    // OWNER id — an owner's frames ARE its mark's sequence.
+    "q169_video_stream_tick" -> {
+      def gray(xe: String, ye: String) = {
+        def ch(c: Int) =
+          s"((('0x' || substr(md5(mkey::VARCHAR || '|' || f::VARCHAR || '|' || " +
+            s"($xe)::VARCHAR || '|' || ($ye)::VARCHAR || '|$c'), 1, 2))::BIGINT + " +
+            s"CASE WHEN bump = 1 AND f = media_id % 4 AND ($xe) = 3 " +
+            s"AND ($ye) = 2 THEN 40 ELSE 0 END) % 256)"
+        s"(${ch(0)} + ${ch(1)} + ${ch(2)})"
+      }
+      s"""WITH vm AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id < 100 THEN doc_id
+        |         WHEN doc_id < 120 THEN doc_id - 100
+        |         WHEN doc_id < 134 THEN doc_id - 120
+        |         WHEN doc_id < 150 THEN doc_id
+        |         WHEN doc_id < 166 THEN doc_id - 16
+        |         WHEN doc_id < 180 THEN doc_id - 146
+        |         ELSE doc_id END AS mkey,
+        |    CASE WHEN (doc_id >= 120 AND doc_id < 134)
+        |           OR (doc_id >= 166 AND doc_id < 180) THEN 1 ELSE 0 END AS bump
+        |  FROM documents WHERE doc_id < 200),
+        |vcmp AS MATERIALIZED (
+        |  SELECT media_id, f, x, y,
+        |    ${gray("x + 1", "y")} > ${gray("x", "y")} AS bit
+        |  FROM vm, (SELECT unnest(range(0, 4)) AS f),
+        |           (SELECT unnest(range(0, 7)) AS x),
+        |           (SELECT unnest(range(0, 6)) AS y)),
+        |vfp AS MATERIALIZED (
+        |  SELECT media_id,
+        |    string_agg(bit::INT::VARCHAR, '' ORDER BY f, y, x) AS fpseq
+        |  FROM vcmp GROUP BY media_id),
+        |vham AS MATERIALIZED (
+        |  SELECT a.media_id AS ma, b.media_id AS mb, a.f,
+        |    count(*) FILTER (WHERE a.bit <> b.bit) AS ham
+        |  FROM vcmp a JOIN vcmp b
+        |    ON a.f = b.f AND a.x = b.x AND a.y = b.y
+        |  GROUP BY a.media_id, b.media_id, a.f),
+        |vvote AS MATERIALIZED (
+        |  SELECT ma, mb, count(*) FILTER (WHERE ham <= 2) AS nagree
+        |  FROM vham GROUP BY ma, mb),
+        |vhist AS (
+        |  SELECT fpseq, min(media_id) AS owner FROM vfp WHERE media_id < 100
+        |  GROUP BY fpseq),
+        |vreps1 AS (
+        |  SELECT fpseq, min(media_id) AS owner FROM (
+        |    SELECT fv.media_id, fv.fpseq FROM vfp fv
+        |    WHERE fv.media_id >= 100 AND fv.media_id < 150
+        |      AND NOT EXISTS (SELECT 1 FROM vhist m JOIN vvote v
+        |            ON v.ma = m.owner AND v.mb = fv.media_id
+        |            WHERE v.nagree >= 3)) b
+        |  GROUP BY fpseq),
+        |vmarks1 AS (SELECT fpseq, owner FROM vhist
+        |            UNION ALL SELECT fpseq, owner FROM vreps1),
+        |vreps2 AS (
+        |  SELECT fpseq, min(media_id) AS owner FROM (
+        |    SELECT fv.media_id, fv.fpseq FROM vfp fv
+        |    WHERE fv.media_id >= 150
+        |      AND NOT EXISTS (SELECT 1 FROM vmarks1 m JOIN vvote v
+        |            ON v.ma = m.owner AND v.mb = fv.media_id
+        |            WHERE v.nagree >= 3)) b
+        |  GROUP BY fpseq),
+        |vmarks2 AS (SELECT fpseq, owner FROM vmarks1
+        |            UNION ALL SELECT fpseq, owner FROM vreps2)
+        |SELECT fv.media_id,
+        |  (SELECT min(owner) FROM vmarks2 m WHERE m.fpseq = fv.fpseq)
+        |    AS exact_of,
+        |  (SELECT min(m.owner) FROM vmarks2 m JOIN vvote v
+        |     ON v.ma = m.owner AND v.mb = fv.media_id
+        |   WHERE v.nagree >= 3) AS near_of,
+        |  CASE WHEN (SELECT min(owner) FROM vmarks2 m
+        |             WHERE m.fpseq = fv.fpseq) IS NULL
+        |        AND (SELECT min(m.owner) FROM vmarks2 m JOIN vvote v
+        |               ON v.ma = m.owner AND v.mb = fv.media_id
+        |             WHERE v.nagree >= 3) IS NULL
+        |       THEN 1 ELSE 0 END::BIGINT AS keep
+        |FROM vfp fv WHERE fv.media_id >= 100
+        |ORDER BY fv.media_id""".stripMargin
     },
 
     // q166: exactly the two survivor generations' representatives —

@@ -47,7 +47,8 @@ object IndexStore {
     * exactly the manifests they always did. */
   final case class Snapshot(version: Int, codes: Seq[String],
                             vectors: Seq[String],
-                            marks: Seq[String] = Nil)
+                            marks: Seq[String] = Nil,
+                            seqs: Seq[String] = Nil)
 
   private def headFile(dir: String) = new java.io.File(dir, "_HEAD")
   private def manifestDir(dir: String) = new java.io.File(dir, "_manifest")
@@ -83,7 +84,8 @@ object IndexStore {
     Snapshot(version,
       lines.collect { case s if s.startsWith("codes\t") => s.substring(6) },
       lines.collect { case s if s.startsWith("vectors\t") => s.substring(8) },
-      lines.collect { case s if s.startsWith("marks\t") => s.substring(6) })
+      lines.collect { case s if s.startsWith("marks\t") => s.substring(6) },
+      lines.collect { case s if s.startsWith("seqs\t") => s.substring(5) })
   }
 
   /** All committed parquet data files under `<dir>/<sub>`, as paths
@@ -119,12 +121,14 @@ object IndexStore {
     * old HEAD intact and the orphan manifest inert. */
   private def publish(dir: String, codes: Seq[String],
                       vectors: Seq[String],
-                      marks: Seq[String] = Nil): Int = {
+                      marks: Seq[String] = Nil,
+                      seqs: Seq[String] = Nil): Int = {
     val v = headVersion(dir).getOrElse(0) + 1
     manifestDir(dir).mkdirs()
     val body = (codes.map(f => s"codes\t$f") ++
                 vectors.map(f => s"vectors\t$f") ++
-                marks.map(f => s"marks\t$f")).mkString("\n")
+                marks.map(f => s"marks\t$f") ++
+                seqs.map(f => s"seqs\t$f")).mkString("\n")
     java.nio.file.Files.write(
       new java.io.File(manifestDir(dir), s"v$v.list").toPath,
       body.getBytes("UTF-8"))
@@ -158,7 +162,8 @@ object IndexStore {
         val v = publish(dir,
           (before.codes ++ (listData(dir, "codes").toSet -- before.codes.toSet).toSeq.sorted).distinct,
           (before.vectors ++ (listData(dir, "vectors").toSet -- before.vectors.toSet).toSeq.sorted).distinct,
-          (before.marks ++ (listData(dir, "marks").toSet -- before.marks.toSet).toSeq.sorted).distinct)
+          (before.marks ++ (listData(dir, "marks").toSet -- before.marks.toSet).toSeq.sorted).distinct,
+          (before.seqs ++ (listData(dir, "seqs").toSet -- before.seqs.toSet).toSeq.sorted).distinct)
         tag.foreach(recordTag(dir, _))
         v
       }
@@ -193,7 +198,7 @@ object IndexStore {
     withWriterLock(dir) {
       write
       publish(dir, listData(dir, "codes"), listData(dir, "vectors"),
-        listData(dir, "marks"))
+        listData(dir, "marks"), listData(dir, "seqs"))
     }
 
   /** Commit a REPLACEMENT write (compaction): run `write`, then publish
@@ -207,14 +212,17 @@ object IndexStore {
       val carryCodes = now.codes.toSet -- base.codes.toSet
       val carryVecs = now.vectors.toSet -- base.vectors.toSet
       val carryMarks = now.marks.toSet -- base.marks.toSet
+      val carrySeqs = now.seqs.toSet -- base.seqs.toSet
       val preCodes = listData(dir, "codes").toSet
       val preVecs = listData(dir, "vectors").toSet
       val preMarks = listData(dir, "marks").toSet
+      val preSeqs = listData(dir, "seqs").toSet
       write
       publish(dir,
         ((listData(dir, "codes").toSet -- preCodes) ++ carryCodes).toSeq.sorted,
         ((listData(dir, "vectors").toSet -- preVecs) ++ carryVecs).toSeq.sorted,
-        ((listData(dir, "marks").toSet -- preMarks) ++ carryMarks).toSeq.sorted)
+        ((listData(dir, "marks").toSet -- preMarks) ++ carryMarks).toSeq.sorted,
+        ((listData(dir, "seqs").toSet -- preSeqs) ++ carrySeqs).toSeq.sorted)
     }
 
   private def snapshotOrEmpty(dir: String): Snapshot =
@@ -239,16 +247,17 @@ object IndexStore {
         .flatMap(v => scala.util.Try(snapshotAt(dir, v)).toOption)
       val live = kept.flatMap(s =>
         s.codes.map(f => s"codes/$f") ++ s.vectors.map(f => s"vectors/$f") ++
-          s.marks.map(f => s"marks/$f")).toSet
+          s.marks.map(f => s"marks/$f") ++ s.seqs.map(f => s"seqs/$f")).toSet
       var n = 0
-      for (sub <- Seq("codes", "vectors", "marks"); rel <- listData(dir, sub)) {
+      for (sub <- Seq("codes", "vectors", "marks", "seqs");
+           rel <- listData(dir, sub)) {
         if (!live.contains(s"$sub/$rel")) {
           new java.io.File(new java.io.File(dir, sub), rel).delete(); n += 1
         }
       }
       // prune now-empty cell directories so listings stay proportional to
       // live data
-      for (sub <- Seq("codes", "vectors", "marks");
+      for (sub <- Seq("codes", "vectors", "marks", "seqs");
            d <- Option(new java.io.File(dir, sub).listFiles()).toSeq.flatten
              if d.isDirectory && Option(d.listFiles()).exists(_.isEmpty))
         d.delete()
@@ -361,6 +370,30 @@ object IndexStore {
     marksFrame(spark, dir,
       to.copy(marks = (to.marks.toSet -- from.marks.toSet).toSeq.sorted), ddl)
 
+  /** The sequence table's schema — one row per (owner, sample position,
+    * per-frame fingerprint) of each admitted VIDEO (the temporal arm's
+    * ledger shape; DedupLedger's video verdict votes over it). */
+  val SEQS_DDL = "cell INT, owner BIGINT, f BIGINT, fp ARRAY<BIGINT>"
+
+  /** The snapshot's seqs table (admitted videos' per-position frame
+    * fingerprints) as a DataFrame; empty snapshots read as empty at
+    * [[SEQS_DDL]], like every other modality a store never published. */
+  def seqsFrame(spark: SparkSession, dir: String, snap: Snapshot): DataFrame =
+    if (snap.seqs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(SEQS_DDL))
+    else
+      spark.read.option("basePath", s"$dir/seqs")
+        .parquet(snap.seqs.map(f => s"$dir/seqs/$f"): _*)
+
+  /** [[diffMarks]] for the seqs table: the video sequences ADDED
+    * between two snapshots (same append-only-range caveat). */
+  def diffSeqs(spark: SparkSession, dir: String, from: Snapshot,
+               to: Snapshot): DataFrame =
+    seqsFrame(spark, dir,
+      to.copy(seqs = (to.seqs.toSet -- from.seqs.toSet).toSeq.sorted))
+
   /** Rewrite the store's data into sized files — one shuffle keyed on
     * `cell` so each cell's accumulated append-files coalesce into a
     * single writer task, split only by `maxRecordsPerFile`. The rewrite
@@ -387,6 +420,7 @@ object IndexStore {
     // staging dir (no part files — adopt moves nothing), so the ddl
     // path is live, not guarded-dead (round-14 review find)
     rewrite(marksFrame(spark, dir, snap, MARKS_DDL), "marks")
+    rewrite(seqsFrame(spark, dir, snap), "seqs")
     def adopt(sub: String): Unit = {
       val root = new java.io.File(staging, sub)
       for (cellDir <- Option(root.listFiles()).toSeq.flatten
@@ -401,7 +435,7 @@ object IndexStore {
       }
     }
     try commitReplace(dir, snap) {
-      adopt("codes"); adopt("vectors"); adopt("marks")
+      adopt("codes"); adopt("vectors"); adopt("marks"); adopt("seqs")
     }
     finally {
       def rm(f: java.io.File): Unit = {

@@ -51,19 +51,23 @@ object DedupMaintenance {
         }
       }
 
-  /** MIXED-modality online dedup (q158): one stream carries text docs
-    * AND media payloads (schema: kind, doc_id, text, payload — text
-    * rows have payload null, image rows text null); each micro-batch
-    * routes by kind against the SAME ledger snapshot — text through
-    * the exact/near signature arms, images through decode → dHash →
-    * the marks-table hamming arm — and each modality's survivors
-    * append under their own idempotency tag (`stream-<id>-text` /
-    * `stream-<id>-media`), so a replayed batch is a no-op on both
-    * tables. The ledger store versions all three tables in one
-    * snapshot, so tick N+1's text AND media verdicts both see exactly
-    * what tick N admitted, never half a tick. */
+  /** MIXED-modality online dedup (q158/q169): one stream carries text
+    * docs AND media payloads (schema: kind, doc_id, text, payload —
+    * text rows have payload null, image/video rows text null); each
+    * micro-batch routes by kind against the SAME ledger snapshot —
+    * text through the exact/near signature arms, images through
+    * decode → dHash → the marks-table hamming arm, VIDEOS through
+    * frame sampling → per-frame dHash → the seqs-table temporal vote
+    * arm — and each modality's survivors append under their own
+    * idempotency tag (`stream-<id>-text` / `-media` / `-video`), so a
+    * replayed batch is a no-op on every table. The ledger store
+    * versions all four tables in one snapshot, so tick N+1's verdicts
+    * all see exactly what tick N admitted, never half a tick.
+    * `maxFrames`/`gw`/`gh` size the video fingerprints (they must
+    * match the seed store's stamped geometry). */
   def mixedSink(stream: DataFrame, ledgerDir: String,
-                checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+                checkpointDir: String, maxFrames: Int = 4,
+                gw: Int = 8, gh: Int = 6): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -109,6 +113,30 @@ object DedupMaintenance {
               fps.join(verdict.filter(col("keep") === 1L).select(col("media_id")),
                 Seq("media_id"), "left_semi"),
               ledgerDir, tag = s"stream-$id-media")
+            ()
+          }
+          val vid = b.filter(col("kind") === "video")
+          if (kinds("video")) {
+            import s.implicits._
+            import org.apache.spark.sql.functions.{lit, struct}
+            val recs = vid.select(col("doc_id").as("media_id"),
+                struct(lit("video").as("kind"), lit(0).as("declaredWidth"),
+                       lit(0).as("declaredHeight"), lit(0).as("sampleRate"))
+                  .as("meta"),
+                col("payload"))
+              .as[graft.multimodal.MediaOps.MediaRecord]
+            val frames = graft.multimodal.MediaOps
+              .frameDHashWide(recs, maxFrames, gw, gh)
+              .select(col("media_id"), col("frame_idx").as("f"),
+                      col("fhash").as("fp"))
+              .localCheckpoint() // verdict + append read it twice
+            val verdict = DedupLedger.dedupVideoAgainstLedger(
+              s, frames, ledgerDir, IndexStore.snapshot(ledgerDir))
+            DedupLedger.appendVideoSurvivors(
+              frames.join(verdict.filter(col("keep") === 1L)
+                  .select(col("media_id")),
+                Seq("media_id"), "left_semi"),
+              ledgerDir, tag = s"stream-$id-video")
             ()
           }
         }

@@ -671,19 +671,32 @@ object DedupLedger {
     s"v2|seeds=${DedupOps.NUM_SEEDS}|rows=${DedupOps.ROWS_PER_BAND}" +
     s"|sigmin=$SIG_MIN|cut90"
 
+  /** One text ingest GENERATION — verdict against the current
+    * snapshot, survivors' fingerprints appended under `tag` — the
+    * text analog of [[ingestMediaGenerations]]' step, shared by every
+    * seed builder that chains generations (one definition: a change
+    * to the survivor-join or tagging discipline cannot silently split
+    * the gates). */
+  private def ingestTextGeneration(s: SparkSession, docs: DataFrame,
+                                   dir: String, lo: Long, hi: Long,
+                                   tag: String): Unit = {
+    val b = docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+      .localCheckpoint()
+    val v = dedupAgainstLedger(s, b, dir, IndexStore.snapshot(dir))
+    appendSurvivors(
+      b.join(v.filter(col("keep") === 1L).select(col("doc_id")),
+        Seq("doc_id"), "left_semi"),
+      dir, tag)
+    ()
+  }
+
   private[graft] def ensureLedger(s: SparkSession, d: String): String =
     VectorOps.ensureIndex(d, "ledger", ledgerParams, "documents.parquet") { base =>
       val docs = Tables.rebalance(Tables.documents(s, d))
       val cutoff = cutoffOf(docs)
-      val batch = docs.filter(col("doc_id") >= cutoff).localCheckpoint()
       buildLedger(docs.filter(col("doc_id") < cutoff), base.getPath)
-      val verdict = dedupAgainstLedger(s, batch, base.getPath,
-        IndexStore.snapshot(base.getPath))
-      appendSurvivors(
-        batch.join(verdict.filter(col("keep") === 1L).select(col("doc_id")),
-          Seq("doc_id"), "left_semi"),
-        base.getPath, tag = s"batch@$cutoff")
-      ()
+      ingestTextGeneration(s, docs, base.getPath, cutoff, Long.MaxValue,
+        tag = s"batch@$cutoff")
     }
 
   /** Build-once gate for q151: the full STORE lifecycle under the
@@ -707,15 +720,8 @@ object DedupLedger {
       val c9 = mx * 9L / 10L
       val dir = base.getPath
       buildLedger(docs.filter(col("doc_id") < c8), dir)
-      for ((lo, hi, tag) <- Seq((c8, c9, s"gen@$c8"), (c9, mx + 1L, s"gen@$c9"))) {
-        val b = docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
-          .localCheckpoint()
-        val v = dedupAgainstLedger(s, b, dir, IndexStore.snapshot(dir))
-        appendSurvivors(
-          b.join(v.filter(col("keep") === 1L).select(col("doc_id")),
-            Seq("doc_id"), "left_semi"),
-          dir, tag)
-      }
+      for ((lo, hi, tag) <- Seq((c8, c9, s"gen@$c8"), (c9, mx + 1L, s"gen@$c9")))
+        ingestTextGeneration(s, docs, dir, lo, hi, tag)
       IndexStore.compact(s, dir)
       IndexStore.vacuum(dir)
       ()

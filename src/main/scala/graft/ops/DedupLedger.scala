@@ -633,6 +633,21 @@ object DedupLedger {
       .select(col("media_id"), col("frame_idx").as("f"), col("fhash").as("fp"))
   }
 
+  /** The two chained batch VIDEO generations q170 and q171 run over a
+    * cloned video seed — the sequence-arm analog of
+    * [[ingestMediaGenerations]], one definition for both gates. */
+  private def ingestVideoGenerations(s: SparkSession, d: String,
+                                     dir: String): Unit =
+    for ((lo, hi, tag) <- Seq((100L, 150L, "vgen-a"), (150L, 200L, "vgen-b"))) {
+      val frames = q169Frames(s, d, lo, hi).localCheckpoint()
+      val v = dedupVideoAgainstLedger(s, frames, dir, IndexStore.snapshot(dir))
+      appendVideoSurvivors(
+        frames.join(v.filter(col("keep") === 1L).select(col("media_id")),
+          Seq("media_id"), "left_semi"),
+        dir, tag)
+      ()
+    }
+
   /** Cached VIDEO history ledger: sequence rows for videos 0–99 — the
     * seed q169 clones per execution. */
   private[graft] def ensureVideoHistoryLedger(s: SparkSession,
@@ -1058,6 +1073,50 @@ object DedupLedger {
         IndexStore.snapshot(dir))
     }),
 
+    // ---- q170: the sequence arm's STORE lifecycle — q162's
+    // discipline on the seqs table: clone the video seed, ingest the
+    // two video generations through the BATCH verdict+append API
+    // (vgen-b's exact copies of vgen-a's novels prove the chained
+    // dependency), then COMPACT (seq rows rewrite per-cell under one
+    // replacement snapshot) and VACUUM, and re-verdict all 100 drops
+    // against the compacted HEAD. Layout ops must be hash-invisible
+    // to the same comparison-level oracle that gates the streamed
+    // tick: a compaction that drops/duplicates/re-cells one (owner,
+    // position, fingerprint) row — or a vacuum that deletes a live
+    // seqs file — flips some drop's owner, vote, or keep.
+    "q170_video_ledger_compact" -> ((s, d) => {
+      val zone = graft.jobs.JobRecordGate.freshZone("graft-vidcompact-", d)
+      val dir = new java.io.File(zone, "ledger").getAbsolutePath
+      cloneStore(ensureVideoHistoryLedger(s, d), dir)
+      ingestVideoGenerations(s, d, dir)
+      IndexStore.compact(s, dir)
+      IndexStore.vacuum(dir)
+      dedupVideoAgainstLedger(s, q169Frames(s, d, 100L, 200L), dir,
+        IndexStore.snapshot(dir))
+    }),
+
+    // ---- q171: the sequence arm's CHANGELOG — q166's manifest-native
+    // incremental read on the seqs table: after the two batch video
+    // generations, the diff between the cloned seed's snapshot and
+    // HEAD opens ONLY the data files the appends published and must
+    // contain exactly the admitted sequences — vgen-a's novels and
+    // vgen-b's novels, one row per (owner, position), with vgen-b's
+    // re-uploads of vgen-a's novels ABSENT (denied by the chained
+    // vote). The oracle re-derives the survivor owners from the pixel
+    // formula and packs each admitted frame's 42 comparison bits into
+    // the BIGINT the narrow-geometry store carries in word 1.
+    "q171_video_ledger_diff" -> ((s, d) => {
+      val zone = graft.jobs.JobRecordGate.freshZone("graft-viddiff-", d)
+      val dir = new java.io.File(zone, "ledger").getAbsolutePath
+      cloneStore(ensureVideoHistoryLedger(s, d), dir)
+      val v0 = IndexStore.snapshot(dir)
+      ingestVideoGenerations(s, d, dir)
+      IndexStore.diffSeqs(s, dir, v0, IndexStore.snapshot(dir))
+        .select(col("owner").as("media_id"), col("f"),
+                expr("element_at(fp, 1)").as("fp"))
+        .orderBy(col("media_id"), col("f"))
+    }),
+
     // ---- q164: the EMBEDDING arm — the marks table is fingerprint-
     // typed, not image-typed, and this gate proves it: history vectors'
     // SRP sign fingerprints seed a marks-only store, the batch is the
@@ -1405,6 +1464,98 @@ object DedupLedger {
       |  FROM (SELECT media_id, fp FROM medd WHERE media_id >= 100) b)""".stripMargin
   }
 
+  /** The video two-generation CTE chain — comparison bits from the
+    * pixel formula (`vcmp`), canonical per-video sequence strings
+    * (`vfp`, the exact arm's identity), exhaustive per-position pair
+    * hamming (`vham`) and the agreement vote (`vvote`, ALL ordered
+    * pairs so it keys on a mark's owner id directly), then the two
+    * survivor generations (`vreps1`/`vreps2`) and the final population
+    * (`vmarks2`). Shared by the q169/q170 verdict oracle and the q171
+    * changelog oracle. */
+  private def videoGenDuck: String = {
+    def gray(xe: String, ye: String) = {
+      def ch(c: Int) =
+        s"((('0x' || substr(md5(mkey::VARCHAR || '|' || f::VARCHAR || '|' || " +
+          s"($xe)::VARCHAR || '|' || ($ye)::VARCHAR || '|$c'), 1, 2))::BIGINT + " +
+          s"CASE WHEN bump = 1 AND f = media_id % 4 AND ($xe) = 3 " +
+          s"AND ($ye) = 2 THEN 40 ELSE 0 END) % 256)"
+      s"(${ch(0)} + ${ch(1)} + ${ch(2)})"
+    }
+    s"""vm AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE WHEN doc_id < 100 THEN doc_id
+      |         WHEN doc_id < 120 THEN doc_id - 100
+      |         WHEN doc_id < 134 THEN doc_id - 120
+      |         WHEN doc_id < 150 THEN doc_id
+      |         WHEN doc_id < 166 THEN doc_id - 16
+      |         WHEN doc_id < 180 THEN doc_id - 146
+      |         ELSE doc_id END AS mkey,
+      |    CASE WHEN (doc_id >= 120 AND doc_id < 134)
+      |           OR (doc_id >= 166 AND doc_id < 180) THEN 1 ELSE 0 END AS bump
+      |  FROM documents WHERE doc_id < 200),
+      |vcmp AS MATERIALIZED (
+      |  SELECT media_id, f, x, y,
+      |    ${gray("x + 1", "y")} > ${gray("x", "y")} AS bit
+      |  FROM vm, (SELECT unnest(range(0, 4)) AS f),
+      |           (SELECT unnest(range(0, 7)) AS x),
+      |           (SELECT unnest(range(0, 6)) AS y)),
+      |vfp AS MATERIALIZED (
+      |  SELECT media_id,
+      |    string_agg(bit::INT::VARCHAR, '' ORDER BY f, y, x) AS fpseq
+      |  FROM vcmp GROUP BY media_id),
+      |vham AS MATERIALIZED (
+      |  SELECT a.media_id AS ma, b.media_id AS mb, a.f,
+      |    count(*) FILTER (WHERE a.bit <> b.bit) AS ham
+      |  FROM vcmp a JOIN vcmp b
+      |    ON a.f = b.f AND a.x = b.x AND a.y = b.y
+      |  GROUP BY a.media_id, b.media_id, a.f),
+      |vvote AS MATERIALIZED (
+      |  SELECT ma, mb, count(*) FILTER (WHERE ham <= 2) AS nagree
+      |  FROM vham GROUP BY ma, mb),
+      |vhist AS (
+      |  SELECT fpseq, min(media_id) AS owner FROM vfp WHERE media_id < 100
+      |  GROUP BY fpseq),
+      |vreps1 AS (
+      |  SELECT fpseq, min(media_id) AS owner FROM (
+      |    SELECT fv.media_id, fv.fpseq FROM vfp fv
+      |    WHERE fv.media_id >= 100 AND fv.media_id < 150
+      |      AND NOT EXISTS (SELECT 1 FROM vhist m JOIN vvote v
+      |            ON v.ma = m.owner AND v.mb = fv.media_id
+      |            WHERE v.nagree >= 3)) b
+      |  GROUP BY fpseq),
+      |vmarks1 AS (SELECT fpseq, owner FROM vhist
+      |            UNION ALL SELECT fpseq, owner FROM vreps1),
+      |vreps2 AS (
+      |  SELECT fpseq, min(media_id) AS owner FROM (
+      |    SELECT fv.media_id, fv.fpseq FROM vfp fv
+      |    WHERE fv.media_id >= 150
+      |      AND NOT EXISTS (SELECT 1 FROM vmarks1 m JOIN vvote v
+      |            ON v.ma = m.owner AND v.mb = fv.media_id
+      |            WHERE v.nagree >= 3)) b
+      |  GROUP BY fpseq),
+      |vmarks2 AS (SELECT fpseq, owner FROM vmarks1
+      |            UNION ALL SELECT fpseq, owner FROM vreps2)""".stripMargin
+  }
+
+  /** The q169/q170 verdict over the final video population (see the
+    * oracles-map comment). */
+  private def videoGenOracleDuck: String =
+    s"""WITH $videoGenDuck
+      |SELECT fv.media_id,
+      |  (SELECT min(owner) FROM vmarks2 m WHERE m.fpseq = fv.fpseq)
+      |    AS exact_of,
+      |  (SELECT min(m.owner) FROM vmarks2 m JOIN vvote v
+      |     ON v.ma = m.owner AND v.mb = fv.media_id
+      |   WHERE v.nagree >= 3) AS near_of,
+      |  CASE WHEN (SELECT min(owner) FROM vmarks2 m
+      |             WHERE m.fpseq = fv.fpseq) IS NULL
+      |        AND (SELECT min(m.owner) FROM vmarks2 m JOIN vvote v
+      |               ON v.ma = m.owner AND v.mb = fv.media_id
+      |             WHERE v.nagree >= 3) IS NULL
+      |       THEN 1 ELSE 0 END::BIGINT AS keep
+      |FROM vfp fv WHERE fv.media_id >= 100
+      |ORDER BY fv.media_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q158_mixed_stream_tick" -> mixedTickOracleDuck,
 
@@ -1495,92 +1646,35 @@ object DedupLedger {
         |ORDER BY f.media_id""".stripMargin
     },
 
-    // q169: the video tick judged entirely at COMPARISON level — one
-    // boolean per (video, frame, comparison) from the pixel formula,
-    // per-position pair hamming by counting differing comparisons,
-    // the agreement vote exhaustively over ALL ordered pairs, two
-    // survivor generations replayed at the sequence level (canonical
-    // bit-string per video = the exact arm's identity), verdict arms
-    // over the final population. `vvote` keys on the sequence mark's
-    // OWNER id — an owner's frames ARE its mark's sequence.
-    "q169_video_stream_tick" -> {
-      def gray(xe: String, ye: String) = {
-        def ch(c: Int) =
-          s"((('0x' || substr(md5(mkey::VARCHAR || '|' || f::VARCHAR || '|' || " +
-            s"($xe)::VARCHAR || '|' || ($ye)::VARCHAR || '|$c'), 1, 2))::BIGINT + " +
-            s"CASE WHEN bump = 1 AND f = media_id % 4 AND ($xe) = 3 " +
-            s"AND ($ye) = 2 THEN 40 ELSE 0 END) % 256)"
-        s"(${ch(0)} + ${ch(1)} + ${ch(2)})"
-      }
-      s"""WITH vm AS (
-        |  SELECT doc_id AS media_id,
-        |    CASE WHEN doc_id < 100 THEN doc_id
-        |         WHEN doc_id < 120 THEN doc_id - 100
-        |         WHEN doc_id < 134 THEN doc_id - 120
-        |         WHEN doc_id < 150 THEN doc_id
-        |         WHEN doc_id < 166 THEN doc_id - 16
-        |         WHEN doc_id < 180 THEN doc_id - 146
-        |         ELSE doc_id END AS mkey,
-        |    CASE WHEN (doc_id >= 120 AND doc_id < 134)
-        |           OR (doc_id >= 166 AND doc_id < 180) THEN 1 ELSE 0 END AS bump
-        |  FROM documents WHERE doc_id < 200),
-        |vcmp AS MATERIALIZED (
-        |  SELECT media_id, f, x, y,
-        |    ${gray("x + 1", "y")} > ${gray("x", "y")} AS bit
-        |  FROM vm, (SELECT unnest(range(0, 4)) AS f),
-        |           (SELECT unnest(range(0, 7)) AS x),
-        |           (SELECT unnest(range(0, 6)) AS y)),
-        |vfp AS MATERIALIZED (
-        |  SELECT media_id,
-        |    string_agg(bit::INT::VARCHAR, '' ORDER BY f, y, x) AS fpseq
-        |  FROM vcmp GROUP BY media_id),
-        |vham AS MATERIALIZED (
-        |  SELECT a.media_id AS ma, b.media_id AS mb, a.f,
-        |    count(*) FILTER (WHERE a.bit <> b.bit) AS ham
-        |  FROM vcmp a JOIN vcmp b
-        |    ON a.f = b.f AND a.x = b.x AND a.y = b.y
-        |  GROUP BY a.media_id, b.media_id, a.f),
-        |vvote AS MATERIALIZED (
-        |  SELECT ma, mb, count(*) FILTER (WHERE ham <= 2) AS nagree
-        |  FROM vham GROUP BY ma, mb),
-        |vhist AS (
-        |  SELECT fpseq, min(media_id) AS owner FROM vfp WHERE media_id < 100
-        |  GROUP BY fpseq),
-        |vreps1 AS (
-        |  SELECT fpseq, min(media_id) AS owner FROM (
-        |    SELECT fv.media_id, fv.fpseq FROM vfp fv
-        |    WHERE fv.media_id >= 100 AND fv.media_id < 150
-        |      AND NOT EXISTS (SELECT 1 FROM vhist m JOIN vvote v
-        |            ON v.ma = m.owner AND v.mb = fv.media_id
-        |            WHERE v.nagree >= 3)) b
-        |  GROUP BY fpseq),
-        |vmarks1 AS (SELECT fpseq, owner FROM vhist
-        |            UNION ALL SELECT fpseq, owner FROM vreps1),
-        |vreps2 AS (
-        |  SELECT fpseq, min(media_id) AS owner FROM (
-        |    SELECT fv.media_id, fv.fpseq FROM vfp fv
-        |    WHERE fv.media_id >= 150
-        |      AND NOT EXISTS (SELECT 1 FROM vmarks1 m JOIN vvote v
-        |            ON v.ma = m.owner AND v.mb = fv.media_id
-        |            WHERE v.nagree >= 3)) b
-        |  GROUP BY fpseq),
-        |vmarks2 AS (SELECT fpseq, owner FROM vmarks1
-        |            UNION ALL SELECT fpseq, owner FROM vreps2)
-        |SELECT fv.media_id,
-        |  (SELECT min(owner) FROM vmarks2 m WHERE m.fpseq = fv.fpseq)
-        |    AS exact_of,
-        |  (SELECT min(m.owner) FROM vmarks2 m JOIN vvote v
-        |     ON v.ma = m.owner AND v.mb = fv.media_id
-        |   WHERE v.nagree >= 3) AS near_of,
-        |  CASE WHEN (SELECT min(owner) FROM vmarks2 m
-        |             WHERE m.fpseq = fv.fpseq) IS NULL
-        |        AND (SELECT min(m.owner) FROM vmarks2 m JOIN vvote v
-        |               ON v.ma = m.owner AND v.mb = fv.media_id
-        |             WHERE v.nagree >= 3) IS NULL
-        |       THEN 1 ELSE 0 END::BIGINT AS keep
-        |FROM vfp fv WHERE fv.media_id >= 100
-        |ORDER BY fv.media_id""".stripMargin
-    },
+    // q169/q170: the video tick judged entirely at COMPARISON level —
+    // one boolean per (video, frame, comparison) from the pixel
+    // formula, per-position pair hamming by counting differing
+    // comparisons, the agreement vote exhaustively over ALL ordered
+    // pairs, two survivor generations replayed at the sequence level
+    // (canonical bit-string per video = the exact arm's identity),
+    // verdict arms over the final population. `vvote` keys on the
+    // sequence mark's OWNER id — an owner's frames ARE its mark's
+    // sequence. ONE oracle text gates both the streamed tick (q169)
+    // and the batch-API + compact + vacuum lifecycle (q170): the
+    // transport and the layout ops must be equally invisible.
+    "q169_video_stream_tick" -> videoGenOracleDuck,
+    "q170_video_ledger_compact" -> videoGenOracleDuck,
+
+    // q171: exactly the two survivor generations' sequences — the
+    // delta read must equal what the chained ingest admitted, one row
+    // per (owner, position) with the 42 comparison bits packed into
+    // the BIGINT the narrow store carries in word 1
+    "q171_video_ledger_diff" ->
+      s"""WITH $videoGenDuck,
+        |vpack AS (
+        |  SELECT media_id, f,
+        |    sum(CASE WHEN bit THEN (1::BIGINT << (y * 7 + x))
+        |             ELSE 0::BIGINT END)::BIGINT AS fp
+        |  FROM vcmp GROUP BY media_id, f)
+        |SELECT r.owner AS media_id, p.f::BIGINT AS f, p.fp
+        |FROM (SELECT owner FROM vreps1 UNION ALL SELECT owner FROM vreps2) r
+        |JOIN vpack p ON p.media_id = r.owner
+        |ORDER BY media_id, f""".stripMargin,
 
     // q166: exactly the two survivor generations' representatives —
     // the delta read must equal what the chained ingest admitted

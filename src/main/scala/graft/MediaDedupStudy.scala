@@ -37,6 +37,9 @@ object MediaDedupStudy {
     if (args.headOption.contains("temporal")) {
       temporalStudy(spark); spark.stop(); return
     }
+    if (args.headOption.contains("ledger")) {
+      ledgerStudy(spark); spark.stop(); return
+    }
 
     val W = 8; val H = 6
     def media(n: Long) = {
@@ -197,6 +200,81 @@ object MediaDedupStudy {
     println(f"narrow 3x14 @ 1M + budget 10/doc: ${tH}%.2f s fp, ${tCap}%.2f s join, " +
       f"$nCapped%d pairs (uncapped expectation ~ ${graft.ops.DedupOps
         .expectedBandCandidates(1000000L, 3, 14).toLong}%d candidates)")
+  }
+
+  /** The LEDGER lookup join at corpus scale (round 15 — the measured
+    * closure of VERDICT r14 #1b): per-item candidate fan-out into the
+    * marks table is bands × marks/2^bandBits by arithmetic, unbounded
+    * as the ledger grows and UNBOUNDED per bucket when content mass
+    * concentrates band keys. Builds a 1M-mark store whose first 100k
+    * fingerprints share band-0/band-2 keys (fp = i << 14 — the
+    * blank-thumbnail shape in the STORED corpus), probes it with a
+    * 10k batch that fans into the hot bucket (plus 1k exact copies of
+    * hot members), and measures the verdict uncapped vs budget-capped
+    * — the claim being that the cap bounds the join with the VERDICT
+    * UNCHANGED (exact copies resolve through the equality arm, which
+    * no cap touches; fan-probes keep=1 either way). The wide-geometry
+    * store at the same 1M marks shows the fan-out gone by band
+    * arithmetic alone. Run: sbt "runMain graft.MediaDedupStudy ledger" */
+  private def ledgerStudy(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.ops.{DedupLedger, IndexStore}
+    import spark.implicits._
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val mask42 = (1L << 42) - 1
+    val seedDoc = Seq((0L, "ledger study seed document text")).toDF("doc_id", "text")
+
+    // ---- narrow store: 100k hot-bucket marks + 900k random
+    val dirN = java.nio.file.Files.createTempDirectory("graft-ledgerstudy-n").toString
+    val marksN = spark.range(0, 1000000L, 1, 32)
+      .select(col("id").as("media_id"),
+        expr(s"""array(CASE WHEN id < 100000 THEN shiftleft(id, 14)
+                 ELSE cast(conv(substring(md5(cast(id as string)), 1, 11), 16, 10)
+                      as bigint) & $mask42 END)""").as("fp"))
+    val (_, tBuildN) = timed(DedupLedger.buildMixedLedger(seedDoc, marksN, dirN))
+    val snapN = IndexStore.snapshot(dirN)
+    // batch: 1k exact copies of hot members + 9k fan-probes whose
+    // band-0 key is the hot bucket's (novel high bits -> keep = 1)
+    val batchN = spark.range(0, 10000L, 1, 32)
+      .select((col("id") + 2000000L).as("media_id"),
+        expr("""array(CASE WHEN id < 1000 THEN shiftleft(id, 14)
+                ELSE shiftleft(id + 200000, 14) END)""").as("fp"))
+      .localCheckpoint()
+    def keeps(v: org.apache.spark.sql.DataFrame): Long =
+      v.agg(sum(col("keep"))).head.getLong(0)
+    val (k1, t1) = timed(keeps(
+      DedupLedger.dedupMediaAgainstLedger(spark, batchN, dirN, snapN)))
+    val (k2, t2) = timed(keeps(
+      DedupLedger.dedupMediaAgainstLedger(spark, batchN, dirN, snapN,
+        pairBudgetPerItem = Some(10))))
+    println(f"narrow 3x14 @ 1M marks (100k hot): build $tBuildN%.1f s; " +
+      f"uncapped $t1%.1f s keep=$k1; capped(10/item) $t2%.1f s keep=$k2")
+
+    // ---- wide store: the same 1M marks at 120-bit two-word
+    // fingerprints — no hot bucket survives 2^40-key banding
+    val mask60 = (1L << 60) - 1
+    val dirW = java.nio.file.Files.createTempDirectory("graft-ledgerstudy-w").toString
+    def wfp(idExpr: String) =
+      s"""array(
+         |cast(conv(substring(md5(concat($idExpr, '|a')), 1, 15), 16, 10) as bigint) & $mask60,
+         |cast(conv(substring(md5(concat($idExpr, '|b')), 1, 15), 16, 10) as bigint) & $mask60)"""
+        .stripMargin
+    val marksW = spark.range(0, 1000000L, 1, 32)
+      .select(col("id").as("media_id"), expr(wfp("id")).as("fp"))
+    val (_, tBuildW) = timed(DedupLedger.buildMixedLedger(seedDoc, marksW, dirW))
+    val snapW = IndexStore.snapshot(dirW)
+    val batchW = spark.range(0, 10000L, 1, 32)
+      .select((col("id") + 2000000L).as("media_id"),
+        expr(s"CASE WHEN id < 1000 THEN ${wfp("id")} " +
+          s"ELSE ${wfp("(id + 5000000)")} END").as("fp"))
+      .localCheckpoint()
+    val (k3, t3) = timed(keeps(DedupLedger.dedupMediaAgainstLedger(
+      spark, batchW, dirW, snapW, DedupLedger.WideMarks)))
+    println(f"wide 3x40 @ 1M marks: build $tBuildW%.1f s; " +
+      f"uncapped $t3%.1f s keep=$k3")
   }
 
   /** q157's topology at corpus scale: N four-frame videos (synthetic

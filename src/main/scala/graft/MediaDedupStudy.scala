@@ -209,13 +209,17 @@ object MediaDedupStudy {
     * concentrates band keys. Builds a 1M-mark store whose first 100k
     * fingerprints share band-0/band-2 keys (fp = i << 14 — the
     * blank-thumbnail shape in the STORED corpus), probes it with a
-    * 10k batch that fans into the hot bucket (plus 1k exact copies of
-    * hot members), and measures the verdict uncapped vs budget-capped
-    * — the claim being that the cap bounds the join with the VERDICT
-    * UNCHANGED (exact copies resolve through the equality arm, which
-    * no cap touches; fan-probes keep=1 either way). The wide-geometry
-    * store at the same 1M marks shows the fan-out gone by band
-    * arithmetic alone. Run: sbt "runMain graft.MediaDedupStudy ledger" */
+    * 10k batch that fans into the hot bucket (1k exact copies of hot
+    * members + 9k probes each sitting at hamming 1 from a hot member,
+    * the differing bit in BAND 2), and measures the verdict uncapped
+    * vs budget-capped — the claim being that the cap bounds the join
+    * with the VERDICT UNCHANGED: exact copies resolve through the
+    * equality arm (which no cap touches), and the hamming-1 probes
+    * still resolve keep=0 because their MATCHING band-1 key lands in
+    * a cold ~61-row bucket the cap never sheds — the pigeonhole
+    * recall argument, measured. The wide-geometry store at the same
+    * 1M marks shows the fan-out gone by band arithmetic alone.
+    * Run: sbt "runMain graft.MediaDedupStudy ledger" */
   private def ledgerStudy(spark: SparkSession): Unit = {
     import org.apache.spark.sql.functions._
     import graft.ops.{DedupLedger, IndexStore}
@@ -237,7 +241,10 @@ object MediaDedupStudy {
     val (_, tBuildN) = timed(DedupLedger.buildMixedLedger(seedDoc, marksN, dirN))
     val snapN = IndexStore.snapshot(dirN)
     // batch: 1k exact copies of hot members + 9k fan-probes whose
-    // band-0 key is the hot bucket's (novel high bits -> keep = 1)
+    // band-0 key is the hot bucket's; each fan-probe v = id+200000 has
+    // the hot member v - 2^17 (< 100000) at hamming 1 — value bit 17 =
+    // fp bit 31, inside band 2 — so every probe is a true near-dup
+    // whose recall must survive the shed via its cold band-1 bucket
     val batchN = spark.range(0, 10000L, 1, 32)
       .select((col("id") + 2000000L).as("media_id"),
         expr("""array(CASE WHEN id < 1000 THEN shiftleft(id, 14)

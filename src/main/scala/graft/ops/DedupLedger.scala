@@ -337,16 +337,21 @@ object DedupLedger {
     * immune to any cap — a shed bucket can only cost a NEAR detection
     * whose fingerprint sits in a saturated bucket on every band. */
   private def shedHotBuckets(lb: DataFrame, keys: Seq[String], perItem: Int,
-                             batchItems: Long): DataFrame = {
-    val sizes = lb.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("sz")).localCheckpoint()
-    val hist = sizes.groupBy(col("sz")).agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getLong(0).toInt, r.getLong(1)))
-    val cap = DedupOps.capFromHist(hist, DedupOps.BAND_CAP,
+                             batchItems: Long): DataFrame =
+    DedupOps.dropHotBuckets(lb, keys, DedupOps.BAND_CAP,
       perItem.toLong * math.max(1L, batchItems))
-    lb.join(sizes.filter(col("sz") > cap).select(keys.map(col): _*),
-      keys, "left_anti")
-  }
+
+  /** Per-(store, snapshot-version) memo for the saturation sentinels'
+    * ledger-side counts: snapshots are immutable, so one count per
+    * published version is exact forever — repeated verdicts against
+    * one snapshot (q140-style growth gates, multi-probe serves) pay
+    * the count job once instead of per call. */
+  private val sentinelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def memoizedCount(dir: String, version: Int, what: String)
+                           (compute: => Long): Long =
+    sentinelCache.computeIfAbsent(s"$dir@v$version:$what",
+      _ => java.lang.Long.valueOf(compute)).longValue()
 
   /** Verdict of a media batch `(media_id, fp: array<bigint>)` against
     * the ledger's marks at `snap`: `(media_id, exact_of, near_of,
@@ -378,8 +383,11 @@ object DedupLedger {
     val lb0 = mediaBandsOf(marks.select(col("fp"), col("owner")), geom)
     val lb = pairBudgetPerItem match {
       case None =>
-        // parquet count-star prunes to row-group stats — cheap sentinel
-        DedupOps.warnIfSaturated(marks.count(), geom.bands, geom.bandBits)
+        // parquet count-star prunes to row-group footers, and the memo
+        // makes it once per published snapshot, not once per verdict
+        DedupOps.warnIfSaturated(
+          memoizedCount(dir, snap.version, "marks")(marks.count()),
+          geom.bands, geom.bandBits)
         lb0
       case Some(perItem) =>
         shedHotBuckets(lb0, Seq("band", "bkey"), perItem, bm.count())
@@ -488,12 +496,17 @@ object DedupLedger {
     val lb0 = mediaBandsOf(led.select(col("owner"), col("f"), col("fp")), geom)
     val lb = pairBudgetPerItem match {
       case None =>
-        // the sentinel watches the most loaded position (each position
-        // is its own keyspace, as in the batch temporal operator)
-        val maxPos = led.groupBy(col("f")).agg(count(lit(1)).as("n"))
-          .agg(max(col("n"))).head
+        // each position is its own keyspace; a per-position groupBy
+        // over the corpus-sized seqs table would be a real shuffle per
+        // verdict, so the sentinel ESTIMATES the per-position load as
+        // total ledger rows (footer-cheap count-star, memoized per
+        // snapshot) / distinct batch positions (increment-sized count)
+        // — exact when every video carries the same frame count, the
+        // ingest-path invariant
+        val positions =
+          math.max(1L, batch.select(col("f")).distinct().count())
         DedupOps.warnIfSaturated(
-          if (maxPos.isNullAt(0)) 0L else maxPos.getLong(0),
+          memoizedCount(dir, snap.version, "seqs")(led.count()) / positions,
           geom.bands, geom.bandBits)
         lb0
       case Some(perItem) =>

@@ -238,8 +238,8 @@ object DedupOps {
     * corpus whose genuine duplicate clusters are wide keeps its recall
     * while an adversarial saturated bucket stops emitting O(bucket²)
     * candidate pairs. */
-  private def dropHotBuckets(bandsDf: DataFrame, keys: Seq[String],
-                             floor: Int, pairBudget: Long): DataFrame = {
+  private[graft] def dropHotBuckets(bandsDf: DataFrame, keys: Seq[String],
+                                    floor: Int, pairBudget: Long): DataFrame = {
     val sizes = bandsDf.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("sz")).localCheckpoint()
     val hist = sizes.groupBy(col("sz")).agg(count(lit(1)).as("n"))

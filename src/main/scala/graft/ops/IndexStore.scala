@@ -291,31 +291,40 @@ object IndexStore {
   def retainsAll(dir: String): Boolean =
     new java.io.File(dir, "_RETAIN_ALL").exists()
 
-  /** The text tables' schemas — the empty-table fallbacks for stores
-    * that never published the modality (a marks-only store read by
-    * [[compact]] or probed by a text verdict reads as empty, exactly
-    * like [[MARKS_DDL]] covers the inverse). */
+  /** The DEDUP LEDGER'S text-table schemas — the empty-table fallbacks
+    * [[frames]] defaults to when a store never published the modality
+    * (a marks-only store read by [[compact]] or probed by a text
+    * verdict reads as empty, exactly like [[MARKS_DDL]] covers the
+    * inverse). The ANN index's codes/vectors tables have a DIFFERENT
+    * shape, but its build publishes both tables together so its
+    * snapshots are never empty-per-table; a caller for whom that
+    * invariant does not hold must pass its own DDLs. */
   val CODES_DDL = "cell INT, h STRING, owner BIGINT"
   val VECTORS_DDL = "cell INT, doc_id BIGINT, sig ARRAY<BIGINT>"
 
-  /** The snapshot's codes / vectors tables as DataFrames: explicit file
-    * lists (never a directory listing) with `basePath` set so the
-    * `cell=` partition column — and its static pruning — survive.
-    * Empty file lists (a modality this store never published) read as
-    * empty frames at the canonical schema rather than erroring. */
-  def frames(spark: SparkSession, dir: String,
-             snap: Snapshot): (DataFrame, DataFrame) = {
-    def read(sub: String, files: Seq[String], ddl: String): DataFrame =
-      if (files.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType.fromDDL(ddl))
-      else
-        spark.read.option("basePath", s"$dir/$sub")
-          .parquet(files.map(f => s"$dir/$sub/$f"): _*)
-    (read("codes", snap.codes, CODES_DDL),
-     read("vectors", snap.vectors, VECTORS_DDL))
-  }
+  /** The one explicit-file-list reader every table accessor shares:
+    * `basePath` set so the `cell=` partition column — and its static
+    * pruning — survive; an empty file list (a modality this store
+    * never published) reads as an empty frame at `ddl` rather than
+    * erroring. */
+  private def readOrEmpty(spark: SparkSession, dir: String, sub: String,
+                          files: Seq[String], ddl: String): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    else
+      spark.read.option("basePath", s"$dir/$sub")
+        .parquet(files.map(f => s"$dir/$sub/$f"): _*)
+
+  /** The snapshot's codes / vectors tables as DataFrames (see
+    * [[readOrEmpty]]; empty-modality fallbacks default to the dedup
+    * ledger's schemas — see [[CODES_DDL]]). */
+  def frames(spark: SparkSession, dir: String, snap: Snapshot,
+             codesDdl: String = CODES_DDL,
+             vectorsDdl: String = VECTORS_DDL): (DataFrame, DataFrame) =
+    (readOrEmpty(spark, dir, "codes", snap.codes, codesDdl),
+     readOrEmpty(spark, dir, "vectors", snap.vectors, vectorsDdl))
 
   /** The marks table's schema — the fingerprint-ledger row shape every
     * marks consumer shares (DedupLedger's media/embedding arms,
@@ -333,13 +342,7 @@ object IndexStore {
     * error). */
   def marksFrame(spark: SparkSession, dir: String, snap: Snapshot,
                  ddl: String): DataFrame =
-    if (snap.marks.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(ddl))
-    else
-      spark.read.option("basePath", s"$dir/marks")
-        .parquet(snap.marks.map(f => s"$dir/marks/$f"): _*)
+    readOrEmpty(spark, dir, "marks", snap.marks, ddl)
 
   /** INCREMENTAL reader: the rows ADDED between two snapshots, read
     * from ONLY the data files `to` references that `from` does not —
@@ -379,13 +382,7 @@ object IndexStore {
     * fingerprints) as a DataFrame; empty snapshots read as empty at
     * [[SEQS_DDL]], like every other modality a store never published. */
   def seqsFrame(spark: SparkSession, dir: String, snap: Snapshot): DataFrame =
-    if (snap.seqs.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(SEQS_DDL))
-    else
-      spark.read.option("basePath", s"$dir/seqs")
-        .parquet(snap.seqs.map(f => s"$dir/seqs/$f"): _*)
+    readOrEmpty(spark, dir, "seqs", snap.seqs, SEQS_DDL)
 
   /** [[diffMarks]] for the seqs table: the video sequences ADDED
     * between two snapshots (same append-only-range caveat). */

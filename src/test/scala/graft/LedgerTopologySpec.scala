@@ -142,4 +142,72 @@ class LedgerTopologySpec extends SparkSpec {
     assert(capped == Seq((1000L, 0L), (1001L, 1L), (1002L, 0L), (1003L, 1L)),
       s"capped verdict drifted: $capped")
   }
+
+  test("text ledger budget path: verdict identical to uncapped on a " +
+       "fixture with no hot buckets (the wiring itself exercised)") {
+    val dir = java.nio.file.Files.createTempDirectory("ledger-topo-tb").toString
+    val history = docs(
+      0L -> words(30, "h"), 1L -> words(30, "x"), 2L -> words(40, "y"))
+    val batch = docs(
+      10L -> words(30, "h"),
+      11L -> (words(30, "x") + " tail"),
+      12L -> words(35, "z"))
+    DedupLedger.buildLedger(history, dir)
+    val snap = IndexStore.snapshot(dir)
+    val uncapped = DedupLedger.dedupAgainstLedger(spark, batch, dir, snap)
+      .collect().map(_.toSeq).toSeq
+    val capped = DedupLedger.dedupAgainstLedger(spark, batch, dir, snap,
+        pairBudgetPerItem = Some(5))
+      .collect().map(_.toSeq).toSeq
+    assert(capped == uncapped,
+      "text-arm budget must be inert when no signature bucket is hot")
+  }
+
+  test("video ledger: a shared intro frame sheds under the budget; the " +
+       "vote and the exact arm both survive") {
+    // 300 history videos sharing frame 0 (the intro pathology IN THE
+    // STORE: seqRows dedups identical SEQUENCES, not positions, so
+    // 300 distinct sequences = 300 ledger rows at f=0 sharing every
+    // band key), distinct frames 1-3 per owner
+    def mix(x: Long): Long = {
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val mask42 = 0x3ffffffffffL
+    val intro = 0x15551555155L
+    def fp(o: Long, f: Long): Long =
+      if (f == 0L) intro else mix(o * 41 + f) & mask42
+    val dir = java.nio.file.Files.createTempDirectory("ledger-topo-v").toString
+    val histFrames = (0L until 300L)
+      .flatMap(o => (0L until 4L).map(f => (o, f, Seq(fp(o, f)))))
+      .toDF("media_id", "f", "fp")
+    DedupLedger.appendVideoSurvivors(histFrames, dir, tag = "seed")
+    val snap = IndexStore.snapshot(dir)
+    val batch = (
+      (0L until 4L).map(f => (1000L, f, Seq(fp(3, f)))) ++        // exact of 3
+      (0L until 4L).map(f => (1001L, f,
+        Seq(if (f == 3) fp(7, f) ^ 3L else fp(7, f)))) ++         // near of 7
+      (0L until 4L).map(f => (1002L, f,
+        Seq(if (f == 0) intro else mix(90000 + f) & mask42)))     // intro only
+    ).toDF("media_id", "f", "fp")
+    def run(budget: Option[Int]) = DedupLedger
+      .dedupVideoAgainstLedger(spark, batch, dir, snap,
+        pairBudgetPerItem = budget)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        r.getLong(3))).toSeq
+    val uncapped = run(None)
+    assert(uncapped == Seq((1000L, 3L, 3L, 0L), (1001L, -1L, 7L, 0L),
+                           (1002L, -1L, -1L, 1L)),
+      s"fixture truth drifted: $uncapped")
+    // budget 1: the three (f=0, band, intro-key) buckets of size 300
+    // shed; 1001's vote drops 4 -> 3 (frames 1-3) but still >= 3, and
+    // 1000's exact arm is sequence equality — never banded, cap-immune
+    val capped = run(Some(1))
+    assert(capped == uncapped,
+      "shed intro buckets must cost at most one vote, never the verdict")
+  }
 }

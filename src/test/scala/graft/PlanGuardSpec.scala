@@ -331,7 +331,7 @@ class PlanGuardSpec extends SparkSpec {
     // post-join filter, not the join's only condition.
     for (q <- Seq("q154_image_phash_dedup", "q155_audio_phash_dedup",
                   "q157_video_temporal_dedup", "q160_image_wide_dedup",
-                  "q161_audio_wide_dedup")) {
+                  "q161_audio_wide_dedup", "q167_video_temporal_wide")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct") &&
              !p.contains("BroadcastNestedLoopJoin"),
@@ -339,5 +339,33 @@ class PlanGuardSpec extends SparkSpec {
       assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
         s"$q expected an equi-join for the band stage:\n$p")
     }
+  }
+
+  test("video ledger verdict: the sequence exact arm and the vote arm are " +
+       "equi-joins (complex-typed seq key included), never nested-loop") {
+    // the exact arm joins on a sorted array<struct<f, fp>> column — a
+    // perfectly legal Spark equi-join key, but one a careless refactor
+    // (e.g. an expression wrapper Catalyst can't hash) could silently
+    // degrade to BroadcastNestedLoopJoin over the corpus-sized seqs
+    // table; the vote arm must key on (f, band, bkey)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.ops.{DedupLedger, IndexStore}
+    val dir = java.nio.file.Files.createTempDirectory("planguard-vid").toString
+    val hist = (0L until 20L)
+      .flatMap(o => (0L until 4L).map(f => (o, f, Seq(o * 1000 + f))))
+      .toDF("media_id", "f", "fp")
+    DedupLedger.appendVideoSurvivors(hist, dir, tag = "seed")
+    val batch = (0L until 4L).map(f => (100L, f, Seq(3000 + f)))
+      .toDF("media_id", "f", "fp")
+    val v = DedupLedger.dedupVideoAgainstLedger(spark, batch, dir,
+      IndexStore.snapshot(dir))
+    v.collect() // materialize so the adaptive plan finalizes
+    val p = v.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+      s"video verdict lost an equi-key:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"video verdict expected equi-joins:\n$p")
   }
 }

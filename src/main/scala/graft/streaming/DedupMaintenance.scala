@@ -63,11 +63,20 @@ object DedupMaintenance {
     * replayed batch is a no-op on every table. The ledger store
     * versions all four tables in one snapshot, so tick N+1's verdicts
     * all see exactly what tick N admitted, never half a tick.
-    * `maxFrames`/`gw`/`gh` size the video fingerprints (they must
-    * match the seed store's stamped geometry). */
+    * `maxFrames`/`gw`/`gh` size the video fingerprints, `imgGw`/`imgGh`
+    * the still-image ones, and `geom` is the band geometry BOTH
+    * fingerprint arms verdict under — all must match the seed store's
+    * stamped geometry (DedupLedger.MarksGeom params discipline). The
+    * defaults are the narrow 42-bit gate config; a 10⁶⁺-item corpus
+    * streams at `DedupLedger.WideMarks` with 16×8 grids — the wide
+    * family enters the streamed path through these parameters, not a
+    * code change. */
   def mixedSink(stream: DataFrame, ledgerDir: String,
                 checkpointDir: String, maxFrames: Int = 4,
-                gw: Int = 8, gh: Int = 6): DataStreamWriter[org.apache.spark.sql.Row] =
+                gw: Int = 8, gh: Int = 6,
+                imgGw: Int = 8, imgGh: Int = 6,
+                geom: DedupLedger.MarksGeom = DedupLedger.NarrowMarks)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -101,14 +110,12 @@ object DedupMaintenance {
                   .as("meta"),
                 col("payload"))
               .as[graft.multimodal.MediaOps.MediaRecord]
-            // dHashWide at 8x6 = the narrow 42-bit fingerprint in the
-            // marks arm's one-word array typing
-            val fps = graft.multimodal.MediaOps.dHashWide(recs, 8, 6)
+            val fps = graft.multimodal.MediaOps.dHashWide(recs, imgGw, imgGh)
               .filter(col("decoded") === 1L)
               .select(col("media_id"), col("dhash").as("fp"))
               .localCheckpoint() // verdict + append read it twice
             val verdict = DedupLedger.dedupMediaAgainstLedger(
-              s, fps, ledgerDir, IndexStore.snapshot(ledgerDir))
+              s, fps, ledgerDir, IndexStore.snapshot(ledgerDir), geom)
             DedupLedger.appendMediaSurvivors(
               fps.join(verdict.filter(col("keep") === 1L).select(col("media_id")),
                 Seq("media_id"), "left_semi"),
@@ -131,7 +138,7 @@ object DedupMaintenance {
                       col("fhash").as("fp"))
               .localCheckpoint() // verdict + append read it twice
             val verdict = DedupLedger.dedupVideoAgainstLedger(
-              s, frames, ledgerDir, IndexStore.snapshot(ledgerDir))
+              s, frames, ledgerDir, IndexStore.snapshot(ledgerDir), geom)
             DedupLedger.appendVideoSurvivors(
               frames.join(verdict.filter(col("keep") === 1L)
                   .select(col("media_id")),

@@ -133,6 +133,59 @@ class DedupLedgerSpec extends SparkSpec {
       "restart over a drained checkpoint must publish nothing")
   }
 
+  test("mixed streamed tick at the WIDE geometry: 16x8 image fingerprints " +
+       "cross-tick dedup through the array-typed marks arm") {
+    // the wide family must enter the STREAMED path purely through
+    // mixedSink's geometry parameters (round-15: no narrow pinning
+    // left anywhere on the ingest side)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.multimodal.MediaOps
+    val dir = java.nio.file.Files.createTempDirectory("ledger-wstream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ledger-wckpt").toString
+    def bmp(key: Long, bump: Boolean): Array[Byte] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      graft.multimodal.BmpDecoder.encode(16, 8, Array.tabulate(16 * 8) { p =>
+        val x = p % 16; val y = p / 16
+        def ch(c: Int): Int = {
+          val b = md.digest(s"$key|$x|$y|$c".getBytes("UTF-8"))(0) & 0xff
+          (b + (if (bump && x == 3 && y == 2) 40 else 0)) % 256
+        }
+        (ch(0), ch(1), ch(2))
+      })
+    }
+    val histRecs = spark.createDataset((0L until 10L).map(k =>
+      MediaOps.MediaRecord(k, MediaOps.MediaMeta("image", 16, 8, 0),
+        bmp(k, bump = false))))
+    val histFps = MediaOps.dHashWide(histRecs, 16, 8)
+      .filter(col("decoded") === 1L)
+      .select(col("media_id"), col("dhash").as("fp"))
+    DedupLedger.buildMixedLedger(docs(0L -> words(25, "h")), histFps, dir)
+
+    implicit val sc = spark.sqlContext
+    val src = MemoryStream[(String, Long, String, Array[Byte])]
+    val stream = src.toDF().toDF("kind", "doc_id", "text", "payload")
+    def drain(): Unit =
+      graft.streaming.DedupMaintenance.mixedSink(stream, dir, ckpt,
+          imgGw = 16, imgGh = 8, geom = DedupLedger.WideMarks)
+        .start().awaitTermination()
+    // tick 1: a history copy (drops), a one-pixel edit of history
+    // (hamming <= 2 at the 16x8 grid -> near-drops), a novel (lands)
+    src.addData(Seq(("image", 10L, null, bmp(0, bump = false)),
+                    ("image", 11L, null, bmp(1, bump = true)),
+                    ("image", 12L, null, bmp(100, bump = false))))
+    drain()
+    // tick 2: an exact copy of TICK 1's novel (a duplicate only if the
+    // wide append landed — the cross-tick proof) + a new novel
+    src.addData(Seq(("image", 20L, null, bmp(100, bump = false)),
+                    ("image", 21L, null, bmp(200, bump = false))))
+    drain()
+    val owners = IndexStore.marksFrame(spark, dir, IndexStore.snapshot(dir),
+        IndexStore.MARKS_DDL)
+      .select(col("owner")).collect().map(_.getLong(0)).toSet
+    assert(owners == (0L until 10L).toSet ++ Set(12L, 21L),
+      s"wide streamed marks owners after two ticks: $owners")
+  }
+
   test("diffFrames reads exactly the appended rows, from only the new files") {
     val dir = java.nio.file.Files.createTempDirectory("ledger-diff").toString
     DedupLedger.buildLedger(docs(0L -> words(25, "h"), 1L -> words(25, "g")), dir)

@@ -134,13 +134,16 @@ object GifDecoder {
         // canvas would be a multi-GB allocation — an OutOfMemoryError
         // there is not NonFatal and would kill the task instead of
         // degrading to None like every other malformed-GIF mode here
-        if (cw <= 0 || ch <= 0 || cw.toLong * ch > (1L << 24)) {
+        // non-positive dimensions are a MALFORMED header — the silent
+        // None every corrupt-payload mode returns; only the oversize
+        // case below is distinguishable coverage loss worth a log line
+        if (cw <= 0 || ch <= 0) return None
+        if (cw.toLong * ch > (1L << 24)) {
           // distinguishable coverage loss, not a malformed payload: a
           // legitimate very large GIF is SKIPPED here (its ARGB canvas
           // would be a multi-GB allocation whose OutOfMemoryError is
           // not NonFatal) — log it by name so fingerprinting coverage
-          // loss on large media is observable, unlike the silent None
-          // every corrupt-payload mode returns
+          // loss on large media is observable
           log.warn(s"GIF logical screen ${cw}x$ch exceeds the 2^24-px " +
             "decode guard — payload skipped (oversized, not malformed)")
           return None

@@ -321,6 +321,35 @@ object DedupLedger {
         .write.mode("append").partitionBy("cell").parquet(s"$dir/marks")
     }
 
+  /** Fingerprint-WIDTH guards (review find): a word-count/geometry
+    * mismatch — a wide store probed at a narrow geometry, or batch
+    * fingerprints hashed at the wrong grid — makes `zip_with` pad the
+    * short side with nulls, the ≤-maxHamming predicate evaluate to
+    * null, and the near arm silently match NOTHING: every
+    * near-duplicate admitted forever with no error. The batch check is
+    * increment-sized and exact; the ledger check reads ONE row (stores
+    * are geometry-uniform because every append flows through the
+    * validated verdict+append path). */
+  private def requireWordsBatch(fps: DataFrame, geom: MarksGeom,
+                                what: String): Unit = {
+    val w = (geom.fpBits + 63) / 64
+    val r = fps.agg(min(size(col("fp"))), max(size(col("fp")))).head
+    if (!r.isNullAt(0))
+      require(r.getInt(0) == w && r.getInt(1) == w,
+        s"$what fingerprints carry ${r.getInt(0)}..${r.getInt(1)} words " +
+        s"but geometry ${geom.params} expects $w — a width mismatch " +
+        "nulls the hamming filter and silently admits every near-duplicate")
+  }
+  private def requireWordsLedger(led: DataFrame, geom: MarksGeom,
+                                 what: String): Unit =
+    led.select(size(col("fp")).as("w")).head(1).foreach { r =>
+      val w = (geom.fpBits + 63) / 64
+      require(r.getInt(0) == w,
+        s"$what store carries ${r.getInt(0)}-word fingerprints but the " +
+        s"verdict geometry ${geom.params} expects $w — pass the store's " +
+        "stamped geometry")
+    }
+
   /** The ledger-side hot-bucket shed shared by both verdict arms'
     * banded lookup joins (VERDICT r14 #1b: candidate volume is
     * batch × marks/2^bandBits — linear in LEDGER size per batch item,
@@ -341,17 +370,30 @@ object DedupLedger {
     DedupOps.dropHotBuckets(lb, keys, DedupOps.BAND_CAP,
       perItem.toLong * math.max(1L, batchItems))
 
-  /** Per-(store, snapshot-version) memo for the saturation sentinels'
-    * ledger-side counts: snapshots are immutable, so one count per
-    * published version is exact forever — repeated verdicts against
-    * one snapshot (q140-style growth gates, multi-probe serves) pay
-    * the count job once instead of per call. */
+  /** Per-store memo for the saturation sentinels' ledger-side counts,
+    * keyed (dir, table) and holding ONLY the latest version's value —
+    * bounded by the number of live stores in the JVM (a long-lived
+    * streaming service publishes versions per tick; keying on version
+    * would grow forever), and snapshots are immutable so a version hit
+    * is exact. The count runs OUTSIDE any map lock (a racy duplicate
+    * compute is idempotent and cheaper than serializing verdicts of
+    * unrelated stores through one bin lock). Caveat: a store deleted
+    * and rebuilt at the SAME path whose version numbering restarts can
+    * alias a stale entry — dev-loop territory; production stores only
+    * move forward. */
   private val sentinelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Long)]()
   private def memoizedCount(dir: String, version: Int, what: String)
-                           (compute: => Long): Long =
-    sentinelCache.computeIfAbsent(s"$dir@v$version:$what",
-      _ => java.lang.Long.valueOf(compute)).longValue()
+                           (compute: => Long): Long = {
+    val key = s"$dir:$what"
+    Option(sentinelCache.get(key)) match {
+      case Some((v, n)) if v == version => n
+      case _ =>
+        val n = compute
+        sentinelCache.put(key, (version, n))
+        n
+    }
+  }
 
   /** Verdict of a media batch `(media_id, fp: array<bigint>)` against
     * the ledger's marks at `snap`: `(media_id, exact_of, near_of,
@@ -376,6 +418,8 @@ object DedupLedger {
       batch.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBroadcast
     def gate(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val marks = IndexStore.marksFrame(spark, dir, snap, IndexStore.MARKS_DDL)
+    requireWordsBatch(batch.select(col("fp")), geom, "media batch")
+    requireWordsLedger(marks, geom, "marks")
     val bm = batch.select(col("media_id").as("bid"), col("fp").as("bfp"))
     val ex = marks.select(col("fp").as("bfp"), col("owner"))
       .join(gate(bm), Seq("bfp"))
@@ -432,19 +476,32 @@ object DedupLedger {
   // ([[DedupOps.temporalNearDupPairsWide]]), so a mixed tick can
   // admit/deny VIDEOS (VERDICT r14 missing #3 / Next #4).
 
+  /** Canonical sequence digest over a sorted `seq` column of
+    * (f, fp) structs — sha2-256 of an unambiguous text encoding, the
+    * exact text arm's sha2 discipline applied to sequences. Computed
+    * at APPEND time (increment-sized) and stored per row, so the
+    * verdict's exact arm is a digest equi-join against the streaming
+    * ledger scan — never a corpus-side collect_list + array sort per
+    * verdict call (review find). */
+  private def seqDigest: Column = sha2(expr(
+    "concat_ws(';', transform(seq, e -> " +
+      "concat(e.f, ':', concat_ws(',', e.fp))))"), 256)
+
   /** Sequence-table rows for a `(media_id, f, fp)` frames frame:
     * videos with IDENTICAL fingerprint sequences collapse to the
     * min-id owner (the sequence-level dedup-first rule, exactly as
     * the batch temporal operator applies it), each owner storing one
-    * row per position; `cell` = owner mod 16 co-locates a video's
-    * rows. */
+    * row per position with the sequence digest; `cell` = owner mod 16
+    * co-locates a video's rows. */
   private def seqRows(frames: DataFrame): DataFrame =
     frames.groupBy(col("media_id"))
       .agg(sort_array(collect_list(struct(col("f"), col("fp")))).as("seq"))
       .groupBy(col("seq")).agg(min(col("media_id")).as("owner"))
-      .select(col("owner"), explode(col("seq")).as("fh"))
+      .withColumn("seqhash", seqDigest)
+      .select(col("owner"), col("seqhash"), explode(col("seq")).as("fh"))
       .select(pmod(col("owner"), lit(16L)).cast("int").as("cell"),
-              col("owner"), col("fh.f").as("f"), col("fh.fp").as("fp"))
+              col("owner"), col("fh.f").as("f"), col("fh.fp").as("fp"),
+              col("seqhash"))
 
   /** Append surviving videos' fingerprint sequences as one idempotent
     * tagged delta (the video analog of [[appendMediaSurvivors]]). */
@@ -484,13 +541,17 @@ object DedupLedger {
       batch.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBroadcast
     def gate(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val led = IndexStore.seqsFrame(spark, dir, snap)
-    // exact arm: canonical sequence equality
+    requireWordsBatch(batch.select(col("fp")), geom, "video batch")
+    requireWordsLedger(led, geom, "seqs")
+    // exact arm: canonical sequence equality via the STORED digest —
+    // the batch side derives its digests over the increment, the
+    // ledger side streams (no corpus-side array rebuild per verdict)
     val bseqs = batch.select(col("media_id").as("bid"), col("f"), col("fp"))
       .groupBy(col("bid"))
       .agg(sort_array(collect_list(struct(col("f"), col("fp")))).as("seq"))
-    val lseqs = led.groupBy(col("owner"))
-      .agg(sort_array(collect_list(struct(col("f"), col("fp")))).as("seq"))
-    val ex = lseqs.join(gate(bseqs), Seq("seq"))
+      .select(col("bid"), seqDigest.as("seqhash"))
+    val ex = led.select(col("seqhash"), col("owner"))
+      .join(gate(bseqs), Seq("seqhash"))
       .groupBy(col("bid")).agg(min(col("owner")).as("exact_of"))
     // vote arm: per-position banded candidates -> agreeing positions
     val lb0 = mediaBandsOf(led.select(col("owner"), col("f"), col("fp")), geom)
@@ -666,7 +727,7 @@ object DedupLedger {
   private[graft] def ensureVideoHistoryLedger(s: SparkSession,
                                               d: String): String =
     VectorOps.ensureIndex(d, "ledgervid",
-        ledgerParams + s"|video|${NarrowMarks.params}|agree=3|F=4",
+        ledgerParams + s"|video|${NarrowMarks.params}|agree=3|F=4|seqhash",
         "documents.parquet") { base =>
       IndexStore.commitRebuild(base.getPath) {
         seqRows(q169Frames(s, d, 0L, 100L))

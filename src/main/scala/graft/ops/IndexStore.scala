@@ -304,25 +304,36 @@ object IndexStore {
 
   /** The one explicit-file-list reader every table accessor shares:
     * `basePath` set so the `cell=` partition column — and its static
-    * pruning — survive; an empty file list (a modality this store
-    * never published) reads as an empty frame at `ddl` rather than
-    * erroring. */
+    * pruning — survive. An empty file list reads as an empty frame at
+    * `emptyDdl` when the caller DECLARES the modality optional (a
+    * text-only ledger probed by a media verdict, [[compact]] rewriting
+    * whatever tables exist); with no declared fallback it fails BY
+    * NAME — a text verdict pointed at a marks-only store must crash,
+    * not silently find zero history and admit every duplicate. */
   private def readOrEmpty(spark: SparkSession, dir: String, sub: String,
-                          files: Seq[String], ddl: String): DataFrame =
+                          files: Seq[String],
+                          emptyDdl: Option[String]): DataFrame =
     if (files.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      emptyDdl match {
+        case Some(ddl) =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        case None => sys.error(
+          s"IndexStore: snapshot of $dir has no $sub files — this reader " +
+          "requires the modality (wrong store directory?); readers for " +
+          "whom absence is legitimate pass an explicit empty-fallback DDL")
+      }
     else
       spark.read.option("basePath", s"$dir/$sub")
         .parquet(files.map(f => s"$dir/$sub/$f"): _*)
 
   /** The snapshot's codes / vectors tables as DataFrames (see
-    * [[readOrEmpty]]; empty-modality fallbacks default to the dedup
-    * ledger's schemas — see [[CODES_DDL]]). */
+    * [[readOrEmpty]]): absent tables FAIL by default; a caller that
+    * tolerates single-modality stores (compact) passes fallback DDLs. */
   def frames(spark: SparkSession, dir: String, snap: Snapshot,
-             codesDdl: String = CODES_DDL,
-             vectorsDdl: String = VECTORS_DDL): (DataFrame, DataFrame) =
+             codesDdl: Option[String] = None,
+             vectorsDdl: Option[String] = None): (DataFrame, DataFrame) =
     (readOrEmpty(spark, dir, "codes", snap.codes, codesDdl),
      readOrEmpty(spark, dir, "vectors", snap.vectors, vectorsDdl))
 
@@ -342,7 +353,7 @@ object IndexStore {
     * error). */
   def marksFrame(spark: SparkSession, dir: String, snap: Snapshot,
                  ddl: String): DataFrame =
-    readOrEmpty(spark, dir, "marks", snap.marks, ddl)
+    readOrEmpty(spark, dir, "marks", snap.marks, Some(ddl))
 
   /** INCREMENTAL reader: the rows ADDED between two snapshots, read
     * from ONLY the data files `to` references that `from` does not —
@@ -375,14 +386,18 @@ object IndexStore {
 
   /** The sequence table's schema — one row per (owner, sample position,
     * per-frame fingerprint) of each admitted VIDEO (the temporal arm's
-    * ledger shape; DedupLedger's video verdict votes over it). */
-  val SEQS_DDL = "cell INT, owner BIGINT, f BIGINT, fp ARRAY<BIGINT>"
+    * ledger shape; DedupLedger's video verdict votes over it).
+    * `seqhash` = sha2-256 of the owner's canonical sequence, repeated
+    * per row — the exact arm's join key, computed once at APPEND time
+    * so sequence-equality tests never rebuild corpus-side arrays. */
+  val SEQS_DDL =
+    "cell INT, owner BIGINT, f BIGINT, fp ARRAY<BIGINT>, seqhash STRING"
 
   /** The snapshot's seqs table (admitted videos' per-position frame
     * fingerprints) as a DataFrame; empty snapshots read as empty at
     * [[SEQS_DDL]], like every other modality a store never published. */
   def seqsFrame(spark: SparkSession, dir: String, snap: Snapshot): DataFrame =
-    readOrEmpty(spark, dir, "seqs", snap.seqs, SEQS_DDL)
+    readOrEmpty(spark, dir, "seqs", snap.seqs, Some(SEQS_DDL))
 
   /** [[diffMarks]] for the seqs table: the video sequences ADDED
     * between two snapshots (same append-only-range caveat). */
@@ -403,7 +418,8 @@ object IndexStore {
   def compact(spark: SparkSession, dir: String,
               maxRecordsPerFile: Long = 1L << 20): Int = {
     val snap = snapshot(dir)
-    val (codes, vectors) = frames(spark, dir, snap)
+    val (codes, vectors) =
+      frames(spark, dir, snap, Some(CODES_DDL), Some(VECTORS_DDL))
     val staging = new java.io.File(dir,
       s".compact_v${snap.version}_${ProcessHandle.current().pid()}")
     def rewrite(df: DataFrame, sub: String): Unit =

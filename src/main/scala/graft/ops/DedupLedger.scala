@@ -321,34 +321,26 @@ object DedupLedger {
         .write.mode("append").partitionBy("cell").parquet(s"$dir/marks")
     }
 
-  /** Fingerprint-WIDTH guards (review find): a word-count/geometry
+  /** Fingerprint-WIDTH guard (review find): a word-count/geometry
     * mismatch — a wide store probed at a narrow geometry, or batch
     * fingerprints hashed at the wrong grid — makes `zip_with` pad the
     * short side with nulls, the ≤-maxHamming predicate evaluate to
     * null, and the near arm silently match NOTHING: every
-    * near-duplicate admitted forever with no error. The batch check is
-    * increment-sized and exact; the ledger check reads ONE row (stores
-    * are geometry-uniform because every append flows through the
-    * validated verdict+append path). */
-  private def requireWordsBatch(fps: DataFrame, geom: MarksGeom,
-                                what: String): Unit = {
+    * near-duplicate admitted forever with no error. The guard is an
+    * IN-PLAN `assert_true` row filter on both verdict inputs: every
+    * row validates inside the scans the verdict already runs (zero
+    * extra Spark jobs — the first cut of this guard as driver-side
+    * aggregations cost two jobs per verdict call), and a mismatch
+    * fails the job BY NAME instead of silently passing. assert_true
+    * yields NULL on success, so the filter keeps every valid row. */
+  private def withWidthCheck(df: DataFrame, geom: MarksGeom,
+                             what: String): DataFrame = {
     val w = (geom.fpBits + 63) / 64
-    val r = fps.agg(min(size(col("fp"))), max(size(col("fp")))).head
-    if (!r.isNullAt(0))
-      require(r.getInt(0) == w && r.getInt(1) == w,
-        s"$what fingerprints carry ${r.getInt(0)}..${r.getInt(1)} words " +
-        s"but geometry ${geom.params} expects $w — a width mismatch " +
-        "nulls the hamming filter and silently admits every near-duplicate")
+    df.filter(expr(
+      s"assert_true(size(fp) = $w, '$what fingerprint width <> $w words " +
+        s"(geometry ${geom.params}): a width mismatch nulls the hamming " +
+        "filter and silently admits every near-duplicate') IS NULL"))
   }
-  private def requireWordsLedger(led: DataFrame, geom: MarksGeom,
-                                 what: String): Unit =
-    led.select(size(col("fp")).as("w")).head(1).foreach { r =>
-      val w = (geom.fpBits + 63) / 64
-      require(r.getInt(0) == w,
-        s"$what store carries ${r.getInt(0)}-word fingerprints but the " +
-        s"verdict geometry ${geom.params} expects $w — pass the store's " +
-        "stamped geometry")
-    }
 
   /** The ledger-side hot-bucket shed shared by both verdict arms'
     * banded lookup joins (VERDICT r14 #1b: candidate volume is
@@ -417,10 +409,11 @@ object DedupLedger {
     val small = maxBroadcast > 0 &&
       batch.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBroadcast
     def gate(df: DataFrame): DataFrame = if (small) broadcast(df) else df
-    val marks = IndexStore.marksFrame(spark, dir, snap, IndexStore.MARKS_DDL)
-    requireWordsBatch(batch.select(col("fp")), geom, "media batch")
-    requireWordsLedger(marks, geom, "marks")
-    val bm = batch.select(col("media_id").as("bid"), col("fp").as("bfp"))
+    val marks = withWidthCheck(
+      IndexStore.marksFrame(spark, dir, snap, IndexStore.MARKS_DDL),
+      geom, "marks")
+    val bm = withWidthCheck(batch, geom, "media batch")
+      .select(col("media_id").as("bid"), col("fp").as("bfp"))
     val ex = marks.select(col("fp").as("bfp"), col("owner"))
       .join(gate(bm), Seq("bfp"))
       .groupBy(col("bid")).agg(min(col("owner")).as("exact_of"))
@@ -540,13 +533,14 @@ object DedupLedger {
     val small = maxBroadcast > 0 &&
       batch.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBroadcast
     def gate(df: DataFrame): DataFrame = if (small) broadcast(df) else df
-    val led = IndexStore.seqsFrame(spark, dir, snap)
-    requireWordsBatch(batch.select(col("fp")), geom, "video batch")
-    requireWordsLedger(led, geom, "seqs")
+    val led = withWidthCheck(IndexStore.seqsFrame(spark, dir, snap),
+      geom, "seqs")
+    val checkedBatch = withWidthCheck(batch, geom, "video batch")
     // exact arm: canonical sequence equality via the STORED digest —
     // the batch side derives its digests over the increment, the
     // ledger side streams (no corpus-side array rebuild per verdict)
-    val bseqs = batch.select(col("media_id").as("bid"), col("f"), col("fp"))
+    val bseqs = checkedBatch
+      .select(col("media_id").as("bid"), col("f"), col("fp"))
       .groupBy(col("bid"))
       .agg(sort_array(collect_list(struct(col("f"), col("fp")))).as("seq"))
       .select(col("bid"), seqDigest.as("seqhash"))
@@ -575,7 +569,8 @@ object DedupLedger {
           batch.select(col("media_id")).distinct().count())
     }
     val bb = mediaBandsOf(
-        batch.select(col("media_id").as("bid"), col("f"), col("fp")), geom)
+        checkedBatch.select(col("media_id").as("bid"), col("f"), col("fp")),
+        geom)
       .select(col("f"), col("band"), col("bkey"), col("bid"),
               col("fp").as("bfp"))
     val nr = lb.join(gate(bb), Seq("f", "band", "bkey"))

@@ -143,6 +143,23 @@ class LedgerTopologySpec extends SparkSpec {
       s"capped verdict drifted: $capped")
   }
 
+  test("width guard: probing one-word marks at the wide geometry fails " +
+       "by name instead of silently admitting every near-duplicate") {
+    val dir = java.nio.file.Files.createTempDirectory("ledger-topo-wg").toString
+    DedupLedger.buildMixedLedger(docs(0L -> words(30, "h")),
+      Seq((0L, Seq(0x1234567890aL))).toDF("media_id", "fp"), dir)
+    val batch = Seq((10L, Seq(0x1234567890aL))).toDF("media_id", "fp")
+    val ex = intercept[Exception] {
+      DedupLedger.dedupMediaAgainstLedger(spark, batch, dir,
+        IndexStore.snapshot(dir), DedupLedger.WideMarks).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("fingerprint width")),
+      s"expected the width-guard message, got: $ex")
+  }
+
   test("text ledger budget path: verdict identical to uncapped on a " +
        "fixture with no hot buckets (the wiring itself exercised)") {
     val dir = java.nio.file.Files.createTempDirectory("ledger-topo-tb").toString

@@ -40,6 +40,9 @@ object MediaDedupStudy {
     if (args.headOption.contains("ledger")) {
       ledgerStudy(spark); spark.stop(); return
     }
+    if (args.headOption.contains("vledger")) {
+      videoLedgerStudy(spark); spark.stop(); return
+    }
 
     val W = 8; val H = 6
     def media(n: Long) = {
@@ -282,6 +285,103 @@ object MediaDedupStudy {
       spark, batchW, dirW, snapW, DedupLedger.WideMarks)))
     println(f"wide 3x40 @ 1M marks: build $tBuildW%.1f s; " +
       f"uncapped $t3%.1f s keep=$k3")
+  }
+
+  /** The VIDEO ledger verdict at corpus scale (round 15): 1M admitted
+    * 4-frame videos in a seqs store (4M rows), 200k of them sharing
+    * frame 0 — the intro pathology IN THE STORE, since seqRows dedups
+    * identical SEQUENCES, not positions — probed by a 10k batch that
+    * ALL carries the intro frame (1k exact re-uploads, 4k one-frame
+    * edits, 5k novels). Measures: (a) the WIDE geometry uncapped on an
+    * intro-free store (the healthy path — per-position fan-out gone by
+    * band arithmetic); (b) the narrow geometry + budget on the intro
+    * store (the shed carries it: the intro buckets hold 200k rows × 3
+    * bands at one position, and every probe fans into them — worse,
+    * the skewed join key lands that fan-out on THREE shuffle
+    * partitions — while the vote survives on positions 1-3 and exact
+    * re-uploads ride the digest arm, which no cap touches). The
+    * uncapped-narrow-with-intro cell is deliberately NOT run at 1M:
+    * 10k × 600k = 6×10⁹ comparisons through 3 skewed partitions is
+    * the measured-hang class the cap exists to prevent (the marks-arm
+    * ledgerStudy measured the same mechanism at 162 s on a milder
+    * fixture). Run: sbt "runMain graft.MediaDedupStudy vledger" */
+  private def videoLedgerStudy(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.ops.{DedupLedger, IndexStore}
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val mask60 = (1L << 60) - 1
+    val mask42 = (1L << 42) - 1
+    val N = 1000000L
+
+    // ---- (a) WIDE store, no intro, uncapped
+    val dirW = java.nio.file.Files
+      .createTempDirectory("graft-vledger-w").toString
+    def wFrames(idCol: String) =
+      s"""array(
+         |cast(conv(substring(md5(concat($idCol, '|', f, '|a')), 1, 15), 16, 10) as bigint) & $mask60,
+         |cast(conv(substring(md5(concat($idCol, '|', f, '|b')), 1, 15), 16, 10) as bigint) & $mask60)"""
+        .stripMargin
+    val histW = spark.range(0, N, 1, 32)
+      .select(col("id"), explode(expr("sequence(0, 3)")).as("f"))
+      .select(col("id").as("media_id"), col("f"),
+        expr(wFrames("id")).as("fp"))
+    val (_, tBuildW) = timed(
+      DedupLedger.appendVideoSurvivors(histW, dirW, tag = "seed"))
+    // batch: 1k exact copies, 4k one-frame 2-bit edits, 5k novels
+    val batchW = spark.range(0, 10000L, 1, 32)
+      .select(col("id"), explode(expr("sequence(0, 3)")).as("f"))
+      .select((col("id") + 2000000L).as("media_id"), col("f"),
+        expr(s"""CASE
+          |WHEN id < 1000 THEN ${wFrames("id")}
+          |WHEN id < 5000 AND f = id % 4 THEN
+          |  transform(${wFrames("id")}, (w, i) -> IF(i = 0, w ^ 3L, w))
+          |WHEN id < 5000 THEN ${wFrames("id")}
+          |ELSE ${wFrames("(id + 7000000)")} END""".stripMargin).as("fp"))
+      .localCheckpoint()
+    val (kW, tW) = timed(
+      DedupLedger.dedupVideoAgainstLedger(spark, batchW, dirW,
+          IndexStore.snapshot(dirW), DedupLedger.WideMarks)
+        .agg(sum(col("keep"))).head.getLong(0))
+    println(f"wide 3x40 @ 1M videos (no intro): build $tBuildW%.1f s; " +
+      f"uncapped verdict $tW%.1f s, keep=$kW (expect 5000)")
+
+    // ---- (b) NARROW store with a 200k-owner shared intro, capped
+    val dirN = java.nio.file.Files
+      .createTempDirectory("graft-vledger-n").toString
+    def nWord(idCol: String) =
+      s"cast(conv(substring(md5(concat($idCol, '|', f)), 1, 11), 16, 10) " +
+        s"as bigint) & $mask42"
+    val intro = 0x15551555155L
+    val histN = spark.range(0, N, 1, 32)
+      .select(col("id"), explode(expr("sequence(0, 3)")).as("f"))
+      .select(col("id").as("media_id"), col("f"),
+        expr(s"array(CASE WHEN f = 0 AND id < 200000 THEN ${intro}L " +
+          s"ELSE ${nWord("id")} END)").as("fp"))
+    val (_, tBuildN) = timed(
+      DedupLedger.appendVideoSurvivors(histN, dirN, tag = "seed"))
+    val batchN = spark.range(0, 10000L, 1, 32)
+      .select(col("id"), explode(expr("sequence(0, 3)")).as("f"))
+      .select((col("id") + 2000000L).as("media_id"), col("f"),
+        expr(s"""array(CASE
+          |WHEN f = 0 AND id < 1000 THEN
+          |  CASE WHEN id < 200000 THEN ${intro}L ELSE ${nWord("id")} END
+          |WHEN f = 0 THEN ${intro}L
+          |WHEN id < 1000 THEN ${nWord("id")}
+          |WHEN id < 5000 AND f = id % 4 AND f > 0 THEN ${nWord("id")} ^ 3L
+          |WHEN id < 5000 THEN ${nWord("id")}
+          |ELSE ${nWord("(id + 7000000)")} END)""".stripMargin).as("fp"))
+      .localCheckpoint()
+    val (kN, tN) = timed(
+      DedupLedger.dedupVideoAgainstLedger(spark, batchN, dirN,
+          IndexStore.snapshot(dirN), DedupLedger.NarrowMarks,
+          pairBudgetPerItem = Some(100))
+        .agg(sum(col("keep"))).head.getLong(0))
+    println(f"narrow 3x14 @ 1M videos (200k shared intro, ALL probes " +
+      f"carry it): build $tBuildN%.1f s; capped(100/item) verdict " +
+      f"$tN%.1f s, keep=$kN")
   }
 
   /** q157's topology at corpus scale: N four-frame videos (synthetic

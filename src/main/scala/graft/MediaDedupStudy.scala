@@ -365,12 +365,14 @@ object MediaDedupStudy {
     val batchN = spark.range(0, 10000L, 1, 32)
       .select(col("id"), explode(expr("sequence(0, 3)")).as("f"))
       .select((col("id") + 2000000L).as("media_id"), col("f"),
+        // edited frame = 1 + id % 3, always in 1..3: frame 0 is the
+        // intro for EVERY probe, so an "edit at f = id % 4" would make
+        // the id%4==0 quarter exact copies instead of edits (review
+        // find — the cell must measure 4k true one-frame edits)
         expr(s"""array(CASE
-          |WHEN f = 0 AND id < 1000 THEN
-          |  CASE WHEN id < 200000 THEN ${intro}L ELSE ${nWord("id")} END
           |WHEN f = 0 THEN ${intro}L
           |WHEN id < 1000 THEN ${nWord("id")}
-          |WHEN id < 5000 AND f = id % 4 AND f > 0 THEN ${nWord("id")} ^ 3L
+          |WHEN id < 5000 AND f = 1 + id % 3 THEN ${nWord("id")} ^ 3L
           |WHEN id < 5000 THEN ${nWord("id")}
           |ELSE ${nWord("(id + 7000000)")} END)""".stripMargin).as("fp"))
       .localCheckpoint()

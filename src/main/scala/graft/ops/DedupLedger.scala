@@ -191,7 +191,14 @@ object DedupLedger {
     val small = maxBroadcast > 0 &&
       batch.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBroadcast
     def gate(df: DataFrame): DataFrame = if (small) broadcast(df) else df
-    val (exact, sigs) = IndexStore.frames(spark, dir, snap)
+    // the text tables are read with the LEDGER's own empty fallbacks:
+    // a mixed store seeded media/video-first has published no codes
+    // yet, and the first text tick must verdict against empty history
+    // and bootstrap the modality (the same deliberate modality-absence
+    // semantic the marks/seqs arms have). Readers OUTSIDE the ledger
+    // (the ANN store) keep IndexStore.frames' fail-loud default.
+    val (exact, sigs) = IndexStore.frames(spark, dir, snap,
+      Some(IndexStore.CODES_DDL), Some(IndexStore.VECTORS_DDL))
     val bh = batch.select(col("doc_id").as("bdoc"), sha2(col("text"), 256).as("h"))
     val ex = exact.join(gate(bh), Seq("h"))
       .groupBy(col("bdoc")).agg(min(col("owner")).as("exact_of"))
@@ -409,21 +416,27 @@ object DedupLedger {
     val small = maxBroadcast > 0 &&
       batch.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBroadcast
     def gate(df: DataFrame): DataFrame = if (small) broadcast(df) else df
-    val marks = withWidthCheck(
-      IndexStore.marksFrame(spark, dir, snap, IndexStore.MARKS_DDL),
-      geom, "marks")
+    // RAW frame for the exact arm and the sentinel count: the width
+    // guard lives on the BANDED path only (the zip_with it protects),
+    // so count() stays a parquet footer read and the exact arm's
+    // column pruning survives; the near arm always runs over the same
+    // inputs, so a width-mismatched store still fails loudly there
+    val marksRaw = IndexStore.marksFrame(spark, dir, snap,
+      IndexStore.MARKS_DDL)
     val bm = withWidthCheck(batch, geom, "media batch")
       .select(col("media_id").as("bid"), col("fp").as("bfp"))
-    val ex = marks.select(col("fp").as("bfp"), col("owner"))
+    val ex = marksRaw.select(col("fp").as("bfp"), col("owner"))
       .join(gate(bm), Seq("bfp"))
       .groupBy(col("bid")).agg(min(col("owner")).as("exact_of"))
-    val lb0 = mediaBandsOf(marks.select(col("fp"), col("owner")), geom)
+    val lb0 = mediaBandsOf(
+      withWidthCheck(marksRaw.select(col("fp"), col("owner")), geom, "marks"),
+      geom)
     val lb = pairBudgetPerItem match {
       case None =>
         // parquet count-star prunes to row-group footers, and the memo
         // makes it once per published snapshot, not once per verdict
         DedupOps.warnIfSaturated(
-          memoizedCount(dir, snap.version, "marks")(marks.count()),
+          memoizedCount(dir, snap.version, "marks")(marksRaw.count()),
           geom.bands, geom.bandBits)
         lb0
       case Some(perItem) =>
@@ -533,22 +546,37 @@ object DedupLedger {
     val small = maxBroadcast > 0 &&
       batch.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBroadcast
     def gate(df: DataFrame): DataFrame = if (small) broadcast(df) else df
-    val led = withWidthCheck(IndexStore.seqsFrame(spark, dir, snap),
-      geom, "seqs")
+    // RAW frame for the exact arm and the sentinel: the width guard
+    // lives on the banded/zip_with path only, so the digest join keeps
+    // its column pruning (seqhash + owner + f, never the fp arrays)
+    // and count() stays a footer read; the vote arm always runs over
+    // the same store, so a width mismatch still fails loudly
+    val ledRaw = IndexStore.seqsFrame(spark, dir, snap)
+    require(ledRaw.columns.contains("seqhash"),
+      s"seqs store under $dir predates the sequence-digest schema " +
+      "(no seqhash column) — rebuild it or backfill digests; reading " +
+      "it would silently drop every pre-digest owner from the exact arm")
     val checkedBatch = withWidthCheck(batch, geom, "video batch")
     // exact arm: canonical sequence equality via the STORED digest —
     // the batch side derives its digests over the increment, the
-    // ledger side streams (no corpus-side array rebuild per verdict)
+    // ledger side streams (no corpus-side array rebuild per verdict);
+    // position 0 always exists, so f = 0 is one row per owner (a
+    // pushed-down filter — without it every digest match emits F
+    // redundant rows the min() would then collapse)
     val bseqs = checkedBatch
       .select(col("media_id").as("bid"), col("f"), col("fp"))
       .groupBy(col("bid"))
       .agg(sort_array(collect_list(struct(col("f"), col("fp")))).as("seq"))
       .select(col("bid"), seqDigest.as("seqhash"))
-    val ex = led.select(col("seqhash"), col("owner"))
+    val ex = ledRaw.filter(col("f") === 0L)
+      .select(col("seqhash"), col("owner"))
       .join(gate(bseqs), Seq("seqhash"))
       .groupBy(col("bid")).agg(min(col("owner")).as("exact_of"))
     // vote arm: per-position banded candidates -> agreeing positions
-    val lb0 = mediaBandsOf(led.select(col("owner"), col("f"), col("fp")), geom)
+    val lb0 = mediaBandsOf(
+      withWidthCheck(ledRaw.select(col("owner"), col("f"), col("fp")),
+        geom, "seqs"),
+      geom)
     val lb = pairBudgetPerItem match {
       case None =>
         // each position is its own keyspace; a per-position groupBy
@@ -561,7 +589,7 @@ object DedupLedger {
         val positions =
           math.max(1L, batch.select(col("f")).distinct().count())
         DedupOps.warnIfSaturated(
-          memoizedCount(dir, snap.version, "seqs")(led.count()) / positions,
+          memoizedCount(dir, snap.version, "seqs")(ledRaw.count()) / positions,
           geom.bands, geom.bandBits)
         lb0
       case Some(perItem) =>
@@ -606,16 +634,25 @@ object DedupLedger {
     else if (id < 180) (id - 146, 1)
     else (id, 0)
 
-  private def q158Encode(w: Int, h: Int) = udf((id: Long) => {
-    val (key, bump) = q158KeyBump(id)
+  /** The one media-fixture pixel formula (md5-derived channels, +40
+    * bump at pixel (3, 2) when `bump`), shared by the q158 fixture
+    * family and the specs — ONE definition, so a tuning change cannot
+    * silently leave a test passing against stale semantics. */
+  private[graft] def mediaFixtureBmp(key: Long, bump: Boolean, w: Int,
+                                     h: Int): Array[Byte] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     def ch(x: Int, y: Int, c: Int): Int = {
       val b = md.digest(s"$key|$x|$y|$c".getBytes("UTF-8"))(0) & 0xff
-      (b + (if (bump == 1 && x == 3 && y == 2) 40 else 0)) % 256
+      (b + (if (bump && x == 3 && y == 2) 40 else 0)) % 256
     }
     graft.multimodal.BmpDecoder.encode(w, h, Array.tabulate(w * h) { p =>
       (ch(p % w, p / w, 0), ch(p % w, p / w, 1), ch(p % w, p / w, 2))
     })
+  }
+
+  private def q158Encode(w: Int, h: Int) = udf((id: Long) => {
+    val (key, bump) = q158KeyBump(id)
+    mediaFixtureBmp(key, bump == 1, w, h)
   })
 
   /** q158 media payloads for an id range, as (media_id, payload) — the

@@ -76,7 +76,18 @@ object DedupMaintenance {
                 gw: Int = 8, gh: Int = 6,
                 imgGw: Int = 8, imgGh: Int = 6,
                 geom: DedupLedger.MarksGeom = DedupLedger.NarrowMarks)
-      : DataStreamWriter[org.apache.spark.sql.Row] =
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    // grid/geometry consistency fails at SINK CONSTRUCTION, not when
+    // the first record of an unlucky modality arrives mid-stream (the
+    // per-row width guard would fail every replay of that micro-batch)
+    def words(w: Int, h: Int) = (h * (w - 1) + 63) / 64
+    val geomWords = (geom.fpBits + 63) / 64
+    require(words(gw, gh) == geomWords,
+      s"video grid ${gw}x$gh packs ${words(gw, gh)} words but geometry " +
+      s"${geom.params} verdicts $geomWords-word fingerprints")
+    require(words(imgGw, imgGh) == geomWords,
+      s"image grid ${imgGw}x$imgGh packs ${words(imgGw, imgGh)} words " +
+      s"but geometry ${geom.params} verdicts $geomWords-word fingerprints")
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -148,6 +159,7 @@ object DedupMaintenance {
           }
         }
       }
+  }
 
   /** Snapshot version a monitor watches to confirm the tailer publishes. */
   def publishedVersion(ledgerDir: String): Option[Int] =

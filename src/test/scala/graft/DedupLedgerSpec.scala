@@ -142,17 +142,8 @@ class DedupLedgerSpec extends SparkSpec {
     import graft.multimodal.MediaOps
     val dir = java.nio.file.Files.createTempDirectory("ledger-wstream").toString
     val ckpt = java.nio.file.Files.createTempDirectory("ledger-wckpt").toString
-    def bmp(key: Long, bump: Boolean): Array[Byte] = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      graft.multimodal.BmpDecoder.encode(16, 8, Array.tabulate(16 * 8) { p =>
-        val x = p % 16; val y = p / 16
-        def ch(c: Int): Int = {
-          val b = md.digest(s"$key|$x|$y|$c".getBytes("UTF-8"))(0) & 0xff
-          (b + (if (bump && x == 3 && y == 2) 40 else 0)) % 256
-        }
-        (ch(0), ch(1), ch(2))
-      })
-    }
+    def bmp(key: Long, bump: Boolean): Array[Byte] =
+      DedupLedger.mediaFixtureBmp(key, bump, 16, 8)
     val histRecs = spark.createDataset((0L until 10L).map(k =>
       MediaOps.MediaRecord(k, MediaOps.MediaMeta("image", 16, 8, 0),
         bmp(k, bump = false))))
@@ -166,7 +157,8 @@ class DedupLedgerSpec extends SparkSpec {
     val stream = src.toDF().toDF("kind", "doc_id", "text", "payload")
     def drain(): Unit =
       graft.streaming.DedupMaintenance.mixedSink(stream, dir, ckpt,
-          imgGw = 16, imgGh = 8, geom = DedupLedger.WideMarks)
+          gw = 16, gh = 8, imgGw = 16, imgGh = 8,
+          geom = DedupLedger.WideMarks)
         .start().awaitTermination()
     // tick 1: a history copy (drops), a one-pixel edit of history
     // (hamming <= 2 at the 16x8 grid -> near-drops), a novel (lands)

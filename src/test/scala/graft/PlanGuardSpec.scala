@@ -343,11 +343,11 @@ class PlanGuardSpec extends SparkSpec {
 
   test("video ledger verdict: the sequence exact arm and the vote arm are " +
        "equi-joins (complex-typed seq key included), never nested-loop") {
-    // the exact arm joins on a sorted array<struct<f, fp>> column — a
-    // perfectly legal Spark equi-join key, but one a careless refactor
-    // (e.g. an expression wrapper Catalyst can't hash) could silently
-    // degrade to BroadcastNestedLoopJoin over the corpus-sized seqs
-    // table; the vote arm must key on (f, band, bkey)
+    // the exact arm joins on the stored sequence DIGEST (a string —
+    // plain equi-key) and the vote arm on (f, band, bkey): neither may
+    // degrade to a nested-loop over the corpus-sized seqs table (the
+    // risk case is the vote arm's constant-folded band-key expressions
+    // — a wrapper Catalyst can't recognize as an equi-condition)
     import org.apache.spark.sql.functions._
     import spark.implicits._
     import graft.ops.{DedupLedger, IndexStore}

@@ -135,7 +135,8 @@ object DedupLedger {
   /** Build (REBUILD-commit) the ledger from `history`. Both tables are
     * clustered on their partition key before the write so each cell
     * lands as one file set, not one fragment per upstream task. */
-  def buildLedger(history: DataFrame, dir: String): Int =
+  def buildLedger(history: DataFrame, dir: String): Int = {
+    IndexStore.setProps(dir, Map("modalities" -> "text"))
     IndexStore.commitRebuild(dir) {
       exactRows(history)
         .repartition(col("cell"))
@@ -144,6 +145,7 @@ object DedupLedger {
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
     }
+  }
 
   /** Append `survivors`' fingerprints as one idempotent tagged delta:
     * exact rows collapse batch-internal text duplicates to their min-id
@@ -177,7 +179,8 @@ object DedupLedger {
   def dedupAgainstLedger(spark: SparkSession, batch: DataFrame,
                          dir: String, snap: IndexStore.Snapshot,
                          maxBroadcast: Long = 256L << 20,
-                         pairBudgetPerItem: Option[Int] = None): DataFrame = {
+                         pairBudgetPerItem: Option[Int] =
+                           DedupOps.DEFAULT_PAIR_BUDGET): DataFrame = {
     // ONE gate decision for all four batch-derived frames, taken on the
     // batch's OWN plan stats: every broadcast side below (hash rows,
     // band rows, the two verdict arms) is ≤ O(batch rows) by
@@ -191,12 +194,13 @@ object DedupLedger {
     val small = maxBroadcast > 0 &&
       batch.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBroadcast
     def gate(df: DataFrame): DataFrame = if (small) broadcast(df) else df
-    // the text tables are read with the LEDGER's own empty fallbacks:
-    // a mixed store seeded media/video-first has published no codes
-    // yet, and the first text tick must verdict against empty history
-    // and bootstrap the modality (the same deliberate modality-absence
-    // semantic the marks/seqs arms have). Readers OUTSIDE the ledger
-    // (the ANN store) keep IndexStore.frames' fail-loud default.
+    // the empty-table bootstrap (a mixed store seeded media/video-first
+    // verdicts its first text tick against empty history) is gated on
+    // the store's STAMPED modalities — an unstamped or non-text store
+    // with no codes fails by name instead of silently admitting every
+    // duplicate (ADVICE r15 #1). Readers OUTSIDE the ledger (the ANN
+    // store) keep IndexStore.frames' fail-loud default.
+    requireModality(dir, snap.codes, "text", legacyAllowed = false)
     val (exact, sigs) = IndexStore.frames(spark, dir, snap,
       Some(IndexStore.CODES_DDL), Some(IndexStore.VECTORS_DDL))
     val bh = batch.select(col("doc_id").as("bdoc"), sha2(col("text"), 256).as("h"))
@@ -206,17 +210,21 @@ object DedupLedger {
       col("doc_id").as("bdoc"), col("sig").as("bsig"))
     // stored sigs re-derive their band keys row-locally in-flight: the
     // scan reads one sig row per doc, the explode costs no storage.
-    // With a budget, the LEDGER side sheds its hottest band buckets
-    // (shedHotBuckets — same floor/derivation as the media arm; exact
-    // duplicates are immune, the exact arm is a separate sha2 join);
-    // no saturation sentinel here — the minhash band keyspace is a
-    // string pair, not a fixed bit geometry the model speaks about.
+    // Under the (default) budget, the LEDGER side sheds its hottest
+    // band buckets (shedHotBuckets — same floor/derivation as the
+    // media arm; exact duplicates are immune, the exact arm is a
+    // separate sha2 join). hitsPerBucket = 1: the minhash band key is
+    // a string pair over a ~2^62 hash keyspace, so any batch's
+    // expected occupancy of one ledger bucket is ≪ 1. No saturation
+    // sentinel here — that keyspace is not a fixed bit geometry the
+    // model speaks about.
     val lbands0 = bandsOf(sigs)
     val lbands = pairBudgetPerItem match {
       case None => lbands0
       case Some(perItem) =>
         shedHotBuckets(lbands0, Seq("band", "bkey"), perItem,
-          batch.select(col("doc_id")).count())
+          batch.select(col("doc_id")).count(), hitsPerBucket = 1L,
+          dir, snap.version, "vectors-hist")
     }
     val nm = lbands.join(gate(bb), Seq("band", "bkey"))
       .withColumn("agree", expr(
@@ -305,7 +313,10 @@ object DedupLedger {
     * all under one snapshot — a reader can never see the modalities
     * half a batch apart. */
   def buildMixedLedger(history: DataFrame, historyFps: DataFrame,
-                       dir: String): Int =
+                       dir: String): Int = {
+    // a mixed store declares EVERY modality the router can send it —
+    // absence of any one table is bootstrap, not misconfiguration
+    IndexStore.setProps(dir, Map("modalities" -> "text,media,video"))
     IndexStore.commitRebuild(dir) {
       exactRows(history)
         .repartition(col("cell"))
@@ -317,6 +328,7 @@ object DedupLedger {
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/marks")
     }
+  }
 
   /** Append surviving media fingerprints as one idempotent tagged
     * delta (the media analog of [[appendSurvivors]]). */
@@ -349,42 +361,64 @@ object DedupLedger {
         "filter and silently admits every near-duplicate') IS NULL"))
   }
 
-  /** The ledger-side hot-bucket shed shared by both verdict arms'
+  /** The ledger-side hot-bucket shed shared by the verdict arms'
     * banded lookup joins (VERDICT r14 #1b: candidate volume is
     * batch × marks/2^bandBits — linear in LEDGER size per batch item,
-    * unbounded as the corpus grows): measure the LEDGER band-bucket
-    * size histogram (tens of rows reach the driver), derive the cap by
-    * the same [[DedupOps.capFromHist]] walk the q49 family uses with
-    * budget = `perItem` × batch rows (the C(sz, 2)-per-bucket cost
-    * model matches a batch drawn from the ledger's own fingerprint
-    * distribution and errs CONSERVATIVE for thinner increments — and
-    * never below the [[DedupOps.BAND_CAP]] floor, so fixture-scale
-    * verdicts are untouched), and anti-join the over-cap buckets away
-    * from the LEDGER side only. The batch side is untouched and the
-    * exact arm is a separate equality join, so exact duplicates are
-    * immune to any cap — a shed bucket can only cost a NEAR detection
-    * whose fingerprint sits in a saturated bucket on every band. */
+    * unbounded as the corpus grows), DEFAULT-ON since round 16
+    * (VERDICT r15 #1): measure the LEDGER band-bucket size histogram
+    * ONCE per published snapshot (memoized on the store's durable
+    * identity — tens of rows reach the driver), derive the cap by the
+    * LINEAR-cost [[DedupOps.capFromHistLinear]] walk with budget =
+    * `perItem` × batch rows and per-bucket cost `sz × hitsPerBucket`
+    * (ADVICE r15 #2: a ledger-LOOKUP bucket's true join volume is
+    * sz × batch hits, not the self-join's C(sz, 2) — the quadratic
+    * model overstated large-bucket cost and shed more near-recall
+    * than the stated budget implied), never below the
+    * [[DedupOps.BAND_CAP]] floor (fixture-scale verdicts untouched),
+    * and anti-join the over-cap buckets away from the LEDGER side
+    * only — and only when something actually exceeds the cap: the
+    * healthy-store path returns the input plan untouched, so the
+    * default flip costs one memoized histogram job per snapshot, not
+    * per verdict. The batch side is untouched and the exact arm is a
+    * separate equality join, so exact duplicates are immune to any
+    * cap — a shed bucket can only cost a NEAR detection whose
+    * fingerprint sits in a saturated bucket on every band. */
   private def shedHotBuckets(lb: DataFrame, keys: Seq[String], perItem: Int,
-                             batchItems: Long): DataFrame =
-    DedupOps.dropHotBuckets(lb, keys, DedupOps.BAND_CAP,
-      perItem.toLong * math.max(1L, batchItems))
+                             batchItems: Long, hitsPerBucket: Long,
+                             dir: String, version: Int,
+                             what: String): DataFrame = {
+    val hist = memoizedHist(dir, version, what) {
+      lb.groupBy(keys.map(col): _*).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0).toInt, r.getLong(1)))
+    }
+    val cap = DedupOps.capFromHistLinear(hist, DedupOps.BAND_CAP,
+      perItem.toLong * math.max(1L, batchItems), hitsPerBucket)
+    if (hist.forall(_._1 <= cap)) lb
+    else {
+      val hot = lb.groupBy(keys.map(col): _*).agg(count(lit(1)).as("sz"))
+        .filter(col("sz") > cap).localCheckpoint()
+      lb.join(hot.select(keys.map(col): _*), keys, "left_anti")
+    }
+  }
 
-  /** Per-store memo for the saturation sentinels' ledger-side counts,
-    * keyed (dir, table) and holding ONLY the latest version's value —
-    * bounded by the number of live stores in the JVM (a long-lived
-    * streaming service publishes versions per tick; keying on version
-    * would grow forever), and snapshots are immutable so a version hit
-    * is exact. The count runs OUTSIDE any map lock (a racy duplicate
-    * compute is idempotent and cheaper than serializing verdicts of
-    * unrelated stores through one bin lock). Caveat: a store deleted
-    * and rebuilt at the SAME path whose version numbering restarts can
-    * alias a stale entry — dev-loop territory; production stores only
-    * move forward. */
+  /** Per-store memos for the ledger-side measurements (saturation
+    * sentinel counts; band-bucket size histograms), keyed on the
+    * store's DURABLE identity ([[IndexStore.storeId]] — a store
+    * deleted and rebuilt at the same path gets a fresh UUID, closing
+    * the round-15 stale-alias caveat) plus the table name, holding
+    * ONLY the latest version's value — bounded by the number of live
+    * stores in the JVM (a long-lived streaming service publishes
+    * versions per tick; keying on version would grow forever), and
+    * snapshots are immutable so a version hit is exact. Computation
+    * runs OUTSIDE any map lock (a racy duplicate compute is idempotent
+    * and cheaper than serializing verdicts of unrelated stores through
+    * one bin lock). */
   private val sentinelCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Int, Long)]()
   private def memoizedCount(dir: String, version: Int, what: String)
                            (compute: => Long): Long = {
-    val key = s"$dir:$what"
+    val key = s"${IndexStore.storeId(dir)}:$what"
     Option(sentinelCache.get(key)) match {
       case Some((v, n)) if v == version => n
       case _ =>
@@ -393,6 +427,47 @@ object DedupLedger {
         n
     }
   }
+  private val histCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Array[(Int, Long)])]()
+  private def memoizedHist(dir: String, version: Int, what: String)
+                          (compute: => Array[(Int, Long)]): Array[(Int, Long)] = {
+    val key = s"${IndexStore.storeId(dir)}:$what"
+    Option(histCache.get(key)) match {
+      case Some((v, h)) if v == version => h
+      case _ =>
+        val h = compute
+        histCache.put(key, (version, h))
+        h
+    }
+  }
+
+  /** Fail BY NAME when a verdict arm would read a modality the store
+    * never declared (ADVICE r15 #1): an empty-table fallback is
+    * legitimate ONLY while the store's builder stamped the modality as
+    * intended-but-not-yet-published (a mixed store seeded media-first
+    * bootstraps its text arm against empty history); a text verdict
+    * pointed at a marks-only store by misconfiguration must crash, not
+    * silently find zero history and admit every duplicate forever.
+    * `legacyAllowed` preserves each arm's pre-stamp default for stores
+    * that predate the props file (text: fail-loud, the pre-r15
+    * polarity; marks/seqs: tolerate, their documented semantic). */
+  private def requireModality(dir: String, snapFiles: Seq[String],
+                              modality: String,
+                              legacyAllowed: Boolean): Unit =
+    if (snapFiles.isEmpty) {
+      val ok = IndexStore.declaredModalities(dir) match {
+        case Some(m) => m.contains(modality)
+        case None => legacyAllowed
+      }
+      if (!ok) sys.error(
+        s"DedupLedger: store $dir has no published $modality table and its " +
+        s"stamped modalities (${IndexStore.declaredModalities(dir)
+          .map(_.mkString(",")).getOrElse("<unstamped>")}) do not declare " +
+        s"'$modality' — refusing to verdict against empty history (a " +
+        "misconfigured store path would silently admit every duplicate); " +
+        "stamp the store via IndexStore.setProps(dir, Map(\"modalities\" -> " +
+        "...)) if bootstrapping this modality is intended")
+    }
 
   /** Verdict of a media batch `(media_id, fp: array<bigint>)` against
     * the ledger's marks at `snap`: `(media_id, exact_of, near_of,
@@ -412,10 +487,15 @@ object DedupLedger {
                               dir: String, snap: IndexStore.Snapshot,
                               geom: MarksGeom = NarrowMarks,
                               maxBroadcast: Long = 256L << 20,
-                              pairBudgetPerItem: Option[Int] = None): DataFrame = {
+                              pairBudgetPerItem: Option[Int] =
+                                DedupOps.DEFAULT_PAIR_BUDGET): DataFrame = {
     val small = maxBroadcast > 0 &&
       batch.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBroadcast
     def gate(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    // an empty marks snapshot bootstraps only when the store declares
+    // the modality (stamped stores) or predates the stamp (legacy
+    // tolerate — the marks arm's historical default)
+    requireModality(dir, snap.marks, "media", legacyAllowed = true)
     // RAW frame for the exact arm and the sentinel count: the width
     // guard lives on the BANDED path only (the zip_with it protects),
     // so count() stays a parquet footer read and the exact arm's
@@ -440,7 +520,12 @@ object DedupLedger {
           geom.bands, geom.bandBits)
         lb0
       case Some(perItem) =>
-        shedHotBuckets(lb0, Seq("band", "bkey"), perItem, bm.count())
+        // expected batch occupancy of one (band, key) ledger bucket:
+        // each batch item lands in exactly one key per band
+        val items = bm.count()
+        shedHotBuckets(lb0, Seq("band", "bkey"), perItem, items,
+          hitsPerBucket = items >> geom.bandBits,
+          dir, snap.version, s"marks-hist-${geom.params}")
     }
     val bb = mediaBandsOf(bm.select(col("bid"), col("bfp").as("fp")), geom)
       .select(col("band"), col("bkey"), col("bid"), col("fp").as("bfp"))
@@ -542,13 +627,18 @@ object DedupLedger {
                               geom: MarksGeom = NarrowMarks,
                               minAgree: Int = 3,
                               maxBroadcast: Long = 256L << 20,
-                              pairBudgetPerItem: Option[Int] = None): DataFrame = {
+                              pairBudgetPerItem: Option[Int] =
+                                DedupOps.DEFAULT_PAIR_BUDGET): DataFrame = {
     val small = maxBroadcast > 0 &&
       batch.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBroadcast
     def gate(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    // an empty seqs snapshot bootstraps only when the store declares
+    // the modality (stamped stores) or predates the stamp (legacy
+    // tolerate — the seqs arm's historical default)
+    requireModality(dir, snap.seqs, "video", legacyAllowed = true)
     // RAW frame for the exact arm and the sentinel: the width guard
     // lives on the banded/zip_with path only, so the digest join keeps
-    // its column pruning (seqhash + owner + f, never the fp arrays)
+    // its column pruning (seqhash + owner, never the fp arrays)
     // and count() stays a footer read; the vote arm always runs over
     // the same store, so a width mismatch still fails loudly
     val ledRaw = IndexStore.seqsFrame(spark, dir, snap)
@@ -559,16 +649,20 @@ object DedupLedger {
     val checkedBatch = withWidthCheck(batch, geom, "video batch")
     // exact arm: canonical sequence equality via the STORED digest —
     // the batch side derives its digests over the increment, the
-    // ledger side streams (no corpus-side array rebuild per verdict);
-    // position 0 always exists, so f = 0 is one row per owner (a
-    // pushed-down filter — without it every digest match emits F
-    // redundant rows the min() would then collapse)
+    // ledger side streams (no corpus-side array rebuild per verdict).
+    // Deliberately NO one-row-per-owner pre-filter (ADVICE r15 #3: the
+    // old `f = 0` filter assumed every owner stored a position-0 row;
+    // a partial decode that samples only later frames would make the
+    // owner permanently invisible to the exact arm): every row of a
+    // MATCHING owner reaches the join — F redundant rows per match,
+    // bounded by the increment's duplicate count, never corpus-shaped
+    // — and the existing min() collapses them.
     val bseqs = checkedBatch
       .select(col("media_id").as("bid"), col("f"), col("fp"))
       .groupBy(col("bid"))
       .agg(sort_array(collect_list(struct(col("f"), col("fp")))).as("seq"))
       .select(col("bid"), seqDigest.as("seqhash"))
-    val ex = ledRaw.filter(col("f") === 0L)
+    val ex = ledRaw
       .select(col("seqhash"), col("owner"))
       .join(gate(bseqs), Seq("seqhash"))
       .groupBy(col("bid")).agg(min(col("owner")).as("exact_of"))
@@ -593,8 +687,12 @@ object DedupLedger {
           geom.bands, geom.bandBits)
         lb0
       case Some(perItem) =>
-        shedHotBuckets(lb0, Seq("f", "band", "bkey"), perItem,
-          batch.select(col("media_id")).distinct().count())
+        // expected batch occupancy of one (position, band, key) ledger
+        // bucket: each batch video lands in one key per (position, band)
+        val items = batch.select(col("media_id")).distinct().count()
+        shedHotBuckets(lb0, Seq("f", "band", "bkey"), perItem, items,
+          hitsPerBucket = items >> geom.bandBits,
+          dir, snap.version, s"seqs-hist-${geom.params}")
     }
     val bb = mediaBandsOf(
         checkedBatch.select(col("media_id").as("bid"), col("f"), col("fp")),
@@ -759,8 +857,9 @@ object DedupLedger {
   private[graft] def ensureVideoHistoryLedger(s: SparkSession,
                                               d: String): String =
     VectorOps.ensureIndex(d, "ledgervid",
-        ledgerParams + s"|video|${NarrowMarks.params}|agree=3|F=4|seqhash",
+        ledgerParams + s"|video|${NarrowMarks.params}|agree=3|F=4|seqhash|props",
         "documents.parquet") { base =>
+      IndexStore.setProps(base.getPath, Map("modalities" -> "video"))
       IndexStore.commitRebuild(base.getPath) {
         seqRows(q169Frames(s, d, 0L, 100L))
           .repartition(col("cell"))

@@ -54,6 +54,22 @@ object DedupOps {
   // after which genuine near-dup buckets are small again.
   val BAND_CAP = 200
 
+  /** DEFAULT per-item candidate budget for the banded pair/verdict
+    * families (round-16, VERDICT r15 #1): the caps were opt-in from
+    * rounds 13–15 with `None` (uncapped) as the default — correct and
+    * fast at fixture scale, but the default configuration admitted a
+    * MEASURED hang-class fan-out on pathological stores (SCALING.md
+    * r15 addenda 8/13: 162 s hot-bucket fan-out at 1M marks; the
+    * round-14 study JVM that hung 9+ hours was an uncapped run). The
+    * studies prove the derived caps bit-identical on true duplicates
+    * (floor = [[BAND_CAP]] admits every fixture-scale bucket; exact
+    * arms are never banded, hence cap-immune), so safe-by-default is
+    * the right polarity: every banded family now derives a cap under
+    * this budget unless the caller passes `None` as the EXPLICIT
+    * uncapped opt-out (diagnostics / recall studies). 1000 is the q49
+    * family's long-standing literal, baked into the capped oracles. */
+  val DEFAULT_PAIR_BUDGET: Option[Int] = Some(1000)
+
   /** Exact all-pairs candidates within `label` blocks, skew-safe.
     *
     * A plain `a.label = b.label AND a.vec_id < b.vec_id` self-join puts an
@@ -214,12 +230,34 @@ object DedupOps {
   /** The histogram walk itself, shared by the collect_list-bucket form
     * above and the band-self-join families ([[dropHotBuckets]]). */
   private[graft] def capFromHist(hist: Array[(Int, Long)], floor: Int,
-                                 pairBudget: Long): Int = {
+                                 pairBudget: Long): Int =
+    capFromHistCost(hist, floor, pairBudget,
+      sz => sz.toLong * (sz - 1) / 2)
+
+  /** [[capFromHist]] for LEDGER-LOOKUP band joins (ADVICE r15 #2): a
+    * batch-vs-ledger bucket's true join volume is `sz × batch hits in
+    * that bucket`, not the self-join's C(sz, 2) — reusing the
+    * quadratic model overstates large-bucket cost by ~sz/(2·hits) and
+    * sheds far more near-recall than the stated per-item budget
+    * implies once the batch is much smaller than the ledger.
+    * `hitsPerBucket` is the expected batch occupancy of one bucket
+    * (for a geometry-keyed arm: batchItems / 2^bandBits, floored at 1;
+    * the text arm's string keyspace dwarfs any batch, so 1). The walk
+    * and the floor contract are identical — only the per-bucket cost
+    * function changes. */
+  private[graft] def capFromHistLinear(hist: Array[(Int, Long)], floor: Int,
+                                       budget: Long,
+                                       hitsPerBucket: Long): Int =
+    capFromHistCost(hist, floor, budget,
+      sz => sz.toLong * math.max(1L, hitsPerBucket))
+
+  private def capFromHistCost(hist: Array[(Int, Long)], floor: Int,
+                              budget: Long, costOf: Int => Long): Int = {
     var cum = 0L; var cap = floor; var blocked = false
     hist.sortBy(_._1).foreach { case (sz, n) =>
-      val pairs = n * (sz.toLong * (sz - 1) / 2)
-      if (sz <= floor) cum += pairs // floor classes are always admitted
-      else if (!blocked && cum + pairs <= pairBudget) { cum += pairs; cap = sz }
+      val cost = n * costOf(sz)
+      if (sz <= floor) cum += cost // floor classes are always admitted
+      else if (!blocked && cum + cost <= budget) { cum += cost; cap = sz }
       else blocked = true
     }
     cap
@@ -240,13 +278,27 @@ object DedupOps {
     * candidate pairs. */
   private[graft] def dropHotBuckets(bandsDf: DataFrame, keys: Seq[String],
                                     floor: Int, pairBudget: Long): DataFrame = {
-    val sizes = bandsDf.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("sz")).localCheckpoint()
-    val hist = sizes.groupBy(col("sz")).agg(count(lit(1)).as("n"))
+    // ONE measurement job: the size HISTOGRAM (map-side-combinable
+    // twice over; the driver sees one row per distinct bucket size).
+    // In the usual case — now that the budget is the default, the
+    // usual case is every call — no class exceeds the derived cap and
+    // the input plan is returned UNTOUCHED: no anti-join node, no
+    // second job, bit-identical plan to the historical uncapped path
+    // (round-16: the default flip must not tax healthy corpora).
+    val hist = bandsDf.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getLong(0).toInt, r.getLong(1)))
     val cap = capFromHist(hist, floor, pairBudget)
-    bandsDf.join(sizes.filter(col("sz") > cap).select(keys.map(col): _*),
-      keys, "left_anti")
+    if (hist.forall(_._1 <= cap)) bandsDf
+    else {
+      // shed path (pathological store): re-derive the over-cap keys —
+      // the recompute only happens when something actually sheds
+      val sizes = bandsDf.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("sz")).localCheckpoint()
+      bandsDf.join(sizes.filter(col("sz") > cap).select(keys.map(col): _*),
+        keys, "left_anti")
+    }
   }
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
@@ -567,7 +619,7 @@ object DedupOps {
     * fingerprints (MediaDedupStudy) — widen bandBits with the corpus. */
   def hammingPairs(hashed: DataFrame, idCol: String, hashCol: String,
                    bands: Int, bandBits: Int, maxHamming: Int,
-                   pairBudgetPerDoc: Option[Int] = None): DataFrame = {
+                   pairBudgetPerDoc: Option[Int] = DEFAULT_PAIR_BUDGET): DataFrame = {
     require(bands >= maxHamming + 1,
       s"bands=$bands cannot guarantee recall at maxHamming=$maxHamming")
     // Java long shifts wrap mod 64: a top-band shift of >= 64 silently
@@ -676,7 +728,7 @@ object DedupOps {
   def hammingPairsWide(hashed: DataFrame, idCol: String, hashCol: String,
                        fpBits: Int, bands: Int, bandBits: Int,
                        maxHamming: Int,
-                       pairBudgetPerDoc: Option[Int] = None): DataFrame = {
+                       pairBudgetPerDoc: Option[Int] = DEFAULT_PAIR_BUDGET): DataFrame = {
     require(bands >= maxHamming + 1,
       s"bands=$bands cannot guarantee recall at maxHamming=$maxHamming")
     require(bandBits >= 1 && bandBits <= 63,
@@ -751,7 +803,7 @@ object DedupOps {
   def temporalNearDupPairs(frames: DataFrame, idCol: String, frameCol: String,
                            hashCol: String, bands: Int, bandBits: Int,
                            maxHamming: Int, minAgree: Int,
-                           pairBudgetPerDoc: Option[Int] = None): DataFrame = {
+                           pairBudgetPerDoc: Option[Int] = DEFAULT_PAIR_BUDGET): DataFrame = {
     require(bands >= maxHamming + 1,
       s"bands=$bands cannot guarantee recall at maxHamming=$maxHamming")
     require(bands.toLong * bandBits <= 64,
@@ -780,7 +832,7 @@ object DedupOps {
                                frameCol: String, hashCol: String, fpBits: Int,
                                bands: Int, bandBits: Int, maxHamming: Int,
                                minAgree: Int,
-                               pairBudgetPerDoc: Option[Int] = None): DataFrame = {
+                               pairBudgetPerDoc: Option[Int] = DEFAULT_PAIR_BUDGET): DataFrame = {
     require(bands >= maxHamming + 1,
       s"bands=$bands cannot guarantee recall at maxHamming=$maxHamming")
     require(bandBits >= 1 && bandBits <= 63,
@@ -871,16 +923,24 @@ object DedupOps {
       case Some(perDoc) =>
         val itemsRow = seqGroups.agg(sum(size(col("vids")))).head
         val items = if (itemsRow.isNullAt(0)) 0L else itemsRow.getLong(0)
-        val bucketSizes = bandsDf.groupBy(col("f"), col("b"), col("k"))
-          .agg(count(lit(1)).as("sz")).localCheckpoint()
-        val hist = bucketSizes.select(col("sz"))
+        // ONE measurement job (histogram only); the checkpoint and the
+        // anti-join/filter nodes materialize ONLY when a class sheds —
+        // with the budget now the default, the healthy-corpus plan must
+        // stay bit-identical to the historical uncapped one
+        val hist = bandsDf.groupBy(col("f"), col("b"), col("k"))
+          .agg(count(lit(1)).as("sz")).select(col("sz"))
           .unionByName(groups.select(size(col("ids")).cast("long").as("sz")))
           .groupBy(col("sz")).agg(count(lit(1)).as("n"))
           .collect().map(r => (r.getLong(0).toInt, r.getLong(1)))
         val cap = capFromHist(hist, BAND_CAP, perDoc.toLong * items)
-        (bandsDf.join(bucketSizes.filter(col("sz") > cap)
-            .select(col("f"), col("b"), col("k")), Seq("f", "b", "k"), "left_anti"),
-         groups.filter(size(col("ids")) <= cap))
+        if (hist.forall(_._1 <= cap)) (bandsDf, groups)
+        else {
+          val bucketSizes = bandsDf.groupBy(col("f"), col("b"), col("k"))
+            .agg(count(lit(1)).as("sz")).localCheckpoint()
+          (bandsDf.join(bucketSizes.filter(col("sz") > cap)
+              .select(col("f"), col("b"), col("k")), Seq("f", "b", "k"), "left_anti"),
+           groups.filter(size(col("ids")) <= cap))
+        }
     }
     // matched fingerprint pairs per frame position
     val repPairs = banded.as("a").join(banded.as("c"),

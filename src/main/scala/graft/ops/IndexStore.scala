@@ -103,17 +103,100 @@ object IndexStore {
   }
 
   /** Serialize writers (build / append / compact / vacuum) across
-    * threads AND processes; readers never enter here. */
-  private val jvmLock = new Object
-  def withWriterLock[A](dir: String)(f: => A): A = jvmLock.synchronized {
-    new java.io.File(dir).mkdirs()
-    val lockFile = new java.io.File(dir, "_writer.lock")
-    val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.WRITE)
-    val osLock = ch.lock()
-    try f finally { osLock.release(); ch.close() }
+    * threads AND processes; readers never enter here. PER-STORE
+    * granularity on both levels: the JVM side interns one monitor per
+    * canonical store path (two threads committing to ONE store
+    * serialize; commits to unrelated stores proceed concurrently — the
+    * old single global monitor serialized every store in the JVM
+    * through one lock, and worse, a second thread entering for the
+    * same store would hit `FileChannel.lock`'s
+    * OverlappingFileLockException instead of waiting), and the OS side
+    * is the per-store `_writer.lock` FileChannel lock that fences
+    * OTHER processes. Concurrent `commitDelta` calls therefore behave
+    * as last-writer-chains: each writer re-reads `_HEAD` inside the
+    * lock, layers its files onto whatever the previous writer
+    * published, and flips the pointer — no lost delta, no torn
+    * snapshot (IndexStoreSpec pins this under a thread race). */
+  private val dirLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  def withWriterLock[A](dir: String)(f: => A): A = {
+    val key = new java.io.File(dir).getCanonicalPath
+    val monitor = dirLocks.computeIfAbsent(key, _ => new Object)
+    monitor.synchronized {
+      new java.io.File(dir).mkdirs()
+      val lockFile = new java.io.File(dir, "_writer.lock")
+      val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val osLock = ch.lock()
+      try f finally { osLock.release(); ch.close() }
+    }
   }
+
+  /** A store IDENTITY that survives everything but deleting the store
+    * directory itself: a random UUID minted by the first publish and
+    * kept through every append/compact/vacuum (vacuum prunes only
+    * `v*.list` manifests). Memo caches key on THIS, not the path — a
+    * store deleted and rebuilt at the same path whose version numbering
+    * restarts gets a fresh UUID, so no cache can serve the old store's
+    * counts to the new one (round-15 sentinel-cache aliasing). Readers
+    * of a store that predates the marker (or was cloned file-by-file —
+    * clones copy the id, which is correct: a clone IS the same
+    * content) fall back to the canonical path. */
+  private def idFile(dir: String) = new java.io.File(manifestDir(dir), "store.id")
+  def storeId(dir: String): String = {
+    val f = idFile(dir)
+    if (f.exists())
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
+    else new java.io.File(dir).getCanonicalPath
+  }
+  private def ensureStoreId(dir: String): Unit =
+    if (!idFile(dir).exists()) {
+      manifestDir(dir).mkdirs()
+      java.nio.file.Files.write(idFile(dir).toPath,
+        java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
+      ()
+    }
+
+  /** Durable store PROPERTIES (`_manifest/props`, key=value lines,
+    * vacuum-immune): the stamps a store's BUILDER declares about its
+    * contents — which modality tables it intends to carry
+    * (`modalities=text,media,video`), fingerprint geometry, etc. —
+    * so READERS can distinguish "this table is legitimately absent
+    * until the first increment arrives" (a declared modality on a
+    * bootstrap store) from "wrong store directory" (a reader probing
+    * a modality the store never declared must FAIL, not silently
+    * find zero history and admit every duplicate forever — the ADVICE
+    * r15 finding on the text arm's empty fallback). Writes merge under
+    * the writer lock; reads take no lock. */
+  def setProps(dir: String, kv: Map[String, String]): Unit =
+    withWriterLock(dir) {
+      require(kv.forall { case (k, v) =>
+        !k.contains('\n') && !k.contains('=') && !v.contains('\n') },
+        "store props must be single-line key=value pairs")
+      val merged = props(dir) ++ kv
+      manifestDir(dir).mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(manifestDir(dir), "props").toPath,
+        merged.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+          .mkString("\n").getBytes("UTF-8"))
+      ()
+    }
+  def props(dir: String): Map[String, String] = {
+    val f = new java.io.File(manifestDir(dir), "props")
+    if (!f.exists()) Map.empty
+    else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      .split('\n').filter(_.contains('='))
+      .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
+      .toMap
+  }
+
+  /** The modality set the store's builder declared via
+    * `setProps("modalities" -> ...)`; `None` for stores that predate
+    * the stamp (legacy stores keep each reader's historical default). */
+  def declaredModalities(dir: String): Option[Set[String]] =
+    props(dir).get("modalities")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
 
   /** Publish a snapshot: write `_manifest/v<N>.list`, then flip `_HEAD`
     * via temp-sibling + atomic rename. The manifest file itself is
@@ -125,6 +208,7 @@ object IndexStore {
                       seqs: Seq[String] = Nil): Int = {
     val v = headVersion(dir).getOrElse(0) + 1
     manifestDir(dir).mkdirs()
+    ensureStoreId(dir)
     val body = (codes.map(f => s"codes\t$f") ++
                 vectors.map(f => s"vectors\t$f") ++
                 marks.map(f => s"marks\t$f") ++

@@ -64,9 +64,12 @@ object DedupMaintenance {
     * versions all four tables in one snapshot, so tick N+1's verdicts
     * all see exactly what tick N admitted, never half a tick.
     * `maxFrames`/`gw`/`gh` size the video fingerprints, `imgGw`/`imgGh`
-    * the still-image ones, and `geom` is the band geometry BOTH
+    * the still-image ones, and `geom` is the band geometry the
     * fingerprint arms verdict under — all must match the seed store's
     * stamped geometry (DedupLedger.MarksGeom params discipline). The
+    * marks and seqs tables are independent, so a deployment may stream
+    * narrow images beside wide video fingerprints against one store:
+    * `imgGeom`/`vidGeom` override `geom` PER ARM (ADVICE r15 #5). The
     * defaults are the narrow 42-bit gate config; a 10⁶⁺-item corpus
     * streams at `DedupLedger.WideMarks` with 16×8 grids — the wide
     * family enters the streamed path through these parameters, not a
@@ -75,19 +78,28 @@ object DedupMaintenance {
                 checkpointDir: String, maxFrames: Int = 4,
                 gw: Int = 8, gh: Int = 6,
                 imgGw: Int = 8, imgGh: Int = 6,
-                geom: DedupLedger.MarksGeom = DedupLedger.NarrowMarks)
+                geom: DedupLedger.MarksGeom = DedupLedger.NarrowMarks,
+                imgGeom: Option[DedupLedger.MarksGeom] = None,
+                vidGeom: Option[DedupLedger.MarksGeom] = None)
       : DataStreamWriter[org.apache.spark.sql.Row] = {
+    val iGeom = imgGeom.getOrElse(geom)
+    val vGeom = vidGeom.getOrElse(geom)
     // grid/geometry consistency fails at SINK CONSTRUCTION, not when
     // the first record of an unlucky modality arrives mid-stream (the
-    // per-row width guard would fail every replay of that micro-batch)
-    def words(w: Int, h: Int) = (h * (w - 1) + 63) / 64
-    val geomWords = (geom.fpBits + 63) / 64
-    require(words(gw, gh) == geomWords,
-      s"video grid ${gw}x$gh packs ${words(gw, gh)} words but geometry " +
-      s"${geom.params} verdicts $geomWords-word fingerprints")
-    require(words(imgGw, imgGh) == geomWords,
-      s"image grid ${imgGw}x$imgGh packs ${words(imgGw, imgGh)} words " +
-      s"but geometry ${geom.params} verdicts $geomWords-word fingerprints")
+    // per-row width guard would fail every replay of that micro-batch).
+    // The comparison is exact BIT width, not rounded word count
+    // (ADVICE r15 #5: a 9x6 grid packs the same one word as 8x6 but
+    // diverges from a 42-bit stamped geometry at verdict time): a
+    // w x h dHash grid emits h*(w-1) comparison bits, which must equal
+    // the geometry's banded capacity exactly.
+    def bits(w: Int, h: Int) = h * (w - 1)
+    require(bits(gw, gh) == vGeom.fpBits,
+      s"video grid ${gw}x$gh emits ${bits(gw, gh)} fingerprint bits but " +
+      s"geometry ${vGeom.params} verdicts ${vGeom.fpBits}-bit fingerprints")
+    require(bits(imgGw, imgGh) == iGeom.fpBits,
+      s"image grid ${imgGw}x$imgGh emits ${bits(imgGw, imgGh)} fingerprint " +
+      s"bits but geometry ${iGeom.params} verdicts ${iGeom.fpBits}-bit " +
+      "fingerprints")
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -126,7 +138,7 @@ object DedupMaintenance {
               .select(col("media_id"), col("dhash").as("fp"))
               .localCheckpoint() // verdict + append read it twice
             val verdict = DedupLedger.dedupMediaAgainstLedger(
-              s, fps, ledgerDir, IndexStore.snapshot(ledgerDir), geom)
+              s, fps, ledgerDir, IndexStore.snapshot(ledgerDir), iGeom)
             DedupLedger.appendMediaSurvivors(
               fps.join(verdict.filter(col("keep") === 1L).select(col("media_id")),
                 Seq("media_id"), "left_semi"),
@@ -149,7 +161,7 @@ object DedupMaintenance {
                       col("fhash").as("fp"))
               .localCheckpoint() // verdict + append read it twice
             val verdict = DedupLedger.dedupVideoAgainstLedger(
-              s, frames, ledgerDir, IndexStore.snapshot(ledgerDir), geom)
+              s, frames, ledgerDir, IndexStore.snapshot(ledgerDir), vGeom)
             DedupLedger.appendVideoSurvivors(
               frames.join(verdict.filter(col("keep") === 1L)
                   .select(col("media_id")),

@@ -292,4 +292,83 @@ class IndexStoreSpec extends SparkSpec {
     assert(IndexStore.marksFrame(spark, dir, s1,
       "cell INT, fp BIGINT, owner BIGINT").count() == 1)
   }
+
+  test("CONCURRENT commitDelta writers: no lost delta, no torn snapshot, " +
+       "strictly sequential versions (round-16, VERDICT r15 Next #3)") {
+    // a production pipeline has concurrent appenders — e.g. two
+    // modality arms of one tick, or two ingest jobs sharing a store.
+    // Writers serialize through the per-store lock and each re-reads
+    // _HEAD inside it, layering its files onto whatever the previous
+    // writer published: after 8 racing deltas every row must be
+    // present (no lost delta) and versions must be 2..9 with each
+    // manifest a strict superset of its parent (no torn snapshot).
+    val dir = java.nio.file.Files.createTempDirectory("idx-race").toString
+    IndexStore.commitRebuild(dir) {
+      Seq((0, "base", 0L)).toDF("cell", "h", "owner")
+        .write.mode("overwrite").parquet(s"$dir/codes")
+      Seq((0, 0L, Seq(1L))).toDF("cell", "doc_id", "sig")
+        .write.mode("overwrite").parquet(s"$dir/vectors")
+    }
+    val writers = (1 to 8).map { i =>
+      new Thread(() => {
+        IndexStore.commitDelta(dir, Some(s"race-$i")) {
+          Seq((i, s"h$i", i.toLong)).toDF("cell", "h", "owner")
+            .write.mode("append").parquet(s"$dir/codes")
+        }
+        ()
+      })
+    }
+    writers.foreach(_.start()); writers.foreach(_.join())
+    assert(IndexStore.headVersion(dir).contains(9),
+      s"rebuild + 8 deltas must publish v9, got ${IndexStore.headVersion(dir)}")
+    val (codes, _) = IndexStore.frames(spark, dir, IndexStore.snapshot(dir))
+    val owners = codes.select(col("owner")).collect().map(_.getLong(0)).toSet
+    assert(owners == (0L to 8L).toSet, s"lost delta: owners = $owners")
+    // every intermediate manifest is a strict superset of its parent —
+    // a writer that read a stale HEAD would have dropped a sibling's files
+    for (v <- 2 to 9) {
+      val prev = IndexStore.snapshotAt(dir, v - 1).codes.toSet
+      val cur = IndexStore.snapshotAt(dir, v).codes.toSet
+      assert(prev.subsetOf(cur) && cur.size > prev.size,
+        s"v$v is not a strict superset of v${v - 1}")
+    }
+  }
+
+  test("crash consistency: data files written without a manifest publish " +
+       "are invisible to readers, and vacuum reclaims the orphans") {
+    // simulate a writer dying BETWEEN the parquet write and the
+    // manifest publish: the part files land, _HEAD never moves
+    val dir = java.nio.file.Files.createTempDirectory("idx-crash").toString
+    IndexStore.commitRebuild(dir) {
+      Seq((0, "live", 0L)).toDF("cell", "h", "owner")
+        .write.mode("overwrite").parquet(s"$dir/codes")
+      Seq((0, 0L, Seq(1L))).toDF("cell", "doc_id", "sig")
+        .write.mode("overwrite").parquet(s"$dir/vectors")
+    }
+    val snapBefore = IndexStore.snapshot(dir)
+    // the "crash": an un-published append
+    Seq((1, "orphan", 99L)).toDF("cell", "h", "owner")
+      .write.mode("append").parquet(s"$dir/codes")
+    // readers resolve the manifest, never a directory listing — the
+    // orphan is unobservable
+    assert(IndexStore.snapshot(dir).codes == snapBefore.codes,
+      "a crash mid-append must not change the published snapshot")
+    val (codes, _) = IndexStore.frames(spark, dir, IndexStore.snapshot(dir))
+    assert(codes.select(col("owner")).collect().map(_.getLong(0)).toSet ==
+      Set(0L), "orphan rows leaked into a published read")
+    // vacuum physically reclaims what no retained snapshot references
+    val deleted = IndexStore.vacuum(dir)
+    assert(deleted >= 1, "vacuum must reclaim the orphan part files")
+    val (codes2, _) = IndexStore.frames(spark, dir, IndexStore.snapshot(dir))
+    assert(codes2.select(col("owner")).collect().map(_.getLong(0)).toSet ==
+      Set(0L), "vacuum changed the served content")
+    // and a resumed writer (the retry after the crash) publishes cleanly
+    IndexStore.commitDelta(dir, Some("retry")) {
+      Seq((1, "retry", 1L)).toDF("cell", "h", "owner")
+        .write.mode("append").parquet(s"$dir/codes")
+    }
+    val (codes3, _) = IndexStore.frames(spark, dir, IndexStore.snapshot(dir))
+    assert(codes3.select(col("owner")).collect().map(_.getLong(0)).toSet ==
+      Set(0L, 1L), "post-crash retry must land")
+  }
 }

@@ -143,6 +143,41 @@ class LedgerTopologySpec extends SparkSpec {
       s"capped verdict drifted: $capped")
   }
 
+  test("DEFAULT budget sheds a planted hot bucket (round-16 polarity " +
+       "flip): uncapped is now the explicit opt-out") {
+    // 1100 marks sharing band-0 AND band-2 keys (fp = i << 14): two
+    // hot buckets of 1100. A one-item batch gets the default budget
+    // 1000 x 1 — the linear cost model prices each hot bucket at
+    // 1100 x 1 hits > 1000, so BOTH shed under the DEFAULT call (no
+    // pairBudgetPerItem argument at all); the explicit None opt-out
+    // keeps them and finds the near hit. This is VERDICT r15 #1's
+    // "safe by default": the pathological fan-out class cannot be hit
+    // without writing `None` at the call site.
+    val dir = java.nio.file.Files.createTempDirectory("ledger-topo-def").toString
+    val hot = (0 until 1100).map(i => (i.toLong, Seq(i.toLong << 14)))
+    DedupLedger.buildMixedLedger(docs(0L -> words(30, "h")),
+      hot.toDF("media_id", "fp"), dir)
+    val snap = IndexStore.snapshot(dir)
+    // hamming 2 off hot member 9, flips at band 1's TOP bits (26-27):
+    // its band-1 key 9 ^ 12288 collides with no member (keys 0-1099,
+    // and no fp equals the probe — flipping low band-1 bits would
+    // alias member 9 ^ key exactly), so its ONLY surviving pigeonhole
+    // matches ride the two hot buckets
+    val batch = Seq((5000L, Seq((9L << 14) ^ (3L << 26))))
+      .toDF("media_id", "fp")
+    def keepOf(v: org.apache.spark.sql.DataFrame) =
+      v.collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    val defaultRun = keepOf(DedupLedger
+      .dedupMediaAgainstLedger(spark, batch, dir, snap))
+    assert(defaultRun == Seq((5000L, 1L)),
+      s"default path must shed the planted hot bucket: $defaultRun")
+    val optOut = keepOf(DedupLedger
+      .dedupMediaAgainstLedger(spark, batch, dir, snap,
+        pairBudgetPerItem = None))
+    assert(optOut == Seq((5000L, 0L)),
+      s"explicit None opt-out must keep the hot bucket: $optOut")
+  }
+
   test("width guard: probing one-word marks at the wide geometry fails " +
        "by name instead of silently admitting every near-duplicate") {
     val dir = java.nio.file.Files.createTempDirectory("ledger-topo-wg").toString
@@ -158,6 +193,44 @@ class LedgerTopologySpec extends SparkSpec {
         Option(e.getMessage).toSeq ++ messages(e.getCause))
     assert(messages(ex).exists(_.contains("fingerprint width")),
       s"expected the width-guard message, got: $ex")
+  }
+
+  test("modality gate: a text verdict against a store that never " +
+       "declared text fails by name; a declared-mixed store bootstraps") {
+    // ADVICE r15 #1: the round-15 empty-table fallback let a text
+    // verdict pointed at a media-only store silently find zero history
+    // and admit every duplicate forever. The fallback is now gated on
+    // the store's STAMPED modalities.
+    val mediaOnly = java.nio.file.Files.createTempDirectory("ledger-mg1").toString
+    IndexStore.setProps(mediaOnly, Map("modalities" -> "media"))
+    IndexStore.commitDelta(mediaOnly) {
+      Seq((0L, Seq(42L))).toDF("media_id", "fp")
+        .groupBy(col("fp")).agg(min(col("media_id")).as("owner"))
+        .withColumn("cell", lit(0))
+        .select(col("cell"), col("fp"), col("owner"))
+        .write.mode("append").partitionBy("cell").parquet(s"$mediaOnly/marks")
+    }
+    val batch = docs(10L -> words(30, "h"))
+    val ex = intercept[Exception] {
+      DedupLedger.dedupAgainstLedger(spark, batch, mediaOnly,
+        IndexStore.snapshot(mediaOnly)).collect()
+    }
+    assert(ex.getMessage.contains("modalities"),
+      s"expected the modality-gate message, got: ${ex.getMessage}")
+
+    // a MIXED store seeded media-first (zero text history) is the
+    // legitimate bootstrap: the stamp declares text, so the first text
+    // verdict runs against empty history and keeps everything
+    val mixed = java.nio.file.Files.createTempDirectory("ledger-mg2").toString
+    DedupLedger.buildMixedLedger(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, text STRING")),
+      Seq((0L, Seq(42L))).toDF("media_id", "fp"), mixed)
+    val v = DedupLedger.dedupAgainstLedger(spark, batch, mixed,
+        IndexStore.snapshot(mixed))
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(v == Seq((10L, 1L)),
+      s"declared-mixed store must bootstrap text from empty history: $v")
   }
 
   test("text ledger budget path: verdict identical to uncapped on a " +

@@ -238,6 +238,31 @@ object JobRecordGate {
     encodeTemporalGifKeyed(id % 100, if (id >= 100) (id % F).toInt else -1,
       W, H, F)
 
+  /** The SAME temporal fixture as raw-DIB AVI (round 16, q172): the
+    * identical md5 per-(base, frame, pixel, channel) color formula —
+    * so the DuckDB oracle derivation is container-agnostic by
+    * construction — written through [[graft.multimodal.AviParser
+    * .encode]] instead of the JDK GIF writer. Raw 24-bit BGR frames
+    * round-trip losslessly with no palette at all, so unlike the GIF
+    * fixture this form has no distinct-color ceiling. */
+  private[graft] def encodeTemporalAviKeyed(key: Long, bumpFrame: Int,
+                                            W: Int, H: Int,
+                                            F: Int): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val frames = (0 until F).map { f =>
+      def ch(x: Int, y: Int, c: Int): Int = {
+        val b = md.digest(s"$key|$f|$x|$y|$c".getBytes("UTF-8"))(0) & 0xff
+        val bump = if (f == bumpFrame && x == 3 && y == 2) 40 else 0
+        (b + bump) % 256
+      }
+      Array.tabulate(W * H) { p =>
+        val x = p % W; val y = p / W
+        (ch(x, y, 0) << 16) | (ch(x, y, 1) << 8) | ch(x, y, 2)
+      }
+    }
+    graft.multimodal.AviParser.encode(W, H, frames)
+  }
+
   /** The keyed form: `key` selects the base pixel sequence, `bumpFrame`
     * (−1 = none) the single edited frame — lets ledger-family fixtures
     * (q169's key/bump map) share the one GIF construction. */

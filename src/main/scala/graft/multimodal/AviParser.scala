@@ -1,0 +1,206 @@
+package graft.multimodal
+
+/** Pure-JVM decoder for UNCOMPRESSED-DIB AVI — the "true video
+  * container" tier of the perceptual-fingerprint family (VERDICT r15
+  * Next #2: the temporal vote arm was exercised only via animated-GIF
+  * payloads because the sandbox has no codec; an AVI whose video stream
+  * is raw bottom-up BGR — fccHandler 'DIB ', biCompression BI_RGB —
+  * needs no codec at all, so a real RIFF container can run the
+  * container → sampled frames → per-frame dHash → vote chain).
+  *
+  * Format (public RIFF/AVI layout): `RIFF <sz> AVI ` wrapping a `LIST
+  * hdrl` (the `avih` main header, then one `LIST strl` per stream with
+  * `strh`/`strf` — for the video stream `strf` is a BITMAPINFOHEADER)
+  * and a `LIST movi` whose `00db` chunks each carry one uncompressed
+  * frame: bottom-up rows of B,G,R bytes, rows padded to 4-byte
+  * boundaries. Chunks are word-aligned (odd sizes pad one byte).
+  *
+  * Guard discipline mirrors [[GifDecoder.decodeComposedFrames]]
+  * byte-for-byte in spirit:
+  *   - any malformed mode (bad magic, truncated chunk, non-positive
+  *     dimensions, frame byte-size disagreeing with the header
+  *     geometry) degrades to None — callers emit decoded=0 / no rows;
+  *   - OVERSIZE is the one distinguishable coverage loss: a header
+  *     declaring > 2^24 pixels per frame would make the pixel array a
+  *     multi-GB allocation whose OutOfMemoryError is not NonFatal —
+  *     skipped with a named log line, exactly like the GIF logical-
+  *     screen guard;
+  *   - compressed streams (biCompression ≠ 0, e.g. MJPG) and
+  *     top-down DIBs (negative biHeight) are out of the pure-JVM
+  *     tier and return None — a deployment with codecs swaps this
+  *     parser's frame decode, not the Spark topology above it.
+  */
+object AviParser {
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  private def u16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def u32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  private def fourcc(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, "US-ASCII")
+
+  private def isAvi(b: Array[Byte]): Boolean =
+    b != null && b.length >= 12 &&
+      fourcc(b, 0) == "RIFF" && fourcc(b, 8) == "AVI "
+
+  private case class Layout(width: Int, height: Int,
+                            frames: Seq[(Int, Int)]) // (offset, size)
+
+  /** Walk the RIFF tree once: BITMAPINFOHEADER geometry out of the
+    * first video `strf`, frame chunk extents out of `LIST movi`. */
+  private def layout(b: Array[Byte]): Option[Layout] = {
+    if (!isAvi(b)) return None
+    var width = 0; var height = 0; var bitCount = 0; var compression = -1L
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    // iterative chunk walk over (start, end) regions — RIFF nesting is
+    // shallow (hdrl/strl/movi), no recursion needed beyond a worklist
+    var regions = List((12, b.length)) // inside 'RIFF .. AVI '
+    while (regions.nonEmpty) {
+      var (p, end) = regions.head
+      regions = regions.tail
+      var strhType = "" // the stream type the NEXT strf in this region describes
+      while (p + 8 <= end) {
+        val id = fourcc(b, p)
+        val sz = u32(b, p + 4)
+        if (sz < 0 || p + 8 + sz > end) return None // truncated chunk
+        val body = p + 8
+        id match {
+          case "LIST" =>
+            if (sz < 4) return None
+            val listType = fourcc(b, body)
+            // descend into header and movie lists; skip e.g. 'INFO'
+            if (listType == "hdrl" || listType == "strl" ||
+                listType == "movi")
+              regions = (body + 4, body + sz.toInt) :: regions
+          case "strh" =>
+            if (sz >= 4) strhType = fourcc(b, body)
+          case "strf" if strhType == "vids" && compression == -1L =>
+            // the VIDEO stream's format chunk (BITMAPINFOHEADER shape);
+            // an audio strl's strf is WAVEFORMATEX and never matches
+            // the preceding-strh guard
+            if (sz >= 40) {
+              width = u32(b, body + 4).toInt
+              height = u32(b, body + 8).toInt
+              bitCount = u16(b, body + 14)
+              compression = u32(b, body + 16)
+            }
+          case "00db" =>
+            frames += ((body, sz.toInt))
+          case _ => ()
+        }
+        p = body + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      }
+    }
+    if (compression == -1L || frames.isEmpty) return None
+    if (width <= 0 || height == 0) return None // malformed header
+    if (height < 0) return None // top-down DIB: outside the raw tier
+    if (width.toLong * height > (1L << 24)) {
+      log.warn(s"AVI frame ${width}x$height exceeds the 2^24-px decode " +
+        "guard — payload skipped (oversized, not malformed)")
+      return None
+    }
+    if (bitCount != 24 || compression != 0L) return None // needs a codec
+    val rowBytes = (3 * width + 3) & ~3
+    val frameBytes = rowBytes * height
+    // every frame chunk must carry exactly one full DIB — a short or
+    // long chunk is a malformed payload, not a partial decode
+    if (frames.exists(_._2 != frameBytes)) return None
+    Some(Layout(width, height, frames.toSeq))
+  }
+
+  /** The [[GifDecoder.decodeComposedFrames]] contract for raw-DIB AVI:
+    * one container walk, `choose` receives the frame count and returns
+    * the wanted indices, result is (frameCount, index → 0xRRGGBB
+    * top-down pixels) — so [[MediaOps.frameDHashWide]] samples either
+    * container through one code path. */
+  def decodeFrames(bytes: Array[Byte], choose: Int => Set[Int])
+      : Option[(Int, Map[Int, BmpDecoder.BmpPixels])] =
+    layout(bytes).map { l =>
+      val n = l.frames.size
+      val want = choose(n).filter(i => i >= 0 && i < n)
+      val rowBytes = (3 * l.width + 3) & ~3
+      val out = want.toSeq.map { i =>
+        val (off, _) = l.frames(i)
+        val rgb = new Array[Int](l.width * l.height)
+        var y = 0
+        while (y < l.height) {
+          // bottom-up rows: source row (height-1-y) is output row y
+          val src = off + (l.height - 1 - y) * rowBytes
+          var x = 0
+          while (x < l.width) {
+            val o = src + 3 * x
+            rgb(y * l.width + x) = (bytes(o) & 0xff) |            // B
+              ((bytes(o + 1) & 0xff) << 8) |                      // G
+              ((bytes(o + 2) & 0xff) << 16)                       // R
+            x += 1
+          }
+          y += 1
+        }
+        i -> BmpDecoder.BmpPixels(l.width, l.height, rgb)
+      }
+      (n, out.toMap)
+    }
+
+  /** Container metadata without decoding pixels — the [[Mp4Parser]]
+    * analog for RIFF: (frames, width, height). */
+  def probe(bytes: Array[Byte]): Option[(Int, Int, Int)] =
+    layout(bytes).map(l => (l.frames.size, l.width, l.height))
+
+  /** ENCODE a raw-DIB AVI from per-frame top-down 0xRRGGBB pixels —
+    * the fixture writer (deterministic bytes: fixed header fields, no
+    * timestamps), kept beside the parser so the two halves of the
+    * format stay in one file. */
+  def encode(width: Int, height: Int,
+             framePixels: Seq[Array[Int]], fps: Int = 10): Array[Byte] = {
+    require(width > 0 && height > 0 && framePixels.nonEmpty)
+    require(framePixels.forall(_.length == width * height))
+    val bo = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { bo.write(v & 0xff); bo.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = { var i = 0; while (i < 4) {
+      bo.write(((v >> (8 * i)) & 0xff).toInt); i += 1 } }
+    def tag(s: String): Unit = bo.write(s.getBytes("US-ASCII"))
+    val rowBytes = (3 * width + 3) & ~3
+    val frameBytes = rowBytes * height
+    val n = framePixels.size
+    val strlSz = 4 + (8 + 56) + (8 + 40)
+    val hdrlSz = 4 + (8 + 56) + (8 + strlSz)
+    val moviSz = 4 + n * (8 + frameBytes)
+    val riffSz = 4 + (8 + hdrlSz) + (8 + moviSz)
+    tag("RIFF"); w32(riffSz); tag("AVI ")
+    tag("LIST"); w32(hdrlSz); tag("hdrl")
+    tag("avih"); w32(56)
+    w32(1000000L / fps); w32(frameBytes.toLong * fps); w32(0); w32(0)
+    w32(n); w32(0); w32(1); w32(frameBytes)
+    w32(width); w32(height); w32(0); w32(0); w32(0); w32(0)
+    tag("LIST"); w32(strlSz); tag("strl")
+    tag("strh"); w32(56)
+    tag("vids"); tag("DIB "); w32(0); w16(0); w16(0); w32(0)
+    w32(1); w32(fps) // scale, rate
+    w32(0); w32(n); w32(frameBytes); w32(0xffffffffL); w32(0)
+    w16(0); w16(0); w16(width); w16(height)
+    tag("strf"); w32(40)
+    w32(40); w32(width); w32(height); w16(1); w16(24)
+    w32(0); w32(frameBytes); w32(0); w32(0); w32(0); w32(0)
+    tag("LIST"); w32(moviSz); tag("movi")
+    for (px <- framePixels) {
+      tag("00db"); w32(frameBytes)
+      var y = height - 1 // bottom-up
+      while (y >= 0) {
+        var x = 0
+        while (x < width) {
+          val v = px(y * width + x)
+          bo.write(v & 0xff); bo.write((v >> 8) & 0xff)
+          bo.write((v >> 16) & 0xff)
+          x += 1
+        }
+        var pad = rowBytes - 3 * width
+        while (pad > 0) { bo.write(0); pad -= 1 }
+        y -= 1
+      }
+    }
+    bo.toByteArray
+  }
+}

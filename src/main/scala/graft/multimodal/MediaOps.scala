@@ -156,23 +156,31 @@ object MediaOps {
     media.mapPartitions { it =>
       it.flatMap { m =>
         // ONE composed stream walk per record (not one per sampled
-        // frame): decodeComposedFrames takes the sampling function and
-        // snapshots every wanted index in a single pass, with real GIF
-        // frame composition (delta rects, offsets, disposal)
-        GifDecoder.decodeComposedFrames(m.payload, { total =>
+        // frame): the decoder takes the sampling function and snapshots
+        // every wanted index in a single pass. TWO container tiers
+        // share the contract — animated GIF (real frame composition:
+        // delta rects, offsets, disposal) and raw-DIB AVI (the
+        // codec-free "true video container", round 16) — each fast-
+        // rejecting the other's magic, so the Spark topology above is
+        // container-agnostic and a codec-backed tier slots in the same
+        // way.
+        val chooseFn = { total: Int =>
           val k = math.min(maxFrames, total)
           (0 until k).map(sampleIdx(_, k, total)).toSet
-        }).toSeq.flatMap { case (total, byIdx) =>
-          val k = math.min(maxFrames, total)
-          (0 until k).flatMap { i =>
-            val idx = sampleIdx(i, k, total)
-            byIdx.get(idx).map { p0 =>
-              val p = if (p0.width == gw && p0.height == gh) p0
-                      else resizeNearestPixels(p0, gw, gh)
-              (m.media_id, i.toLong, idx.toLong, dHashWords(p))
+        }
+        GifDecoder.decodeComposedFrames(m.payload, chooseFn)
+          .orElse(AviParser.decodeFrames(m.payload, chooseFn))
+          .toSeq.flatMap { case (total, byIdx) =>
+            val k = math.min(maxFrames, total)
+            (0 until k).flatMap { i =>
+              val idx = sampleIdx(i, k, total)
+              byIdx.get(idx).map { p0 =>
+                val p = if (p0.width == gw && p0.height == gh) p0
+                        else resizeNearestPixels(p0, gw, gh)
+                (m.media_id, i.toLong, idx.toLong, dHashWords(p))
+              }
             }
           }
-        }
       }
     }.toDF("media_id", "frame_idx", "src_idx", "fhash")
   }

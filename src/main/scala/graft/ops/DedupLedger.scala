@@ -837,18 +837,76 @@ object DedupLedger {
       .select(col("media_id"), col("frame_idx").as("f"), col("fhash").as("fp"))
   }
 
-  /** The two chained batch VIDEO generations q170 and q171 run over a
-    * cloned video seed — the sequence-arm analog of
-    * [[ingestMediaGenerations]], one definition for both gates. */
+  /** The two chained batch VIDEO generations q170/q171 (GIF, narrow
+    * geometry) and q172 (AVI, wide geometry) run over a cloned video
+    * seed — the sequence-arm analog of [[ingestMediaGenerations]], one
+    * definition for all three gates. */
   private def ingestVideoGenerations(s: SparkSession, d: String,
-                                     dir: String): Unit =
+                                     dir: String,
+                                     frames: (Long, Long) => DataFrame =
+                                       null,
+                                     geom: MarksGeom = NarrowMarks): Unit = {
+    val mk = Option(frames).getOrElse(q169Frames(s, d, _: Long, _: Long))
     for ((lo, hi, tag) <- Seq((100L, 150L, "vgen-a"), (150L, 200L, "vgen-b"))) {
-      val frames = q169Frames(s, d, lo, hi).localCheckpoint()
-      val v = dedupVideoAgainstLedger(s, frames, dir, IndexStore.snapshot(dir))
+      val fr = mk(lo, hi).localCheckpoint()
+      val v = dedupVideoAgainstLedger(s, fr, dir, IndexStore.snapshot(dir),
+        geom)
       appendVideoSurvivors(
-        frames.join(v.filter(col("keep") === 1L).select(col("media_id")),
+        fr.join(v.filter(col("keep") === 1L).select(col("media_id")),
           Seq("media_id"), "left_semi"),
         dir, tag)
+      ()
+    }
+  }
+
+  /** q172's AVI payloads: the q169 key/bump map re-encoded as raw-DIB
+    * AVI at the 16×8 grid — a TRUE RIFF video container through the
+    * vote arm (VERDICT r15 Next #2), at the wide geometry a 10⁶⁺
+    * corpus runs. Same md5 pixel formula, so the oracle derivation is
+    * container-agnostic by construction. */
+  private def q172Payloads(s: SparkSession, d: String, lo: Long,
+                           hi: Long): DataFrame = {
+    val enc = udf((id: Long) => {
+      val (key, bump) = q158KeyBump(id)
+      graft.jobs.JobRecordGate.encodeTemporalAviKeyed(key,
+        if (bump == 1) (id % 4).toInt else -1, 16, 8, 4)
+    })
+    Tables.rebalance(Tables.documents(s, d)
+        .filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .select(col("doc_id").as("media_id")))
+      .withColumn("payload", enc(col("media_id")))
+  }
+
+  /** Container walk → per-position 120-bit frame dHash words: the q172
+    * fingerprint chain (AVI parse on executors, the [[q169Frames]]
+    * analog at 16×8). */
+  private def q172Frames(s: SparkSession, d: String, lo: Long,
+                         hi: Long): DataFrame = {
+    import s.implicits._
+    val recs = q172Payloads(s, d, lo, hi)
+      .select(col("media_id"),
+        struct(lit("video").as("kind"), lit(16).as("declaredWidth"),
+               lit(8).as("declaredHeight"), lit(0).as("sampleRate")).as("meta"),
+        col("payload"))
+      .as[graft.multimodal.MediaOps.MediaRecord]
+    graft.multimodal.MediaOps.frameDHashWide(recs, 4, 16, 8)
+      .select(col("media_id"), col("frame_idx").as("f"), col("fhash").as("fp"))
+  }
+
+  /** Cached AVI/WIDE video history ledger: sequence rows for videos
+    * 0–99 at the 16×8 grid — the seed q172 clones per execution. */
+  private[graft] def ensureAviVideoHistoryLedger(s: SparkSession,
+                                                 d: String): String =
+    VectorOps.ensureIndex(d, "ledgeravi",
+        ledgerParams + s"|avi|${WideMarks.params}|agree=3|F=4|seqhash|props",
+        "documents.parquet") { base =>
+      IndexStore.setProps(base.getPath, Map("modalities" -> "video"))
+      IndexStore.commitRebuild(base.getPath) {
+        seqRows(q172Frames(s, d, 0L, 100L))
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"${base.getPath}/seqs")
+      }
       ()
     }
 
@@ -1322,6 +1380,32 @@ object DedupLedger {
         .orderBy(col("media_id"), col("f"))
     }),
 
+    // ---- q172: a TRUE video container through the vote arm (VERDICT
+    // r15 Next #2) — the q170 store lifecycle with raw-DIB AVI payloads
+    // at the WIDE geometry: history sequences 0-99 seed the store at
+    // the 16x8 grid (120 bits/frame, 3x40-bit straddling bands), both
+    // ingest generations parse real RIFF containers on executors
+    // (frame chunks → bottom-up BGR decode → per-position dHash
+    // words), survivors append under idempotency tags, the seqs table
+    // COMPACTs and VACUUMs, and the final verdict of all 100 drops
+    // runs against the compacted HEAD. The oracle recomputes every
+    // per-frame comparison from the md5 pixel formula — identical to
+    // q169/q170's derivation except the grid — so the CONTAINER (GIF
+    // vs AVI), the parser, the word packing, and the wide band slices
+    // are all judged purely by the output hash; the malformed/oversize
+    // guards are AviSpec's pins, exactly like the GIF path's.
+    "q172_avi_video_ledger" -> ((s, d) => {
+      val zone = graft.jobs.JobRecordGate.freshZone("graft-avivid-", d)
+      val dir = new java.io.File(zone, "ledger").getAbsolutePath
+      cloneStore(ensureAviVideoHistoryLedger(s, d), dir)
+      ingestVideoGenerations(s, d, dir, q172Frames(s, d, _: Long, _: Long),
+        WideMarks)
+      IndexStore.compact(s, dir)
+      IndexStore.vacuum(dir)
+      dedupVideoAgainstLedger(s, q172Frames(s, d, 100L, 200L), dir,
+        IndexStore.snapshot(dir), WideMarks)
+    }),
+
     // ---- q164: the EMBEDDING arm — the marks table is fingerprint-
     // typed, not image-typed, and this gate proves it: history vectors'
     // SRP sign fingerprints seed a marks-only store, the batch is the
@@ -1677,7 +1761,13 @@ object DedupLedger {
     * survivor generations (`vreps1`/`vreps2`) and the final population
     * (`vmarks2`). Shared by the q169/q170 verdict oracle and the q171
     * changelog oracle. */
-  private def videoGenDuck: String = {
+  private def videoGenDuck: String = videoGenDuckAt(8, 6)
+
+  /** The grid-parameterized form: q169/q170/q171 derive at the narrow
+    * 8×6 grid, q172 (the AVI/wide container gate) at 16×8 — ONE
+    * derivation text, so the two container tiers are judged by the
+    * same algebra and differ only in comparison count. */
+  private def videoGenDuckAt(w: Int, h: Int): String = {
     def gray(xe: String, ye: String) = {
       def ch(c: Int) =
         s"((('0x' || substr(md5(mkey::VARCHAR || '|' || f::VARCHAR || '|' || " +
@@ -1702,8 +1792,8 @@ object DedupLedger {
       |  SELECT media_id, f, x, y,
       |    ${gray("x + 1", "y")} > ${gray("x", "y")} AS bit
       |  FROM vm, (SELECT unnest(range(0, 4)) AS f),
-      |           (SELECT unnest(range(0, 7)) AS x),
-      |           (SELECT unnest(range(0, 6)) AS y)),
+      |           (SELECT unnest(range(0, ${w - 1})) AS x),
+      |           (SELECT unnest(range(0, $h)) AS y)),
       |vfp AS MATERIALIZED (
       |  SELECT media_id,
       |    string_agg(bit::INT::VARCHAR, '' ORDER BY f, y, x) AS fpseq
@@ -1742,10 +1832,11 @@ object DedupLedger {
       |            UNION ALL SELECT fpseq, owner FROM vreps2)""".stripMargin
   }
 
-  /** The q169/q170 verdict over the final video population (see the
-    * oracles-map comment). */
-  private def videoGenOracleDuck: String =
-    s"""WITH $videoGenDuck
+  /** The q169/q170 (narrow/GIF) and q172 (wide/AVI) verdict over the
+    * final video population (see the oracles-map comment). */
+  private def videoGenOracleDuck: String = videoGenOracleDuckAt(8, 6)
+  private def videoGenOracleDuckAt(w: Int, h: Int): String =
+    s"""WITH ${videoGenDuckAt(w, h)}
       |SELECT fv.media_id,
       |  (SELECT min(owner) FROM vmarks2 m WHERE m.fpseq = fv.fpseq)
       |    AS exact_of,
@@ -1864,6 +1955,11 @@ object DedupLedger {
     // transport and the layout ops must be equally invisible.
     "q169_video_stream_tick" -> videoGenOracleDuck,
     "q170_video_ledger_compact" -> videoGenOracleDuck,
+
+    // q172: the SAME derivation at the 16x8 grid — the container tier
+    // (RIFF/AVI parse, raw-DIB frame decode) and the wide band slices
+    // are judged purely by this codec-agnostic hash
+    "q172_avi_video_ledger" -> videoGenOracleDuckAt(16, 8),
 
     // q171: exactly the two survivor generations' sequences — the
     // delta read must equal what the chained ingest admitted, one row

@@ -125,7 +125,7 @@ object DedupLedger {
 
   /** Exact-ledger rows for `docs`, collapsed to one `(cell, h, owner)`
     * per distinct text. */
-  private def exactRows(docs: DataFrame): DataFrame =
+  private[ops] def exactRows(docs: DataFrame): DataFrame =
     docs.select(sha2(col("text"), 256).as("h"), col("doc_id"))
       .groupBy(col("h")).agg(min(col("doc_id")).as("owner"))
       .withColumn("cell",
@@ -153,11 +153,21 @@ object DedupLedger {
     * representatives only (an exact-identical text would carry an
     * identical signature — storing it twice buys nothing). */
   def appendSurvivors(survivors: DataFrame, dir: String, tag: String): Int = {
-    val reps = exactRows(survivors).localCheckpoint()
+    // materialize the increment ONCE: every caller passes a LAZY
+    // batch ⋉ verdict.keep join, and this body references it twice
+    // (exact rows, then signature rows) — without the checkpoint each
+    // reference re-executed the whole verdict plan (ledger scan +
+    // batch shingle pipeline + three joins), which profiling showed
+    // was ~4 s of the ~6 s per streamed tick at sf0.1 (round-16
+    // TickProfile). The checkpoint is increment-sized by contract.
+    // (inside the idempotency gate: a replayed tag skips even the
+    // materialization)
     IndexStore.commitDelta(dir, Some(tag)) {
+      val sv = survivors.localCheckpoint()
+      val reps = exactRows(sv).localCheckpoint()
       reps.repartition(col("cell"))
         .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
-      sigRows(survivors.join(
+      sigRows(sv.join(
           reps.select(col("owner").as("doc_id")), Seq("doc_id"), "left_semi"))
         .repartition(col("cell"))
         .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
@@ -222,8 +232,14 @@ object DedupLedger {
     val lbands = pairBudgetPerItem match {
       case None => lbands0
       case Some(perItem) =>
-        shedHotBuckets(lbands0, Seq("band", "bkey"), perItem,
-          batch.select(col("doc_id")).count(), hitsPerBucket = 1L,
+        // bucket sizes are bounded by the signature-table row count
+        // (one row per doc per band, one bucket per band) — the footer
+        // count decides whether measuring the histogram can matter at
+        // all. bandBits = 63: the string keyspace dwarfs any batch, so
+        // expected hits per bucket is 1 (see shedUnlessAffordable).
+        shedUnlessAffordable(lbands0, Seq("band", "bkey"), perItem,
+          memoizedCount(dir, snap.version, "vectors")(sigs.count()),
+          batch.select(col("doc_id")).count(), bandBits = 63,
           dir, snap.version, "vectors-hist")
     }
     val nm = lbands.join(gate(bb), Seq("band", "bkey"))
@@ -402,6 +418,31 @@ object DedupLedger {
     }
   }
 
+  /** The default-budget fast path (round-16: the safety default must
+    * not tax healthy verdicts): no bucket can outprice the budget when
+    * the WHOLE table's cost bound `tableRows × hitsPerBucket` fits it
+    * — every bucket's size is ≤ tableRows, so the histogram walk would
+    * admit everything. `tableRows` is the footer-read sentinel count
+    * (memoized per snapshot), so the common case adds ZERO jobs beyond
+    * the count the sentinel already paid; the first test (`tableRows ≤
+    * perItem`, budget's batchItems ≥ 1 floor) skips even the batch
+    * count. Division, not multiplication, so absurd inputs cannot
+    * overflow; floor division errs conservative (runs the histogram
+    * when in doubt). */
+  private def shedUnlessAffordable(lb: DataFrame, keys: Seq[String],
+                                   perItem: Int, tableRows: Long,
+                                   batchItems: => Long, bandBits: Int,
+                                   dir: String, version: Int,
+                                   what: String): DataFrame =
+    if (tableRows <= perItem.toLong) lb
+    else {
+      val items = math.max(1L, batchItems)
+      val hits = math.max(1L, items >> bandBits)
+      val budget = perItem.toLong * items
+      if (tableRows <= budget / hits) lb
+      else shedHotBuckets(lb, keys, perItem, items, hits, dir, version, what)
+    }
+
   /** Per-store memos for the ledger-side measurements (saturation
     * sentinel counts; band-bucket size histograms), keyed on the
     * store's DURABLE identity ([[IndexStore.storeId]] — a store
@@ -520,11 +561,13 @@ object DedupLedger {
           geom.bands, geom.bandBits)
         lb0
       case Some(perItem) =>
-        // expected batch occupancy of one (band, key) ledger bucket:
-        // each batch item lands in exactly one key per band
-        val items = bm.count()
-        shedHotBuckets(lb0, Seq("band", "bkey"), perItem, items,
-          hitsPerBucket = items >> geom.bandBits,
+        // bucket sizes are bounded by the marks row count (footer
+        // read, memoized — the same count the sentinel path pays);
+        // expected batch occupancy of one (band, key) bucket is
+        // batchItems >> bandBits (each item lands in one key per band)
+        shedUnlessAffordable(lb0, Seq("band", "bkey"), perItem,
+          memoizedCount(dir, snap.version, "marks")(marksRaw.count()),
+          bm.count(), geom.bandBits,
           dir, snap.version, s"marks-hist-${geom.params}")
     }
     val bb = mediaBandsOf(bm.select(col("bid"), col("bfp").as("fp")), geom)
@@ -687,11 +730,13 @@ object DedupLedger {
           geom.bands, geom.bandBits)
         lb0
       case Some(perItem) =>
-        // expected batch occupancy of one (position, band, key) ledger
-        // bucket: each batch video lands in one key per (position, band)
-        val items = batch.select(col("media_id")).distinct().count()
-        shedHotBuckets(lb0, Seq("f", "band", "bkey"), perItem, items,
-          hitsPerBucket = items >> geom.bandBits,
+        // bucket sizes are bounded by the seqs row count (footer read,
+        // memoized — conservative: per-position buckets are smaller);
+        // expected batch occupancy of one (position, band, key) bucket
+        // is batch videos >> bandBits
+        shedUnlessAffordable(lb0, Seq("f", "band", "bkey"), perItem,
+          memoizedCount(dir, snap.version, "seqs")(ledRaw.count()),
+          batch.select(col("media_id")).distinct().count(), geom.bandBits,
           dir, snap.version, s"seqs-hist-${geom.params}")
     }
     val bb = mediaBandsOf(

@@ -641,6 +641,13 @@ object DedupOps {
       .select(col("h"), col("rep"), col("bk.b").as("b"), col("bk.k").as("k"))
     val banded = pairBudgetPerDoc match {
       case None => bandsDf
+      // fast path for the (round-16) default budget: a band bucket
+      // holds DISTINCT fingerprints, so no bucket can exceed the
+      // group count — when that is within the BAND_CAP floor nothing
+      // can shed and the measurement job is skipped outright (the
+      // count is a cached-RDD pass over the checkpointed groups, the
+      // exact cost the uncapped path's saturation sentinel paid)
+      case Some(_) if groups.count() <= BAND_CAP => bandsDf
       case Some(perDoc) =>
         // sum over zero rows is NULL — guard the empty-input frame
         val itemsRow = groups.agg(sum(size(col("ids")))).head
@@ -745,6 +752,9 @@ object DedupOps {
       .select(col("h"), col("rep"), col("bk.b").as("b"), col("bk.k").as("k"))
     val banded = pairBudgetPerDoc match {
       case None => bandsDf
+      // same fast path as the narrow form: distinct fingerprints bound
+      // every bucket, so a group count within the floor cannot shed
+      case Some(_) if groups.count() <= BAND_CAP => bandsDf
       case Some(perDoc) =>
         // sum over zero rows is NULL — guard the empty-input frame
         val itemsRow = groups.agg(sum(size(col("ids")))).head
@@ -920,6 +930,12 @@ object DedupOps {
     // eligible to expand into positional evidence.
     val (banded, gExp) = pairBudgetPerDoc match {
       case None => (bandsDf, groups)
+      // fast path for the default budget: per-position bucket sizes
+      // AND identical-fingerprint group sizes are both bounded by the
+      // sequence-rep count (one hash per rep per position) — within
+      // the floor nothing can shed, and the count is a cached-RDD
+      // pass over the checkpointed seqGroups
+      case Some(_) if seqGroups.count() <= BAND_CAP => (bandsDf, groups)
       case Some(perDoc) =>
         val itemsRow = seqGroups.agg(sum(size(col("vids")))).head
         val items = if (itemsRow.isNullAt(0)) 0L else itemsRow.getLong(0)

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.ldot
+import graft.ops.{IndexStore, VectorOps}
+
+/** ANN RECALL DECAY under appends (round 16, VERDICT r15 Next #6):
+  * q129/q130 prove append/compact mechanics; this study measures what
+  * they deliberately do not — serve recall drifting as appended
+  * vectors diverge from the trained codebook — and validates the
+  * [[VectorOps.needsRetrain]] quantization-error trigger against the
+  * measured decay curve. Results land in SCALING.md (round-16
+  * addendum).
+  *
+  * Setup: the coarse router + PQ codebook train on 2000 clustered base
+  * vectors. The APPEND population is the same cluster generator with
+  * its coordinates cyclically rotated by dim/2 — tight clusters the
+  * trained centroids know nothing about (real-world analog: a new
+  * embedding-model version, a new language, a new modality). Queries
+  * are 10 held-out vectors FROM THE DIVERGED distribution, so their
+  * true neighbors are appended vectors the index must route + encode
+  * with yesterday's codebook. At each append fraction we measure
+  * recall@10 of the stored serve against exact quantized-cosine truth
+  * over the full current corpus, plus [[VectorOps.appendedDriftRatio]].
+  */
+object AnnDriftStudy {
+
+  private def rotate(emb: DataFrame): DataFrame = {
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val half = dim / 2
+    emb.withColumn("embedding", expr(
+      s"concat(slice(embedding, ${half + 1}, ${dim - half}), " +
+        s"slice(embedding, 1, $half))"))
+  }
+
+  private def recallAt10(spark: SparkSession, dir: String,
+                         queries: DataFrame, corpus: DataFrame): Double = {
+    import graft.ops.VectorOps.quantExpr
+    val q = queries.withColumn("q", expr(quantExpr))
+      .select(col("vec_id").as("qid"), col("q").as("qv"))
+      .withColumn("qnorm", ldot(col("qv"), col("qv")))
+    val c = corpus.withColumn("q", expr(quantExpr))
+      .select(col("vec_id"), col("q"))
+      .withColumn("norm", ldot(col("q"), col("q")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    val truth = c.crossJoin(broadcast(q))
+      .withColumn("cos", ldot(col("q"), col("qv")).cast("double") /
+        sqrt(col("norm").cast("double")) / sqrt(col("qnorm").cast("double")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"))
+    val served = VectorOps.servedIvfPqTopK(spark, dir, queries,
+        numQueries = 10, probes = 4, rerank = 50, topK = 10)
+      .select(col("qid"), col("vec_id"))
+    val hit = truth.join(served, Seq("qid", "vec_id"), "left_semi").count()
+    hit.toDouble / (10.0 * 10.0)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val all = GenFixtures.clusteredEmbeddings(spark, 5100).localCheckpoint()
+    // queries: 10 DIVERGED held-out vectors (ids < 10 — the serve
+    // contract caps held-out queries at SEED_FROM); base corpus: 2000 in-distribution; append pool: 3000
+    // diverged, fed in fractions
+    val queries = rotate(all.filter(col("vec_id") < 10))
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    // base ids remap to [0, 2000): the deterministic PQ init requires
+    // its seed vec_ids present in the build input
+    val base = all.filter(col("vec_id") >= 100 && col("vec_id") < 2100)
+      .withColumn("vec_id", col("vec_id") - 100)
+      .localCheckpoint()
+    val pool = rotate(all.filter(col("vec_id") >= 2100))
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .localCheckpoint()
+
+    val dir = java.nio.file.Files.createTempDirectory("ann-drift").toString
+    VectorOps.buildIvfPqIndex(base, dir, k = 16)
+    println(f"STUDY f=0.00 corpus=2000 drift=--    " +
+      f"recall@10=${recallAt10(spark, dir, queries, base)}%.3f")
+
+    var appended = base.limit(0).select(col("vec_id"), col("embedding"))
+    var lo = 2100L
+    for (frac <- Seq(0.25, 0.50, 1.00, 1.50)) {
+      val hi = 2100L + (2000 * frac).toLong
+      val delta = pool.filter(col("vec_id") >= lo && col("vec_id") < hi)
+      lo = hi
+      VectorOps.appendToIvfPqIndex(spark, delta, dir, Some(s"drift-$frac"))
+      appended = appended.unionByName(
+        delta.select(col("vec_id"), col("embedding"))).localCheckpoint()
+      val corpus = base.select(col("vec_id"), col("embedding"))
+        .unionByName(appended)
+      val ratio = VectorOps.appendedDriftRatio(spark, dir).get
+      val rec = recallAt10(spark, dir, queries, corpus)
+      println(f"STUDY f=$frac%.2f corpus=${2000 + (2000 * frac).toInt}%d " +
+        f"drift=$ratio%.2f recall@10=$rec%.3f " +
+        f"retrain=${VectorOps.needsRetrain(spark, dir)}")
+    }
+
+    // control: the same append fractions IN-distribution — recall and
+    // drift must both hold (a policy that fires here is useless)
+    val dir2 = java.nio.file.Files.createTempDirectory("ann-drift2").toString
+    VectorOps.buildIvfPqIndex(base, dir2, k = 16)
+    val inPool = all.filter(col("vec_id") >= 2100).localCheckpoint()
+    VectorOps.appendToIvfPqIndex(spark,
+      inPool.filter(col("vec_id") < 4100), dir2, Some("indist"))
+    val corpus2 = base.select(col("vec_id"), col("embedding"))
+      .unionByName(inPool.filter(col("vec_id") < 4100)
+        .select(col("vec_id"), col("embedding")))
+    val inQ = all.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+    println(f"STUDY control in-dist f=1.00 " +
+      f"drift=${VectorOps.appendedDriftRatio(spark, dir2).get}%.2f " +
+      f"recall@10=${recallAt10(spark, dir2, inQ, corpus2)}%.3f " +
+      f"retrain=${VectorOps.needsRetrain(spark, dir2)}")
+
+    // and after the documented response (full retrain over the grown
+    // corpus), the diverged store's recall recovers
+    val grown = base.unionByName(
+      pool.filter(col("vec_id") < 5100))
+    VectorOps.buildIvfPqIndex(grown, dir, k = 16)
+    val corpusAll = grown.select(col("vec_id"), col("embedding"))
+    println(f"STUDY retrained " +
+      f"recall@10=${recallAt10(spark, dir, queries, corpusAll)}%.3f")
+
+    spark.stop()
+  }
+}

@@ -1121,6 +1121,58 @@ object VectorOps {
     * At 100 TB the codes table is itself ~32× smaller than the corpus,
     * and each cell directory is further ~1/k of that.
     */
+  /** Mean coarse quantization error of a quantized frame against a
+    * centroid set — the DRIFT metric behind [[needsRetrain]]: vectors
+    * drawn from the trained distribution land near some centroid
+    * (error ≈ the training-time mean, stamped as `qe_base`); appended
+    * vectors from a DIVERGED distribution land far from every trained
+    * cell, their residuals overflow the PQ codebook's range, and serve
+    * recall decays (AnnDriftStudy measures the decay curve — SCALING.md
+    * round-16). One assign + avg over the frame, exact-integer inner
+    * distances like every k-means stage here. */
+  private[graft] def meanCoarseQe(quant: DataFrame,
+                                  coarse: DataFrame): Double = {
+    val row = kmeansAssign(quant, coarse).agg(avg(col("dist"))).head
+    if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+  }
+
+  /** Quantization-error drift of everything APPENDED since the build:
+    * appended vector rows read manifest-natively (the diff between the
+    * stamped build snapshot and HEAD opens only the appended data
+    * files — zero IO against the built corpus), re-assigned against
+    * the STORED centroids, mean error divided by the stamped
+    * `qe_base`. ≈ 1 while appends match the trained distribution;
+    * grows as they diverge. None when nothing was appended or the
+    * store predates the stamps. */
+  def appendedDriftRatio(spark: SparkSession, dir: String): Option[Double] = {
+    val props = IndexStore.props(dir)
+    for {
+      base <- props.get("qe_base").map(_.toDouble) if base > 0.0
+      builtV <- props.get("built_version").map(_.toInt)
+      head = IndexStore.snapshot(dir)
+      if head.version > builtV
+      (_, appended) = IndexStore.diffFrames(spark, dir,
+        IndexStore.snapshotAt(dir, builtV), head)
+    } yield {
+      val coarse = spark.read.parquet(s"$dir/coarse")
+      meanCoarseQe(appended.select(col("vec_id"), col("q")), coarse) / base
+    }
+  }
+
+  /** The RETRAIN-TRIGGER policy (VERDICT r15 Next #6): retrain the
+    * coarse router + PQ codebook when the appended population's mean
+    * quantization error exceeds `threshold` × the training-time error.
+    * The default 1.5 sits well below the drift the study measured at
+    * the recall knee (AnnDriftStudy: in-distribution appends hold
+    * ratio ≈ 1.0x while recall holds; a diverged append population
+    * reads several ×, with recall@10 over the appended region already
+    * degrading) — so the policy fires before the store quietly decays.
+    * A deployment wires this after each append tick:
+    * `if (needsRetrain(...)) buildIvfPqIndex(fullCorpus, dir, k)`. */
+  def needsRetrain(spark: SparkSession, dir: String,
+                   threshold: Double = 1.5): Boolean =
+    appendedDriftRatio(spark, dir).exists(_ > threshold)
+
   def buildIvfPqIndex(emb: DataFrame, dir: String, k: Int,
                       checkpointDir: Option[String] = None): Unit = {
     val (quant, coarse, cb, codes) = ivfPqBuild(emb, k, checkpointDir)
@@ -1150,6 +1202,13 @@ object VectorOps {
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
     }
+    // stamp the training-time quantization error and the build snapshot
+    // version: the [[needsRetrain]] policy compares appended vectors'
+    // error against qe_base, reading the appended rows manifest-natively
+    // from built_version -> HEAD
+    IndexStore.setProps(dir, Map(
+      "qe_base" -> meanCoarseQe(quant, coarse).toString,
+      "built_version" -> IndexStore.headVersion(dir).getOrElse(0).toString))
     ()
   }
 

@@ -404,9 +404,11 @@ object DedupLedger {
                              dir: String, version: Int,
                              what: String): DataFrame = {
     val hist = memoizedHist(dir, version, what) {
-      lb.groupBy(keys.map(col): _*).agg(count(lit(1)).as("sz"))
-        .groupBy(col("sz")).agg(count(lit(1)).as("n"))
-        .collect().map(r => (r.getLong(0).toInt, r.getLong(1)))
+      ScaleOps.boundedCollect(
+        lb.groupBy(keys.map(col): _*).agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz")).agg(count(lit(1)).as("n")),
+        1L << 20, s"$what ledger bucket-size histogram")
+        .map(r => (r.getLong(0).toInt, r.getLong(1)))
     }
     val cap = DedupOps.capFromHistLinear(hist, DedupOps.BAND_CAP,
       perItem.toLong * math.max(1L, batchItems), hitsPerBucket)

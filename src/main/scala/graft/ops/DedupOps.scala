@@ -223,8 +223,10 @@ object DedupOps {
   private[graft] def adaptiveBandCap(bucketed: DataFrame, floor: Int,
                                      pairBudget: Long): Int =
     capFromHist(
-      bucketed.groupBy(size(col("ds")).as("sz")).agg(count(lit(1)).as("n"))
-        .collect().map(r => (r.getInt(0), r.getLong(1))),
+      ScaleOps.boundedCollect(
+        bucketed.groupBy(size(col("ds")).as("sz")).agg(count(lit(1)).as("n")),
+        1L << 20, "bucket-size histogram")
+        .map(r => (r.getInt(0), r.getLong(1))),
       floor, pairBudget)
 
   /** The histogram walk itself, shared by the collect_list-bucket form
@@ -285,10 +287,12 @@ object DedupOps {
     // the input plan is returned UNTOUCHED: no anti-join node, no
     // second job, bit-identical plan to the historical uncapped path
     // (round-16: the default flip must not tax healthy corpora).
-    val hist = bandsDf.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("sz"))
-      .groupBy(col("sz")).agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getLong(0).toInt, r.getLong(1)))
+    val hist = ScaleOps.boundedCollect(
+      bandsDf.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n")),
+      1L << 20, "bucket-size histogram")
+      .map(r => (r.getLong(0).toInt, r.getLong(1)))
     val cap = capFromHist(hist, floor, pairBudget)
     if (hist.forall(_._1 <= cap)) bandsDf
     else {
@@ -943,11 +947,13 @@ object DedupOps {
         // anti-join/filter nodes materialize ONLY when a class sheds —
         // with the budget now the default, the healthy-corpus plan must
         // stay bit-identical to the historical uncapped one
-        val hist = bandsDf.groupBy(col("f"), col("b"), col("k"))
-          .agg(count(lit(1)).as("sz")).select(col("sz"))
-          .unionByName(groups.select(size(col("ids")).cast("long").as("sz")))
-          .groupBy(col("sz")).agg(count(lit(1)).as("n"))
-          .collect().map(r => (r.getLong(0).toInt, r.getLong(1)))
+        val hist = ScaleOps.boundedCollect(
+          bandsDf.groupBy(col("f"), col("b"), col("k"))
+            .agg(count(lit(1)).as("sz")).select(col("sz"))
+            .unionByName(groups.select(size(col("ids")).cast("long").as("sz")))
+            .groupBy(col("sz")).agg(count(lit(1)).as("n")),
+          1L << 20, "temporal bucket-size histogram")
+          .map(r => (r.getLong(0).toInt, r.getLong(1)))
         val cap = capFromHist(hist, BAND_CAP, perDoc.toLong * items)
         if (hist.forall(_._1 <= cap)) (bandsDf, groups)
         else {

@@ -10,6 +10,56 @@ import org.apache.spark.sql.functions._
   */
 object ScaleOps {
 
+  /** THE BOUNDED-COLLECT CONTRACT (round 16, VERDICT r15 Next #8) —
+    * the 100 TB design rule's last clause, now written down and
+    * enforceable: an operator may move rows to the driver ONLY when a
+    * bound independent of corpus size caps them. Every driver-side
+    * collect in the engine, with its bound:
+    *
+    *   - k-means init sample: `VectorOps.INIT_SAMPLE` rows (constant).
+    *   - centroid / PQ-codebook rows (`VectorOps.centRowsOf` /
+    *     `cbRowsOf`): k, respectively M × kSub rows — model size,
+    *     never data size.
+    *   - dead-cell reseed (`VectorOps.reseedDead`): ≤ k rows.
+    *   - stored-serve query rows (`servedIvfPqTopK` & co): `numQueries`
+    *     rows, required ≤ SEED_FROM by `requireHeldOut`.
+    *   - bucket-size HISTOGRAMS (`DedupOps.adaptiveBandCap`,
+    *     `dropHotBuckets`, `DedupLedger.shedHotBuckets`): one row per
+    *     DISTINCT bucket size — ≤ √(2 · total band rows) distinct
+    *     values can exist (sizes are positive integers summing to the
+    *     row count), and in practice tens; guarded by
+    *     [[boundedCollect]].
+    *   - streamed-tick modality dispatch (`DedupMaintenance.mixedSink`):
+    *     one row per distinct `kind` — the stream schema admits 3.
+    *   - shard prefix-sum subtotals (`PipelineOps`): one row per
+    *     partition (`numPartitions`).
+    *   - sentinel counts / drift ratios (`DedupLedger.memoizedCount`,
+    *     `VectorOps.appendedDriftRatio`): single aggregate rows.
+    *   - `SqliteWriter`: `toLocalIterator` — streams one partition at a
+    *     time; driver live-set is one row (the sink is inherently
+    *     single-file).
+    *   - `CurationOps` quality histogram: ≤ 101 post-aggregation rows
+    *     (percentile grid), windowed unpartitioned ONLY because of that
+    *     bound.
+    *
+    * Everything else stays distributed; a `.collect()` outside this
+    * list is a review flag. New driver-side materializations should go
+    * through [[boundedCollect]] so the bound is stated at the call
+    * site and enforced at runtime. */
+  def boundedCollect(df: DataFrame, bound: Long,
+                     what: String): Array[org.apache.spark.sql.Row] = {
+    // limit(bound+1) bounds the TRANSFER too: an unbounded frame fails
+    // after bound+1 rows reach the driver, never after materializing
+    // the whole thing
+    val rows = df.limit(math.min(bound + 1, Int.MaxValue).toInt).collect()
+    require(rows.length <= bound,
+      s"boundedCollect($what): more than $bound rows would reach the " +
+      "driver — the bounded-collect contract (ScaleOps) says this frame " +
+      "must be capped by a corpus-independent bound; aggregate further " +
+      "or keep it distributed")
+    rows
+  }
+
   /** Broadcast hint gated on Catalyst's own size estimate.
     *
     * A hard-coded `broadcast()` on a dimension that grows with the data

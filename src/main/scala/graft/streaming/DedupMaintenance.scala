@@ -110,8 +110,9 @@ object DedupMaintenance {
           // ONE pass over the checkpointed batch decides which modality
           // arms run (VERDICT r14 Next #7: per-arm isEmpty probes were
           // one extra Spark job each per micro-batch)
-          val kinds = b.groupBy(col("kind")).count()
-            .collect().map(_.getString(0)).toSet
+          val kinds = graft.ops.ScaleOps.boundedCollect(
+            b.groupBy(col("kind")).count(), 10L, "stream modality kinds")
+            .map(_.getString(0)).toSet
           val txt = b.filter(org.apache.spark.sql.functions.col("kind") === "text")
             .select(col("doc_id"), col("text"))
           if (kinds("text")) {

@@ -121,4 +121,18 @@ class ScaleOpsSpec extends SparkSpec {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("boundedCollect: under the bound passes rows through, over the " +
+       "bound fails by name without materializing the frame") {
+    import spark.implicits._
+    val small = (1 to 5).toDF("x")
+    assert(graft.ops.ScaleOps.boundedCollect(small, 10L, "five rows")
+      .map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+    val big = spark.range(0, 1000).toDF("x")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.ScaleOps.boundedCollect(big, 100L, "too many")
+    }
+    assert(ex.getMessage.contains("bounded-collect contract"),
+      s"expected the contract message, got: ${ex.getMessage}")
+  }
 }

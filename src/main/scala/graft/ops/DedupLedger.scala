@@ -234,12 +234,12 @@ object DedupLedger {
       case Some(perItem) =>
         // bucket sizes are bounded by the signature-table row count
         // (one row per doc per band, one bucket per band) — the footer
-        // count decides whether measuring the histogram can matter at
-        // all. bandBits = 63: the string keyspace dwarfs any batch, so
-        // expected hits per bucket is 1 (see shedUnlessAffordable).
+        // count decides whether measuring can matter at all; the batch
+        // side's measured max bucket occupancy bounds the true join
+        // volume (see shedUnlessAffordable). items = band rows / bands.
         shedUnlessAffordable(lbands0, Seq("band", "bkey"), perItem,
           memoizedCount(dir, snap.version, "vectors")(sigs.count()),
-          batch.select(col("doc_id")).count(), bandBits = 63,
+          bb, _ / (DedupOps.NUM_SEEDS / DedupOps.ROWS_PER_BAND),
           dir, snap.version, "vectors-hist")
     }
     val nm = lbands.join(gate(bb), Seq("band", "bkey"))
@@ -421,28 +421,45 @@ object DedupLedger {
   }
 
   /** The default-budget fast path (round-16: the safety default must
-    * not tax healthy verdicts): no bucket can outprice the budget when
-    * the WHOLE table's cost bound `tableRows × hitsPerBucket` fits it
-    * — every bucket's size is ≤ tableRows, so the histogram walk would
-    * admit everything. `tableRows` is the footer-read sentinel count
-    * (memoized per snapshot), so the common case adds ZERO jobs beyond
-    * the count the sentinel already paid; the first test (`tableRows ≤
-    * perItem`, budget's batchItems ≥ 1 floor) skips even the batch
-    * count. Division, not multiplication, so absurd inputs cannot
-    * overflow; floor division errs conservative (runs the histogram
-    * when in doubt). */
+    * not tax healthy verdicts), with a SOUND join-volume bound. The
+    * true batch-vs-ledger volume is Σ_buckets sz_ledger × occupancy_
+    * batch ≤ tableRows × max-occupancy, where max-occupancy is the
+    * batch's own largest band-bucket (MEASURED over the increment-
+    * sized batch bands — ADVICE r15 #2's "or measured" arm; a uniform
+    * batchItems/2^bandBits expectation would under-price CORRELATED
+    * batches, e.g. every probe carrying the shared intro frame, and
+    * re-admit exactly the 162 s hang class the default flip closes).
+    *
+    *   1. `tableRows ≤ perItem`: volume ≤ tableRows × batchItems ≤
+    *      perItem × batchItems = budget — skip with ZERO batch jobs
+    *      (tableRows is the footer-read sentinel count, memoized per
+    *      snapshot; every fixture-scale marks/seqs arm lands here).
+    *   2. else ONE increment-sized aggregation over the batch bands
+    *      yields (items, max occupancy); skip when tableRows ≤
+    *      budget / maxOcc (division, so nothing overflows; floor
+    *      division errs conservative — runs the histogram when in
+    *      doubt).
+    *   3. else the memoized-histogram walk at cost sz × maxOcc per
+    *      bucket — conservative for buckets the batch's hot key does
+    *      not touch, exact for the one it does; the BAND_CAP floor
+    *      keeps fixture-scale buckets admitted regardless. */
   private def shedUnlessAffordable(lb: DataFrame, keys: Seq[String],
                                    perItem: Int, tableRows: Long,
-                                   batchItems: => Long, bandBits: Int,
+                                   batchBands: => DataFrame,
+                                   batchItemsOf: Long => Long,
                                    dir: String, version: Int,
                                    what: String): DataFrame =
     if (tableRows <= perItem.toLong) lb
     else {
-      val items = math.max(1L, batchItems)
-      val hits = math.max(1L, items >> bandBits)
+      val occ = batchBands.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("n"))
+        .agg(sum(col("n")), max(col("n"))).head
+      val bandRows = if (occ.isNullAt(0)) 0L else occ.getLong(0)
+      val maxOcc = math.max(1L, if (occ.isNullAt(1)) 0L else occ.getLong(1))
+      val items = math.max(1L, batchItemsOf(bandRows))
       val budget = perItem.toLong * items
-      if (tableRows <= budget / hits) lb
-      else shedHotBuckets(lb, keys, perItem, items, hits, dir, version, what)
+      if (tableRows <= budget / maxOcc) lb
+      else shedHotBuckets(lb, keys, perItem, items, maxOcc, dir, version, what)
     }
 
   /** Per-store memos for the ledger-side measurements (saturation
@@ -554,6 +571,8 @@ object DedupLedger {
     val lb0 = mediaBandsOf(
       withWidthCheck(marksRaw.select(col("fp"), col("owner")), geom, "marks"),
       geom)
+    val bb = mediaBandsOf(bm.select(col("bid"), col("bfp").as("fp")), geom)
+      .select(col("band"), col("bkey"), col("bid"), col("fp").as("bfp"))
     val lb = pairBudgetPerItem match {
       case None =>
         // parquet count-star prunes to row-group footers, and the memo
@@ -565,15 +584,13 @@ object DedupLedger {
       case Some(perItem) =>
         // bucket sizes are bounded by the marks row count (footer
         // read, memoized — the same count the sentinel path pays);
-        // expected batch occupancy of one (band, key) bucket is
-        // batchItems >> bandBits (each item lands in one key per band)
+        // the batch bands' measured max occupancy bounds the true
+        // join volume. items = band rows / bands.
         shedUnlessAffordable(lb0, Seq("band", "bkey"), perItem,
           memoizedCount(dir, snap.version, "marks")(marksRaw.count()),
-          bm.count(), geom.bandBits,
+          bb, _ / geom.bands,
           dir, snap.version, s"marks-hist-${geom.params}")
     }
-    val bb = mediaBandsOf(bm.select(col("bid"), col("bfp").as("fp")), geom)
-      .select(col("band"), col("bkey"), col("bid"), col("fp").as("bfp"))
     val nr = lb.join(gate(bb), Seq("band", "bkey"))
       .filter(expr("aggregate(zip_with(fp, bfp, (x, y) -> bit_count(x ^ y)), " +
         s"0, (acc, v) -> acc + v) <= ${geom.maxHamming}"))
@@ -716,6 +733,11 @@ object DedupLedger {
       withWidthCheck(ledRaw.select(col("owner"), col("f"), col("fp")),
         geom, "seqs"),
       geom)
+    val bb = mediaBandsOf(
+        checkedBatch.select(col("media_id").as("bid"), col("f"), col("fp")),
+        geom)
+      .select(col("f"), col("band"), col("bkey"), col("bid"),
+              col("fp").as("bfp"))
     val lb = pairBudgetPerItem match {
       case None =>
         // each position is its own keyspace; a per-position groupBy
@@ -734,18 +756,15 @@ object DedupLedger {
       case Some(perItem) =>
         // bucket sizes are bounded by the seqs row count (footer read,
         // memoized — conservative: per-position buckets are smaller);
-        // expected batch occupancy of one (position, band, key) bucket
-        // is batch videos >> bandBits
+        // the batch bands' measured max occupancy bounds the true
+        // join volume. items = batch (video, position) rows — the
+        // budget is per banded batch row, the same grain the join
+        // fans out on.
         shedUnlessAffordable(lb0, Seq("f", "band", "bkey"), perItem,
           memoizedCount(dir, snap.version, "seqs")(ledRaw.count()),
-          batch.select(col("media_id")).distinct().count(), geom.bandBits,
+          bb, _ / geom.bands,
           dir, snap.version, s"seqs-hist-${geom.params}")
     }
-    val bb = mediaBandsOf(
-        checkedBatch.select(col("media_id").as("bid"), col("f"), col("fp")),
-        geom)
-      .select(col("f"), col("band"), col("bkey"), col("bid"),
-              col("fp").as("bfp"))
     val nr = lb.join(gate(bb), Seq("f", "band", "bkey"))
       .filter(expr("aggregate(zip_with(fp, bfp, (x, y) -> bit_count(x ^ y)), " +
         s"0, (acc, v) -> acc + v) <= ${geom.maxHamming}"))

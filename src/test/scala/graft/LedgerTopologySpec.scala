@@ -195,6 +195,44 @@ class LedgerTopologySpec extends SparkSpec {
       s"expected the width-guard message, got: $ex")
   }
 
+  test("CORRELATED batch: measured occupancy prices the hot bucket a " +
+       "uniform expectation would skip (the 162 s hang class)") {
+    // 5000 marks share band-0 AND band-2 keys; the batch is 20 probes
+    // that ALL carry those keys (each hamming-2 off a different hot
+    // member via band-1 top-bit flips, so band-1 never collides or
+    // aliases). A uniform batchItems/2^bandBits model prices the hot
+    // bucket at ~1 hit -> 5000 ≤ budget 20000 -> skip -> 100k-row
+    // fan-out per band (the correlated pathology). The MEASURED
+    // max-occupancy (20) prices it at 5000 x 20 = 100k > budget and
+    // sheds. Exact duplicates resolve through the equality arm either
+    // way.
+    val dir = java.nio.file.Files.createTempDirectory("ledger-topo-corr").toString
+    val hot = (0 until 5000).map(i => (i.toLong, Seq(i.toLong << 14)))
+    DedupLedger.buildMixedLedger(docs(0L -> words(30, "h")),
+      hot.toDF("media_id", "fp"), dir)
+    val snap = IndexStore.snapshot(dir)
+    val batch = ((0 until 20).map { i =>
+      (5000L + i, Seq((i.toLong << 14) ^ (3L << 26)))
+    } :+ ((6000L, Seq(7L << 14)))) // exact copy of hot member 7
+      .toDF("media_id", "fp")
+    def run(budget: Option[Option[Int]]) = {
+      val v = budget match {
+        case None => DedupLedger.dedupMediaAgainstLedger(
+          spark, batch, dir, snap) // the DEFAULT
+        case Some(b) => DedupLedger.dedupMediaAgainstLedger(
+          spark, batch, dir, snap, pairBudgetPerItem = b)
+      }
+      v.collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    }
+    val default = run(None)
+    assert((0 until 20).forall(i => default(5000L + i) == 1L),
+      s"default path must shed the correlated hot bucket: $default")
+    assert(default(6000L) == 0L, "exact arm is cap-immune")
+    val uncapped = run(Some(None))
+    assert((0 until 20).forall(i => uncapped(5000L + i) == 0L),
+      s"explicit opt-out must keep the near evidence: $uncapped")
+  }
+
   test("modality gate: a text verdict against a store that never " +
        "declared text fails by name; a declared-mixed store bootstraps") {
     // ADVICE r15 #1: the round-15 empty-table fallback let a text

@@ -229,8 +229,8 @@ object DedupLedger {
     // sentinel here — that keyspace is not a fixed bit geometry the
     // model speaks about.
     val lbands0 = bandsOf(sigs)
-    val lbands = pairBudgetPerItem match {
-      case None => lbands0
+    val (lbands, bbJ) = pairBudgetPerItem match {
+      case None => (lbands0, bb)
       case Some(perItem) =>
         // bucket sizes are bounded by the signature-table row count
         // (one row per doc per band, one bucket per band) — the footer
@@ -242,7 +242,7 @@ object DedupLedger {
           bb, _ / (DedupOps.NUM_SEEDS / DedupOps.ROWS_PER_BAND),
           dir, snap.version, "vectors-hist")
     }
-    val nm = lbands.join(gate(bb), Seq("band", "bkey"))
+    val nm = lbands.join(gate(bbJ), Seq("band", "bkey"))
       .withColumn("agree", expr(
         "aggregate(zip_with(sig, bsig, (x, y) -> IF(x = y, 1, 0)), 0, (a, v) -> a + v)"))
       .groupBy(col("bdoc"))
@@ -399,27 +399,6 @@ object DedupLedger {
     * separate equality join, so exact duplicates are immune to any
     * cap — a shed bucket can only cost a NEAR detection whose
     * fingerprint sits in a saturated bucket on every band. */
-  private def shedHotBuckets(lb: DataFrame, keys: Seq[String], perItem: Int,
-                             batchItems: Long, hitsPerBucket: Long,
-                             dir: String, version: Int,
-                             what: String): DataFrame = {
-    val hist = memoizedHist(dir, version, what) {
-      ScaleOps.boundedCollect(
-        lb.groupBy(keys.map(col): _*).agg(count(lit(1)).as("sz"))
-          .groupBy(col("sz")).agg(count(lit(1)).as("n")),
-        1L << 20, s"$what ledger bucket-size histogram")
-        .map(r => (r.getLong(0).toInt, r.getLong(1)))
-    }
-    val cap = DedupOps.capFromHistLinear(hist, DedupOps.BAND_CAP,
-      perItem.toLong * math.max(1L, batchItems), hitsPerBucket)
-    if (hist.forall(_._1 <= cap)) lb
-    else {
-      val hot = lb.groupBy(keys.map(col): _*).agg(count(lit(1)).as("sz"))
-        .filter(col("sz") > cap).localCheckpoint()
-      lb.join(hot.select(keys.map(col): _*), keys, "left_anti")
-    }
-  }
-
   /** The default-budget fast path (round-16: the safety default must
     * not tax healthy verdicts), with a SOUND join-volume bound. The
     * true batch-vs-ledger volume is Σ_buckets sz_ledger × occupancy_
@@ -429,38 +408,69 @@ object DedupLedger {
     * batchItems/2^bandBits expectation would under-price CORRELATED
     * batches, e.g. every probe carrying the shared intro frame, and
     * re-admit exactly the 162 s hang class the default flip closes).
+    * Decision ladder, cheapest evidence first:
     *
     *   1. `tableRows ≤ perItem`: volume ≤ tableRows × batchItems ≤
-    *      perItem × batchItems = budget — skip with ZERO batch jobs
-    *      (tableRows is the footer-read sentinel count, memoized per
-    *      snapshot; every fixture-scale marks/seqs arm lands here).
-    *   2. else ONE increment-sized aggregation over the batch bands
-    *      yields (items, max occupancy); skip when tableRows ≤
-    *      budget / maxOcc (division, so nothing overflows; floor
-    *      division errs conservative — runs the histogram when in
-    *      doubt).
-    *   3. else the memoized-histogram walk at cost sz × maxOcc per
-    *      bucket — conservative for buckets the batch's hot key does
-    *      not touch, exact for the one it does; the BAND_CAP floor
-    *      keeps fixture-scale buckets admitted regardless. */
+    *      budget — skip with ZERO jobs beyond the footer-read count
+    *      the sentinel already memoized (every fixture-scale
+    *      marks/seqs arm lands here).
+    *   2. the LEDGER's bucket-size histogram (memoized per store
+    *      UUID + snapshot version — one job per published version,
+    *      amortized across every verdict and bench run against it):
+    *      no class above the BAND_CAP floor ⇒ nothing can shed at any
+    *      budget ⇒ skip WITHOUT touching the batch (the healthy-
+    *      corpus steady state: batch bands stay a lazy single
+    *      execution inside the verdict join).
+    *   3. only now CHECKPOINT the increment-sized batch bands
+    *      (measuring them would otherwise re-execute the batch's
+    *      whole fingerprint pipeline — shingles / image decode — once
+    *      more per verdict; the join reuses the materialization) and
+    *      measure (items, max occupancy) in one aggregation; skip
+    *      when tableRows ≤ budget / maxOcc (division, so nothing
+    *      overflows; floor errs conservative).
+    *   4. else the histogram walk at cost sz × maxOcc per bucket —
+    *      conservative for buckets the batch's hot key does not
+    *      touch, exact for the one it does; the BAND_CAP floor keeps
+    *      fixture-scale buckets admitted regardless — and an
+    *      anti-join sheds the over-cap buckets from the LEDGER side
+    *      only (batch untouched; exact arms are never banded, hence
+    *      cap-immune).
+    *
+    * Returns (ledger side, batch bands to join) — the second element
+    * is the checkpointed bands when step 3 ran, the caller's original
+    * frame otherwise. */
   private def shedUnlessAffordable(lb: DataFrame, keys: Seq[String],
                                    perItem: Int, tableRows: Long,
-                                   batchBands: => DataFrame,
+                                   batchBands: DataFrame,
                                    batchItemsOf: Long => Long,
                                    dir: String, version: Int,
-                                   what: String): DataFrame =
-    if (tableRows <= perItem.toLong) lb
-    else {
-      val occ = batchBands.groupBy(keys.map(col): _*)
-        .agg(count(lit(1)).as("n"))
-        .agg(sum(col("n")), max(col("n"))).head
-      val bandRows = if (occ.isNullAt(0)) 0L else occ.getLong(0)
-      val maxOcc = math.max(1L, if (occ.isNullAt(1)) 0L else occ.getLong(1))
-      val items = math.max(1L, batchItemsOf(bandRows))
-      val budget = perItem.toLong * items
-      if (tableRows <= budget / maxOcc) lb
-      else shedHotBuckets(lb, keys, perItem, items, maxOcc, dir, version, what)
+                                   what: String): (DataFrame, DataFrame) = {
+    if (tableRows <= perItem.toLong) return (lb, batchBands)
+    val hist = memoizedHist(dir, version, what) {
+      ScaleOps.boundedCollect(
+        lb.groupBy(keys.map(col): _*).agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz")).agg(count(lit(1)).as("n")),
+        1L << 20, s"$what ledger bucket-size histogram")
+        .map(r => (r.getLong(0).toInt, r.getLong(1)))
     }
+    if (hist.forall(_._1 <= DedupOps.BAND_CAP)) return (lb, batchBands)
+    val bb = batchBands.localCheckpoint()
+    val occ = bb.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")), max(col("n"))).head
+    val bandRows = if (occ.isNullAt(0)) 0L else occ.getLong(0)
+    val maxOcc = math.max(1L, if (occ.isNullAt(1)) 0L else occ.getLong(1))
+    val budget = perItem.toLong * math.max(1L, batchItemsOf(bandRows))
+    if (tableRows <= budget / maxOcc) return (lb, bb)
+    val cap = DedupOps.capFromHistLinear(hist, DedupOps.BAND_CAP,
+      budget, maxOcc)
+    if (hist.forall(_._1 <= cap)) (lb, bb)
+    else {
+      val hot = lb.groupBy(keys.map(col): _*).agg(count(lit(1)).as("sz"))
+        .filter(col("sz") > cap).localCheckpoint()
+      (lb.join(hot.select(keys.map(col): _*), keys, "left_anti"), bb)
+    }
+  }
 
   /** Per-store memos for the ledger-side measurements (saturation
     * sentinel counts; band-bucket size histograms), keyed on the
@@ -573,14 +583,14 @@ object DedupLedger {
       geom)
     val bb = mediaBandsOf(bm.select(col("bid"), col("bfp").as("fp")), geom)
       .select(col("band"), col("bkey"), col("bid"), col("fp").as("bfp"))
-    val lb = pairBudgetPerItem match {
+    val (lb, bbJ) = pairBudgetPerItem match {
       case None =>
         // parquet count-star prunes to row-group footers, and the memo
         // makes it once per published snapshot, not once per verdict
         DedupOps.warnIfSaturated(
           memoizedCount(dir, snap.version, "marks")(marksRaw.count()),
           geom.bands, geom.bandBits)
-        lb0
+        (lb0, bb)
       case Some(perItem) =>
         // bucket sizes are bounded by the marks row count (footer
         // read, memoized — the same count the sentinel path pays);
@@ -591,7 +601,7 @@ object DedupLedger {
           bb, _ / geom.bands,
           dir, snap.version, s"marks-hist-${geom.params}")
     }
-    val nr = lb.join(gate(bb), Seq("band", "bkey"))
+    val nr = lb.join(gate(bbJ), Seq("band", "bkey"))
       .filter(expr("aggregate(zip_with(fp, bfp, (x, y) -> bit_count(x ^ y)), " +
         s"0, (acc, v) -> acc + v) <= ${geom.maxHamming}"))
       .groupBy(col("bid")).agg(min(col("owner")).as("near_of"))
@@ -738,7 +748,7 @@ object DedupLedger {
         geom)
       .select(col("f"), col("band"), col("bkey"), col("bid"),
               col("fp").as("bfp"))
-    val lb = pairBudgetPerItem match {
+    val (lb, bbJ) = pairBudgetPerItem match {
       case None =>
         // each position is its own keyspace; a per-position groupBy
         // over the corpus-sized seqs table would be a real shuffle per
@@ -752,7 +762,7 @@ object DedupLedger {
         DedupOps.warnIfSaturated(
           memoizedCount(dir, snap.version, "seqs")(ledRaw.count()) / positions,
           geom.bands, geom.bandBits)
-        lb0
+        (lb0, bb)
       case Some(perItem) =>
         // bucket sizes are bounded by the seqs row count (footer read,
         // memoized — conservative: per-position buckets are smaller);
@@ -765,7 +775,7 @@ object DedupLedger {
           bb, _ / geom.bands,
           dir, snap.version, s"seqs-hist-${geom.params}")
     }
-    val nr = lb.join(gate(bb), Seq("f", "band", "bkey"))
+    val nr = lb.join(gate(bbJ), Seq("f", "band", "bkey"))
       .filter(expr("aggregate(zip_with(fp, bfp, (x, y) -> bit_count(x ^ y)), " +
         s"0, (acc, v) -> acc + v) <= ${geom.maxHamming}"))
       // several bands can match the same (video, owner, position) —

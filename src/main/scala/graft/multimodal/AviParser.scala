@@ -50,11 +50,23 @@ object AviParser {
                             frames: Seq[(Int, Int)]) // (offset, size)
 
   /** Walk the RIFF tree once: BITMAPINFOHEADER geometry out of the
-    * first video `strf`, frame chunk extents out of `LIST movi`. */
+    * VIDEO stream's `strf` (streams are numbered in `hdrl` declaration
+    * order — an audio-first AVI keeps its video frames in `01db`/`01dc`
+    * chunks, so chunk ids are matched against the video stream's index,
+    * never hard-coded `00db`; round-16 review find), frame chunk
+    * extents out of `LIST movi`. Both `..db` (uncompressed DIB) and
+    * `..dc` (compressed-frame id some writers use even for raw DIB)
+    * suffixes are accepted for the video stream — the frame-size check
+    * below rejects anything that is not exactly one raw DIB. */
   private def layout(b: Array[Byte]): Option[Layout] = {
     if (!isAvi(b)) return None
     var width = 0; var height = 0; var bitCount = 0; var compression = -1L
-    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var streamIdx = -1    // strh declaration counter
+    var vidStream = -1    // the index of the 'vids' stream
+    // (streamNo, offset, size) of every movi frame chunk; filtered to
+    // the video stream once hdrl has been walked (region order is not
+    // document order)
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
     // iterative chunk walk over (start, end) regions — RIFF nesting is
     // shallow (hdrl/strl/movi), no recursion needed beyond a worklist
     var regions = List((12, b.length)) // inside 'RIFF .. AVI '
@@ -76,7 +88,11 @@ object AviParser {
                 listType == "movi")
               regions = (body + 4, body + sz.toInt) :: regions
           case "strh" =>
-            if (sz >= 4) strhType = fourcc(b, body)
+            if (sz >= 4) {
+              strhType = fourcc(b, body)
+              streamIdx += 1
+              if (strhType == "vids" && vidStream < 0) vidStream = streamIdx
+            }
           case "strf" if strhType == "vids" && compression == -1L =>
             // the VIDEO stream's format chunk (BITMAPINFOHEADER shape);
             // an audio strl's strf is WAVEFORMATEX and never matches
@@ -87,13 +103,16 @@ object AviParser {
               bitCount = u16(b, body + 14)
               compression = u32(b, body + 16)
             }
-          case "00db" =>
-            frames += ((body, sz.toInt))
+          case _ if id.length == 4 && id(0).isDigit && id(1).isDigit &&
+                    (id.endsWith("db") || id.endsWith("dc")) =>
+            chunks += (((id(0) - '0') * 10 + (id(1) - '0'), body, sz.toInt))
           case _ => ()
         }
         p = body + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
       }
     }
+    val frames = chunks.collect { case (st, off, sz) if st == vidStream =>
+      (off, sz) }
     if (compression == -1L || frames.isEmpty) return None
     if (width <= 0 || height == 0) return None // malformed header
     if (height < 0) return None // top-down DIB: outside the raw tier
@@ -102,7 +121,14 @@ object AviParser {
         "guard — payload skipped (oversized, not malformed)")
       return None
     }
-    if (bitCount != 24 || compression != 0L) return None // needs a codec
+    if (bitCount != 24 || compression != 0L) {
+      // a named skip, like the oversize guard: a legitimate compressed
+      // AVI (e.g. MJPG) is COVERAGE LOSS for the codec-free tier, not a
+      // malformed payload — make it observable
+      log.warn(s"AVI video stream needs a codec (biCompression=$compression" +
+        s", biBitCount=$bitCount) — payload skipped by the raw-DIB tier")
+      return None
+    }
     val rowBytes = (3 * width + 3) & ~3
     val frameBytes = rowBytes * height
     // every frame chunk must carry exactly one full DIB — a short or

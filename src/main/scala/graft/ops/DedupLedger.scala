@@ -238,7 +238,8 @@ object DedupLedger {
         // side's measured max bucket occupancy bounds the true join
         // volume (see shedUnlessAffordable). items = band rows / bands.
         shedUnlessAffordable(lbands0, Seq("band", "bkey"), perItem,
-          memoizedCount(dir, snap.version, "vectors")(sigs.count()),
+          memoizedCount(dir, snap.version, "vectors")(sigs.count()) *
+            (DedupOps.NUM_SEEDS / DedupOps.ROWS_PER_BAND),
           bb, _ / (DedupOps.NUM_SEEDS / DedupOps.ROWS_PER_BAND),
           dir, snap.version, "vectors-hist")
     }
@@ -402,15 +403,18 @@ object DedupLedger {
   /** The default-budget fast path (round-16: the safety default must
     * not tax healthy verdicts), with a SOUND join-volume bound. The
     * true batch-vs-ledger volume is Σ_buckets sz_ledger × occupancy_
-    * batch ≤ tableRows × max-occupancy, where max-occupancy is the
-    * batch's own largest band-bucket (MEASURED over the increment-
-    * sized batch bands — ADVICE r15 #2's "or measured" arm; a uniform
+    * batch ≤ bandedRows × max-occupancy, where bandedRows = table rows
+    * × bands (every table row lands in one bucket PER BAND — pricing
+    * on raw table rows would understate the bound by the band count,
+    * a round-16 review find) and max-occupancy is the batch's own
+    * largest band-bucket (MEASURED over the increment-sized batch
+    * bands — ADVICE r15 #2's "or measured" arm; a uniform
     * batchItems/2^bandBits expectation would under-price CORRELATED
     * batches, e.g. every probe carrying the shared intro frame, and
     * re-admit exactly the 162 s hang class the default flip closes).
     * Decision ladder, cheapest evidence first:
     *
-    *   1. `tableRows ≤ perItem`: volume ≤ tableRows × batchItems ≤
+    *   1. `bandedRows ≤ perItem`: volume ≤ bandedRows × batchItems ≤
     *      budget — skip with ZERO jobs beyond the footer-read count
     *      the sentinel already memoized (every fixture-scale
     *      marks/seqs arm lands here).
@@ -440,12 +444,12 @@ object DedupLedger {
     * is the checkpointed bands when step 3 ran, the caller's original
     * frame otherwise. */
   private def shedUnlessAffordable(lb: DataFrame, keys: Seq[String],
-                                   perItem: Int, tableRows: Long,
+                                   perItem: Int, bandedRows: Long,
                                    batchBands: DataFrame,
                                    batchItemsOf: Long => Long,
                                    dir: String, version: Int,
                                    what: String): (DataFrame, DataFrame) = {
-    if (tableRows <= perItem.toLong) return (lb, batchBands)
+    if (bandedRows <= perItem.toLong) return (lb, batchBands)
     val hist = memoizedHist(dir, version, what) {
       ScaleOps.boundedCollect(
         lb.groupBy(keys.map(col): _*).agg(count(lit(1)).as("sz"))
@@ -461,7 +465,7 @@ object DedupLedger {
     val bandRows = if (occ.isNullAt(0)) 0L else occ.getLong(0)
     val maxOcc = math.max(1L, if (occ.isNullAt(1)) 0L else occ.getLong(1))
     val budget = perItem.toLong * math.max(1L, batchItemsOf(bandRows))
-    if (tableRows <= budget / maxOcc) return (lb, bb)
+    if (bandedRows <= budget / maxOcc) return (lb, bb)
     val cap = DedupOps.capFromHistLinear(hist, DedupOps.BAND_CAP,
       budget, maxOcc)
     if (hist.forall(_._1 <= cap)) (lb, bb)
@@ -484,6 +488,13 @@ object DedupLedger {
     * runs OUTSIDE any map lock (a racy duplicate compute is idempotent
     * and cheaper than serializing verdicts of unrelated stores through
     * one bin lock). */
+  // crude but absolute size bound for both memo maps: a long-lived
+  // service creating stores per tick would otherwise accumulate dead
+  // entries forever (round-16 review find); a rare full clear costs one
+  // recompute per live store, never correctness (snapshots immutable)
+  private val MEMO_MAX = 4096
+  private def boundCache(m: java.util.concurrent.ConcurrentHashMap[_, _]): Unit =
+    if (m.size > MEMO_MAX) m.clear()
   private val sentinelCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Int, Long)]()
   private def memoizedCount(dir: String, version: Int, what: String)
@@ -493,6 +504,7 @@ object DedupLedger {
       case Some((v, n)) if v == version => n
       case _ =>
         val n = compute
+        boundCache(sentinelCache)
         sentinelCache.put(key, (version, n))
         n
     }
@@ -506,6 +518,7 @@ object DedupLedger {
       case Some((v, h)) if v == version => h
       case _ =>
         val h = compute
+        boundCache(histCache)
         histCache.put(key, (version, h))
         h
     }
@@ -597,7 +610,8 @@ object DedupLedger {
         // the batch bands' measured max occupancy bounds the true
         // join volume. items = band rows / bands.
         shedUnlessAffordable(lb0, Seq("band", "bkey"), perItem,
-          memoizedCount(dir, snap.version, "marks")(marksRaw.count()),
+          memoizedCount(dir, snap.version, "marks")(marksRaw.count()) *
+            geom.bands,
           bb, _ / geom.bands,
           dir, snap.version, s"marks-hist-${geom.params}")
     }
@@ -771,7 +785,8 @@ object DedupLedger {
         // budget is per banded batch row, the same grain the join
         // fans out on.
         shedUnlessAffordable(lb0, Seq("f", "band", "bkey"), perItem,
-          memoizedCount(dir, snap.version, "seqs")(ledRaw.count()),
+          memoizedCount(dir, snap.version, "seqs")(ledRaw.count()) *
+            geom.bands,
           bb, _ / geom.bands,
           dir, snap.version, s"seqs-hist-${geom.params}")
     }
@@ -1108,6 +1123,18 @@ object DedupLedger {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       ()
     } finally walk.close()
+    // the clone gets a FRESH identity (round-16 review find): clones
+    // diverge from the seed via independent appends with LOCKSTEP
+    // version numbers, so a shared store.id would let two clones'
+    // memoized sentinel counts / shed histograms poison each other —
+    // same-version-different-content is exactly the aliasing the UUID
+    // exists to prevent
+    val idf = new java.io.File(new java.io.File(dst, "_manifest"), "store.id")
+    if (idf.exists()) {
+      java.nio.file.Files.write(idf.toPath,
+        java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
+      ()
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -170,18 +170,35 @@ object IndexStore {
     * r15 finding on the text arm's empty fallback). Writes merge under
     * the writer lock; reads take no lock. */
   def setProps(dir: String, kv: Map[String, String]): Unit =
-    withWriterLock(dir) {
+    withWriterLock(dir) { setPropsLocked(dir, kv) }
+  /** The body of [[setProps]] for callers ALREADY inside the writer
+    * lock (commit paths): the per-store FileChannel lock is not
+    * reentrant across channels, so nesting withWriterLock would throw
+    * OverlappingFileLockException. */
+  private[ops] def setPropsLocked(dir: String, kv: Map[String, String]): Unit = {
       require(kv.forall { case (k, v) =>
         !k.contains('\n') && !k.contains('=') && !v.contains('\n') },
         "store props must be single-line key=value pairs")
-      val merged = props(dir) ++ kv
+      // an EMPTY value deletes the key — lifecycle code clears stamps
+      // before a rebuild so a crash mid-build can never leave a stale
+      // stamp describing the previous build's data
+      val merged = (props(dir) ++ kv).filter(_._2.nonEmpty)
       manifestDir(dir).mkdirs()
-      java.nio.file.Files.write(
-        new java.io.File(manifestDir(dir), "props").toPath,
+      // temp-sibling + atomic rename, like _HEAD: props gate verdict
+      // correctness (modality stamps, retrain baselines), so a reader
+      // racing a writer must see the old or the new file, never a
+      // torn/empty one
+      val tmp = new java.io.File(manifestDir(dir),
+        s"props.tmp${ProcessHandle.current().pid()}")
+      java.nio.file.Files.write(tmp.toPath,
         merged.toSeq.sorted.map { case (k, v) => s"$k=$v" }
           .mkString("\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp.toPath,
+        new java.io.File(manifestDir(dir), "props").toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       ()
-    }
+  }
   def props(dir: String): Map[String, String] = {
     val f = new java.io.File(manifestDir(dir), "props")
     if (!f.exists()) Map.empty
@@ -290,6 +307,13 @@ object IndexStore {
     * append that landed while the compaction shuffle ran must survive —
     * it rewrote `base`'s data, not the concurrent batch's). Everything
     * `base` referenced becomes unreferenced garbage for [[vacuum]]. */
+  /** Version of the store's last REPLACEMENT commit (compaction), if
+    * any — incremental readers (diff-based policies like the ANN
+    * retrain trigger) consult this because a diff across a replacement
+    * boundary surfaces rewritten old rows as if they were appends. */
+  def lastReplaceVersion(dir: String): Option[Int] =
+    props(dir).get("last_replace_version").map(_.toInt)
+
   def commitReplace(dir: String, base: Snapshot)(write: => Unit): Int =
     withWriterLock(dir) {
       val now = snapshotOrEmpty(dir)
@@ -302,11 +326,13 @@ object IndexStore {
       val preMarks = listData(dir, "marks").toSet
       val preSeqs = listData(dir, "seqs").toSet
       write
-      publish(dir,
+      val v = publish(dir,
         ((listData(dir, "codes").toSet -- preCodes) ++ carryCodes).toSeq.sorted,
         ((listData(dir, "vectors").toSet -- preVecs) ++ carryVecs).toSeq.sorted,
         ((listData(dir, "marks").toSet -- preMarks) ++ carryMarks).toSeq.sorted,
         ((listData(dir, "seqs").toSet -- preSeqs) ++ carrySeqs).toSeq.sorted)
+      setPropsLocked(dir, Map("last_replace_version" -> v.toString))
+      v
     }
 
   private def snapshotOrEmpty(dir: String): Snapshot =

@@ -1151,15 +1151,30 @@ object VectorOps {
       builtV <- props.get("built_version").map(_.toInt)
       head = IndexStore.snapshot(dir)
       if head.version > builtV
-      (_, appended) = IndexStore.diffFrames(spark, dir,
-        IndexStore.snapshotAt(dir, builtV), head)
+      // a COMPACTION in (builtV, head] rewrote the whole corpus into
+      // new files, so the manifest diff would surface every old row as
+      // 'appended' and dilute the ratio toward 1 — exactly when a
+      // diverged population should fire (round-16 review find). No
+      // ratio is the honest answer; a deployment re-stamps by
+      // rebuilding, or sizes its compaction cadence around the policy
+      // window (diffFrames documents the same boundary).
+      if !IndexStore.lastReplaceVersion(dir).exists(_ > builtV)
+      // vacuum past the retention window prunes the build manifest —
+      // the incremental read is then unavailable, not approximable
+      built <- scala.util.Try(IndexStore.snapshotAt(dir, builtV)).toOption
+      (_, appended) = IndexStore.diffFrames(spark, dir, built, head)
     } yield {
       val coarse = spark.read.parquet(s"$dir/coarse")
       meanCoarseQe(appended.select(col("vec_id"), col("q")), coarse) / base
     }
   }
 
-  /** The RETRAIN-TRIGGER policy (VERDICT r15 Next #6): retrain the
+  /** The RETRAIN-TRIGGER policy (VERDICT r15 Next #6) — `None` drift
+    * (nothing appended, stamps missing, build manifest vacuumed, or a
+    * compaction crossed the window) reads as no-fire here; a
+    * deployment treats a long-running `None` as "fall back to
+    * scheduled retrains", since the incremental signal is unavailable,
+    * not green. Otherwise: retrain the
     * coarse router + PQ codebook when the appended population's mean
     * quantization error exceeds `threshold` × the training-time error.
     * The default 1.5 sits well below the drift the study measured at
@@ -1175,6 +1190,12 @@ object VectorOps {
 
   def buildIvfPqIndex(emb: DataFrame, dir: String, k: Int,
                       checkpointDir: Option[String] = None): Unit = {
+    // clear the previous build's policy stamps FIRST: a crash anywhere
+    // below leaves the store unstamped (policy reads None — honest),
+    // never carrying the old build's qe_base/built_version over data
+    // they do not describe (round-16 review find)
+    if (IndexStore.headVersion(dir).isDefined)
+      IndexStore.setProps(dir, Map("qe_base" -> "", "built_version" -> ""))
     val (quant, coarse, cb, codes) = ivfPqBuild(emb, k, checkpointDir)
     coarse.write.mode("overwrite").parquet(s"$dir/coarse")
     cb.write.mode("overwrite").parquet(s"$dir/codebook")
@@ -1205,10 +1226,14 @@ object VectorOps {
     // stamp the training-time quantization error and the build snapshot
     // version: the [[needsRetrain]] policy compares appended vectors'
     // error against qe_base, reading the appended rows manifest-natively
-    // from built_version -> HEAD
+    // from built_version -> HEAD. The stamp lands AFTER the publish (a
+    // crash in between leaves the store unstamped -> policy None, the
+    // honest degraded state) and clears any prior build's
+    // last_replace_version so the new policy window starts clean.
     IndexStore.setProps(dir, Map(
       "qe_base" -> meanCoarseQe(quant, coarse).toString,
-      "built_version" -> IndexStore.headVersion(dir).getOrElse(0).toString))
+      "built_version" -> IndexStore.headVersion(dir).getOrElse(0).toString,
+      "last_replace_version" -> ""))
     ()
   }
 

@@ -68,12 +68,7 @@ class AviSpec extends SparkSpec {
   test("guard matrix: malformed modes degrade to None, oversize is a " +
        "named skip, compressed streams need a codec") {
     val good = AviParser.encode(4, 4, Seq(px(4, 4)((x, y) => x + y)))
-    def patched(off: Int, v: Long): Array[Byte] = {
-      val b = good.clone()
-      var i = 0
-      while (i < 4) { b(off + i) = ((v >> (8 * i)) & 0xff).toByte; i += 1 }
-      b
-    }
+    def patched(off: Int, v: Long): Array[Byte] = patched0(good, off, v)
     // strf body starts at 172 (RIFF 12 + LIST/hdrl 12 + avih 64 +
     // LIST/strl 12 + strh 64 + strf header 8): biWidth at +4,
     // biHeight at +8, biBitCount at +14 (u16), biCompression at +16
@@ -94,8 +89,8 @@ class AviSpec extends SparkSpec {
       "compressed (MJPG) streams need a codec — out of the pure-JVM tier")
     // oversize: a declared 5000x5000 frame (25M px > 2^24) is SKIPPED
     // before any pixel allocation — the GIF logical-screen guard's twin
-    val big = patched(176, 5000L)
-    assert(AviParser.decodeFrames(patched0(big, 180, 5000L), _ => Set(0)).isEmpty,
+    assert(AviParser.decodeFrames(
+        patched0(patched(176, 5000L), 180, 5000L), _ => Set(0)).isEmpty,
       "oversized frames are skipped, never allocated")
     // and the Spark path emits no rows for any of them
     import graft.multimodal.MediaOps.{MediaMeta, MediaRecord}

@@ -67,4 +67,41 @@ class RetrainSpec extends SparkSpec {
       "a rebuild re-stamps built_version at HEAD: nothing appended since")
     assert(!VectorOps.needsRetrain(spark, dir2))
   }
+
+  test("drift policy degrades HONESTLY under the store's own lifecycle: " +
+       "compaction yields None (never a diluted ~1), vacuum yields None " +
+       "(never a crash)") {
+    val emb = GenFixtures.clusteredEmbeddings(spark, 700).localCheckpoint()
+    // compaction rewrites every file: a manifest diff across it would
+    // read the WHOLE corpus as appended and dilute a real divergence
+    // toward 1.0 — the policy must say "signal unavailable", not "fine"
+    val dir = java.nio.file.Files.createTempDirectory("idx-drift-c").toString
+    VectorOps.buildIvfPqIndex(emb.filter($"vec_id" < 500), dir, k = 8)
+    VectorOps.appendToIvfPqIndex(spark,
+      emb.filter($"vec_id" >= 500), dir, Some("a1"))
+    assert(VectorOps.appendedDriftRatio(spark, dir).isDefined)
+    VectorOps.compactIvfPqIndex(spark, dir)
+    assert(VectorOps.appendedDriftRatio(spark, dir).isEmpty,
+      "a compaction inside the policy window must surface as no-signal")
+    assert(!VectorOps.needsRetrain(spark, dir))
+
+    // vacuum past the build manifest: the incremental read is gone —
+    // None, not an exception from snapshotAt
+    val dir2 = java.nio.file.Files.createTempDirectory("idx-drift-v").toString
+    VectorOps.buildIvfPqIndex(emb.filter($"vec_id" < 500), dir2, k = 8)
+    VectorOps.appendToIvfPqIndex(spark,
+      emb.filter($"vec_id" >= 500), dir2, Some("a1"))
+    VectorOps.vacuumIvfPqIndex(dir2) // keepLast=1 prunes the build manifest
+    assert(VectorOps.appendedDriftRatio(spark, dir2).isEmpty,
+      "a vacuumed build manifest must read as no-signal, not crash")
+    assert(!VectorOps.needsRetrain(spark, dir2))
+
+    // and a rebuild restores the signal from a clean window
+    VectorOps.buildIvfPqIndex(emb, dir, k = 8)
+    VectorOps.appendToIvfPqIndex(spark,
+      emb.filter($"vec_id" >= 500).withColumn("vec_id", $"vec_id" + 10000),
+      dir, Some("a2"))
+    assert(VectorOps.appendedDriftRatio(spark, dir).isDefined,
+      "a rebuild clears last_replace_version and restores the signal")
+  }
 }

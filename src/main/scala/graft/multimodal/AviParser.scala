@@ -68,11 +68,14 @@ object AviParser {
     // document order)
     val chunks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
     // iterative chunk walk over (start, end) regions — RIFF nesting is
-    // shallow (hdrl/strl/movi), no recursion needed beyond a worklist
-    var regions = List((12, b.length)) // inside 'RIFF .. AVI '
+    // shallow (hdrl/strl/movi), no recursion needed beyond a worklist.
+    // FIFO, so nested lists are visited in DECLARATION order: stream
+    // numbering depends on it — a LIFO stack walked 2-stream files'
+    // strl lists backwards and assigned the video stream the wrong
+    // index (round-16 second review pass)
+    val regions = scala.collection.mutable.Queue((12, b.length))
     while (regions.nonEmpty) {
-      var (p, end) = regions.head
-      regions = regions.tail
+      var (p, end) = regions.dequeue()
       var strhType = "" // the stream type the NEXT strf in this region describes
       while (p + 8 <= end) {
         val id = fourcc(b, p)
@@ -83,10 +86,12 @@ object AviParser {
           case "LIST" =>
             if (sz < 4) return None
             val listType = fourcc(b, body)
-            // descend into header and movie lists; skip e.g. 'INFO'
+            // descend into header, movie, and interleave lists (the
+            // 'rec ' grouping standard muxers wrap frame chunks in);
+            // skip e.g. 'INFO'
             if (listType == "hdrl" || listType == "strl" ||
-                listType == "movi")
-              regions = (body + 4, body + sz.toInt) :: regions
+                listType == "movi" || listType == "rec ")
+              regions.enqueue((body + 4, body + sz.toInt))
           case "strh" =>
             if (sz >= 4) {
               strhType = fourcc(b, body)

@@ -533,7 +533,13 @@ object DedupLedger {
     * silently find zero history and admit every duplicate forever.
     * `legacyAllowed` preserves each arm's pre-stamp default for stores
     * that predate the props file (text: fail-loud, the pre-r15
-    * polarity; marks/seqs: tolerate, their documented semantic). */
+    * polarity; marks/seqs: tolerate, their documented semantic).
+    * MIGRATION: a pre-stamp mixed store that was seeded media-first
+    * (no codes yet) trips the text arm's fail-loud on upgrade -- by
+    * design, since it is indistinguishable from a wrong store path;
+    * the operator stamps it ONCE with `IndexStore.setProps(dir,
+    * Map("modalities" -> "text,media,video"))` (the error message
+    * names the call) and the pipeline resumes. */
   private def requireModality(dir: String, snapFiles: Seq[String],
                               modality: String,
                               legacyAllowed: Boolean): Unit =

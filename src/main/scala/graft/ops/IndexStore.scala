@@ -121,6 +121,13 @@ object IndexStore {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   def withWriterLock[A](dir: String)(f: => A): A = {
     val key = new java.io.File(dir).getCanonicalPath
+    // bound the monitor map (a service creating a store per tick would
+    // grow it forever — the same leak class as DedupLedger's memo
+    // bound). Clearing can momentarily give two threads different
+    // monitors for ONE store; the OS lock below remains the
+    // correctness fence — same-JVM overlap surfaces as
+    // OverlappingFileLockException, absorbed by the retry loop
+    if (dirLocks.size > 65536) dirLocks.clear()
     val monitor = dirLocks.computeIfAbsent(key, _ => new Object)
     monitor.synchronized {
       new java.io.File(dir).mkdirs()
@@ -128,8 +135,17 @@ object IndexStore {
       val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.WRITE)
-      val osLock = ch.lock()
-      try f finally { osLock.release(); ch.close() }
+      var osLock: java.nio.channels.FileLock = null
+      try {
+        while (osLock == null)
+          try osLock = ch.lock()
+          catch { case _: java.nio.channels.OverlappingFileLockException =>
+            Thread.sleep(10) }
+        f
+      } finally {
+        if (osLock != null) osLock.release()
+        ch.close()
+      }
     }
   }
 

@@ -109,9 +109,15 @@ object DedupMaintenance {
           val b = batch.localCheckpoint()
           // ONE pass over the checkpointed batch decides which modality
           // arms run (VERDICT r14 Next #7: per-arm isEmpty probes were
-          // one extra Spark job each per micro-batch)
+          // one extra Spark job each per micro-batch). Filter to the
+          // KNOWN kinds before the distinct: dirty data with free-text
+          // kinds must be ignored (the pre-round-16 behavior), never
+          // fail the bounded collect — inside foreachBatch that throw
+          // would replay the same poisoned batch forever (round-16
+          // second review pass)
           val kinds = graft.ops.ScaleOps.boundedCollect(
-            b.groupBy(col("kind")).count(), 10L, "stream modality kinds")
+            b.filter(col("kind").isin("text", "image", "video"))
+              .select(col("kind")).distinct(), 3L, "stream modality kinds")
             .map(_.getString(0)).toSet
           val txt = b.filter(org.apache.spark.sql.functions.col("kind") === "text")
             .select(col("doc_id"), col("text"))

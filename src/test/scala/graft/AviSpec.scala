@@ -107,6 +107,70 @@ class AviSpec extends SparkSpec {
     b
   }
 
+  test("multi-stream + interleaved AVIs decode: audio-first stream " +
+       "numbering and LIST-rec-wrapped frame chunks (second review pass)") {
+    // hand-assemble a 2-stream AVI: audio strl DECLARED FIRST, video
+    // strl second -> video frames are '01db' chunks, here wrapped in
+    // the standard 'LIST rec ' interleave grouping. A LIFO region walk
+    // numbered the streams backwards and a movi walk that skipped
+    // 'rec ' lists both decoded this to None.
+    val w = 4; val h = 2
+    val frame = px(w, h)((x, y) => (x * 40 << 16) | (y * 90 << 8) | 5)
+    val bo = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { bo.write(v & 0xff); bo.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = { var i = 0; while (i < 4) {
+      bo.write(((v >> (8 * i)) & 0xff).toInt); i += 1 } }
+    def tag(t: String): Unit = bo.write(t.getBytes("US-ASCII"))
+    val rowBytes = (3 * w + 3) & ~3
+    val frameBytes = rowBytes * h
+    def strl(fcc: String, handler: String, strfBody: () => Unit,
+             strfSz: Int): Unit = {
+      val sz = 4 + (8 + 56) + (8 + strfSz)
+      tag("LIST"); w32(sz); tag("strl")
+      tag("strh"); w32(56); tag(fcc); tag(handler)
+      (0 until 12).foreach(_ => w32(0))
+      tag("strf"); w32(strfSz); strfBody()
+    }
+    def audioStrf(): Unit = { // minimal WAVEFORMATEX (16 bytes)
+      w16(1); w16(1); w32(8000); w32(16000); w16(2); w16(16)
+    }
+    def videoStrf(): Unit = {
+      w32(40); w32(w); w32(h); w16(1); w16(24)
+      w32(0); w32(frameBytes); w32(0); w32(0); w32(0); w32(0)
+    }
+    val strlAudioSz = 8 + (4 + 64 + 8 + 16)
+    val strlVideoSz = 8 + (4 + 64 + 8 + 40)
+    val hdrlSz = 4 + (8 + 56) + strlAudioSz + strlVideoSz
+    val recSz = 4 + (8 + frameBytes)
+    val moviSz = 4 + (8 + recSz)
+    val riffSz = 4 + (8 + hdrlSz) + (8 + moviSz)
+    tag("RIFF"); w32(riffSz); tag("AVI ")
+    tag("LIST"); w32(hdrlSz); tag("hdrl")
+    tag("avih"); w32(56)
+    (0 until 14).foreach(_ => w32(0))
+    strl("auds", "    ", audioStrf _, 16)
+    strl("vids", "DIB ", videoStrf _, 40)
+    tag("LIST"); w32(moviSz); tag("movi")
+    tag("LIST"); w32(recSz); tag("rec ")
+    tag("01db"); w32(frameBytes)
+    var y = h - 1
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        val v = frame(y * w + x)
+        bo.write(v & 0xff); bo.write((v >> 8) & 0xff); bo.write((v >> 16) & 0xff)
+        x += 1
+      }
+      y -= 1
+    }
+    val bytes = bo.toByteArray
+    assert(AviParser.probe(bytes).contains((1, w, h)),
+      "audio-first interleaved AVI must probe as one video frame")
+    val Some((n, byIdx)) = AviParser.decodeFrames(bytes, _ => Set(0))
+    assert(n == 1 && byIdx(0).rgb.toSeq == frame.toSeq,
+      "stream-1 frames inside LIST rec must decode to the exact pixels")
+  }
+
   test("AviParser never throws on arbitrary bytes") {
     val rnd = new scala.util.Random(42)
     for (len <- Seq(0, 1, 11, 12, 64, 500)) {

@@ -384,6 +384,19 @@ object MediaDedupStudy {
     println(f"narrow 3x14 @ 1M videos (200k shared intro, ALL probes " +
       f"carry it): build $tBuildN%.1f s; capped(100/item) verdict " +
       f"$tN%.1f s, keep=$kN")
+
+    // ---- (c) the same pathological store under the DEFAULT budget —
+    // the cell round 15 deliberately did NOT run (the uncapped default
+    // was the measured-hang class: 6x10^9 comparisons landing on three
+    // shuffle partitions). Round 16's measured-occupancy ladder must
+    // price the correlated intro mass (every probe carries it, so
+    // maxOcc ≈ the whole batch) and shed it with no explicit argument.
+    val (kD, tD) = timed(
+      DedupLedger.dedupVideoAgainstLedger(spark, batchN, dirN,
+          IndexStore.snapshot(dirN), DedupLedger.NarrowMarks)
+        .agg(sum(col("keep"))).head.getLong(0))
+    println(f"narrow 3x14 @ 1M videos, DEFAULT budget (the r15 " +
+      f"hang-class cell): verdict $tD%.1f s, keep=$kD (expect 5000)")
   }
 
   /** q157's topology at corpus scale: N four-frame videos (synthetic

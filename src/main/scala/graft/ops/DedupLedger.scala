@@ -414,10 +414,17 @@ object DedupLedger {
     * re-admit exactly the 162 s hang class the default flip closes).
     * Decision ladder, cheapest evidence first:
     *
-    *   1. `bandedRows ≤ perItem`: volume ≤ bandedRows × batchItems ≤
-    *      budget — skip with ZERO jobs beyond the footer-read count
-    *      the sentinel already memoized (every fixture-scale
-    *      marks/seqs arm lands here).
+    *   1. `bandedRows ≤ SKIP_SLACK × perItem`: volume ≤ bandedRows ×
+    *      batchItems ≤ SKIP_SLACK × budget — skip with ZERO jobs
+    *      beyond the footer-read count the sentinel already memoized
+    *      (every fixture-scale marks/seqs arm lands here). The slack
+    *      factor (4) trades a bounded overshoot of the HEURISTIC
+    *      budget for zero measurement cost on small stores: worst
+    *      case 4 000 candidate rows per batch item — the same order
+    *      the BAND_CAP floor itself tolerates (bands × 200 per item),
+    *      and 5–6 orders below the measured hang classes, which start
+    *      at corpus-scale stores (12M+ banded rows) where this step
+    *      never fires.
     *   2. the LEDGER's bucket-size histogram (memoized per store
     *      UUID + snapshot version — one job per published version,
     *      amortized across every verdict and bench run against it):
@@ -443,13 +450,14 @@ object DedupLedger {
     * Returns (ledger side, batch bands to join) — the second element
     * is the checkpointed bands when step 3 ran, the caller's original
     * frame otherwise. */
+  private val SKIP_SLACK = 4L
   private def shedUnlessAffordable(lb: DataFrame, keys: Seq[String],
                                    perItem: Int, bandedRows: Long,
                                    batchBands: DataFrame,
                                    batchItemsOf: Long => Long,
                                    dir: String, version: Int,
                                    what: String): (DataFrame, DataFrame) = {
-    if (bandedRows <= perItem.toLong) return (lb, batchBands)
+    if (bandedRows <= SKIP_SLACK * perItem) return (lb, batchBands)
     val hist = memoizedHist(dir, version, what) {
       ScaleOps.boundedCollect(
         lb.groupBy(keys.map(col): _*).agg(count(lit(1)).as("sz"))

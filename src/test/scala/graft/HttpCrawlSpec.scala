@@ -121,10 +121,19 @@ class HttpCrawlSpec extends SparkSpec with BeforeAndAfterAll {
       }.sorted
       assert(arrivals.size == 8)
       val gapsMs = arrivals.sliding(2).map(p => (p(1) - p(0)) / 1e6).toSeq
-      // 70 ms floor = 100 ms reservation spacing minus localhost
-      // scheduling jitter; a parallelism-multiplied crawl would show
-      // near-zero gaps
-      assert(gapsMs.forall(_ >= 70.0), s"inter-arrival gaps $gapsMs ms")
+      // A parallelism-multiplied crawl shows NEAR-ZERO gaps and a
+      // collapsed total span; honest throttling shows ~100 ms average
+      // spacing even when the OS scheduler delays one dispatch and the
+      // next then lands relatively early (a 154/45 catch-up pair was a
+      // measured flake on a loaded box — the PAIRWISE span still holds
+      // the rate). Assert the rate, not each raw gap: every adjacent
+      // PAIR of gaps spans >= 140 ms, every single gap >= 30 ms, and
+      // the mean holds near the reservation spacing.
+      assert(gapsMs.forall(_ >= 30.0), s"inter-arrival gaps $gapsMs ms")
+      assert(gapsMs.sliding(2).forall(_.sum >= 140.0),
+        s"adjacent gap pairs must hold the rate: $gapsMs ms")
+      assert(gapsMs.sum / gapsMs.size >= 80.0,
+        s"mean spacing collapsed: $gapsMs ms")
     } finally srv.stop(0)
 
     // distinct hosts never wait on each other

@@ -145,16 +145,17 @@ class LedgerTopologySpec extends SparkSpec {
 
   test("DEFAULT budget sheds a planted hot bucket (round-16 polarity " +
        "flip): uncapped is now the explicit opt-out") {
-    // 1100 marks sharing band-0 AND band-2 keys (fp = i << 14): two
-    // hot buckets of 1100. A one-item batch gets the default budget
-    // 1000 x 1 — the linear cost model prices each hot bucket at
-    // 1100 x 1 hits > 1000, so BOTH shed under the DEFAULT call (no
-    // pairBudgetPerItem argument at all); the explicit None opt-out
-    // keeps them and finds the near hit. This is VERDICT r15 #1's
-    // "safe by default": the pathological fan-out class cannot be hit
-    // without writing `None` at the call site.
+    // 2500 marks sharing band-0 AND band-2 keys (fp = i << 14): two
+    // hot buckets of 2500 (7500 banded rows — past the zero-job skip
+    // slack). A one-item batch gets the default budget 1000 x 1 — the
+    // linear cost model prices each hot bucket at 2500 x 1 hits >
+    // 1000, so BOTH shed under the DEFAULT call (no pairBudgetPerItem
+    // argument at all); the explicit None opt-out keeps them and
+    // finds the near hit. This is VERDICT r15 #1's "safe by default":
+    // the pathological fan-out class cannot be hit without writing
+    // `None` at the call site.
     val dir = java.nio.file.Files.createTempDirectory("ledger-topo-def").toString
-    val hot = (0 until 1100).map(i => (i.toLong, Seq(i.toLong << 14)))
+    val hot = (0 until 2500).map(i => (i.toLong, Seq(i.toLong << 14)))
     DedupLedger.buildMixedLedger(docs(0L -> words(30, "h")),
       hot.toDF("media_id", "fp"), dir)
     val snap = IndexStore.snapshot(dir)

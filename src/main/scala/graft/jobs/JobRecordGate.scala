@@ -263,6 +263,55 @@ object JobRecordGate {
     graft.multimodal.AviParser.encode(W, H, frames)
   }
 
+  /** The v-LEVEL grid behind the MJPEG temporal fixture: five gray
+    * levels (40 + 36·v, r=g=b) with a closed-form walk that makes
+    * horizontally-adjacent levels ALWAYS distinct —
+    * v(x) = (v0 + x + Σ_{i≤x} (h_i % 4)) % 5, steps 1..4 mod 5 — so
+    * every dHash comparison carries a ≥ 108-unit summed-gray margin,
+    * far past the JDK JPEG codec's error, and the fingerprint is
+    * EXACTLY derivable from this formula with no codec in the loop
+    * (AviSpec pins decode-vs-formula equality; the q173 oracle replays
+    * the same closed form in SQL). The bump (frame `bumpFrame`, row 2,
+    * column 3) re-levels one cell to the smallest value distinct from
+    * itself and both horizontal neighbors — no ties introduced, at
+    * most 2 comparisons flip, both sides of the gate compute the same
+    * flips. */
+  private[graft] def mjpegLevels(key: Long, f: Int, bumpFrame: Int,
+                                 w: Int, h: Int): Array[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hb(x: Int, y: Int): Int =
+      md.digest(s"$key|$f|$x|$y".getBytes("UTF-8"))(0) & 0xff
+    val v = Array.tabulate(h) { y =>
+      val row = new Array[Int](w)
+      var acc = hb(0, y) % 5
+      row(0) = acc
+      var x = 1
+      while (x < w) { acc = (acc + 1 + hb(x, y) % 4) % 5; row(x) = acc; x += 1 }
+      row
+    }
+    if (f == bumpFrame) {
+      val r = v(2)
+      val excl = Set(r(2), r(3), r(4))
+      r(3) = (0 to 4).find(c => !excl.contains(c)).get
+    }
+    v.flatten
+  }
+
+  /** The temporal fixture as MJPEG-in-AVI (round 16): real JPEG frames
+    * inside a RIFF container, decoded by the JDK — the lossy-codec
+    * tier of the video family. Pixels realize [[mjpegLevels]]. */
+  private[graft] def encodeTemporalMjpegKeyed(key: Long, bumpFrame: Int,
+                                              W: Int, H: Int,
+                                              F: Int): Array[Byte] = {
+    val frames = (0 until F).map { f =>
+      mjpegLevels(key, f, bumpFrame, W, H).map { v =>
+        val g = 40 + 36 * v
+        (g << 16) | (g << 8) | g
+      }
+    }
+    graft.multimodal.AviParser.encodeMjpeg(W, H, frames, quality = 1.0f)
+  }
+
   /** The keyed form: `key` selects the base pixel sequence, `bumpFrame`
     * (−1 = none) the single edited frame — lets ledger-family fixtures
     * (q169's key/bump map) share the one GIF construction. */
@@ -960,6 +1009,43 @@ object JobRecordGate {
       import s.implicits._
       val W = 16; val H = 8; val F = 4
       val encode = udf((id: Long) => encodeTemporalGif(id, W, H, F))
+      val media = Tables.rebalance(
+          Tables.documents(s, d).filter(col("doc_id") < 200)
+            .select(col("doc_id").as("media_id")))
+        .withColumn("payload", encode(col("media_id")))
+        .select(col("media_id"),
+          struct(lit("video").as("kind"), lit(W).as("declaredWidth"),
+                 lit(H).as("declaredHeight"), lit(0).as("sampleRate")).as("meta"),
+          col("payload"))
+        .as[graft.multimodal.MediaOps.MediaRecord]
+      val frames = graft.multimodal.MediaOps.frameDHashWide(media, F, W, H)
+      graft.ops.DedupOps.temporalNearDupPairsWide(frames,
+          "media_id", "frame_idx", "fhash", fpBits = H * (W - 1),
+          bands = 3, bandBits = 40, maxHamming = 2, minAgree = 3)
+        .orderBy(col("m1"), col("m2"))
+    }),
+
+    // ---- q173: the LOSSY-CODEC video tier through the temporal vote
+    // (round 16) — q167's composition with REAL JPEG frames inside a
+    // RIFF container: MJPEG-in-AVI payloads decode through the JDK's
+    // JPEG codec on executors (AviParser MJPG chunks ->
+    // ImageIoDecoder.decodePixels), per-position wide dHash, 3x40-band
+    // pigeonhole vote. The fixture's five-level gray construction
+    // (mjpegLevels) keeps every dHash comparison >= 108 summed-gray
+    // units wide — far past the codec's round-trip error — so the
+    // ORACLE recomputes the fingerprints from the closed-form level
+    // formula with NO codec in the loop: the whole lossy encode ->
+    // container mux -> JDK decode -> resample -> pack chain is judged
+    // by whether it lands the formula's exact bit matrix (AviSpec pins
+    // per-fingerprint equality; this gate pins the operator output).
+    // ids >= 100 re-encode key id-100 with a one-cell re-level at
+    // frame id % 4 (<= 2 comparisons flip -> that frame still agrees;
+    // the vote reads 4-of-4).
+    "q173_mjpeg_video_temporal" -> ((s, d) => {
+      import s.implicits._
+      val W = 16; val H = 8; val F = 4
+      val encode = udf((id: Long) => encodeTemporalMjpegKeyed(id % 100,
+        if (id >= 100) (id % F).toInt else -1, W, H, F))
       val media = Tables.rebalance(
           Tables.documents(s, d).filter(col("doc_id") < 200)
             .select(col("doc_id").as("media_id")))
@@ -2008,6 +2094,58 @@ object JobRecordGate {
         |  FROM m, (SELECT unnest(range(0, 4)) AS f),
         |          (SELECT unnest(range(0, 15)) AS x),
         |          (SELECT unnest(range(0, 8)) AS y)),
+        |fr AS (
+        |  SELECT a.media_id AS m1, b.media_id AS m2, a.f,
+        |    count(*) FILTER (WHERE a.bit <> b.bit) AS ham
+        |  FROM cmp a JOIN cmp b
+        |    ON a.f = b.f AND a.x = b.x AND a.y = b.y
+        |   AND a.media_id < b.media_id
+        |  GROUP BY a.media_id, b.media_id, a.f)
+        |SELECT m1, m2,
+        |  count(*) FILTER (WHERE ham <= 2)::BIGINT AS n_agree,
+        |  coalesce(sum(ham) FILTER (WHERE ham <= 2), 0)::BIGINT AS ham_sum
+        |FROM fr GROUP BY m1, m2
+        |HAVING count(*) FILTER (WHERE ham <= 2) >= 3
+        |ORDER BY m1, m2""".stripMargin
+    },
+
+    // q173: the v-LEVEL closed form replayed in SQL — v(x) = (h0 % 5 +
+    // x + sum_{i<=x}(h_i % 4)) % 5 per (key, frame, row), the bump a
+    // one-cell re-level to the least value distinct from itself and
+    // both horizontal neighbors, comparison bits = v(x+1) > v(x), then
+    // exactly q167's exhaustive per-position hamming + vote. No codec,
+    // no words, no banding: the MJPEG encode/decode chain is correct
+    // iff the operator's output equals this formula's.
+    "q173_mjpeg_video_temporal" -> {
+      s"""WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 200),
+        |hb AS MATERIALIZED (
+        |  SELECT media_id, f, y, x,
+        |    ('0x' || substr(md5((media_id % 100)::VARCHAR || '|' || f::VARCHAR
+        |       || '|' || x::VARCHAR || '|' || y::VARCHAR), 1, 2))::BIGINT AS h
+        |  FROM m, (SELECT unnest(range(0, 4)) AS f),
+        |          (SELECT unnest(range(0, 16)) AS x),
+        |          (SELECT unnest(range(0, 8)) AS y)),
+        |vwalk AS MATERIALIZED (
+        |  SELECT media_id, f, y, x,
+        |    (first_value(h % 5) OVER (PARTITION BY media_id, f, y ORDER BY x)
+        |     + x
+        |     + sum(CASE WHEN x > 0 THEN h % 4 ELSE 0 END)
+        |         OVER (PARTITION BY media_id, f, y ORDER BY x)) % 5 AS v0
+        |  FROM hb),
+        |vb AS MATERIALIZED (
+        |  SELECT media_id, f, y, x,
+        |    CASE WHEN media_id >= 100 AND f = media_id % 4
+        |          AND y = 2 AND x = 3
+        |      THEN list_min([c FOR c IN [0, 1, 2, 3, 4]
+        |             IF c <> lag(v0) OVER wx AND c <> v0
+        |                AND c <> lead(v0) OVER wx])
+        |      ELSE v0 END AS v
+        |  FROM vwalk
+        |  WINDOW wx AS (PARTITION BY media_id, f, y ORDER BY x)),
+        |cmp AS MATERIALIZED (
+        |  SELECT media_id, f, y, x,
+        |    lead(v) OVER (PARTITION BY media_id, f, y ORDER BY x) > v AS bit
+        |  FROM vb QUALIFY x < 15),
         |fr AS (
         |  SELECT a.media_id AS m1, b.media_id AS m2, a.f,
         |    count(*) FILTER (WHERE a.bit <> b.bit) AS ham

@@ -46,8 +46,12 @@ object AviParser {
     b != null && b.length >= 12 &&
       fourcc(b, 0) == "RIFF" && fourcc(b, 8) == "AVI "
 
-  private case class Layout(width: Int, height: Int,
+  private case class Layout(width: Int, height: Int, mjpeg: Boolean,
                             frames: Seq[(Int, Int)]) // (offset, size)
+
+  /** biCompression fourcc 'MJPG' as the little-endian u32 it reads as. */
+  private val MJPG = ('M'.toLong) | ('J'.toLong << 8) |
+    ('P'.toLong << 16) | ('G'.toLong << 24)
 
   /** Walk the RIFF tree once: BITMAPINFOHEADER geometry out of the
     * VIDEO stream's `strf` (streams are numbered in `hdrl` declaration
@@ -126,20 +130,24 @@ object AviParser {
         "guard — payload skipped (oversized, not malformed)")
       return None
     }
-    if (bitCount != 24 || compression != 0L) {
-      // a named skip, like the oversize guard: a legitimate compressed
-      // AVI (e.g. MJPG) is COVERAGE LOSS for the codec-free tier, not a
-      // malformed payload — make it observable
+    val mjpeg = compression == MJPG
+    if (!mjpeg && (bitCount != 24 || compression != 0L)) {
+      // a named skip, like the oversize guard: a compressed AVI whose
+      // codec the JVM lacks is COVERAGE LOSS for this tier, not a
+      // malformed payload — make it observable. MJPEG is IN the tier:
+      // each frame chunk is a complete JPEG the JDK's imageio decodes.
       log.warn(s"AVI video stream needs a codec (biCompression=$compression" +
-        s", biBitCount=$bitCount) — payload skipped by the raw-DIB tier")
+        s", biBitCount=$bitCount) — payload skipped by the raw-DIB/MJPEG tier")
       return None
     }
-    val rowBytes = (3 * width + 3) & ~3
-    val frameBytes = rowBytes * height
-    // every frame chunk must carry exactly one full DIB — a short or
-    // long chunk is a malformed payload, not a partial decode
-    if (frames.exists(_._2 != frameBytes)) return None
-    Some(Layout(width, height, frames.toSeq))
+    if (!mjpeg) {
+      val rowBytes = (3 * width + 3) & ~3
+      val frameBytes = rowBytes * height
+      // every frame chunk must carry exactly one full DIB — a short or
+      // long chunk is a malformed payload, not a partial decode
+      if (frames.exists(_._2 != frameBytes)) return None
+    }
+    Some(Layout(width, height, mjpeg, frames.toSeq))
   }
 
   /** The [[GifDecoder.decodeComposedFrames]] contract for raw-DIB AVI:
@@ -149,36 +157,98 @@ object AviParser {
     * container through one code path. */
   def decodeFrames(bytes: Array[Byte], choose: Int => Set[Int])
       : Option[(Int, Map[Int, BmpDecoder.BmpPixels])] =
-    layout(bytes).map { l =>
+    layout(bytes).flatMap { l =>
       val n = l.frames.size
       val want = choose(n).filter(i => i >= 0 && i < n)
       val rowBytes = (3 * l.width + 3) & ~3
-      val out = want.toSeq.map { i =>
-        val (off, _) = l.frames(i)
-        val rgb = new Array[Int](l.width * l.height)
-        var y = 0
-        while (y < l.height) {
-          // bottom-up rows: source row (height-1-y) is output row y
-          val src = off + (l.height - 1 - y) * rowBytes
-          var x = 0
-          while (x < l.width) {
-            val o = src + 3 * x
-            rgb(y * l.width + x) = (bytes(o) & 0xff) |            // B
-              ((bytes(o + 1) & 0xff) << 8) |                      // G
-              ((bytes(o + 2) & 0xff) << 16)                       // R
-            x += 1
+      val out = scala.collection.mutable.Map.empty[Int, BmpDecoder.BmpPixels]
+      for (i <- want) {
+        val (off, sz) = l.frames(i)
+        if (l.mjpeg) {
+          // each MJPEG chunk is a complete JPEG — the JDK decodes it;
+          // a frame whose decoded geometry disagrees with the header
+          // is a malformed payload (fail the whole container, like the
+          // raw tier's frame-size check)
+          val slice = java.util.Arrays.copyOfRange(bytes, off, off + sz)
+          ImageIoDecoder.decodePixels(slice) match {
+            case Some(p) if p.width == l.width && p.height == l.height =>
+              out(i) = p
+            case _ => return None
           }
-          y += 1
+        } else {
+          val rgb = new Array[Int](l.width * l.height)
+          var y = 0
+          while (y < l.height) {
+            // bottom-up rows: source row (height-1-y) is output row y
+            val src = off + (l.height - 1 - y) * rowBytes
+            var x = 0
+            while (x < l.width) {
+              val o = src + 3 * x
+              rgb(y * l.width + x) = (bytes(o) & 0xff) |            // B
+                ((bytes(o + 1) & 0xff) << 8) |                      // G
+                ((bytes(o + 2) & 0xff) << 16)                       // R
+              x += 1
+            }
+            y += 1
+          }
+          out(i) = BmpDecoder.BmpPixels(l.width, l.height, rgb)
         }
-        i -> BmpDecoder.BmpPixels(l.width, l.height, rgb)
       }
-      (n, out.toMap)
+      Some((n, out.toMap))
     }
 
   /** Container metadata without decoding pixels — the [[Mp4Parser]]
     * analog for RIFF: (frames, width, height). */
   def probe(bytes: Array[Byte]): Option[(Int, Int, Int)] =
     layout(bytes).map(l => (l.frames.size, l.width, l.height))
+
+  /** ENCODE an MJPEG AVI: per-frame top-down 0xRRGGBB pixels written
+    * through the JDK JPEG encoder into '00dc' chunks (fccHandler /
+    * biCompression 'MJPG'). Lossy by nature — fixtures that need
+    * formula-exact fingerprints must build their pixels with
+    * comparison margins wider than the codec's error (see
+    * encodeTemporalMjpegKeyed's tie-free gray construction). */
+  def encodeMjpeg(width: Int, height: Int,
+                  framePixels: Seq[Array[Int]], fps: Int = 10,
+                  quality: Float = 0.95f): Array[Byte] = {
+    require(width > 0 && height > 0 && framePixels.nonEmpty)
+    val jpegs = framePixels.map { px =>
+      require(px.length == width * height)
+      // grayscale content (r=g=b everywhere) writes as a LUMA-only
+      // JPEG: no chroma subsampling in the loop, so the codec error is
+      // pure DCT rounding — at quality 1.0 the quantization tables are
+      // all ones and the round-trip error stays within a few gray
+      // units, far inside the fixture formulas' comparison margins
+      val gray = px.forall(v =>
+        ((v >> 16) & 0xff) == (v & 0xff) && ((v >> 8) & 0xff) == (v & 0xff))
+      val img =
+        if (gray) {
+          val im = new java.awt.image.BufferedImage(width, height,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val r = im.getRaster
+          var i = 0
+          while (i < px.length) {
+            r.setSample(i % width, i / width, 0, px(i) & 0xff); i += 1 }
+          im
+        } else {
+          val im = new java.awt.image.BufferedImage(width, height,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          im.setRGB(0, 0, width, height, px, 0, width)
+          im
+        }
+      val writer = javax.imageio.ImageIO.getImageWritersBySuffix("jpg").next()
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(quality)
+      val bo = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bo)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      writer.dispose(); ios.close()
+      bo.toByteArray
+    }
+    encodeChunks(width, height, jpegs, fps, mjpeg = true)
+  }
 
   /** ENCODE a raw-DIB AVI from per-frame top-down 0xRRGGBB pixels —
     * the fixture writer (deterministic bytes: fixed header fields, no
@@ -188,49 +258,66 @@ object AviParser {
              framePixels: Seq[Array[Int]], fps: Int = 10): Array[Byte] = {
     require(width > 0 && height > 0 && framePixels.nonEmpty)
     require(framePixels.forall(_.length == width * height))
-    val bo = new java.io.ByteArrayOutputStream()
-    def w16(v: Int): Unit = { bo.write(v & 0xff); bo.write((v >> 8) & 0xff) }
-    def w32(v: Long): Unit = { var i = 0; while (i < 4) {
-      bo.write(((v >> (8 * i)) & 0xff).toInt); i += 1 } }
-    def tag(s: String): Unit = bo.write(s.getBytes("US-ASCII"))
-    val rowBytes = (3 * width + 3) & ~3
-    val frameBytes = rowBytes * height
-    val n = framePixels.size
-    val strlSz = 4 + (8 + 56) + (8 + 40)
-    val hdrlSz = 4 + (8 + 56) + (8 + strlSz)
-    val moviSz = 4 + n * (8 + frameBytes)
-    val riffSz = 4 + (8 + hdrlSz) + (8 + moviSz)
-    tag("RIFF"); w32(riffSz); tag("AVI ")
-    tag("LIST"); w32(hdrlSz); tag("hdrl")
-    tag("avih"); w32(56)
-    w32(1000000L / fps); w32(frameBytes.toLong * fps); w32(0); w32(0)
-    w32(n); w32(0); w32(1); w32(frameBytes)
-    w32(width); w32(height); w32(0); w32(0); w32(0); w32(0)
-    tag("LIST"); w32(strlSz); tag("strl")
-    tag("strh"); w32(56)
-    tag("vids"); tag("DIB "); w32(0); w16(0); w16(0); w32(0)
-    w32(1); w32(fps) // scale, rate
-    w32(0); w32(n); w32(frameBytes); w32(0xffffffffL); w32(0)
-    w16(0); w16(0); w16(width); w16(height)
-    tag("strf"); w32(40)
-    w32(40); w32(width); w32(height); w16(1); w16(24)
-    w32(0); w32(frameBytes); w32(0); w32(0); w32(0); w32(0)
-    tag("LIST"); w32(moviSz); tag("movi")
-    for (px <- framePixels) {
-      tag("00db"); w32(frameBytes)
+    val rowBytes0 = (3 * width + 3) & ~3
+    val dibs = framePixels.map { px =>
+      val fb = new Array[Byte](rowBytes0 * height)
+      var o = 0
       var y = height - 1 // bottom-up
       while (y >= 0) {
         var x = 0
         while (x < width) {
           val v = px(y * width + x)
-          bo.write(v & 0xff); bo.write((v >> 8) & 0xff)
-          bo.write((v >> 16) & 0xff)
-          x += 1
+          fb(o) = (v & 0xff).toByte; fb(o + 1) = ((v >> 8) & 0xff).toByte
+          fb(o + 2) = ((v >> 16) & 0xff).toByte
+          o += 3; x += 1
         }
-        var pad = rowBytes - 3 * width
-        while (pad > 0) { bo.write(0); pad -= 1 }
+        o += rowBytes0 - 3 * width
         y -= 1
       }
+      fb
+    }
+    encodeChunks(width, height, dibs, fps, mjpeg = false)
+  }
+
+  /** The shared RIFF writer: one video stream, frame payloads supplied
+    * pre-encoded (raw bottom-up DIBs or complete JPEGs). */
+  private def encodeChunks(width: Int, height: Int,
+                           frameBytesSeq: Seq[Array[Byte]], fps: Int,
+                           mjpeg: Boolean): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { bo.write(v & 0xff); bo.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = { var i = 0; while (i < 4) {
+      bo.write(((v >> (8 * i)) & 0xff).toInt); i += 1 } }
+    def tag(s: String): Unit = bo.write(s.getBytes("US-ASCII"))
+    val n = frameBytesSeq.size
+    val maxFrame = frameBytesSeq.map(_.length).max
+    val handler = if (mjpeg) "MJPG" else "DIB "
+    val chunkId = if (mjpeg) "00dc" else "00db"
+    val strlSz = 4 + (8 + 56) + (8 + 40)
+    val hdrlSz = 4 + (8 + 56) + (8 + strlSz)
+    val moviSz = 4 + frameBytesSeq.map(f => 8 + f.length + (f.length & 1)).sum
+    val riffSz = 4 + (8 + hdrlSz) + (8 + moviSz)
+    tag("RIFF"); w32(riffSz); tag("AVI ")
+    tag("LIST"); w32(hdrlSz); tag("hdrl")
+    tag("avih"); w32(56)
+    w32(1000000L / fps); w32(maxFrame.toLong * fps); w32(0); w32(0)
+    w32(n); w32(0); w32(1); w32(maxFrame)
+    w32(width); w32(height); w32(0); w32(0); w32(0); w32(0)
+    tag("LIST"); w32(strlSz); tag("strl")
+    tag("strh"); w32(56)
+    tag("vids"); tag(handler); w32(0); w16(0); w16(0); w32(0)
+    w32(1); w32(fps) // scale, rate
+    w32(0); w32(n); w32(maxFrame); w32(0xffffffffL); w32(0)
+    w16(0); w16(0); w16(width); w16(height)
+    tag("strf"); w32(40)
+    w32(40); w32(width); w32(height); w16(1); w16(24)
+    if (mjpeg) tag("MJPG") else w32(0)
+    w32(maxFrame); w32(0); w32(0); w32(0); w32(0)
+    tag("LIST"); w32(moviSz); tag("movi")
+    for (f <- frameBytesSeq) {
+      tag(chunkId); w32(f.length)
+      bo.write(f)
+      if ((f.length & 1) == 1) bo.write(0) // word alignment
     }
     bo.toByteArray
   }

@@ -51,4 +51,22 @@ object ImageIoDecoder {
         sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
     } catch { case NonFatal(_) => None }
   }
+
+  /** Full-pixel decode (0xRRGGBB row-major) for consumers that
+    * fingerprint rather than summarize — the MJPEG frame path. Same
+    * magic gate and NonFatal discipline as [[decode]]; the oversize
+    * guard lives in the CALLER (AviParser checks header geometry
+    * before any chunk decode). */
+  def decodePixels(bytes: Array[Byte]): Option[BmpDecoder.BmpPixels] = {
+    if (bytes == null || !(isPng(bytes) || isJpeg(bytes))) return None
+    noDiskCache
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return None
+      if (img.getWidth.toLong * img.getHeight > (1L << 24)) return None
+      Some(BmpDecoder.BmpPixels(img.getWidth, img.getHeight,
+        img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+          .map(_ & 0xffffff)))
+    } catch { case NonFatal(_) => None }
+  }
 }

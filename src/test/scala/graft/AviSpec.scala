@@ -171,6 +171,42 @@ class AviSpec extends SparkSpec {
       "stream-1 frames inside LIST rec must decode to the exact pixels")
   }
 
+  test("MJPEG tier: real JPEG frames decode through the LOSSY codec to " +
+       "FORMULA-EXACT fingerprints (the margin construction holds)") {
+    import graft.multimodal.MediaOps.{MediaMeta, MediaRecord}
+    val W = 16; val H = 8; val F = 4
+    // expected fingerprints straight from the level formula — no codec
+    def expectedWords(key: Long, f: Int, bump: Int): Seq[Long] = {
+      val lv = graft.jobs.JobRecordGate.mjpegLevels(key, f, bump, W, H)
+      val out = new Array[Long]((H * (W - 1) + 63) / 64)
+      for (y <- 0 until H; x <- 0 until W - 1
+           if lv(y * W + x + 1) > lv(y * W + x)) {
+        val b = y * (W - 1) + x
+        out(b >> 6) |= 1L << (b & 63)
+      }
+      out.toSeq
+    }
+    val ids = Seq((0L, 0L, -1), (1L, 5L, -1), (2L, 0L, 2), (3L, 7L, 1))
+    val recs = spark.createDataset(ids.map { case (id, k, b) =>
+      MediaRecord(id, MediaMeta("video", W, H, 0),
+        graft.jobs.JobRecordGate.encodeTemporalMjpegKeyed(k, b, W, H, F)) })
+    val got = MediaOps.frameDHashWide(recs, F, W, H)
+      .select(col("media_id"), col("frame_idx"), col("fhash"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        r.getSeq[Long](2).toSeq)).toMap
+    assert(got.size == ids.size * F, s"expected ${ids.size * F} rows")
+    for ((id, k, b) <- ids; f <- 0 until F) {
+      val exp = expectedWords(k, f, b)
+      assert(got((id, f.toLong)) == exp,
+        s"JPEG round-trip broke a comparison margin at id=$id f=$f: " +
+        s"got ${got((id, f.toLong))}, formula says $exp")
+    }
+    // the bump really is a bounded edit: 1-2 comparisons at frame 2
+    val ham = expectedWords(0L, 2, 2).zip(expectedWords(0L, 2, -1))
+      .map { case (a, b) => java.lang.Long.bitCount(a ^ b) }.sum
+    assert(ham >= 0 && ham <= 2, s"bump hamming $ham out of contract")
+  }
+
   test("AviParser never throws on arbitrary bytes") {
     val rnd = new scala.util.Random(42)
     for (len <- Seq(0, 1, 11, 12, 64, 500)) {

@@ -503,6 +503,13 @@ object DedupLedger {
   private val MEMO_MAX = 4096
   private def boundCache(m: java.util.concurrent.ConcurrentHashMap[_, _]): Unit =
     if (m.size > MEMO_MAX) m.clear()
+  /** Study/spec hook: drop every per-store memo so a measurement can
+    * observe the COLD path (first verdict against a fresh version)
+    * repeatedly without rebuilding the store. Never called by
+    * operators. */
+  private[graft] def clearShedMemos(): Unit = {
+    sentinelCache.clear(); histCache.clear()
+  }
   private val sentinelCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Int, Long)]()
   private def memoizedCount(dir: String, version: Int, what: String)

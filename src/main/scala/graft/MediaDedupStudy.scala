@@ -274,7 +274,7 @@ object MediaDedupStudy {
         .stripMargin
     val marksW = spark.range(0, 1000000L, 1, 32)
       .select(col("id").as("media_id"), expr(wfp("id")).as("fp"))
-    val (_, tBuildW) = timed(DedupLedger.buildMixedLedger(seedDoc, marksW, dirW))
+    val (_, tBuildW) = timed(DedupLedger.buildMixedLedger(seedDoc, marksW, dirW, DedupLedger.WideMarks))
     val snapW = IndexStore.snapshot(dirW)
     val batchW = spark.range(0, 10000L, 1, 32)
       .select((col("id") + 2000000L).as("media_id"),
@@ -329,7 +329,7 @@ object MediaDedupStudy {
       .select(col("id").as("media_id"), col("f"),
         expr(wFrames("id")).as("fp"))
     val (_, tBuildW) = timed(
-      DedupLedger.appendVideoSurvivors(histW, dirW, tag = "seed"))
+      DedupLedger.appendVideoSurvivors(histW, dirW, tag = "seed", DedupLedger.WideMarks))
     // batch: 1k exact copies, 4k one-frame 2-bit edits, 5k novels
     val batchW = spark.range(0, 10000L, 1, 32)
       .select(col("id"), explode(expr("sequence(0, 3)")).as("f"))

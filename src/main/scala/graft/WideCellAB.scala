@@ -62,7 +62,7 @@ object WideCellAB {
     val dirM = java.nio.file.Files.createTempDirectory("graft-ab-marks").toString
     val marksW = spark.range(0, 1000000L, 1, 32)
       .select(col("id").as("media_id"), expr(wfp("id")).as("fp"))
-    val (_, tBuildM) = timed(DedupLedger.buildMixedLedger(seedDoc, marksW, dirM))
+    val (_, tBuildM) = timed(DedupLedger.buildMixedLedger(seedDoc, marksW, dirM, DedupLedger.WideMarks))
     val snapM = IndexStore.snapshot(dirM)
     val batchM = spark.range(0, 10000L, 1, 32)
       .select((col("id") + 2000000L).as("media_id"),
@@ -93,7 +93,7 @@ object WideCellAB {
       .select(col("id"), explode(expr("sequence(0, 3)")).as("f"))
       .select(col("id").as("media_id"), col("f"), expr(wFrames("id")).as("fp"))
     val (_, tBuildS) = timed(
-      DedupLedger.appendVideoSurvivors(histS, dirS, tag = "seed"))
+      DedupLedger.appendVideoSurvivors(histS, dirS, tag = "seed", DedupLedger.WideMarks))
     val snapS = IndexStore.snapshot(dirS)
     val batchS = spark.range(0, 10000L, 1, 32)
       .select(col("id"), explode(expr("sequence(0, 3)")).as("f"))

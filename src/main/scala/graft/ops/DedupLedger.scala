@@ -71,6 +71,8 @@ import graft.Tables
   */
 object DedupLedger {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Minimum agreeing minhash positions (of [[DedupOps.NUM_SEEDS]] =
     * 12) for a near verdict: 6/12 estimates Jaccard 0.5 = the q49
     * family's JACCARD_T. */
@@ -141,9 +143,12 @@ object DedupLedger {
       exactRows(history)
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
-      sigRows(history)
-        .repartition(col("cell"))
+      // checkpoint so the stats histogram reuses the materialized sig
+      // rows instead of re-shingling the corpus a third time
+      val sigs = sigRows(history).localCheckpoint()
+      sigs.repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
+      refreshArmStats(dir, "vectors-hist", bandsOf(sigs), Seq("band", "bkey"))
     }
   }
 
@@ -167,10 +172,12 @@ object DedupLedger {
       val reps = exactRows(sv).localCheckpoint()
       reps.repartition(col("cell"))
         .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
-      sigRows(sv.join(
+      val sigs = sigRows(sv.join(
           reps.select(col("owner").as("doc_id")), Seq("doc_id"), "left_semi"))
-        .repartition(col("cell"))
+      sigs.repartition(col("cell"))
         .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
+      bumpArmStats(dir, "vectors-hist", bandsOf(sigs), Seq("band", "bkey"),
+        armFilesBefore(dir, _.vectors).isEmpty)
     }
   }
 
@@ -234,14 +241,18 @@ object DedupLedger {
       case Some(perItem) =>
         // bucket sizes are bounded by the signature-table row count
         // (one row per doc per band, one bucket per band) — the footer
-        // count decides whether measuring can matter at all; the batch
-        // side's measured max bucket occupancy bounds the true join
-        // volume (see shedUnlessAffordable). items = band rows / bands.
+        // count decides whether measuring can matter at all, and the
+        // write-time stats carry it exactly (zero jobs) when present;
+        // the batch side's measured max bucket occupancy bounds the
+        // true join volume (see shedUnlessAffordable). items = band
+        // rows / bands.
+        val persisted = IndexStore.armStats(dir, "vectors-hist")
         shedUnlessAffordable(lbands0, Seq("band", "bkey"), perItem,
-          memoizedCount(dir, snap.version, "vectors")(sigs.count()) *
-            (DedupOps.NUM_SEEDS / DedupOps.ROWS_PER_BAND),
+          persisted.map(_.rows).getOrElse(
+            memoizedCount(dir, snap.version, "vectors")(sigs.count()) *
+              (DedupOps.NUM_SEEDS / DedupOps.ROWS_PER_BAND)),
           bb, _ / (DedupOps.NUM_SEEDS / DedupOps.ROWS_PER_BAND),
-          dir, snap.version, "vectors-hist")
+          dir, snap.version, "vectors-hist", persisted)
     }
     val nm = lbands.join(gate(bbJ), Seq("band", "bkey"))
       .withColumn("agree", expr(
@@ -330,7 +341,7 @@ object DedupLedger {
     * all under one snapshot — a reader can never see the modalities
     * half a batch apart. */
   def buildMixedLedger(history: DataFrame, historyFps: DataFrame,
-                       dir: String): Int = {
+                       dir: String, geom: MarksGeom = NarrowMarks): Int = {
     // a mixed store declares EVERY modality the router can send it —
     // absence of any one table is bootstrap, not misconfiguration
     IndexStore.setProps(dir, Map("modalities" -> "text,media,video"))
@@ -338,23 +349,34 @@ object DedupLedger {
       exactRows(history)
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
-      sigRows(history)
-        .repartition(col("cell"))
+      val sigs = sigRows(history).localCheckpoint()
+      sigs.repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
-      markRows(historyFps)
-        .repartition(col("cell"))
+      refreshArmStats(dir, "vectors-hist", bandsOf(sigs), Seq("band", "bkey"))
+      val marks = markRows(historyFps).localCheckpoint()
+      marks.repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/marks")
+      refreshArmStats(dir, s"marks-hist-${geom.params}",
+        mediaBandsOf(marks, geom), Seq("band", "bkey"))
     }
   }
 
   /** Append surviving media fingerprints as one idempotent tagged
-    * delta (the media analog of [[appendSurvivors]]). */
+    * delta (the media analog of [[appendSurvivors]]). `geom` keys the
+    * write-time stats bump to the geometry the verdict reads at —
+    * stats at a mismatched geometry are never consulted (the verdict
+    * falls back to its runtime histogram), so a wrong `geom` here
+    * costs speed, not correctness. */
   def appendMediaSurvivors(survivors: DataFrame, dir: String,
-                           tag: String): Int =
+                           tag: String,
+                           geom: MarksGeom = NarrowMarks): Int =
     IndexStore.commitDelta(dir, Some(tag)) {
-      markRows(survivors)
-        .repartition(col("cell"))
+      val marks = markRows(survivors)
+      marks.repartition(col("cell"))
         .write.mode("append").partitionBy("cell").parquet(s"$dir/marks")
+      bumpArmStats(dir, s"marks-hist-${geom.params}",
+        mediaBandsOf(marks, geom), Seq("band", "bkey"),
+        armFilesBefore(dir, _.marks).isEmpty)
     }
 
   /** Fingerprint-WIDTH guard (review find): a word-count/geometry
@@ -451,19 +473,54 @@ object DedupLedger {
     * is the checkpointed bands when step 3 ran, the caller's original
     * frame otherwise. */
   private val SKIP_SLACK = 4L
+  /** Stores whose ledger-banded row bound stays under this keep NO
+    * persisted stats: their runtime histogram is a sub-100 ms job the
+    * memo amortizes, and stamping stats would tax every fixture-scale
+    * APPEND with a bump aggregation for nothing. Corpus-scale stores
+    * (where the histogram job is the per-tick cost the round-17 A/B
+    * isolated) get stats at build/refresh and cheap slack bumps per
+    * delta. */
+  private val STATS_MIN_BANDED = 100000L
   private def shedUnlessAffordable(lb: DataFrame, keys: Seq[String],
                                    perItem: Int, bandedRows: Long,
                                    batchBands: DataFrame,
                                    batchItemsOf: Long => Long,
                                    dir: String, version: Int,
-                                   what: String): (DataFrame, DataFrame) = {
+                                   what: String,
+                                   persisted: Option[IndexStore.ArmStats])
+      : (DataFrame, DataFrame) = {
     if (bandedRows <= SKIP_SLACK * perItem) return (lb, batchBands)
+    // write-time stats fast path (VERDICT r16 #1): when the persisted
+    // bound proves no bucket can exceed the shed floor, nothing can
+    // shed at ANY budget — skip with zero jobs, no histogram, no
+    // batch checkpoint. Healthy corpus-scale stores live here.
+    persisted match {
+      case Some(st) if st.maxBound <= DedupOps.BAND_CAP =>
+        return (lb, batchBands)
+      case _ => ()
+    }
     val hist = memoizedHist(dir, version, what) {
       ScaleOps.boundedCollect(
         lb.groupBy(keys.map(col): _*).agg(count(lit(1)).as("sz"))
           .groupBy(col("sz")).agg(count(lit(1)).as("n")),
         1L << 20, s"$what ledger bucket-size histogram")
         .map(r => (r.getLong(0).toInt, r.getLong(1)))
+    }
+    // self-heal: the exact histogram we just paid for becomes the next
+    // verdicts' zero-job stats — persisted only when the store is
+    // corpus-scale, the head did not move since our snapshot (a later
+    // delta's growth would be missing from it), and the writer lock is
+    // FREE (never queue a read path behind a writer)
+    if (bandedRows > STATS_MIN_BANDED &&
+        persisted.forall(st => st.version < version || st.slack > 0)) {
+      IndexStore.tryWithWriterLock(dir) {
+        if (IndexStore.headVersion(dir).contains(version))
+          IndexStore.writeArmStats(dir, what, IndexStore.ArmStats(
+            version, 0L,
+            hist.foldLeft(0L) { case (a, (sz, n)) => a + sz.toLong * n },
+            hist))
+      }
+      ()
     }
     if (hist.forall(_._1 <= DedupOps.BAND_CAP)) return (lb, batchBands)
     val bb = batchBands.localCheckpoint()
@@ -478,6 +535,12 @@ object DedupLedger {
       budget, maxOcc)
     if (hist.forall(_._1 <= cap)) (lb, bb)
     else {
+      // the default budget is genuinely shedding: say so BY NAME
+      // (ADVICE r16 #5 — a silent recall reduction must be observable)
+      log.warn(s"DedupLedger: $what verdict shedding ledger band buckets " +
+        s"above $cap rows (budget $perItem/item, batch max occupancy " +
+        s"$maxOcc) — near-duplicates whose only shared buckets are shed " +
+        "lose detection; raise pairBudgetPerItem or widen the geometry")
       val hot = lb.groupBy(keys.map(col): _*).agg(count(lit(1)).as("sz"))
         .filter(col("sz") > cap).localCheckpoint()
       (lb.join(hot.select(keys.map(col): _*), keys, "left_anti"), bb)
@@ -510,6 +573,64 @@ object DedupLedger {
   private[graft] def clearShedMemos(): Unit = {
     sentinelCache.clear(); histCache.clear()
   }
+
+  /** Exact per-arm bucket-size histogram, persisted as the arm's
+    * write-time stats (slack = 0) — called from REBUILD paths over
+    * the content being written (one extra aggregation on a frame the
+    * build already materializes, corpus-proportional like the write
+    * itself) and from an arm's FIRST delta (the delta IS the corpus
+    * there). Small stores (banded rows ≤ [[STATS_MIN_BANDED]]) write
+    * nothing: their runtime histogram is memo-cheap and a stats file
+    * would tax every subsequent append with a bump job. */
+  private def refreshArmStats(dir: String, key: String, banded: DataFrame,
+                              keys: Seq[String]): Unit = {
+    val hist = ScaleOps.boundedCollect(
+      banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n")),
+      1L << 20, s"$key write-time stats histogram")
+      .map(r => (r.getLong(0).toInt, r.getLong(1)))
+    val bandedRows = hist.foldLeft(0L) { case (a, (sz, n)) => a + sz.toLong * n }
+    if (bandedRows > STATS_MIN_BANDED)
+      IndexStore.writeArmStats(dir, key, IndexStore.ArmStats(
+        IndexStore.headVersion(dir).getOrElse(0) + 1, 0L, bandedRows, hist))
+  }
+
+  /** Delta-commit stats maintenance — increment-proportional: slack +=
+    * the DELTA's max per-bucket count (sound: every pre-existing
+    * bucket grew by at most that, and a bucket born since the last
+    * refresh holds at most the accumulated slack). Runs INSIDE the
+    * delta's commit lambda, BEFORE publish, so a crash between bump
+    * and publish can only over-count (conservative), never leave a
+    * published delta unaccounted. No-ops with zero jobs when the
+    * store carries no stats for this key (fixture-scale stores
+    * forever; legacy corpus stores until a rebuild or the verdict
+    * side's self-heal persists one). `beforeEmpty`: the arm's first
+    * delta computes the exact histogram instead. */
+  private def bumpArmStats(dir: String, key: String,
+                           bandedDelta: => DataFrame,
+                           keys: Seq[String], beforeEmpty: Boolean): Unit =
+    IndexStore.armStats(dir, key) match {
+      case Some(st) =>
+        val r = bandedDelta.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("n"))
+          .agg(max(col("n")), sum(col("n"))).head
+        val d = if (r.isNullAt(0)) 0L else r.getLong(0)
+        if (d > 0L)
+          IndexStore.writeArmStats(dir, key, st.copy(
+            version = IndexStore.headVersion(dir).getOrElse(0) + 1,
+            slack = st.slack + d,
+            rows = st.rows + r.getLong(1)))
+      case None if beforeEmpty => refreshArmStats(dir, key, bandedDelta, keys)
+      case None => ()
+    }
+
+  /** The arm's published files BEFORE the in-flight delta commit —
+    * readable inside a commit lambda (pre-publish, under the writer
+    * lock). Empty for a never-published store. */
+  private def armFilesBefore(dir: String,
+                             arm: IndexStore.Snapshot => Seq[String]): Seq[String] =
+    IndexStore.headVersion(dir)
+      .map(v => arm(IndexStore.snapshotAt(dir, v))).getOrElse(Nil)
   private val sentinelCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Int, Long)]()
   private def memoizedCount(dir: String, version: Int, what: String)
@@ -629,12 +750,18 @@ object DedupLedger {
         // bucket sizes are bounded by the marks row count (footer
         // read, memoized — the same count the sentinel path pays);
         // the batch bands' measured max occupancy bounds the true
-        // join volume. items = band rows / bands.
+        // join volume. items = band rows / bands. The saturation
+        // sentinel runs here too (ADVICE r16 #2): shedding without
+        // the geometry-outgrown signal hides the condition the
+        // operator must react to, and the count is already memoized
+        val persisted = IndexStore.armStats(dir, s"marks-hist-${geom.params}")
+        val n = persisted.map(_.rows / geom.bands).getOrElse(
+          memoizedCount(dir, snap.version, "marks")(marksRaw.count()))
+        DedupOps.warnIfSaturated(n, geom.bands, geom.bandBits)
         shedUnlessAffordable(lb0, Seq("band", "bkey"), perItem,
-          memoizedCount(dir, snap.version, "marks")(marksRaw.count()) *
-            geom.bands,
+          n * geom.bands,
           bb, _ / geom.bands,
-          dir, snap.version, s"marks-hist-${geom.params}")
+          dir, snap.version, s"marks-hist-${geom.params}", persisted)
     }
     val nr = lb.join(gate(bbJ), Seq("band", "bkey"))
       .filter(expr("aggregate(zip_with(fp, bfp, (x, y) -> bit_count(x ^ y)), " +
@@ -702,13 +829,19 @@ object DedupLedger {
               col("seqhash"))
 
   /** Append surviving videos' fingerprint sequences as one idempotent
-    * tagged delta (the video analog of [[appendMediaSurvivors]]). */
+    * tagged delta (the video analog of [[appendMediaSurvivors]]);
+    * `geom` keys the write-time stats bump, same contract as the
+    * media append's. */
   def appendVideoSurvivors(frames: DataFrame, dir: String,
-                           tag: String): Int =
+                           tag: String,
+                           geom: MarksGeom = NarrowMarks): Int =
     IndexStore.commitDelta(dir, Some(tag)) {
-      seqRows(frames)
-        .repartition(col("cell"))
+      val rows = seqRows(frames)
+      rows.repartition(col("cell"))
         .write.mode("append").partitionBy("cell").parquet(s"$dir/seqs")
+      bumpArmStats(dir, s"seqs-hist-${geom.params}",
+        mediaBandsOf(rows, geom), Seq("f", "band", "bkey"),
+        armFilesBefore(dir, _.seqs).isEmpty)
     }
 
   /** Verdict of a VIDEO batch `(media_id, f, fp: array<bigint>)` —
@@ -804,12 +937,23 @@ object DedupLedger {
         // the batch bands' measured max occupancy bounds the true
         // join volume. items = batch (video, position) rows — the
         // budget is per banded batch row, the same grain the join
-        // fans out on.
+        // fans out on. Saturation sentinel on this branch too (ADVICE
+        // r16 #2), behind a zero-extra-job screen: the memoized total
+        // over-counts each position's keyspace by the frame count, so
+        // the increment-sized positions count runs only when the
+        // conservative screen itself saturates
+        val persisted = IndexStore.armStats(dir, s"seqs-hist-${geom.params}")
+        val n = persisted.map(_.rows / geom.bands).getOrElse(
+          memoizedCount(dir, snap.version, "seqs")(ledRaw.count()))
+        if (!DedupOps.saturationSafe(n, geom.bands, geom.bandBits)) {
+          val positions =
+            math.max(1L, batch.select(col("f")).distinct().count())
+          DedupOps.warnIfSaturated(n / positions, geom.bands, geom.bandBits)
+        }
         shedUnlessAffordable(lb0, Seq("f", "band", "bkey"), perItem,
-          memoizedCount(dir, snap.version, "seqs")(ledRaw.count()) *
-            geom.bands,
+          n * geom.bands,
           bb, _ / geom.bands,
-          dir, snap.version, s"seqs-hist-${geom.params}")
+          dir, snap.version, s"seqs-hist-${geom.params}", persisted)
     }
     val nr = lb.join(gate(bbJ), Seq("f", "band", "bkey"))
       .filter(expr("aggregate(zip_with(fp, bfp, (x, y) -> bit_count(x ^ y)), " +

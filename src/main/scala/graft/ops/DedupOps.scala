@@ -636,10 +636,14 @@ object DedupOps {
       .localCheckpoint() // banding + both expansion sides read it
     // the checkpoint has already materialized the groups, so the count
     // (the saturation sentinel — SCALING.md r13 addendum 3's rule, now
-    // enforced in code instead of prose) is a cheap cached-RDD pass;
-    // skipped entirely when the budget cap is active (the cap bounds
-    // candidates, so the warning — and its count job — buy nothing)
-    if (pairBudgetPerDoc.isEmpty) warnIfSaturated(groups.count(), bands, bandBits)
+    // enforced in code instead of prose) is a cheap cached-RDD pass.
+    // The sentinel runs on BOTH branches (ADVICE r16 #2): under the
+    // default budget, shedding without the geometry-outgrown signal
+    // would hide exactly the condition the operator must react to —
+    // and the budgeted branch pays the same count for its fast path
+    // anyway, so the warning is free
+    val nGroups = groups.count()
+    warnIfSaturated(nGroups, bands, bandBits)
     val bandsDf = groups.select(col("h"), col("rep"),
         expr(narrowBandExplode(bands, bandBits, "h")).as("bk"))
       .select(col("h"), col("rep"), col("bk.b").as("b"), col("bk.k").as("k"))
@@ -648,10 +652,8 @@ object DedupOps {
       // fast path for the (round-16) default budget: a band bucket
       // holds DISTINCT fingerprints, so no bucket can exceed the
       // group count — when that is within the BAND_CAP floor nothing
-      // can shed and the measurement job is skipped outright (the
-      // count is a cached-RDD pass over the checkpointed groups, the
-      // exact cost the uncapped path's saturation sentinel paid)
-      case Some(_) if groups.count() <= BAND_CAP => bandsDf
+      // can shed and the measurement job is skipped outright
+      case Some(_) if nGroups <= BAND_CAP => bandsDf
       case Some(perDoc) =>
         // sum over zero rows is NULL — guard the empty-input frame
         val itemsRow = groups.agg(sum(size(col("ids")))).head
@@ -750,7 +752,10 @@ object DedupOps {
       .groupBy(col(hashCol).as("h"))
       .agg(min(col(idCol)).as("rep"), collect_list(col(idCol)).as("ids"))
       .localCheckpoint()
-    if (pairBudgetPerDoc.isEmpty) warnIfSaturated(groups.count(), bands, bandBits)
+    // both branches keep the sentinel (ADVICE r16 #2, same reasoning
+    // as the narrow form — the count also feeds the fast path)
+    val nGroups = groups.count()
+    warnIfSaturated(nGroups, bands, bandBits)
     val bandsDf = groups.select(col("h"), col("rep"),
         expr(wideBandExplode(bands, bandBits, "h")).as("bk"))
       .select(col("h"), col("rep"), col("bk.b").as("b"), col("bk.k").as("k"))
@@ -758,7 +763,7 @@ object DedupOps {
       case None => bandsDf
       // same fast path as the narrow form: distinct fingerprints bound
       // every bucket, so a group count within the floor cannot shed
-      case Some(_) if groups.count() <= BAND_CAP => bandsDf
+      case Some(_) if nGroups <= BAND_CAP => bandsDf
       case Some(perDoc) =>
         // sum over zero rows is NULL — guard the empty-input frame
         val itemsRow = groups.agg(sum(size(col("ids")))).head
@@ -915,9 +920,14 @@ object DedupOps {
     // the saturation model is per KEYSPACE, and each frame position is
     // its own (position, band, key) keyspace — feeding the global
     // distinct count would over-warn by ~numPositions (review find);
-    // the sentinel watches the most loaded position instead, and skips
-    // its count job entirely when the budget cap is active
-    if (pairBudgetPerDoc.isEmpty) {
+    // the sentinel watches the most loaded position instead. It runs
+    // on BOTH branches (ADVICE r16 #2 — budgeted shedding without the
+    // geometry-outgrown signal hides the condition to react to), but
+    // behind a conservative zero-extra-job screen: the global rep
+    // count (a cached pass the budgeted fast path pays anyway) bounds
+    // every position's keyspace, so the per-position count job runs
+    // only when the screen itself saturates
+    if (!saturationSafe(seqGroups.count(), bands, bandBits)) {
       val maxPos = groups.groupBy(col("f")).agg(count(lit(1)).as("n"))
         .agg(max(col("n"))).head
       warnIfSaturated(if (maxPos.isNullAt(0)) 0L else maxPos.getLong(0),

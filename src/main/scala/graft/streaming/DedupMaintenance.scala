@@ -149,7 +149,7 @@ object DedupMaintenance {
             DedupLedger.appendMediaSurvivors(
               fps.join(verdict.filter(col("keep") === 1L).select(col("media_id")),
                 Seq("media_id"), "left_semi"),
-              ledgerDir, tag = s"stream-$id-media")
+              ledgerDir, tag = s"stream-$id-media", iGeom)
             ()
           }
           val vid = b.filter(col("kind") === "video")
@@ -173,7 +173,7 @@ object DedupMaintenance {
               frames.join(verdict.filter(col("keep") === 1L)
                   .select(col("media_id")),
                 Seq("media_id"), "left_semi"),
-              ledgerDir, tag = s"stream-$id-video")
+              ledgerDir, tag = s"stream-$id-video", vGeom)
             ()
           }
         }

@@ -122,14 +122,84 @@ object AnnDriftStudy {
       f"recall@10=${recallAt10(spark, dir2, inQ, corpus2)}%.3f " +
       f"retrain=${VectorOps.needsRetrain(spark, dir2)}")
 
-    // and after the documented response (full retrain over the grown
-    // corpus), the diverged store's recall recovers
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // INCREMENTAL response (round 17, VERDICT r16 #3), GLOBAL arm: on
+    // the fully-diverged store 13 of 16 cells drift (81% of stored
+    // rows) — the DEFAULT policy must DECLINE (refining most of a
+    // store is a worse rebuild); forced past the guard, the refine
+    // still recovers most of the decay, which bounds what
+    // cell-by-cell response can do when the damage is total
+    val corpusGrown = base.select(col("vec_id"), col("embedding"))
+      .unionByName(appended)
+    val dirR = java.nio.file.Files.createTempDirectory("ann-refine").toString
+    graft.ops.DedupLedger.cloneStore(dir, dirR)
+    val declined = VectorOps.refineDriftedCells(spark, dirR, splitFactor = 4)
+    println(s"STUDY global-arm default policy refined=" +
+      s"${declined.nonEmpty} (expect false: declines to rebuild)")
+    val (split, tRefine) = timed(VectorOps.refineDriftedCells(
+      spark, dirR, splitFactor = 4, maxRefineFraction = 1.0))
+    println(f"STUDY global-arm FORCED refine cells=${split.size} " +
+      f"t=$tRefine%.1fs " +
+      f"recall@10=${recallAt10(spark, dirR, queries, corpusGrown)}%.3f " +
+      f"retrain=${VectorOps.needsRetrain(spark, dirR)}")
+
+    // and after the documented FULL response (retrain over the grown
+    // corpus), the diverged store's recall recovers — the cost bar the
+    // incremental response is measured against
     val grown = base.unionByName(
       pool.filter(col("vec_id") < 5100))
-    VectorOps.buildIvfPqIndex(grown, dir, k = 16)
+    val (_, tRebuild) = timed(VectorOps.buildIvfPqIndex(grown, dir, k = 16))
     val corpusAll = grown.select(col("vec_id"), col("embedding"))
-    println(f"STUDY retrained " +
+    println(f"STUDY retrained t=$tRebuild%.1fs " +
       f"recall@10=${recallAt10(spark, dir, queries, corpusAll)}%.3f")
+
+    // LOCALIZED arm — the scenario the incremental response exists
+    // for: a larger in-distribution corpus plus one far diverged blob
+    // (every vector shifted by a constant — a new domain appearing in
+    // the feed), which lands in 1-2 cells. Refine touches only those
+    // cells' content; recall on blob queries must land within ~2
+    // points of a full rebuild AT THE SAME serve config, for a
+    // fraction of the rewritten rows.
+    val allL = GenFixtures.clusteredEmbeddings(spark, 12100).localCheckpoint()
+    def shift(emb: DataFrame): DataFrame = emb.withColumn("embedding",
+      expr("transform(embedding, x -> x + cast(2.5 AS float))"))
+    val baseL = allL.filter(col("vec_id") >= 100 && col("vec_id") < 10100)
+      .withColumn("vec_id", col("vec_id") - 100)
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val blob = shift(allL.filter(col("vec_id") >= 10100))
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val qBlob = shift(allL.filter(col("vec_id") < 10))
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    val qIn = allL.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+    val dirL = java.nio.file.Files.createTempDirectory("ann-local").toString
+    VectorOps.buildIvfPqIndex(baseL, dirL, k = 16)
+    VectorOps.appendToIvfPqIndex(spark, blob, dirL, Some("blob"))
+    val corpusL = baseL.unionByName(blob)
+    println(f"STUDY localized pre-refine " +
+      f"blob-recall@10=${recallAt10(spark, dirL, qBlob, corpusL)}%.3f " +
+      f"indist-recall@10=${recallAt10(spark, dirL, qIn, corpusL)}%.3f " +
+      f"drift=${VectorOps.appendedDriftRatio(spark, dirL).get}%.2f " +
+      f"retrain=${VectorOps.needsRetrain(spark, dirL)}")
+    val dirL2 = java.nio.file.Files.createTempDirectory("ann-local2").toString
+    graft.ops.DedupLedger.cloneStore(dirL, dirL2)
+    val (splitL, tRefineL) = timed(
+      VectorOps.refineDriftedCells(spark, dirL2, splitFactor = 4))
+    val refinedRows = spark.read.parquet(s"$dirL2/codes").count() // raw incl. replaced
+    println(f"STUDY localized refined cells=${splitL.mkString(",")} " +
+      f"t=$tRefineL%.1fs rewrittenRows=${refinedRows - 12000} " +
+      f"blob-recall@10=${recallAt10(spark, dirL2, qBlob, corpusL)}%.3f " +
+      f"indist-recall@10=${recallAt10(spark, dirL2, qIn, corpusL)}%.3f " +
+      f"retrain=${VectorOps.needsRetrain(spark, dirL2)}")
+    val (_, tRebuildL) = timed(
+      VectorOps.buildIvfPqIndex(corpusL, dirL, k = 16))
+    println(f"STUDY localized rebuilt t=$tRebuildL%.1fs totalRows=12000 " +
+      f"blob-recall@10=${recallAt10(spark, dirL, qBlob, corpusL)}%.3f " +
+      f"indist-recall@10=${recallAt10(spark, dirL, qIn, corpusL)}%.3f")
 
     spark.stop()
   }

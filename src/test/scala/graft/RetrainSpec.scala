@@ -58,7 +58,52 @@ class RetrainSpec extends SparkSpec {
     assert(VectorOps.needsRetrain(spark, dir2),
       "the policy must fire once appended vectors outgrow the codebook")
 
-    // and the documented response — a full rebuild over the grown
+    // the INCREMENTAL response (round 17, VERDICT r16 #3): refine only
+    // the drifted cells — the trigger clears, no vector is lost, the
+    // router grows split cells, untouched cells' files carry forward
+    // byte-identical, and the store still serves
+    val headBefore = IndexStore.snapshot(dir2)
+    val coarseBefore = spark.read.parquet(s"$dir2/coarse").count()
+    val split = VectorOps.refineDriftedCells(spark, dir2, minCellMass = 20L)
+    assert(split.nonEmpty,
+      "a fired trigger with concentrated appended mass must name drifted cells")
+    assert(!VectorOps.needsRetrain(spark, dir2),
+      "the refine response must clear the trigger (policy window restarts)")
+    val headAfter = IndexStore.snapshot(dir2)
+    // untouched cells' data files carried forward byte-identical
+    val untouchedBefore = headBefore.codes.filterNot(f =>
+      split.exists(c => f.startsWith(s"cell=$c/"))).toSet
+    assert(untouchedBefore.subsetOf(headAfter.codes.toSet),
+      "refine must carry untouched cells' files, not rewrite them")
+    // no split cell's partition survives in the new snapshot
+    assert(!headAfter.codes.exists(f =>
+      split.exists(c => f.startsWith(s"cell=$c/"))),
+      "split cells' old partitions must be replaced")
+    // content preserved exactly: every vec_id still present once
+    val (codes, vecs) = IndexStore.frames(spark, dir2, headAfter)
+    assert(codes.select($"vec_id").distinct().count() == 700 &&
+      codes.count() == 700, "refine lost or duplicated code rows")
+    assert(vecs.count() == 700, "refine lost or duplicated vector rows")
+    // the router gained the split cells (net: -1 drifted +splitFactor)
+    val coarseAfter = spark.read.parquet(s"$dir2/coarse")
+    assert(coarseAfter.count() > coarseBefore - split.size,
+      "refine must add sub-centroids for the split cells")
+    // codes live only in cells the router knows
+    val routed = coarseAfter.select($"cell").collect().map(_.getInt(0)).toSet
+    val codeCells = codes.select($"cell").distinct().collect()
+      .map(_.getInt(0)).toSet
+    assert(codeCells.subsetOf(routed),
+      s"orphan code cells after refine: ${codeCells -- routed}")
+    // and the store still serves the full query contract
+    assert(VectorOps.servedIvfPqTopK(spark, dir2,
+      emb.filter($"vec_id" < 500), numQueries = 5, probes = 2,
+      rerank = 10, topK = 3).count() == 15)
+
+    // idempotent-by-policy: a second refine with nothing appended since
+    // is a no-op (same None conditions as the drift ratio)
+    assert(VectorOps.refineDriftedCells(spark, dir2).isEmpty)
+
+    // and the documented FULL response — a rebuild over the grown
     // corpus — resets the stamp and clears the trigger
     VectorOps.buildIvfPqIndex(
       emb.filter($"vec_id" < 500)
@@ -66,6 +111,79 @@ class RetrainSpec extends SparkSpec {
     assert(VectorOps.appendedDriftRatio(spark, dir2).isEmpty,
       "a rebuild re-stamps built_version at HEAD: nothing appended since")
     assert(!VectorOps.needsRetrain(spark, dir2))
+  }
+
+  test("incremental refine: generation codebook serves the split cells, " +
+       "appends after a refine encode per generation, and oversized " +
+       "drift DECLINES to rebuild without mutating the store") {
+    val emb = GenFixtures.clusteredEmbeddings(spark, 700).localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("idx-gen").toString
+    VectorOps.buildIvfPqIndex(emb.filter($"vec_id" < 500), dir, k = 8)
+    // a far localized blob (constant shift — a new domain in the feed):
+    // lands in 1-2 cells, far outside the trained codebook's range
+    def shifted(lo: Long, hi: Long, idBase: Long) =
+      emb.filter($"vec_id" >= lo && $"vec_id" < hi)
+        .withColumn("embedding",
+          expr("transform(embedding, x -> x + cast(2.5 AS float))"))
+        .withColumn("vec_id", $"vec_id" - lo + idBase)
+        .select($"vec_id", $"embedding")
+    VectorOps.appendToIvfPqIndex(spark, shifted(500, 650, 10000), dir,
+      Some("blob"))
+    assert(VectorOps.needsRetrain(spark, dir))
+    val split = VectorOps.refineDriftedCells(spark, dir, minCellMass = 20L)
+    assert(split.nonEmpty, "localized blob must name its drifted cells")
+    // the refine left a generation: tagged router + codebook2 rows
+    val coarseAfter = spark.read.parquet(s"$dir/coarse")
+    val gens = VectorOps.cellGensOf(coarseAfter)
+    assert(gens.nonEmpty && gens.values.max == 1,
+      s"split cells must carry codebook generation 1: $gens")
+    val cb2 = spark.read.parquet(s"$dir/codebook2")
+    assert(cb2.filter($"gen" === 1).count() > 0,
+      "generation 1 must have re-fitted codebook rows")
+    // blob queries served THROUGH the generation path return only
+    // blob-region neighbors (exact re-rank over gen-ADC candidates)
+    val served = VectorOps.servedIvfPqTopK(spark, dir,
+      shifted(500, 505, 0), numQueries = 5, probes = 2, rerank = 10,
+      topK = 3).collect()
+    assert(served.length == 15)
+    assert(served.forall(_.getAs[Long]("vec_id") >= 10000),
+      "a blob query's neighbors are blob members — the generation " +
+      s"codebook must rank them: ${served.mkString(",")}")
+    // appending MORE of the (now modeled) domain encodes against the
+    // generation codebook and must NOT re-fire the trigger: the split
+    // cells' dedicated centroids absorb it in-distribution
+    VectorOps.appendToIvfPqIndex(spark, shifted(300, 350, 20000), dir,
+      Some("blob2"))
+    assert(VectorOps.appendedDriftRatio(spark, dir).isDefined)
+    assert(!VectorOps.needsRetrain(spark, dir),
+      "post-refine appends of the refined domain are in-distribution")
+    val served2 = VectorOps.servedIvfPqTopK(spark, dir,
+      shifted(500, 505, 0), numQueries = 5, probes = 2, rerank = 10,
+      topK = 3).collect()
+    assert(served2.length == 15 &&
+      served2.forall(_.getAs[Long]("vec_id") >= 10000))
+
+    // PROPORTIONALITY GUARD: drifted mass past maxRefineFraction
+    // declines by name — empty result, store untouched, trigger still
+    // up (the caller's fallback is the documented full rebuild)
+    val dirG = java.nio.file.Files.createTempDirectory("idx-guard").toString
+    VectorOps.buildIvfPqIndex(emb.filter($"vec_id" < 200), dirG, k = 8)
+    val dim = emb.select(size($"embedding")).head.getInt(0)
+    val big = spark.range(30000, 30600).map { id =>
+      val rng = new java.util.Random(id)
+      val v = Array.fill(dim)(rng.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      (id, v.map(_ / n))
+    }.toDF("vec_id", "embedding")
+    VectorOps.appendToIvfPqIndex(spark, big, dirG, Some("flood"))
+    assert(VectorOps.needsRetrain(spark, dirG))
+    val vBefore = IndexStore.snapshot(dirG).version
+    assert(VectorOps.refineDriftedCells(spark, dirG).isEmpty,
+      "75% drifted mass must decline to rebuild")
+    assert(IndexStore.snapshot(dirG).version == vBefore,
+      "a declined refine must not publish anything")
+    assert(VectorOps.needsRetrain(spark, dirG),
+      "declining must leave the trigger up for the rebuild fallback")
   }
 
   test("drift policy degrades HONESTLY under the store's own lifecycle: " +

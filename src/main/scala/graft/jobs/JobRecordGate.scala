@@ -906,6 +906,58 @@ object JobRecordGate {
         .orderBy(col("m1"), col("m2"))
     }),
 
+    // ---- q174: AVI-with-interleaved-audio near-dup (round 17,
+    // VERDICT r16 #6) — ONE A/V container yields the audio fingerprint:
+    // each payload is a true RIFF/AVI with a 4-frame raw-DIB video
+    // stream AND a PCM-16 mono audio stream split into per-frame
+    // '01wb' chunks (the standard muxer interleave). The audio samples
+    // are q155's exact formula (ids 100-199 re-encode base id-100 with
+    // a +1500 click at sample 400), so the oracle is the same
+    // closed-form energy-window SQL — the container walk, stream
+    // demux, chunk concatenation, sign extension, window fold and
+    // banding all live inside the gate while the oracle never sees a
+    // byte of RIFF. The video stream is real (id-derived gray frames)
+    // and decodable by the q172 path; AviAudioSpec pins the
+    // dual-modality extraction from one payload.
+    "q174_avi_audio_dedup" -> ((s, d) => {
+      import s.implicits._
+      val N = 800; val WIN = 50; val W = 16; val H = 8
+      val encode = udf((id: Long) => {
+        val base = id % 100
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val samples = Array.tabulate(N) { i =>
+          val h = md.digest(s"$base|$i".getBytes("UTF-8"))
+          val v = (((h(0) & 0xff) << 8) | (h(1) & 0xff)) % 4001 - 2000
+          val click = if (id >= 100 && i == 400) 1500 else 0
+          (v + click).toShort
+        }
+        val frames = (0 until 4).map { f =>
+          Array.tabulate(W * H) { p =>
+            val h = md.digest(s"$base|$f|$p".getBytes("UTF-8"))
+            val g = h(0) & 0xff
+            (g << 16) | (g << 8) | g
+          }
+        }
+        graft.multimodal.AviParser.encodeWithAudio(W, H, frames,
+          16000, samples)
+      })
+      val media = Tables.rebalance(
+          Tables.documents(s, d).filter(col("doc_id") < 200)
+            .select(col("doc_id").as("media_id")))
+        .withColumn("payload", encode(col("media_id")))
+        .select(col("media_id"),
+          struct(lit("video").as("kind"), lit(W).as("declaredWidth"),
+                 lit(H).as("declaredHeight"), lit(16000).as("sampleRate")).as("meta"),
+          col("payload"))
+        .as[graft.multimodal.MediaOps.MediaRecord]
+      val hashed = graft.multimodal.MediaOps.audioHash(media, WIN)
+        .filter(col("decoded") === 1L)
+        .select(col("media_id"), col("ahash"))
+      graft.ops.DedupOps.hammingPairs(hashed, "media_id", "ahash",
+          bands = 3, bandBits = 17, maxHamming = 2)
+        .orderBy(col("m1"), col("m2"))
+    }),
+
     // ---- q161: WIDE audio near-dup — q155 past the one-long window
     // ceiling: 1600-sample clips at 100 energy windows (99 comparison
     // bits = two words, 3x33-bit bands; band 1 straddles the word
@@ -1980,6 +2032,43 @@ object JobRecordGate {
     // the audio-hash chain from the sample formula: window energies as
     // exact integer sums, adjacent comparisons, same banding + popcount
     "q155_audio_phash_dedup" ->
+      """WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 200),
+        |s AS (
+        |  SELECT media_id, i,
+        |    (('0x' || substr(md5((media_id % 100)::VARCHAR || '|' ||
+        |        i::VARCHAR), 1, 4))::BIGINT % 4001) - 2000
+        |      + CASE WHEN media_id >= 100 AND i = 400 THEN 1500 ELSE 0 END AS v
+        |  FROM m, (SELECT unnest(range(0, 800)) AS i)),
+        |e AS (
+        |  SELECT media_id, i // 16 AS w, sum(abs(v))::BIGINT AS energy
+        |  FROM s GROUP BY media_id, i // 16),
+        |cmp AS (
+        |  SELECT a.media_id,
+        |    CASE WHEN b.energy > a.energy
+        |         THEN (1::BIGINT << a.w::INT) ELSE 0::BIGINT END AS bit
+        |  FROM e a JOIN e b ON a.media_id = b.media_id AND b.w = a.w + 1),
+        |h AS MATERIALIZED (
+        |  SELECT media_id, sum(bit)::BIGINT AS ahash FROM cmp
+        |  GROUP BY media_id),
+        |bands AS MATERIALIZED (
+        |  SELECT media_id, b, (ahash >> (b * 17)) & 131071 AS k
+        |  FROM h, (SELECT unnest(range(0, 3)) AS b)),
+        |cand AS (
+        |  SELECT DISTINCT a.media_id AS m1, c.media_id AS m2
+        |  FROM bands a JOIN bands c
+        |    ON a.b = c.b AND a.k = c.k AND a.media_id < c.media_id)
+        |SELECT m1, m2,
+        |  bit_count(xor(h1.ahash, h2.ahash))::BIGINT AS hamming
+        |FROM cand
+        |JOIN h h1 ON h1.media_id = m1
+        |JOIN h h2 ON h2.media_id = m2
+        |WHERE bit_count(xor(h1.ahash, h2.ahash)) <= 2
+        |ORDER BY m1, m2""".stripMargin,
+
+    // q174: the container is invisible to the oracle — the audio
+    // samples are q155's formula, so the SAME closed-form SQL is the
+    // ground truth (the AVI demux under test must reproduce it)
+    "q174_avi_audio_dedup" ->
       """WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id < 200),
         |s AS (
         |  SELECT media_id, i,

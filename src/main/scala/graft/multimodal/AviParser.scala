@@ -34,6 +34,16 @@ object AviParser {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** ASCII-strict hex digit test/decode for movi chunk stream numbers
+    * ('00db'..'FFdc' — the AVI spec writes stream ids as two hex
+    * characters; lowercase tolerated for robustness). */
+  private def isHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'A' && c <= 'F') || (c >= 'a' && c <= 'f')
+  private def hexVal(c: Char): Int =
+    if (c <= '9') c - '0'
+    else if (c <= 'F') c - 'A' + 10
+    else c - 'a' + 10
+
   private def u16(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
   private def u32(b: Array[Byte], o: Int): Long =
@@ -47,7 +57,10 @@ object AviParser {
       fourcc(b, 0) == "RIFF" && fourcc(b, 8) == "AVI "
 
   private case class Layout(width: Int, height: Int, mjpeg: Boolean,
-                            frames: Seq[(Int, Int)]) // (offset, size)
+                            frames: Seq[(Int, Int)], // (offset, size)
+                            // PCM audio stream, when the container
+                            // interleaves one: (sampleRate, chunks)
+                            audio: Option[(Int, Seq[(Int, Int)])])
 
   /** biCompression fourcc 'MJPG' as the little-endian u32 it reads as. */
   private val MJPG = ('M'.toLong) | ('J'.toLong << 8) |
@@ -67,6 +80,8 @@ object AviParser {
     var width = 0; var height = 0; var bitCount = 0; var compression = -1L
     var streamIdx = -1    // strh declaration counter
     var vidStream = -1    // the index of the 'vids' stream
+    var audStream = -1    // the index of the 'auds' stream (if any)
+    var audFmt = -1; var audRate = 0; var audBits = 0
     // (streamNo, offset, size) of every movi frame chunk; filtered to
     // the video stream once hdrl has been walked (region order is not
     // document order)
@@ -101,6 +116,15 @@ object AviParser {
               strhType = fourcc(b, body)
               streamIdx += 1
               if (strhType == "vids" && vidStream < 0) vidStream = streamIdx
+              if (strhType == "auds" && audStream < 0) audStream = streamIdx
+            }
+          case "strf" if strhType == "auds" && audFmt == -1 =>
+            // the AUDIO stream's format chunk (WAVEFORMATEX shape) —
+            // PCM-16 is the pure-JVM tier, like the WAV decoder's
+            if (sz >= 16) {
+              audFmt = u16(b, body)
+              audRate = u32(b, body + 4).toInt
+              audBits = u16(b, body + 14)
             }
           case "strf" if strhType == "vids" && compression == -1L =>
             // the VIDEO stream's format chunk (BITMAPINFOHEADER shape);
@@ -112,9 +136,16 @@ object AviParser {
               bitCount = u16(b, body + 14)
               compression = u32(b, body + 16)
             }
-          case _ if id.length == 4 && id(0).isDigit && id(1).isDigit &&
-                    (id.endsWith("db") || id.endsWith("dc")) =>
-            chunks += (((id(0) - '0') * 10 + (id(1) - '0'), body, sz.toInt))
+          case _ if id.length == 4 && isHex(id(0)) && isHex(id(1)) &&
+                    (id.endsWith("db") || id.endsWith("dc") ||
+                     id.endsWith("wb")) =>
+            // AVI stream numbers are TWO HEX CHARACTERS (ADVICE r16
+            // #3: the old two-decimal-digit parse misnumbered or
+            // dropped chunks of streams >= 10, and Char.isDigit is
+            // Unicode-aware — non-ASCII digit codepoints slipped the
+            // guard). ASCII-strict hex, like the spec says. 'wb'
+            // chunks are the interleaved audio stream's PCM payload.
+            chunks += ((hexVal(id(0)) * 16 + hexVal(id(1)), body, sz.toInt))
           case _ => ()
         }
         p = body + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
@@ -122,6 +153,14 @@ object AviParser {
     }
     val frames = chunks.collect { case (st, off, sz) if st == vidStream =>
       (off, sz) }
+    // PCM-16 only, like WavDecoder: any other audio format reads as "no
+    // audio stream" (the video tier guards stay authoritative below)
+    val audio =
+      if (audStream >= 0 && audFmt == 1 && audBits == 16 && audRate > 0)
+        Some((audRate,
+          chunks.collect { case (st, off, sz) if st == audStream =>
+            (off, sz) }.toSeq))
+      else None
     if (compression == -1L || frames.isEmpty) return None
     if (width <= 0 || height == 0) return None // malformed header
     if (height < 0) return None // top-down DIB: outside the raw tier
@@ -147,8 +186,32 @@ object AviParser {
       // long chunk is a malformed payload, not a partial decode
       if (frames.exists(_._2 != frameBytes)) return None
     }
-    Some(Layout(width, height, mjpeg, frames.toSeq))
+    Some(Layout(width, height, mjpeg, frames.toSeq, audio))
   }
+
+  /** The interleaved PCM-16 audio stream's samples (sign-extended,
+    * channel-interleaved), concatenated across the container's 'wb'
+    * chunks in movi order — [[WavDecoder.decodeSamples]]'s contract
+    * for the stream INSIDE an A/V container, so one AVI yields both a
+    * video fingerprint (frames → dHash → temporal vote) and an audio
+    * one (samples → window energies → [[MediaOps.audioHash]]). None
+    * when the container has no PCM-16 audio stream or fails any of
+    * the video tier's structural guards. */
+  def decodeAudioSamples(bytes: Array[Byte]): Option[Array[Int]] =
+    layout(bytes).flatMap(_.audio).map { case (_, chunkList) =>
+      val total = chunkList.map(_._2 / 2).sum
+      val out = new Array[Int](total)
+      var o = 0
+      chunkList.foreach { case (off, sz) =>
+        var i = 0
+        val n = sz / 2
+        while (i < n) {
+          out(o) = (u16(bytes, off + i * 2) << 16) >> 16
+          o += 1; i += 1
+        }
+      }
+      out
+    }
 
   /** The [[GifDecoder.decodeComposedFrames]] contract for raw-DIB AVI:
     * one container walk, `choose` receives the frame count and returns
@@ -279,11 +342,49 @@ object AviParser {
     encodeChunks(width, height, dibs, fps, mjpeg = false)
   }
 
+  /** ENCODE a raw-DIB AVI with an INTERLEAVED PCM-16 mono audio
+    * stream: the video frames as [[encode]] writes them, plus an
+    * 'auds' strl (WAVEFORMATEX strf) and the samples split evenly
+    * into per-frame '01wb' chunks interleaved after each video chunk
+    * — the standard muxer layout, so the parser's movi-order chunk
+    * concatenation is what reassembles the stream. */
+  def encodeWithAudio(width: Int, height: Int,
+                      framePixels: Seq[Array[Int]],
+                      sampleRate: Int, samples: Array[Short],
+                      fps: Int = 10): Array[Byte] = {
+    require(width > 0 && height > 0 && framePixels.nonEmpty)
+    require(framePixels.forall(_.length == width * height))
+    require(sampleRate > 0 && samples.nonEmpty)
+    val rowBytes0 = (3 * width + 3) & ~3
+    val dibs = framePixels.map { px =>
+      val fb = new Array[Byte](rowBytes0 * height)
+      var o = 0
+      var y = height - 1
+      while (y >= 0) {
+        var x = 0
+        while (x < width) {
+          val v = px(y * width + x)
+          fb(o) = (v & 0xff).toByte; fb(o + 1) = ((v >> 8) & 0xff).toByte
+          fb(o + 2) = ((v >> 16) & 0xff).toByte
+          o += 3; x += 1
+        }
+        o += rowBytes0 - 3 * width
+        y -= 1
+      }
+      fb
+    }
+    encodeChunks(width, height, dibs, fps, mjpeg = false,
+      audio = Some((sampleRate, samples)))
+  }
+
   /** The shared RIFF writer: one video stream, frame payloads supplied
-    * pre-encoded (raw bottom-up DIBs or complete JPEGs). */
+    * pre-encoded (raw bottom-up DIBs or complete JPEGs), optionally an
+    * interleaved PCM-16 mono audio stream. */
   private def encodeChunks(width: Int, height: Int,
                            frameBytesSeq: Seq[Array[Byte]], fps: Int,
-                           mjpeg: Boolean): Array[Byte] = {
+                           mjpeg: Boolean,
+                           audio: Option[(Int, Array[Short])] = None)
+      : Array[Byte] = {
     val bo = new java.io.ByteArrayOutputStream()
     def w16(v: Int): Unit = { bo.write(v & 0xff); bo.write((v >> 8) & 0xff) }
     def w32(v: Long): Unit = { var i = 0; while (i < 4) {
@@ -293,15 +394,32 @@ object AviParser {
     val maxFrame = frameBytesSeq.map(_.length).max
     val handler = if (mjpeg) "MJPG" else "DIB "
     val chunkId = if (mjpeg) "00dc" else "00db"
+    // audio samples split evenly across frames (last chunk takes the
+    // remainder) — the interleave grid
+    val audioChunks: Seq[Array[Short]] = audio match {
+      case None => Nil
+      case Some((_, samp)) =>
+        val per = math.max(1, samp.length / n)
+        (0 until n).map { i =>
+          val lo = math.min(i * per, samp.length)
+          val hi = if (i == n - 1) samp.length else math.min(lo + per, samp.length)
+          java.util.Arrays.copyOfRange(samp, lo, hi)
+        }
+    }
     val strlSz = 4 + (8 + 56) + (8 + 40)
-    val hdrlSz = 4 + (8 + 56) + (8 + strlSz)
-    val moviSz = 4 + frameBytesSeq.map(f => 8 + f.length + (f.length & 1)).sum
+    val strlASz = 4 + (8 + 56) + (8 + 16)
+    val hdrlSz = 4 + (8 + 56) + (8 + strlSz) +
+      (if (audio.isDefined) 8 + strlASz else 0)
+    val moviSz = 4 +
+      frameBytesSeq.map(f => 8 + f.length + (f.length & 1)).sum +
+      audioChunks.map(a => 8 + 2 * a.length).sum
     val riffSz = 4 + (8 + hdrlSz) + (8 + moviSz)
+    val nStreams = if (audio.isDefined) 2 else 1
     tag("RIFF"); w32(riffSz); tag("AVI ")
     tag("LIST"); w32(hdrlSz); tag("hdrl")
     tag("avih"); w32(56)
     w32(1000000L / fps); w32(maxFrame.toLong * fps); w32(0); w32(0)
-    w32(n); w32(0); w32(1); w32(maxFrame)
+    w32(n); w32(0); w32(nStreams); w32(maxFrame)
     w32(width); w32(height); w32(0); w32(0); w32(0); w32(0)
     tag("LIST"); w32(strlSz); tag("strl")
     tag("strh"); w32(56)
@@ -313,11 +431,28 @@ object AviParser {
     w32(40); w32(width); w32(height); w16(1); w16(24)
     if (mjpeg) tag("MJPG") else w32(0)
     w32(maxFrame); w32(0); w32(0); w32(0); w32(0)
+    audio.foreach { case (rate, samp) =>
+      tag("LIST"); w32(strlASz); tag("strl")
+      tag("strh"); w32(56)
+      tag("auds"); w32(0); w32(0); w16(0); w16(0); w32(0)
+      w32(1); w32(rate) // scale, rate: samples per second
+      w32(0); w32(samp.length); w32(2L * samp.length); w32(0xffffffffL)
+      w32(2) // sampleSize: bytes per PCM-16 mono sample
+      w16(0); w16(0); w16(0); w16(0)
+      tag("strf"); w32(16)
+      // WAVEFORMATEX: PCM, mono, rate, byte rate, block align, bits
+      w16(1); w16(1); w32(rate); w32(2L * rate); w16(2); w16(16)
+    }
     tag("LIST"); w32(moviSz); tag("movi")
-    for (f <- frameBytesSeq) {
+    frameBytesSeq.zipWithIndex.foreach { case (f, i) =>
       tag(chunkId); w32(f.length)
       bo.write(f)
       if ((f.length & 1) == 1) bo.write(0) // word alignment
+      if (audioChunks.nonEmpty) {
+        val a = audioChunks(i)
+        tag("01wb"); w32(2L * a.length)
+        a.foreach(v => w16(v & 0xffff))
+      }
     }
     bo.toByteArray
   }

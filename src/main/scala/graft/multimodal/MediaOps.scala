@@ -236,7 +236,8 @@ object MediaOps {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        WavDecoder.decodeSamples(m.payload) match {
+        WavDecoder.decodeSamples(m.payload)
+            .orElse(AviParser.decodeAudioSamples(m.payload)) match {
           case Some(samples) if samples.length >= windows =>
             val per = samples.length / windows
             val energy = new Array[Long](windows)
@@ -272,7 +273,8 @@ object MediaOps {
     val nWords = (windows - 1 + 63) / 64
     media.mapPartitions { it =>
       it.map { m =>
-        WavDecoder.decodeSamples(m.payload) match {
+        WavDecoder.decodeSamples(m.payload)
+            .orElse(AviParser.decodeAudioSamples(m.payload)) match {
           case Some(samples) if samples.length >= windows =>
             val per = samples.length / windows
             val energy = new Array[Long](windows)

@@ -207,6 +207,73 @@ class AviSpec extends SparkSpec {
     assert(ham >= 0 && ham <= 2, s"bump hamming $ham out of contract")
   }
 
+  test("interleaved PCM audio (round 17, q174): one A/V container " +
+       "yields BOTH fingerprint modalities, and the audio chain matches " +
+       "the same samples through a bare WAV") {
+    import graft.multimodal.{MediaOps, WavDecoder}
+    import graft.multimodal.MediaOps.{MediaMeta, MediaRecord}
+    val W = 16; val H = 8
+    val samples = Array.tabulate[Short](800) { i =>
+      (((i * 2654435761L) % 4001) - 2000).toShort
+    }
+    val frames = (0 until 4).map(f => px(W, H)((x, y) =>
+      ((x * 7 + y * 13 + f) & 0xff) * 0x010101))
+    val av = AviParser.encodeWithAudio(W, H, frames, 16000, samples)
+
+    // the audio stream demuxes to the exact samples (sign-extended,
+    // concatenated across the per-frame '01wb' chunks)
+    assert(AviParser.decodeAudioSamples(av).exists(
+      _.toSeq == samples.map(_.toInt).toSeq),
+      "interleaved PCM samples drifted through the demux")
+    // the VIDEO stream still decodes exactly — audio chunks are
+    // invisible to the frame walk
+    val Some((n, byIdx)) = AviParser.decodeFrames(av, _ => Set(0, 3))
+    assert(n == 4 && byIdx(0).rgb.toSeq == frames(0).toSeq &&
+      byIdx(3).rgb.toSeq == frames(3).toSeq)
+
+    // one payload, both fingerprints: audioHash(AVI) == audioHash(WAV
+    // of the same samples), and frameDHashWide emits 4 decoded frames
+    def rec(id: Long, payload: Array[Byte], kind: String) = MediaRecord(
+      id, MediaMeta(kind, W, H, 16000), payload)
+    val avDs = spark.createDataset(Seq(rec(1L, av, "video")))
+    val wavDs = spark.createDataset(
+      Seq(rec(1L, WavDecoder.encode(16000, samples), "audio")))
+    val hAvi = MediaOps.audioHash(avDs, 50).collect().head
+    val hWav = MediaOps.audioHash(wavDs, 50).collect().head
+    assert(hAvi.getLong(2) == 1L, "AVI audio must decode")
+    assert(hAvi.getLong(1) == hWav.getLong(1),
+      "the same samples must hash identically through AVI and WAV")
+    val fps = MediaOps.frameDHashWide(avDs, maxFrames = 4, 16, 8).count()
+    assert(fps == 4L, "the A/V container's video arm must still emit frames")
+
+    // guard: a non-PCM audio format reads as "no audio stream" while
+    // the video tier stays intact
+    val mutated = av.clone()
+    val fmtOff = indexOfSeq(mutated, "auds".getBytes("US-ASCII")) match {
+      case i if i > 0 =>
+        // strf follows strh: 8 (strh hdr) + 56 (strh body) + 8 (strf
+        // hdr) after the 'auds' fourcc starts the WAVEFORMATEX
+        i + 4 + 52 + 8
+      case _ => fail("encoder must write an auds strh")
+    }
+    mutated(fmtOff) = 2 // wFormatTag: ADPCM — out of the PCM-16 tier
+    assert(AviParser.decodeAudioSamples(mutated).isEmpty,
+      "non-PCM audio must degrade to None, never mis-decode")
+    assert(AviParser.probe(mutated).contains((4, W, H)),
+      "a non-PCM audio stream must not take down the video tier")
+  }
+
+  private def indexOfSeq(hay: Array[Byte], needle: Array[Byte]): Int = {
+    var i = 0
+    while (i + needle.length <= hay.length) {
+      var j = 0
+      while (j < needle.length && hay(i + j) == needle(j)) j += 1
+      if (j == needle.length) return i
+      i += 1
+    }
+    -1
+  }
+
   test("AviParser never throws on arbitrary bytes") {
     val rnd = new scala.util.Random(42)
     for (len <- Seq(0, 1, 11, 12, 64, 500)) {

@@ -157,7 +157,9 @@ object DedupLedger {
     * representative; signature rows are written for those
     * representatives only (an exact-identical text would carry an
     * identical signature — storing it twice buys nothing). */
-  def appendSurvivors(survivors: DataFrame, dir: String, tag: String): Int = {
+  def appendSurvivors(survivors: DataFrame, dir: String, tag: String,
+                      precomputedSigs: Option[DataFrame] = None,
+                      assumeMaterialized: Boolean = false): Int = {
     // materialize the increment ONCE: every caller passes a LAZY
     // batch ⋉ verdict.keep join, and this body references it twice
     // (exact rows, then signature rows) — without the checkpoint each
@@ -166,20 +168,66 @@ object DedupLedger {
     // was ~4 s of the ~6 s per streamed tick at sf0.1 (round-16
     // TickProfile). The checkpoint is increment-sized by contract.
     // (inside the idempotency gate: a replayed tag skips even the
-    // materialization)
+    // materialization). `assumeMaterialized` skips the re-checkpoint
+    // when the caller already holds a materialized survivor frame
+    // (the mixed sink's parallel arm phase).
     IndexStore.commitDelta(dir, Some(tag)) {
-      val sv = survivors.localCheckpoint()
+      val sv = if (assumeMaterialized) survivors
+               else survivors.localCheckpoint()
       val reps = exactRows(sv).localCheckpoint()
-      reps.repartition(col("cell"))
-        .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
-      val sigs = sigRows(sv.join(
-          reps.select(col("owner").as("doc_id")), Seq("doc_id"), "left_semi"))
-      sigs.repartition(col("cell"))
-        .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
+      // `precomputedSigs` (the round-17 tick trim): a streamed tick's
+      // VERDICT already paid one full shingle→minhash pass over the
+      // batch — the survivors' signature rows are a semi-join filter
+      // of that frame, row-identical to recomputing them (sigRows is
+      // per-doc deterministic; cell = pmod(doc_id, 16)). Callers
+      // without a shared pass (batch ingest paths) omit it and pay
+      // the subset recompute exactly as before.
+      val owners = reps.select(col("owner").as("doc_id"))
+      val sigs = precomputedSigs match {
+        case Some(pre) => pre.join(owners, Seq("doc_id"), "left_semi")
+        case None => sigRows(sv.join(owners, Seq("doc_id"), "left_semi"))
+      }
+      // the two table writes are independent DAGs over materialized
+      // inputs (reps is checkpointed; sigs is a filter of a
+      // checkpointed frame or of reps) — overlap them; the commit
+      // lambda returns only when both files sets are on disk, so the
+      // manifest diff sees them exactly as the serial form did
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext = armWriteEc
+      val wCodes = Future {
+        reps.repartition(col("cell"))
+          .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+      }
+      val wVecs = Future {
+        sigs.repartition(col("cell"))
+          .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
+      }
+      Await.result(wCodes, Duration.Inf)
+      Await.result(wVecs, Duration.Inf)
       bumpArmStats(dir, "vectors-hist", bandsOf(sigs), Seq("band", "bkey"),
         armFilesBefore(dir, _.vectors).isEmpty)
     }
   }
+
+  /** Small daemon pool for overlapping independent Spark actions
+    * (parallel table writes, parallel modality arms) — job SUBMISSION
+    * threads only; the work itself runs on Spark's scheduler. */
+  private[graft] lazy val armWriteEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-arm")
+        t.setDaemon(true)
+        t
+      }))
+
+  /** The batch's signature rows as a standalone frame — what
+    * [[dedupAgainstLedger]] derives internally (`(cell, doc_id,
+    * sig)`), exposed so a streamed tick can compute the shingle →
+    * minhash pass ONCE, checkpoint it, and share it between the
+    * verdict (`batchSigs`) and the survivor append
+    * (`precomputedSigs`). */
+  def signatureRows(batch: DataFrame): DataFrame = sigRows(batch)
 
   /** Verdict of `batch` against the ledger at `snap`: one row per batch
     * doc — `(doc_id, exact_of, near_of, keep)`. The ledger side streams
@@ -197,7 +245,8 @@ object DedupLedger {
                          dir: String, snap: IndexStore.Snapshot,
                          maxBroadcast: Long = 256L << 20,
                          pairBudgetPerItem: Option[Int] =
-                           DedupOps.DEFAULT_PAIR_BUDGET): DataFrame = {
+                           DedupOps.DEFAULT_PAIR_BUDGET,
+                         batchSigs: Option[DataFrame] = None): DataFrame = {
     // ONE gate decision for all four batch-derived frames, taken on the
     // batch's OWN plan stats: every broadcast side below (hash rows,
     // band rows, the two verdict arms) is ≤ O(batch rows) by
@@ -223,8 +272,9 @@ object DedupLedger {
     val bh = batch.select(col("doc_id").as("bdoc"), sha2(col("text"), 256).as("h"))
     val ex = exact.join(gate(bh), Seq("h"))
       .groupBy(col("bdoc")).agg(min(col("owner")).as("exact_of"))
-    val bb = bandsOf(sigRows(batch)).select(col("band"), col("bkey"),
-      col("doc_id").as("bdoc"), col("sig").as("bsig"))
+    val bb = bandsOf(batchSigs.getOrElse(sigRows(batch)))
+      .select(col("band"), col("bkey"),
+        col("doc_id").as("bdoc"), col("sig").as("bsig"))
     // stored sigs re-derive their band keys row-locally in-flight: the
     // scan reads one sig row per doc, the explode costs no storage.
     // Under the (default) budget, the LEDGER side sheds its hottest
@@ -1012,7 +1062,7 @@ object DedupLedger {
   /** q158 media payloads for an id range, as (media_id, payload) — the
     * key/bump map is grid-agnostic, so one fixture family serves the
     * narrow 8×6 gates (q158/q162/q166) and the wide 16×8 one (q168). */
-  private def q158Payloads(s: SparkSession, d: String, lo: Long, hi: Long,
+  private[ops] def q158Payloads(s: SparkSession, d: String, lo: Long, hi: Long,
                            gw: Int = 8, gh: Int = 6): DataFrame =
     Tables.rebalance(Tables.documents(s, d)
         .filter(col("doc_id") >= lo && col("doc_id") < hi)
@@ -1023,7 +1073,7 @@ object DedupLedger {
     * → dHashWide at the given grid (decode drift sits inside the gate,
     * as in q154) — 8×6 yields the narrow fingerprint in the marks
     * arm's one-word array typing, 16×8 the 120-bit two-word wide one. */
-  private def q158Fps(s: SparkSession, d: String, lo: Long, hi: Long,
+  private[ops] def q158Fps(s: SparkSession, d: String, lo: Long, hi: Long,
                       gw: Int = 8, gh: Int = 6): DataFrame = {
     import s.implicits._
     val recs = q158Payloads(s, d, lo, hi, gw, gh)

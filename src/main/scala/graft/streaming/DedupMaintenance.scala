@@ -41,12 +41,17 @@ object DedupMaintenance {
         if (!batch.isEmpty) {
           val s = batch.sparkSession
           val b = batch.localCheckpoint() // verdict + append read it twice
+          // ONE shingle→minhash pass per tick, shared by the verdict
+          // and the survivor append (round-17 tick trim — the media
+          // arms already share their one decode the same way)
+          val sigs = DedupLedger.signatureRows(b).localCheckpoint()
           val verdict = DedupLedger.dedupAgainstLedger(
-            s, b, ledgerDir, IndexStore.snapshot(ledgerDir))
+            s, b, ledgerDir, IndexStore.snapshot(ledgerDir),
+            batchSigs = Some(sigs))
           DedupLedger.appendSurvivors(
             b.join(verdict.filter(col("keep") === 1L).select(col("doc_id")),
               Seq("doc_id"), "left_semi"),
-            ledgerDir, tag = s"stream-$id")
+            ledgerDir, tag = s"stream-$id", precomputedSigs = Some(sigs))
           ()
         }
       }
@@ -119,63 +124,98 @@ object DedupMaintenance {
             b.filter(col("kind").isin("text", "image", "video"))
               .select(col("kind")).distinct(), 3L, "stream modality kinds")
             .map(_.getString(0)).toSet
+          // PARALLEL arm phase (round-17 tick trim): the modality
+          // pipelines are independent DAGs over disjoint store tables
+          // — each arm's verdict + survivor materialization runs
+          // concurrently (job-submission futures; the work itself is
+          // Spark tasks over idle cores). All three verdicts read the
+          // SAME pre-tick snapshot (they always saw identical content
+          // — the arms verdict disjoint tables — now it is also
+          // literal). The COMMITS stay serial in fixed
+          // text→image→video order: the store writer lock serializes
+          // manifest publishes anyway, and the fixed order keeps
+          // version numbering deterministic. A replayed batch is
+          // still a no-op per arm through the idempotency tags.
+          val snap0 = IndexStore.snapshot(ledgerDir)
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          implicit val ec: scala.concurrent.ExecutionContext =
+            DedupLedger.armWriteEc
           val txt = b.filter(org.apache.spark.sql.functions.col("kind") === "text")
             .select(col("doc_id"), col("text"))
-          if (kinds("text")) {
-            val verdict = DedupLedger.dedupAgainstLedger(
-              s, txt, ledgerDir, IndexStore.snapshot(ledgerDir))
-            DedupLedger.appendSurvivors(
-              txt.join(verdict.filter(col("keep") === 1L).select(col("doc_id")),
-                Seq("doc_id"), "left_semi"),
-              ledgerDir, tag = s"stream-$id-text")
-            ()
-          }
+          val textArm: Option[Future[() => Unit]] =
+            if (!kinds("text")) None else Some(Future {
+              // one shingle→minhash pass for verdict AND append, like
+              // the media arms' shared decode
+              val sigs = DedupLedger.signatureRows(txt).localCheckpoint()
+              val verdict = DedupLedger.dedupAgainstLedger(
+                s, txt, ledgerDir, snap0, batchSigs = Some(sigs))
+              val sv = txt.join(
+                  verdict.filter(col("keep") === 1L).select(col("doc_id")),
+                  Seq("doc_id"), "left_semi").localCheckpoint()
+              () => {
+                DedupLedger.appendSurvivors(sv, ledgerDir,
+                  tag = s"stream-$id-text", precomputedSigs = Some(sigs),
+                  assumeMaterialized = true)
+                ()
+              }
+            })
           val med = b.filter(col("kind") === "image")
-          if (kinds("image")) {
-            import s.implicits._
-            import org.apache.spark.sql.functions.{lit, struct}
-            val recs = med.select(col("doc_id").as("media_id"),
-                struct(lit("image").as("kind"), lit(0).as("declaredWidth"),
-                       lit(0).as("declaredHeight"), lit(0).as("sampleRate"))
-                  .as("meta"),
-                col("payload"))
-              .as[graft.multimodal.MediaOps.MediaRecord]
-            val fps = graft.multimodal.MediaOps.dHashWide(recs, imgGw, imgGh)
-              .filter(col("decoded") === 1L)
-              .select(col("media_id"), col("dhash").as("fp"))
-              .localCheckpoint() // verdict + append read it twice
-            val verdict = DedupLedger.dedupMediaAgainstLedger(
-              s, fps, ledgerDir, IndexStore.snapshot(ledgerDir), iGeom)
-            DedupLedger.appendMediaSurvivors(
-              fps.join(verdict.filter(col("keep") === 1L).select(col("media_id")),
-                Seq("media_id"), "left_semi"),
-              ledgerDir, tag = s"stream-$id-media", iGeom)
-            ()
-          }
+          val imageArm: Option[Future[() => Unit]] =
+            if (!kinds("image")) None else Some(Future {
+              import s.implicits._
+              import org.apache.spark.sql.functions.{lit, struct}
+              val recs = med.select(col("doc_id").as("media_id"),
+                  struct(lit("image").as("kind"), lit(0).as("declaredWidth"),
+                         lit(0).as("declaredHeight"), lit(0).as("sampleRate"))
+                    .as("meta"),
+                  col("payload"))
+                .as[graft.multimodal.MediaOps.MediaRecord]
+              val fps = graft.multimodal.MediaOps.dHashWide(recs, imgGw, imgGh)
+                .filter(col("decoded") === 1L)
+                .select(col("media_id"), col("dhash").as("fp"))
+                .localCheckpoint() // verdict + append read it twice
+              val verdict = DedupLedger.dedupMediaAgainstLedger(
+                s, fps, ledgerDir, snap0, iGeom)
+              val sv = fps.join(
+                  verdict.filter(col("keep") === 1L).select(col("media_id")),
+                  Seq("media_id"), "left_semi").localCheckpoint()
+              () => {
+                DedupLedger.appendMediaSurvivors(sv, ledgerDir,
+                  tag = s"stream-$id-media", iGeom)
+                ()
+              }
+            })
           val vid = b.filter(col("kind") === "video")
-          if (kinds("video")) {
-            import s.implicits._
-            import org.apache.spark.sql.functions.{lit, struct}
-            val recs = vid.select(col("doc_id").as("media_id"),
-                struct(lit("video").as("kind"), lit(0).as("declaredWidth"),
-                       lit(0).as("declaredHeight"), lit(0).as("sampleRate"))
-                  .as("meta"),
-                col("payload"))
-              .as[graft.multimodal.MediaOps.MediaRecord]
-            val frames = graft.multimodal.MediaOps
-              .frameDHashWide(recs, maxFrames, gw, gh)
-              .select(col("media_id"), col("frame_idx").as("f"),
-                      col("fhash").as("fp"))
-              .localCheckpoint() // verdict + append read it twice
-            val verdict = DedupLedger.dedupVideoAgainstLedger(
-              s, frames, ledgerDir, IndexStore.snapshot(ledgerDir), vGeom)
-            DedupLedger.appendVideoSurvivors(
-              frames.join(verdict.filter(col("keep") === 1L)
-                  .select(col("media_id")),
-                Seq("media_id"), "left_semi"),
-              ledgerDir, tag = s"stream-$id-video", vGeom)
-            ()
-          }
+          val videoArm: Option[Future[() => Unit]] =
+            if (!kinds("video")) None else Some(Future {
+              import s.implicits._
+              import org.apache.spark.sql.functions.{lit, struct}
+              val recs = vid.select(col("doc_id").as("media_id"),
+                  struct(lit("video").as("kind"), lit(0).as("declaredWidth"),
+                         lit(0).as("declaredHeight"), lit(0).as("sampleRate"))
+                    .as("meta"),
+                  col("payload"))
+                .as[graft.multimodal.MediaOps.MediaRecord]
+              val frames = graft.multimodal.MediaOps
+                .frameDHashWide(recs, maxFrames, gw, gh)
+                .select(col("media_id"), col("frame_idx").as("f"),
+                        col("fhash").as("fp"))
+                .localCheckpoint() // verdict + append read it twice
+              val verdict = DedupLedger.dedupVideoAgainstLedger(
+                s, frames, ledgerDir, snap0, vGeom)
+              val sv = frames.join(
+                  verdict.filter(col("keep") === 1L).select(col("media_id")),
+                  Seq("media_id"), "left_semi").localCheckpoint()
+              () => {
+                DedupLedger.appendVideoSurvivors(sv, ledgerDir,
+                  tag = s"stream-$id-video", vGeom)
+                ()
+              }
+            })
+          Seq(textArm, imageArm, videoArm).flatten
+            .map(Await.result(_, Duration.Inf))
+            .foreach(_.apply())
         }
       }
   }

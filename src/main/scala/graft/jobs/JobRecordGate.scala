@@ -917,7 +917,7 @@ object JobRecordGate {
     // demux, chunk concatenation, sign extension, window fold and
     // banding all live inside the gate while the oracle never sees a
     // byte of RIFF. The video stream is real (id-derived gray frames)
-    // and decodable by the q172 path; AviAudioSpec pins the
+    // and decodable by the q172 path; AviSpec pins the
     // dual-modality extraction from one payload.
     "q174_avi_audio_dedup" -> ((s, d) => {
       import s.implicits._

@@ -297,6 +297,7 @@ object DedupLedger {
         // true join volume (see shedUnlessAffordable). items = band
         // rows / bands.
         val persisted = IndexStore.armStats(dir, "vectors-hist")
+          .filter(_.version >= snap.version) // stale stats prove nothing
         shedUnlessAffordable(lbands0, Seq("band", "bkey"), perItem,
           persisted.map(_.rows).getOrElse(
             memoizedCount(dir, snap.version, "vectors")(sigs.count()) *
@@ -544,8 +545,24 @@ object DedupLedger {
     // bound proves no bucket can exceed the shed floor, nothing can
     // shed at ANY budget — skip with zero jobs, no histogram, no
     // batch checkpoint. Healthy corpus-scale stores live here.
+    // COHERENCE GATE (round-17 review): trust the file only when it
+    // is at least as new as the snapshot being verdicted. Between
+    // rebuilds the arms grow append-only, so stats stamped at a LATER
+    // version over-bound an older snapshot's buckets (conservative);
+    // stats stamped EARLIER may be missing a delta's growth (an
+    // append that bumped a different geometry key, a writer predating
+    // the stats discipline) and must not prove anything — stale reads
+    // fall back to the runtime histogram, which can only cost time,
+    // never admit an unbounded join. Under UNFENCED concurrent
+    // writers (object store, no advisory locks) the bump's
+    // read-modify-write itself needs the manifest's conditional-put
+    // discipline; until a deployment wires that, the manifest CAS is
+    // the correctness boundary and this fast path is a fenced-writer
+    // optimization — the version gate makes a torn stats file read as
+    // stale, not as proof.
     persisted match {
-      case Some(st) if st.maxBound <= DedupOps.BAND_CAP =>
+      case Some(st) if st.version >= version &&
+          st.maxBound <= DedupOps.BAND_CAP =>
         return (lb, batchBands)
       case _ => ()
     }
@@ -656,6 +673,12 @@ object DedupLedger {
     * forever; legacy corpus stores until a rebuild or the verdict
     * side's self-heal persists one). `beforeEmpty`: the arm's first
     * delta computes the exact histogram instead. */
+  /** The stamped version is `headVersion + 1` computed PRE-publish —
+    * exact under the fenced writer lock (the CAS cannot race while we
+    * hold it); under UNFENCED concurrent writers the eventual
+    * published version can be higher, leaving the stamp LOW, which
+    * the verdict-side coherence gate (`st.version >= snap.version`)
+    * turns into a conservative fallback, never an unsound proof. */
   private def bumpArmStats(dir: String, key: String,
                            bandedDelta: => DataFrame,
                            keys: Seq[String], beforeEmpty: Boolean): Unit =
@@ -805,6 +828,7 @@ object DedupLedger {
         // the geometry-outgrown signal hides the condition the
         // operator must react to, and the count is already memoized
         val persisted = IndexStore.armStats(dir, s"marks-hist-${geom.params}")
+          .filter(_.version >= snap.version) // stale stats prove nothing
         val n = persisted.map(_.rows / geom.bands).getOrElse(
           memoizedCount(dir, snap.version, "marks")(marksRaw.count()))
         DedupOps.warnIfSaturated(n, geom.bands, geom.bandBits)
@@ -993,6 +1017,7 @@ object DedupLedger {
         // the increment-sized positions count runs only when the
         // conservative screen itself saturates
         val persisted = IndexStore.armStats(dir, s"seqs-hist-${geom.params}")
+          .filter(_.version >= snap.version) // stale stats prove nothing
         val n = persisted.map(_.rows / geom.bands).getOrElse(
           memoizedCount(dir, snap.version, "seqs")(ledRaw.count()))
         if (!DedupOps.saturationSafe(n, geom.bands, geom.bandBits)) {
@@ -1103,7 +1128,7 @@ object DedupLedger {
       appendMediaSurvivors(
         fps.join(v.filter(col("keep") === 1L).select(col("media_id")),
           Seq("media_id"), "left_semi"),
-        dir, tag)
+        dir, tag, geom) // bump the SAME stats key the verdict consults
       ()
     }
 
@@ -1160,7 +1185,7 @@ object DedupLedger {
       appendVideoSurvivors(
         fr.join(v.filter(col("keep") === 1L).select(col("media_id")),
           Seq("media_id"), "left_semi"),
-        dir, tag)
+        dir, tag, geom) // bump the SAME stats key the verdict consults
       ()
     }
   }

@@ -73,7 +73,23 @@ object IndexStore {
       .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
         scala.util.Try(n.stripPrefix("v").stripSuffix(".list").toInt).toOption }
       .flatten
+      // ABOVE the hint, only CAS-committed manifests (trailing marker)
+      // count: a pre-OCC crash could leave a torn unmarked orphan past
+      // _HEAD, and adopting it would silently drop the tail of its
+      // file list and hand vacuum the difference (round-17 review
+      // find). At or below the hint the old protocol already
+      // guaranteed completeness (manifest fully written before the
+      // pointer flip), so legacy stores read unchanged.
+      .filter(v => hint.exists(v <= _) || isCommitted(dir, v))
     (hint.toSeq ++ listed).maxOption
+  }
+
+  private val COMMIT_MARKER = "#commit"
+  private def isCommitted(dir: String, v: Int): Boolean = {
+    val f = new java.io.File(manifestDir(dir), s"v$v.list")
+    scala.util.Try(new String(java.nio.file.Files.readAllBytes(f.toPath),
+      "UTF-8").split('\n').filter(_.nonEmpty).lastOption
+      .contains(COMMIT_MARKER)).getOrElse(false)
   }
 
   /** Load the current snapshot. Fails by name on an unpublished store —
@@ -423,10 +439,19 @@ object IndexStore {
                          seqs: Seq[String] = Nil): Boolean = {
     manifestDir(dir).mkdirs()
     ensureStoreId(dir)
+    // the trailing COMMIT MARKER distinguishes a manifest this CAS
+    // protocol created (atomic full-content hard link — complete by
+    // construction) from a pre-OCC writer's torn Files.write orphan:
+    // headVersion refuses to adopt an unmarked manifest ABOVE the
+    // _HEAD hint, so upgrading a store that carries the old code's
+    // documented benign crash artifact cannot resurrect it as HEAD
+    // (round-17 review find). snapshotAt's prefix collectors skip the
+    // marker line by construction.
     val body = (codes.map(f => s"codes\t$f") ++
                 vectors.map(f => s"vectors\t$f") ++
                 marks.map(f => s"marks\t$f") ++
-                seqs.map(f => s"seqs\t$f")).mkString("\n")
+                seqs.map(f => s"seqs\t$f") ++
+                Seq(COMMIT_MARKER)).mkString("\n")
     val tmp = new java.io.File(manifestDir(dir),
       s"v$v.tmp${ProcessHandle.current().pid()}-${Thread.currentThread().getId}")
     java.nio.file.Files.write(tmp.toPath, body.getBytes("UTF-8"))
@@ -533,7 +558,11 @@ object IndexStore {
         var done = false
         while (!done) {
           val before = snapshotOrEmpty(dir)
-          v = before.version + 1
+          // progress past an EXISTING but untrusted version file (a
+          // legacy orphan headVersion refuses): retrying the same
+          // number would EEXIST forever; the skipped number stays a
+          // permanent gap vacuum eventually clears
+          v = math.max(before.version, v) + 1
           done = publishCas(dir, v,
             (before.codes ++ added("codes")).distinct,
             (before.vectors ++ added("vectors")).distinct,
@@ -609,9 +638,10 @@ object IndexStore {
         // carries re-derive PER ATTEMPT: an append that lands while the
         // compaction publishes must survive (it rewrote `base`'s data,
         // not the concurrent batch's), so a CAS loser re-reads head and
-        // re-computes what to carry forward
+        // re-computes what to carry forward. max(_, v)+1 skips past an
+        // existing-but-untrusted legacy orphan file (see commitDelta).
         val now = snapshotOrEmpty(dir)
-        v = now.version + 1
+        v = math.max(now.version, v) + 1
         done = publishCas(dir, v,
           (added("codes") ++ (now.codes.toSet -- base.codes.toSet)).toSeq.sorted,
           (added("vectors") ++ (now.vectors.toSet -- base.vectors.toSet)).toSeq.sorted,

@@ -1533,8 +1533,21 @@ object VectorOps {
        updated.map { case (c, s, n) => (c, s, n, genN) })
         .toDF("cell", "s", "n", "gen")
     }
-    val resid = residualsOf(quantVecs,
-      coarseNew.select(col("cell"), col("s"), col("n")))
+    // ONE assignment of the rewritten content against the new router,
+    // materialized — codes (via residuals), vectors, and the
+    // generation-codebook training all derive from it (the earlier
+    // form assigned once inside residualsOf and once for newVecs, and
+    // every lazy consumer re-executed its copy; identical arithmetic,
+    // now identical by construction)
+    val assigned = kmeansAssignRows(quantVecs, newCents).localCheckpoint()
+    val coarseNewData = coarseNew.select(col("cell"), col("s"), col("n"))
+    val residRiders = quantVecs.columns
+      .filterNot(c => c == "vec_id" || c == "q").toSeq
+    val resid = assigned.drop("dist")
+      .join(broadcast(coarseNewData), "cell")
+      .withColumn("rq", expr(residExpr("q")))
+      .select((Seq(col("vec_id"), col("cell"), col("rq")) ++
+               residRiders.map(col)): _*)
     // re-encode against a RE-FITTED residual codebook (generation genN),
     // trained on exactly the content being rewritten: dedicated
     // centroids shrink the residuals, but the BUILD codebook's
@@ -1567,7 +1580,7 @@ object VectorOps {
       }
     val riders =
       if (quantVecs.columns.contains("label")) Seq(col("label")) else Nil
-    val newVecs = kmeansAssignRows(quantVecs, newCents)
+    val newVecs = assigned
       .select((Seq(col("vec_id"), col("q"), col("cell")) ++ riders): _*)
     // replacement commit scoped to the drifted cells: base = only their
     // files, so every untouched cell's files carry forward byte-

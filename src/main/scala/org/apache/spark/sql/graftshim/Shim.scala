@@ -28,4 +28,10 @@ object Shim {
   def analyzed(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed
+
+  /** Drain the async listener bus (private[spark]) — deterministic
+    * job-count assertions in specs instead of fixed sleeps. */
+  def waitForListenerBus(sc: org.apache.spark.SparkContext,
+                         timeoutMs: Long): Unit =
+    sc.listenerBus.waitUntilEmpty(timeoutMs)
 }

@@ -413,6 +413,48 @@ class IndexStoreSpec extends SparkSpec {
       .subsetOf(IndexStore.snapshotAt(dir, 3).codes.toSet))
   }
 
+  test("a pre-OCC torn orphan manifest above the hint is never adopted: " +
+       "head stays put, the next commit skips its version, vacuum clears it") {
+    val dir = java.nio.file.Files.createTempDirectory("idx-orphan").toString
+    IndexStore.commitRebuild(dir) {
+      Seq((0, "base", 0L)).toDF("cell", "h", "owner")
+        .write.mode("overwrite").parquet(s"$dir/codes")
+      Seq((0, 0L, Seq(1L))).toDF("cell", "doc_id", "sig")
+        .write.mode("overwrite").parquet(s"$dir/vectors")
+    }
+    IndexStore.commitDelta(dir, Some("d1")) {
+      Seq((1, "h1", 1L)).toDF("cell", "h", "owner")
+        .write.mode("append").parquet(s"$dir/codes")
+    }
+    assert(IndexStore.headVersion(dir).contains(2))
+    // the legacy crash artifact: a PRE-OCC writer died mid-manifest-
+    // write at v3 — a plain Files.write, no commit marker, file list
+    // cut off mid-line; _HEAD still says 2
+    val codes2 = IndexStore.snapshotAt(dir, 2).codes
+    java.nio.file.Files.write(
+      new java.io.File(s"$dir/_manifest", "v3.list").toPath,
+      (codes2.map(f => s"codes\t$f").mkString("\n") + "\ncodes\ttrunc")
+        .getBytes("UTF-8"))
+    assert(IndexStore.headVersion(dir).contains(2),
+      "an unmarked orphan manifest above the hint must not become HEAD")
+    // writers make progress PAST the dead version number instead of
+    // hard-looping on EEXIST, and the new head is a marked manifest
+    IndexStore.commitDelta(dir, Some("d2")) {
+      Seq((2, "h2", 2L)).toDF("cell", "h", "owner")
+        .write.mode("append").parquet(s"$dir/codes")
+    }
+    assert(IndexStore.headVersion(dir).contains(4),
+      "the orphan's number stays a permanent gap")
+    val (codes, _) = IndexStore.frames(spark, dir, IndexStore.snapshot(dir))
+    assert(codes.select(col("owner")).collect().map(_.getLong(0)).toSet ==
+      Set(0L, 1L, 2L))
+    // vacuum clears the orphan file like any other unretained manifest
+    IndexStore.vacuum(dir)
+    assert(!new java.io.File(s"$dir/_manifest", "v3.list").exists(),
+      "vacuum must clear the unadoptable orphan")
+    assert(codes.count() == 3L)
+  }
+
   test("withWriterLock is reentrant per thread and bounded on contention " +
        "(ADVICE r16 #1)") {
     val dir = java.nio.file.Files.createTempDirectory("idx-reent").toString

@@ -45,8 +45,11 @@ class LedgerStatsSpec extends SparkSpec {
     spark.sparkContext.addSparkListener(l)
     try {
       val a = f
-      // listener events are async — give the bus a moment to drain
-      Thread.sleep(500)
+      // listener events are async — drain the bus deterministically
+      // (a fixed sleep can under-count either run on a loaded box and
+      // flip the parity assertion both ways)
+      org.apache.spark.sql.graftshim.Shim.waitForListenerBus(
+        spark.sparkContext, 30000L)
       (a, n.get())
     } finally spark.sparkContext.removeSparkListener(l)
   }

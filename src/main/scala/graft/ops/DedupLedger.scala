@@ -578,8 +578,11 @@ object DedupLedger {
     // corpus-scale, the head did not move since our snapshot (a later
     // delta's growth would be missing from it), and the writer lock is
     // FREE (never queue a read path behind a writer)
+    // (call sites pre-filter `persisted` to version-coherent stats, so
+    // reaching here with Some(st) means st is current — re-stamp only
+    // when accumulated slack has made its bound loose)
     if (bandedRows > STATS_MIN_BANDED &&
-        persisted.forall(st => st.version < version || st.slack > 0)) {
+        persisted.forall(_.slack > 0)) {
       IndexStore.tryWithWriterLock(dir) {
         if (IndexStore.headVersion(dir).contains(version))
           IndexStore.writeArmStats(dir, what, IndexStore.ArmStats(

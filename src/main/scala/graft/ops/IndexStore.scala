@@ -79,7 +79,12 @@ object IndexStore {
       // file list and hand vacuum the difference (round-17 review
       // find). At or below the hint the old protocol already
       // guaranteed completeness (manifest fully written before the
-      // pointer flip), so legacy stores read unchanged.
+      // pointer flip), so legacy stores read unchanged. The gate is
+      // EXHAUSTIVE over real stores because the marker is part of the
+      // OCC manifest format from its first release: any unmarked
+      // manifest was written by the pre-OCC protocol, whose commit
+      // point WAS the hint flip — an above-hint unmarked file was by
+      // definition never committed.
       .filter(v => hint.exists(v <= _) || isCommitted(dir, v))
     (hint.toSeq ++ listed).maxOption
   }
@@ -112,6 +117,17 @@ object IndexStore {
       "(never published, or vacuumed past the retention window)")
     val lines = new String(java.nio.file.Files.readAllBytes(f.toPath),
       "UTF-8").split('\n').toSeq.filter(_.nonEmpty)
+    // the same trust rule as [[headVersion]], on the time-travel path:
+    // an unmarked manifest above the hint was never committed (a torn
+    // pre-OCC crash artifact) — parsing it would silently return a
+    // truncated file list to a pinned reader. Marked manifests (every
+    // OCC commit — the marker is part of the OCC manifest format from
+    // its first release) never pay the hint read.
+    require(lines.lastOption.contains(COMMIT_MARKER) ||
+            headHint(dir).exists(version <= _),
+      s"IndexStore: version $version of $dir was never committed " +
+      "(unmarked orphan manifest above the _HEAD hint — a torn " +
+      "pre-OCC crash artifact; vacuum will clear it)")
     Snapshot(version,
       lines.collect { case s if s.startsWith("codes\t") => s.substring(6) },
       lines.collect { case s if s.startsWith("vectors\t") => s.substring(8) },

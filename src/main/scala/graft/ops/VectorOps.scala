@@ -638,9 +638,19 @@ object VectorOps {
     * cells: (vec_id, cell, rq) — shared by build (whole corpus) and
     * APPEND (new vectors only, against stored cells). */
   private[graft] def residualsOf(quantDf: DataFrame,
-                                 coarse: DataFrame): DataFrame = {
-    val riders = quantDf.columns.filterNot(c => c == "vec_id" || c == "q").toSeq
-    kmeansAssign(quantDf, coarse)
+                                 coarse: DataFrame): DataFrame =
+    residualsOfAssigned(kmeansAssign(quantDf, coarse), coarse)
+
+  /** [[residualsOf]] over an ALREADY-ASSIGNED frame — shared with the
+    * retrain path, which materializes one assignment and derives
+    * residuals, vectors, and codebook training from it; one body keeps
+    * the two paths arithmetically identical by construction. */
+  private def residualsOfAssigned(assigned: DataFrame,
+                                  coarse: DataFrame): DataFrame = {
+    val riders = assigned.columns
+      .filterNot(c => c == "vec_id" || c == "q" || c == "cell" || c == "dist")
+      .toSeq
+    assigned
       .drop("dist")
       .join(broadcast(coarse), "cell")
       .withColumn("rq", expr(residExpr("q")))
@@ -1540,14 +1550,8 @@ object VectorOps {
     // every lazy consumer re-executed its copy; identical arithmetic,
     // now identical by construction)
     val assigned = kmeansAssignRows(quantVecs, newCents).localCheckpoint()
-    val coarseNewData = coarseNew.select(col("cell"), col("s"), col("n"))
-    val residRiders = quantVecs.columns
-      .filterNot(c => c == "vec_id" || c == "q").toSeq
-    val resid = assigned.drop("dist")
-      .join(broadcast(coarseNewData), "cell")
-      .withColumn("rq", expr(residExpr("q")))
-      .select((Seq(col("vec_id"), col("cell"), col("rq")) ++
-               residRiders.map(col)): _*)
+    val resid = residualsOfAssigned(assigned,
+      coarseNew.select(col("cell"), col("s"), col("n")))
     // re-encode against a RE-FITTED residual codebook (generation genN),
     // trained on exactly the content being rewritten: dedicated
     // centroids shrink the residuals, but the BUILD codebook's

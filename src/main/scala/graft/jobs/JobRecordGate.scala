@@ -247,9 +247,14 @@ object JobRecordGate {
     * fixture this form has no distinct-color ceiling. */
   private[graft] def encodeTemporalAviKeyed(key: Long, bumpFrame: Int,
                                             W: Int, H: Int,
-                                            F: Int): Array[Byte] = {
+                                            F: Int): Array[Byte] =
+    graft.multimodal.AviParser.encode(W, H,
+      temporalAviFrames(key, bumpFrame, W, H, F))
+
+  private def temporalAviFrames(key: Long, bumpFrame: Int, W: Int,
+                                H: Int, F: Int): Seq[Array[Int]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val frames = (0 until F).map { f =>
+    (0 until F).map { f =>
       def ch(x: Int, y: Int, c: Int): Int = {
         val b = md.digest(s"$key|$f|$x|$y|$c".getBytes("UTF-8"))(0) & 0xff
         val bump = if (f == bumpFrame && x == 3 && y == 2) 40 else 0
@@ -260,7 +265,25 @@ object JobRecordGate {
         (ch(x, y, 0) << 16) | (ch(x, y, 1) << 8) | ch(x, y, 2)
       }
     }
-    graft.multimodal.AviParser.encode(W, H, frames)
+  }
+
+  /** The q172 temporal AVI fixture with an INTERLEAVED PCM audio
+    * stream (round 17, q175): frames from the SAME md5 pixel formula
+    * under (`key`, `bumpFrame`), audio samples from q174/q155's
+    * formula under an INDEPENDENT (`audioKey`, `click`) — one
+    * container whose two fingerprint modalities relate to history
+    * DIFFERENTLY, which is the whole point of a joint A/V verdict. */
+  private[graft] def encodeTemporalAviKeyedAV(key: Long, bumpFrame: Int,
+      W: Int, H: Int, F: Int, audioKey: Long, click: Boolean,
+      nSamples: Int = 800, sampleRate: Int = 16000): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val samples = Array.tabulate[Short](nSamples) { i =>
+      val h = md.digest(s"$audioKey|$i".getBytes("UTF-8"))
+      val v = (((h(0) & 0xff) << 8) | (h(1) & 0xff)) % 4001 - 2000
+      (v + (if (click && i == 400) 1500 else 0)).toShort
+    }
+    graft.multimodal.AviParser.encodeWithAudio(W, H,
+      temporalAviFrames(key, bumpFrame, W, H, F), sampleRate, samples)
   }
 
   /** The v-LEVEL grid behind the MJPEG temporal fixture: five gray

@@ -1211,6 +1211,44 @@ object DedupLedger {
       .withColumn("payload", enc(col("media_id")))
   }
 
+  /** The marks-arm geometry for the 49-comparison audio energy hash
+    * (50 windows): 3×16-bit pigeonhole slices, hamming ≤ 2 — the
+    * q155/q174 verdict threshold as a stored-arm parameter. Bit 48
+    * rides outside every band, which costs nothing: recall needs one
+    * CLEAN band, and ≤ maxHamming dirty bits can dirty at most
+    * maxHamming of the 3 bands wherever they land. */
+  private[graft] val AudioMarks: MarksGeom = MarksGeom(49, 3, 16, 2)
+
+  /** q175's A/V payloads: ONE RIFF container per id, video frames
+    * under the q158/q172 (key, bump) map, interleaved PCM audio under
+    * an INDEPENDENT (akey, click) map — id%3 of the batch re-uses
+    * history's audio with a click (0), carries NOVEL audio (1), or
+    * re-uses history's audio exactly (2), regardless of what the
+    * video side does. */
+  private def q175Payloads(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[graft.multimodal.MediaOps.MediaRecord] = {
+    import s.implicits._
+    val enc = udf((id: Long) => {
+      val (key, bump) = q158KeyBump(id)
+      val (akey, click) =
+        if (id < 100L) (id, false)
+        else if (id % 3 == 0) (id - 100, true)
+        else if (id % 3 == 1) (id, false)
+        else (id - 100, false)
+      graft.jobs.JobRecordGate.encodeTemporalAviKeyedAV(key,
+        if (bump == 1) (id % 4).toInt else -1, 16, 8, 4, akey, click)
+    })
+    Tables.rebalance(Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id").as("media_id")))
+      .withColumn("payload", enc(col("media_id")))
+      .select(col("media_id"),
+        struct(lit("video").as("kind"), lit(16).as("declaredWidth"),
+               lit(8).as("declaredHeight"), lit(16000).as("sampleRate"))
+          .as("meta"),
+        col("payload"))
+      .as[graft.multimodal.MediaOps.MediaRecord]
+  }
+
   /** Container walk → per-position 120-bit frame dHash words: the q172
     * fingerprint chain (AVI parse on executors, the [[q169Frames]]
     * analog at 16×8). */
@@ -1750,6 +1788,58 @@ object DedupLedger {
       IndexStore.vacuum(dir)
       dedupVideoAgainstLedger(s, q172Frames(s, d, 100L, 200L), dir,
         IndexStore.snapshot(dir), WideMarks)
+    }),
+
+    // ---- q175: the JOINT A/V verdict (round 17) — ONE RIFF container
+    // feeds BOTH fingerprint arms of ONE store snapshot: the video
+    // stream walks to per-position 120-bit frame dHashes against the
+    // seqs arm (q172's formula and geometry), the interleaved PCM
+    // stream demuxes to the 49-bit energy hash against the marks arm
+    // (q174's formula, its own 3×16-bit geometry — per-arm geometries
+    // are a store parameter, ADVICE r15 #5). The fixture's two
+    // modality maps are INDEPENDENT (a drop can re-use history's
+    // video under new audio, or history's audio under new video), so
+    // the joint keep = "novel on BOTH arms" is decided per modality
+    // and the output carries all four owner columns. Oracle: the
+    // q172 comparison-level video derivation + the q174 closed-form
+    // energy derivation, verdicts resolved against the seed — no
+    // container, codec, or banding anywhere in the SQL.
+    "q175_av_joint_ledger" -> ((s, d) => {
+      import s.implicits._
+      val zone = graft.jobs.JobRecordGate.freshZone("graft-avjoint-", d)
+      val dir = new java.io.File(zone, "ledger").getAbsolutePath
+      val recs = q175Payloads(s, d)
+      val frames = graft.multimodal.MediaOps.frameDHashWide(recs, 4, 16, 8)
+        .select(col("media_id"), col("frame_idx").as("f"),
+                col("fhash").as("fp"))
+        .localCheckpoint() // one container walk: seed write + verdict
+      val audio = graft.multimodal.MediaOps.audioHash(recs, 50)
+        .filter(col("decoded") === 1L)
+        .select(col("media_id"), array(col("ahash")).as("fp"))
+        .localCheckpoint() // one audio demux: seed write + verdict
+      IndexStore.setProps(dir, Map("modalities" -> "media,video"))
+      IndexStore.commitRebuild(dir) {
+        markRows(audio.filter(col("media_id") < 100L))
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/marks")
+        seqRows(frames.filter(col("media_id") < 100L))
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/seqs")
+      }
+      val snap = IndexStore.snapshot(dir)
+      val vv = dedupVideoAgainstLedger(s,
+          frames.filter(col("media_id") >= 100L), dir, snap, WideMarks)
+        .select(col("media_id"), col("exact_of").as("v_exact_of"),
+                col("near_of").as("v_near_of"), col("keep").as("vk"))
+      val av = dedupMediaAgainstLedger(s,
+          audio.filter(col("media_id") >= 100L), dir, snap, AudioMarks)
+        .select(col("media_id"), col("exact_of").as("a_exact_of"),
+                col("near_of").as("a_near_of"), col("keep").as("ak"))
+      vv.join(av, Seq("media_id"))
+        .withColumn("keep", col("vk") * col("ak"))
+        .select(col("media_id"), col("v_exact_of"), col("v_near_of"),
+                col("a_exact_of"), col("a_near_of"), col("keep"))
+        .orderBy(col("media_id"))
     }),
 
     // ---- q164: the EMBEDDING arm — the marks table is fingerprint-
@@ -2306,6 +2396,66 @@ object DedupLedger {
     // (RIFF/AVI parse, raw-DIB frame decode) and the wide band slices
     // are judged purely by this codec-agnostic hash
     "q172_avi_video_ledger" -> videoGenOracleDuckAt(16, 8),
+
+    // q175: the joint A/V verdict — the q172 comparison-level video
+    // derivation (same vm map, same vote) beside the q174 closed-form
+    // audio energy derivation under its OWN key map, both resolved
+    // against the SEED population, keep = novel on both arms. The
+    // container (one RIFF with two streams), both decoders, the word
+    // packing, and both band geometries live only on the Spark side.
+    "q175_av_joint_ledger" ->
+      s"""WITH ${videoGenDuckAt(16, 8)},
+        |am AS (SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id < 100 THEN doc_id
+        |       WHEN doc_id % 3 = 1 THEN doc_id
+        |       ELSE doc_id - 100 END AS akey,
+        |  CASE WHEN doc_id >= 100 AND doc_id % 3 = 0 THEN 1 ELSE 0 END
+        |    AS click
+        |  FROM documents WHERE doc_id < 200),
+        |asmp AS (
+        |  SELECT media_id, i,
+        |    (('0x' || substr(md5(akey::VARCHAR || '|' || i::VARCHAR),
+        |        1, 4))::BIGINT % 4001) - 2000
+        |      + CASE WHEN click = 1 AND i = 400 THEN 1500 ELSE 0 END AS v
+        |  FROM am, (SELECT unnest(range(0, 800)) AS i)),
+        |ae AS (
+        |  SELECT media_id, i // 16 AS w, sum(abs(v))::BIGINT AS energy
+        |  FROM asmp GROUP BY media_id, i // 16),
+        |ah AS MATERIALIZED (
+        |  SELECT a.media_id,
+        |    sum(CASE WHEN b.energy > a.energy
+        |        THEN (1::BIGINT << a.w::INT) ELSE 0::BIGINT END)::BIGINT
+        |      AS ahash
+        |  FROM ae a JOIN ae b
+        |    ON a.media_id = b.media_id AND b.w = a.w + 1
+        |  GROUP BY a.media_id),
+        |ahist AS (SELECT ahash, min(media_id) AS owner FROM ah
+        |          WHERE media_id < 100 GROUP BY ahash),
+        |vex AS (SELECT f.media_id, min(m.owner) AS v_exact_of
+        |        FROM vfp f JOIN vhist m ON m.fpseq = f.fpseq
+        |        WHERE f.media_id >= 100 GROUP BY f.media_id),
+        |vnr AS (SELECT v.mb AS media_id, min(h.owner) AS v_near_of
+        |        FROM vvote v JOIN vhist h ON h.owner = v.ma
+        |        WHERE v.mb >= 100 AND v.nagree >= 3 GROUP BY v.mb),
+        |aex AS (SELECT a.media_id, min(m.owner) AS a_exact_of
+        |        FROM ah a JOIN ahist m ON m.ahash = a.ahash
+        |        WHERE a.media_id >= 100 GROUP BY a.media_id),
+        |anr AS (SELECT a.media_id, min(m.owner) AS a_near_of
+        |        FROM ah a JOIN ahist m
+        |          ON bit_count(xor(m.ahash, a.ahash)) <= 2
+        |        WHERE a.media_id >= 100 GROUP BY a.media_id)
+        |SELECT b.media_id, vex.v_exact_of, vnr.v_near_of,
+        |  aex.a_exact_of, anr.a_near_of,
+        |  CASE WHEN vex.v_exact_of IS NULL AND vnr.v_near_of IS NULL
+        |        AND aex.a_exact_of IS NULL AND anr.a_near_of IS NULL
+        |       THEN 1 ELSE 0 END::BIGINT AS keep
+        |FROM (SELECT doc_id AS media_id FROM documents
+        |      WHERE doc_id >= 100 AND doc_id < 200) b
+        |LEFT JOIN vex ON vex.media_id = b.media_id
+        |LEFT JOIN vnr ON vnr.media_id = b.media_id
+        |LEFT JOIN aex ON aex.media_id = b.media_id
+        |LEFT JOIN anr ON anr.media_id = b.media_id
+        |ORDER BY b.media_id""".stripMargin,
 
     // q171: exactly the two survivor generations' sequences — the
     // delta read must equal what the chained ingest admitted, one row

@@ -67,6 +67,54 @@ object AnnDriftStudy {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // `scale` arm (round 17): the localized-drift scenario at a corpus
+    // size where DATA dominates fixed job overhead — the wall-clock
+    // crossover the fixture-scale arm cannot show (there, refine's ~25
+    // bounded jobs outweigh the rebuild's corpus-proportional ~10).
+    if (args.headOption.contains("scale")) {
+      def timedS[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val a = f
+        (a, (System.nanoTime() - t0) / 1e9)
+      }
+      // sized INSIDE the exact-int distance envelope (VectorOps doc:
+      // dim x (value x n_cell)^2 < 2^63): shift +1.5 keeps quant
+      // values ~5e4 and 100k/16 ~ 6.25k-member cells, product ~6e18
+      val allS = GenFixtures.clusteredEmbeddings(spark, 110100L)
+        .localCheckpoint()
+      def shiftS(emb: org.apache.spark.sql.DataFrame) =
+        emb.withColumn("embedding",
+          expr("transform(embedding, x -> x + cast(1.5 AS float))"))
+      val baseS = allS.filter(col("vec_id") >= 100 && col("vec_id") < 100100)
+        .withColumn("vec_id", col("vec_id") - 100)
+        .select(col("vec_id"), col("embedding")).localCheckpoint()
+      val blobS = shiftS(allS.filter(col("vec_id") >= 100100))
+        .select(col("vec_id"), col("embedding")).localCheckpoint()
+      val qS = shiftS(allS.filter(col("vec_id") < 10))
+        .select(col("vec_id"), col("embedding")).localCheckpoint()
+      val dirS = java.nio.file.Files.createTempDirectory("ann-scale").toString
+      val (_, tBuild) = timedS(VectorOps.buildIvfPqIndex(baseS, dirS, k = 16))
+      VectorOps.appendToIvfPqIndex(spark, blobS, dirS, Some("blob"))
+      val corpusS = baseS.unionByName(blobS).localCheckpoint()
+      println(f"STUDY-SCALE base=100000 blob=10000 build=$tBuild%.1fs " +
+        f"pre-refine blob-recall@10=${recallAt10(spark, dirS, qS, corpusS)}%.3f " +
+        f"retrain=${VectorOps.needsRetrain(spark, dirS)}")
+      val dirS2 = java.nio.file.Files.createTempDirectory("ann-scale2").toString
+      graft.ops.DedupLedger.cloneStore(dirS, dirS2)
+      val iters = args.lift(1).map(_.toInt).getOrElse(3)
+      val (splitS, tRef) = timedS(
+        VectorOps.refineDriftedCells(spark, dirS2, splitFactor = 4,
+          refineIters = iters))
+      println(f"STUDY-SCALE refined cells=${splitS.mkString(",")} " +
+        f"t=$tRef%.1fs " +
+        f"blob-recall@10=${recallAt10(spark, dirS2, qS, corpusS)}%.3f " +
+        f"retrain=${VectorOps.needsRetrain(spark, dirS2)}")
+      val (_, tReb) = timedS(VectorOps.buildIvfPqIndex(corpusS, dirS, k = 16))
+      println(f"STUDY-SCALE rebuilt t=$tReb%.1fs " +
+        f"blob-recall@10=${recallAt10(spark, dirS, qS, corpusS)}%.3f")
+      spark.stop()
+      return
+    }
+
     val all = GenFixtures.clusteredEmbeddings(spark, 5100).localCheckpoint()
     // queries: 10 DIVERGED held-out vectors (ids < 10 — the serve
     // contract caps held-out queries at SEED_FROM); base corpus: 2000 in-distribution; append pool: 3000

@@ -58,6 +58,11 @@ object AnnDriftStudy {
     hit.toDouble / (10.0 * 10.0)
   }
 
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime(); val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -72,10 +77,6 @@ object AnnDriftStudy {
     // crossover the fixture-scale arm cannot show (there, refine's ~25
     // bounded jobs outweigh the rebuild's corpus-proportional ~10).
     if (args.headOption.contains("scale")) {
-      def timedS[A](f: => A): (A, Double) = {
-        val t0 = System.nanoTime(); val a = f
-        (a, (System.nanoTime() - t0) / 1e9)
-      }
       // sized INSIDE the exact-int distance envelope (VectorOps doc:
       // dim x (value x n_cell)^2 < 2^63): shift +1.5 keeps quant
       // values ~5e4 and 100k/16 ~ 6.25k-member cells, product ~6e18
@@ -92,7 +93,7 @@ object AnnDriftStudy {
       val qS = shiftS(allS.filter(col("vec_id") < 10))
         .select(col("vec_id"), col("embedding")).localCheckpoint()
       val dirS = java.nio.file.Files.createTempDirectory("ann-scale").toString
-      val (_, tBuild) = timedS(VectorOps.buildIvfPqIndex(baseS, dirS, k = 16))
+      val (_, tBuild) = timed(VectorOps.buildIvfPqIndex(baseS, dirS, k = 16))
       VectorOps.appendToIvfPqIndex(spark, blobS, dirS, Some("blob"))
       val corpusS = baseS.unionByName(blobS).localCheckpoint()
       println(f"STUDY-SCALE base=100000 blob=10000 build=$tBuild%.1fs " +
@@ -101,14 +102,14 @@ object AnnDriftStudy {
       val dirS2 = java.nio.file.Files.createTempDirectory("ann-scale2").toString
       graft.ops.DedupLedger.cloneStore(dirS, dirS2)
       val iters = args.lift(1).map(_.toInt).getOrElse(3)
-      val (splitS, tRef) = timedS(
+      val (splitS, tRef) = timed(
         VectorOps.refineDriftedCells(spark, dirS2, splitFactor = 4,
           refineIters = iters))
       println(f"STUDY-SCALE refined cells=${splitS.mkString(",")} " +
         f"t=$tRef%.1fs " +
         f"blob-recall@10=${recallAt10(spark, dirS2, qS, corpusS)}%.3f " +
         f"retrain=${VectorOps.needsRetrain(spark, dirS2)}")
-      val (_, tReb) = timedS(VectorOps.buildIvfPqIndex(corpusS, dirS, k = 16))
+      val (_, tReb) = timed(VectorOps.buildIvfPqIndex(corpusS, dirS, k = 16))
       println(f"STUDY-SCALE rebuilt t=$tReb%.1fs " +
         f"blob-recall@10=${recallAt10(spark, dirS, qS, corpusS)}%.3f")
       spark.stop()
@@ -170,10 +171,6 @@ object AnnDriftStudy {
       f"recall@10=${recallAt10(spark, dir2, inQ, corpus2)}%.3f " +
       f"retrain=${VectorOps.needsRetrain(spark, dir2)}")
 
-    def timed[A](f: => A): (A, Double) = {
-      val t0 = System.nanoTime(); val a = f
-      (a, (System.nanoTime() - t0) / 1e9)
-    }
 
     // INCREMENTAL response (round 17, VERDICT r16 #3), GLOBAL arm: on
     // the fully-diverged store 13 of 16 cells drift (81% of stored

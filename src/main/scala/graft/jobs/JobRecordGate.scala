@@ -275,15 +275,24 @@ object JobRecordGate {
     * DIFFERENTLY, which is the whole point of a joint A/V verdict. */
   private[graft] def encodeTemporalAviKeyedAV(key: Long, bumpFrame: Int,
       W: Int, H: Int, F: Int, audioKey: Long, click: Boolean,
-      nSamples: Int = 800, sampleRate: Int = 16000): Array[Byte] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val samples = Array.tabulate[Short](nSamples) { i =>
-      val h = md.digest(s"$audioKey|$i".getBytes("UTF-8"))
-      val v = (((h(0) & 0xff) << 8) | (h(1) & 0xff)) % 4001 - 2000
-      (v + (if (click && i == 400) 1500 else 0)).toShort
-    }
+      nSamples: Int = 800, sampleRate: Int = 16000): Array[Byte] =
     graft.multimodal.AviParser.encodeWithAudio(W, H,
-      temporalAviFrames(key, bumpFrame, W, H, F), sampleRate, samples)
+      temporalAviFrames(key, bumpFrame, W, H, F), sampleRate,
+      audioSamples(audioKey, click, 400, nSamples))
+
+  /** The ONE audio-sample formula behind q155/q161/q174/q175 (the
+    * mediaFixtureBmp rule applied to the time axis): md5-derived
+    * signed samples per (key, index), an optional +1500 click at
+    * `clickAt`. A tuning change lands here once or the fixture
+    * family silently diverges from its SQL twins. */
+  private[graft] def audioSamples(key: Long, click: Boolean,
+                                  clickAt: Int, n: Int): Array[Short] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate[Short](n) { i =>
+      val h = md.digest(s"$key|$i".getBytes("UTF-8"))
+      val v = (((h(0) & 0xff) << 8) | (h(1) & 0xff)) % 4001 - 2000
+      (v + (if (click && i == clickAt) 1500 else 0)).toShort
+    }
   }
 
   /** The v-LEVEL grid behind the MJPEG temporal fixture: five gray
@@ -901,17 +910,9 @@ object JobRecordGate {
     "q155_audio_phash_dedup" -> ((s, d) => {
       import s.implicits._
       val N = 800; val WIN = 50
-      val encode = udf((id: Long) => {
-        val base = id % 100
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val samples = Array.tabulate(N) { i =>
-          val h = md.digest(s"$base|$i".getBytes("UTF-8"))
-          val v = (((h(0) & 0xff) << 8) | (h(1) & 0xff)) % 4001 - 2000
-          val click = if (id >= 100 && i == 400) 1500 else 0
-          (v + click).toShort
-        }
-        graft.multimodal.WavDecoder.encode(16000, samples)
-      })
+      val encode = udf((id: Long) =>
+        graft.multimodal.WavDecoder.encode(16000,
+          audioSamples(id % 100, id >= 100, 400, N)))
       val media = Tables.rebalance(
           Tables.documents(s, d).filter(col("doc_id") < 200)
             .select(col("doc_id").as("media_id")))
@@ -948,12 +949,7 @@ object JobRecordGate {
       val encode = udf((id: Long) => {
         val base = id % 100
         val md = java.security.MessageDigest.getInstance("MD5")
-        val samples = Array.tabulate(N) { i =>
-          val h = md.digest(s"$base|$i".getBytes("UTF-8"))
-          val v = (((h(0) & 0xff) << 8) | (h(1) & 0xff)) % 4001 - 2000
-          val click = if (id >= 100 && i == 400) 1500 else 0
-          (v + click).toShort
-        }
+        val samples = audioSamples(base, id >= 100, 400, N)
         val frames = (0 until 4).map { f =>
           Array.tabulate(W * H) { p =>
             val h = md.digest(s"$base|$f|$p".getBytes("UTF-8"))
@@ -996,17 +992,9 @@ object JobRecordGate {
     "q161_audio_wide_dedup" -> ((s, d) => {
       import s.implicits._
       val N = 1600; val WIN = 100
-      val encode = udf((id: Long) => {
-        val base = id % 100
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val samples = Array.tabulate(N) { i =>
-          val h = md.digest(s"$base|$i".getBytes("UTF-8"))
-          val v = (((h(0) & 0xff) << 8) | (h(1) & 0xff)) % 4001 - 2000
-          val click = if (id >= 100 && i == 800) 1500 else 0
-          (v + click).toShort
-        }
-        graft.multimodal.WavDecoder.encode(16000, samples)
-      })
+      val encode = udf((id: Long) =>
+        graft.multimodal.WavDecoder.encode(16000,
+          audioSamples(id % 100, id >= 100, 800, N)))
       val media = Tables.rebalance(
           Tables.documents(s, d).filter(col("doc_id") < 200)
             .select(col("doc_id").as("media_id")))

@@ -1808,7 +1808,10 @@ object DedupLedger {
       import s.implicits._
       val zone = graft.jobs.JobRecordGate.freshZone("graft-avjoint-", d)
       val dir = new java.io.File(zone, "ledger").getAbsolutePath
-      val recs = q175Payloads(s, d)
+      // ONE fixture-encode pass: both arm pipelines read the
+      // materialized containers (two lazy consumers of the un-cached
+      // payload plan would re-run the dominant encode UDF per arm)
+      val recs = q175Payloads(s, d).localCheckpoint()
       val frames = graft.multimodal.MediaOps.frameDHashWide(recs, 4, 16, 8)
         .select(col("media_id"), col("frame_idx").as("f"),
                 col("fhash").as("fp"))
@@ -1835,7 +1838,13 @@ object DedupLedger {
           audio.filter(col("media_id") >= 100L), dir, snap, AudioMarks)
         .select(col("media_id"), col("exact_of").as("a_exact_of"),
                 col("near_of").as("a_near_of"), col("keep").as("ak"))
-      vv.join(av, Seq("media_id"))
+      // anchor on the BATCH ID SET with left joins, mirroring the
+      // oracle's documents-anchored derivation: an arm row lost to a
+      // decode failure surfaces as nulls (a LOUD hash mismatch against
+      // the always-decoding oracle), never as a silently dropped row
+      recs.toDF().select(col("media_id")).filter(col("media_id") >= 100L)
+        .join(vv, Seq("media_id"), "left")
+        .join(av, Seq("media_id"), "left")
         .withColumn("keep", col("vk") * col("ak"))
         .select(col("media_id"), col("v_exact_of"), col("v_near_of"),
                 col("a_exact_of"), col("a_near_of"), col("keep"))

@@ -1912,6 +1912,102 @@ object VectorOps {
         probes = IVFPQ_PROBES, rerank = IVFPQ_RERANK, topK = 5)
     }),
 
+    // ---- q176: the DRIFT-RESPONSE streamed tick (round 17) — the
+    // index tailer watching its own drift and repairing cell-locally
+    // MID-STREAM, q159's kill/resume discipline over the full retrain
+    // policy lifecycle. Tick 1 lands an in-distribution half-decile
+    // through the drift-aware sink (the policy must NOT fire); the
+    // stream is KILLED and RESUMED for tick 2, which lands a DIVERGED
+    // blob (half the corpus shifted +2.0 per dimension, ids offset
+    // into their own range) — needsRetrain fires inside the tick and
+    // refineDriftedCells splits the blob's cells against a generation
+    // codebook before the tick ends; tick 3 (killed/resumed again)
+    // lands MORE of the same shifted domain, and the restamped policy
+    // window must read it as in-distribution now (the refined store's
+    // generation cells fit the blob — the trigger stays quiet, proving
+    // the response actually repaired what it measured). Output arms:
+    // 'stored'/'coded' = the vectors/codes tables at HEAD (every base,
+    // in-distribution, and blob row exactly once EACH — a refine that
+    // drops, duplicates, or re-encodes-away one row of either table
+    // flips the hash); 'policy'/'refined' = the per-tick audit stamps
+    // the sink persisted in store props (fired exactly on tick 2,
+    // refined cells non-empty exactly on tick 2); 'serve' = held-out
+    // blob-region queries served generation-aware, every returned
+    // neighbor a blob member (the +2.0/dim shift separates the blob
+    // from the corpus by ~5x the intra-blob spread, so the exact
+    // re-rank admits no in-distribution row at any ADC ordering).
+    // Policy knobs sized to the fixture increment (minCellMass=20,
+    // maxRefineFraction=0.75, refineIters=1 — the localized-response
+    // cadence SCALING r17 addendum 6 documents); production defaults
+    // stay on the sink.
+    "q176_ann_drift_tick" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.rebalance(Tables.embeddings(s, d))
+      val mx = emb.agg(max(col("vec_id"))).head.getLong(0)
+      val c9 = mx * 9L / 10L
+      val cMid = mx * 19L / 20L
+      val half = mx / 2L
+      val blobOff = 1000000L
+      val zone = graft.jobs.JobRecordGate.freshZone("graft-drifttick-", d)
+      val dir = new java.io.File(zone, "index").getAbsolutePath
+      DedupLedger.cloneStore(ensureIvfPq90Index(s, d, GATED_K), dir)
+      val landing = new java.io.File(zone, "in").getAbsolutePath
+      val ckpt = new java.io.File(zone, "ck").getAbsolutePath
+      val ss = graft.streaming.StreamConf.stateSession(s, 8)
+      def stream = ss.readStream
+        .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+        .parquet(landing)
+      def drainTick(): Unit =
+        graft.streaming.IndexMaintenance.driftSink(stream, dir, ckpt,
+          minCellMass = 20L, refineIters = 1, maxRefineFraction = 0.75)
+          .start().awaitTermination()
+      def shifted(lo: Long, hi: Long) =
+        emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+          .select((col("vec_id") + lit(blobOff)).as("vec_id"),
+            expr("transform(embedding, x -> x + CAST(2.0 AS FLOAT))")
+              .as("embedding"),
+            col("label"))
+      emb.filter(col("vec_id") >= c9 && col("vec_id") < cMid)
+        .repartition(1).write.mode("overwrite").parquet(landing)
+      drainTick()
+      shifted(0L, half).repartition(1).write.mode("append").parquet(landing)
+      drainTick()
+      shifted(half, c9).repartition(1).write.mode("append").parquet(landing)
+      drainTick()
+      // held-out blob-region queries: the shifted images of tick 1's
+      // in-distribution ids were never appended (the blob covers only
+      // shifted ids below the 90% line)
+      val qRows = emb.filter(col("vec_id") >= c9 && col("vec_id") < c9 + 5L)
+        .select((col("vec_id") + lit(blobOff)).as("vec_id"),
+          expr("transform(embedding, x -> x + CAST(2.0 AS FLOAT))")
+            .as("embedding"))
+        .withColumn("q", expr(quantExpr))
+        .select(col("vec_id"), col("q")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+      val served = serveIvfPqStoredRows(s, dir, qRows,
+          probes = IVFPQ_PROBES, rerank = IVFPQ_RERANK, topK = 5)
+        .groupBy(col("qid"))
+        .agg(min(when(col("vec_id") >= blobOff, lit(1)).otherwise(lit(0)))
+          .as("val"))
+        .select(lit("serve").as("kind"), col("qid").as("id"),
+          col("val").cast("int").as("val"))
+      val props = IndexStore.props(dir)
+      val polDf = (1 to 3).flatMap { t =>
+        val parts =
+          props.getOrElse(s"drift_policy_b${t - 1}", "0:0:0").split(':')
+        Seq(("policy", t.toLong, parts(0).toInt),
+            ("refined", t.toLong, if (parts(1).toInt > 0) 1 else 0))
+      }.toDF("kind", "id", "val")
+      val (codesF, vecsF) = IndexStore.frames(s, dir, IndexStore.snapshot(dir))
+      vecsF.select(lit("stored").as("kind"),
+          col("vec_id").cast("long").as("id"), lit(1).as("val"))
+        .unionByName(codesF.select(lit("coded").as("kind"),
+          col("vec_id").cast("long").as("id"), lit(1).as("val")))
+        .unionByName(served)
+        .unionByName(polDf)
+        .orderBy(col("kind"), col("id"))
+    }),
+
     // ---- q130: storage-maintenance LIFECYCLE — build on 80%, two
     // append batches, compaction, vacuum, then serve. Compaction and
     // vacuum are layout-only operations: the oracle is the q129 append
@@ -2542,6 +2638,44 @@ object VectorOps {
     // drop, double-ingest, or torn snapshot surfaces as a neighbor
     // drift against this file- and transport-agnostic derivation
     "q159_ann_stream_tick" -> ivfPqAppendOracle,
+
+    // q176: the drift-response lifecycle pinned file-, stream- and
+    // CODEBOOK-agnostically. 'stored'/'coded' derive the exact id
+    // population the three ticks must leave in BOTH store tables (the
+    // base + in-distribution decile, plus every shifted blob id below
+    // the 90% line, exactly once each — refine's replacement commits
+    // must be content-invisible); 'policy'/'refined' are the audit
+    // constants the construction forces (an in-distribution tick must
+    // not fire, the +2.0/dim blob must fire AND refine, the post-
+    // refine tick of the same domain must read clean); 'serve' asserts
+    // every neighbor of every held-out blob query is a blob member —
+    // true for ANY correct serve because the blob sits ~5x its own
+    // spread away from the corpus, so the derivation needs no kmeans,
+    // no PQ, and no generation arithmetic.
+    "q176_ann_drift_tick" ->
+      """WITH m AS (SELECT max(vec_id) AS mx FROM embeddings),
+        |ids AS (
+        |  SELECT e.vec_id FROM embeddings e, m
+        |  WHERE e.vec_id < (m.mx * 19) // 20
+        |  UNION ALL
+        |  SELECT e.vec_id + 1000000 FROM embeddings e, m
+        |  WHERE e.vec_id < (m.mx * 9) // 10),
+        |rows_ AS (
+        |  SELECT 'stored' AS kind, vec_id AS id, 1 AS val FROM ids
+        |  UNION ALL
+        |  SELECT 'coded', vec_id, 1 FROM ids
+        |  UNION ALL
+        |  SELECT 'policy', CAST(t AS BIGINT),
+        |         CASE WHEN t = 2 THEN 1 ELSE 0 END
+        |  FROM (VALUES (1), (2), (3)) AS p(t)
+        |  UNION ALL
+        |  SELECT 'refined', CAST(t AS BIGINT),
+        |         CASE WHEN t = 2 THEN 1 ELSE 0 END
+        |  FROM (VALUES (1), (2), (3)) AS p(t)
+        |  UNION ALL
+        |  SELECT 'serve', (m.mx * 9) // 10 + 1000000 + r.i, 1
+        |  FROM m, range(5) AS r(i))
+        |SELECT kind, id, val FROM rows_ ORDER BY kind, id""".stripMargin,
 
     // q130: train CTEs cut at the 80% line; the two appends, the
     // compaction, and the vacuum the Spark side runs between build and

@@ -45,6 +45,74 @@ object IndexMaintenance {
             tag = Some(s"stream-$id"))
       }
 
+  /** [[appendSink]] with the DRIFT POLICY wired in-line (round 17):
+    * after each micro-batch lands, the sink evaluates
+    * [[VectorOps.needsRetrain]] over the policy window and — when it
+    * fires — responds cell-locally with
+    * [[VectorOps.refineDriftedCells]], all inside the tick. This is
+    * the executable form of the one-line deployment wiring the retrain
+    * API documents: the index tailer ingests, watches its own drift,
+    * and repairs the drifted cells without an external scheduler. A
+    * fired trigger whose refine DECLINES (drifted mass past
+    * `maxRefineFraction`) is recorded and logged by name — the
+    * proportional response there is a full rebuild over the corpus,
+    * which only the deployment (holding the raw embedding source, not
+    * the store) can run; the sink never silently swallows it.
+    *
+    * Every batch appends one audit stamp to the store's props
+    * (`drift_policy_b<batchId>` -> `fired:refinedCells:declined`), so
+    * the maintenance history is readable from the store itself — the
+    * monitoring surface a 100 TB tailer needs to prove its policy ran
+    * (and what it decided) without scraping driver logs. Policy knobs
+    * default to the API's production values; fixture-scale callers
+    * size `minCellMass` / `maxRefineFraction` to their increment the
+    * same way the dedup gates size band budgets.
+    *
+    * Exactly-once: the append keeps [[appendSink]]'s idempotency tag;
+    * refine commits a REPLACEMENT snapshot through the same OCC
+    * manifest protocol, and a replayed batch re-evaluates the policy
+    * against a window its first run already restamped — needsRetrain
+    * then reads the post-refine (clean) window, so replays cannot
+    * double-split. */
+  def driftSink(stream: DataFrame, indexDir: String,
+                checkpointDir: String,
+                threshold: Double = 1.5,
+                splitFactor: Int = 2,
+                minCellMass: Long = 50L,
+                refineIters: Int = 3,
+                maxRefineFraction: Double = 0.5): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          VectorOps.appendToIvfPqIndex(s, batch, indexDir,
+            tag = Some(s"stream-$id"))
+          val fired = VectorOps.needsRetrain(s, indexDir, threshold)
+          val refined =
+            if (fired)
+              VectorOps.refineDriftedCells(s, indexDir, threshold,
+                splitFactor, minCellMass, refineIters, maxRefineFraction)
+            else Nil
+          val declined = fired && refined.isEmpty
+          if (declined)
+            org.apache.log4j.Logger.getLogger(getClass).warn(
+              s"driftSink: retrain trigger fired on batch $id of " +
+              s"$indexDir but the cell-local response declined — " +
+              "schedule a full rebuild over the corpus " +
+              "(buildIvfPqIndex); the store keeps serving the stale " +
+              "generation meanwhile")
+          // first-write-wins: a replayed batch re-evaluates the policy
+          // against the window its first run already restamped (clean),
+          // so overwriting would falsify the audit history
+          val key = s"drift_policy_b$id"
+          if (!IndexStore.props(indexDir).contains(key))
+            IndexStore.setProps(indexDir, Map(key ->
+              s"${if (fired) 1 else 0}:${refined.size}:${if (declined) 1 else 0}"))
+        }
+      }
+
   /** Current snapshot version — what a monitoring loop watches to
     * confirm the tailer is publishing. */
   def publishedVersion(indexDir: String): Option[Int] =

@@ -186,6 +186,111 @@ class RetrainSpec extends SparkSpec {
       "declining must leave the trigger up for the rebuild fallback")
   }
 
+  test("driftSink: the index tailer ingests, watches its own drift, and " +
+       "repairs cell-locally MID-STREAM — in-distribution tick quiet, " +
+       "diverged tick fires AND refines, post-refine tick of the same " +
+       "domain reads clean; replays restamp nothing; oversized drift " +
+       "DECLINES by name") {
+    val emb = GenFixtures.clusteredEmbeddings(spark, 700).localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("idx-dsink").toString
+    val landing = java.nio.file.Files.createTempDirectory("idx-dsink-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("idx-dsink-ck").toString
+    VectorOps.buildIvfPqIndex(emb.filter($"vec_id" < 500), dir, k = 8)
+    def stream = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+      .parquet(landing)
+    def drain(): Unit =
+      graft.streaming.IndexMaintenance.driftSink(stream, dir, ckpt,
+        minCellMass = 20L, refineIters = 1, maxRefineFraction = 0.75)
+        .start().awaitTermination()
+    def stamp(b: Int): String =
+      IndexStore.props(dir).getOrElse(s"drift_policy_b$b", "<missing>")
+    def shifted(lo: Long, hi: Long, idBase: Long) =
+      emb.filter($"vec_id" >= lo && $"vec_id" < hi)
+        .withColumn("embedding",
+          expr("transform(embedding, x -> x + cast(2.5 AS float))"))
+        .withColumn("vec_id", $"vec_id" - lo + idBase)
+        .select($"vec_id", $"embedding", $"label")
+
+    // tick 1: in-distribution appends — the policy must NOT fire
+    emb.filter($"vec_id" >= 500)
+      .repartition(1).write.mode("overwrite").parquet(landing)
+    drain()
+    assert(stamp(0) == "0:0:0",
+      s"in-distribution tick must stamp quiet: ${stamp(0)}")
+
+    // tick 2 (the stream was KILLED and is RESUMED): a diverged blob —
+    // the policy fires and the cell-local response runs INSIDE the tick
+    shifted(0, 150, 10000)
+      .repartition(1).write.mode("append").parquet(landing)
+    drain()
+    val parts1 = stamp(1).split(':')
+    assert(parts1(0) == "1" && parts1(1).toInt > 0 && parts1(2) == "0",
+      s"diverged tick must fire AND refine: ${stamp(1)}")
+    assert(!VectorOps.needsRetrain(spark, dir),
+      "the in-tick refine must leave a clean policy window")
+    val gens = VectorOps.cellGensOf(spark.read.parquet(s"$dir/coarse"))
+    assert(gens.nonEmpty && gens.values.max == 1,
+      s"the refine must have split against a generation codebook: $gens")
+
+    // a replayed (already-drained) checkpoint restamps NOTHING and
+    // publishes nothing — first-write-wins audit history
+    val vDrained = IndexStore.headVersion(dir).get
+    val propsBefore = IndexStore.props(dir)
+      .view.filterKeys(_.startsWith("drift_policy_")).toMap
+    drain()
+    assert(IndexStore.headVersion(dir).contains(vDrained),
+      "drained-checkpoint replay published a version")
+    assert(IndexStore.props(dir)
+        .view.filterKeys(_.startsWith("drift_policy_")).toMap == propsBefore,
+      "replay altered the audit stamps")
+
+    // tick 3: MORE of the refined domain — the generation cells absorb
+    // it in-distribution; the trigger stays quiet (the response actually
+    // repaired what it measured)
+    shifted(150, 300, 20000)
+      .repartition(1).write.mode("append").parquet(landing)
+    drain()
+    assert(stamp(2) == "0:0:0",
+      s"post-refine tick of the refined domain must read clean: ${stamp(2)}")
+    // exactly-once across all three ticks + the refine's replacement
+    // commits: every row present once in both tables
+    val (codes, vecs) = IndexStore.frames(spark, dir, IndexStore.snapshot(dir))
+    assert(codes.count() == 1000 &&
+      codes.select($"vec_id").distinct().count() == 1000,
+      "ticks + refine lost or duplicated code rows")
+    assert(vecs.count() == 1000, "ticks + refine lost or duplicated vectors")
+
+    // DECLINED path: drifted mass past maxRefineFraction — the sink
+    // records fired:0:declined and mutates nothing beyond the append
+    val dirG = java.nio.file.Files.createTempDirectory("idx-dsink-g").toString
+    val landG = java.nio.file.Files.createTempDirectory("idx-dsink-gi").toString
+    val ckG = java.nio.file.Files.createTempDirectory("idx-dsink-gc").toString
+    VectorOps.buildIvfPqIndex(emb.filter($"vec_id" < 200), dirG, k = 8)
+    val dim = emb.select(size($"embedding")).head.getInt(0)
+    spark.range(30000, 30600).map { id =>
+      val rng = new java.util.Random(id)
+      val v = Array.fill(dim)(rng.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      (id, v.map(_ / n), 0)
+    }.toDF("vec_id", "embedding", "label")
+      .repartition(1).write.mode("overwrite").parquet(landG)
+    val vG = IndexStore.headVersion(dirG).get
+    graft.streaming.IndexMaintenance.driftSink(
+        spark.readStream
+          .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+          .parquet(landG), dirG, ckG,
+        minCellMass = 20L, refineIters = 1, maxRefineFraction = 0.75)
+      .start().awaitTermination()
+    assert(IndexStore.props(dirG)
+        .getOrElse("drift_policy_b0", "<missing>") == "1:0:1",
+      "an oversized flood must record fired + declined")
+    assert(IndexStore.headVersion(dirG).contains(vG + 1),
+      "a declined refine must publish ONLY the append snapshot")
+    assert(VectorOps.needsRetrain(spark, dirG),
+      "declining must leave the trigger up for the rebuild fallback")
+  }
+
   test("drift policy degrades HONESTLY under the store's own lifecycle: " +
        "compaction yields None (never a diluted ~1), vacuum yields None " +
        "(never a crash)") {

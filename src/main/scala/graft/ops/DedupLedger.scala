@@ -1483,6 +1483,56 @@ object DedupLedger {
         IndexStore.snapshot(dir))
     }),
 
+    // ---- q177: the TAKEDOWN lifecycle (round 17) — forget, physical
+    // drop, re-admission. The ledger loses exactly the owners the
+    // last-decile batch exact-matches (a takedown list aimed at the
+    // content it suppresses); [[IndexStore.forget]] commits the set as
+    // an O(forgotten) tombstone delta — no corpus IO, the only shape a
+    // takedown can take at 100 TB — and the set itself stays a
+    // DISTRIBUTED frame end-to-end (derived from the verdict, written
+    // by the executors; the driver never holds it). Compaction then
+    // folds the tombstones into a physical drop (the gate requires the
+    // tombs arm empty afterwards) and vacuum removes the bytes. Gen 1
+    // = the post-takedown verdict: every previously exact-dropped doc
+    // re-admits (keep=1) unless the near arm still matches a SURVIVING
+    // owner's signature; its survivors append under a new tag — the
+    // re-admitted content's new owners. Gen 2 = the growth verdict:
+    // all keep=0 again, exact owners now the re-admitted
+    // representatives. The oracle re-derives the forgotten set and
+    // both generations content-only, so the tombstone files, the
+    // compaction, and the vacuum must all be invisible — and a forget
+    // that under- or over-deletes (sig rows left behind, a non-owner
+    // doc swept up) flips some verdict row.
+    "q177_ledger_forget" -> ((s, d) => {
+      val docs = Tables.rebalance(Tables.documents(s, d))
+      val cutoff = cutoffOf(docs)
+      val zone = graft.jobs.JobRecordGate.freshZone("graft-forget-", d)
+      val dir = new java.io.File(zone, "ledger").getAbsolutePath
+      cloneStore(ensureHistoryLedger(s, d), dir)
+      val batch = docs.filter(col("doc_id") >= cutoff).localCheckpoint()
+      val doomed = dedupAgainstLedger(s, batch, dir,
+          IndexStore.snapshot(dir))
+        .filter(col("exact_of").isNotNull)
+        .select(col("exact_of").as("owner")).distinct()
+      IndexStore.forget(s, dir, "text", doomed, Some("takedown-1"))
+      IndexStore.compact(s, dir)
+      IndexStore.vacuum(dir)
+      require(IndexStore.snapshot(dir).tombs.isEmpty,
+        "q177: compaction must fold the tombstones into a physical drop")
+      val g1 = dedupAgainstLedger(s, batch, dir, IndexStore.snapshot(dir))
+        .localCheckpoint()
+      appendSurvivors(
+        batch.join(g1.filter(col("keep") === 1L).select(col("doc_id")),
+          Seq("doc_id"), "left_semi"),
+        dir, tag = "readmit-1")
+      val g2 = dedupAgainstLedger(s, batch, dir, IndexStore.snapshot(dir))
+      g1.withColumn("gen", lit(1L))
+        .unionByName(g2.withColumn("gen", lit(2L)))
+        .select(col("gen"), col("doc_id"), col("exact_of"),
+          col("near_of"), col("keep"))
+        .orderBy(col("gen"), col("doc_id"))
+    }),
+
     // ---- q152: the STREAMED daily tick (round-12 VERDICT #5) — the
     // production ingest shape executed inside the gate, like q105/q117:
     // the last decile lands as JSON in two ticks, a checkpointed
@@ -2561,6 +2611,69 @@ object DedupLedger {
         |  UNION ALL SELECT owner AS doc_id FROM surv_reps)
         |${verdictDuck("SELECT h, owner FROM head_exact",
                        "SELECT doc_id FROM head_sig_docs")}""".stripMargin,
+
+    // q177: the takedown lifecycle content-only. The forgotten set is
+    // re-derived (owners of hashes the batch carries), both ledger
+    // arms lose exactly those ids, then gen 1 re-verdicts the batch
+    // against the shrunken ledger and gen 2 against the shrunken
+    // ledger plus gen 1's re-admitted representatives. sig/bands are
+    // MATERIALIZED — two survivor steps reference them repeatedly and
+    // DuckDB inlines unmaterialized CTE chains exponentially.
+    "q177_ledger_forget" -> {
+      import DedupOps.{HASH_P, NUM_SEEDS, ROWS_PER_BAND, trigramDuck}
+      s"""WITH g0 AS (
+        |  SELECT doc_id, list_distinct($trigramDuck) AS grams
+        |  FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)),
+        |g AS (SELECT doc_id, unnest(grams) AS gram FROM g0),
+        |hh AS (SELECT doc_id,
+        |         ('0x' || substr(md5(gram), 1, 15))::BIGINT % $HASH_P AS hm
+        |       FROM g),
+        |sig AS MATERIALIZED (
+        |  SELECT doc_id, s,
+        |    min((hm * (2 * s + 1) + 7919 * s) % $HASH_P) AS mh
+        |  FROM hh CROSS JOIN (SELECT unnest(range(0, $NUM_SEEDS)) AS s) seeds
+        |  GROUP BY doc_id, s),
+        |bands AS MATERIALIZED (
+        |  SELECT doc_id, s // $ROWS_PER_BAND AS band,
+        |    string_agg(mh::VARCHAR, '|' ORDER BY s) AS bkey
+        |  FROM sig GROUP BY doc_id, s // $ROWS_PER_BAND),
+        |cut AS (SELECT (max(doc_id) * 9) // 10 AS c FROM documents),
+        |eh AS (SELECT doc_id, sha256(text) AS h FROM documents),
+        |batch AS MATERIALIZED (
+        |  SELECT doc_id, h FROM eh, cut WHERE doc_id >= c),
+        |hist_exact AS MATERIALIZED (
+        |  SELECT h, min(doc_id) AS owner FROM eh, cut WHERE doc_id < c
+        |  GROUP BY h),
+        |forgot AS MATERIALIZED (
+        |  SELECT DISTINCT le.owner FROM batch b JOIN hist_exact le USING (h)),
+        |led_exact AS (
+        |  SELECT h, owner FROM hist_exact
+        |  WHERE owner NOT IN (SELECT owner FROM forgot)),
+        |led_sig AS (
+        |  SELECT doc_id FROM documents, cut WHERE doc_id < c
+        |    AND doc_id NOT IN (SELECT owner FROM forgot)),
+        |${survivorStepDuck("batch", "SELECT h, owner FROM led_exact",
+                            "SELECT doc_id FROM led_sig", "s1")},
+        |${survivorStepDuck("batch",
+            "SELECT h, owner FROM led_exact " +
+              "UNION ALL SELECT h, owner FROM s1_reps",
+            "SELECT doc_id FROM led_sig " +
+              "UNION ALL SELECT owner AS doc_id FROM s1_reps", "s2")}
+        |SELECT 1::BIGINT AS gen, b.doc_id, s1_ex.exact_of, s1_nr.near_of,
+        |  CASE WHEN s1_ex.exact_of IS NULL AND s1_nr.near_of IS NULL
+        |       THEN 1 ELSE 0 END::BIGINT AS keep
+        |FROM batch b
+        |LEFT JOIN s1_ex ON s1_ex.bdoc = b.doc_id
+        |LEFT JOIN s1_nr ON s1_nr.bdoc = b.doc_id
+        |UNION ALL
+        |SELECT 2::BIGINT, b.doc_id, s2_ex.exact_of, s2_nr.near_of,
+        |  CASE WHEN s2_ex.exact_of IS NULL AND s2_nr.near_of IS NULL
+        |       THEN 1 ELSE 0 END::BIGINT
+        |FROM batch b
+        |LEFT JOIN s2_ex ON s2_ex.bdoc = b.doc_id
+        |LEFT JOIN s2_nr ON s2_nr.bdoc = b.doc_id
+        |ORDER BY gen, doc_id""".stripMargin
+    },
 
     // q151: two chained survivor generations (decile 8 vs history-80,
     // decile 9 vs history-80 + gen-8 reps), then the verdict of BOTH

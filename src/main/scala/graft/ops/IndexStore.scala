@@ -44,11 +44,16 @@ object IndexStore {
     * `<dir>/codes`, `<dir>/vectors` and (for stores that carry media
     * fingerprints — the mixed-modality ledger) `<dir>/marks`. `marks`
     * defaults empty so text-only ledgers and the ANN index publish
-    * exactly the manifests they always did. */
+    * exactly the manifests they always did. `tombs` (round 17) lists
+    * TOMBSTONE files — `(modality, id)` rows [[forget]] committed;
+    * readers subtract them ([[applyTombs]]) and [[compact]] folds them
+    * into a physical drop. Empty everywhere except stores a takedown
+    * has touched, so pre-tombstone manifests parse unchanged. */
   final case class Snapshot(version: Int, codes: Seq[String],
                             vectors: Seq[String],
                             marks: Seq[String] = Nil,
-                            seqs: Seq[String] = Nil)
+                            seqs: Seq[String] = Nil,
+                            tombs: Seq[String] = Nil)
 
   private def headFile(dir: String) = new java.io.File(dir, "_HEAD")
   private def manifestDir(dir: String) = new java.io.File(dir, "_manifest")
@@ -132,7 +137,8 @@ object IndexStore {
       lines.collect { case s if s.startsWith("codes\t") => s.substring(6) },
       lines.collect { case s if s.startsWith("vectors\t") => s.substring(8) },
       lines.collect { case s if s.startsWith("marks\t") => s.substring(6) },
-      lines.collect { case s if s.startsWith("seqs\t") => s.substring(5) })
+      lines.collect { case s if s.startsWith("seqs\t") => s.substring(5) },
+      lines.collect { case s if s.startsWith("tombs\t") => s.substring(6) })
   }
 
   /** All committed parquet data files under `<dir>/<sub>`, as paths
@@ -452,7 +458,8 @@ object IndexStore {
   private def publishCas(dir: String, v: Int, codes: Seq[String],
                          vectors: Seq[String],
                          marks: Seq[String] = Nil,
-                         seqs: Seq[String] = Nil): Boolean = {
+                         seqs: Seq[String] = Nil,
+                         tombs: Seq[String] = Nil): Boolean = {
     manifestDir(dir).mkdirs()
     ensureStoreId(dir)
     // the trailing COMMIT MARKER distinguishes a manifest this CAS
@@ -467,6 +474,7 @@ object IndexStore {
                 vectors.map(f => s"vectors\t$f") ++
                 marks.map(f => s"marks\t$f") ++
                 seqs.map(f => s"seqs\t$f") ++
+                tombs.map(f => s"tombs\t$f") ++
                 Seq(COMMIT_MARKER)).mkString("\n")
     val tmp = new java.io.File(manifestDir(dir),
       s"v$v.tmp${ProcessHandle.current().pid()}-${Thread.currentThread().getId}")
@@ -535,9 +543,10 @@ object IndexStore {
   private def publish(dir: String, codes: Seq[String],
                       vectors: Seq[String],
                       marks: Seq[String] = Nil,
-                      seqs: Seq[String] = Nil): Int = {
+                      seqs: Seq[String] = Nil,
+                      tombs: Seq[String] = Nil): Int = {
     var v = headVersion(dir).getOrElse(0) + 1
-    while (!publishCas(dir, v, codes, vectors, marks, seqs))
+    while (!publishCas(dir, v, codes, vectors, marks, seqs, tombs))
       v = math.max(v + 1, headVersion(dir).getOrElse(0) + 1)
     v
   }
@@ -559,7 +568,7 @@ object IndexStore {
       if (tag.exists(committedTags(dir).contains))
         headVersion(dir).getOrElse(0)
       else {
-        val preWrite = Seq("codes", "vectors", "marks", "seqs")
+        val preWrite = Seq("codes", "vectors", "marks", "seqs", "tombs")
           .map(sub => sub -> listData(dir, sub).toSet).toMap
         write
         // MY files = what appeared across the write call — frozen once,
@@ -567,7 +576,7 @@ object IndexStore {
         // adopt the winner's files, never re-guess its own; an unfenced
         // concurrent writer's files that land inside this window are
         // adopted early, which the path-keyed union keeps idempotent)
-        val added = Seq("codes", "vectors", "marks", "seqs")
+        val added = Seq("codes", "vectors", "marks", "seqs", "tombs")
           .map(sub => sub ->
             (listData(dir, sub).toSet -- preWrite(sub)).toSeq.sorted).toMap
         var v = 0
@@ -583,7 +592,8 @@ object IndexStore {
             (before.codes ++ added("codes")).distinct,
             (before.vectors ++ added("vectors")).distinct,
             (before.marks ++ added("marks")).distinct,
-            (before.seqs ++ added("seqs")).distinct)
+            (before.seqs ++ added("seqs")).distinct,
+            (before.tombs ++ added("tombs")).distinct)
         }
         tag.foreach(recordTag(dir, _))
         v
@@ -642,10 +652,10 @@ object IndexStore {
 
   def commitReplace(dir: String, base: Snapshot)(write: => Unit): Int =
     withWriterLock(dir) {
-      val preWrite = Seq("codes", "vectors", "marks", "seqs")
+      val preWrite = Seq("codes", "vectors", "marks", "seqs", "tombs")
         .map(sub => sub -> listData(dir, sub).toSet).toMap
       write
-      val added = Seq("codes", "vectors", "marks", "seqs")
+      val added = Seq("codes", "vectors", "marks", "seqs", "tombs")
         .map(sub => sub ->
           (listData(dir, sub).toSet -- preWrite(sub))).toMap
       var v = 0
@@ -656,13 +666,18 @@ object IndexStore {
         // not the concurrent batch's), so a CAS loser re-reads head and
         // re-computes what to carry forward. max(_, v)+1 skips past an
         // existing-but-untrusted legacy orphan file (see commitDelta).
+        // `base`'s TOMBSTONES drop out the same way: the rewrite read
+        // tomb-subtracted frames, so carrying them would re-subtract
+        // rows the rewrite already dropped — only forgets that landed
+        // AFTER `base` (now -- base) stay merge-on-read.
         val now = snapshotOrEmpty(dir)
         v = math.max(now.version, v) + 1
         done = publishCas(dir, v,
           (added("codes") ++ (now.codes.toSet -- base.codes.toSet)).toSeq.sorted,
           (added("vectors") ++ (now.vectors.toSet -- base.vectors.toSet)).toSeq.sorted,
           (added("marks") ++ (now.marks.toSet -- base.marks.toSet)).toSeq.sorted,
-          (added("seqs") ++ (now.seqs.toSet -- base.seqs.toSet)).toSeq.sorted)
+          (added("seqs") ++ (now.seqs.toSet -- base.seqs.toSet)).toSeq.sorted,
+          (added("tombs") ++ (now.tombs.toSet -- base.tombs.toSet)).toSeq.sorted)
       }
       setPropsLocked(dir, Map("last_replace_version" -> v.toString))
       v
@@ -690,9 +705,10 @@ object IndexStore {
         .flatMap(v => scala.util.Try(snapshotAt(dir, v)).toOption)
       val live = kept.flatMap(s =>
         s.codes.map(f => s"codes/$f") ++ s.vectors.map(f => s"vectors/$f") ++
-          s.marks.map(f => s"marks/$f") ++ s.seqs.map(f => s"seqs/$f")).toSet
+          s.marks.map(f => s"marks/$f") ++ s.seqs.map(f => s"seqs/$f") ++
+          s.tombs.map(f => s"tombs/$f")).toSet
       var n = 0
-      for (sub <- Seq("codes", "vectors", "marks", "seqs");
+      for (sub <- Seq("codes", "vectors", "marks", "seqs", "tombs");
            rel <- listData(dir, sub)) {
         if (!live.contains(s"$sub/$rel")) {
           new java.io.File(new java.io.File(dir, sub), rel).delete(); n += 1
@@ -700,7 +716,7 @@ object IndexStore {
       }
       // prune now-empty cell directories so listings stay proportional to
       // live data
-      for (sub <- Seq("codes", "vectors", "marks", "seqs");
+      for (sub <- Seq("codes", "vectors", "marks", "seqs", "tombs");
            d <- Option(new java.io.File(dir, sub).listFiles()).toSeq.flatten
              if d.isDirectory && Option(d.listFiles()).exists(_.isEmpty))
         d.delete()
@@ -745,6 +761,105 @@ object IndexStore {
   val CODES_DDL = "cell INT, h STRING, owner BIGINT"
   val VECTORS_DDL = "cell INT, doc_id BIGINT, sig ARRAY<BIGINT>"
 
+  /** TOMBSTONE rows — the store's takedown ledger (round 17). One row
+    * per forgotten `(modality, id)`; [[forget]] appends them as a
+    * normal delta commit (O(deleted) IO — no corpus read, the only
+    * shape a takedown can take at 100 TB), every reader subtracts them
+    * ([[applyTombs]]), and the next [[compact]] turns them into a
+    * physical drop (its rewrite reads tomb-subtracted frames and its
+    * replacement snapshot carries only tombstones that landed AFTER
+    * its base). `modality` keys the arm(s) the id belongs to, so a
+    * mixed-modality ledger's independent id namespaces stay isolated:
+    * forgetting video owner 5 must not touch media owner 5. */
+  val TOMBS_DDL = "modality STRING, id BIGINT"
+
+  /** Which tombstone modalities each arm subtracts. `codes`/`vectors`
+    * serve two store kinds with disjoint id vocabularies — the text
+    * ledger (`owner`/`doc_id`) and the ANN index (`vec_id`) — so both
+    * `text` and `vector` tombstones target them; a store only ever
+    * holds one vocabulary, and [[forget]] validates the modality
+    * against the store's stamp when it has one. */
+  private val ARM_MODALITIES = Map(
+    "codes" -> Seq("text", "vector"), "vectors" -> Seq("text", "vector"),
+    "marks" -> Seq("media"), "seqs" -> Seq("video"))
+
+  private val KNOWN_MODALITIES = Set("text", "vector", "media", "video")
+
+  /** The id column an arm's tombstones subtract on, resolved from the
+    * frame's own schema (the two codes/vectors vocabularies differ). */
+  private def tombIdColumn(df: DataFrame): Option[String] =
+    Seq("owner", "vec_id", "doc_id").find(df.columns.contains)
+
+  /** The snapshot's raw tombstone table (takedown audit surface). */
+  def tombsFrame(spark: SparkSession, dir: String,
+                 snap: Snapshot): DataFrame =
+    readOrEmpty(spark, dir, "tombs", snap.tombs, Some(TOMBS_DDL))
+
+  /** Subtract `snap`'s tombstones from an arm's frame — the
+    * merge-on-read half of [[forget]]. A no-op (zero plan change) when
+    * the store carries no tombstones, which is every store a takedown
+    * has not touched; otherwise a LEFT ANTI join whose build side is
+    * the tombstone parquet — small enough to broadcast until a
+    * takedown grows to genuine shuffle scale, at which point a shuffle
+    * anti-join is the correct plan anyway. */
+  private def applyTombs(spark: SparkSession, dir: String, snap: Snapshot,
+                         arm: String, df: DataFrame): DataFrame =
+    if (snap.tombs.isEmpty) df
+    else tombIdColumn(df) match {
+      case None =>
+        // fail only if this arm actually has tombstones to subtract —
+        // an unknown-schema frame with none pending reads unchanged
+        val pending = tombsFrame(spark, dir, snap)
+          .filter(col("modality").isin(ARM_MODALITIES(arm): _*))
+        require(pending.isEmpty, s"IndexStore: $dir/$arm carries " +
+          s"tombstones but the frame has no owner/vec_id/doc_id column " +
+          "to subtract on")
+        df
+      case Some(idCol) =>
+        val t = tombsFrame(spark, dir, snap)
+          .filter(col("modality").isin(ARM_MODALITIES(arm): _*))
+          .select(col("id").as("__tomb_id"))
+        df.join(t, df(idCol) === col("__tomb_id"), "left_anti")
+    }
+
+  /** FORGET rows by id — the takedown operation. Commits a tombstone
+    * DELTA: `(modality, id)` rows land under `tombs/` and publish
+    * through the same OCC manifest protocol as any append, so the cost
+    * is proportional to the FORGOTTEN set, never the corpus. Effects:
+    * every subsequent read of the targeted arm(s) subtracts the rows
+    * (a forgotten ledger owner stops suppressing re-submissions — its
+    * content is re-admissible as novel; a forgotten vector stops being
+    * served, the next-nearest candidate promotes), and the next
+    * [[compact]] makes the drop physical (followed by [[vacuum]], the
+    * bytes are gone — the full takedown lifecycle). `tag` gives the
+    * commit the same idempotency contract as streamed appends.
+    *
+    * Persisted [[ArmStats]] intentionally survive a forget: the
+    * histogram then OVERCOUNTS, which is the safe direction for the
+    * shed ladder (its bounds stay upper bounds). Compaction re-stamps
+    * honest stats when the drop becomes physical. */
+  def forget(spark: SparkSession, dir: String, modality: String,
+             ids: DataFrame, tag: Option[String] = None): Int = {
+    require(KNOWN_MODALITIES.contains(modality),
+      s"IndexStore.forget: unknown modality '$modality' " +
+      s"(one of ${KNOWN_MODALITIES.mkString("/")})")
+    declaredModalities(dir).foreach { declared =>
+      require(declared.contains(modality),
+        s"IndexStore.forget: store $dir declares modalities " +
+        s"${declared.mkString(",")} — refusing a '$modality' takedown " +
+        "against a store that never ingested it (wrong store?)")
+    }
+    val idCol = ids.columns.headOption.getOrElse(
+      sys.error("IndexStore.forget: ids frame has no columns"))
+    commitDelta(dir, tag) {
+      ids.select(col(idCol).cast("long").as("id"))
+        .where(col("id").isNotNull)
+        .withColumn("modality", lit(modality))
+        .select(col("modality"), col("id"))
+        .write.mode("append").parquet(s"$dir/tombs")
+    }
+  }
+
   /** The one explicit-file-list reader every table accessor shares:
     * `basePath` set so the `cell=` partition column — and its static
     * pruning — survive. An empty file list reads as an empty frame at
@@ -777,8 +892,10 @@ object IndexStore {
   def frames(spark: SparkSession, dir: String, snap: Snapshot,
              codesDdl: Option[String] = None,
              vectorsDdl: Option[String] = None): (DataFrame, DataFrame) =
-    (readOrEmpty(spark, dir, "codes", snap.codes, codesDdl),
-     readOrEmpty(spark, dir, "vectors", snap.vectors, vectorsDdl))
+    (applyTombs(spark, dir, snap, "codes",
+       readOrEmpty(spark, dir, "codes", snap.codes, codesDdl)),
+     applyTombs(spark, dir, snap, "vectors",
+       readOrEmpty(spark, dir, "vectors", snap.vectors, vectorsDdl)))
 
   /** The marks table's schema — the fingerprint-ledger row shape every
     * marks consumer shares (DedupLedger's media/embedding arms,
@@ -796,7 +913,8 @@ object IndexStore {
     * error). */
   def marksFrame(spark: SparkSession, dir: String, snap: Snapshot,
                  ddl: String): DataFrame =
-    readOrEmpty(spark, dir, "marks", snap.marks, Some(ddl))
+    applyTombs(spark, dir, snap, "marks",
+      readOrEmpty(spark, dir, "marks", snap.marks, Some(ddl)))
 
   /** INCREMENTAL reader: the rows ADDED between two snapshots, read
     * from ONLY the data files `to` references that `from` does not —
@@ -805,7 +923,11 @@ object IndexStore {
     * Valid across any append-only range; a compaction in the range
     * would surface rewritten old rows (compaction rewrites data files
     * without changing content), so diff across a compaction boundary
-    * by row-level anti-join instead. */
+    * by row-level anti-join instead. Like every point-in-time reader,
+    * the diff subtracts `to`'s tombstones (same rule as [[diffMarks]]/
+    * [[diffSeqs]], which inherit it from the frame readers): the
+    * changelog lists rows added AND still live — a consumer tailing
+    * the ingest must not resurrect content a takedown removed. */
   def diffFrames(spark: SparkSession, dir: String,
                  from: Snapshot, to: Snapshot): (DataFrame, DataFrame) = {
     def read(sub: String, files: Seq[String]): DataFrame =
@@ -815,8 +937,11 @@ object IndexStore {
       else
         spark.read.option("basePath", s"$dir/$sub")
           .parquet(files.map(f => s"$dir/$sub/$f"): _*)
-    (read("codes", (to.codes.toSet -- from.codes.toSet).toSeq.sorted),
-     read("vectors", (to.vectors.toSet -- from.vectors.toSet).toSeq.sorted))
+    (applyTombs(spark, dir, to, "codes",
+       read("codes", (to.codes.toSet -- from.codes.toSet).toSeq.sorted)),
+     applyTombs(spark, dir, to, "vectors",
+       read("vectors",
+         (to.vectors.toSet -- from.vectors.toSet).toSeq.sorted)))
   }
 
   /** [[diffFrames]] for the marks table: the media fingerprints ADDED
@@ -840,7 +965,8 @@ object IndexStore {
     * fingerprints) as a DataFrame; empty snapshots read as empty at
     * [[SEQS_DDL]], like every other modality a store never published. */
   def seqsFrame(spark: SparkSession, dir: String, snap: Snapshot): DataFrame =
-    readOrEmpty(spark, dir, "seqs", snap.seqs, Some(SEQS_DDL))
+    applyTombs(spark, dir, snap, "seqs",
+      readOrEmpty(spark, dir, "seqs", snap.seqs, Some(SEQS_DDL)))
 
   /** [[diffMarks]] for the seqs table: the video sequences ADDED
     * between two snapshots (same append-only-range caveat). */

@@ -1940,6 +1940,70 @@ object VectorOps {
     // maxRefineFraction=0.75, refineIters=1 — the localized-response
     // cadence SCALING r17 addendum 6 documents); production defaults
     // stay on the sink.
+    // ---- q178: the ANN TAKEDOWN lifecycle (round 17) — forget,
+    // physical drop, forced exclusion at serve. The doomed set is five
+    // STORED vectors just under the train line; the five queries are
+    // their exact quantized copies, so before the takedown each query
+    // top-1s its own vector at cos = 1 (the gate REQUIRES that premise
+    // — the exclusion below is forced, not vacuous). forget commits
+    // the set as an O(deleted) tombstone delta, compaction folds it
+    // into a physical drop (tombs arm required empty), vacuum removes
+    // the bytes, and the post-takedown serve must return a FULL top-5
+    // per query with no doomed id anywhere — the next-nearest
+    // candidates promote instead of the result set shrinking. Output
+    // arms: 'stored'/'coded' pin the exact surviving id population of
+    // both tables (a compaction that drops or duplicates one row flips
+    // the hash); 'count'/'clean' pin the promotion-fill and the
+    // exclusion per query. All four are closed-form — the oracle needs
+    // no kmeans, no PQ, no serve.
+    "q178_ann_forget" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.rebalance(Tables.embeddings(s, d))
+      val mx = emb.agg(max(col("vec_id"))).head.getLong(0)
+      val c9 = mx * 9L / 10L
+      val qOff = 2000000L
+      val zone = graft.jobs.JobRecordGate.freshZone("graft-annforget-", d)
+      val dir = new java.io.File(zone, "index").getAbsolutePath
+      DedupLedger.cloneStore(ensureIvfPq90Index(s, d, GATED_K), dir)
+      def doomedIds = emb.filter(col("vec_id") >= c9 - 5L &&
+        col("vec_id") < c9)
+      val qRows = doomedIds
+        .select((col("vec_id") + lit(qOff)).as("vec_id"), col("embedding"))
+        .withColumn("q", expr(quantExpr))
+        .select(col("vec_id"), col("q")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+      val pre = serveIvfPqStoredRows(s, dir, qRows, probes = IVFPQ_PROBES,
+          rerank = IVFPQ_RERANK, topK = 5)
+        .filter(col("rn") === 1L).collect()
+      require(pre.length == 5 && pre.forall(r =>
+          r.getAs[Long]("vec_id") == r.getAs[Long]("qid") - qOff),
+        "q178 premise: a stored vector's exact copy must top-1 itself " +
+        s"pre-takedown: ${pre.mkString(",")}")
+      IndexStore.forget(s, dir, "vector", doomedIds.select(col("vec_id")),
+        Some("takedown-1"))
+      compactIvfPqIndex(s, dir)
+      vacuumIvfPqIndex(dir)
+      require(IndexStore.snapshot(dir).tombs.isEmpty,
+        "q178: compaction must fold the tombstones into a physical drop")
+      val served = serveIvfPqStoredRows(s, dir, qRows,
+        probes = IVFPQ_PROBES, rerank = IVFPQ_RERANK, topK = 5)
+      val perQ = served.groupBy(col("qid")).agg(
+        count(lit(1)).as("cnt"),
+        min(when(col("vec_id") < c9 - 5L || col("vec_id") >= c9,
+          lit(1L)).otherwise(lit(0L))).as("clean"))
+      val (codesF, vecsF) = IndexStore.frames(s, dir,
+        IndexStore.snapshot(dir))
+      vecsF.select(lit("stored").as("kind"),
+          col("vec_id").cast("long").as("id"), lit(1L).as("val"))
+        .unionByName(codesF.select(lit("coded").as("kind"),
+          col("vec_id").cast("long").as("id"), lit(1L).as("val")))
+        .unionByName(perQ.select(lit("count").as("kind"),
+          col("qid").as("id"), col("cnt").cast("long").as("val")))
+        .unionByName(perQ.select(lit("clean").as("kind"),
+          col("qid").as("id"), col("clean").cast("long").as("val")))
+        .orderBy(col("kind"), col("id"))
+    }),
+
     "q176_ann_drift_tick" -> ((s, d) => {
       import s.implicits._
       val emb = Tables.rebalance(Tables.embeddings(s, d))
@@ -2652,6 +2716,31 @@ object VectorOps {
     // true for ANY correct serve because the blob sits ~5x its own
     // spread away from the corpus, so the derivation needs no kmeans,
     // no PQ, and no generation arithmetic.
+    // q178: the takedown lifecycle pinned closed-form. 'stored'/'coded'
+    // = every trained id except the five doomed ones, exactly once in
+    // BOTH tables (merge-on-read, the physical drop, and the vacuum
+    // must agree on content); 'count' = the promotion-fill constant (a
+    // serve that shrinks instead of promoting breaks it); 'clean' = the
+    // forced-exclusion flag (the gate's pre-takedown premise proves
+    // each doomed id WOULD be the top-1 — only the tombstone subtraction
+    // can keep it out).
+    "q178_ann_forget" ->
+      """WITH m AS (SELECT max(vec_id) AS mx FROM embeddings),
+        |ids AS (
+        |  SELECT e.vec_id FROM embeddings e, m
+        |  WHERE e.vec_id < (m.mx * 9) // 10 - 5),
+        |rows_ AS (
+        |  SELECT 'stored' AS kind, vec_id AS id, 1::BIGINT AS val FROM ids
+        |  UNION ALL
+        |  SELECT 'coded', vec_id, 1 FROM ids
+        |  UNION ALL
+        |  SELECT 'count', (m.mx * 9) // 10 - 5 + 2000000 + r.i, 5
+        |  FROM m, range(5) AS r(i)
+        |  UNION ALL
+        |  SELECT 'clean', (m.mx * 9) // 10 - 5 + 2000000 + r.i, 1
+        |  FROM m, range(5) AS r(i))
+        |SELECT kind, id, val FROM rows_ ORDER BY kind, id""".stripMargin,
+
     "q176_ann_drift_tick" ->
       """WITH m AS (SELECT max(vec_id) AS mx FROM embeddings),
         |ids AS (

@@ -1814,6 +1814,35 @@ object DedupLedger {
         .orderBy(col("media_id"), col("f"))
     }),
 
+    // ---- q179: the VIDEO takedown (round 17) — q177's lifecycle on
+    // the temporal arm. A fifth of the admitted history owners
+    // (owner % 5 = 0, closed-form) are forgotten, the compaction
+    // makes the drop physical, and the first ingest generation
+    // re-verdicts against the shrunken store: batch videos whose only
+    // match was a forgotten owner re-admit (their near-dup votes died
+    // with the owner's sequence rows — per-frame fingerprints are
+    // distinct across mkeys, so no other owner can absorb them), the
+    // rest still resolve to their surviving owners. The oracle is the
+    // q169/q170 pixel-formula derivation with the owner filter — the
+    // tombstone files, the fold, and the vacuum must be invisible,
+    // and a forget that leaked one sequence row (one frame position
+    // of one owner) revives a vote and flips a keep.
+    "q179_video_ledger_forget" -> ((s, d) => {
+      val zone = graft.jobs.JobRecordGate.freshZone("graft-vidforget-", d)
+      val dir = new java.io.File(zone, "ledger").getAbsolutePath
+      cloneStore(ensureVideoHistoryLedger(s, d), dir)
+      val doomed = IndexStore.seqsFrame(s, dir, IndexStore.snapshot(dir))
+        .select(col("owner")).distinct()
+        .filter(pmod(col("owner"), lit(5L)) === 0L)
+      IndexStore.forget(s, dir, "video", doomed, Some("takedown-1"))
+      IndexStore.compact(s, dir)
+      IndexStore.vacuum(dir)
+      require(IndexStore.snapshot(dir).tombs.isEmpty,
+        "q179: compaction must fold the tombstones into a physical drop")
+      dedupVideoAgainstLedger(s, q169Frames(s, d, 100L, 150L), dir,
+        IndexStore.snapshot(dir))
+    }),
+
     // ---- q172: a TRUE video container through the vote arm (VERDICT
     // r15 Next #2) — the q170 store lifecycle with raw-DIB AVI payloads
     // at the WIDE geometry: history sequences 0-99 seed the store at
@@ -2540,6 +2569,27 @@ object DedupLedger {
         |  SELECT fp, owner FROM mreps1
         |  UNION ALL SELECT fp, owner FROM mreps2)
         |ORDER BY media_id""".stripMargin,
+
+    // q179: the q169/q170 pixel-formula derivation with the takedown's
+    // owner filter folded into the ledger CTE — first-generation batch
+    // only, history owners % 5 = 0 removed from BOTH verdict arms
+    "q179_video_ledger_forget" ->
+      s"""WITH ${videoGenDuckAt(8, 6)},
+        |vled AS (SELECT fpseq, owner FROM vhist WHERE owner % 5 <> 0)
+        |SELECT fv.media_id,
+        |  (SELECT min(owner) FROM vled m WHERE m.fpseq = fv.fpseq)
+        |    AS exact_of,
+        |  (SELECT min(m.owner) FROM vled m JOIN vvote v
+        |     ON v.ma = m.owner AND v.mb = fv.media_id
+        |   WHERE v.nagree >= 3) AS near_of,
+        |  CASE WHEN (SELECT min(owner) FROM vled m
+        |             WHERE m.fpseq = fv.fpseq) IS NULL
+        |        AND (SELECT min(m.owner) FROM vled m JOIN vvote v
+        |               ON v.ma = m.owner AND v.mb = fv.media_id
+        |             WHERE v.nagree >= 3) IS NULL
+        |       THEN 1 ELSE 0 END::BIGINT AS keep
+        |FROM vfp fv WHERE fv.media_id >= 100 AND fv.media_id < 150
+        |ORDER BY fv.media_id""".stripMargin,
 
     // q164: 42 hyperplane signs per vector (the q97 deterministic
     // integer formula at j = 0..41), survivor algebra by exhaustive

@@ -624,7 +624,14 @@ object IndexStore {
   /** Commit a FULL (re)build: `write` replaces the data directories
     * outright (`mode("overwrite")`), so the snapshot is exactly what is
     * on disk afterwards — a rebuild over a published store must not
-    * carry forward references to files the overwrite deleted. */
+    * carry forward references to files the overwrite deleted.
+    *
+    * TOMBSTONES do not survive a rebuild either: the new snapshot's
+    * content is exactly what `write` produced, so a caller rebuilding
+    * from a raw corpus that still contains taken-down content
+    * RE-INTRODUCES it — takedowns must be re-applied to the rebuild
+    * input (or re-forgotten after), the same contract every
+    * content-replacing operation has. */
   def commitRebuild(dir: String)(write: => Unit): Int =
     withWriterLock(dir) {
       // a rebuild REPLACES content outright, so every persisted arm

@@ -73,7 +73,12 @@ object IndexMaintenance {
     * manifest protocol, and a replayed batch re-evaluates the policy
     * against a window its first run already restamped — needsRetrain
     * then reads the post-refine (clean) window, so replays cannot
-    * double-split. */
+    * double-split. The audit stamp is therefore CONSERVATIVE under
+    * crash-replay: a crash after the refine published but before the
+    * stamp landed replays as a quiet tick (the response already
+    * applied, the window reads clean), so the replayed stamp records
+    * `0:0:0` — store content is exact either way; the stamps are a
+    * lower bound on responses, never an over-report. */
   def driftSink(stream: DataFrame, indexDir: String,
                 checkpointDir: String,
                 threshold: Double = 1.5,

@@ -167,6 +167,29 @@ class TombstoneSpec extends SparkSpec {
     }
   }
 
+  test("a rebuild replaces content outright: tombstones do not survive " +
+       "it — the rebuild input defines the content, so takedowns " +
+       "re-apply against it") {
+    val dir = java.nio.file.Files.createTempDirectory("rb-tomb").toString
+    val corpus = Seq(
+      0L -> words(30, "h"), 1L -> words(30, "x")).toDF("doc_id", "text")
+    DedupLedger.buildLedger(corpus, dir)
+    IndexStore.forget(spark, dir, "text", Seq(0L).toDF("owner"))
+    assert(IndexStore.snapshot(dir).tombs.nonEmpty)
+    val (gone, _) = IndexStore.frames(spark, dir, IndexStore.snapshot(dir),
+      Some(IndexStore.CODES_DDL), Some(IndexStore.VECTORS_DDL))
+    assert(gone.filter($"owner" === 0L).count() == 0)
+    // rebuild from the RAW corpus (which still carries the content)
+    DedupLedger.buildLedger(corpus, dir)
+    assert(IndexStore.snapshot(dir).tombs.isEmpty,
+      "a rebuild's snapshot is exactly its input — no tombstone carry")
+    val (back, _) = IndexStore.frames(spark, dir, IndexStore.snapshot(dir),
+      Some(IndexStore.CODES_DDL), Some(IndexStore.VECTORS_DDL))
+    assert(back.filter($"owner" === 0L).count() == 1,
+      "content re-introduced by the rebuild input is served again — " +
+      "the documented re-apply contract")
+  }
+
   test("a forget landing inside a compaction window survives the " +
        "replacement commit merge-on-read (it targets rows the rewrite " +
        "already copied — only the NEXT compaction drops them)") {

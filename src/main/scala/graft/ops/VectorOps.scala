@@ -1132,26 +1132,33 @@ object VectorOps {
     * store, file-set): `spark.read.parquet` re-runs partition discovery
     * and footer schema inference on every call (~0.15 s of driver-side
     * filesystem work per serve, measured at sf0.1) — an open ANN server
-    * holds its list handles instead. Invalidation keys on the (path,
-    * length, mtime) file set, so an append or rebuild re-lists.
-    */
+    * holds its list handles instead.
+    *
+    * Invalidation keys on the SNAPSHOT'S FILE LISTS, not the version
+    * number alone (round-17 self-review find): a store deleted and
+    * re-created at the same path reaches the same version with
+    * DIFFERENT part-file names (clone + re-append — exactly what a
+    * re-executed q159/q176 gate does to its zone), and a
+    * version-only check then served a stale file list —
+    * FILE_NOT_EXIST at read time, which the bench harness recorded as
+    * a silently-discarded run. Hashing the manifest's file lists costs
+    * one small-file read per serve and catches every re-creation;
+    * tombstones participate because they change frame content at the
+    * same data-file set. */
   private val storeFramesCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Int, DataFrame, DataFrame)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, DataFrame, DataFrame)]()
   private def storeFrames(spark: SparkSession,
                           indexDir: String): (DataFrame, DataFrame) = {
-    // resolve _HEAD once: the snapshot version IS the cache key — an
-    // append or compaction publishes a new version and naturally
-    // invalidates; within one version the file set is immutable by the
-    // IndexStore contract, so no directory walk is ever needed
-    val v = IndexStore.headVersion(indexDir).getOrElse(sys.error(
-      s"IVF-PQ store at $indexDir was never published"))
+    val snap = IndexStore.snapshot(indexDir)
+    val sig = (snap.version.toLong << 32) ^
+      scala.util.hashing.MurmurHash3.orderedHash(
+        snap.codes ++ snap.vectors ++ snap.tombs).toLong
     val key = s"${System.identityHashCode(spark)}|$indexDir"
     val cached = storeFramesCache.get(key)
-    if (cached != null && cached._1 == v) (cached._2, cached._3)
+    if (cached != null && cached._1 == sig) (cached._2, cached._3)
     else {
-      val snap = IndexStore.snapshot(indexDir)
       val (codes, vecs) = IndexStore.frames(spark, indexDir, snap)
-      storeFramesCache.put(key, (v, codes, vecs))
+      storeFramesCache.put(key, (sig, codes, vecs))
       (codes, vecs)
     }
   }

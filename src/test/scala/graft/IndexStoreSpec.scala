@@ -22,6 +22,32 @@ class IndexStoreSpec extends SparkSpec {
     VectorOps.servedIvfPqTopK(spark, dir, emb,
       numQueries = 5, probes = 2, rerank = 10, topK = 3)
 
+  test("serve cache: a store re-created at the same path reaching the " +
+       "same version with different part-file names invalidates " +
+       "(round-17 find: version-only keying served deleted file lists — " +
+       "FILE_NOT_EXIST on every re-executed zone gate's later runs)") {
+    val emb = GenFixtures.clusteredEmbeddings(spark, 500).localCheckpoint()
+    val zone = java.nio.file.Files.createTempDirectory("idx-recreate")
+    val dir = new java.io.File(zone.toFile, "index").getAbsolutePath
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    def build(): Unit = {
+      rm(new java.io.File(dir))
+      VectorOps.buildIvfPqIndex(emb.filter($"vec_id" < 400), dir, k = 8)
+      VectorOps.appendToIvfPqIndex(spark,
+        emb.filter($"vec_id" >= 400), dir, Some("t"))
+    }
+    build()
+    val first = serve(dir, emb).collect() // warms the frames cache
+    build() // same path, same final VERSION, new random part names
+    // a version-only cache returns the deleted file list here and the
+    // read fails FILE_NOT_EXIST; the file-list signature re-lists
+    val second = serve(dir, emb).collect()
+    assert(second.toSeq == first.toSeq,
+      "deterministic rebuild must serve identical results through the cache")
+  }
+
   test("appends then compact: sized file set per cell, identical serve, vacuum-clean") {
     val emb = GenFixtures.clusteredEmbeddings(spark, 600).localCheckpoint()
     val dir = java.nio.file.Files.createTempDirectory("idx-compact").toString

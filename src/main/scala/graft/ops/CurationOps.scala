@@ -200,12 +200,13 @@ object CurationOps {
     // caveat. Each partition folds its chunks into a fixed-capacity
     // counter map; only the k(=capacity)-bounded partial buffers cross
     // the wire, never the vocabulary-sized (chunk, cnt) stream. Capacity
-    // 2^17 exceeds the distinct-chunk count at BOTH gate SF (12,254 at
-    // sf0.01) and bench SF (114,328 at sf0.1), so the sketch is in its
-    // EXACT regime here and must hash-match q96's oracle; at 100 TB the
-    // same operator runs with capacity << vocabulary as the approximate
-    // heavy-hitters pass (error bounded by the evicted minimum —
-    // SketchSpec covers that regime).
+    // 2^20 exceeds the distinct-chunk count at EVERY committed sweep SF
+    // (12,254 at sf0.01; 114,328 at sf0.1; 685,972 at fixtures/sf1 —
+    // 2^17 saturated there, round-17 sweep find), so the sketch is in
+    // its EXACT regime here and must hash-match q96's oracle; at 100 TB
+    // the same operator runs with capacity << vocabulary as the
+    // approximate heavy-hitters pass (error bounded by the evicted
+    // minimum — SketchSpec covers that regime).
     // `exact_regime` = NOT the sketch's saturation flag, GATED true: if
     // corpus growth ever pushes the distinct-chunk count past capacity,
     // this query fails with a column that names the cause instead of a
@@ -217,7 +218,7 @@ object CurationOps {
     "q96b_chunk_topk_sketch" -> ((s, d) =>
       chunkFrame(s, d)
         .agg(graft.functions.SketchFunctions
-          .spaceSavingTopK(col("chunk"), 1 << 17, 20).as("top"))
+          .spaceSavingTopK(col("chunk"), 1 << 20, 20).as("top"))
         .select(explode(col("top")).as("e"))
         .select(col("e.item").as("chunk"), col("e.cnt").as("cnt"),
                 (!col("e.sat")).as("exact_regime"))

@@ -1515,16 +1515,21 @@ object DedupLedger {
         .filter(col("exact_of").isNotNull)
         .select(col("exact_of").as("owner")).distinct()
       IndexStore.forget(s, dir, "text", doomed, Some("takedown-1"))
-      IndexStore.compact(s, dir)
-      IndexStore.vacuum(dir)
-      require(IndexStore.snapshot(dir).tombs.isEmpty,
-        "q177: compaction must fold the tombstones into a physical drop")
+      // gen 1 verdicts MERGE-ON-READ — through the live tombstone
+      // anti-join — so the hashed output pins that read path, not just
+      // the folded one
       val g1 = dedupAgainstLedger(s, batch, dir, IndexStore.snapshot(dir))
         .localCheckpoint()
       appendSurvivors(
         batch.join(g1.filter(col("keep") === 1L).select(col("doc_id")),
           Seq("doc_id"), "left_semi"),
         dir, tag = "readmit-1")
+      IndexStore.compact(s, dir)
+      IndexStore.vacuum(dir)
+      require(IndexStore.snapshot(dir).tombs.isEmpty,
+        "q177: compaction must fold the tombstones into a physical drop")
+      // gen 2 verdicts the FOLDED store — both paths must agree with
+      // the one content-only oracle
       val g2 = dedupAgainstLedger(s, batch, dir, IndexStore.snapshot(dir))
       g1.withColumn("gen", lit(1L))
         .unionByName(g2.withColumn("gen", lit(2L)))
@@ -1835,12 +1840,23 @@ object DedupLedger {
         .select(col("owner")).distinct()
         .filter(pmod(col("owner"), lit(5L)) === 0L)
       IndexStore.forget(s, dir, "video", doomed, Some("takedown-1"))
+      // phase 1 verdicts MERGE-ON-READ (live tombstone anti-join on the
+      // seqs arm); phase 2 verdicts the FOLDED store after compaction +
+      // vacuum — the oracle derivation is identical for both, so the
+      // two read paths must agree row-for-row
+      val m1 = dedupVideoAgainstLedger(s, q169Frames(s, d, 100L, 150L),
+        dir, IndexStore.snapshot(dir)).localCheckpoint()
       IndexStore.compact(s, dir)
       IndexStore.vacuum(dir)
       require(IndexStore.snapshot(dir).tombs.isEmpty,
         "q179: compaction must fold the tombstones into a physical drop")
-      dedupVideoAgainstLedger(s, q169Frames(s, d, 100L, 150L), dir,
-        IndexStore.snapshot(dir))
+      val m2 = dedupVideoAgainstLedger(s, q169Frames(s, d, 100L, 150L),
+        dir, IndexStore.snapshot(dir))
+      m1.withColumn("phase", lit(1L))
+        .unionByName(m2.withColumn("phase", lit(2L)))
+        .select(col("phase"), col("media_id"), col("exact_of"),
+          col("near_of"), col("keep"))
+        .orderBy(col("phase"), col("media_id"))
     }),
 
     // ---- q172: a TRUE video container through the vote arm (VERDICT
@@ -2575,21 +2591,24 @@ object DedupLedger {
     // only, history owners % 5 = 0 removed from BOTH verdict arms
     "q179_video_ledger_forget" ->
       s"""WITH ${videoGenDuckAt(8, 6)},
-        |vled AS (SELECT fpseq, owner FROM vhist WHERE owner % 5 <> 0)
-        |SELECT fv.media_id,
-        |  (SELECT min(owner) FROM vled m WHERE m.fpseq = fv.fpseq)
-        |    AS exact_of,
-        |  (SELECT min(m.owner) FROM vled m JOIN vvote v
-        |     ON v.ma = m.owner AND v.mb = fv.media_id
-        |   WHERE v.nagree >= 3) AS near_of,
-        |  CASE WHEN (SELECT min(owner) FROM vled m
-        |             WHERE m.fpseq = fv.fpseq) IS NULL
-        |        AND (SELECT min(m.owner) FROM vled m JOIN vvote v
-        |               ON v.ma = m.owner AND v.mb = fv.media_id
-        |             WHERE v.nagree >= 3) IS NULL
-        |       THEN 1 ELSE 0 END::BIGINT AS keep
-        |FROM vfp fv WHERE fv.media_id >= 100 AND fv.media_id < 150
-        |ORDER BY fv.media_id""".stripMargin,
+        |vled AS (SELECT fpseq, owner FROM vhist WHERE owner % 5 <> 0),
+        |verdict AS (
+        |  SELECT fv.media_id,
+        |    (SELECT min(owner) FROM vled m WHERE m.fpseq = fv.fpseq)
+        |      AS exact_of,
+        |    (SELECT min(m.owner) FROM vled m JOIN vvote v
+        |       ON v.ma = m.owner AND v.mb = fv.media_id
+        |     WHERE v.nagree >= 3) AS near_of,
+        |    CASE WHEN (SELECT min(owner) FROM vled m
+        |               WHERE m.fpseq = fv.fpseq) IS NULL
+        |          AND (SELECT min(m.owner) FROM vled m JOIN vvote v
+        |                 ON v.ma = m.owner AND v.mb = fv.media_id
+        |               WHERE v.nagree >= 3) IS NULL
+        |         THEN 1 ELSE 0 END::BIGINT AS keep
+        |  FROM vfp fv WHERE fv.media_id >= 100 AND fv.media_id < 150)
+        |SELECT 1::BIGINT AS phase, * FROM verdict
+        |UNION ALL SELECT 2::BIGINT, * FROM verdict
+        |ORDER BY phase, media_id""".stripMargin,
 
     // q164: 42 hyperplane signs per vector (the q97 deterministic
     // integer formula at j = 0..41), survivor algebra by exhaustive

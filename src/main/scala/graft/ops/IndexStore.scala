@@ -802,32 +802,61 @@ object IndexStore {
                  snap: Snapshot): DataFrame =
     readOrEmpty(spark, dir, "tombs", snap.tombs, Some(TOMBS_DDL))
 
+  /** The modality a tombstone file pins, read from its PATH —
+    * [[forget]] partitions the tombstone parquet by `modality`, so the
+    * snapshot's file list alone names what is pending (`modality=X/
+    * part-...`). `None` for a pre-r18 flat-layout file. */
+  private def tombFileModality(rel: String): Option[String] =
+    if (!rel.startsWith("modality=")) None
+    else {
+      val rest = rel.stripPrefix("modality=")
+      val slash = rest.indexOf('/')
+      if (slash <= 0) None else Some(rest.take(slash))
+    }
+
   /** Subtract `snap`'s tombstones from an arm's frame — the
     * merge-on-read half of [[forget]]. A no-op (zero plan change) when
-    * the store carries no tombstones, which is every store a takedown
-    * has not touched; otherwise a LEFT ANTI join whose build side is
-    * the tombstone parquet — small enough to broadcast until a
-    * takedown grows to genuine shuffle scale, at which point a shuffle
-    * anti-join is the correct plan anyway. */
+    * the store carries no tombstones targeting this arm's modalities —
+    * resolved PURELY from the snapshot's tombstone file paths
+    * (modality-partitioned by [[forget]]), so the fast path and the
+    * no-id-column guard cost zero Spark jobs. Otherwise a LEFT ANTI
+    * join whose build side is the (modality-pruned) tombstone
+    * parquet — small enough to broadcast until a takedown grows to
+    * genuine shuffle scale, at which point a shuffle anti-join is the
+    * correct plan anyway. */
   private def applyTombs(spark: SparkSession, dir: String, snap: Snapshot,
-                         arm: String, df: DataFrame): DataFrame =
-    if (snap.tombs.isEmpty) df
+                         arm: String, df: DataFrame): DataFrame = {
+    val armMods = ARM_MODALITIES(arm)
+    val pathMods = snap.tombs.map(tombFileModality)
+    // pure-metadata pending check; a legacy flat-layout file's modality
+    // is unknowable from its path, so it conservatively "may match"
+    val mayMatch = snap.tombs.nonEmpty &&
+      (pathMods.exists(_.isEmpty) ||
+        pathMods.flatten.toSet.intersect(armMods.toSet).nonEmpty)
+    if (!mayMatch) df
     else tombIdColumn(df) match {
+      case None if pathMods.forall(_.isDefined) =>
+        // resolved without a job: the paths prove this arm has
+        // tombstones to subtract and the frame has no column to do it
+        sys.error(s"IndexStore: $dir/$arm carries " +
+          s"tombstones but the frame has no owner/vec_id/doc_id column " +
+          "to subtract on")
       case None =>
-        // fail only if this arm actually has tombstones to subtract —
-        // an unknown-schema frame with none pending reads unchanged
+        // legacy flat tombstone files only: probe the data (the one
+        // remaining eager path, gone after the store's next compaction)
         val pending = tombsFrame(spark, dir, snap)
-          .filter(col("modality").isin(ARM_MODALITIES(arm): _*))
+          .filter(col("modality").isin(armMods: _*))
         require(pending.isEmpty, s"IndexStore: $dir/$arm carries " +
           s"tombstones but the frame has no owner/vec_id/doc_id column " +
           "to subtract on")
         df
       case Some(idCol) =>
         val t = tombsFrame(spark, dir, snap)
-          .filter(col("modality").isin(ARM_MODALITIES(arm): _*))
+          .filter(col("modality").isin(armMods: _*))
           .select(col("id").as("__tomb_id"))
         df.join(t, df(idCol) === col("__tomb_id"), "left_anti")
     }
+  }
 
   /** FORGET rows by id — the takedown operation. Commits a tombstone
     * DELTA: `(modality, id)` rows land under `tombs/` and publish
@@ -858,12 +887,26 @@ object IndexStore {
     }
     val idCol = ids.columns.headOption.getOrElse(
       sys.error("IndexStore.forget: ids frame has no columns"))
-    commitDelta(dir, tag) {
-      ids.select(col(idCol).cast("long").as("id"))
-        .where(col("id").isNotNull)
-        .withColumn("modality", lit(modality))
+    // tombstones land MODALITY-PARTITIONED so readers resolve what is
+    // pending from file paths alone (applyTombs: zero-job guard + fast
+    // path); a pre-r18 store still carrying flat tombstone files must
+    // fold them (compact) before mixing in the partitioned layout
+    require(snapshotOrEmpty(dir).tombs.forall(f =>
+        tombFileModality(f).isDefined),
+      s"IndexStore.forget: store $dir carries pre-r18 flat tombstone " +
+      "files — run compact (which folds them into a physical drop) " +
+      "before committing new takedowns")
+    val proj = ids.select(col(idCol).cast("long").as("id"))
+      .where(col("id").isNotNull)
+    // an empty takedown publishes nothing: a zero-row delta would leave
+    // snap.tombs non-empty forever (an empty part file), putting every
+    // future read of every arm on the anti-join path for no reason
+    if (proj.isEmpty) headVersion(dir).getOrElse(0)
+    else commitDelta(dir, tag) {
+      proj.withColumn("modality", lit(modality))
         .select(col("modality"), col("id"))
-        .write.mode("append").parquet(s"$dir/tombs")
+        .write.mode("append").partitionBy("modality")
+        .parquet(s"$dir/tombs")
     }
   }
 

@@ -1324,7 +1324,11 @@ object VectorOps {
     IndexStore.setProps(dir, Map(
       "qe_base" -> meanCoarseQe(quant, coarse).toString,
       "built_version" -> IndexStore.headVersion(dir).getOrElse(0).toString,
-      "last_replace_version" -> ""))
+      "last_replace_version" -> "",
+      // modality stamp: forget's declared-modalities guard rejects a
+      // 'text' takedown against this vec_id vocabulary by name instead
+      // of silently tombstoning the wrong id space (ADVICE r17)
+      "modalities" -> "vector"))
     ()
   }
 
@@ -1595,12 +1599,20 @@ object VectorOps {
       .select((Seq(col("vec_id"), col("q"), col("cell")) ++ riders): _*)
     // replacement commit scoped to the drifted cells: base = only their
     // files, so every untouched cell's files carry forward byte-
-    // identical and the old split-cell partitions become vacuum fodder
+    // identical and the old split-cell partitions become vacuum fodder.
+    // tombs = Nil, NOT head.tombs: commitReplace drops base's
+    // tombstones from the new snapshot (a compaction rewrote ALL
+    // content tomb-subtracted), but this rewrite only touched the
+    // drifted cells — untouched cells' files still physically contain
+    // forgotten rows, so head's tombstones must carry forward. The
+    // drifted cells were read tomb-subtracted (frames() above), so
+    // re-subtracting them is an idempotent anti-join no-op.
     val baseScope = head.copy(
       codes = head.codes.filter(f =>
         drifted.exists(c => f.startsWith(s"cell=$c/"))),
       vectors = head.vectors.filter(f =>
-        drifted.exists(c => f.startsWith(s"cell=$c/"))))
+        drifted.exists(c => f.startsWith(s"cell=$c/"))),
+      tombs = Nil)
     val v = IndexStore.commitReplace(dir, baseScope) {
       newCodes.repartition(col("cell"))
         .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")

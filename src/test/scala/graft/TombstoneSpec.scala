@@ -190,6 +190,183 @@ class TombstoneSpec extends SparkSpec {
       "the documented re-apply contract")
   }
 
+  test("a takedown SURVIVES a drift-triggered cell refine: untouched " +
+       "cells' files carry the tombstones forward merge-on-read, the " +
+       "next compaction still makes the drop physical") {
+    // the resurrection hazard (ADVICE r17): refineCells commits a
+    // REPLACEMENT scoped to the drifted cells — if its base carried
+    // head's tombstones, commitReplace would drop them from the new
+    // snapshot while untouched cells' files (never rewritten, still
+    // physically containing the forgotten rows) carry forward
+    val emb = GenFixtures.clusteredEmbeddings(spark, 700).localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("refine-tomb").toString
+    VectorOps.buildIvfPqIndex(emb.filter($"vec_id" < 500), dir, k = 8)
+    // a localized diverged blob fires the drift trigger (RetrainSpec's
+    // generation-path fixture)
+    val blob = emb.filter($"vec_id" >= 500 && $"vec_id" < 650)
+      .withColumn("embedding",
+        expr("transform(embedding, x -> x + cast(2.5 AS float))"))
+      .withColumn("vec_id", $"vec_id" - 500 + 10000)
+      .select($"vec_id", $"embedding")
+    VectorOps.appendToIvfPqIndex(spark, blob, dir, Some("blob"))
+    assert(VectorOps.needsRetrain(spark, dir))
+
+    // take down RESIDENT vectors before the refine; record their cells
+    val doomed = (100L until 110L).toSet
+    val cellOf = spark.read.option("basePath", s"$dir/vectors")
+      .parquet(IndexStore.snapshot(dir).vectors.map(f => s"$dir/vectors/$f"): _*)
+      .filter($"vec_id".isin(doomed.toSeq: _*))
+      .select($"vec_id", $"cell").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    IndexStore.forget(spark, dir, "vector", doomed.toSeq.toDF("vec_id"))
+
+    val split = VectorOps.refineDriftedCells(spark, dir, minCellMass = 20L)
+    assert(split.nonEmpty, "the blob must name drifted cells")
+    // the hazard is only exercised if some forgotten row lives OUTSIDE
+    // the rewritten cells (the blob is localized, residents spread over
+    // all 8 cells, so this holds by construction)
+    assert(cellOf.values.exists(c => !split.contains(c)),
+      s"fixture must place a forgotten row in an untouched cell: " +
+      s"cells=${cellOf.values.toSet} split=$split")
+
+    val head = IndexStore.snapshot(dir)
+    assert(head.tombs.nonEmpty,
+      "the refine's replacement commit must carry head's tombstones " +
+      "forward — untouched cells' files still contain the rows")
+    val (codes, vecs) = IndexStore.frames(spark, dir, head)
+    assert(codes.filter($"vec_id".isin(doomed.toSeq: _*)).count() == 0 &&
+      vecs.filter($"vec_id".isin(doomed.toSeq: _*)).count() == 0,
+      "forgotten vectors resurrected by the refine")
+    assert(codes.count() == 650 - doomed.size,
+      "refine + takedown must lose exactly the forgotten rows")
+
+    // and the lifecycle completes: compaction folds, the drop is
+    // physical, vacuum removes the bytes
+    VectorOps.compactIvfPqIndex(spark, dir)
+    val snapC = IndexStore.snapshot(dir)
+    assert(snapC.tombs.isEmpty)
+    val raw = spark.read.option("basePath", s"$dir/codes")
+      .parquet(snapC.codes.map(f => s"$dir/codes/$f"): _*)
+    assert(raw.filter($"vec_id".isin(doomed.toSeq: _*)).count() == 0,
+      "post-refine compaction must physically drop forgotten rows")
+  }
+
+  test("ANN build stamps modality 'vector': a text takedown against the " +
+       "vec_id vocabulary is rejected by name") {
+    val emb = GenFixtures.clusteredEmbeddings(spark, 300).localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("stamp-ann").toString
+    VectorOps.buildIvfPqIndex(emb, dir, k = 4)
+    val err = intercept[IllegalArgumentException] {
+      IndexStore.forget(spark, dir, "text", Seq(1L).toDF("owner"))
+    }
+    assert(err.getMessage.contains("modalities"))
+    // and the ledger build stamps 'text' symmetrically
+    val led = java.nio.file.Files.createTempDirectory("stamp-led").toString
+    DedupLedger.buildLedger(Seq(0L -> words(30, "h")).toDF("doc_id", "text"),
+      led)
+    intercept[IllegalArgumentException] {
+      IndexStore.forget(spark, led, "vector", Seq(1L).toDF("vec_id"))
+    }
+  }
+
+  test("the no-id-column guard and the not-my-modality fast path are " +
+       "pure metadata: a tombstoned store reading an armless frame " +
+       "launches ZERO Spark jobs") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val dir = java.nio.file.Files.createTempDirectory("meta-tomb").toString
+    // a store whose codes arm has NO id column (hypothetical future
+    // arm schema), committed through the normal delta protocol
+    IndexStore.commitDelta(dir) {
+      Seq((0, "aa"), (1, "bb")).toDF("cell", "h")
+        .write.mode("append").parquet(s"$dir/codes")
+    }
+    DedupLedger.appendMediaSurvivors(
+      Seq((5L, Array(100L))).toDF("media_id", "fp"), dir, tag = "m1")
+    val vPre = IndexStore.headVersion(dir).get
+    IndexStore.forget(spark, dir, "media", Seq(5L).toDF("owner"))
+    val snap = IndexStore.snapshot(dir)
+    assert(snap.tombs.nonEmpty &&
+      snap.tombs.forall(_.startsWith("modality=media/")),
+      s"tombstone files must be modality-partitioned: ${snap.tombs}")
+
+    // count NON-sentinel job starts; sentinel jobs (a distinct job
+    // group) both drain the FIFO listener bus and mark window edges
+    val counted = new java.util.concurrent.atomic.AtomicInteger(0)
+    val sentinels = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit = {
+        if (Option(s.properties)
+              .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+              .contains("tomb-sentinel")) sentinels.incrementAndGet()
+        else counted.incrementAndGet()
+        ()
+      }
+    }
+    def drain(): Unit = {
+      val seen = sentinels.get()
+      spark.sparkContext.setJobGroup("tomb-sentinel", "drain")
+      try spark.range(1).count()
+      finally spark.sparkContext.clearJobGroup()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (sentinels.get() == seen && System.nanoTime() < deadline)
+        Thread.sleep(5)
+      assert(sentinels.get() > seen, "listener bus failed to drain")
+    }
+    def jobsDuring(body: => Unit): Int = {
+      drain(); val base = counted.get(); body; drain()
+      counted.get() - base
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // media tombstones do NOT target the codes arm: the armless
+      // frame must construct and plan with ZERO MARGINAL jobs vs the
+      // same read of the pre-forget snapshot (reading parquet at all
+      // costs a schema-inference job either way — the guard itself
+      // must add nothing; it resolves from the file paths)
+      def readArmless(s: IndexStore.Snapshot) =
+        IndexStore.frames(spark, dir, s,
+          Some("cell INT, h STRING"), Some(IndexStore.VECTORS_DDL))
+      val snapPre = IndexStore.snapshotAt(dir, vPre)
+      readArmless(snapPre) // warm any path/schema caches once
+      val base = jobsDuring { readArmless(snapPre) }
+      val n1 = jobsDuring {
+        val (codesF, _) = readArmless(snap)
+        assert(codesF.queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+        }.isEmpty, "a not-my-modality arm must read with zero plan change")
+      }
+      assert(n1 == base,
+        s"not-my-modality armless read launched $n1 jobs (baseline $base)")
+      // a MATCHING-modality armless read fails by name — the guard
+      // adds no probe job on top of the read's own schema inference
+      IndexStore.forget(spark, dir, "text", Seq(0L).toDF("owner"))
+      val n2 = jobsDuring {
+        val err = intercept[RuntimeException] {
+          readArmless(IndexStore.snapshot(dir))
+        }
+        assert(err.getMessage.contains("no owner/vec_id/doc_id"))
+      }
+      assert(n2 <= base,
+        s"matching-modality armless guard launched $n2 jobs (baseline $base)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("an empty or all-null takedown publishes NOTHING — no version " +
+       "bump, no permanent empty tombstone file") {
+    val dir = java.nio.file.Files.createTempDirectory("empty-tomb").toString
+    DedupLedger.buildLedger(Seq(
+      0L -> words(30, "h")).toDF("doc_id", "text"), dir)
+    val v = IndexStore.headVersion(dir).get
+    assert(IndexStore.forget(spark, dir, "text",
+      spark.range(0).select($"id".as("owner"))) == v)
+    assert(IndexStore.forget(spark, dir, "text",
+      spark.range(2).select(lit(null).cast("long").as("owner"))) == v,
+      "all-null ids must short-circuit too")
+    assert(IndexStore.headVersion(dir).contains(v) &&
+      IndexStore.snapshot(dir).tombs.isEmpty,
+      "an empty takedown must leave the store untombstoned")
+  }
+
   test("a forget landing inside a compaction window survives the " +
        "replacement commit merge-on-read (it targets rows the rewrite " +
        "already copied — only the NEXT compaction drops them)") {

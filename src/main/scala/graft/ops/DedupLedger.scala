@@ -422,12 +422,26 @@ object DedupLedger {
                            tag: String,
                            geom: MarksGeom = NarrowMarks): Int =
     IndexStore.commitDelta(dir, Some(tag)) {
-      val marks = markRows(survivors)
+      // materialize ONCE when the stats bump will CONSUME the frame
+      // (the appendSurvivors discipline): callers pass a lazy
+      // batch ⋉ verdict join, and a live bump is a second reference —
+      // without the checkpoint it re-executed the whole verdict plan
+      // (round-16 TickProfile find, recurred when the r17 write-time
+      // stats added the reference). Stats-less stores (every
+      // fixture-scale store) keep the single-reference lazy write —
+      // their bump is a zero-job no-op, so the checkpoint would be
+      // pure added cost. Increment-sized by contract.
+      val key = s"marks-hist-${geom.params}"
+      val beforeEmpty = armFilesBefore(dir, _.marks).isEmpty
+      val marks0 = markRows(survivors)
+      val marks =
+        if (IndexStore.armStats(dir, key).isDefined || beforeEmpty)
+          marks0.localCheckpoint()
+        else marks0
       marks.repartition(col("cell"))
         .write.mode("append").partitionBy("cell").parquet(s"$dir/marks")
-      bumpArmStats(dir, s"marks-hist-${geom.params}",
-        mediaBandsOf(marks, geom), Seq("band", "bkey"),
-        armFilesBefore(dir, _.marks).isEmpty)
+      bumpArmStats(dir, key, mediaBandsOf(marks, geom),
+        Seq("band", "bkey"), beforeEmpty)
     }
 
   /** Fingerprint-WIDTH guard (review find): a word-count/geometry
@@ -913,12 +927,20 @@ object DedupLedger {
                            tag: String,
                            geom: MarksGeom = NarrowMarks): Int =
     IndexStore.commitDelta(dir, Some(tag)) {
-      val rows = seqRows(frames)
+      // materialized once IF the stats bump will consume it (see
+      // appendMediaSurvivors; the lazy form re-executed the caller's
+      // verdict plan inside a live bump)
+      val key = s"seqs-hist-${geom.params}"
+      val beforeEmpty = armFilesBefore(dir, _.seqs).isEmpty
+      val rows0 = seqRows(frames)
+      val rows =
+        if (IndexStore.armStats(dir, key).isDefined || beforeEmpty)
+          rows0.localCheckpoint()
+        else rows0
       rows.repartition(col("cell"))
         .write.mode("append").partitionBy("cell").parquet(s"$dir/seqs")
-      bumpArmStats(dir, s"seqs-hist-${geom.params}",
-        mediaBandsOf(rows, geom), Seq("f", "band", "bkey"),
-        armFilesBefore(dir, _.seqs).isEmpty)
+      bumpArmStats(dir, key, mediaBandsOf(rows, geom),
+        Seq("f", "band", "bkey"), beforeEmpty)
     }
 
   /** Verdict of a VIDEO batch `(media_id, f, fp: array<bigint>)` —
@@ -1158,6 +1180,11 @@ object DedupLedger {
   /** The REAL video fingerprint chain: GIF encode → composed-frame
     * decode → per-position dHash words (decode drift sits inside the
     * gate, as everywhere in the media family). */
+  /** Exposed for VidProfile (round-18 drift A/B) only. */
+  private[graft] def q169FramesFor(s: SparkSession, d: String, lo: Long,
+                                   hi: Long): DataFrame =
+    q169Frames(s, d, lo, hi)
+
   private def q169Frames(s: SparkSession, d: String, lo: Long,
                          hi: Long): DataFrame = {
     import s.implicits._

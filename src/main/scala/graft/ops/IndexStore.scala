@@ -441,6 +441,122 @@ object IndexStore {
       .filter(_.getName.startsWith("stats."))
       .foreach { f => f.delete(); () }
 
+  /** The single conditional-create operation the whole OCC protocol
+    * rests on (VERDICT r17 #2): atomically materialize `body` at
+    * `target` IFF no target exists — of N racing writers exactly ONE
+    * returns true. Everything else in the protocol (re-derive and
+    * retry on loss, `#commit` marker trust, monotonic `_HEAD` hint)
+    * is primitive-agnostic, so proving the protocol under an
+    * implementation proves it for that storage class. */
+  private[graft] sealed trait CommitPrimitive {
+    def createExclusive(target: java.nio.file.Path,
+                        body: Array[Byte]): Boolean
+    def name: String
+  }
+
+  private[graft] object CommitPrimitive {
+    private def stagingFor(target: java.nio.file.Path) =
+      target.resolveSibling(target.getFileName.toString +
+        s".tmp${ProcessHandle.current().pid()}-${Thread.currentThread().getId}")
+
+    /** POSIX default: stage the full body in a temp sibling, then
+      * link(2) it to the version name — EEXIST is ATOMIC (unlike a
+      * no-replace Files.move, whose rename leg silently REPLACES a
+      * target that appeared between check and rename; measured: the
+      * 8-writer race lost manifests through it), and the linked file
+      * appears with its full content. Degrades to [[RenameFallback]]
+      * when the filesystem has no hard links. */
+    case object HardLink extends CommitPrimitive {
+      val name = "hard-link"
+      def createExclusive(target: java.nio.file.Path,
+                          body: Array[Byte]): Boolean = {
+        val tmp = stagingFor(target)
+        java.nio.file.Files.write(tmp, body)
+        val won =
+          try {
+            java.nio.file.Files.createLink(target, tmp)
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+            case _: UnsupportedOperationException =>
+              java.nio.file.Files.deleteIfExists(tmp)
+              return RenameFallback.createExclusive(target, body)
+          }
+        java.nio.file.Files.deleteIfExists(tmp)
+        won
+      }
+    }
+
+    /** No-hard-link filesystems: check + ATOMIC_MOVE of the staged
+      * body. The check-then-move pair is NOT atomic under unfenced
+      * concurrent writers — on these filesystems the advisory writer
+      * lock is the fence, exactly the pre-OCC contract. */
+    case object RenameFallback extends CommitPrimitive {
+      val name = "rename-fallback"
+      def createExclusive(target: java.nio.file.Path,
+                          body: Array[Byte]): Boolean = {
+        if (java.nio.file.Files.exists(target)) return false
+        val tmp = stagingFor(target)
+        java.nio.file.Files.write(tmp, body)
+        val won =
+          try {
+            java.nio.file.Files.move(tmp, target,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
+        java.nio.file.Files.deleteIfExists(tmp)
+        won
+      }
+    }
+
+    /** OBJECT-STORE semantics for specs and studies: the winner is
+      * decided by a conditional PUT (an atomic register keyed on the
+      * target path — S3 If-None-Match), with NO hard links and NO
+      * atomic rename anywhere; the winner then lands the body via a
+      * PLAIN write, so a concurrent reader can observe a torn
+      * manifest — STRICTLY more adversarial than a real object
+      * store's atomic PUT, which is exactly the window the trailing
+      * `#commit` marker must cover (headVersion refuses an unmarked
+      * manifest above the `_HEAD` hint, and the hint is raised only
+      * after the body write completes). */
+    case object SimulatedPutIfAbsent extends CommitPrimitive {
+      val name = "put-if-absent"
+      private val register =
+        java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      def createExclusive(target: java.nio.file.Path,
+                          body: Array[Byte]): Boolean = {
+        val key = target.toAbsolutePath.toString
+        // lost-register tolerance (a fresh process adopting an existing
+        // store): an on-disk target counts as taken
+        if (java.nio.file.Files.exists(target)) { register.add(key); return false }
+        if (!register.add(key)) false
+        else {
+          java.nio.file.Files.write(target, body)
+          true
+        }
+      }
+      /** Spec hook: forget registered keys (a "new process"). */
+      private[graft] def reset(): Unit = register.clear()
+    }
+  }
+
+  /** The active commit primitive — production always [[CommitPrimitive.HardLink]]
+    * (self-degrading); specs/studies swap in
+    * [[CommitPrimitive.SimulatedPutIfAbsent]] to prove the protocol
+    * under object-store semantics. */
+  @volatile private[graft] var commitPrimitive: CommitPrimitive =
+    CommitPrimitive.HardLink
+
+  /** Run `body` with commits routed through `p` (spec/study hook —
+    * global, so callers serialize; suites run sequentially). */
+  private[graft] def withCommitPrimitive[A](p: CommitPrimitive)(body: => A): A = {
+    val old = commitPrimitive
+    commitPrimitive = p
+    try body finally commitPrimitive = old
+  }
+
   /** CONDITIONAL publish — the OCC commit primitive (VERDICT r16 #2):
     * attempt to commit `v` by creating `_manifest/v<N>.list` with
     * fail-if-exists semantics (full body staged in a temp sibling,
@@ -476,37 +592,11 @@ object IndexStore {
                 seqs.map(f => s"seqs\t$f") ++
                 tombs.map(f => s"tombs\t$f") ++
                 Seq(COMMIT_MARKER)).mkString("\n")
-    val tmp = new java.io.File(manifestDir(dir),
-      s"v$v.tmp${ProcessHandle.current().pid()}-${Thread.currentThread().getId}")
-    java.nio.file.Files.write(tmp.toPath, body.getBytes("UTF-8"))
     val target = new java.io.File(manifestDir(dir), s"v$v.list").toPath
-    // the CAS itself: hard-link the staged body to the version name.
-    // link(2) fails with EEXIST ATOMICALLY — unlike a no-replace
-    // Files.move, which on POSIX is a check-then-rename whose rename
-    // leg silently REPLACES a target that appeared between the two
-    // (measured: the 8-writer race lost manifests through it). The
-    // linked file appears with its full content, so a racing reader
-    // never sees a torn manifest.
-    val won =
-      try {
-        java.nio.file.Files.createLink(target, tmp.toPath)
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-        case _: UnsupportedOperationException =>
-          // no-hard-link filesystems: degrade to check + atomic move —
-          // races then rely on the advisory writer lock, as pre-OCC
-          if (java.nio.file.Files.exists(target)) false
-          else {
-            try {
-              java.nio.file.Files.move(tmp.toPath, target,
-                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-              true
-            } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-          }
-      }
-    java.nio.file.Files.deleteIfExists(tmp.toPath)
-    if (won) raiseHeadHint(dir, v)
+    // the CAS itself, behind the [[CommitPrimitive]] seam: exactly one
+    // of N racing writers materializes the version name
+    val won = commitPrimitive.createExclusive(target, body.getBytes("UTF-8"))
+    if (won) raiseHeadHint(dir, v) else casRetries.incrementAndGet()
     won
   }
 
@@ -535,6 +625,12 @@ object IndexStore {
     else scala.util.Try(new String(
       java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toInt).toOption
   }
+
+  /** CAS losses observed across all commit paths in this JVM — an
+    * operability counter (OccStudy reads deltas of it; a deployment
+    * would export it). Each increment is one publishCas attempt that
+    * lost the version race and re-derived its carry. */
+  private[graft] val casRetries = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Publish with retry — for commits whose file lists do not depend
     * on the head they land on (a REBUILD publishes exactly what is on

@@ -545,4 +545,94 @@ class IndexStoreSpec extends SparkSpec {
     assert(codes3.select(col("owner")).collect().map(_.getLong(0)).toSet ==
       Set(0L, 1L), "post-crash retry must land")
   }
+
+  test("OBJECT-STORE commit primitive (VERDICT r17 #2): racing unfenced " +
+       "writers through put-if-absent — NO hard links, NO atomic rename " +
+       "— lose no delta and publish sequential versions; the torn-body " +
+       "window is covered by the commit-marker trust rule") {
+    val dir = java.nio.file.Files.createTempDirectory("idx-objstore").toString
+    val sim = IndexStore.CommitPrimitive.SimulatedPutIfAbsent
+    try IndexStore.withCommitPrimitive(sim) {
+      IndexStore.commitRebuild(dir) {
+        Seq((0, "base", 0L)).toDF("cell", "h", "owner")
+          .write.mode("overwrite").parquet(s"$dir/codes")
+        Seq((0, 0L, Seq(1L))).toDF("cell", "doc_id", "sig")
+          .write.mode("overwrite").parquet(s"$dir/vectors")
+      }
+      // the object-store condition: no FileChannel fence, the
+      // conditional PUT is the ONLY serialization
+      IndexStore.fenceDisabledForTest = true
+      try {
+        val writers = (1 to 8).map { i =>
+          new Thread(() => {
+            IndexStore.commitDelta(dir, Some(s"os-$i")) {
+              Seq((i, s"h$i", i.toLong)).toDF("cell", "h", "owner")
+                .write.mode("overwrite").parquet(s"$dir/codes/w$i")
+            }
+            ()
+          })
+        }
+        writers.foreach(_.start()); writers.foreach(_.join())
+      } finally IndexStore.fenceDisabledForTest = false
+      assert(IndexStore.headVersion(dir).contains(9),
+        s"rebuild + 8 put-if-absent deltas must publish v9, got " +
+        s"${IndexStore.headVersion(dir)}")
+      val (codes, _) = IndexStore.frames(spark, dir, IndexStore.snapshot(dir))
+      val owners = codes.select(col("owner")).collect().map(_.getLong(0)).toSet
+      assert(owners == (0L to 8L).toSet,
+        s"lost delta under put-if-absent: owners = $owners")
+      for (v <- 2 to 9) {
+        assert(IndexStore.snapshotAt(dir, v - 1).codes.toSet
+            .subsetOf(IndexStore.snapshotAt(dir, v).codes.toSet),
+          s"v$v dropped files of v${v - 1} under put-if-absent")
+      }
+
+      // torn-body crash: put-if-absent lands the body with a PLAIN
+      // write, so a writer dying mid-body leaves a partial, UNMARKED
+      // manifest at its won version — readers must refuse it above the
+      // hint and writers must progress past the dead number
+      val codes9 = IndexStore.snapshotAt(dir, 9).codes
+      java.nio.file.Files.write(
+        new java.io.File(s"$dir/_manifest", "v10.list").toPath,
+        (codes9.map(f => s"codes\t$f").mkString("\n") + "\ncodes\ttrunc")
+          .getBytes("UTF-8"))
+      assert(IndexStore.headVersion(dir).contains(9),
+        "a torn put-if-absent body above the hint must not become HEAD")
+      IndexStore.commitDelta(dir, Some("os-after-torn")) {
+        Seq((9, "h9", 9L)).toDF("cell", "h", "owner")
+          .write.mode("overwrite").parquet(s"$dir/codes/w9")
+      }
+      assert(IndexStore.headVersion(dir).contains(11),
+        "the torn version's number stays a permanent gap")
+      val (codesF, _) = IndexStore.frames(spark, dir, IndexStore.snapshot(dir))
+      assert(codesF.select(col("owner")).collect().map(_.getLong(0)).toSet ==
+        (0L to 9L).toSet)
+    } finally sim.reset()
+  }
+
+  test("put-if-absent adopts on-disk state from a previous process: a " +
+       "lost conditional-PUT register never double-commits a version") {
+    // a fresh process (empty register) pointed at an existing store
+    // must treat every on-disk manifest as taken, not re-win it
+    val dir = java.nio.file.Files.createTempDirectory("idx-objstore2").toString
+    IndexStore.commitRebuild(dir) {
+      Seq((0, "base", 0L)).toDF("cell", "h", "owner")
+        .write.mode("overwrite").parquet(s"$dir/codes")
+      Seq((0, 0L, Seq(1L))).toDF("cell", "doc_id", "sig")
+        .write.mode("overwrite").parquet(s"$dir/vectors")
+    }
+    val sim = IndexStore.CommitPrimitive.SimulatedPutIfAbsent
+    sim.reset() // the "process restart": register forgets everything
+    try IndexStore.withCommitPrimitive(sim) {
+      IndexStore.commitDelta(dir, Some("adopt-1")) {
+        Seq((1, "h1", 1L)).toDF("cell", "h", "owner")
+          .write.mode("append").parquet(s"$dir/codes")
+      }
+      assert(IndexStore.headVersion(dir).contains(2),
+        "the adopted store's v1 must stay v1; the delta lands at v2")
+      val (codes, _) = IndexStore.frames(spark, dir, IndexStore.snapshot(dir))
+      assert(codes.select(col("owner")).collect().map(_.getLong(0)).toSet ==
+        Set(0L, 1L))
+    } finally sim.reset()
+  }
 }

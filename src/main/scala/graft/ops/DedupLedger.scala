@@ -206,7 +206,10 @@ object DedupLedger {
       Await.result(wCodes, Duration.Inf)
       Await.result(wVecs, Duration.Inf)
       bumpArmStats(dir, "vectors-hist", bandsOf(sigs), Seq("band", "bkey"),
-        armFilesBefore(dir, _.vectors).isEmpty)
+        armFilesBefore(dir, _.vectors), "vectors",
+        Some(bandsOf(IndexStore.frames(sigs.sparkSession, dir,
+          IndexStore.snapshot(dir),
+          Some(IndexStore.CODES_DDL), Some(IndexStore.VECTORS_DDL))._2)))
     }
   }
 
@@ -432,16 +435,18 @@ object DedupLedger {
       // their bump is a zero-job no-op, so the checkpoint would be
       // pure added cost. Increment-sized by contract.
       val key = s"marks-hist-${geom.params}"
-      val beforeEmpty = armFilesBefore(dir, _.marks).isEmpty
+      val beforeFiles = armFilesBefore(dir, _.marks)
       val marks0 = markRows(survivors)
       val marks =
-        if (IndexStore.armStats(dir, key).isDefined || beforeEmpty)
+        if (IndexStore.armStats(dir, key).isDefined || beforeFiles.isEmpty)
           marks0.localCheckpoint()
         else marks0
       marks.repartition(col("cell"))
         .write.mode("append").partitionBy("cell").parquet(s"$dir/marks")
       bumpArmStats(dir, key, mediaBandsOf(marks, geom),
-        Seq("band", "bkey"), beforeEmpty)
+        Seq("band", "bkey"), beforeFiles, "marks",
+        Some(mediaBandsOf(IndexStore.marksFrame(marks.sparkSession, dir,
+          IndexStore.snapshot(dir), IndexStore.MARKS_DDL), geom)))
     }
 
   /** Fingerprint-WIDTH guard (review find): a word-count/geometry
@@ -546,6 +551,11 @@ object DedupLedger {
     * isolated) get stats at build/refresh and cheap slack bumps per
     * delta. */
   private val STATS_MIN_BANDED = 100000L
+  /** Consecutive skipped opportunistic self-heals before the verdict
+    * side escalates to a BLOCKING stats write (VERDICT r17 #4). */
+  private val HEAL_ESCALATE_AFTER = 3
+  private val healSkips =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   private def shedUnlessAffordable(lb: DataFrame, keys: Seq[String],
                                    perItem: Int, bandedRows: Long,
                                    batchBands: DataFrame,
@@ -597,14 +607,36 @@ object DedupLedger {
     // when accumulated slack has made its bound loose)
     if (bandedRows > STATS_MIN_BANDED &&
         persisted.forall(_.slack > 0)) {
-      IndexStore.tryWithWriterLock(dir) {
-        if (IndexStore.headVersion(dir).contains(version))
+      def writeIfCurrent(): Boolean =
+        if (IndexStore.headVersion(dir).contains(version)) {
           IndexStore.writeArmStats(dir, what, IndexStore.ArmStats(
             version, 0L,
             hist.foldLeft(0L) { case (a, (sz, n)) => a + sz.toLong * n },
             hist))
+          true
+        } else false
+      val healKey = s"${IndexStore.storeId(dir)}:$what"
+      val wrote = IndexStore.tryWithWriterLock(dir)(writeIfCurrent())
+      if (wrote.contains(true)) healSkips.remove(healKey)
+      else {
+        // ESCALATION (VERDICT r17 #4): N consecutive verdicts failed
+        // the opportunistic write — a persistently contended lock
+        // would otherwise keep this read path paying the histogram
+        // forever, silently. Block once (bounded: withWriterLock's
+        // named 60 s timeout); if head moved while we computed, the
+        // histogram is stale and convergence belongs to the WRITE
+        // side's byte-gated full-arm refresh (bumpArmStats) instead.
+        val n = healSkips.merge(healKey, 1,
+          (a: Integer, b: Integer) => Integer.valueOf(a + b)).intValue
+        if (n >= HEAL_ESCALATE_AFTER) {
+          log.warn(s"DedupLedger: $what self-heal skipped $n consecutive " +
+            s"times on $dir — escalating to a blocking stats write")
+          if (IndexStore.withWriterLock(dir)(writeIfCurrent()))
+            healSkips.remove(healKey)
+          ()
+        }
       }
-      ()
+      boundCache(healSkips)
     }
     if (hist.forall(_._1 <= DedupOps.BAND_CAP)) return (lb, batchBands)
     val bb = batchBands.localCheckpoint()
@@ -667,17 +699,33 @@ object DedupLedger {
     * nothing: their runtime histogram is memo-cheap and a stats file
     * would tax every subsequent append with a bump job. */
   private def refreshArmStats(dir: String, key: String, banded: DataFrame,
-                              keys: Seq[String]): Unit = {
+                              keys: Seq[String],
+                              force: Boolean = false): Unit = {
     val hist = ScaleOps.boundedCollect(
       banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("sz"))
         .groupBy(col("sz")).agg(count(lit(1)).as("n")),
       1L << 20, s"$key write-time stats histogram")
       .map(r => (r.getLong(0).toInt, r.getLong(1)))
     val bandedRows = hist.foldLeft(0L) { case (a, (sz, n)) => a + sz.toLong * n }
-    if (bandedRows > STATS_MIN_BANDED)
+    // `force` (the escalated convergence path) persists regardless of
+    // the floor: the escalation already decided the store is
+    // corpus-scale by bytes, and NOT persisting would re-pay the
+    // full-arm scan on every subsequent append
+    if (force || bandedRows > STATS_MIN_BANDED)
       IndexStore.writeArmStats(dir, key, IndexStore.ArmStats(
         IndexStore.headVersion(dir).getOrElse(0) + 1, 0L, bandedRows, hist))
   }
+
+  /** Byte-size proxy for "corpus-scale arm": above this, a stats-less
+    * arm's next delta pays ONE exact full-arm histogram inside the
+    * commit it already holds the writer lock for, instead of leaving
+    * every future verdict on the runtime-histogram path (VERDICT r17
+    * Next #4 — the convergence guarantee a persistent writer needs;
+    * the opportunistic verdict-side self-heal can be starved forever
+    * by that same writer, because its histogram is stale the moment
+    * head moves). Fixture-scale stores sit far below this and keep
+    * their zero-stats, zero-job appends. */
+  private val STATS_ESCALATE_BYTES = 4L << 20
 
   /** Delta-commit stats maintenance — increment-proportional: slack +=
     * the DELTA's max per-bucket count (sound: every pre-existing
@@ -687,9 +735,10 @@ object DedupLedger {
     * and publish can only over-count (conservative), never leave a
     * published delta unaccounted. No-ops with zero jobs when the
     * store carries no stats for this key (fixture-scale stores
-    * forever; legacy corpus stores until a rebuild or the verdict
-    * side's self-heal persists one). `beforeEmpty`: the arm's first
-    * delta computes the exact histogram instead. */
+    * forever; legacy corpus stores until a rebuild, the verdict
+    * side's self-heal, or the byte-gated escalation below persists
+    * one). An empty `before` (the arm's first delta) computes the
+    * exact histogram instead. */
   /** The stamped version is `headVersion + 1` computed PRE-publish —
     * exact under the fenced writer lock (the CAS cannot race while we
     * hold it); under UNFENCED concurrent writers the eventual
@@ -698,7 +747,9 @@ object DedupLedger {
     * turns into a conservative fallback, never an unsound proof. */
   private def bumpArmStats(dir: String, key: String,
                            bandedDelta: => DataFrame,
-                           keys: Seq[String], beforeEmpty: Boolean): Unit =
+                           keys: Seq[String], before: Seq[String],
+                           sub: String,
+                           fullArmBanded: => Option[DataFrame]): Unit =
     IndexStore.armStats(dir, key) match {
       case Some(st) =>
         val r = bandedDelta.groupBy(keys.map(col): _*)
@@ -710,8 +761,30 @@ object DedupLedger {
             version = IndexStore.headVersion(dir).getOrElse(0) + 1,
             slack = st.slack + d,
             rows = st.rows + r.getLong(1)))
-      case None if beforeEmpty => refreshArmStats(dir, key, bandedDelta, keys)
-      case None => ()
+      case None if before.isEmpty =>
+        refreshArmStats(dir, key, bandedDelta, keys)
+      case None =>
+        // ESCALATED convergence (VERDICT r17 #4): a corpus-scale arm
+        // with no persisted stats — a legacy store, or one whose
+        // opportunistic verdict-side self-heal has been starved by
+        // this very write stream — computes the exact FULL-ARM
+        // histogram here, inside the commit already holding the
+        // writer lock, so stats exist from the NEXT verdict on. Once,
+        // by construction: the refresh persists, and every later
+        // delta takes the cheap bump branch above. Bytes are the
+        // corpus proxy (manifest metadata, no job to decide).
+        val bytes = before.foldLeft(0L)((a, rel) =>
+          a + new java.io.File(s"$dir/$sub/$rel").length())
+        if (bytes >= STATS_ESCALATE_BYTES) fullArmBanded.foreach { full =>
+          log.warn(s"DedupLedger: $dir/$sub ($bytes bytes) carries no " +
+            s"'$key' stats — escalating to a blocking full-arm stats " +
+            "refresh inside this append commit (one-time convergence; " +
+            "see SCALING r18)")
+          refreshArmStats(dir, key,
+            full.select(keys.map(col): _*)
+              .unionByName(bandedDelta.select(keys.map(col): _*)),
+            keys, force = true)
+        }
     }
 
   /** The arm's published files BEFORE the in-flight delta commit —
@@ -931,16 +1004,18 @@ object DedupLedger {
       // appendMediaSurvivors; the lazy form re-executed the caller's
       // verdict plan inside a live bump)
       val key = s"seqs-hist-${geom.params}"
-      val beforeEmpty = armFilesBefore(dir, _.seqs).isEmpty
+      val beforeFiles = armFilesBefore(dir, _.seqs)
       val rows0 = seqRows(frames)
       val rows =
-        if (IndexStore.armStats(dir, key).isDefined || beforeEmpty)
+        if (IndexStore.armStats(dir, key).isDefined || beforeFiles.isEmpty)
           rows0.localCheckpoint()
         else rows0
       rows.repartition(col("cell"))
         .write.mode("append").partitionBy("cell").parquet(s"$dir/seqs")
       bumpArmStats(dir, key, mediaBandsOf(rows, geom),
-        Seq("f", "band", "bkey"), beforeEmpty)
+        Seq("f", "band", "bkey"), beforeFiles, "seqs",
+        Some(mediaBandsOf(IndexStore.seqsFrame(rows.sparkSession, dir,
+          IndexStore.snapshot(dir)), geom)))
     }
 
   /** Verdict of a VIDEO batch `(media_id, f, fp: array<bigint>)` —

@@ -171,4 +171,102 @@ class LedgerStatsSpec extends SparkSpec {
     assert(withStats == without,
       "stats presence changed a hot store's shed verdict")
   }
+
+  private def deleteStats(dir: String): Unit =
+    Option(new java.io.File(s"$dir/_manifest").listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("stats."))
+      .foreach { f => assert(f.delete()); () }
+
+  test("ESCALATED convergence (VERDICT r17 #4): a corpus-scale stats-less " +
+       "store converges to stats-present within ONE append tick — the " +
+       "write side pays one exact full-arm refresh inside the commit it " +
+       "already holds the lock for") {
+    val dir = java.nio.file.Files.createTempDirectory("stats-escal").toString
+    DedupLedger.buildMixedLedger(seedDoc, healthyMarks(400000), dir, geom)
+    // the legacy / starved store: corpus-scale content, NO stats
+    deleteStats(dir)
+    assert(IndexStore.armStats(dir, statsKey).isEmpty)
+    val snap0 = IndexStore.snapshot(dir)
+    val bytes = snap0.marks.map(rel =>
+      new java.io.File(s"$dir/marks/$rel").length()).sum
+    assert(bytes >= (4L << 20),
+      s"fixture must exceed the 4 MiB escalation proxy, got $bytes")
+    // ONE tick: a small append — the escalation computes the exact
+    // full-arm histogram inside this commit and persists it
+    val delta = spark.range(500000, 500200, 1, 4)
+      .select(col("id").as("media_id"),
+        expr(s"array(cast(conv(substring(md5(cast(id as string)), 1, 11), " +
+          s"16, 10) as bigint) & $mask42)").as("fp"))
+    DedupLedger.appendMediaSurvivors(delta, dir, tag = "escal-1", geom)
+    val st = IndexStore.armStats(dir, statsKey)
+    assert(st.isDefined, "one tick must converge a stats-less corpus store")
+    assert(st.get.slack == 0L &&
+      st.get.rows == (400000L + 200L) * geom.bands,
+      s"the escalated refresh must be EXACT over arm+delta, got ${st.get}")
+    assert(st.get.version == IndexStore.headVersion(dir).get,
+      "the refresh must stamp the version this commit publishes")
+    // subsequent deltas take the cheap bump branch (no more full scans)
+    DedupLedger.appendMediaSurvivors(
+      delta.withColumn("media_id", col("media_id") + 1000L),
+      dir, tag = "escal-2", geom)
+    val st2 = IndexStore.armStats(dir, statsKey).get
+    assert(st2.rows == st.get.rows + 200L * geom.bands && st2.slack >= 1L)
+    // and fixture-scale stores stay stats-less (the byte gate holds):
+    val small = java.nio.file.Files.createTempDirectory("stats-small").toString
+    DedupLedger.buildMixedLedger(seedDoc, healthyMarks(2000), small, geom)
+    deleteStats(small)
+    DedupLedger.appendMediaSurvivors(delta, small, tag = "s-1", geom)
+    assert(IndexStore.armStats(small, statsKey).isEmpty,
+      "a fixture-scale store must not pay the escalated refresh")
+  }
+
+  test("verdict-side self-heal escalates to a BLOCKING stats write after " +
+       "3 consecutive skipped opportunistic attempts (contended lock)") {
+    val dir = java.nio.file.Files.createTempDirectory("stats-block").toString
+    DedupLedger.buildMixedLedger(seedDoc, healthyMarks(400000), dir, geom)
+    deleteStats(dir)
+    val snap = IndexStore.snapshot(dir)
+    val batch = spark.range(0, 50, 1, 2)
+      .select((col("id") + 9000000L).as("media_id"),
+        expr(s"array(cast(conv(substring(md5(cast(id + 77 as string)), 1, " +
+          s"11), 16, 10) as bigint) & $mask42)").as("fp"))
+      .localCheckpoint()
+    // a holder thread keeps the writer lock for the first two verdicts:
+    // their opportunistic tryWithWriterLock self-heals must SKIP
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val held = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() => {
+      IndexStore.withWriterLock(dir) { held.countDown(); release.await() }
+      ()
+    })
+    holder.start(); held.await()
+    def verdict(): Unit = {
+      DedupLedger.clearShedMemos() // force the histogram + heal attempt
+      DedupLedger.dedupMediaAgainstLedger(spark, batch, dir, snap, geom)
+        .collect()
+      ()
+    }
+    try {
+      verdict(); verdict()
+      assert(IndexStore.armStats(dir, statsKey).isEmpty,
+        "skipped opportunistic heals must not have written stats")
+      // third consecutive miss crosses the threshold while the lock is
+      // STILL held: the opportunistic try skips again, the escalation
+      // fires and BLOCKS; the releaser frees the lock while it waits.
+      // (Benign race: if this verdict's histogram outlives the release
+      // delay, the opportunistic path writes instead — the asserted
+      // outcome is identical, and the 2-consecutive-skip prefix above
+      // already pinned the counter behavior deterministically.)
+      val releaser = new Thread(() => {
+        Thread.sleep(2000); release.countDown()
+      })
+      releaser.start()
+      verdict()
+      releaser.join()
+    } finally { release.countDown(); holder.join() }
+    val st = IndexStore.armStats(dir, statsKey)
+    assert(st.isDefined && st.get.slack == 0L &&
+      st.get.version == snap.version,
+      s"the escalated blocking self-heal must persist exact stats: $st")
+  }
 }

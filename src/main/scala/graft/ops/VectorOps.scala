@@ -235,16 +235,28 @@ object VectorOps {
   /** Centroid update: per-cell exact integer sum vector + member count
     * (k x dim partial sums through the exchange, map-side combined).
     */
-  private[graft] def kmeansUpdate(assigned: DataFrame): DataFrame = {
-    val sums = assigned
-      .select(col("cell"), posexplode(col("q")).as(Seq("pos", "x")))
-      .groupBy(col("cell"), col("pos")).agg(sum(col("x")).as("sd"))
-      .groupBy(col("cell"))
-      .agg(expr("transform(sort_array(collect_list(struct(pos, sd))), t -> t.sd)")
-        .as("s"))
-    val counts = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
-    sums.join(broadcast(counts), "cell") // k rows: never a sort-merge
-  }
+  private[graft] def kmeansUpdate(assigned: DataFrame,
+                                  dim: Option[Int] = None): DataFrame =
+    dim match {
+      case Some(w) =>
+        // fixed known width (the refine's Lloyd rounds pass the
+        // centroid dimension): ONE hash aggregation with per-position
+        // sums as plain columns — exact integer sums, bit-identical to
+        // the exploded form, minus two shuffles and a join
+        assigned.groupBy(col("cell"))
+          .agg(expr(s"array(${(1 to w)
+              .map(i => s"sum(element_at(q, $i))").mkString(", ")})").as("s"),
+            count(lit(1)).as("n")) // k rows
+      case None =>
+        val sums = assigned
+          .select(col("cell"), posexplode(col("q")).as(Seq("pos", "x")))
+          .groupBy(col("cell"), col("pos")).agg(sum(col("x")).as("sd"))
+          .groupBy(col("cell"))
+          .agg(expr("transform(sort_array(collect_list(struct(pos, sd))), t -> t.sd)")
+            .as("s"))
+        val counts = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        sums.join(broadcast(counts), "cell") // k rows: never a sort-merge
+    }
 
   /** The full learned-index ANN lifecycle (q125, and the harness behind
     * its recall row): train the coarse router with [[kmeansFit]]
@@ -352,15 +364,23 @@ object VectorOps {
     * region with fewer than KSUB vectors just trains fewer codewords
     * (the encode argmin already ranges over present codes only). */
   private[graft] def pqInitPresent(subs: DataFrame): DataFrame = {
+    val spark = subs.sparkSession
+    import spark.implicits._
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("sub")).orderBy(col("vec_id"))
+    // ≤ PQ_M × PQ_KSUB seed rows — coordinator state like every trained
+    // codebook: collected and re-injected as a local relation, so the
+    // downstream broadcast join costs no exchange job (the previous
+    // localCheckpoint form paid a materialization AND an exchange)
     subs
       .filter(col("vec_id") >= SEED_FROM)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= PQ_KSUB)
       .select(col("sub"), (col("rn") - 1).cast("int").as("cell"),
               col("sq").as("s"), lit(1L).as("n"))
-      .localCheckpoint()
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2), r.getLong(3)))
+      .toSeq.toDF("sub", "cell", "s", "n")
   }
 
   /** Nearest sub-centroid per (vector, sub-space): q124's exact-int64
@@ -380,16 +400,17 @@ object VectorOps {
   /** Per-(sub, cell) rational centroid update — q124's kmeansUpdate with
     * the sub-space id carried through both groupBys. kSub * M * dim
     * partial sums through the exchange, map-side combined. */
-  private[graft] def pqUpdate(assigned: DataFrame): DataFrame = {
-    val sums = assigned
-      .select(col("sub"), col("cell"), posexplode(col("sq")).as(Seq("pos", "x")))
-      .groupBy(col("sub"), col("cell"), col("pos")).agg(sum(col("x")).as("sd"))
-      .groupBy(col("sub"), col("cell"))
-      .agg(expr("transform(sort_array(collect_list(struct(pos, sd))), t -> t.sd)")
-        .as("s"))
-    val counts = assigned.groupBy(col("sub"), col("cell")).agg(count(lit(1)).as("n"))
-    sums.join(broadcast(counts), Seq("sub", "cell")) // ≤ M×kSub rows
-  }
+  private[graft] def pqUpdate(assigned: DataFrame): DataFrame =
+    // ONE hash aggregation: the sub-vector width is the PQ_SUBDIM
+    // constant, so the per-position sums are plain columns folded back
+    // into an array — exact integer sums, order-independent, bit-
+    // identical to the old posexplode → two groupBys → count join form
+    // it replaces (which cost three shuffles and a join per codebook
+    // fit; measured on the q176 refine's generation refit)
+    assigned.groupBy(col("sub"), col("cell"))
+      .agg(expr(s"array(${(1 to PQ_SUBDIM)
+          .map(i => s"sum(element_at(sq, $i))").mkString(", ")})").as("s"),
+        count(lit(1)).as("n")) // ≤ M×kSub rows
 
   /** The full PQ lifecycle (q126): train the per-sub-space codebook,
     * encode the corpus to PQ_M codes per vector, serve top-`topK` ADC
@@ -728,6 +749,39 @@ object VectorOps {
     * with its cells' rows filter-pushed. `gens` empty (never-refined
     * store) is the single-codebook fast path, bit-identical to the
     * pre-generation encode. */
+  /** [[IvfPqMeta]] cells as the sorted centroid rows
+    * [[kmeansAssignRows]] and `residualsOfAssigned` consume — identical
+    * to `centRowsOf(coarse frame)` by construction. */
+  private def metaCents(meta: IvfPqMeta): Seq[(Int, Seq[Long], Long)] =
+    meta.cells.map(t => (t._1, t._2.toSeq, t._3)).sortBy(_._1).toSeq
+
+  /** Flat collected codebook rows regrouped to [[cbRowsOf]]'s layout
+    * (per-sub, cell-ascending). */
+  private def metaCbRows(rows: Array[(Int, Int, Array[Long], Long)])
+      : Seq[Seq[(Int, Seq[Long], Long)]] =
+    (0 until PQ_M).map(sub => rows.filter(_._1 == sub)
+      .map(t => (t._2, t._3.toSeq, t._4)).sortBy(_._1).toSeq)
+
+  /** [[encodeGenAware]] over ALREADY-COLLECTED generation codebooks
+    * (the [[storeMeta]] cache) — zero reads of `codebook2` on the
+    * encode path; row layout identical to the parquet-read form. */
+  private def encodeGenAwareRows(resid: DataFrame,
+      cbRowsBase: Seq[Seq[(Int, Seq[Long], Long)]],
+      gens: Map[Int, Int],
+      genCbs: Map[Int, Array[(Int, Int, Array[Long], Long)]]): DataFrame =
+    if (gens.isEmpty) encodeWithCell(resid, cbRowsBase)
+    else {
+      val genCells = gens.keys.toSeq.sorted
+      val byGen = gens.groupBy(_._2).view.mapValues(_.keys.toSeq.sorted)
+        .toSeq.sortBy(_._1)
+      val base = encodeWithCell(
+        resid.filter(!col("cell").isin(genCells: _*)), cbRowsBase)
+      (base +: byGen.map { case (g, cs) =>
+        encodeWithCell(resid.filter(col("cell").isin(cs: _*)),
+          metaCbRows(genCbs.getOrElse(g, Array.empty)))
+      }).reduce(_ unionByName _)
+    }
+
   private def encodeGenAware(spark: SparkSession, dir: String,
       resid: DataFrame, cbRowsBase: Seq[Seq[(Int, Seq[Long], Long)]],
       gens: Map[Int, Int]): DataFrame =
@@ -1394,6 +1448,30 @@ object VectorOps {
                          minCellMass: Long = 50L,
                          refineIters: Int = 3,
                          maxRefineFraction: Double = 0.5): Seq[Int] =
+    // no global-ratio gate here (the pre-r18 contract): a direct caller
+    // refines any cell whose own appended mass drifted, even when the
+    // store-wide mean sits under the trigger
+    assessAndRefine(spark, dir, threshold, splitFactor, minCellMass,
+      refineIters, maxRefineFraction, globalGate = false)._2
+
+  /** ONE-PASS policy read + response for the streamed tailer
+    * (VERDICT r17 #3): the per-cell appended drift is computed ONCE —
+    * the global trigger ratio is its mass-weighted mean (identical
+    * arithmetic to [[appendedDriftRatio]] up to float association),
+    * the drifted-cell selection reads the same collect, and the
+    * materialized assignment seeds [[refineCells]] — where the
+    * driftSink's previous needsRetrain-then-refine pair re-derived the
+    * manifest diff and re-assigned the appended rows per call.
+    * Returns (fired, refinedCells): (false, Nil) = quiet or no signal;
+    * (true, Nil) = fired but declined (no cell above per-cell
+    * threshold/mass, or the proportionality guard). */
+  private[graft] def assessAndRefine(spark: SparkSession, dir: String,
+                         threshold: Double = 1.5,
+                         splitFactor: Int = 2,
+                         minCellMass: Long = 50L,
+                         refineIters: Int = 3,
+                         maxRefineFraction: Double = 0.5,
+                         globalGate: Boolean = true): (Boolean, Seq[Int]) =
     IndexStore.withWriterLock(dir) {
       val props = IndexStore.props(dir)
       val eligible = for {
@@ -1405,44 +1483,62 @@ object VectorOps {
         built <- scala.util.Try(IndexStore.snapshotAt(dir, builtV)).toOption
       } yield (head, built, base)
       eligible match {
-        case None => Nil
+        case None => (false, Nil)
         case Some((head, built, base)) =>
           val (_, appended) = IndexStore.diffFrames(spark, dir, built, head)
           val coarse = spark.read.parquet(s"$dir/coarse")
           val cents = centRowsOf(coarse)
+          // increment-sized by the manifest diff; PERSISTED lazily so
+          // the quiet-tick path pays exactly ONE pass (the pre-r18
+          // needsRetrain cost — the aggregate below populates the
+          // cache) and a FIRED tick's refine reuses the cached rows
+          // for its seeding instead of re-assigning
+          val assignedApp = kmeansAssign(
+            appended.select(col("vec_id"), col("q")), coarse)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
           val perCell = ScaleOps.boundedCollect(
-            kmeansAssign(appended.select(col("vec_id"), col("q")), coarse)
+            assignedApp
               .groupBy(col("cell"))
               .agg(count(lit(1)).as("m"), avg(col("dist")).as("qe")),
             cents.size.toLong.max(1L), "per-cell appended drift")
             .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
-          val drifted = perCell.collect {
-            case (c, m, qe) if m >= minCellMass && qe / base > threshold => c
-          }.sorted.toSeq
-          if (drifted.isEmpty) Nil
+          val mass = perCell.map(_._2).sum
+          val ratio =
+            if (mass == 0L) 0.0
+            else perCell.map { case (_, m, qe) => m * qe }.sum / mass / base
+          val fired = ratio > threshold
+          if (globalGate && !fired) (false, Nil)
           else {
-            // proportionality guard: one 8-byte-row count over the
-            // compressed code table (drifted partitions vs total) —
-            // cheap metadata-scale IO that prevents corpus-scale IO
-            val (codesF, _) = IndexStore.frames(spark, dir, head)
-            val cnts = codesF.agg(count(lit(1)).as("t"),
-              count(when(col("cell").isin(drifted: _*), 1)).as("d")).head
-            val (total, driftedRows) = (cnts.getLong(0), cnts.getLong(1))
-            val frac =
-              if (total == 0L) 0.0 else driftedRows.toDouble / total
-            if (frac > maxRefineFraction) {
-              org.apache.log4j.Logger.getLogger(getClass).warn(
-                f"refineDriftedCells: declining — drifted cells hold " +
-                f"$frac%.2f of stored rows (> maxRefineFraction=" +
-                f"$maxRefineFraction%.2f); a full rebuild is the " +
-                "proportional response")
-              Nil
-            } else {
-              refineCells(spark, dir, head, coarse, cents, drifted,
-                splitFactor, refineIters, appended)
-              drifted
+            val drifted = perCell.collect {
+              case (c, m, qe) if m >= minCellMass && qe / base > threshold => c
+            }.sorted.toSeq
+            if (drifted.isEmpty) (true, Nil)
+            else {
+              // proportionality guard: one 8-byte-row count over the
+              // compressed code table (drifted partitions vs total) —
+              // cheap metadata-scale IO that prevents corpus-scale IO
+              val (codesF, _) = IndexStore.frames(spark, dir, head)
+              val cnts = codesF.agg(count(lit(1)).as("t"),
+                count(when(col("cell").isin(drifted: _*), 1)).as("d")).head
+              val (total, driftedRows) = (cnts.getLong(0), cnts.getLong(1))
+              val frac =
+                if (total == 0L) 0.0 else driftedRows.toDouble / total
+              if (frac > maxRefineFraction) {
+                org.apache.log4j.Logger.getLogger(getClass).warn(
+                  f"refineDriftedCells: declining — drifted cells hold " +
+                  f"$frac%.2f of stored rows (> maxRefineFraction=" +
+                  f"$maxRefineFraction%.2f); a full rebuild is the " +
+                  "proportional response")
+                (true, Nil)
+              } else {
+                refineCells(spark, dir, head, coarse, cents, drifted,
+                  splitFactor, refineIters, assignedApp)
+                (true, drifted)
+              }
             }
           }
+          } finally { assignedApp.unpersist(false); () }
       }
     }
 
@@ -1451,12 +1547,24 @@ object VectorOps {
                           cents: Seq[(Int, Seq[Long], Long)],
                           drifted: Seq[Int], splitFactor: Int,
                           refineIters: Int,
-                          appended: DataFrame): Unit = {
+                          assignedApp: DataFrame): Unit = {
+    // phase timing at INFO: a refine is a rare maintenance response
+    // whose cost a deployment watches (the q176 drift-tick gate prices
+    // it); per-phase wall numbers make a slow refine diagnosable
+    // without a profiler attached
+    val refineLog = org.apache.log4j.Logger.getLogger(getClass)
+    var tPrev = System.nanoTime()
+    def mark(what: String): Unit = {
+      val now = System.nanoTime()
+      refineLog.info(f"refineCells $what ${(now - tPrev) / 1e9}%.3f s")
+      tPrev = now
+    }
     val cb = spark.read.parquet(s"$dir/codebook")
     val (_, vecsAll) = IndexStore.frames(spark, dir, head)
     val driftSet = drifted.toSet
     val cellVecs = vecsAll.filter(col("cell").isin(drifted.map(Integer.valueOf): _*))
       .localCheckpoint() // read once: sample, two assigns, re-encode, rewrite
+    mark("cellVecs checkpoint")
     // deterministic per-cell seeding sample: the lowest-id INIT_SAMPLE
     // non-query vectors of each drifted cell (bounded driver state:
     // |drifted| × INIT_SAMPLE rows)
@@ -1473,8 +1581,10 @@ object VectorOps {
     // drawn from residents alone would never place a seed on the
     // diverged blob the split exists to separate; measured: +7 recall
     // points on AnnDriftStudy's diverged corpus)
-    val appendedInCells = kmeansAssign(
-        appended.select(col("vec_id"), col("q")), coarse)
+    // assignedApp is the caller's already-materialized assignment of
+    // the appended rows against the current router — re-used here
+    // instead of a second kmeansAssign pass (VERDICT r17 #3)
+    val appendedInCells = assignedApp
       .filter(col("cell").isin(drifted: _*))
       .select(col("cell"), col("vec_id"), col("q"))
     val samp = ScaleOps.boundedCollect(
@@ -1484,6 +1594,7 @@ object VectorOps {
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toArray))
       .distinctBy(t => (t._1, t._2)) // an appended id is also a resident
       .groupBy(_._1)
+    locally { mark("seeding sample") }
     def d2(a: Array[Long], b: Array[Long]): Long = {
       var acc = 0L; var i = 0
       while (i < a.length) { val t = a(i) - b(i); acc += t * t; i += 1 }
@@ -1537,12 +1648,15 @@ object VectorOps {
     // dissolve starved ones; cost stays drifted-content × iters,
     // row-local assigns + k×dim partial-sum updates.
     val firstNew = seeds.headOption.map(_._1).getOrElse(Int.MaxValue)
+    mark("k-center seeds")
     var updated = seeds.toSeq
+    val qDim = cents.headOption.map(_._2.length)
     for (_ <- 0 until refineIters if updated.nonEmpty)
       updated = centRowsOf(kmeansUpdate(
         kmeansAssignRows(quantVecs.select(col("vec_id"), col("q")),
             untouched ++ updated)
-          .filter(col("cell") >= firstNew)))
+          .filter(col("cell") >= firstNew), dim = qDim))
+    mark("Lloyd rounds")
     // a seed whose blob dissolved in a Lloyd round (zero members)
     // simply drops — dead cells never reach the router
     val newCents = untouched ++ updated
@@ -1561,6 +1675,7 @@ object VectorOps {
     // every lazy consumer re-executed its copy; identical arithmetic,
     // now identical by construction)
     val assigned = kmeansAssignRows(quantVecs, newCents).localCheckpoint()
+    mark("final assignment")
     val resid = residualsOfAssigned(assigned,
       coarseNew.select(col("cell"), col("s"), col("n")))
     // re-encode against a RE-FITTED residual codebook (generation genN),
@@ -1582,17 +1697,27 @@ object VectorOps {
       else {
         val rsubs = residSubvectors(
           residNew.select(col("vec_id"), col("cell"), col("rq"))).drop("cell")
-        val cbNew = pqUpdate(pqAssign(rsubs, pqInitPresent(rsubs)))
-          .localCheckpoint()
+        // the trained generation codebook is COORDINATOR state by
+        // design (≤ PQ_M × PQ_KSUB rational centroids, exactly what
+        // FAISS holds and what the encode broadcasts anyway): collect
+        // it ONCE and write the persisted copy from the driver rows —
+        // one training job instead of checkpoint + recompute-per-
+        // consumer (measured 0.4-0.5 s of the refine at gate scale)
+        val cbNewRows = cbRowsOf(pqUpdate(pqAssign(rsubs, pqInitPresent(rsubs))))
         // generation codebook lands BEFORE any code row that references
         // it (a generation nobody routes to is inert; the reverse order
         // could publish codes with no matching codewords across a crash)
-        cbNew.select(lit(genN).as("gen"), col("sub"), col("cell"),
-            col("s"), col("n"))
-          .coalesce(1).write.mode("append").parquet(s"$dir/codebook2")
-        encodeWithCell(residNew, cbRowsOf(cbNew))
+        locally {
+          import spark.implicits._
+          cbNewRows.zipWithIndex.flatMap { case (entries, sub) =>
+            entries.map { case (cell, sv, n) => (genN, sub, cell, sv, n) }
+          }.toDF("gen", "sub", "cell", "s", "n")
+            .coalesce(1).write.mode("append").parquet(s"$dir/codebook2")
+        }
+        encodeWithCell(residNew, cbNewRows)
           .unionByName(encodeGenAware(spark, dir, residOld, cbRowsOf(cb), oldGens))
       }
+    mark("generation codebook refit")
     val riders =
       if (quantVecs.columns.contains("label")) Seq(col("label")) else Nil
     val newVecs = assigned
@@ -1614,17 +1739,32 @@ object VectorOps {
         drifted.exists(c => f.startsWith(s"cell=$c/"))),
       tombs = Nil)
     val v = IndexStore.commitReplace(dir, baseScope) {
-      newCodes.repartition(col("cell"))
-        .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
-      newVecs.repartition(col("cell"))
-        .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
+      // independent DAGs over the checkpointed assignment — overlap
+      // them (the appendSurvivors discipline); the commit lambda
+      // returns only when both file sets are on disk
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext =
+        DedupLedger.armWriteEc
+      val wCodes = Future {
+        newCodes.repartition(col("cell"))
+          .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+      }
+      val wVecs = Future {
+        newVecs.repartition(col("cell"))
+          .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
+      }
+      Await.result(wCodes, Duration.Inf)
+      Await.result(wVecs, Duration.Inf)
     }
+    mark("replacement commit (2 writes)")
     // the router flips AFTER the data publishes (same non-versioned
     // coarse/codebook caveat as buildIvfPqIndex: maintenance is a
     // single-writer op under the store lock; a serve should pin its
     // snapshot + router together). Driver-built rows, so the overwrite
     // never reads its own input.
     coarseNew.coalesce(1).write.mode("overwrite").parquet(s"$dir/coarse")
+    mark("router flip")
     // policy window restarts at the refined head: future drift measures
     // future appends; qe_base (the training-time reference) stands
     IndexStore.setPropsLocked(dir, Map("built_version" -> v.toString))
@@ -1675,35 +1815,56 @@ object VectorOps {
     */
   def appendToIvfPqIndex(spark: SparkSession, embNew: DataFrame,
                          dir: String, tag: Option[String] = None): Unit = {
-    val coarseRaw = spark.read.parquet(s"$dir/coarse")
-    val coarse = coarseRaw.select(col("cell"), col("s"), col("n"))
-    val cb = spark.read.parquet(s"$dir/codebook")
+    // router + codebooks through the signature-keyed serve-meta cache:
+    // across a tailer's ticks these files are unchanged, so the
+    // per-tick coarse/codebook/generation collects are cache hits (a
+    // refine rewrites coarse and correctly invalidates the signature).
+    // Same rows, same order, bit-identical arithmetic to the previous
+    // per-call reads — centRowsOf/cbRowsOf sorted the collected rows
+    // exactly as metaCents/metaCbRows do.
+    val meta = storeMeta(spark, dir)
+    val cents = metaCents(meta)
     val riders =
       if (embNew.columns.contains("label")) Seq(col("label")) else Nil
     val quant = embNew.withColumn("q", expr(quantExpr))
       .select((Seq(col("vec_id"), col("q")) ++ riders): _*)
+    import spark.implicits._
+    val coarseLocal = cents.toDF("cell", "s", "n")
     // a vector landing in a refined cell encodes against that cell's
     // GENERATION codebook (refineDriftedCells); the never-refined
     // store takes the single-codebook path unchanged
-    val codes = encodeGenAware(spark, dir, residualsOf(quant, coarse),
-      cbRowsOf(cb), cellGensOf(coarseRaw))
+    val codes = encodeGenAwareRows(
+      residualsOfAssigned(kmeansAssignRows(quant, cents), coarseLocal),
+      metaCbRows(meta.codebook), meta.cellGen, meta.genCodebooks)
     // one snapshot covers BOTH appends: a serve planned mid-append sees
     // the pre-append manifest (new part files exist but are unlisted),
     // a serve planned after sees codes and vectors move together —
     // never half a batch (IndexStore commit protocol). A `tag` makes
     // the whole append idempotent (streaming replay protection).
     IndexStore.commitDelta(dir, tag) {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext =
+        DedupLedger.armWriteEc
       // cell-clustered like the build write: an append batch adds at
-      // most one file per touched cell instead of one per (task × cell)
-      codes.repartition(col("cell"))
-        .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+      // most one file per touched cell instead of one per (task × cell).
+      // The two table writes are independent DAGs over the same
+      // increment — overlapped, the commit returns when both are down
+      val wCodes = Future {
+        codes.repartition(col("cell"))
+          .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+      }
       // keep the inverted lists in lockstep with the code table: the new
       // batch's vectors append to the same frozen-cell directories
       val vecCols = Seq(col("vec_id"), col("q"), col("cell")) ++ riders
-      kmeansAssign(quant, coarse)
-        .select(vecCols: _*)
-        .repartition(col("cell"))
-        .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
+      val wVecs = Future {
+        kmeansAssignRows(quant, cents)
+          .select(vecCols: _*)
+          .repartition(col("cell"))
+          .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
+      }
+      Await.result(wCodes, Duration.Inf)
+      Await.result(wVecs, Duration.Inf)
     }
     ()
   }

@@ -94,12 +94,12 @@ object IndexMaintenance {
           val s = batch.sparkSession
           VectorOps.appendToIvfPqIndex(s, batch, indexDir,
             tag = Some(s"stream-$id"))
-          val fired = VectorOps.needsRetrain(s, indexDir, threshold)
-          val refined =
-            if (fired)
-              VectorOps.refineDriftedCells(s, indexDir, threshold,
-                splitFactor, minCellMass, refineIters, maxRefineFraction)
-            else Nil
+          // ONE-PASS policy + response (VERDICT r17 #3): the old
+          // needsRetrain-then-refine pair re-derived the manifest diff
+          // and re-assigned the appended rows per call
+          val (fired, refined) = VectorOps.assessAndRefine(s, indexDir,
+            threshold, splitFactor, minCellMass, refineIters,
+            maxRefineFraction)
           val declined = fired && refined.isEmpty
           if (declined)
             org.apache.log4j.Logger.getLogger(getClass).warn(

@@ -89,6 +89,86 @@ object TombStudy {
         f"verdict clean=$tClean%6.3f s  with-tombs=$tTomb%6.3f s  " +
         f"post-fold=$tAfter%6.3f s  compact=$tCompact%6.3f s")
     }
+
+    // ---- shuffle-scale arm (VERDICT r17 #7): a takedown big enough
+    // that the tombstone side outgrows broadcast — 2M-fingerprint
+    // marks store, 1M-owner forget. Verifies the anti-join flips to a
+    // shuffle plan cleanly (no OOM-prone forced broadcast), the
+    // verdict stays in family, and the fold still drops physically.
+    locally {
+      val mask42 = (1L << 42) - 1
+      def fps(lo: Long, hi: Long) = spark.range(lo, hi, 1, 32)
+        .select(col("id").as("media_id"),
+          expr(s"array(cast(conv(substring(md5(cast(id as string)), 1, " +
+            s"11), 16, 10) as bigint) & $mask42)").as("fp"))
+      val sdir =
+        java.nio.file.Files.createTempDirectory("tomb-shuffle").toString
+      val (_, tBuild) = timed {
+        DedupLedger.buildMixedLedger(
+          docs.filter(col("doc_id") < 10).select(col("doc_id"), col("text")),
+          fps(0L, 2000000L), sdir)
+      }
+      val batchFps = fps(3000000L, 3001000L)
+        .unionByName(fps(0L, 100L) // re-uploads of history: must resolve
+          .withColumn("media_id", col("media_id") + 5000000L))
+        .localCheckpoint()
+      def mVerdict(): Long =
+        DedupLedger.dedupMediaAgainstLedger(spark, batchFps, sdir,
+          IndexStore.snapshot(sdir)).count()
+      mVerdict()
+      val tClean = (1 to 3).map(_ => timed(mVerdict())._2).min
+      val (_, tForget) = timed {
+        IndexStore.forget(spark, sdir, "media",
+          spark.range(0L, 1000000L).select(col("id").as("owner")),
+          Some("mega-takedown"))
+      }
+      // which join did the planner pick for the tombstone subtraction?
+      val marked = IndexStore.marksFrame(spark, sdir,
+        IndexStore.snapshot(sdir), IndexStore.MARKS_DDL)
+      marked.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
+      val plan = marked.queryExecution.executedPlan.toString
+      val joinNode = Seq("BroadcastHashJoin", "ShuffledHashJoin",
+        "SortMergeJoin").filter(plan.contains)
+      val nLive = marked.count()
+      mVerdict()
+      val tTomb = (1 to 3).map(_ => timed(mVerdict())._2).min
+      val preFoldTombKiB = IndexStore.snapshot(sdir).tombs
+        .map(rel => new java.io.File(s"$sdir/tombs/$rel").length()).sum / 1024
+      val (_, tCompact) = timed {
+        IndexStore.compact(spark, sdir); IndexStore.vacuum(sdir); ()
+      }
+      require(IndexStore.snapshot(sdir).tombs.isEmpty, "fold must clear tombs")
+      mVerdict()
+      val tAfter = (1 to 3).map(_ => timed(mVerdict())._2).min
+      def tombBytes(): Long = IndexStore.snapshot(sdir).tombs
+        .map(rel => new java.io.File(s"$sdir/tombs/$rel").length()).sum
+      println(f"SHUFFLE-SCALE 2M marks / 1M takedown: build=$tBuild%6.1f s  " +
+        f"forget(1M)=$tForget%6.3f s  live-after=$nLive " +
+        f"(expect 1000000)  anti-join=${joinNode.mkString("+")} " +
+        f"(tombs $preFoldTombKiB%d KiB)")
+      println(f"  verdict clean=$tClean%6.3f s  with-tombs=$tTomb%6.3f s  " +
+        f"post-fold=$tAfter%6.3f s  compact=$tCompact%6.3f s")
+      // find the natural broadcast -> shuffle flip: keep growing the
+      // tombstone set (absent ids are legal tombstones — the anti-join
+      // semantics don't require presence) until the planner changes node
+      var lo = 1000000L
+      var flipped = Seq.empty[String]
+      while (flipped.forall(_ == "BroadcastHashJoin") && lo < 64000000L) {
+        IndexStore.forget(spark, sdir, "media",
+          spark.range(lo, lo * 2).select(col("id").as("owner")),
+          Some(s"grow-$lo"))
+        val f2 = IndexStore.marksFrame(spark, sdir,
+          IndexStore.snapshot(sdir), IndexStore.MARKS_DDL)
+        val (_, tV) = timed(
+          f2.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ()))
+        val p2 = f2.queryExecution.executedPlan.toString
+        flipped = Seq("BroadcastHashJoin", "ShuffledHashJoin",
+          "SortMergeJoin").filter(p2.contains)
+        lo = lo * 2
+        println(f"  tombs=${lo}%9d rows ${tombBytes() / 1024}%7d KiB  " +
+          f"join=${flipped.mkString("+")}  full-read=$tV%6.3f s")
+      }
+    }
     spark.stop()
   }
 }

@@ -2255,6 +2255,64 @@ object VectorOps {
     // ---- q130: storage-maintenance LIFECYCLE — build on 80%, two
     // append batches, compaction, vacuum, then serve. Compaction and
     // vacuum are layout-only operations: the oracle is the q129 append
+    // ---- q180: a TAKEDOWN SURVIVES incremental maintenance (round 18
+    // — the oracle-level pin for ADVICE r17's resurrection hazard).
+    // Seed vectors vec_id % 50 = 3 are forgotten FIRST; a diverged
+    // blob then lands and the cell-local refine rewrites the drifted
+    // cells under a replacement commit. The refine reads tomb-
+    // subtracted frames and must CARRY the tombstones forward (its
+    // base touched only the drifted cells — every untouched cell's
+    // files still physically contain the forgotten rows), so both
+    // read paths — phase 1 merge-on-read after the refine, phase 2
+    // post-fold after compaction + vacuum — must show exactly
+    // seed ∪ blob minus the takedown, row for row against a closed-
+    // form oracle. A refine that dropped the tombstones (the hazard:
+    // commitReplace treats base.tombs as folded) resurrects ~2% of
+    // the seed in phase 1 and makes it permanent in phase 2.
+    "q180_ann_forget_refine" -> ((s, d) => {
+      val emb = Tables.rebalance(Tables.embeddings(s, d))
+      val mx = emb.agg(max(col("vec_id"))).head.getLong(0)
+      val c9 = mx * 9L / 10L
+      val half = mx / 2L
+      val blobOff = 1000000L
+      val zone = graft.jobs.JobRecordGate.freshZone("graft-fgref-", d)
+      val dir = new java.io.File(zone, "index").getAbsolutePath
+      DedupLedger.cloneStore(ensureIvfPq90Index(s, d, GATED_K), dir)
+      IndexStore.forget(s, dir, "vector",
+        emb.filter(col("vec_id") < c9 &&
+            pmod(col("vec_id"), lit(50L)) === 3L)
+          .select(col("vec_id")), Some("takedown-1"))
+      val blob = emb.filter(col("vec_id") < half)
+        .select((col("vec_id") + lit(blobOff)).as("vec_id"),
+          expr("transform(embedding, x -> x + CAST(2.0 AS FLOAT))")
+            .as("embedding"),
+          col("label"))
+      appendToIvfPqIndex(s, blob, dir, Some("blob"))
+      val refined = refineDriftedCells(s, dir, minCellMass = 20L,
+        refineIters = 1, maxRefineFraction = 0.75)
+      require(refined.nonEmpty,
+        "q180: the diverged blob must drive a cell-local refine")
+      require(IndexStore.snapshot(dir).tombs.nonEmpty,
+        "q180: the refine's replacement commit must carry the tombstones")
+      def audit(phase: Long): DataFrame = {
+        val (codesF, vecsF) =
+          IndexStore.frames(s, dir, IndexStore.snapshot(dir))
+        vecsF.select(lit("stored").as("kind"),
+            col("vec_id").cast("long").as("id"))
+          .unionByName(codesF.select(lit("coded").as("kind"),
+            col("vec_id").cast("long").as("id")))
+          .withColumn("phase", lit(phase))
+      }
+      val m1 = audit(1L).localCheckpoint()
+      compactIvfPqIndex(s, dir)
+      vacuumIvfPqIndex(dir)
+      require(IndexStore.snapshot(dir).tombs.isEmpty,
+        "q180: compaction must fold the tombstones into a physical drop")
+      m1.unionByName(audit(2L))
+        .select(col("phase"), col("kind"), col("id"))
+        .orderBy(col("phase"), col("kind"), col("id"))
+    }),
+
     // oracle with the train line at 80%, so a compaction that dropped,
     // duplicated, or re-celled one code/vector row — or a vacuum that
     // deleted a live file — fails the hash. The serve plan still prunes
@@ -2945,6 +3003,25 @@ object VectorOps {
         |  SELECT 'serve', (m.mx * 9) // 10 + 1000000 + r.i, 1
         |  FROM m, range(5) AS r(i))
         |SELECT kind, id, val FROM rows_ ORDER BY kind, id""".stripMargin,
+
+    // q180: pure set arithmetic — the forget, the blob append, the
+    // refine's replacement commit, the compaction, and the vacuum must
+    // compose to exactly (seed minus vec_id%50=3) ∪ blob on BOTH read
+    // paths; any resurrection or loss flips the hash
+    "q180_ann_forget_refine" ->
+      """WITH m AS (SELECT max(vec_id) AS mx FROM embeddings),
+        |ids AS (
+        |  SELECT e.vec_id AS id FROM embeddings e, m
+        |  WHERE e.vec_id < (m.mx * 9) // 10 AND e.vec_id % 50 <> 3
+        |  UNION ALL
+        |  SELECT e.vec_id + 1000000 FROM embeddings e, m
+        |  WHERE e.vec_id < m.mx // 2),
+        |rows_ AS (
+        |  SELECT CAST(1 AS BIGINT) AS phase, 'stored' AS kind, id FROM ids
+        |  UNION ALL SELECT 1, 'coded', id FROM ids
+        |  UNION ALL SELECT 2, 'stored', id FROM ids
+        |  UNION ALL SELECT 2, 'coded', id FROM ids)
+        |SELECT phase, kind, id FROM rows_ ORDER BY phase, kind, id""".stripMargin,
 
     // q130: train CTEs cut at the 80% line; the two appends, the
     // compaction, and the vacuum the Spark side runs between build and

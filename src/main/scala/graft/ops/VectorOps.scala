@@ -1513,7 +1513,7 @@ object VectorOps {
             val drifted = perCell.collect {
               case (c, m, qe) if m >= minCellMass && qe / base > threshold => c
             }.sorted.toSeq
-            if (drifted.isEmpty) (true, Nil)
+            if (drifted.isEmpty) (fired, Nil)
             else {
               // proportionality guard: one 8-byte-row count over the
               // compressed code table (drifted partitions vs total) —
@@ -1530,7 +1530,7 @@ object VectorOps {
                   f"$frac%.2f of stored rows (> maxRefineFraction=" +
                   f"$maxRefineFraction%.2f); a full rebuild is the " +
                   "proportional response")
-                (true, Nil)
+                (fired, Nil)
               } else {
                 refineCells(spark, dir, head, coarse, cents, drifted,
                   splitFactor, refineIters, assignedApp)

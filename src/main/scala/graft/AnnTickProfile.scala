@@ -32,7 +32,7 @@ object AnnTickProfile {
       val c9 = mx * 9L / 10L
       val cMid = mx * 19L / 20L
       val half = mx / 2L
-      val blobOff = 1000000L
+      val blobOff = mx + 1L // derived (ADVICE r18 #4): never collide with seed ids
       val zone = graft.jobs.JobRecordGate.freshZone("graft-dtprof-", d)
       val dir = new java.io.File(zone, "index").getAbsolutePath
       t("clone") { DedupLedger.cloneStore(
@@ -84,7 +84,7 @@ object AnnTickProfile {
       val emb = Tables.rebalance(Tables.embeddings(s, d))
       val mx = emb.agg(max(col("vec_id"))).head.getLong(0)
       val half = mx / 2L
-      val blobOff = 1000000L
+      val blobOff = mx + 1L // derived (ADVICE r18 #4): never collide with seed ids
       val zone = graft.jobs.JobRecordGate.freshZone("graft-dtprof-b-", d)
       val dir = new java.io.File(zone, "index").getAbsolutePath
       DedupLedger.cloneStore(

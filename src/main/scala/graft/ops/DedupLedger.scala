@@ -430,15 +430,17 @@ object DedupLedger {
       // batch ⋉ verdict join, and a live bump is a second reference —
       // without the checkpoint it re-executed the whole verdict plan
       // (round-16 TickProfile find, recurred when the r17 write-time
-      // stats added the reference). Stats-less stores (every
-      // fixture-scale store) keep the single-reference lazy write —
-      // their bump is a zero-job no-op, so the checkpoint would be
-      // pure added cost. Increment-sized by contract.
+      // stats added the reference). Stats-less SUB-ESCALATION stores
+      // (every fixture-scale store) keep the single-reference lazy
+      // write — their bump is a zero-job no-op, so the checkpoint
+      // would be pure added cost; [[bumpWillConsume]] draws that line
+      // exactly (including the byte-gated escalation, ADVICE r18 #1).
+      // Increment-sized by contract.
       val key = s"marks-hist-${geom.params}"
       val beforeFiles = armFilesBefore(dir, _.marks)
       val marks0 = markRows(survivors)
       val marks =
-        if (IndexStore.armStats(dir, key).isDefined || beforeFiles.isEmpty)
+        if (bumpWillConsume(dir, key, beforeFiles, "marks"))
           marks0.localCheckpoint()
         else marks0
       marks.repartition(col("cell"))
@@ -554,6 +556,10 @@ object DedupLedger {
   /** Consecutive skipped opportunistic self-heals before the verdict
     * side escalates to a BLOCKING stats write (VERDICT r17 #4). */
   private val HEAL_ESCALATE_AFTER = 3
+  /** Longest a verdict (a READ path) will ever block behind a writer
+    * for the escalated stats write — enough for a delta commit to
+    * clear, far less than a compaction (ADVICE r18 #2). */
+  private val ESCALATE_WAIT_MS = 5000L
   private val healSkips =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   private def shedUnlessAffordable(lb: DataFrame, keys: Seq[String],
@@ -622,17 +628,27 @@ object DedupLedger {
         // ESCALATION (VERDICT r17 #4): N consecutive verdicts failed
         // the opportunistic write — a persistently contended lock
         // would otherwise keep this read path paying the histogram
-        // forever, silently. Block once (bounded: withWriterLock's
-        // named 60 s timeout); if head moved while we computed, the
-        // histogram is stale and convergence belongs to the WRITE
-        // side's byte-gated full-arm refresh (bumpArmStats) instead.
+        // forever, silently. Block AT MOST once per N skips and at
+        // most ESCALATE_WAIT_MS (ADVICE r18 #2: withWriterLock's 60 s
+        // deadline covered only the same-JVM overlap retry; its
+        // jvmLock.lock()/ch.lock() queue forever behind a long-running
+        // writer such as a compaction shuffle). The counter resets
+        // after EVERY escalated attempt, successful or not: a
+        // head-moved miss means the histogram is stale and convergence
+        // belongs to the WRITE side's byte-gated full-arm refresh
+        // (bumpArmStats); a timed-out lock means a writer stream is
+        // live and will persist stats itself. Either way the read path
+        // degrades back to opportunistic heals instead of re-blocking
+        // on every verdict.
         val n = healSkips.merge(healKey, 1,
           (a: Integer, b: Integer) => Integer.valueOf(a + b)).intValue
         if (n >= HEAL_ESCALATE_AFTER) {
           log.warn(s"DedupLedger: $what self-heal skipped $n consecutive " +
-            s"times on $dir — escalating to a blocking stats write")
-          if (IndexStore.withWriterLock(dir)(writeIfCurrent()))
-            healSkips.remove(healKey)
+            s"times on $dir — escalating to a bounded blocking stats " +
+            s"write (≤$ESCALATE_WAIT_MS ms)")
+          IndexStore.timedWithWriterLock(dir, ESCALATE_WAIT_MS)(
+            writeIfCurrent())
+          healSkips.remove(healKey)
           ()
         }
       }
@@ -727,6 +743,30 @@ object DedupLedger {
     * their zero-stats, zero-job appends. */
   private val STATS_ESCALATE_BYTES = 4L << 20
 
+  /** Pre-publish byte size of an arm's already-published files — the
+    * corpus proxy [[bumpArmStats]]'s escalation gate decides on
+    * (manifest metadata + file stats, no Spark job). */
+  private def armBytes(dir: String, sub: String, before: Seq[String]): Long =
+    before.foldLeft(0L)((a, rel) =>
+      a + new java.io.File(s"$dir/$sub/$rel").length())
+
+  /** Will the [[bumpArmStats]] call that follows this delta's write
+    * EVALUATE the delta frame again? True on the live-stats bump, the
+    * first-delta exact refresh, AND (ADVICE r18 #1) the byte-gated
+    * escalation — a stats-less corpus-scale arm computes the full-arm
+    * histogram from `fullArmBanded UNION bandedDelta`, so a lazy delta
+    * there re-executes the caller's whole verdict plan inside the
+    * commit (the round-16 regression the checkpoint exists to stop),
+    * and a non-deterministic survivors plan could make the persisted
+    * histogram diverge from the rows actually written. Callers
+    * checkpoint exactly when this returns true; the only false case —
+    * stats-less, published, sub-escalation arm — is the zero-job
+    * bump no-op where a checkpoint is pure added cost. */
+  private def bumpWillConsume(dir: String, key: String,
+                              before: Seq[String], sub: String): Boolean =
+    IndexStore.armStats(dir, key).isDefined || before.isEmpty ||
+      armBytes(dir, sub, before) >= STATS_ESCALATE_BYTES
+
   /** Delta-commit stats maintenance — increment-proportional: slack +=
     * the DELTA's max per-bucket count (sound: every pre-existing
     * bucket grew by at most that, and a bucket born since the last
@@ -773,8 +813,7 @@ object DedupLedger {
         // by construction: the refresh persists, and every later
         // delta takes the cheap bump branch above. Bytes are the
         // corpus proxy (manifest metadata, no job to decide).
-        val bytes = before.foldLeft(0L)((a, rel) =>
-          a + new java.io.File(s"$dir/$sub/$rel").length())
+        val bytes = armBytes(dir, sub, before)
         if (bytes >= STATS_ESCALATE_BYTES) fullArmBanded.foreach { full =>
           log.warn(s"DedupLedger: $dir/$sub ($bytes bytes) carries no " +
             s"'$key' stats — escalating to a blocking full-arm stats " +
@@ -1007,7 +1046,7 @@ object DedupLedger {
       val beforeFiles = armFilesBefore(dir, _.seqs)
       val rows0 = seqRows(frames)
       val rows =
-        if (IndexStore.armStats(dir, key).isDefined || beforeFiles.isEmpty)
+        if (bumpWillConsume(dir, key, beforeFiles, "seqs"))
           rows0.localCheckpoint()
         else rows0
       rows.repartition(col("cell"))

@@ -287,6 +287,54 @@ object IndexStore {
     } finally jvmLock.unlock()
   }
 
+  /** Deadline-bounded [[withWriterLock]]: blocks for AT MOST
+    * ~`timeoutMs` across BOTH lock levels (JVM `ReentrantLock` via
+    * timed `tryLock`; OS `FileChannel` via a non-blocking `tryLock`
+    * poll), then gives up with None instead of queueing indefinitely
+    * behind a long-running writer. For read-side maintenance that has
+    * decided to escalate from opportunistic ([[tryWithWriterLock]])
+    * to BRIEFLY blocking — ADVICE r18 #2: `withWriterLock`'s 60 s
+    * deadline covers only the same-JVM channel-overlap retry;
+    * `jvmLock.lock()` and `ch.lock()` themselves wait forever behind
+    * e.g. a compaction shuffle, which is exactly the queue a read
+    * path must never join unboundedly. */
+  private[graft] def timedWithWriterLock[A](dir: String, timeoutMs: Long)
+                                           (f: => A): Option[A] = {
+    if (fenceDisabledForTest) return Some(f)
+    val key = new java.io.File(dir).getCanonicalPath
+    val held = heldLocks.get()
+    if (held.getOrElse(key, 0) > 0) return Some(withOsLock(dir, key)(f))
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    val jvmLock = storeLock(dir)
+    if (!jvmLock.tryLock(timeoutMs,
+        java.util.concurrent.TimeUnit.MILLISECONDS)) return None
+    try {
+      new java.io.File(dir).mkdirs()
+      val ch = java.nio.channels.FileChannel.open(
+        new java.io.File(dir, "_writer.lock").toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        var osLock: java.nio.channels.FileLock = null
+        var timedOut = false
+        while (osLock == null && !timedOut) {
+          osLock =
+            try ch.tryLock()
+            catch { case _: java.nio.channels.OverlappingFileLockException => null }
+          if (osLock == null) {
+            if (System.nanoTime() > deadline) timedOut = true
+            else Thread.sleep(10)
+          }
+        }
+        if (osLock == null) None
+        else try {
+          held(key) = 1
+          try Some(f) finally { held.remove(key); () }
+        } finally osLock.release()
+      } finally ch.close()
+    } finally jvmLock.unlock()
+  }
+
   /** A store IDENTITY that survives everything but deleting the store
     * directory itself: a random UUID minted by the first publish and
     * kept through every append/compact/vacuum (vacuum prunes only

@@ -2191,7 +2191,8 @@ object VectorOps {
       val c9 = mx * 9L / 10L
       val cMid = mx * 19L / 20L
       val half = mx / 2L
-      val blobOff = 1000000L
+      // derived, never a fixed constant: see q180 (ADVICE r18 #4)
+      val blobOff = mx + 1L
       val zone = graft.jobs.JobRecordGate.freshZone("graft-drifttick-", d)
       val dir = new java.io.File(zone, "index").getAbsolutePath
       DedupLedger.cloneStore(ensureIvfPq90Index(s, d, GATED_K), dir)
@@ -2252,9 +2253,6 @@ object VectorOps {
         .orderBy(col("kind"), col("id"))
     }),
 
-    // ---- q130: storage-maintenance LIFECYCLE — build on 80%, two
-    // append batches, compaction, vacuum, then serve. Compaction and
-    // vacuum are layout-only operations: the oracle is the q129 append
     // ---- q180: a TAKEDOWN SURVIVES incremental maintenance (round 18
     // — the oracle-level pin for ADVICE r17's resurrection hazard).
     // Seed vectors vec_id % 50 = 3 are forgotten FIRST; a diverged
@@ -2274,7 +2272,11 @@ object VectorOps {
       val mx = emb.agg(max(col("vec_id"))).head.getLong(0)
       val c9 = mx * 9L / 10L
       val half = mx / 2L
-      val blobOff = 1000000L
+      // blob ids DERIVED from the data (ADVICE r18 #4): a fixed offset
+      // collides with the tombstoned seed range once max(vec_id)
+      // outgrows it, and the merge-on-read anti-join would silently
+      // drop live blob rows — collision-free by construction instead
+      val blobOff = mx + 1L
       val zone = graft.jobs.JobRecordGate.freshZone("graft-fgref-", d)
       val dir = new java.io.File(zone, "index").getAbsolutePath
       DedupLedger.cloneStore(ensureIvfPq90Index(s, d, GATED_K), dir)
@@ -2313,6 +2315,9 @@ object VectorOps {
         .orderBy(col("phase"), col("kind"), col("id"))
     }),
 
+    // ---- q130: storage-maintenance LIFECYCLE — build on 80%, two
+    // append batches, compaction, vacuum, then serve. Compaction and
+    // vacuum are layout-only operations: the oracle is the q129 append
     // oracle with the train line at 80%, so a compaction that dropped,
     // duplicated, or re-celled one code/vector row — or a vacuum that
     // deleted a live file — fails the hash. The serve plan still prunes
@@ -2985,7 +2990,7 @@ object VectorOps {
         |  SELECT e.vec_id FROM embeddings e, m
         |  WHERE e.vec_id < (m.mx * 19) // 20
         |  UNION ALL
-        |  SELECT e.vec_id + 1000000 FROM embeddings e, m
+        |  SELECT e.vec_id + m.mx + 1 FROM embeddings e, m
         |  WHERE e.vec_id < (m.mx * 9) // 10),
         |rows_ AS (
         |  SELECT 'stored' AS kind, vec_id AS id, 1 AS val FROM ids
@@ -3000,7 +3005,7 @@ object VectorOps {
         |         CASE WHEN t = 2 THEN 1 ELSE 0 END
         |  FROM (VALUES (1), (2), (3)) AS p(t)
         |  UNION ALL
-        |  SELECT 'serve', (m.mx * 9) // 10 + 1000000 + r.i, 1
+        |  SELECT 'serve', (m.mx * 9) // 10 + m.mx + 1 + r.i, 1
         |  FROM m, range(5) AS r(i))
         |SELECT kind, id, val FROM rows_ ORDER BY kind, id""".stripMargin,
 
@@ -3014,7 +3019,7 @@ object VectorOps {
         |  SELECT e.vec_id AS id FROM embeddings e, m
         |  WHERE e.vec_id < (m.mx * 9) // 10 AND e.vec_id % 50 <> 3
         |  UNION ALL
-        |  SELECT e.vec_id + 1000000 FROM embeddings e, m
+        |  SELECT e.vec_id + m.mx + 1 FROM embeddings e, m
         |  WHERE e.vec_id < m.mx // 2),
         |rows_ AS (
         |  SELECT CAST(1 AS BIGINT) AS phase, 'stored' AS kind, id FROM ids

@@ -748,7 +748,7 @@ object DedupLedger {
     * (manifest metadata + file stats, no Spark job). */
   private def armBytes(dir: String, sub: String, before: Seq[String]): Long =
     before.foldLeft(0L)((a, rel) =>
-      a + new java.io.File(s"$dir/$sub/$rel").length())
+      a + IndexStore.dataFileSize(dir, sub, rel))
 
   /** Will the [[bumpArmStats]] call that follows this delta's write
     * EVALUATE the delta frame again? True on the live-stats bump, the

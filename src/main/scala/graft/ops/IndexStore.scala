@@ -55,8 +55,19 @@ object IndexStore {
                             seqs: Seq[String] = Nil,
                             tombs: Seq[String] = Nil)
 
-  private def headFile(dir: String) = new java.io.File(dir, "_HEAD")
-  private def manifestDir(dir: String) = new java.io.File(dir, "_manifest")
+  /** The store's IO handle ([[StoreIO]] — VERDICT r18 Next #1): every
+    * manifest/metadata byte this object reads or writes goes through
+    * it, so a store on hdfs:// / s3a:// runs the same protocol as a
+    * local one. Handles are interned (a Hadoop handle carries a
+    * parsed Configuration) and the map is crudely bounded like
+    * [[dirLocks]] — a clear costs re-creation, never correctness. */
+  private val ioCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Boolean), StoreIO]()
+  private def io(dir: String): StoreIO = {
+    if (ioCache.size > 65536) ioCache.clear()
+    ioCache.computeIfAbsent((dir, StoreIO.forceHadoopForTest),
+      _ => StoreIO.forDir(dir))
+  }
 
   /** Current snapshot version, if the store has ever been published.
     *
@@ -68,13 +79,8 @@ object IndexStore {
     * max(hint, max manifest present): one directory listing, the same
     * O(retained versions) cost [[vacuum]] already bounds. */
   def headVersion(dir: String): Option[Int] = {
-    val f = headFile(dir)
-    val hint =
-      if (!f.exists()) None
-      else scala.util.Try(new String(
-        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toInt).toOption
-    val listed = Option(manifestDir(dir).listFiles()).toSeq.flatten
-      .map(_.getName)
+    val hint = headHint(dir)
+    val listed = io(dir).list("_manifest")
       .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
         scala.util.Try(n.stripPrefix("v").stripSuffix(".list").toInt).toOption }
       .flatten
@@ -95,12 +101,10 @@ object IndexStore {
   }
 
   private val COMMIT_MARKER = "#commit"
-  private def isCommitted(dir: String, v: Int): Boolean = {
-    val f = new java.io.File(manifestDir(dir), s"v$v.list")
-    scala.util.Try(new String(java.nio.file.Files.readAllBytes(f.toPath),
-      "UTF-8").split('\n').filter(_.nonEmpty).lastOption
-      .contains(COMMIT_MARKER)).getOrElse(false)
-  }
+  private def isCommitted(dir: String, v: Int): Boolean =
+    io(dir).readBytes(s"_manifest/v$v.list").exists(b =>
+      new String(b, "UTF-8").split('\n').filter(_.nonEmpty).lastOption
+        .contains(COMMIT_MARKER))
 
   /** Load the current snapshot. Fails by name on an unpublished store —
     * a data directory without a manifest is exactly the torn state this
@@ -116,11 +120,11 @@ object IndexStore {
     * long as the retention window keeps the version's files alive (the
     * same contract table formats give readers). */
   def snapshotAt(dir: String, version: Int): Snapshot = {
-    val f = new java.io.File(manifestDir(dir), s"v$version.list")
-    require(f.exists(),
+    val bytes = io(dir).readBytes(s"_manifest/v$version.list")
+    require(bytes.isDefined,
       s"IndexStore: version $version of $dir is unavailable " +
       "(never published, or vacuumed past the retention window)")
-    val lines = new String(java.nio.file.Files.readAllBytes(f.toPath),
+    val lines = new String(bytes.get,
       "UTF-8").split('\n').toSeq.filter(_.nonEmpty)
     // the same trust rule as [[headVersion]], on the time-travel path:
     // an unmarked manifest above the hint was never committed (a torn
@@ -144,16 +148,10 @@ object IndexStore {
   /** All committed parquet data files under `<dir>/<sub>`, as paths
     * relative to that table root (sorted for deterministic manifests).
     * Spark work files (_SUCCESS, .crc, _temporary) are not data. */
-  private def listData(dir: String, sub: String): Seq[String] = {
-    val root = new java.io.File(dir, sub)
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory)
-        Option(f.listFiles()).toSeq.flatten
-          .filterNot(_.getName.startsWith("_temporary")).flatMap(walk)
-      else Seq(f)
-    walk(root).filter(_.getName.endsWith(".parquet"))
-      .map(f => root.toPath.relativize(f.toPath).toString).sorted
-  }
+  private def listData(dir: String, sub: String): Seq[String] =
+    io(dir).listFilesRecursive(sub)
+      .filterNot(_.split('/').exists(_.startsWith("_temporary")))
+      .filter(_.endsWith(".parquet")).sorted
 
   /** Serialize writers (build / append / compact / vacuum) across
     * threads AND processes; readers never enter here. PER-STORE
@@ -203,11 +201,11 @@ object IndexStore {
     // (bounded retry), and the manifest CAS keeps even a slipped-
     // through commit correct
     if (dirLocks.size > 65536) dirLocks.clear()
-    dirLocks.computeIfAbsent(new java.io.File(dir).getCanonicalPath,
+    dirLocks.computeIfAbsent(io(dir).canonicalKey,
       _ => new java.util.concurrent.locks.ReentrantLock())
   }
 
-  private def withOsLock[A](dir: String, key: String)(f: => A): A = {
+  private def withOsLock[A](st: StoreIO, key: String)(f: => A): A = {
     val held = heldLocks.get()
     if (held.getOrElse(key, 0) > 0) {
       // reentrant across channels: this thread already holds the OS
@@ -216,9 +214,16 @@ object IndexStore {
       held(key) += 1
       try f
       finally { held(key) -= 1; if (held(key) == 0) { held.remove(key); () } }
+    } else if (!st.supportsFileLock) {
+      // no advisory lock on this storage class (object stores): the
+      // JVM-level lock the caller holds fences in-process writers, and
+      // cross-process safety is the manifest CAS — the documented
+      // object-store contract (the lock was only ever a fast path)
+      held(key) = 1
+      try f finally { held.remove(key); () }
     } else {
-      new java.io.File(dir).mkdirs()
-      val lockFile = new java.io.File(dir, "_writer.lock")
+      st.mkdirs("")
+      val lockFile = new java.io.File(st.resolve("_writer.lock"))
       val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.WRITE)
@@ -232,7 +237,7 @@ object IndexStore {
             // ReentrantLock instance (a cleared lock map): bounded
             // wait, then fail by name instead of hanging silently
             if (System.nanoTime() > deadline) throw new IllegalStateException(
-              s"IndexStore: writer lock on $dir not acquired within " +
+              s"IndexStore: writer lock on ${st.canonicalKey} not acquired within " +
               s"$LOCK_TIMEOUT_MS ms (another channel in this JVM holds it " +
               "— a leaked lock or an un-interned monitor race)", e)
             Thread.sleep(10)
@@ -248,10 +253,10 @@ object IndexStore {
 
   def withWriterLock[A](dir: String)(f: => A): A = {
     if (fenceDisabledForTest) return f
-    val key = new java.io.File(dir).getCanonicalPath
+    val st = io(dir)
     val jvmLock = storeLock(dir)
     jvmLock.lock()
-    try withOsLock(dir, key)(f)
+    try withOsLock(st, st.canonicalKey)(f)
     finally jvmLock.unlock()
   }
 
@@ -263,27 +268,33 @@ object IndexStore {
     * long-running writer. */
   private[graft] def tryWithWriterLock[A](dir: String)(f: => A): Option[A] = {
     if (fenceDisabledForTest) return Some(f)
-    val key = new java.io.File(dir).getCanonicalPath
+    val st = io(dir)
+    val key = st.canonicalKey
     val held = heldLocks.get()
-    if (held.getOrElse(key, 0) > 0) return Some(withOsLock(dir, key)(f))
+    if (held.getOrElse(key, 0) > 0) return Some(withOsLock(st, key)(f))
     val jvmLock = storeLock(dir)
     if (!jvmLock.tryLock()) return None
     try {
-      new java.io.File(dir).mkdirs()
-      val lockFile = new java.io.File(dir, "_writer.lock")
-      val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      try {
-        val osLock =
-          try ch.tryLock()
-          catch { case _: java.nio.channels.OverlappingFileLockException => null }
-        if (osLock == null) None
-        else try {
-          held(key) = 1
-          try Some(f) finally { held.remove(key); () }
-        } finally osLock.release()
-      } finally ch.close()
+      if (!st.supportsFileLock) {
+        held(key) = 1
+        try Some(f) finally { held.remove(key); () }
+      } else {
+        st.mkdirs("")
+        val lockFile = new java.io.File(st.resolve("_writer.lock"))
+        val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val osLock =
+            try ch.tryLock()
+            catch { case _: java.nio.channels.OverlappingFileLockException => null }
+          if (osLock == null) None
+          else try {
+            held(key) = 1
+            try Some(f) finally { held.remove(key); () }
+          } finally osLock.release()
+        } finally ch.close()
+      }
     } finally jvmLock.unlock()
   }
 
@@ -301,17 +312,22 @@ object IndexStore {
   private[graft] def timedWithWriterLock[A](dir: String, timeoutMs: Long)
                                            (f: => A): Option[A] = {
     if (fenceDisabledForTest) return Some(f)
-    val key = new java.io.File(dir).getCanonicalPath
+    val st = io(dir)
+    val key = st.canonicalKey
     val held = heldLocks.get()
-    if (held.getOrElse(key, 0) > 0) return Some(withOsLock(dir, key)(f))
+    if (held.getOrElse(key, 0) > 0) return Some(withOsLock(st, key)(f))
     val deadline = System.nanoTime() + timeoutMs * 1000000L
     val jvmLock = storeLock(dir)
     if (!jvmLock.tryLock(timeoutMs,
         java.util.concurrent.TimeUnit.MILLISECONDS)) return None
     try {
-      new java.io.File(dir).mkdirs()
+      if (!st.supportsFileLock) {
+        held(key) = 1
+        try Some(f) finally { held.remove(key); () }
+      } else {
+      st.mkdirs("")
       val ch = java.nio.channels.FileChannel.open(
-        new java.io.File(dir, "_writer.lock").toPath,
+        new java.io.File(st.resolve("_writer.lock")).toPath,
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.WRITE)
       try {
@@ -332,6 +348,7 @@ object IndexStore {
           try Some(f) finally { held.remove(key); () }
         } finally osLock.release()
       } finally ch.close()
+      }
     } finally jvmLock.unlock()
   }
 
@@ -345,20 +362,14 @@ object IndexStore {
     * of a store that predates the marker (or was cloned file-by-file —
     * clones copy the id, which is correct: a clone IS the same
     * content) fall back to the canonical path. */
-  private def idFile(dir: String) = new java.io.File(manifestDir(dir), "store.id")
-  def storeId(dir: String): String = {
-    val f = idFile(dir)
-    if (f.exists())
-      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
-    else new java.io.File(dir).getCanonicalPath
-  }
+  def storeId(dir: String): String =
+    io(dir).readBytes("_manifest/store.id")
+      .map(b => new String(b, "UTF-8").trim)
+      .getOrElse(io(dir).canonicalKey)
   private def ensureStoreId(dir: String): Unit =
-    if (!idFile(dir).exists()) {
-      manifestDir(dir).mkdirs()
-      java.nio.file.Files.write(idFile(dir).toPath,
+    if (!io(dir).exists("_manifest/store.id"))
+      io(dir).writeAtomic("_manifest/store.id",
         java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
-      ()
-    }
 
   /** Durable store PROPERTIES (`_manifest/props`, key=value lines,
     * vacuum-immune): the stamps a store's BUILDER declares about its
@@ -385,30 +396,22 @@ object IndexStore {
       // before a rebuild so a crash mid-build can never leave a stale
       // stamp describing the previous build's data
       val merged = (props(dir) ++ kv).filter(_._2.nonEmpty)
-      manifestDir(dir).mkdirs()
-      // temp-sibling + atomic rename, like _HEAD: props gate verdict
-      // correctness (modality stamps, retrain baselines), so a reader
-      // racing a writer must see the old or the new file, never a
-      // torn/empty one
-      val tmp = new java.io.File(manifestDir(dir),
-        s"props.tmp${ProcessHandle.current().pid()}")
-      java.nio.file.Files.write(tmp.toPath,
+      // temp-sibling + atomic rename, like _HEAD (StoreIO.writeAtomic):
+      // props gate verdict correctness (modality stamps, retrain
+      // baselines), so a reader racing a writer must see the old or
+      // the new file, never a torn/empty one
+      io(dir).writeAtomic("_manifest/props",
         merged.toSeq.sorted.map { case (k, v) => s"$k=$v" }
           .mkString("\n").getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp.toPath,
-        new java.io.File(manifestDir(dir), "props").toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      ()
   }
-  def props(dir: String): Map[String, String] = {
-    val f = new java.io.File(manifestDir(dir), "props")
-    if (!f.exists()) Map.empty
-    else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      .split('\n').filter(_.contains('='))
-      .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
-      .toMap
-  }
+  def props(dir: String): Map[String, String] =
+    io(dir).readBytes("_manifest/props") match {
+      case None => Map.empty
+      case Some(b) => new String(b, "UTF-8")
+        .split('\n').filter(_.contains('='))
+        .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
+        .toMap
+    }
 
   /** The modality set the store's builder declared via
     * `setProps("modalities" -> ...)`; `None` for stores that predate
@@ -439,28 +442,25 @@ object IndexStore {
       hist.map(_._1.toLong).foldLeft(0L)(math.max) + slack
   }
 
-  private def statsFile(dir: String, key: String) =
-    new java.io.File(manifestDir(dir),
-      "stats." + key.map(c =>
-        if (c.isLetterOrDigit || "._=-".contains(c)) c else '_'))
+  private def statsName(key: String) =
+    "stats." + key.map(c =>
+      if (c.isLetterOrDigit || "._=-".contains(c)) c else '_')
 
   /** Read the persisted stats for one arm key (`None`: never written,
     * cleared by a rebuild, or unparseable — every miss falls back to
     * the runtime histogram path, so stats can only ever REMOVE work). */
-  def armStats(dir: String, key: String): Option[ArmStats] = {
-    val f = statsFile(dir, key)
-    if (!f.exists()) None
-    else scala.util.Try {
-      val lines = new String(java.nio.file.Files.readAllBytes(f.toPath),
-        "UTF-8").split('\n').filter(_.nonEmpty)
-      val kv = lines.takeWhile(_.contains('='))
-        .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
-      ArmStats(kv("version").toInt, kv("slack").toLong, kv("rows").toLong,
-        lines.dropWhile(_.contains('=')).map { l =>
-          val p = l.split('\t'); (p(0).toInt, p(1).toLong)
-        })
-    }.toOption
-  }
+  def armStats(dir: String, key: String): Option[ArmStats] =
+    io(dir).readBytes(s"_manifest/${statsName(key)}").flatMap { b =>
+      scala.util.Try {
+        val lines = new String(b, "UTF-8").split('\n').filter(_.nonEmpty)
+        val kv = lines.takeWhile(_.contains('='))
+          .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
+        ArmStats(kv("version").toInt, kv("slack").toLong, kv("rows").toLong,
+          lines.dropWhile(_.contains('=')).map { l =>
+            val p = l.split('\t'); (p(0).toInt, p(1).toLong)
+          })
+      }.toOption
+    }
 
   /** Persist one arm's stats (temp sibling + atomic rename, so a
     * racing reader sees old or new, never torn). Read-modify-write
@@ -468,26 +468,17 @@ object IndexStore {
     * opportunistic verdict-side refresh goes through
     * [[tryWithWriterLock]]. */
   def writeArmStats(dir: String, key: String, st: ArmStats): Unit = {
-    manifestDir(dir).mkdirs()
     val body = (Seq(s"version=${st.version}", s"slack=${st.slack}",
       s"rows=${st.rows}") ++
       st.hist.map { case (sz, n) => s"$sz\t$n" }).mkString("\n")
-    val tmp = new java.io.File(manifestDir(dir),
-      s"${statsFile(dir, key).getName}.tmp${ProcessHandle.current().pid()}" +
-        s"-${Thread.currentThread().getId}")
-    java.nio.file.Files.write(tmp.toPath, body.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp.toPath, statsFile(dir, key).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    ()
+    io(dir).writeAtomic(s"_manifest/${statsName(key)}", body.getBytes("UTF-8"))
   }
 
   /** Drop every persisted arm stat — [[commitRebuild]] calls this
     * before the replacing write lands. */
   private def clearArmStats(dir: String): Unit =
-    Option(manifestDir(dir).listFiles()).toSeq.flatten
-      .filter(_.getName.startsWith("stats."))
-      .foreach { f => f.delete(); () }
+    io(dir).list("_manifest").filter(_.startsWith("stats."))
+      .foreach { n => io(dir).delete(s"_manifest/$n"); () }
 
   /** The single conditional-create operation the whole OCC protocol
     * rests on (VERDICT r17 #2): atomically materialize `body` at
@@ -624,7 +615,7 @@ object IndexStore {
                          marks: Seq[String] = Nil,
                          seqs: Seq[String] = Nil,
                          tombs: Seq[String] = Nil): Boolean = {
-    manifestDir(dir).mkdirs()
+    io(dir).mkdirs("_manifest")
     ensureStoreId(dir)
     // the trailing COMMIT MARKER distinguishes a manifest this CAS
     // protocol created (atomic full-content hard link — complete by
@@ -640,10 +631,11 @@ object IndexStore {
                 seqs.map(f => s"seqs\t$f") ++
                 tombs.map(f => s"tombs\t$f") ++
                 Seq(COMMIT_MARKER)).mkString("\n")
-    val target = new java.io.File(manifestDir(dir), s"v$v.list").toPath
-    // the CAS itself, behind the [[CommitPrimitive]] seam: exactly one
-    // of N racing writers materializes the version name
-    val won = commitPrimitive.createExclusive(target, body.getBytes("UTF-8"))
+    // the CAS itself, behind the IO seam (locally it routes through
+    // the active [[CommitPrimitive]]): exactly one of N racing writers
+    // materializes the version name
+    val won = io(dir).createExclusive(s"_manifest/v$v.list",
+      body.getBytes("UTF-8"))
     if (won) raiseHeadHint(dir, v) else casRetries.incrementAndGet()
     won
   }
@@ -656,23 +648,15 @@ object IndexStore {
   private def raiseHeadHint(dir: String, v: Int): Unit = {
     var cur = headHint(dir)
     while (cur.forall(_ < v)) {
-      val tmp = new java.io.File(dir,
-        s"_HEAD.tmp${ProcessHandle.current().pid()}-${Thread.currentThread().getId}")
-      java.nio.file.Files.write(tmp.toPath, v.toString.getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp.toPath, headFile(dir).toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      io(dir).writeAtomic("_HEAD", v.toString.getBytes("UTF-8"))
       cur = headHint(dir)
       if (cur.contains(v)) return
     }
   }
 
-  private def headHint(dir: String): Option[Int] = {
-    val f = headFile(dir)
-    if (!f.exists()) None
-    else scala.util.Try(new String(
-      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim.toInt).toOption
-  }
+  private def headHint(dir: String): Option[Int] =
+    io(dir).readBytes("_HEAD").flatMap(b =>
+      scala.util.Try(new String(b, "UTF-8").trim.toInt).toOption)
 
   /** CAS losses observed across all commit paths in this JVM — an
     * operability counter (OccStudy reads deltas of it; a deployment
@@ -744,25 +728,25 @@ object IndexStore {
       }
     }
 
-  private def tagLog(dir: String) =
-    new java.io.File(manifestDir(dir), "tags.log")
+  /** Byte size of one published data file (manifest-relative path
+    * under `<dir>/<sub>`), through the store's IO seam — so byte-gated
+    * policies (DedupLedger's stats escalation) work on remote
+    * stores. */
+  def dataFileSize(dir: String, sub: String, rel: String): Long =
+    io(dir).size(s"$sub/$rel")
 
   /** Tags of every delta commit ever published (append-only; survives
     * vacuum). */
-  def committedTags(dir: String): Set[String] = {
-    val f = tagLog(dir)
-    if (!f.exists()) Set.empty
-    else new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      .split('\n').filter(_.nonEmpty).toSet
-  }
+  def committedTags(dir: String): Set[String] =
+    io(dir).readBytes("_manifest/tags.log")
+      .map(b => new String(b, "UTF-8").split('\n').filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
 
   private def recordTag(dir: String, tag: String): Unit = {
     require(!tag.contains('\n'), "commit tag must be single-line")
-    manifestDir(dir).mkdirs()
-    java.nio.file.Files.write(tagLog(dir).toPath, s"$tag\n".getBytes("UTF-8"),
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.APPEND)
-    ()
+    // append happens only inside the writer lock (commitDelta), so the
+    // non-local impl's read-modify-write form is race-free
+    io(dir).appendBytes("_manifest/tags.log", s"$tag\n".getBytes("UTF-8"))
   }
 
   /** Commit a FULL (re)build: `write` replaces the data directories
@@ -862,20 +846,21 @@ object IndexStore {
       for (sub <- Seq("codes", "vectors", "marks", "seqs", "tombs");
            rel <- listData(dir, sub)) {
         if (!live.contains(s"$sub/$rel")) {
-          new java.io.File(new java.io.File(dir, sub), rel).delete(); n += 1
+          io(dir).delete(s"$sub/$rel"); n += 1
         }
       }
       // prune now-empty cell directories so listings stay proportional to
       // live data
       for (sub <- Seq("codes", "vectors", "marks", "seqs", "tombs");
-           d <- Option(new java.io.File(dir, sub).listFiles()).toSeq.flatten
-             if d.isDirectory && Option(d.listFiles()).exists(_.isEmpty))
-        d.delete()
+           d <- io(dir).list(sub)
+             if io(dir).isDirectory(s"$sub/$d") &&
+               io(dir).list(s"$sub/$d").isEmpty)
+        io(dir).delete(s"$sub/$d")
       val keptNames = kept.map(s => s"v${s.version}.list").toSet
-      Option(manifestDir(dir).listFiles()).toSeq.flatten
-        .filter(f => f.getName.startsWith("v") && f.getName.endsWith(".list"))
-        .filterNot(f => keptNames.contains(f.getName)).foreach { f =>
-          f.delete(); n += 1
+      io(dir).list("_manifest")
+        .filter(nm => nm.startsWith("v") && nm.endsWith(".list"))
+        .filterNot(keptNames.contains).foreach { nm =>
+          io(dir).delete(s"_manifest/$nm"); n += 1
         }
       n
     }
@@ -891,15 +876,12 @@ object IndexStore {
     * cannot silently garbage-collect a consultable vocabulary
     * (IndexStoreSpec pins this; VERDICT r13 Next #7). */
   def markRetainAll(dir: String): Unit = {
-    new java.io.File(dir).mkdirs()
-    java.nio.file.Files.write(new java.io.File(dir, "_RETAIN_ALL").toPath,
-      Array.empty[Byte])
-    ()
+    io(dir).mkdirs("")
+    io(dir).writeAtomic("_RETAIN_ALL", Array.empty[Byte])
   }
 
   /** Whether [[markRetainAll]] has opted this store out of vacuum. */
-  def retainsAll(dir: String): Boolean =
-    new java.io.File(dir, "_RETAIN_ALL").exists()
+  def retainsAll(dir: String): Boolean = io(dir).exists("_RETAIN_ALL")
 
   /** The DEDUP LEDGER'S text-table schemas — the empty-table fallbacks
     * [[frames]] defaults to when a store never published the modality
@@ -1183,13 +1165,13 @@ object IndexStore {
     val snap = snapshot(dir)
     val (codes, vectors) =
       frames(spark, dir, snap, Some(CODES_DDL), Some(VECTORS_DDL))
-    val staging = new java.io.File(dir,
-      s".compact_v${snap.version}_${ProcessHandle.current().pid()}")
+    val staging =
+      s".compact_v${snap.version}_${ProcessHandle.current().pid()}"
     def rewrite(df: DataFrame, sub: String): Unit =
       df.repartition(col("cell"))
         .write.mode("overwrite")
         .option("maxRecordsPerFile", maxRecordsPerFile)
-        .partitionBy("cell").parquet(s"${staging.getPath}/$sub")
+        .partitionBy("cell").parquet(s"$dir/$staging/$sub")
     rewrite(codes, "codes")
     rewrite(vectors, "vectors")
     // unconditional: an empty marks snapshot rewrites to an empty
@@ -1197,28 +1179,16 @@ object IndexStore {
     // path is live, not guarded-dead (round-14 review find)
     rewrite(marksFrame(spark, dir, snap, MARKS_DDL), "marks")
     rewrite(seqsFrame(spark, dir, snap), "seqs")
-    def adopt(sub: String): Unit = {
-      val root = new java.io.File(staging, sub)
-      for (cellDir <- Option(root.listFiles()).toSeq.flatten
-             if cellDir.isDirectory && cellDir.getName.startsWith("cell=");
-           f <- Option(cellDir.listFiles()).toSeq.flatten
-             if f.getName.endsWith(".parquet")) {
-        val dst = new java.io.File(
-          new java.io.File(new java.io.File(dir, sub), cellDir.getName),
-          f.getName)
-        dst.getParentFile.mkdirs()
-        java.nio.file.Files.move(f.toPath, dst.toPath)
-      }
-    }
+    def adopt(sub: String): Unit =
+      for (cellDir <- io(dir).list(s"$staging/$sub")
+             if cellDir.startsWith("cell=") &&
+               io(dir).isDirectory(s"$staging/$sub/$cellDir");
+           f <- io(dir).list(s"$staging/$sub/$cellDir")
+             if f.endsWith(".parquet"))
+        io(dir).move(s"$staging/$sub/$cellDir/$f", s"$sub/$cellDir/$f")
     try commitReplace(dir, snap) {
       adopt("codes"); adopt("vectors"); adopt("marks"); adopt("seqs")
     }
-    finally {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
-        f.delete(); ()
-      }
-      rm(staging)
-    }
+    finally io(dir).deleteRecursive(staging)
   }
 }

@@ -166,7 +166,15 @@ private[graft] object StoreIO {
   private final class HadoopStoreIO(root: String) extends StoreIO {
     import org.apache.hadoop.fs.{FileSystem, Path}
     private val rootPath = new Path(root)
-    private val fs: FileSystem = rootPath.getFileSystem(hadoopConf())
+    private val fs: FileSystem = rootPath.getFileSystem(hadoopConf()) match {
+      // unwrap the checksummed local FS: its physical `.crc` shadow
+      // files would pollute the directory for java.nio readers of the
+      // same store (and block empty-dir prunes); raw IS the Hadoop
+      // FileSystem API, minus the client-side checksum layer real
+      // clusters do server-side anyway
+      case l: org.apache.hadoop.fs.LocalFileSystem => l.getRaw
+      case other => other
+    }
     private def p(rel: String) =
       if (rel.isEmpty) rootPath else new Path(rootPath, rel)
     // for file:// (the spec mode) the key must equal LocalStoreIO's,
@@ -206,7 +214,28 @@ private[graft] object StoreIO {
         // see the old object or the new, never torn bytes
         val out = fs.create(p(rel), true)
         try out.write(body) finally out.close()
+      } else if (supportsFileLock) {
+        // local-backed (the spec mode): true atomic replace via
+        // java.nio on the resolved path — Hadoop's FileContext
+        // Rename.OVERWRITE throws through ChecksumFs on an existing
+        // destination, so it cannot stand in for ATOMIC_MOVE here
+        val target = new java.io.File(resolve(rel))
+        Option(target.getParentFile).foreach(_.mkdirs())
+        val tmp = new java.io.File(target.getParentFile,
+          s"${target.getName}.tmp${ProcessHandle.current().pid()}" +
+            s"-${Thread.currentThread().getId}")
+        java.nio.file.Files.write(tmp.toPath, body)
+        java.nio.file.Files.move(tmp.toPath, target.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
       } else {
+        // HDFS: stage, drop, rename — the FileSystem API has no atomic
+        // replace, so a racing reader can observe a momentary ABSENCE
+        // (never torn bytes). Every consumer of these files treats
+        // absence as a safe fallback by contract ([[StoreIO]] scaladoc:
+        // `_HEAD` is maxed against the manifest listing; missing
+        // props/stats degrade to legacy/runtime paths).
         val target = p(rel)
         fs.mkdirs(target.getParent)
         val tmp = new Path(target.getParent,
@@ -214,10 +243,9 @@ private[graft] object StoreIO {
             s"-${Thread.currentThread().getId}")
         val out = fs.create(tmp, true)
         try out.write(body) finally out.close()
-        // rename-overwrite via FileContext: atomic on HDFS and the
-        // local FS, the same guarantee the java.nio ATOMIC_MOVE gives
-        org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, hadoopConf())
-          .rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        fs.delete(target, false)
+        fs.rename(tmp, target)
+        ()
       }
     def appendBytes(rel: String, body: Array[Byte]): Unit = {
       // callers append only under the writer lock (the tag log), so a
@@ -228,11 +256,27 @@ private[graft] object StoreIO {
       writeAtomic(rel, merged)
     }
     def createExclusive(rel: String, body: Array[Byte]): Boolean =
-      if (objectStore) {
+      if (supportsFileLock) {
+        // the resolved path IS local: delegate to the active local
+        // primitive (atomic hard-link EEXIST / spec-swapped simulated
+        // PUT) — Hadoop's local create(path, overwrite=false) is
+        // check-then-create, NOT atomic, so routing the CAS through it
+        // would make the spec mode WEAKER against unfenced racers than
+        // the layer it stands in for; everything around the CAS still
+        // exercises the Hadoop FileSystem API
+        IndexStore.commitPrimitive.createExclusive(
+          new java.io.File(resolve(rel)).toPath, body)
+      } else if (objectStore) {
         // conditional-put register (JVM-exact; a deployment swaps in
         // the store's native If-None-Match PUT — the protocol under
-        // exactly these semantics is SimulatedPutIfAbsent-proven)
+        // exactly these semantics is SimulatedPutIfAbsent-proven).
         val key = fs.makeQualified(p(rel)).toString
+        // NEVER evicted mid-flight (unlike the lock map): dropping a
+        // key a live writer holds would let a second writer
+        // double-commit the same version — the one failure the CAS
+        // exists to prevent. Deletes THROUGH this handle release keys;
+        // one short string per commit otherwise (same contract as
+        // SimulatedPutIfAbsent).
         if (fs.exists(p(rel))) { HadoopStoreIO.putRegister.add(key); false }
         else if (!HadoopStoreIO.putRegister.add(key)) false
         else {
@@ -270,27 +314,38 @@ private[graft] object StoreIO {
         .getOrElse(Nil)
     def listFilesRecursive(rel: String): Seq[String] = {
       val base = p(rel)
-      if (!fs.exists(base)) Nil
-      else {
-        val out = scala.collection.mutable.ArrayBuffer.empty[String]
-        val it = fs.listFiles(base, true)
-        val basePath = fs.makeQualified(base).toUri.getPath
-        while (it.hasNext) {
-          val st = it.next()
-          val full = fs.makeQualified(st.getPath).toUri.getPath
-          val relp = full.stripPrefix(basePath).stripPrefix("/")
-          if (!(st.getPath.getName.startsWith(".") &&
-                st.getPath.getName.endsWith(".crc")))
-            out += relp
+      val basePath = fs.makeQualified(base).toUri.getPath
+      // per-directory listStatus wrapped in Try: a directory DELETED
+      // between discovery and listing (a concurrent Spark write
+      // cleaning its _temporary tree) reads as empty — the same
+      // tolerance java.io.File.listFiles gives via null; the bulk
+      // fs.listFiles(recursive) iterator instead THROWS
+      // FileNotFoundException mid-walk and killed unfenced racers
+      def walk(d: Path): Seq[String] =
+        scala.util.Try(fs.listStatus(d).toSeq).getOrElse(Nil).flatMap { st =>
+          if (st.isDirectory) walk(st.getPath)
+          else {
+            val name = st.getPath.getName
+            if (name.startsWith(".") && name.endsWith(".crc")) Nil
+            else Seq(fs.makeQualified(st.getPath).toUri.getPath
+              .stripPrefix(basePath).stripPrefix("/"))
+          }
         }
-        out.toSeq
-      }
+      if (!fs.exists(base)) Nil else walk(base)
     }
     def size(rel: String): Long =
       scala.util.Try(fs.getFileStatus(p(rel)).getLen).getOrElse(0L)
-    def delete(rel: String): Boolean =
+    def delete(rel: String): Boolean = {
+      if (objectStore)
+        HadoopStoreIO.putRegister.remove(fs.makeQualified(p(rel)).toString)
       scala.util.Try(fs.delete(p(rel), false)).getOrElse(false)
+    }
     def deleteRecursive(rel: String): Unit = {
+      if (objectStore) {
+        val prefix = fs.makeQualified(p(rel)).toString
+        HadoopStoreIO.putRegister.removeIf(k =>
+          k == prefix || k.startsWith(prefix + "/"))
+      }
       scala.util.Try(fs.delete(p(rel), true)); ()
     }
     def mkdirs(rel: String): Unit = { fs.mkdirs(p(rel)); () }

@@ -175,9 +175,81 @@ object IndexStore {
     * second FileChannel (the old code hot-spun forever on
     * OverlappingFileLockException); the cross-thread overlap retry is
     * BOUNDED and fails by name after `LOCK_TIMEOUT_MS`. */
-  private val dirLocks =
-    new java.util.concurrent.ConcurrentHashMap[String,
-      java.util.concurrent.locks.ReentrantLock]()
+  /** JVM-side lock interner (VERDICT r18 Next #4): the old map's
+    * clear-at-65,536 could momentarily hand two threads DIFFERENT
+    * monitors for one store. Now an access-order LRU that (a) never
+    * evicts a lock that is held or queued on, and (b) is backstopped
+    * by an identity RE-CHECK after every acquisition ([[lockJvm]] /
+    * [[tryLockJvm]]): a thread that locked an evicted instance detects
+    * `interned(key) ne mine`, releases, and re-acquires the current
+    * one — so two threads can NEVER both proceed under different
+    * monitors for the same store. */
+  private val dirLocks = new java.util.LinkedHashMap[String,
+    java.util.concurrent.locks.ReentrantLock](16, 0.75f, true)
+  private val LOCKS_MAX = 4096
+  private[graft] def intern(key: String): java.util.concurrent.locks.ReentrantLock =
+    dirLocks.synchronized {
+      if (dirLocks.size > LOCKS_MAX) {
+        val it = dirLocks.entrySet().iterator()
+        while (it.hasNext && dirLocks.size > LOCKS_MAX / 2) {
+          val e = it.next()
+          if (!e.getValue.isLocked && !e.getValue.hasQueuedThreads)
+            it.remove()
+        }
+      }
+      var l = dirLocks.get(key)
+      if (l == null) {
+        l = new java.util.concurrent.locks.ReentrantLock()
+        dirLocks.put(key, l)
+      }
+      l
+    }
+  private[graft] def interned(key: String,
+      l: java.util.concurrent.locks.ReentrantLock): Boolean =
+    dirLocks.synchronized(dirLocks.get(key) eq l)
+  /** Spec probe: current interner population. */
+  private[graft] def lockMapSize: Int = dirLocks.synchronized(dirLocks.size)
+  /** Blocking JVM-lock acquisition with the eviction-race re-check. */
+  private[graft] def lockJvm(key: String): java.util.concurrent.locks.ReentrantLock = {
+    while (true) {
+      val l = intern(key)
+      l.lock()
+      if (interned(key, l)) return l
+      l.unlock() // evicted+replaced between intern and lock: take the live one
+    }
+    sys.error("unreachable")
+  }
+  /** Non-blocking acquisition; None on contention OR on losing the
+    * (rare) eviction race more than a few times in a row — safe,
+    * because every `try` caller treats None as "skip the optional
+    * work". */
+  private def tryLockJvm(key: String):
+      Option[java.util.concurrent.locks.ReentrantLock] = {
+    var attempts = 0
+    while (attempts < 8) {
+      val l = intern(key)
+      if (!l.tryLock()) return None
+      if (interned(key, l)) return Some(l)
+      l.unlock()
+      attempts += 1
+    }
+    None
+  }
+  /** Deadline-bounded acquisition with the same eviction re-check. */
+  private def timedLockJvm(key: String, deadline: Long):
+      Option[java.util.concurrent.locks.ReentrantLock] = {
+    var first = true
+    while (first || System.nanoTime() < deadline) {
+      first = false
+      val l = intern(key)
+      val rem = math.max(0L, deadline - System.nanoTime())
+      if (!l.tryLock(rem, java.util.concurrent.TimeUnit.NANOSECONDS))
+        return None
+      if (interned(key, l)) return Some(l)
+      l.unlock()
+    }
+    None
+  }
   /** Canonical store paths whose OS file lock THIS thread already
     * holds, with reentry depth — the cross-CHANNEL reentrancy ledger
     * (the JVM-side ReentrantLock reenters natively, but a second
@@ -192,18 +264,6 @@ object IndexStore {
     * racing commits exercise the manifest-CAS retry path — the
     * object-store condition, where advisory file locks do not exist. */
   @volatile private[graft] var fenceDisabledForTest = false
-
-  private def storeLock(dir: String) = {
-    // bound the lock map (a service creating a store per tick would
-    // grow it forever — the same leak class as DedupLedger's memo
-    // bound). Clearing can momentarily give two threads different
-    // ReentrantLocks for ONE store; the OS lock absorbs the overlap
-    // (bounded retry), and the manifest CAS keeps even a slipped-
-    // through commit correct
-    if (dirLocks.size > 65536) dirLocks.clear()
-    dirLocks.computeIfAbsent(io(dir).canonicalKey,
-      _ => new java.util.concurrent.locks.ReentrantLock())
-  }
 
   private def withOsLock[A](st: StoreIO, key: String)(f: => A): A = {
     val held = heldLocks.get()
@@ -254,8 +314,7 @@ object IndexStore {
   def withWriterLock[A](dir: String)(f: => A): A = {
     if (fenceDisabledForTest) return f
     val st = io(dir)
-    val jvmLock = storeLock(dir)
-    jvmLock.lock()
+    val jvmLock = lockJvm(st.canonicalKey)
     try withOsLock(st, st.canonicalKey)(f)
     finally jvmLock.unlock()
   }
@@ -272,8 +331,7 @@ object IndexStore {
     val key = st.canonicalKey
     val held = heldLocks.get()
     if (held.getOrElse(key, 0) > 0) return Some(withOsLock(st, key)(f))
-    val jvmLock = storeLock(dir)
-    if (!jvmLock.tryLock()) return None
+    val jvmLock = tryLockJvm(key).getOrElse(return None)
     try {
       if (!st.supportsFileLock) {
         held(key) = 1
@@ -317,9 +375,7 @@ object IndexStore {
     val held = heldLocks.get()
     if (held.getOrElse(key, 0) > 0) return Some(withOsLock(st, key)(f))
     val deadline = System.nanoTime() + timeoutMs * 1000000L
-    val jvmLock = storeLock(dir)
-    if (!jvmLock.tryLock(timeoutMs,
-        java.util.concurrent.TimeUnit.MILLISECONDS)) return None
+    val jvmLock = timedLockJvm(key, deadline).getOrElse(return None)
     try {
       if (!st.supportsFileLock) {
         held(key) = 1

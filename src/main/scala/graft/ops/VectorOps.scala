@@ -529,13 +529,13 @@ object VectorOps {
     * stores the exact (sum, count) rationals), so the oracle hashes are
     * unaffected; a regenerated fixture invalidates by fingerprint.
     */
-  private val centsCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, Array[(Int, Array[Long], Long)])]()
+  private[graft] val centsCache =
+    new DriverCache[String, (String, Array[(Int, Array[Long], Long)])](64)
   private[ops] def fittedCents(spark: SparkSession, d: String,
                                k: Int, iters: Int): DataFrame = {
     val fp = Fingerprint.of(d, "embeddings.parquet")
     val key = s"$d|k=$k|it=$iters"
-    val cached = centsCache.get(key)
+    val cached = centsCache.get(key).orNull
     val rows =
       if (cached != null && cached._1 == fp) cached._2
       else {
@@ -881,8 +881,8 @@ object VectorOps {
       cellGen: Map[Int, Int] = Map.empty,
       genCodebooks: Map[Int, Array[(Int, Int, Array[Long], Long)]] = Map.empty)
 
-  private val storeMetaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, IvfPqMeta)]()
+  private[graft] val storeMetaCache =
+    new DriverCache[String, (String, IvfPqMeta)](256)
 
   /** Load (and cache) a store's coarse cells + codebook on the driver.
     * Invalidation keys on the (path, length, mtime) set of the two
@@ -901,7 +901,7 @@ object VectorOps {
               walk(new java.io.File(s"$indexDir/codebook")) ++
               walk(new java.io.File(s"$indexDir/codebook2")))
       .map(f => s"${f.getPath}:${f.length}:${f.lastModified}").mkString("|")
-    val cached = storeMetaCache.get(indexDir)
+    val cached = storeMetaCache.get(indexDir).orNull
     if (cached != null && cached._1 == fp) cached._2
     else {
       val coarseDf = spark.read.parquet(s"$indexDir/coarse")
@@ -1199,8 +1199,8 @@ object VectorOps {
     * one small-file read per serve and catches every re-creation;
     * tombstones participate because they change frame content at the
     * same data-file set. */
-  private val storeFramesCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, DataFrame, DataFrame)]()
+  private[graft] val storeFramesCache =
+    new DriverCache[String, (Long, DataFrame, DataFrame)](256)
   private def storeFrames(spark: SparkSession,
                           indexDir: String): (DataFrame, DataFrame) = {
     val snap = IndexStore.snapshot(indexDir)
@@ -1208,7 +1208,7 @@ object VectorOps {
       scala.util.hashing.MurmurHash3.orderedHash(
         snap.codes ++ snap.vectors ++ snap.tombs).toLong
     val key = s"${System.identityHashCode(spark)}|$indexDir"
-    val cached = storeFramesCache.get(key)
+    val cached = storeFramesCache.get(key).orNull
     if (cached != null && cached._1 == sig) (cached._2, cached._3)
     else {
       val (codes, vecs) = IndexStore.frames(spark, indexDir, snap)
@@ -1223,8 +1223,8 @@ object VectorOps {
     * runs ZERO corpus-side jobs (queries arrive with the request in a
     * real server; here the fixture plays that role).
     */
-  private val queryRowsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Array[(Long, Array[Long])])]()
+  private[graft] val queryRowsCache =
+    new DriverCache[String, (String, Array[(Long, Array[Long])])](64)
   private[graft] def cachedQueryRows(spark: SparkSession, d: String,
       numQueries: Int): Array[(Long, Array[Long])] = {
     requireHeldOut(numQueries)
@@ -1235,7 +1235,7 @@ object VectorOps {
     val fp = walk(new java.io.File(s"$d/embeddings.parquet"))
       .map(f => s"${f.getPath}:${f.length}:${f.lastModified}").mkString("|")
     val key = s"$d|$numQueries"
-    val cached = queryRowsCache.get(key)
+    val cached = queryRowsCache.get(key).orNull
     if (cached != null && cached._1 == fp) cached._2
     else {
       val rows = Tables.embeddings(spark, d)

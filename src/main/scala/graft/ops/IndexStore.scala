@@ -670,7 +670,8 @@ object IndexStore {
                          vectors: Seq[String],
                          marks: Seq[String] = Nil,
                          seqs: Seq[String] = Nil,
-                         tombs: Seq[String] = Nil): Boolean = {
+                         tombs: Seq[String] = Nil,
+                         extra: Seq[String] = Nil): Boolean = {
     io(dir).mkdirs("_manifest")
     ensureStoreId(dir)
     // the trailing COMMIT MARKER distinguishes a manifest this CAS
@@ -686,6 +687,7 @@ object IndexStore {
                 marks.map(f => s"marks\t$f") ++
                 seqs.map(f => s"seqs\t$f") ++
                 tombs.map(f => s"tombs\t$f") ++
+                extra ++
                 Seq(COMMIT_MARKER)).mkString("\n")
     // the CAS itself, behind the IO seam (locally it routes through
     // the active [[CommitPrimitive]]): exactly one of N racing writers
@@ -841,6 +843,39 @@ object IndexStore {
   def lastReplaceVersion(dir: String): Option[Int] =
     props(dir).get("last_replace_version").map(_.toInt)
 
+  /** Thrown by [[commitReplace]] when ANOTHER replacement committed
+    * between `base` and the publish attempt (round 19, the
+    * MaintenanceRaceSpec matrix): two REPLACEMENTS over overlapping
+    * content cannot compose through the append-biased OCC carry — the
+    * loser's carry (`now -- base`) would adopt the winner's rewrite
+    * files ALONGSIDE its own rewrite of the same rows, duplicating
+    * them in the published snapshot. Appends and forgets compose fine
+    * and never trip this; DISJOINT-scope refines would compose too,
+    * but the manifest marker carries no scope, so the guard
+    * conservatively aborts every replacement-vs-replacement race
+    * (concurrent refines of different cells are not a pattern any
+    * operator here runs; scoping the marker is the refinement if one
+    * appears). The aborted caller's staged rewrite was computed
+    * against a superseded base; re-run it from the winner's snapshot —
+    * [[compact]] does exactly that, automatically. Detection rides IN
+    * the manifest (a `replace\t<baseVersion>` line), so it is
+    * CAS-ordered and fence-independent — a props-based check would
+    * race its own publish. The conflict window is bounded by manifest
+    * retention: vacuuming BELOW an in-flight replacement's base while
+    * it runs is outside the vacuum contract anyway (it would also
+    * delete files the staged rewrite still reads). */
+  final case class ConcurrentReplacementException(dir: String,
+      baseVersion: Int, winnerVersion: Int)
+    extends RuntimeException(
+      s"IndexStore: a concurrent replacement committed v$winnerVersion of " +
+      s"$dir while this replacement was staged against v$baseVersion — " +
+      "re-run the rewrite from the current snapshot")
+
+  private val REPLACE_PREFIX = "replace\t"
+  private def isReplaceManifest(dir: String, v: Int): Boolean =
+    io(dir).readBytes(s"_manifest/v$v.list").exists(b =>
+      new String(b, "UTF-8").split('\n').exists(_.startsWith(REPLACE_PREFIX)))
+
   def commitReplace(dir: String, base: Snapshot)(write: => Unit): Int =
     withWriterLock(dir) {
       val preWrite = Seq("codes", "vectors", "marks", "seqs", "tombs")
@@ -862,13 +897,20 @@ object IndexStore {
         // rows the rewrite already dropped — only forgets that landed
         // AFTER `base` (now -- base) stay merge-on-read.
         val now = snapshotOrEmpty(dir)
+        // replacement-vs-replacement conflict check, re-run per attempt
+        // over exactly the versions the carry would adopt (missing
+        // manifests in the range — skipped orphan numbers — read false)
+        ((base.version + 1) to now.version).find(isReplaceManifest(dir, _))
+          .foreach(w => throw ConcurrentReplacementException(
+            dir, base.version, w))
         v = math.max(now.version, v) + 1
         done = publishCas(dir, v,
           (added("codes") ++ (now.codes.toSet -- base.codes.toSet)).toSeq.sorted,
           (added("vectors") ++ (now.vectors.toSet -- base.vectors.toSet)).toSeq.sorted,
           (added("marks") ++ (now.marks.toSet -- base.marks.toSet)).toSeq.sorted,
           (added("seqs") ++ (now.seqs.toSet -- base.seqs.toSet)).toSeq.sorted,
-          (added("tombs") ++ (now.tombs.toSet -- base.tombs.toSet)).toSeq.sorted)
+          (added("tombs") ++ (now.tombs.toSet -- base.tombs.toSet)).toSeq.sorted,
+          extra = Seq(s"$REPLACE_PREFIX${base.version}"))
       }
       setPropsLocked(dir, Map("last_replace_version" -> v.toString))
       v
@@ -1216,13 +1258,16 @@ object IndexStore {
     * snapshot referencing only the moves publishes atomically; the old
     * files await [[vacuum]]. No corpus-sized driver state anywhere —
     * the shuffle is the compaction, as it must be at 100 TB. */
-  def compact(spark: SparkSession, dir: String,
-              maxRecordsPerFile: Long = 1L << 20): Int = {
+  private def compactOnce(spark: SparkSession, dir: String,
+                          maxRecordsPerFile: Long): Int = {
     val snap = snapshot(dir)
     val (codes, vectors) =
       frames(spark, dir, snap, Some(CODES_DDL), Some(VECTORS_DDL))
+    // pid AND thread id: two unfenced compactions of one store (the
+    // MaintenanceRaceSpec matrix) must never share a staging tree
     val staging =
-      s".compact_v${snap.version}_${ProcessHandle.current().pid()}"
+      s".compact_v${snap.version}_${ProcessHandle.current().pid()}" +
+        s"-${Thread.currentThread().getId}"
     def rewrite(df: DataFrame, sub: String): Unit =
       df.repartition(col("cell"))
         .write.mode("overwrite")
@@ -1246,5 +1291,32 @@ object IndexStore {
       adopt("codes"); adopt("vectors"); adopt("marks"); adopt("seqs")
     }
     finally io(dir).deleteRecursive(staging)
+  }
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** [[compactOnce]] with the replacement-conflict retry: a
+    * [[ConcurrentReplacementException]] means another replacement won
+    * the race and our rewrite is stale — recompact from the winner's
+    * snapshot (the aborted attempt's adopted-but-unreferenced files
+    * are vacuum fodder, exactly like a crash's). Bounded: two
+    * mutually-racing compactions resolve on the first retry; more
+    * means something is re-compacting in a loop and should fail by
+    * name. */
+  def compact(spark: SparkSession, dir: String,
+              maxRecordsPerFile: Long = 1L << 20): Int = {
+    var attempts = 0
+    while (true) {
+      try return compactOnce(spark, dir, maxRecordsPerFile)
+      catch {
+        case e: ConcurrentReplacementException =>
+          attempts += 1
+          if (attempts >= 3) throw e
+          log.warn(s"IndexStore.compact($dir): lost a replacement race " +
+            s"to v${e.winnerVersion}; recompacting from the new head " +
+            s"(attempt ${attempts + 1})")
+      }
+    }
+    sys.error("unreachable")
   }
 }

@@ -2253,6 +2253,79 @@ object VectorOps {
         .orderBy(col("kind"), col("id"))
     }),
 
+    // ---- q181: the LOCALIZED drift response (round 19, VERDICT r18
+    // Next #5) — q176's tick-2 blob is deliberately corpus-sized
+    // (half the seed), which prices the worst case; the regime
+    // deployments actually run is a NARROW drift (one upstream domain
+    // shifts) whose response must cost O(cells-drifted), not
+    // O(corpus). One streamed tick lands a blob of only mx/8 shifted
+    // ids; the policy must fire (every appended row is
+    // off-distribution — the global trigger is blob-size-invariant),
+    // the refine must touch only the blob's landing cells (the
+    // proportionality guard would DECLINE a corpus-sized selection at
+    // these knobs), and the held-out blob-region serves must come
+    // back all-blob. Same closed-form oracle arms as q176, one tick.
+    // Priced per-round in the bench and at sf0.001/0.01/0.1/1 in the
+    // tri-scale sweep — the artifact row the q176 worst case lacked.
+    "q181_ann_drift_local" -> ((s, d) => {
+      import s.implicits._
+      val emb = Tables.rebalance(Tables.embeddings(s, d))
+      val mx = emb.agg(max(col("vec_id"))).head.getLong(0)
+      val c9 = mx * 9L / 10L
+      val blobOff = mx + 1L // derived, never fixed (ADVICE r18 #4)
+      val zone = graft.jobs.JobRecordGate.freshZone("graft-driftloc-", d)
+      val dir = new java.io.File(zone, "index").getAbsolutePath
+      DedupLedger.cloneStore(ensureIvfPq90Index(s, d, GATED_K), dir)
+      val landing = new java.io.File(zone, "in").getAbsolutePath
+      val ckpt = new java.io.File(zone, "ck").getAbsolutePath
+      val ss = graft.streaming.StreamConf.stateSession(s, 8)
+      def stream = ss.readStream
+        .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+        .parquet(landing)
+      emb.filter(col("vec_id") < mx / 8L)
+        .select((col("vec_id") + lit(blobOff)).as("vec_id"),
+          expr("transform(embedding, x -> x + CAST(2.0 AS FLOAT))")
+            .as("embedding"),
+          col("label"))
+        .repartition(1).write.mode("overwrite").parquet(landing)
+      graft.streaming.IndexMaintenance.driftSink(stream, dir, ckpt,
+        minCellMass = 20L, refineIters = 1, maxRefineFraction = 0.75)
+        .start().awaitTermination()
+      val props = IndexStore.props(dir)
+      val parts = props.getOrElse("drift_policy_b0", "0:0:0").split(':')
+      require(parts(0).toInt == 1 && parts(1).toInt > 0,
+        s"q181 premise: the localized blob must fire the policy AND " +
+        s"drive a cell-local refine (got drift_policy_b0=" +
+        s"${props.getOrElse("drift_policy_b0", "?")}) — if the fixture " +
+        "shrank below minCellMass=20 per landing cell, widen the blob")
+      val polDf = Seq(
+        ("policy", 1L, parts(0).toInt),
+        ("refined", 1L, if (parts(1).toInt > 0) 1 else 0))
+        .toDF("kind", "id", "val")
+      val qRows = emb.filter(col("vec_id") >= c9 && col("vec_id") < c9 + 5L)
+        .select((col("vec_id") + lit(blobOff)).as("vec_id"),
+          expr("transform(embedding, x -> x + CAST(2.0 AS FLOAT))")
+            .as("embedding"))
+        .withColumn("q", expr(quantExpr))
+        .select(col("vec_id"), col("q")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+      val served = serveIvfPqStoredRows(s, dir, qRows,
+          probes = IVFPQ_PROBES, rerank = IVFPQ_RERANK, topK = 5)
+        .groupBy(col("qid"))
+        .agg(min(when(col("vec_id") >= blobOff, lit(1)).otherwise(lit(0)))
+          .as("val"))
+        .select(lit("serve").as("kind"), col("qid").as("id"),
+          col("val").cast("int").as("val"))
+      val (codesF, vecsF) = IndexStore.frames(s, dir, IndexStore.snapshot(dir))
+      vecsF.select(lit("stored").as("kind"),
+          col("vec_id").cast("long").as("id"), lit(1).as("val"))
+        .unionByName(codesF.select(lit("coded").as("kind"),
+          col("vec_id").cast("long").as("id"), lit(1).as("val")))
+        .unionByName(served)
+        .unionByName(polDf)
+        .orderBy(col("kind"), col("id"))
+    }),
+
     // ---- q180: a TAKEDOWN SURVIVES incremental maintenance (round 18
     // — the oracle-level pin for ADVICE r17's resurrection hazard).
     // Seed vectors vec_id % 50 = 3 are forgotten FIRST; a diverged
@@ -3004,6 +3077,30 @@ object VectorOps {
         |  SELECT 'refined', CAST(t AS BIGINT),
         |         CASE WHEN t = 2 THEN 1 ELSE 0 END
         |  FROM (VALUES (1), (2), (3)) AS p(t)
+        |  UNION ALL
+        |  SELECT 'serve', (m.mx * 9) // 10 + m.mx + 1 + r.i, 1
+        |  FROM m, range(5) AS r(i))
+        |SELECT kind, id, val FROM rows_ ORDER BY kind, id""".stripMargin,
+
+    // q181: the q176 arms, one LOCALIZED tick — seed below the 90%
+    // line, blob = shifted ids below mx//8 at the derived offset,
+    // policy fired + refined on the single batch, all-blob serves
+    "q181_ann_drift_local" ->
+      """WITH m AS (SELECT max(vec_id) AS mx FROM embeddings),
+        |ids AS (
+        |  SELECT e.vec_id FROM embeddings e, m
+        |  WHERE e.vec_id < (m.mx * 9) // 10
+        |  UNION ALL
+        |  SELECT e.vec_id + m.mx + 1 FROM embeddings e, m
+        |  WHERE e.vec_id < m.mx // 8),
+        |rows_ AS (
+        |  SELECT 'stored' AS kind, vec_id AS id, 1 AS val FROM ids
+        |  UNION ALL
+        |  SELECT 'coded', vec_id, 1 FROM ids
+        |  UNION ALL
+        |  SELECT 'policy', CAST(1 AS BIGINT), 1
+        |  UNION ALL
+        |  SELECT 'refined', CAST(1 AS BIGINT), 1
         |  UNION ALL
         |  SELECT 'serve', (m.mx * 9) // 10 + m.mx + 1 + r.i, 1
         |  FROM m, range(5) AS r(i))

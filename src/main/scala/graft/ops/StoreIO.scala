@@ -82,13 +82,18 @@ private[graft] object StoreIO {
     * sequentially. */
   @volatile private[graft] var forceHadoopForTest: Boolean = false
 
-  /** Hadoop configuration source for remote handles. A deployment
-    * points this at `spark.sparkContext.hadoopConfiguration` once at
-    * startup so credentials/endpoints flow to the manifest IO exactly
-    * as they do to Spark's own data IO; the default is sufficient for
-    * file:// and vanilla-config HDFS. */
+  /** Hadoop configuration source for remote handles. The default
+    * reads the ACTIVE SparkSession's hadoopConfiguration when one
+    * exists — credentials/endpoints (s3a keys, defaultFS) flow to the
+    * manifest IO exactly as they do to Spark's own data IO with zero
+    * wiring — and falls back to a vanilla Configuration (sufficient
+    * for file:// and default-config HDFS) in session-less unit code.
+    * Deployments with unusual topology can still override. */
   @volatile private[graft] var hadoopConf: () => org.apache.hadoop.conf.Configuration =
-    () => new org.apache.hadoop.conf.Configuration()
+    () => org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
 
   def forDir(dir: String): StoreIO =
     if (dir.contains("://"))

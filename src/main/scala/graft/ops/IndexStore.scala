@@ -751,7 +751,7 @@ object IndexStore {
   def commitDelta(dir: String, tag: Option[String] = None)
                  (write: => Unit): Int =
     withWriterLock(dir) {
-      if (tag.exists(committedTags(dir).contains))
+      if (tag.exists(isTagCommitted(dir, _)))
         headVersion(dir).getOrElse(0)
       else {
         val preWrite = Seq("codes", "vectors", "marks", "seqs", "tombs")
@@ -793,18 +793,47 @@ object IndexStore {
   def dataFileSize(dir: String, sub: String, rel: String): Long =
     io(dir).size(s"$sub/$rel")
 
-  /** Tags of every delta commit ever published (append-only; survives
-    * vacuum). */
-  def committedTags(dir: String): Set[String] =
-    io(dir).readBytes("_manifest/tags.log")
+  /** Tag records live as ONE MARKER FILE PER TAG
+    * (`_manifest/tags/<sha256(tag)>`, content = the tag text), created
+    * with the same put-if-absent primitive as manifests (round 19):
+    * the replay-idempotency gate is then one O(1) existence probe per
+    * delta commit instead of a full `tags.log` read — which on a
+    * long-lived per-tick store grew the gate linearly with history,
+    * and whose object-store append form was a read-modify-write that
+    * could LOSE a tag under cross-process writers (exactly the
+    * replay-protection gap it existed to close). Legacy `tags.log`
+    * stores keep reading: the gate falls back to the log when the
+    * marker misses, and [[committedTags]] unions both. Vacuum never
+    * touches either (same retention contract as before). */
+  private def tagMarker(tag: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(tag.getBytes("UTF-8"))
+    s"_manifest/tags/${d.map("%02x".format(_)).mkString}"
+  }
+
+  private def isTagCommitted(dir: String, tag: String): Boolean =
+    io(dir).exists(tagMarker(tag)) ||
+      io(dir).readBytes("_manifest/tags.log").exists(b =>
+        new String(b, "UTF-8").split('\n').contains(tag))
+
+  /** Tags of every delta commit ever published (survives vacuum) —
+    * the audit surface; the commit gate uses the O(1)
+    * [[isTagCommitted]] probe instead. */
+  def committedTags(dir: String): Set[String] = {
+    val legacy = io(dir).readBytes("_manifest/tags.log")
       .map(b => new String(b, "UTF-8").split('\n').filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
+    val markers = io(dir).list("_manifest/tags").flatMap(n =>
+      io(dir).readBytes(s"_manifest/tags/$n")
+        .map(new String(_, "UTF-8"))).toSet
+    legacy ++ markers
+  }
 
   private def recordTag(dir: String, tag: String): Unit = {
     require(!tag.contains('\n'), "commit tag must be single-line")
-    // append happens only inside the writer lock (commitDelta), so the
-    // non-local impl's read-modify-write form is race-free
-    io(dir).appendBytes("_manifest/tags.log", s"$tag\n".getBytes("UTF-8"))
+    io(dir).mkdirs("_manifest/tags")
+    io(dir).createExclusive(tagMarker(tag), tag.getBytes("UTF-8"))
+    ()
   }
 
   /** Commit a FULL (re)build: `write` replaces the data directories

@@ -741,16 +741,24 @@ object IndexStore {
     * part files), then publish previous-snapshot ∪ the files that
     * appeared. Returns the new version.
     *
-    * `tag` makes the commit IDEMPOTENT: a tag already recorded in the
-    * store's tag log skips the write entirely and returns the current
-    * version — the contract a streaming writer needs, because
-    * foreachBatch replays a micro-batch after a failure and an untagged
-    * append would ingest the batch twice. Tags live in an append-only
-    * `_manifest/tags.log` that [[vacuum]] never touches, so the replay
-    * horizon is not bounded by manifest retention. */
+    * `tag` makes the commit IDEMPOTENT: a tag already recorded skips
+    * the write entirely and returns the current version — the contract
+    * a streaming writer needs, because foreachBatch replays a
+    * micro-batch after a failure and an untagged append would ingest
+    * the batch twice. The tag rides IN the committed manifest
+    * (`tag\t<tag>` line), so it is ATOMIC with the commit itself — a
+    * crash between the manifest CAS and the marker-file write (the
+    * round-19 review's last replay hole) cannot make the replay
+    * re-ingest: [[healTagMarkers]] re-derives the marker from the
+    * retained manifest before the gate runs. Markers survive vacuum
+    * (which heals before pruning manifests), so the replay horizon is
+    * not bounded by manifest retention. */
   def commitDelta(dir: String, tag: Option[String] = None)
                  (write: => Unit): Int =
     withWriterLock(dir) {
+      tag.foreach(t => require(!t.contains('\n'),
+        "commit tag must be single-line"))
+      healTagMarkers(dir)
       if (tag.exists(isTagCommitted(dir, _)))
         headVersion(dir).getOrElse(0)
       else {
@@ -779,8 +787,12 @@ object IndexStore {
             (before.vectors ++ added("vectors")).distinct,
             (before.marks ++ added("marks")).distinct,
             (before.seqs ++ added("seqs")).distinct,
-            (before.tombs ++ added("tombs")).distinct)
+            (before.tombs ++ added("tombs")).distinct,
+            extra = tag.map(t => s"$TAG_PREFIX$t").toSeq)
         }
+        // the marker is the O(1) fast path, not the commit point: the
+        // manifest line above already made the tag durable, so a crash
+        // HERE is healed from the manifest on the next gate pass
         tag.foreach(recordTag(dir, _))
         v
       }
@@ -793,22 +805,68 @@ object IndexStore {
   def dataFileSize(dir: String, sub: String, rel: String): Long =
     io(dir).size(s"$sub/$rel")
 
-  /** Tag records live as ONE MARKER FILE PER TAG
-    * (`_manifest/tags/<sha256(tag)>`, content = the tag text), created
-    * with the same put-if-absent primitive as manifests (round 19):
-    * the replay-idempotency gate is then one O(1) existence probe per
-    * delta commit instead of a full `tags.log` read — which on a
-    * long-lived per-tick store grew the gate linearly with history,
-    * and whose object-store append form was a read-modify-write that
-    * could LOSE a tag under cross-process writers (exactly the
-    * replay-protection gap it existed to close). Legacy `tags.log`
+  /** Tag durability is TWO-TIER (round 19). The commit point is the
+    * `tag\t<tag>` line inside the CAS-published manifest — atomic with
+    * the commit by construction. The fast path is ONE MARKER FILE PER
+    * TAG (`_manifest/tags/<sha256(tag)>`, content = the tag text),
+    * created with the same put-if-absent primitive as manifests right
+    * after the CAS: the replay-idempotency gate is then one O(1)
+    * existence probe per delta commit instead of a full `tags.log`
+    * read — which on a long-lived per-tick store grew the gate
+    * linearly with history, and whose object-store append form was a
+    * read-modify-write that could LOSE a tag under cross-process
+    * writers (exactly the replay-protection gap it existed to close).
+    * A crash between the CAS and the marker write is closed by
+    * [[healTagMarkers]]: every gate pass (and every vacuum, BEFORE it
+    * prunes manifests) re-derives markers from manifests above the
+    * `_manifest/tags_healed` watermark — O(commits since last heal)
+    * small reads, amortized one manifest per commit. Legacy `tags.log`
     * stores keep reading: the gate falls back to the log when the
-    * marker misses, and [[committedTags]] unions both. Vacuum never
-    * touches either (same retention contract as before). */
+    * marker misses, and [[committedTags]] unions all three tiers.
+    * Vacuum never touches markers or the log (same retention contract
+    * as before). */
+  private val TAG_PREFIX = "tag\t"
+
   private def tagMarker(tag: String): String = {
     val d = java.security.MessageDigest.getInstance("SHA-256")
       .digest(tag.getBytes("UTF-8"))
     s"_manifest/tags/${d.map("%02x".format(_)).mkString}"
+  }
+
+  /** Versions with a manifest file currently present (retained). */
+  private def retainedManifestVersions(dir: String): Seq[Int] =
+    io(dir).list("_manifest")
+      .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
+        scala.util.Try(n.stripPrefix("v").stripSuffix(".list").toInt).toOption }
+      .flatten
+
+  private def manifestTags(dir: String, v: Int): Seq[String] =
+    io(dir).readBytes(s"_manifest/v$v.list").toSeq.flatMap(b =>
+      new String(b, "UTF-8").split('\n').toSeq
+        .collect { case l if l.startsWith(TAG_PREFIX) =>
+          l.substring(TAG_PREFIX.length) })
+
+  /** Re-derive tag markers from manifests committed since the last
+    * heal — the recovery path for a writer that died between its
+    * manifest CAS and its marker write. Runs under the writer lock
+    * (commitDelta gate, vacuum). The watermark can only regress under
+    * UNFENCED cross-process writers (object stores), where a
+    * regression merely re-scans a few manifests: marker creation is
+    * put-if-absent-idempotent. */
+  private def healTagMarkers(dir: String): Unit = {
+    val w = io(dir).readBytes("_manifest/tags_healed")
+      .flatMap(b => scala.util.Try(new String(b, "UTF-8").trim.toInt).toOption)
+      .getOrElse(0)
+    val head = headVersion(dir).getOrElse(0)
+    if (head > w) {
+      for (v <- retainedManifestVersions(dir) if v > w && v <= head;
+           t <- manifestTags(dir, v)) {
+        io(dir).mkdirs("_manifest/tags")
+        io(dir).createExclusive(tagMarker(t), t.getBytes("UTF-8"))
+      }
+      io(dir).writeAtomic("_manifest/tags_healed",
+        head.toString.getBytes("UTF-8"))
+    }
   }
 
   private def isTagCommitted(dir: String, tag: String): Boolean =
@@ -818,7 +876,8 @@ object IndexStore {
 
   /** Tags of every delta commit ever published (survives vacuum) —
     * the audit surface; the commit gate uses the O(1)
-    * [[isTagCommitted]] probe instead. */
+    * [[isTagCommitted]] probe instead. Unions all three tiers so an
+    * un-healed crash window is visible here too. */
   def committedTags(dir: String): Set[String] = {
     val legacy = io(dir).readBytes("_manifest/tags.log")
       .map(b => new String(b, "UTF-8").split('\n').filter(_.nonEmpty).toSet)
@@ -826,11 +885,12 @@ object IndexStore {
     val markers = io(dir).list("_manifest/tags").flatMap(n =>
       io(dir).readBytes(s"_manifest/tags/$n")
         .map(new String(_, "UTF-8"))).toSet
-    legacy ++ markers
+    val inManifests = retainedManifestVersions(dir)
+      .flatMap(manifestTags(dir, _)).toSet
+    legacy ++ markers ++ inManifests
   }
 
   private def recordTag(dir: String, tag: String): Unit = {
-    require(!tag.contains('\n'), "commit tag must be single-line")
     io(dir).mkdirs("_manifest/tags")
     io(dir).createExclusive(tagMarker(tag), tag.getBytes("UTF-8"))
     ()
@@ -983,6 +1043,11 @@ object IndexStore {
              if io(dir).isDirectory(s"$sub/$d") &&
                io(dir).list(s"$sub/$d").isEmpty)
         io(dir).delete(s"$sub/$d")
+      // tags carried only in about-to-be-pruned manifests (a writer
+      // that died between its CAS and its marker write) must become
+      // markers BEFORE the manifests go, or the replay horizon would
+      // shrink to the retention window
+      healTagMarkers(dir)
       val keptNames = kept.map(s => s"v${s.version}.list").toSet
       io(dir).list("_manifest")
         .filter(nm => nm.startsWith("v") && nm.endsWith(".list"))

@@ -635,4 +635,82 @@ class IndexStoreSpec extends SparkSpec {
         Set(0L, 1L))
     } finally sim.reset()
   }
+
+  private def sha256hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("a crash between the manifest CAS and the tag marker write " +
+       "cannot double-ingest on replay (round-19 review: the tag rides " +
+       "in the manifest; markers heal from retained manifests)") {
+    val dir = java.nio.file.Files.createTempDirectory("idx-tagcrash").toString
+    IndexStore.commitRebuild(dir) {
+      Seq((0, "base", 0L)).toDF("cell", "h", "owner")
+        .write.mode("overwrite").parquet(s"$dir/codes")
+      Seq((0, 0L, Seq(1L))).toDF("cell", "doc_id", "sig")
+        .write.mode("overwrite").parquet(s"$dir/vectors")
+    }
+    IndexStore.commitDelta(dir, Some("batch-42")) {
+      Seq((1, "h1", 1L)).toDF("cell", "h", "owner")
+        .write.mode("append").parquet(s"$dir/codes")
+    }
+    val vTagged = IndexStore.headVersion(dir).get
+    // simulate the crash: the CAS'd manifest exists, the marker (and
+    // the heal watermark that would have noticed it) do not
+    val marker = new java.io.File(dir,
+      s"_manifest/tags/${sha256hex("batch-42")}")
+    assert(marker.isFile, "premise: the fast-path marker was written")
+    assert(marker.delete())
+    assert(new java.io.File(dir, "_manifest/tags_healed").delete())
+    assert(IndexStore.committedTags(dir).contains("batch-42"),
+      "the audit surface must still see the manifest-carried tag")
+
+    // the foreachBatch replay: same tag — must be a complete no-op
+    IndexStore.commitDelta(dir, Some("batch-42")) {
+      Seq((1, "h1b", 1L)).toDF("cell", "h", "owner")
+        .write.mode("append").parquet(s"$dir/codes")
+    }
+    assert(IndexStore.headVersion(dir).contains(vTagged),
+      "replay after a pre-marker crash published a new version " +
+      "(double-ingest — the exact hazard the manifest-carried tag closes)")
+    val (codes, _) = IndexStore.frames(spark, dir, IndexStore.snapshot(dir))
+    assert(codes.count() == 2, "replayed batch rows were ingested twice")
+    assert(marker.isFile, "the gate pass must heal the marker back")
+  }
+
+  test("vacuum heals manifest-carried tags into markers BEFORE pruning " +
+       "manifests, so the replay horizon survives retention") {
+    val dir = java.nio.file.Files.createTempDirectory("idx-tagvac").toString
+    IndexStore.commitRebuild(dir) {
+      Seq((0, "base", 0L)).toDF("cell", "h", "owner")
+        .write.mode("overwrite").parquet(s"$dir/codes")
+      Seq((0, 0L, Seq(1L))).toDF("cell", "doc_id", "sig")
+        .write.mode("overwrite").parquet(s"$dir/vectors")
+    }
+    IndexStore.commitDelta(dir, Some("tick-1")) {
+      Seq((1, "h1", 1L)).toDF("cell", "h", "owner")
+        .write.mode("append").parquet(s"$dir/codes")
+    }
+    // bury the tagged manifest under an untagged commit, then recreate
+    // the crash state (no marker, no watermark)
+    IndexStore.commitDelta(dir) {
+      Seq((2, "h2", 2L)).toDF("cell", "h", "owner")
+        .write.mode("append").parquet(s"$dir/codes")
+    }
+    val marker = new java.io.File(dir,
+      s"_manifest/tags/${sha256hex("tick-1")}")
+    assert(marker.delete())
+    assert(new java.io.File(dir, "_manifest/tags_healed").delete())
+
+    IndexStore.vacuum(dir, keepLast = 1)
+    assert(marker.isFile,
+      "vacuum pruned the tagged manifest without healing its marker")
+    val head = IndexStore.headVersion(dir).get
+    IndexStore.commitDelta(dir, Some("tick-1")) {
+      Seq((1, "h1c", 1L)).toDF("cell", "h", "owner")
+        .write.mode("append").parquet(s"$dir/codes")
+    }
+    assert(IndexStore.headVersion(dir).contains(head),
+      "post-vacuum replay of a healed tag double-ingested")
+  }
 }

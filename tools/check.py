@@ -7,9 +7,36 @@ SQL from oracle_sql.json in DuckDB against the same parquet tables,
 sorts columns by name, sorts rows, and hash-compares values.
 
 Usage: python3 tools/check.py <sfDir> <outDir>
+
+CHECK_TIMEOUT_S (env, default 900): per-oracle wall budget. DuckDB's
+plan choice is run-variant at sf1 (round 19: q137's unchanged oracle
+ground 2+ h on a run that historically took minutes), so one
+pathological plan must never serialize the whole sweep — an oracle
+past its budget is interrupted and reported as TIMEOUT(name), counted
+as a failure, and the sweep moves on. Set 0 to disable.
 """
-import sys, os, json, hashlib
+import sys, os, json, hashlib, threading
 import duckdb
+
+TIMEOUT_S = float(os.environ.get("CHECK_TIMEOUT_S", "900"))
+
+def run_with_timeout(con, fn):
+    """fn(con) under the per-oracle budget: a watchdog thread calls
+    con.interrupt() at the deadline, which makes the in-flight DuckDB
+    call raise InterruptException promptly."""
+    if TIMEOUT_S <= 0:
+        return fn(con)
+    done = threading.Event()
+    def watchdog():
+        if not done.wait(TIMEOUT_S):
+            con.interrupt()
+    t = threading.Thread(target=watchdog, daemon=True)
+    t.start()
+    try:
+        return fn(con)
+    finally:
+        done.set()
+        t.join()
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -43,12 +70,19 @@ def main(sf_dir, out_dir):
         if not os.path.isdir(res_dir):
             print(f"FAIL {name}: no spark output dir"); n_fail += 1; continue
         try:
-            spark_rel = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'")
-            s_cols = [c.lower() for c in spark_rel.columns]
-            s_rows = spark_rel.fetchall()
-            duck_rel = con.sql(sql)
-            d_cols = [c.lower() for c in duck_rel.columns]
-            d_rows = duck_rel.fetchall()
+            def fetch_both(c):
+                spark_rel = c.sql(f"SELECT * FROM '{res_dir}/*.parquet'")
+                s_cols = [x.lower() for x in spark_rel.columns]
+                s_rows = spark_rel.fetchall()
+                duck_rel = c.sql(sql)
+                d_cols = [x.lower() for x in duck_rel.columns]
+                d_rows = duck_rel.fetchall()
+                return s_cols, s_rows, d_cols, d_rows
+            s_cols, s_rows, d_cols, d_rows = run_with_timeout(con, fetch_both)
+        except duckdb.InterruptException:
+            print(f"TIMEOUT {name}: oracle exceeded {TIMEOUT_S:.0f}s "
+                  "(pathological DuckDB plan? counted as FAIL)")
+            n_fail += 1; continue
         except Exception as e:
             print(f"FAIL {name}: {str(e).splitlines()[0][:200]}"); n_fail += 1; continue
         if sorted(s_cols) != sorted(d_cols):

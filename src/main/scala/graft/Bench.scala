@@ -32,6 +32,39 @@ object Bench {
     // queries; unset (the driver's mode) runs the full catalog
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // ---- box-state canary (round 20, VERDICT r19 Next #2). The bench
+    // box has twice degraded to a UNIFORM 1.3-2.8x per-query inflation
+    // that `uptime` cannot see (r18/r19 burned a session each
+    // adjudicating "is this run believable"). Make it mechanical:
+    // before the catalog, time a fixed CONTROL family (code untouched
+    // since round 6 — pure relational/text, no stores, no streams),
+    // compare against the recorded baseline, and carry `box_factor` in
+    // the artifact so the discard/keep decision stops being prose.
+    // The baseline was recorded at local[32]/sf0.1 on a fresh idle box
+    // (round-20 baseline run, control min-sum over 2 reps/query);
+    // other core counts / SFs / dev-loop subsets get no factor — the
+    // constant would not be comparable there.
+    val control = Seq("q01_pricing_summary", "q02_topk_orders",
+      "q03_shipping_priority", "q05_region_revenue", "q13_window_rank",
+      "q16_set_ops", "q42_trigram_freq", "q47_dedup_exact")
+    val controlBaseline = 3.05 // sec — r20 fresh-box control min-sum
+    val controlSum: Option[Double] =
+      if (only.isEmpty && sfDir.endsWith("sf0.1") && cpus == "32") Some {
+        control.map { n =>
+          val fn = SparkEntry.queries(n)
+          (0 until 2).map { _ =>
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).count()
+            (System.nanoTime() - t0) / 1e9
+          }.min
+        }.sum
+      } else None
+    val boxFactor = controlSum.map(_ / controlBaseline)
+    boxFactor.filter(_ > 1.15).foreach { f =>
+      println(f"BOX_WARN: control family at ${f}%.2fx the recorded " +
+        "idle-box baseline — per-query numbers in this artifact are " +
+        "likely uniformly inflated by box state, not code")
+    }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(f => f.exists(name.startsWith)) }
     // q128/q129/q130 serve from a persisted index; build it here,
@@ -100,7 +133,13 @@ object Bench {
     // (failures are in `failed`, never mixed into a count that reads as
     // "measured").
     val nOk = results.count(_._2 >= 0)
-    val summary = s""""metric":"total","unit":"sec","value":$total,"total_min":$totalMin,"n_ok":$nOk,"n_catalog":${results.size},"failed":$fs,"runs":$runs,"sf":"$sfDir""""
+    val bf = (controlSum, boxFactor) match {
+      case (Some(c), Some(f)) =>
+        s""","control_min_sum":${math.rint(c * 1000) / 1000}""" +
+        s""","box_factor":${math.rint(f * 1000) / 1000}"""
+      case _ => ""
+    }
+    val summary = s""""metric":"total","unit":"sec","value":$total,"total_min":$totalMin,"n_ok":$nOk,"n_catalog":${results.size},"failed":$fs,"runs":$runs$bf,"sf":"$sfDir""""
     val json = s"""{$summary,"queries":$qs,"queries_min":$qmins,$summary}"""
     println(json)
     // belt-and-braces: the full untruncated line as a repo-local file.

@@ -209,7 +209,8 @@ object DedupLedger {
         armFilesBefore(dir, _.vectors), "vectors",
         Some(bandsOf(IndexStore.frames(sigs.sparkSession, dir,
           IndexStore.snapshot(dir),
-          Some(IndexStore.CODES_DDL), Some(IndexStore.VECTORS_DDL))._2)))
+          Some(IndexStore.CODES_DDL), Some(IndexStore.VECTORS_DDL),
+          declaredSchema = true)._2)))
     }
   }
 
@@ -271,7 +272,8 @@ object DedupLedger {
     // store) keep IndexStore.frames' fail-loud default.
     requireModality(dir, snap.codes, "text", legacyAllowed = false)
     val (exact, sigs) = IndexStore.frames(spark, dir, snap,
-      Some(IndexStore.CODES_DDL), Some(IndexStore.VECTORS_DDL))
+      Some(IndexStore.CODES_DDL), Some(IndexStore.VECTORS_DDL),
+      declaredSchema = true) // text-ledger store by the gate above
     val bh = batch.select(col("doc_id").as("bdoc"), sha2(col("text"), 256).as("h"))
     val ex = exact.join(gate(bh), Seq("h"))
       .groupBy(col("bdoc")).agg(min(col("owner")).as("exact_of"))

@@ -756,8 +756,12 @@ object IndexStore {
   def commitDelta(dir: String, tag: Option[String] = None)
                  (write: => Unit): Int =
     withWriterLock(dir) {
-      tag.foreach(t => require(!t.contains('\n'),
-        "commit tag must be single-line"))
+      // non-empty: sha256("") is a degenerate idempotency key that
+      // would silently dedupe ALL empty-tagged commits; no CR/LF: the
+      // tag rides as a `tag\t<tag>` manifest LINE
+      tag.foreach(t => require(
+        t.nonEmpty && !t.exists(c => c == '\n' || c == '\r'),
+        "commit tag must be non-empty and single-line"))
       healTagMarkers(dir)
       if (tag.exists(isTagCommitted(dir, _)))
         headVersion(dir).getOrElse(0)
@@ -852,15 +856,29 @@ object IndexStore {
     * (commitDelta gate, vacuum). The watermark can only regress under
     * UNFENCED cross-process writers (object stores), where a
     * regression merely re-scans a few manifests: marker creation is
-    * put-if-absent-idempotent. */
+    * put-if-absent-idempotent.
+    *
+    * Cost (round 20): O(heal window) NAMED manifest reads — the
+    * versions in `(w, head]` are probed as `v<N>.list` by name
+    * ([[manifestTags]] returns empty on a vacuumed/skipped number, and
+    * vacuum heals BEFORE pruning so a pruned manifest's tags already
+    * have markers). The previous form listed the whole `_manifest`
+    * directory per gate pass — O(retained manifests), and LIST is the
+    * expensive primitive on object stores. One LIST remains as a
+    * fallback for the degenerate migration window (a store whose
+    * `tags_healed` watermark is far behind head — e.g. first heal of a
+    * long-lived pre-marker store), where probing every number in the
+    * gap would cost more than listing what is actually retained. */
   private def healTagMarkers(dir: String): Unit = {
     val w = io(dir).readBytes("_manifest/tags_healed")
       .flatMap(b => scala.util.Try(new String(b, "UTF-8").trim.toInt).toOption)
       .getOrElse(0)
     val head = headVersion(dir).getOrElse(0)
     if (head > w) {
-      for (v <- retainedManifestVersions(dir) if v > w && v <= head;
-           t <- manifestTags(dir, v)) {
+      val window: Seq[Int] =
+        if (head - w <= 1024) (w + 1) to head
+        else retainedManifestVersions(dir).filter(v => v > w && v <= head)
+      for (v <- window; t <- manifestTags(dir, v)) {
         io(dir).mkdirs("_manifest/tags")
         io(dir).createExclusive(tagMarker(t), t.getBytes("UTF-8"))
       }
@@ -1118,7 +1136,8 @@ object IndexStore {
   /** The snapshot's raw tombstone table (takedown audit surface). */
   def tombsFrame(spark: SparkSession, dir: String,
                  snap: Snapshot): DataFrame =
-    readOrEmpty(spark, dir, "tombs", snap.tombs, Some(TOMBS_DDL))
+    readOrEmpty(spark, dir, "tombs", snap.tombs, Some(TOMBS_DDL),
+      declaredSchema = true)
 
   /** The modality a tombstone file pins, read from its PATH —
     * [[forget]] partitions the tombstone parquet by `modality`, so the
@@ -1238,7 +1257,8 @@ object IndexStore {
     * not silently find zero history and admit every duplicate. */
   private def readOrEmpty(spark: SparkSession, dir: String, sub: String,
                           files: Seq[String],
-                          emptyDdl: Option[String]): DataFrame =
+                          emptyDdl: Option[String],
+                          declaredSchema: Boolean = false): DataFrame =
     if (files.isEmpty)
       emptyDdl match {
         case Some(ddl) =>
@@ -1250,20 +1270,39 @@ object IndexStore {
           "requires the modality (wrong store directory?); readers for " +
           "whom absence is legitimate pass an explicit empty-fallback DDL")
       }
-    else
-      spark.read.option("basePath", s"$dir/$sub")
+    else {
+      // `declaredSchema`: the caller asserts the DDL IS the table's
+      // schema (not merely the absent-table fallback), so it doubles
+      // as the READ schema — parquet footer-based inference costs a
+      // driver pass over file metadata per construct (round-20
+      // measurement: ~0.09 s vs ~0.03 s per 16-file table construct,
+      // and footer GETs are the expensive primitive on object stores).
+      // Callers whose DDL is only a fallback for a table that may
+      // carry a DIFFERENT live schema (compact over an ANN store's
+      // vec_id-shaped codes) keep inference. Column ORDER under a
+      // declared schema follows the DDL (partition col first) instead
+      // of inference's data-cols-then-partition-cols; every consumer
+      // selects by name (the empty fallback above has always returned
+      // DDL order, so order-sensitive use was never possible across
+      // the two paths).
+      val rd = spark.read.option("basePath", s"$dir/$sub")
+      emptyDdl.filter(_ => declaredSchema).fold(rd)(rd.schema)
         .parquet(files.map(f => s"$dir/$sub/$f"): _*)
+    }
 
   /** The snapshot's codes / vectors tables as DataFrames (see
     * [[readOrEmpty]]): absent tables FAIL by default; a caller that
     * tolerates single-modality stores (compact) passes fallback DDLs. */
   def frames(spark: SparkSession, dir: String, snap: Snapshot,
              codesDdl: Option[String] = None,
-             vectorsDdl: Option[String] = None): (DataFrame, DataFrame) =
+             vectorsDdl: Option[String] = None,
+             declaredSchema: Boolean = false): (DataFrame, DataFrame) =
     (applyTombs(spark, dir, snap, "codes",
-       readOrEmpty(spark, dir, "codes", snap.codes, codesDdl)),
+       readOrEmpty(spark, dir, "codes", snap.codes, codesDdl,
+         declaredSchema)),
      applyTombs(spark, dir, snap, "vectors",
-       readOrEmpty(spark, dir, "vectors", snap.vectors, vectorsDdl)))
+       readOrEmpty(spark, dir, "vectors", snap.vectors, vectorsDdl,
+         declaredSchema)))
 
   /** The marks table's schema — the fingerprint-ledger row shape every
     * marks consumer shares (DedupLedger's media/embedding arms,
@@ -1282,7 +1321,8 @@ object IndexStore {
   def marksFrame(spark: SparkSession, dir: String, snap: Snapshot,
                  ddl: String): DataFrame =
     applyTombs(spark, dir, snap, "marks",
-      readOrEmpty(spark, dir, "marks", snap.marks, Some(ddl)))
+      readOrEmpty(spark, dir, "marks", snap.marks, Some(ddl),
+        declaredSchema = true))
 
   /** INCREMENTAL reader: the rows ADDED between two snapshots, read
     * from ONLY the data files `to` references that `from` does not —
@@ -1334,7 +1374,8 @@ object IndexStore {
     * [[SEQS_DDL]], like every other modality a store never published. */
   def seqsFrame(spark: SparkSession, dir: String, snap: Snapshot): DataFrame =
     applyTombs(spark, dir, snap, "seqs",
-      readOrEmpty(spark, dir, "seqs", snap.seqs, Some(SEQS_DDL)))
+      readOrEmpty(spark, dir, "seqs", snap.seqs, Some(SEQS_DDL),
+        declaredSchema = true))
 
   /** [[diffMarks]] for the seqs table: the video sequences ADDED
     * between two snapshots (same append-only-range caveat). */

@@ -20,15 +20,26 @@ import duckdb
 
 TIMEOUT_S = float(os.environ.get("CHECK_TIMEOUT_S", "900"))
 
-def run_with_timeout(con, fn):
+def run_with_timeout(con, fn, fired_out):
     """fn(con) under the per-oracle budget: a watchdog thread calls
     con.interrupt() at the deadline, which makes the in-flight DuckDB
-    call raise InterruptException promptly."""
+    call raise InterruptException promptly.
+
+    `fired_out` (a list) receives True when the watchdog called
+    interrupt() — on BOTH the return and the raise path (set in the
+    finally, after join(), so it is final). If the watchdog fired but
+    fn() did not raise InterruptException (it finished or failed
+    otherwise at ~TIMEOUT_S, racing the watchdog), the interrupt flag
+    may still be pending on the shared connection and would cancel the
+    NEXT query — the caller must discard and recreate the
+    connection."""
     if TIMEOUT_S <= 0:
         return fn(con)
     done = threading.Event()
+    fired = threading.Event()
     def watchdog():
         if not done.wait(TIMEOUT_S):
+            fired.set()
             con.interrupt()
     t = threading.Thread(target=watchdog, daemon=True)
     t.start()
@@ -37,6 +48,10 @@ def run_with_timeout(con, fn):
     finally:
         done.set()
         t.join()
+        # after join() `fired` is final: no late interrupt can hit
+        # the connection past this point
+        if fired.is_set():
+            fired_out.append(True)
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -54,7 +69,7 @@ def df_hash(rows, cols):
         h.update(ln.encode("utf-8", "replace")); h.update(b"\n")
     return h.hexdigest()
 
-def main(sf_dir, out_dir):
+def connect(sf_dir):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -62,6 +77,10 @@ def main(sf_dir, out_dir):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
         elif os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+def main(sf_dir, out_dir):
+    con = connect(sf_dir)
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
     for name in sorted(oracle):
@@ -69,6 +88,7 @@ def main(sf_dir, out_dir):
         res_dir = os.path.join(out_dir, name)
         if not os.path.isdir(res_dir):
             print(f"FAIL {name}: no spark output dir"); n_fail += 1; continue
+        fired = []
         try:
             def fetch_both(c):
                 spark_rel = c.sql(f"SELECT * FROM '{res_dir}/*.parquet'")
@@ -78,12 +98,27 @@ def main(sf_dir, out_dir):
                 d_cols = [x.lower() for x in duck_rel.columns]
                 d_rows = duck_rel.fetchall()
                 return s_cols, s_rows, d_cols, d_rows
-            s_cols, s_rows, d_cols, d_rows = run_with_timeout(con, fetch_both)
+            s_cols, s_rows, d_cols, d_rows = \
+                run_with_timeout(con, fetch_both, fired)
+            if fired:
+                # the oracle finished at ~TIMEOUT_S racing the watchdog:
+                # a stale interrupt flag may be pending on the shared
+                # connection and would misreport the NEXT oracle as
+                # TIMEOUT — discard the possibly-poisoned connection
+                print(f"WARN {name}: watchdog fired but oracle "
+                      "completed; recreating connection")
+                con.close()
+                con = connect(sf_dir)
         except duckdb.InterruptException:
             print(f"TIMEOUT {name}: oracle exceeded {TIMEOUT_S:.0f}s "
                   "(pathological DuckDB plan? counted as FAIL)")
             n_fail += 1; continue
         except Exception as e:
+            if fired:
+                # watchdog fired during a non-interrupt failure: the
+                # stale flag could poison the next oracle — recreate
+                con.close()
+                con = connect(sf_dir)
             print(f"FAIL {name}: {str(e).splitlines()[0][:200]}"); n_fail += 1; continue
         if sorted(s_cols) != sorted(d_cols):
             print(f"FAIL {name}: cols spark={sorted(s_cols)} duck={sorted(d_cols)}")

@@ -1137,7 +1137,7 @@ object IndexStore {
   def tombsFrame(spark: SparkSession, dir: String,
                  snap: Snapshot): DataFrame =
     readOrEmpty(spark, dir, "tombs", snap.tombs, Some(TOMBS_DDL),
-      declaredSchema = true)
+      readSchema = Some(TOMBS_DDL))
 
   /** The modality a tombstone file pins, read from its PATH —
     * [[forget]] partitions the tombstone parquet by `modality`, so the
@@ -1258,7 +1258,7 @@ object IndexStore {
   private def readOrEmpty(spark: SparkSession, dir: String, sub: String,
                           files: Seq[String],
                           emptyDdl: Option[String],
-                          declaredSchema: Boolean = false): DataFrame =
+                          readSchema: Option[String] = None): DataFrame =
     if (files.isEmpty)
       emptyDdl match {
         case Some(ddl) =>
@@ -1271,38 +1271,58 @@ object IndexStore {
           "whom absence is legitimate pass an explicit empty-fallback DDL")
       }
     else {
-      // `declaredSchema`: the caller asserts the DDL IS the table's
-      // schema (not merely the absent-table fallback), so it doubles
-      // as the READ schema — parquet footer-based inference costs a
+      // `readSchema`: a schema KNOWN to describe these files (the
+      // caller's contract DDL, or the builder's `ddl.*` stamp) becomes
+      // the read schema — parquet footer-based inference costs a
       // driver pass over file metadata per construct (round-20
       // measurement: ~0.09 s vs ~0.03 s per 16-file table construct,
       // and footer GETs are the expensive primitive on object stores).
-      // Callers whose DDL is only a fallback for a table that may
-      // carry a DIFFERENT live schema (compact over an ANN store's
-      // vec_id-shaped codes) keep inference. Column ORDER under a
-      // declared schema follows the DDL (partition col first) instead
-      // of inference's data-cols-then-partition-cols; every consumer
-      // selects by name (the empty fallback above has always returned
-      // DDL order, so order-sensitive use was never possible across
-      // the two paths).
+      // Readers of tables whose live schema is unknown (an unstamped
+      // ANN store's vec_id-shaped codes under compact) pass None and
+      // keep inference. Every consumer selects by name, so schema-
+      // supplied column order (vs inference's data-cols-then-partition-
+      // cols) is unobservable; stamped DDLs are recorded in inference
+      // order anyway.
       val rd = spark.read.option("basePath", s"$dir/$sub")
-      emptyDdl.filter(_ => declaredSchema).fold(rd)(rd.schema)
+      readSchema.fold(rd)(rd.schema)
         .parquet(files.map(f => s"$dir/$sub/$f"): _*)
     }
 
   /** The snapshot's codes / vectors tables as DataFrames (see
     * [[readOrEmpty]]): absent tables FAIL by default; a caller that
     * tolerates single-modality stores (compact) passes fallback DDLs. */
+  /** Builder-stamped table schemas (`ddl.codes` / `ddl.vectors`,
+    * stamped together with `ddl.version` by schema-owning builders
+    * like VectorOps.buildIvfPqIndex): the footer-inference skip for
+    * readers with no contract DDL of their own — ANN store schemas
+    * vary per store (optional label, rider columns), so only the
+    * builder can declare them. Trusted only for snapshots at or above
+    * the stamping version: a time-travel read below it may predate
+    * the stamped shape. Unstamped stores read exactly as before. */
+  private def stampedDdls(dir: String, snapVersion: Int): Map[String, String] = {
+    val p = props(dir)
+    if (p.get("ddl.version")
+          .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+          .exists(_ <= snapVersion)) p
+    else Map.empty
+  }
+
   def frames(spark: SparkSession, dir: String, snap: Snapshot,
              codesDdl: Option[String] = None,
              vectorsDdl: Option[String] = None,
-             declaredSchema: Boolean = false): (DataFrame, DataFrame) =
+             declaredSchema: Boolean = false): (DataFrame, DataFrame) = {
+    // read-schema resolution: the caller's DDL when it is declared as
+    // the table contract; else the builder's stamp; else inference
+    lazy val stamps = stampedDdls(dir, snap.version)
+    def rs(sub: String, given: Option[String]): Option[String] =
+      given.filter(_ => declaredSchema).orElse(stamps.get(s"ddl.$sub"))
     (applyTombs(spark, dir, snap, "codes",
        readOrEmpty(spark, dir, "codes", snap.codes, codesDdl,
-         declaredSchema)),
+         rs("codes", codesDdl))),
      applyTombs(spark, dir, snap, "vectors",
        readOrEmpty(spark, dir, "vectors", snap.vectors, vectorsDdl,
-         declaredSchema)))
+         rs("vectors", vectorsDdl))))
+  }
 
   /** The marks table's schema — the fingerprint-ledger row shape every
     * marks consumer shares (DedupLedger's media/embedding arms,
@@ -1322,7 +1342,7 @@ object IndexStore {
                  ddl: String): DataFrame =
     applyTombs(spark, dir, snap, "marks",
       readOrEmpty(spark, dir, "marks", snap.marks, Some(ddl),
-        declaredSchema = true))
+        readSchema = Some(ddl)))
 
   /** INCREMENTAL reader: the rows ADDED between two snapshots, read
     * from ONLY the data files `to` references that `from` does not —
@@ -1338,13 +1358,18 @@ object IndexStore {
     * the ingest must not resurrect content a takedown removed. */
   def diffFrames(spark: SparkSession, dir: String,
                  from: Snapshot, to: Snapshot): (DataFrame, DataFrame) = {
+    // same builder-stamp footer-inference skip as [[frames]]; the gate
+    // version is `to` (the snapshot whose files the diff opens)
+    lazy val stamps = stampedDdls(dir, to.version)
     def read(sub: String, files: Seq[String]): DataFrame =
       if (files.isEmpty)
         spark.read.option("basePath", s"$dir/$sub")
           .parquet(s"$dir/$sub").limit(0)
-      else
-        spark.read.option("basePath", s"$dir/$sub")
+      else {
+        val rd = spark.read.option("basePath", s"$dir/$sub")
+        stamps.get(s"ddl.$sub").fold(rd)(rd.schema)
           .parquet(files.map(f => s"$dir/$sub/$f"): _*)
+      }
     (applyTombs(spark, dir, to, "codes",
        read("codes", (to.codes.toSet -- from.codes.toSet).toSeq.sorted)),
      applyTombs(spark, dir, to, "vectors",
@@ -1375,7 +1400,7 @@ object IndexStore {
   def seqsFrame(spark: SparkSession, dir: String, snap: Snapshot): DataFrame =
     applyTombs(spark, dir, snap, "seqs",
       readOrEmpty(spark, dir, "seqs", snap.seqs, Some(SEQS_DDL),
-        declaredSchema = true))
+        readSchema = Some(SEQS_DDL)))
 
   /** [[diffMarks]] for the seqs table: the video sequences ADDED
     * between two snapshots (same append-only-range caveat). */

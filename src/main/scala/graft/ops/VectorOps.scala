@@ -1347,6 +1347,9 @@ object VectorOps {
     // data files land first, then ONE manifest snapshot covering codes
     // and vectors together publishes the store (IndexStore: readers
     // resolve _HEAD, never a directory listing)
+    val vecCols = Seq(col("vec_id"), col("q"), col("cell")) ++
+      (if (quant.columns.contains("label")) Seq(col("label")) else Nil)
+    val vecsWritten = kmeansAssign(quant, coarse).select(vecCols: _*)
     IndexStore.commitRebuild(dir) {
       // explicit cell clustering before the write: the encode/assign
       // paths are now pure row-local projections (no shuffle for AQE to
@@ -1361,10 +1364,7 @@ object VectorOps {
       // beside the codes, partitioned by the same cell — the exact
       // re-rank reads probes/k of these directories in the SAME job as
       // the ADC scan instead of point-fetching back into the corpus
-      val vecCols = Seq(col("vec_id"), col("q"), col("cell")) ++
-        (if (quant.columns.contains("label")) Seq(col("label")) else Nil)
-      kmeansAssign(quant, coarse)
-        .select(vecCols: _*)
+      vecsWritten
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
     }
@@ -1382,8 +1382,34 @@ object VectorOps {
       // modality stamp: forget's declared-modalities guard rejects a
       // 'text' takedown against this vec_id vocabulary by name instead
       // of silently tombstoning the wrong id space (ADVICE r17)
-      "modalities" -> "vector"))
+      "modalities" -> "vector",
+      // table-schema stamps (round 20): this builder OWNS the store's
+      // schemas (riders included), so readers with no contract DDL
+      // (IndexStore.frames/diffFrames on ANN stores) skip parquet
+      // footer inference per construct. Recorded in INFERENCE order
+      // (data columns, then the cell partition column) so stamped and
+      // inferred frames are column-order-identical; appends, refines
+      // and compactions preserve the shape by construction, and the
+      // `ddl.version` gate keeps time-travel reads below this build on
+      // inference. Stamped beside built_version, after the publish —
+      // a crash in between leaves the store unstamped, the honest
+      // degraded (inference) state.
+      "ddl.version" -> IndexStore.headVersion(dir).getOrElse(0).toString,
+      "ddl.codes" -> inferenceOrderDdl(codes),
+      "ddl.vectors" -> inferenceOrderDdl(vecsWritten)))
     ()
+  }
+
+  /** A written table's read schema in INFERENCE column order: data
+    * columns as selected, the `cell` partition column last, everything
+    * nullable (parquet inference never yields NOT NULL), cell typed
+    * INT exactly as partition-value inference resolves `cell=<n>`
+    * directories. */
+  private def inferenceOrderDdl(df: DataFrame): String = {
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    StructType(df.schema.fields.filterNot(_.name == "cell")
+      .map(f => f.copy(nullable = true)) :+
+      StructField("cell", IntegerType)).toDDL
   }
 
   /** Rewrite the store's accumulated append-files into sized ones and

@@ -52,8 +52,13 @@ object Bench {
     // amortizes away: the same 8 queries read ~2.9 s there), recorded
     // on the healthy r20 box at the 154 s full-catalog artifact
     val controlBaseline = 6.18
+    // round 21 (VERDICT r20 Next #7): `control_min_sum` is emitted on
+    // EVERY full-catalog run — raw signal any box can carry — while
+    // `box_factor` is still computed only where the recorded baseline
+    // constant applies (local[32]/sf0.1); elsewhere a factor against a
+    // foreign configuration would be noise dressed as signal.
     val controlSum: Option[Double] =
-      if (only.isEmpty && sfDir.endsWith("sf0.1") && cpus == "32") Some {
+      if (only.isEmpty) Some {
         control.map { n =>
           val fn = SparkEntry.queries(n)
           (0 until 2).map { _ =>
@@ -63,7 +68,10 @@ object Bench {
           }.min
         }.sum
       } else None
-    val boxFactor = controlSum.map(_ / controlBaseline)
+    val boxFactor: Option[Double] =
+      if (sfDir.endsWith("sf0.1") && cpus == "32")
+        controlSum.map(_ / controlBaseline)
+      else None
     boxFactor.filter(_ > 1.15).foreach { f =>
       println(f"BOX_WARN: control family at ${f}%.2fx the recorded " +
         "idle-box baseline — per-query numbers in this artifact are " +
@@ -137,12 +145,11 @@ object Bench {
     // (failures are in `failed`, never mixed into a count that reads as
     // "measured").
     val nOk = results.count(_._2 >= 0)
-    val bf = (controlSum, boxFactor) match {
-      case (Some(c), Some(f)) =>
-        s""","control_min_sum":${math.rint(c * 1000) / 1000}""" +
-        s""","box_factor":${math.rint(f * 1000) / 1000}"""
-      case _ => ""
-    }
+    val bf =
+      controlSum.map(c =>
+        s""","control_min_sum":${math.rint(c * 1000) / 1000}""").getOrElse("") +
+      boxFactor.map(f =>
+        s""","box_factor":${math.rint(f * 1000) / 1000}""").getOrElse("")
     val summary = s""""metric":"total","unit":"sec","value":$total,"total_min":$totalMin,"n_ok":$nOk,"n_catalog":${results.size},"failed":$fs,"runs":$runs$bf,"sf":"$sfDir""""
     val json = s"""{$summary,"queries":$qs,"queries_min":$qmins,$summary}"""
     println(json)

@@ -139,7 +139,7 @@ object DedupLedger {
     * lands as one file set, not one fragment per upstream task. */
   def buildLedger(history: DataFrame, dir: String): Int = {
     IndexStore.setProps(dir, Map("modalities" -> "text"))
-    IndexStore.commitRebuild(dir) {
+    val v = IndexStore.commitRebuild(dir) {
       exactRows(history)
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
@@ -150,6 +150,35 @@ object DedupLedger {
         .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
       refreshArmStats(dir, "vectors-hist", bandsOf(sigs), Seq("band", "bkey"))
     }
+    stampLedgerDdls(dir)
+    v
+  }
+
+  /** Table-schema stamps for LEDGER builders (round 21, VERDICT r20
+    * Next #3 — the 1b mechanism applied ledger-side): this builder owns
+    * the codes/vectors shapes it just wrote (exactly the contract
+    * DDLs), so readers with no contract DDL of their own —
+    * [[IndexStore.compact]]'s polymorphic rewrite, legacy
+    * [[IndexStore.diffFrames]] callers — skip parquet footer inference.
+    * Same discipline as the ANN builder's stamp: recorded in inference
+    * column order (data columns, then `cell`), stamped AFTER the
+    * publish (a crash in between leaves the honest unstamped/inference
+    * state), version-gated so time-travel reads below the stamping
+    * build keep inference. marks/seqs/tombs need no stamp — every
+    * reader of those arms declares the universal contract DDL. */
+  private def stampLedgerDdls(dir: String): Unit = {
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    def inferenceOrder(ddl: String): String = {
+      val st = StructType.fromDDL(ddl)
+      StructType(st.filterNot(_.name == "cell")
+        .map(_.copy(nullable = true)) :+
+        StructField("cell", IntegerType)).toDDL
+    }
+    IndexStore.setProps(dir, Map(
+      "ddl.version" -> IndexStore.headVersion(dir).getOrElse(0).toString,
+      "ddl.codes" -> inferenceOrder(IndexStore.CODES_DDL),
+      "ddl.vectors" -> inferenceOrder(IndexStore.VECTORS_DDL)))
+    ()
   }
 
   /** Append `survivors`' fingerprints as one idempotent tagged delta:
@@ -401,7 +430,7 @@ object DedupLedger {
     // a mixed store declares EVERY modality the router can send it —
     // absence of any one table is bootstrap, not misconfiguration
     IndexStore.setProps(dir, Map("modalities" -> "text,media,video"))
-    IndexStore.commitRebuild(dir) {
+    val v = IndexStore.commitRebuild(dir) {
       exactRows(history)
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
@@ -415,6 +444,8 @@ object DedupLedger {
       refreshArmStats(dir, s"marks-hist-${geom.params}",
         mediaBandsOf(marks, geom), Seq("band", "bkey"))
     }
+    stampLedgerDdls(dir)
+    v
   }
 
   /** Append surviving media fingerprints as one idempotent tagged
@@ -1586,7 +1617,9 @@ object DedupLedger {
     "q145_ledger_diff" -> ((s, d) => {
       val dir = ensureLedger(s, d)
       val (addedEx, addedSig) = IndexStore.diffFrames(s, dir,
-        IndexStore.snapshotAt(dir, 1), IndexStore.snapshot(dir))
+        IndexStore.snapshotAt(dir, 1), IndexStore.snapshot(dir),
+        Some(IndexStore.CODES_DDL), Some(IndexStore.VECTORS_DDL),
+        declaredSchema = true) // text-ledger store: the contract DDLs
       addedEx.select(col("owner").as("doc_id"))
         .join(addedSig.select(col("doc_id")).withColumn("has_sig", lit(1L)),
           Seq("doc_id"), "left")

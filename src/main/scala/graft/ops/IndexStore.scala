@@ -1270,7 +1270,7 @@ object IndexStore {
           "requires the modality (wrong store directory?); readers for " +
           "whom absence is legitimate pass an explicit empty-fallback DDL")
       }
-    else {
+    else readSchema match {
       // `readSchema`: a schema KNOWN to describe these files (the
       // caller's contract DDL, or the builder's `ddl.*` stamp) becomes
       // the read schema — parquet footer-based inference costs a
@@ -1283,10 +1283,80 @@ object IndexStore {
       // supplied column order (vs inference's data-cols-then-partition-
       // cols) is unobservable; stamped DDLs are recorded in inference
       // order anyway.
-      val rd = spark.read.option("basePath", s"$dir/$sub")
-      readSchema.fold(rd)(rd.schema)
-        .parquet(files.map(f => s"$dir/$sub/$f"): _*)
+      case Some(ddl) => readDeclared(spark, dir, sub, files, ddl)
+      case None =>
+        spark.read.option("basePath", s"$dir/$sub")
+          .parquet(files.map(f => s"$dir/$sub/$f"): _*)
     }
+
+  /** Direct-relation construct for DECLARED-schema reads (round 21,
+    * guide §1.2/§7.3 — driver-side work): with the schema already
+    * known, `spark.read.schema(ddl).parquet(files)` still pays the
+    * whole DataSource resolution pipeline per construct — path
+    * qualification + existence probes over every file, fresh Hadoop
+    * conf copies, file re-listing — measured at ~0.027 s of a ~0.035 s
+    * warm 16-file construct (ConstructProfile r21; the listing itself
+    * is ~0.005 s and relation+analysis ~0.003 s). A ledger tick
+    * constructs each table 2-6x, so the machinery dominated the
+    * verdict-construct residue VERDICT r20 Next #1 names. Build the
+    * SAME relation directly instead:
+    *
+    *   - the file LISTING ([[InMemoryFileIndex]] — statuses +
+    *     partition values parsed from the `cell=`/`modality=` paths,
+    *     exactly what DataSource builds) is memoized per
+    *     (table root, ddl, exact fileset): store data files are
+    *     immutable once committed (manifests name unique part files;
+    *     vacuum deletes, never rewrites), so a fileset IS the content
+    *     identity — an append mints a new key, never a stale hit. At
+    *     object-store scale this also removes the per-file existence
+    *     HEADs the reader path re-issues on every construct.
+    *   - the analyzed FRAME is memoized per (session, root, ddl,
+    *     fileset) — the [[VectorOps.storeFramesCache]] discipline: a
+    *     DataFrame is a PLAN (executing it re-reads the parquet), so
+    *     this caches metadata, never results. Bounded LRU; eviction
+    *     costs a re-construct, never correctness.
+    *
+    * Plan parity with the reader path is pinned by RelationParitySpec:
+    * same schema (data cols then partition col), same FileSourceScan,
+    * same partition pruning, same pushdown surface. */
+  private val fileIndexCache = new DriverCache[(String, String),
+    org.apache.spark.sql.execution.datasources.InMemoryFileIndex](512)
+  private val declaredFrameCache =
+    new DriverCache[(Int, String, String), DataFrame](512)
+  private def readDeclared(spark: SparkSession, dir: String, sub: String,
+                           files: Seq[String], ddl: String): DataFrame = {
+    val base = s"$dir/$sub"
+    val fileset = files.mkString("\n")
+    val fkey = (System.identityHashCode(spark), s"$base|$ddl", fileset)
+    declaredFrameCache.get(fkey).getOrElse {
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      val ikey = (s"$base|$ddl", fileset)
+      val idx = fileIndexCache.get(ikey).getOrElse {
+        // qualify like DataSource does (scheme-full paths in the scan's
+        // Location), via the context conf — no per-read conf copy
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val built =
+          new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
+            spark,
+            files.map(f => fs.makeQualified(
+              new org.apache.hadoop.fs.Path(s"$base/$f"))),
+            Map("basePath" -> base), Some(schema))
+        fileIndexCache.put(ikey, built)
+        built
+      }
+      val ps = idx.partitionSchema
+      val dataSchema = org.apache.spark.sql.types.StructType(
+        schema.filterNot(f => ps.exists(_.name.equalsIgnoreCase(f.name))))
+      val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+        idx, ps, dataSchema, None,
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+        Map("basePath" -> base))(spark)
+      val df = spark.baseRelationToDataFrame(rel)
+      declaredFrameCache.put(fkey, df)
+      df
+    }
+  }
 
   /** The snapshot's codes / vectors tables as DataFrames (see
     * [[readOrEmpty]]): absent tables FAIL by default; a caller that
@@ -1357,18 +1427,27 @@ object IndexStore {
     * changelog lists rows added AND still live — a consumer tailing
     * the ingest must not resurrect content a takedown removed. */
   def diffFrames(spark: SparkSession, dir: String,
-                 from: Snapshot, to: Snapshot): (DataFrame, DataFrame) = {
-    // same builder-stamp footer-inference skip as [[frames]]; the gate
-    // version is `to` (the snapshot whose files the diff opens)
+                 from: Snapshot, to: Snapshot,
+                 codesDdl: Option[String] = None,
+                 vectorsDdl: Option[String] = None,
+                 declaredSchema: Boolean = false): (DataFrame, DataFrame) = {
+    // read-schema resolution like [[frames]]: the caller's DDL when it
+    // is declared as the table contract (the LEDGER's changelog reader
+    // — round 21, VERDICT r20 Next #3); else the builder's stamp; else
+    // inference. The gate version is `to` (the snapshot whose files
+    // the diff opens).
     lazy val stamps = stampedDdls(dir, to.version)
+    def rs(sub: String, given: Option[String]): Option[String] =
+      given.filter(_ => declaredSchema).orElse(stamps.get(s"ddl.$sub"))
     def read(sub: String, files: Seq[String]): DataFrame =
       if (files.isEmpty)
         spark.read.option("basePath", s"$dir/$sub")
           .parquet(s"$dir/$sub").limit(0)
-      else {
-        val rd = spark.read.option("basePath", s"$dir/$sub")
-        stamps.get(s"ddl.$sub").fold(rd)(rd.schema)
-          .parquet(files.map(f => s"$dir/$sub/$f"): _*)
+      else rs(sub, if (sub == "codes") codesDdl else vectorsDdl) match {
+        case Some(ddl) => readDeclared(spark, dir, sub, files, ddl)
+        case None =>
+          spark.read.option("basePath", s"$dir/$sub")
+            .parquet(files.map(f => s"$dir/$sub/$f"): _*)
       }
     (applyTombs(spark, dir, to, "codes",
        read("codes", (to.codes.toSet -- from.codes.toSet).toSeq.sorted)),

@@ -1405,7 +1405,7 @@ object VectorOps {
     * nullable (parquet inference never yields NOT NULL), cell typed
     * INT exactly as partition-value inference resolves `cell=<n>`
     * directories. */
-  private def inferenceOrderDdl(df: DataFrame): String = {
+  private[ops] def inferenceOrderDdl(df: DataFrame): String = {
     import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
     StructType(df.schema.fields.filterNot(_.name == "cell")
       .map(f => f.copy(nullable = true)) :+
